@@ -1,13 +1,405 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Filters
+import graft.ops.{Dedup, TextAnalysis, VectorSearch}
+
+/**
+ * Driver contract — one entry per implemented operator from SURVEY.md §2,
+ * expressed over the driver-provided TPC-H-ish testdata tables, each with
+ * an equivalent DuckDB oracle in `oracleSql`.
+ *
+ * Precision discipline (the driver hash-compares values):
+ *  - similarity scores: double accumulation in BOTH engines (dot_f64 here,
+ *    `embedding::DOUBLE[]` + list_dot_product there), rounded to 4 dp in
+ *    the projection only (never in the ORDER BY).
+ *  - money/measure sums: cast to DECIMAL first (exact, order-independent
+ *    in both engines), cast the final aggregate back to DOUBLE.
+ *  - counts/sizes cast to BIGINT to match DuckDB's len()/count() types.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is TIMESTAMP(NANOS) in the source parquet; with
+    * spark.sql.legacy.parquet.nanosAsLong=true it surfaces as long nanos —
+    * convert to a proper timestamp (microsecond precision). */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    e.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        e.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      case _ => e
+    }
+  }
+
+  /** First embedding with the given vec_id (the driver-side query vector,
+    * like the reference's driver-side query embedding). */
+  private def vec(spark: SparkSession, dir: String, vecId: Long): Array[Float] =
+    t(spark, dir, "embeddings").filter(col("vec_id") === vecId)
+      .select("embedding").head().getSeq[Float](0).toArray
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    VectorSearch.topK(t(spark, dir, "embeddings"), "embedding",
+      vec(spark, dir, 0), k = 10, idCol = "vec_id")
+  }
+
+  // 21 English stopwords shared with the oracle SQL below.
+  private val Stopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "by", "at", "it", "that", "this", "be")
+  private val StopwordsSqlList = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Q1/Q3: full scan + $contains/$not_contains content predicates ----
+    "q_filter_contains" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(col("lang") === "en" &&
+          col("text").contains("filter") && !col("text").contains("slow"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    // ---- Q2: metadata-map equality with missing-key ⇒ "" semantics ----
+    "q_metadata_where" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("metadata",
+          map(lit("lang"), col("lang"), lit("source"), col("source")))
+        .filter(Filters.metadataPredicate(Map("lang" -> "de", "missing" -> "")))
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // ---- Q4+Q6: similarity scoring + top-k (TakeOrderedAndProject) ----
+    "q_similarity_topk" -> ((s, dir) => {
+      VectorSearch.topK(t(s, dir, "embeddings"), "embedding", vec(s, dir, 0),
+          k = 10, idCol = "vec_id", precision = "f64")
+        .select(col("vec_id"), round(col("similarity"), 4).as("sim"))
+    }),
+
+    // ---- range search: all rows above a similarity threshold ----
+    "q_similarity_range" -> ((s, dir) => {
+      VectorSearch.thresholdSearch(t(s, dir, "embeddings"), "embedding",
+          vec(s, dir, 0), threshold = 0.25, precision = "f64")
+        .select(col("vec_id"), col("label"), round(col("similarity"), 4).as("sim"))
+    }),
+
+    // ---- Q5: negative-filter query (drop rows similar to negative) ----
+    "q_negative_filter" -> ((s, dir) => {
+      VectorSearch.negativeFilterTopK(t(s, dir, "embeddings"), "embedding",
+          vec(s, dir, 0), vec(s, dir, 1), negThreshold = 0.1, k = 10,
+          idCol = "vec_id", precision = "f64")
+        .select(col("vec_id"), round(col("similarity"), 4).as("sim"))
+    }),
+
+    // ---- batch k-NN join: top-3 corpus rows per query row ----
+    "q_knn_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      VectorSearch.knnJoin(emb, "embedding", "vec_id",
+          emb.filter(col("vec_id") < 5), "embedding", "vec_id",
+          k = 3, precision = "f64")
+        .select(col("query_id"), col("vec_id"), round(col("similarity"), 4).as("sim"))
+    }),
+
+    // ---- windowed top-k per group ----
+    "q_topk_per_label" -> ((s, dir) => {
+      VectorSearch.topKPerGroup(t(s, dir, "embeddings"), "embedding",
+          vec(s, dir, 0), k = 3, groupCol = "label", idCol = "vec_id",
+          precision = "f64")
+        .select(col("label"), col("vec_id"), round(col("similarity"), 4).as("sim"))
+    }),
+
+    // ---- Count (reference collection.go:391-395) ----
+    "q_count" -> ((s, dir) =>
+      t(s, dir, "documents").agg(count(lit(1)).as("cnt"))),
+
+    // ---- GetByID point lookup (reference collection.go:311-331) ----
+    "q_get_by_id" -> ((s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") === 42)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+
+    // ---- ListIDs (reference collection.go:296-306) ----
+    "q_list_ids" -> ((s, dir) => t(s, dir, "documents").select(col("doc_id"))),
+
+    // ---- Delete-by-filter = anti-filter new state (collection.go:338-388) ----
+    "q_delete_where" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(!(col("lang") === "fr" || col("text").contains("slow")))
+        .select(col("doc_id"))),
+
+    // ---- Upsert-by-id: within-batch last-wins merge (collection.go:280) ----
+    "q_upsert" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val old = docs.withColumn("__seq", lit(0))
+      val batch = docs.filter(col("doc_id") < 10)
+        .withColumn("text", upper(col("text"))).withColumn("__seq", lit(1))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("__seq").desc)
+      old.unionByName(batch)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("text"))
+    }),
+
+    // ---- dedup: exact (hash-groupBy on content digest) ----
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
+
+    // ---- dedup: exact pairwise word-set Jaccard (inverted-index join) ----
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.wordJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 0.8)),
+
+    // ---- dedup: MinHash+LSH candidates verified by exact Jaccard ----
+    // (probabilistic recall ⇒ no SQL oracle; rows-only check + unit tests)
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashDuplicates(t(s, dir, "documents"), "text", "doc_id", 0.8)),
+
+    // ---- dedup: SimHash near-dup pairs (banded 64-bit signatures) ----
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashDuplicates(t(s, dir, "documents"), "text", "doc_id", 8)),
+
+    // ---- dedup: embedding-cosine near-dup pairs ----
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "embedding", "vec_id", 0.4)),
+
+    // ---- text analysis: token counting (whitespace + BPE-ish regex) ----
+    "text_tokens" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))),
+
+    // ---- text analysis: quality features ----
+    "text_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_q"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        round(TextAnalysis.stopwordRatio(col("text"), Stopwords), 4).as("stopword_ratio"),
+        round((length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+          .cast("double") / length(col("text")), 4).as("space_ratio"))),
+
+    // ---- text analysis: content fingerprint (md5 — portable) ----
+    "text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // ---- text analysis: order-sensitive rolling hash (xxhash64 Horner) ----
+    // (xxhash64 not available in DuckDB ⇒ rows-only check + unit tests)
+    "text_rolling_fp" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rfp"))),
+
+    // ---- text analysis: language-ID heuristic (no oracle — heuristic) ----
+    "text_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    // ---- relational: aggregation pipeline (TPC-H Q1 shape) ----
+    "agg_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+             col("l_discount").cast("decimal(18,2)")))).cast("double").as("sum_disc"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ---- relational: broadcast join + top-k by revenue ----
+    "join_top_customers" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+           col("l_discount").cast("decimal(18,2)")))).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(10)
+    }),
+
+    // ---- events: tumbling-window aggregation (streaming-shaped, batch) ----
+    "events_window_agg" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(date_trunc("minute", col("ts")).as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))),
+
+    // ---- events: sessionization-lite — per-user event counts + value ----
+    "events_per_user" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_filter_contains" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'en' AND contains(text, 'filter')
+        |  AND NOT contains(text, 'slow')""".stripMargin,
+
+    "q_metadata_where" ->
+      "SELECT doc_id, source FROM documents WHERE lang = 'de'",
+
+    "q_similarity_topk" ->
+      """SELECT vec_id,
+        |  round(list_dot_product(embedding::DOUBLE[],
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS sim
+        |FROM embeddings
+        |ORDER BY list_dot_product(embedding::DOUBLE[],
+        |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
+    "q_similarity_range" ->
+      """SELECT vec_id, label,
+        |  round(list_dot_product(embedding::DOUBLE[],
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS sim
+        |FROM embeddings
+        |WHERE list_dot_product(embedding::DOUBLE[],
+        |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) >= 0.25""".stripMargin,
+
+    "q_negative_filter" ->
+      """SELECT vec_id,
+        |  round(list_dot_product(embedding::DOUBLE[],
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS sim
+        |FROM embeddings
+        |WHERE list_dot_product(embedding::DOUBLE[],
+        |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 1)) <= 0.1
+        |ORDER BY list_dot_product(embedding::DOUBLE[],
+        |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
+    "q_knn_join" ->
+      """SELECT q.vec_id AS query_id, e.vec_id,
+        |  round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS sim
+        |FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
+        |QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |  ORDER BY list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+        |           e.vec_id) <= 3""".stripMargin,
+
+    "q_topk_per_label" ->
+      """SELECT label, vec_id,
+        |  round(list_dot_product(embedding::DOUBLE[],
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS sim
+        |FROM embeddings
+        |QUALIFY row_number() OVER (PARTITION BY label
+        |  ORDER BY list_dot_product(embedding::DOUBLE[],
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC,
+        |    vec_id) <= 3""".stripMargin,
+
+    "q_count" -> "SELECT count(*) AS cnt FROM documents",
+
+    "q_get_by_id" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
+
+    "q_list_ids" -> "SELECT doc_id FROM documents",
+
+    "q_delete_where" ->
+      """SELECT doc_id FROM documents
+        |WHERE NOT (lang = 'fr' OR contains(text, 'slow'))""".stripMargin,
+
+    "q_upsert" ->
+      """WITH batch AS (
+        |  SELECT doc_id, upper(text) AS text FROM documents WHERE doc_id < 10),
+        |unioned AS (
+        |  SELECT doc_id, text, 0 AS seq FROM documents
+        |  UNION ALL SELECT doc_id, text, 1 AS seq FROM batch)
+        |SELECT doc_id, text FROM unioned
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "dedup_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+        |  FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+        |FROM pairs
+        |JOIN sz sa ON sa.doc_id = id_a
+        |JOIN sz sb ON sb.doc_id = id_b
+        |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
+
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |  len(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT AS n_bpeish
+        |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  length(text)::BIGINT AS n_chars_q,
+         |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+         |  round(len(list_filter(string_split(lower(text), ' '),
+         |    x -> x IN ($StopwordsSqlList))) * 1.0
+         |    / len(string_split(text, ' ')), 4) AS stopword_ratio,
+         |  round((length(text) - length(replace(text, ' ', ''))) * 1.0
+         |    / length(text), 4) AS space_ratio
+         |FROM documents""".stripMargin,
+
+    "text_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents",
+
+    "agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS sum_disc,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "join_top_customers" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 10""".stripMargin,
+
+    "events_window_agg" ->
+      """SELECT date_trunc('minute', ts) AS w, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+
+    "events_per_user" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  count(DISTINCT event_type) AS n_types,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY user_id""".stripMargin
+  )
 }

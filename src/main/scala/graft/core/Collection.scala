@@ -1,0 +1,306 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.embed.EmbeddingFunc
+import graft.functions.VectorFunctions
+import graft.functions.VectorFunctions.{dot_f32, is_normalized, normalize_f32}
+
+/**
+ * A collection of documents — parity with reference collection.go:16-29,
+ * re-expressed Spark-first.
+ *
+ * State is one immutable DataFrame with `Document.schema`, swapped
+ * atomically on mutation. Immutability gives the reader/writer safety the
+ * reference gets from its RWMutex (collection.go:21) with zero locking on
+ * the read path. A driver-side row count is maintained with the state so
+ * the `nResults <= count` check (collection.go:505-507) costs no Spark job.
+ *
+ * Scale notes (100 TB design):
+ *  - The query path is filter → scalar dot-product projection →
+ *    `ORDER BY sim DESC LIMIT k`. Catalyst plans the latter as
+ *    TakeOrderedAndProject: per-partition bounded heap + driver merge —
+ *    exactly the reference's per-goroutine-heap algorithm (query.go:16-83)
+ *    but distributed, with NO full shuffle and NO full sort.
+ *  - The query vector travels as a literal (few KB) — no broadcast join.
+ *  - Filters are pushed to the parquet scan; the expensive dot product
+ *    only runs on filter survivors (reference orders it the same way,
+ *    collection.go:521 before :542).
+ */
+class Collection private[core] (
+    val name: String,
+    collMetadata: Map[String, String],
+    val embedFunc: EmbeddingFunc,
+    private val spark: SparkSession,
+    initial: Option[DataFrame],
+    persist: Option[CollectionPersistence]) {
+
+  import spark.implicits._
+
+  // state + count swapped together, guarded by a small driver-side lock
+  // (replaces documentsLock RWMutex, collection.go:21).
+  @volatile private var state: (DataFrame, Long) = {
+    val df = initial.getOrElse(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], Document.schema))
+    (df, initial.map(_.count()).getOrElse(0L))
+  }
+
+  def metadata: Map[String, String] = collMetadata
+
+  /** Current collection contents as a DataFrame (immutable snapshot). */
+  def df: DataFrame = state._1
+
+  /** Row count — reference collection.go:391-395, served from driver state. */
+  def count(): Long = state._2
+
+  // ------------------------------------------------------------------
+  // Ingest (reference collection.go:131-293)
+  // ------------------------------------------------------------------
+
+  /** Chroma-style columnar add — reference collection.go:131-133. */
+  def add(
+      ids: Seq[String],
+      embeddings: Seq[Array[Float]] = null,
+      metadatas: Seq[Map[String, String]] = null,
+      contents: Seq[String] = null): Unit =
+    addConcurrently(ids, embeddings, metadatas, contents, concurrency = 1)
+
+  /** Columnar add with validation — reference collection.go:140-187.
+    * `concurrency` maps to ingest partition count. */
+  def addConcurrently(
+      ids: Seq[String],
+      embeddings: Seq[Array[Float]] = null,
+      metadatas: Seq[Map[String, String]] = null,
+      contents: Seq[String] = null,
+      concurrency: Int = 1): Unit = {
+    if (ids == null || ids.isEmpty)
+      throw new IllegalArgumentException("ids are empty")
+    if ((embeddings == null || embeddings.isEmpty) && (contents == null || contents.isEmpty))
+      throw new IllegalArgumentException("either embeddings or contents must be filled")
+    if (embeddings != null && embeddings.nonEmpty && embeddings.length != ids.length)
+      throw new IllegalArgumentException("ids and embeddings must have the same length")
+    if (metadatas != null && metadatas.nonEmpty && metadatas.length != ids.length)
+      throw new IllegalArgumentException(
+        "when metadatas is not empty it must have the same length as ids")
+    if (contents != null && contents.nonEmpty && contents.length != ids.length)
+      throw new IllegalArgumentException("ids and contents must have the same length")
+    if (concurrency < 1)
+      throw new IllegalArgumentException("concurrency must be at least 1")
+    val docs = ids.indices.map { i =>
+      Document(
+        id = ids(i),
+        metadata = if (metadatas == null || metadatas.isEmpty) Map.empty else metadatas(i),
+        embedding = if (embeddings == null || embeddings.isEmpty) null else embeddings(i),
+        content = if (contents == null || contents.isEmpty) null else contents(i))
+    }
+    addDocuments(docs, concurrency)
+  }
+
+  /** Batch upsert — reference collection.go:193-245 + AddDocument :250-293.
+    * Docs without an embedding are embedded via `embedFunc` inside
+    * `mapPartitions` (one task = one reference worker goroutine); vectors
+    * are normalized on ingest when needed so the query path never
+    * re-normalizes stored vectors (collection.go:272-276). */
+  def addDocuments(documents: Seq[Document], concurrency: Int = 1): Unit = {
+    if (documents == null || documents.isEmpty)
+      throw new IllegalArgumentException("documents slice is nil or empty")
+    if (concurrency < 1)
+      throw new IllegalArgumentException("concurrency must be at least 1")
+    documents.foreach(Document.validate)
+    // last occurrence per id wins, decided driver-side while batch order is
+    // still defined (map-assignment overwrite parity, collection.go:280)
+    val lastWins = documents.zipWithIndex
+      .groupBy(_._1.id).valuesIterator.map(_.maxBy(_._2)._1).toVector
+    val batch = spark.createDataset(lastWins).toDF()
+      .repartition(math.min(concurrency, lastWins.size))
+    addDF(batch)
+  }
+
+  /**
+   * Bulk upsert of a conforming DataFrame — THE scale path. Upsert-by-id
+   * (map-assignment overwrite in the reference, collection.go:280) becomes:
+   * within-batch last-writer-wins, then anti-join old state against batch
+   * ids, then union. Both the anti-join and the dedup shuffle on `id`.
+   */
+  def addDF(batch: DataFrame): Unit = synchronized {
+    val ef = embedFunc
+    val embedded = batch
+      .withColumn("embedding",
+        when(col("embedding").isNull, embedUdf(ef)(col("content")))
+          .otherwise(col("embedding")))
+      .withColumn("embedding",
+        when(is_normalized(col("embedding")), col("embedding"))
+          .otherwise(normalize_f32(col("embedding"))))
+    // last occurrence per id within the batch wins (SURVEY §7.4)
+    val deduped = embedded
+      .withColumn("__seq", monotonically_increasing_id())
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("__seq").desc)))
+      .filter(col("__rn") === 1).drop("__seq", "__rn")
+    val (old, _) = state
+    val next = old.join(deduped.select("id"), Seq("id"), "left_anti")
+      .unionByName(deduped.select(old.columns.map(col).toIndexedSeq: _*))
+    commit(next)
+  }
+
+  private def embedUdf(ef: EmbeddingFunc) = udf { (content: String) =>
+    if (content == null)
+      throw new IllegalArgumentException("either document embedding or content must be filled")
+    ef.embed(content)
+  }
+
+  // ------------------------------------------------------------------
+  // Point lookups / maintenance (reference collection.go:296-395)
+  // ------------------------------------------------------------------
+
+  /** Point lookup — reference collection.go:311-331. */
+  def getByID(id: String): Document = {
+    if (id == null || id.isEmpty)
+      throw new IllegalArgumentException("document ID is empty")
+    df.filter(col("id") === lit(id)).as[Document].collect().headOption
+      .getOrElse(throw new NoSuchElementException(s"document with ID '$id' not found"))
+  }
+
+  /** All IDs — reference collection.go:296-306. */
+  def listIDs(): Seq[String] = df.select("id").as[String].collect().toIndexedSeq
+
+  /** Delete by ids and/or filters — reference collection.go:338-388.
+    * Spark-first: the new state is an anti-filter (no per-row file deletes). */
+  def delete(
+      where: Map[String, String] = Map.empty,
+      whereDocument: Map[String, String] = Map.empty,
+      ids: Seq[String] = Seq.empty): Unit = synchronized {
+    if (where.isEmpty && whereDocument.isEmpty && ids.isEmpty)
+      throw new IllegalArgumentException("must have at least one of where, whereDocument or ids")
+    Filters.validateWhereDocument(whereDocument, "unsupported whereDocument operator")
+    val (old, _) = state
+    // Reference precedence (collection.go:359-368): when any filter map is
+    // given, the filter decides the victims; ids are used only otherwise.
+    val victim =
+      if (where.nonEmpty || whereDocument.nonEmpty) Filters.predicate(where, whereDocument)
+      else col("id").isInCollection(ids)
+    commit(old.filter(!victim))
+  }
+
+  // ------------------------------------------------------------------
+  // Query (reference collection.go:414-559, query.go)
+  // ------------------------------------------------------------------
+
+  /** Text query — reference collection.go:414-429. */
+  def query(
+      queryText: String,
+      nResults: Int,
+      where: Map[String, String] = Map.empty,
+      whereDocument: Map[String, String] = Map.empty): Seq[QueryResult] = {
+    if (queryText == null || queryText.isEmpty)
+      throw new IllegalArgumentException("queryText is empty")
+    queryEmbedding(embedFunc.embed(queryText), nResults, where, whereDocument)
+  }
+
+  /** Vector query — reference collection.go:484-493. */
+  def queryEmbedding(
+      queryEmbedding: Array[Float],
+      nResults: Int,
+      where: Map[String, String] = Map.empty,
+      whereDocument: Map[String, String] = Map.empty): Seq[QueryResult] =
+    runQuery(queryEmbedding, nResults, where, whereDocument, negVector = null, negThreshold = 0f)
+
+  /** Options/negative query — reference collection.go:431-481. */
+  def queryWithOptions(options: QueryOptions): Seq[QueryResult] = {
+    val hasText = options.queryText != null && options.queryText.nonEmpty
+    val hasVec = options.queryEmbedding != null && options.queryEmbedding.nonEmpty
+    if (!hasText && !hasVec)
+      throw new IllegalArgumentException("QueryText and QueryEmbedding options are empty")
+    var qv = if (hasVec) options.queryEmbedding else embedFunc.embed(options.queryText)
+    var negVec: Array[Float] = null
+    var negThreshold = 0f
+    val neg = options.negative
+    if (neg != null && ((neg.text != null && neg.text.nonEmpty) ||
+        (neg.embedding != null && neg.embedding.nonEmpty))) {
+      val nvRaw =
+        if (neg.embedding != null && neg.embedding.nonEmpty) neg.embedding
+        else embedFunc.embed(neg.text)
+      val nv = if (VectorFunctions.isNormalized(nvRaw)) nvRaw
+               else VectorFunctions.normalize(nvRaw)
+      neg.mode match {
+        case NegativeMode.Subtract | null | "" =>
+          qv = VectorFunctions.normalize(VectorFunctions.subtract(qv, nv))
+        case NegativeMode.Filter =>
+          negVec = nv
+          negThreshold =
+            if (neg.filterThreshold == 0f) NegativeMode.DefaultNegativeFilterThreshold
+            else neg.filterThreshold
+        case other =>
+          throw new IllegalArgumentException(s"""unsupported negative mode: "$other"""")
+      }
+    }
+    runQuery(qv, options.nResults, options.where, options.whereDocument, negVec, negThreshold)
+  }
+
+  /** The fused pipeline of reference queryEmbedding (collection.go:496-559). */
+  private def runQuery(
+      qv: Array[Float],
+      nResults: Int,
+      where: Map[String, String],
+      whereDocument: Map[String, String],
+      negVector: Array[Float],
+      negThreshold: Float): Seq[QueryResult] = {
+    if (qv == null || qv.isEmpty)
+      throw new IllegalArgumentException("queryEmbedding is empty")
+    if (nResults <= 0)
+      throw new IllegalArgumentException("nResults must be > 0")
+    if (nResults > count())
+      throw new IllegalArgumentException(
+        "nResults must be <= the number of documents in the collection")
+    Filters.validateWhereDocument(whereDocument, "unsupported operator")
+    queryDF(qv, nResults, where, whereDocument, negVector, negThreshold)
+      .as[QueryResult].collect().toIndexedSeq
+  }
+
+  /** Lazy DataFrame form of the query — for composition / explain / tests. */
+  def queryDF(
+      qv: Array[Float],
+      nResults: Int,
+      where: Map[String, String] = Map.empty,
+      whereDocument: Map[String, String] = Map.empty,
+      negVector: Array[Float] = null,
+      negThreshold: Float = 0f): DataFrame = {
+    // normalize query vector if needed (collection.go:530-532)
+    val q = if (VectorFunctions.isNormalized(qv)) qv else VectorFunctions.normalize(qv)
+    val qvLit = typedLit(q.toIndexedSeq)
+    var plan = df.filter(Filters.predicate(where, whereDocument))
+    if (negVector != null) {
+      // NEGATIVE_MODE_FILTER: drop docs too similar to the negative
+      // (query.go:221-231): keep negSim <= threshold.
+      val nvLit = typedLit(negVector.toIndexedSeq)
+      plan = plan.filter(dot_f32(col("embedding"), nvLit) <= lit(negThreshold))
+    }
+    plan
+      .withColumn("similarity", dot_f32(col("embedding"), qvLit))
+      // TakeOrderedAndProject = distributed bounded top-k heap (query.go:43-45)
+      .orderBy(desc("similarity"), asc("id"))
+      .limit(nResults)
+  }
+
+  // ------------------------------------------------------------------
+
+  private def commit(next: DataFrame): Unit = {
+    val materialized = persist match {
+      case Some(p) => p.write(next); p.read(spark)
+      case None =>
+        // Cut plan lineage so repeated upserts don't grow an unbounded
+        // union/anti-join tree (the in-memory analog of the reference's
+        // "persist each mutation", collection.go:284-290).
+        next.localCheckpoint(true)
+    }
+    state = (materialized, materialized.count())
+  }
+}
+
+/** Where/how a collection's rows live on disk (parquet + metadata sidecar). */
+trait CollectionPersistence {
+  def write(df: DataFrame): Unit
+  def read(spark: SparkSession): DataFrame
+}

