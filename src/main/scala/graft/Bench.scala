@@ -1,24 +1,127 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.ops.{VectorIndex, VectorSearch}
+
+/**
+ * Benchmark main. Two workload families:
+ *
+ * 1. chromem-parity (BASELINE.md): top-k=10 query over n in {25k, 100k}
+ *    docs with d=1536 random normalized float32 vectors (seed 42), no
+ *    filters — the reference's published microbenchmark
+ *    (reference collection_test.go:617-728). Reported as seconds per
+ *    query (avg over repeated runs after warmup), so the value is
+ *    directly comparable to the baseline's ns/op.
+ *
+ * 2. headline testdata queries at SPARK_GRAFT_SF_DIR (driver-run at
+ *    sf0.1): similarity search, LSH dedup, text analysis, relational
+ *    aggregation/join, windowed events.
+ *
+ * Prints ONE JSON line: {"metric":"total","value":N,"unit":"sec",
+ * "queries":{...},"sf":...}.
+ */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // ---- chromem-parity microbenchmark --------------------------------
+    results ++= chromemParity(spark, n = 25000, queries = 10)
+    results ++= chromemParity(spark, n = 100000, queries = 10)
+
+    // ---- headline testdata queries ------------------------------------
+    val headline = Seq(
+      "q_similarity_topk", "q_similarity_range", "q_negative_filter",
+      "q_knn_join", "q_topk_per_label", "dedup_exact", "dedup_minhash",
+      "dedup_simhash", "dedup_embedding", "text_quality", "text_tokens",
+      "text_fingerprint", "text_lang_id", "q_upsert",
+      "agg_pricing_summary", "join_top_customers", "events_window_agg",
+      "events_per_user")
+    headline.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          results(name) = (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            results(name) = -1.0
+        }
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Reference workload: n docs, d=1536 normalized random vectors, k=10.
+    * Returns avg seconds/query (excl. corpus build; incl. everything the
+    * reference times: scan + score + top-k + merge), on both the packed
+    * VectorIndex (the FLAT-scan hot path) and, at 100k, the declarative
+    * DataFrame path for comparison. */
+  private def chromemParity(
+      spark: SparkSession, n: Int, queries: Int): Map[String, Double] = {
+    import spark.implicits._
+    val d = 1536
+    val parts = spark.sparkContext.defaultParallelism
+    val corpus = spark.range(0, n.toLong, 1, parts)
+      .mapPartitions { it =>
+        it.map { id =>
+          val rnd = new java.util.Random(42L + id)
+          val v = Array.fill(d)(rnd.nextFloat() * 2f - 1f)
+          (id, graft.functions.VectorFunctions.normalize(v))
+        }
+      }.toDF("id", "embedding")
+
+    val qrnd = new java.util.Random(7L)
+    def qvec(): Array[Float] =
+      graft.functions.VectorFunctions.normalize(
+        Array.fill(d)(qrnd.nextFloat() * 2f - 1f))
+
+    val out = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // ≥ ~6k rows per block: below that, task scheduling dominates the scan
+    val nBlocks = math.max(1, math.min(parts, n / 6144))
+    val idx = VectorIndex.build[Long](corpus, "id", "embedding", d, nBlocks)
+      .persist().materialize()
+    (1 to 3).foreach(_ => idx.topK(qvec(), 10))
+    var t0 = System.nanoTime()
+    (1 to queries).foreach(_ => idx.topK(qvec(), 10))
+    out(s"chromem_query_${n}_d1536_k10") = (System.nanoTime() - t0) / 1e9 / queries
+    idx.unpersist()
+
+    if (n == 100000) { // declarative-path comparison point
+      val cached = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+      cached.count()
+      (1 to 3).foreach { _ =>
+        VectorSearch.topK(cached, "embedding", qvec(), 10, "id").collect()
+      }
+      t0 = System.nanoTime()
+      (1 to queries).foreach { _ =>
+        VectorSearch.topK(cached, "embedding", qvec(), 10, "id").collect()
+      }
+      out(s"chromem_query_${n}_d1536_k10_dataframe") =
+        (System.nanoTime() - t0) / 1e9 / queries
+      cached.unpersist()
+    }
+    out.toMap
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.embed.EmbeddingFunc
 import graft.functions.VectorFunctions
-import graft.functions.VectorFunctions.{dot_f32, is_normalized, normalize_f32}
+import graft.functions.VectorFunctions.{dot_const_f32, is_normalized, normalize_f32}
 
 /**
  * A collection of documents — parity with reference collection.go:16-29,
@@ -269,16 +269,14 @@ class Collection private[core] (
       negThreshold: Float = 0f): DataFrame = {
     // normalize query vector if needed (collection.go:530-532)
     val q = if (VectorFunctions.isNormalized(qv)) qv else VectorFunctions.normalize(qv)
-    val qvLit = typedLit(q.toIndexedSeq)
     var plan = df.filter(Filters.predicate(where, whereDocument))
     if (negVector != null) {
       // NEGATIVE_MODE_FILTER: drop docs too similar to the negative
       // (query.go:221-231): keep negSim <= threshold.
-      val nvLit = typedLit(negVector.toIndexedSeq)
-      plan = plan.filter(dot_f32(col("embedding"), nvLit) <= lit(negThreshold))
+      plan = plan.filter(dot_const_f32(col("embedding"), negVector) <= lit(negThreshold))
     }
     plan
-      .withColumn("similarity", dot_f32(col("embedding"), qvLit))
+      .withColumn("similarity", dot_const_f32(col("embedding"), q))
       // TakeOrderedAndProject = distributed bounded top-k heap (query.go:43-45)
       .orderBy(desc("similarity"), asc("id"))
       .limit(nResults)

@@ -23,6 +23,11 @@ object VectorFunctions {
   /** Float32 dot product — parity with reference vector.go:14-26. */
   def dot_f32(a: Column, b: Column): Column = column(DotProductF32(expr(a), expr(b)))
 
+  /** Float32 dot product against a constant query vector (the query-path
+    * hot loop: primitive float[] access, no boxed literal). */
+  def dot_const_f32(v: Column, query: Array[Float]): Column =
+    column(DotProductConstF32(expr(v), query))
+
   /** Double-precision dot product (sequential fold, matches DuckDB's
     * list_dot_product accumulation closely enough for oracle checks). */
   def dot_f64(a: Column, b: Column): Column = column(DotProductF64(expr(a), expr(b)))
@@ -71,6 +76,48 @@ object VectorFunctions {
     require(a.length == b.length, "vectors must have the same length")
     Array.tabulate(a.length)(i => a(i) - b(i))
   }
+}
+
+/**
+ * Hot-path specialization: dot product against a CONSTANT query vector
+ * held as a primitive float[] reference object. Avoids the per-element
+ * unboxing a GenericArrayData literal would cost (the literal path boxes
+ * every float — at 100k docs × 1536 dims that's 153M unboxings/query).
+ */
+case class DotProductConstF32(child: Expression, query: Array[Float])
+    extends UnaryExpression {
+  override def dataType: DataType = FloatType
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != query.length) {
+      throw new IllegalArgumentException(
+        s"vectors must have the same length: $n vs ${query.length}")
+    }
+    var s = 0.0f; var i = 0
+    while (i < n) { s += x.getFloat(i) * query(i); i += 1 }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qv = ctx.addReferenceObj("queryVec", query, "float[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $qv.length) {
+         |  throw new IllegalArgumentException("vectors must have the same length: " +
+         |    $n + " vs " + $qv.length);
+         |}
+         |float $s = 0.0f;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $x.getFloat($i) * $qv[$i];
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "dot_const_f32"
 }
 
 /** Shared shape for binary (vec, vec) expressions over float arrays. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.functions.VectorFunctions.{cosine_sim, dot_f32, dot_f64}
+import graft.functions.VectorFunctions.{cosine_sim, dot_const_f32, dot_f32, dot_f64}
 
 /**
  * Similarity search over an embedding column — the reference's core
@@ -28,11 +28,10 @@ object VectorSearch {
       queryVec: Array[Float],
       precision: String = "f32",
       scoreName: String = "similarity"): DataFrame = {
-    val q = typedLit(queryVec.toIndexedSeq)
     val score = precision match {
-      case "f32" => dot_f32(col(vecCol), q)
-      case "f64" => dot_f64(col(vecCol), q)
-      case "cosine" => cosine_sim(col(vecCol), q)
+      case "f32" => dot_const_f32(col(vecCol), queryVec)
+      case "f64" => dot_f64(col(vecCol), typedLit(queryVec.toIndexedSeq))
+      case "cosine" => cosine_sim(col(vecCol), typedLit(queryVec.toIndexedSeq))
       case other => throw new IllegalArgumentException(s"unknown precision: $other")
     }
     df.withColumn(scoreName, score)
@@ -70,10 +69,9 @@ object VectorSearch {
       k: Int,
       idCol: String = "id",
       precision: String = "f32"): DataFrame = {
-    val nv = typedLit(negativeVec.toIndexedSeq)
     val negSim = precision match {
-      case "f64" => dot_f64(col(vecCol), nv)
-      case _ => dot_f32(col(vecCol), nv)
+      case "f64" => dot_f64(col(vecCol), typedLit(negativeVec.toIndexedSeq))
+      case _ => dot_const_f32(col(vecCol), negativeVec)
     }
     scored(df, vecCol, queryVec, precision)
       .filter(negSim <= lit(negThreshold))
@@ -183,7 +181,7 @@ object VectorSearch {
     * signs — pure Catalyst (no UDF). */
   private[ops] def hyperplaneSignature(vec: Column, planes: Array[Array[Float]]): Column =
     planes.zipWithIndex.map { case (plane, p) =>
-      when(dot_f32(vec, typedLit(plane.toIndexedSeq)) >= lit(0f), lit(1L << p))
+      when(dot_const_f32(vec, plane) >= lit(0f), lit(1L << p))
         .otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 }
