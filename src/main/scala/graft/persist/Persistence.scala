@@ -62,14 +62,28 @@ object Persistence {
   }
 }
 
-/** Parquet-backed persistence for one collection. */
+/** Parquet-backed persistence for one collection.
+  *
+  * Writes go to a temp dir then swap in, because the new state is often
+  * computed lazily FROM the current parquet (delete = anti-filter of the
+  * existing data) — overwriting the directory being read would delete
+  * files mid-scan. */
 class ParquetPersistence(dir: Path) extends CollectionPersistence {
-  private val dataDir = dir.resolve("documents").toString
-  override def write(df: DataFrame): Unit =
-    df.write.mode("overwrite").parquet(dataDir)
+  private val dataDir = dir.resolve("documents")
+  override def write(df: DataFrame): Unit = {
+    val tmp = dir.resolve("documents.tmp")
+    deleteTree(tmp)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    deleteTree(dataDir)
+    Files.move(tmp, dataDir)
+  }
   override def read(spark: SparkSession): DataFrame =
-    if (Files.exists(Paths.get(dataDir))) spark.read.schema(Document.schema).parquet(dataDir)
+    if (Files.exists(dataDir)) spark.read.schema(Document.schema).parquet(dataDir.toString)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Document.schema)
+  private def deleteTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
 }
 
 /** Minimal JSON encode/parse for sidecars & provider payloads (no third-

@@ -1,0 +1,140 @@
+package graft
+
+import graft.core.{DB, Document, NegativeMode, NegativeQueryOptions, QueryOptions}
+import graft.embed.{ConstEmbeddingFunc, HashingEmbeddingFunc}
+
+/** API parity with reference collection_test.go (add/query/delete/errors). */
+class CollectionSpec extends SparkSuite {
+
+  private def freshDb = withLogLevel(DB.inMemory(spark, ConstEmbeddingFunc.stub()))
+
+  test("add + query roundtrip stores doc fields (collection_test.go:13-311)") {
+    val c = freshDb.createCollection("add-test", Map("created-by" -> "spec"))
+    c.add(
+      ids = Seq("1", "2"),
+      metadatas = Seq(Map("k" -> "v1"), Map("k" -> "v2")),
+      contents = Seq("hello world", "hallo welt"))
+    assert(c.count() === 2)
+    val d = c.getByID("1")
+    assert(d.metadata === Map("k" -> "v1"))
+    assert(d.content === "hello world")
+    // stub embedding is pre-normalized; stored as-is
+    assert(d.embedding.toSeq === ConstEmbeddingFunc.stub3.toSeq)
+    assert(c.metadata === Map("created-by" -> "spec"))
+  }
+
+  test("add validation errors (collection.go:140-173)") {
+    val c = freshDb.createCollection("add-errors")
+    def msg(f: => Unit): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(msg(c.add(Seq.empty)) === "ids are empty")
+    assert(msg(c.add(Seq("1"))) === "either embeddings or contents must be filled")
+    assert(msg(c.add(Seq("1"), embeddings = Seq(Array(1f), Array(2f)))) ===
+      "ids and embeddings must have the same length")
+    assert(msg(c.add(Seq("1"), contents = Seq("a", "b"))) ===
+      "ids and contents must have the same length")
+    assert(msg(c.add(Seq("1"), contents = Seq("a"),
+      metadatas = Seq(Map("a" -> "b"), Map("c" -> "d")))) ===
+      "when metadatas is not empty it must have the same length as ids")
+    assert(msg(c.addConcurrently(Seq("1"), contents = Seq("a"), concurrency = 0)) ===
+      "concurrency must be at least 1")
+  }
+
+  test("query error cases with exact messages (collection_test.go:313-392)") {
+    val c = freshDb.createCollection("query-errors")
+    c.addDocuments(Seq(Document("1", content = "hello world")))
+    def msg(f: => Unit): String = intercept[Exception](f).getMessage
+    assert(msg(c.query("", 1)) === "queryText is empty")
+    assert(msg(c.queryEmbedding(Array.empty[Float], 1)) === "queryEmbedding is empty")
+    assert(msg(c.queryEmbedding(Array(1f), 0)) === "nResults must be > 0")
+    assert(msg(c.queryEmbedding(Array(1f), 5)) ===
+      "nResults must be <= the number of documents in the collection")
+    assert(msg(c.queryWithOptions(QueryOptions(nResults = 1))) ===
+      "QueryText and QueryEmbedding options are empty")
+    assert(msg(c.queryWithOptions(QueryOptions(
+      queryEmbedding = Array(1f, 0f, 0f), nResults = 1,
+      negative = NegativeQueryOptions(mode = "bogus", embedding = Array(1f, 0f, 0f))))) ===
+      """unsupported negative mode: "bogus"""")
+  }
+
+  test("upsert by id overwrites (collection.go:280); within-batch last wins") {
+    val c = freshDb.createCollection("upsert")
+    c.addDocuments(Seq(
+      Document("1", Map("v" -> "first"), content = "one"),
+      Document("1", Map("v" -> "second"), content = "one updated"),
+      Document("2", Map("v" -> "x"), content = "two")))
+    assert(c.count() === 2)
+    assert(c.getByID("1").metadata("v") === "second")
+    c.addDocuments(Seq(Document("1", Map("v" -> "third"), content = "one again")))
+    assert(c.count() === 2)
+    assert(c.getByID("1").metadata("v") === "third")
+  }
+
+  test("getByID errors (collection.go:311-331)") {
+    val c = freshDb.createCollection("get-errors")
+    c.addDocuments(Seq(Document("1", content = "x")))
+    assert(intercept[IllegalArgumentException](c.getByID("")).getMessage ===
+      "document ID is empty")
+    assert(intercept[NoSuchElementException](c.getByID("404")).getMessage ===
+      "document with ID '404' not found")
+  }
+
+  test("delete by ids / metadata / $contains (collection_test.go:555-615)") {
+    val c = freshDb.createCollection("del")
+    c.addDocuments(Seq(
+      Document("1", Map("foo" -> "bar"), content = "hello world"),
+      Document("2", Map("a" -> "b"), content = "hallo welt"),
+      Document("3", Map("foo" -> "bar"), content = "bonjour le monde"),
+      Document("4", Map("e" -> "f"), content = "hola mundo")))
+    c.delete(ids = Seq("4"))
+    assert(c.count() === 3)
+    c.delete(where = Map("foo" -> "bar"))
+    assert(c.count() === 1)
+    c.delete(whereDocument = Map("$contains" -> "hallo welt"))
+    assert(c.count() === 0)
+    assert(intercept[IllegalArgumentException](c.delete()).getMessage ===
+      "must have at least one of where, whereDocument or ids")
+    assert(intercept[IllegalArgumentException](
+      c.delete(whereDocument = Map("$bad" -> "x"))).getMessage ===
+      "unsupported whereDocument operator")
+  }
+
+  test("listIDs projects all ids (collection.go:296-306)") {
+    val c = freshDb.createCollection("list")
+    c.addDocuments((1 to 5).map(i => Document(i.toString, content = s"doc $i")))
+    assert(c.listIDs().toSet === (1 to 5).map(_.toString).toSet)
+  }
+
+  test("auto-embedding via EmbeddingFunc when no vector given (collection.go:266-271)") {
+    val db = withLogLevel(DB.inMemory(spark, new HashingEmbeddingFunc(32)))
+    val c = db.createCollection("autoembed")
+    c.addDocuments(Seq(
+      Document("a", content = "the quick brown fox"),
+      Document("b", content = "the quick brown fox"),
+      Document("c", content = "completely different words here")))
+    // identical content => identical embedding => similarity 1 on top hit
+    val r = c.query("the quick brown fox", 2)
+    assert(r.map(_.id).toSet === Set("a", "b"))
+    assert(r.forall(x => math.abs(x.similarity - 1f) < 1e-5))
+  }
+
+  test("non-normalized user vectors are normalized on ingest (collection.go:272-276)") {
+    val c = freshDb.createCollection("norm-ingest")
+    c.addDocuments(Seq(Document("1", embedding = Array(3f, 4f, 0f))))
+    val stored = c.getByID("1").embedding
+    assert(math.abs(graft.functions.VectorFunctions.norm(stored) - 1.0) < 1e-6)
+    assert(math.abs(stored(0) - 0.6f) < 1e-6 && math.abs(stored(1) - 0.8f) < 1e-6)
+  }
+
+  test("query clamps k to filtered size but errors when k > count (collection.go:505,536)") {
+    val c = freshDb.createCollection("clamp")
+    c.addDocuments(Seq(
+      Document("1", Map("t" -> "x"), Array(1f, 0f, 0f)),
+      Document("2", Map("t" -> "y"), Array(0f, 1f, 0f)),
+      Document("3", Map("t" -> "x"), Array(0f, 0f, 1f))))
+    // filter leaves 2 docs; k=3 allowed (clamped result)
+    val r = c.queryEmbedding(Array(1f, 0f, 0f), 3, where = Map("t" -> "x"))
+    assert(r.length === 2)
+    assert(r.head.id === "1" && math.abs(r.head.similarity - 1f) < 1e-6)
+  }
+}

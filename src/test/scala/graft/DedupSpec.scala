@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = withLogLevel(Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),          // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),          // near dup of 1
+    (4L, "completely unrelated text about spark engines roaring"),
+    (5L, "The Quick Brown Fox Jumps Over The Lazy Dog"),          // case variant of 1
+    (6L, "dog lazy the over jumps fox brown quick the")            // permutation of 1
+  ).toDF("doc_id", "text"))
+
+  test("exact dedup groups identical content, keeps min id") {
+    val r = Dedup.exact(docs, "text", "doc_id").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.length === 5) // 1&2 merge; 3,4,5,6 distinct byte-wise
+    val dupGroup = r.filter(_._3 == 2)
+    assert(dupGroup.length === 1 && dupGroup.head._2 === 1L)
+  }
+
+  test("exactSurvivors keeps one row per distinct text") {
+    val ids = Dedup.exactSurvivors(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 3L, 4L, 5L, 6L))
+  }
+
+  test("word-set Jaccard finds near and case/permutation dups") {
+    val pairs = Dedup.wordJaccardPairs(docs, "text", "doc_id", 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // lowercased word SETS: 1,2,5,6 identical; 3 shares 8/10 words (j=0.8)
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 5L)) &&
+      pairs.contains((1L, 6L)) && pairs.contains((2L, 5L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash candidates achieve full recall on exact-set dups and verify by jaccard") {
+    val dups = Dedup.minhashDuplicates(docs, "text", "doc_id", 0.9,
+        numHashes = 64, bands = 16, shingleSize = 1)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical shingle sets always collide in every band => guaranteed recall
+    val expected = Set((1L, 2L), (1L, 5L), (1L, 6L), (2L, 5L), (2L, 6L), (5L, 6L))
+    assert(expected.subsetOf(dups))
+    assert(!dups.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash matches exact jaccard pairs on the testdata corpus") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Dedup.wordJaccardPairs(d, "text", "doc_id", 0.999)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashDuplicates(d, "text", "doc_id", 0.999,
+        numHashes = 64, bands = 16, shingleSize = 1)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // j=1.0 pairs (identical word sets) are guaranteed LSH collisions:
+    // recall must be perfect, and verification keeps precision exact.
+    assert(mh === exact)
+    assert(exact.nonEmpty, "testdata should contain identical-word-set pairs")
+  }
+
+  test("simhash flags permutation/case variants as hamming-0") {
+    val r = Dedup.simhashDuplicates(docs, "text", "doc_id", 0)
+      .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // token multisets of 1,2,5,6 identical after lowercasing => same signature
+    assert(Set((1L, 2L), (1L, 5L), (1L, 6L)).subsetOf(r))
+  }
+
+  test("embedding near-dup pairs by cosine threshold") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0.999f, 0.04f, 0f)),  // ~cos 0.999 with 1
+      (3L, Array(0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "embedding", "vec_id", 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+}

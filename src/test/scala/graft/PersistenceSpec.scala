@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.core.{DB, Document}
+import graft.embed.ConstEmbeddingFunc
+import graft.persist.{Json, Persistence}
+
+class PersistenceSpec extends SparkSuite {
+
+  private def tempRoot: String =
+    Files.createTempDirectory("graft-persist-spec").toString
+
+  test("hash2hex matches the reference dir-naming scheme (persistence.go:22-28)") {
+    // sha256("test")[0:4] hex
+    assert(Persistence.hash2hex("test") === "9f86d081")
+  }
+
+  test("persistent DB round-trip: create, add, reopen (db.go:68-181)") {
+    val root = tempRoot
+    val db = withLogLevel(DB.persistent(spark, root, ConstEmbeddingFunc.stub()))
+    val c = db.createCollection("docs", Map("owner" -> "spec"))
+    c.addDocuments(Seq(
+      Document("1", Map("k" -> "v"), content = "hello world"),
+      Document("2", Map.empty, content = "hallo welt")))
+
+    val reopened = DB.persistent(spark, root, ConstEmbeddingFunc.stub())
+    val rc = reopened.getCollection("docs")
+    assert(rc != null)
+    assert(rc.count() === 2)
+    assert(rc.metadata === Map("owner" -> "spec"))
+    val d = rc.getByID("1")
+    assert(d.content === "hello world" && d.metadata === Map("k" -> "v"))
+    assert(d.embedding.toSeq === ConstEmbeddingFunc.stub3.toSeq)
+  }
+
+  test("mutations persist through reopen (delete survives)") {
+    val root = tempRoot
+    val db = withLogLevel(DB.persistent(spark, root, ConstEmbeddingFunc.stub()))
+    val c = db.createCollection("mut")
+    c.addDocuments(Seq(
+      Document("1", content = "a"), Document("2", content = "b"),
+      Document("3", content = "c")))
+    c.delete(ids = Seq("2"))
+    val rc = DB.persistent(spark, root, ConstEmbeddingFunc.stub()).getCollection("mut")
+    assert(rc.listIDs().toSet === Set("1", "3"))
+  }
+
+  test("deleteCollection removes directory; reset wipes root (db.go:586-629)") {
+    val root = tempRoot
+    val db = withLogLevel(DB.persistent(spark, root, ConstEmbeddingFunc.stub()))
+    db.createCollection("gone").addDocuments(Seq(Document("1", content = "x")))
+    val dir = Persistence.collectionDir(root, "gone")
+    assert(Files.exists(dir))
+    db.deleteCollection("gone")
+    assert(!Files.exists(dir))
+    assert(db.getCollection("gone") == null)
+    db.createCollection("a").addDocuments(Seq(Document("1", content = "x")))
+    db.reset()
+    assert(db.listCollections().isEmpty)
+    assert(Files.list(Paths.get(root)).count() === 0)
+  }
+
+  test("foreign files in the root are skipped on load (db.go:117-133)") {
+    val root = tempRoot
+    Files.writeString(Paths.get(root, "stray.txt"), "not a collection")
+    Files.createDirectory(Paths.get(root, "strangedir"))
+    val db = withLogLevel(DB.persistent(spark, root, ConstEmbeddingFunc.stub()))
+    assert(db.listCollections().isEmpty)
+  }
+
+  test("catalog ops: getOrCreate, list, copies (db.go:498-580)") {
+    val db = withLogLevel(DB.inMemory(spark, ConstEmbeddingFunc.stub()))
+    val a = db.getOrCreateCollection("x", Map("m" -> "1"))
+    val b = db.getOrCreateCollection("x", Map("m" -> "2"))
+    assert(a eq b, "getOrCreate must return the existing collection")
+    assert(b.metadata === Map("m" -> "1"))
+    assert(db.listCollections().keySet === Set("x"))
+  }
+
+  test("Json round-trips nested structures") {
+    val s = """{"name": "a\nb", "xs": [1, 2.5, true, null, "t"], "o": {"k": "v"}}"""
+    val p = Json.parse(s).asInstanceOf[Map[String, Any]]
+    assert(p("name") === "a\nb")
+    assert(p("xs").asInstanceOf[List[Any]] === List(1.0, 2.5, true, null, "t"))
+    assert(p("o").asInstanceOf[Map[String, Any]]("k") === "v")
+  }
+}

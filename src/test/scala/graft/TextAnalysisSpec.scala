@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis
+
+class TextAnalysisSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = Seq(
+      (1, "hello world"),
+      (2, "one, two; three!"),
+      (3, "single")).toDF("id", "text")
+    val r = df.select($"id",
+        TextAnalysis.tokenCount($"text").as("ws"),
+        TextAnalysis.bpeishTokenCount($"text").as("bpe"))
+      .collect().map(x => (x.getInt(0), x.getInt(1), x.getInt(2))).sortBy(_._1)
+    assert(r(0) === ((1, 2, 2)))
+    assert(r(1) === ((2, 3, 6))) // one , two ; three !
+    assert(r(2) === ((3, 1, 1)))
+  }
+
+  test("langId picks marker-word languages and CJK by script") {
+    val df = Seq(
+      (1, "the cat sat on the mat and it was happy"),
+      (2, "der hund ist nicht mit der katze"),
+      (3, "el perro es muy grande y la casa es blanca"),
+      (4, "le chien est dans les montagnes et la mer"),
+      (5, "你好世界这是中文文本"),
+      (6, "xyzzy plugh qwerty")).toDF("id", "text")
+    val r = df.select($"id", TextAnalysis.langId($"text").as("l"))
+      .collect().map(x => (x.getInt(0), x.getString(1))).toMap
+    assert(r(1) === "en"); assert(r(2) === "de"); assert(r(3) === "es")
+    assert(r(4) === "fr"); assert(r(5) === "zh"); assert(r(6) === "und")
+  }
+
+  test("rollingHash is order-sensitive, md5 fingerprint is content-stable") {
+    val df = Seq(
+      (1, "alpha beta gamma"),
+      (2, "gamma beta alpha"),
+      (3, "alpha beta gamma")).toDF("id", "text")
+    val r = df.select($"id",
+        TextAnalysis.rollingHash($"text").as("rh"),
+        TextAnalysis.fingerprint($"text").as("fp"))
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getString(2))).sortBy(_._1)
+    assert(r(0)._2 === r(2)._2 && r(0)._3 === r(2)._3)
+    assert(r(0)._2 !== r(1)._2, "permutation must change the rolling hash")
+  }
+
+  test("qualityScore rewards normal prose, penalizes punctuation soup") {
+    val df = Seq(
+      (1, "the quick brown fox jumps over the lazy dog and runs through the quiet field for a while"),
+      (2, "@#$% !!! ### $$$ %%% ^^^ &&& *** ((( )))"),
+      (3, "a")).toDF("id", "text")
+    val r = df.select($"id", TextAnalysis.qualityScore($"text").as("q"))
+      .collect().map(x => (x.getInt(0), x.getDouble(1))).toMap
+    assert(r(1) > 0.5, s"prose scored ${r(1)}")
+    assert(r(2) < 0.1, s"punctuation soup scored ${r(2)}")
+    assert(r(3) < 0.2, s"single char scored ${r(3)}")
+  }
+
+  test("qualityFeatures computes consistent ratios") {
+    val df = Seq((1, "Hello WORLD and ALL people")).toDF("id", "text")
+    val row = TextAnalysis.qualityFeatures(df, "text").collect().head
+    assert(row.getAs[Int]("n_tokens") === 5)
+    assert(row.getAs[Int]("n_chars_q") === 26)
+    assert(row.getAs[Double]("caps_word_ratio") === 0.4) // WORLD, ALL
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.ops.{VectorIndex, VectorSearch}
+
+class VectorSearchSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = withLogLevel(
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+  private lazy val q0: Array[Float] =
+    emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0).toArray
+
+  test("topK returns k rows sorted desc, self-match first") {
+    val r = VectorSearch.topK(emb, "embedding", q0, 5, "vec_id").collect()
+    assert(r.length === 5)
+    assert(r.head.getAs[Long]("vec_id") === 0L)
+    val sims = r.map(_.getAs[Float]("similarity"))
+    assert(math.abs(sims.head - 1f) < 1e-5)
+    assert(sims.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("VectorIndex topK agrees with DataFrame topK exactly") {
+    val df = VectorSearch.topK(emb, "embedding", q0, 10, "vec_id")
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Float]("similarity")))
+    val idx = VectorIndex.build[Long](emb, "vec_id", "embedding", q0.length, 2)
+    val viaIndex = idx.topK(q0, 10)
+    assert(viaIndex.map(_._1).toSeq === df.map(_._1).toSeq)
+    assert(viaIndex.zip(df).forall { case ((_, a), (_, b)) => a == b },
+      "scores must be bit-identical (same float32 kernel)")
+  }
+
+  test("index count and dim validation") {
+    val idx = VectorIndex.build[Long](emb, "vec_id", "embedding", q0.length, 2)
+    assert(idx.count() === emb.count())
+    val e = intercept[IllegalArgumentException](idx.topK(Array(1f, 2f), 3))
+    assert(e.getMessage.contains("same length"))
+  }
+
+  test("thresholdSearch returns exactly rows above threshold") {
+    val viaFilter = VectorSearch.thresholdSearch(emb, "embedding", q0, 0.3)
+      .select("vec_id").as[Long].collect().toSet
+    val viaScores = VectorSearch.scored(emb, "embedding", q0)
+      .filter($"similarity" >= 0.3).select("vec_id").as[Long].collect().toSet
+    assert(viaFilter === viaScores && viaFilter.contains(0L))
+  }
+
+  test("negativeFilterTopK drops rows similar to the negative vector") {
+    val neg = emb.filter($"vec_id" === 1).select("embedding").head().getSeq[Float](0).toArray
+    val res = VectorSearch.negativeFilterTopK(emb, "embedding", q0, neg, 0.1, 20, "vec_id")
+    val negSims = res.withColumn("ns",
+        VectorFunctions.dot_const_f32($"embedding", neg))
+      .select("ns").as[Float].collect()
+    assert(negSims.forall(_ <= 0.1f))
+    assert(!res.select("vec_id").as[Long].collect().contains(1L))
+  }
+
+  test("knnJoin returns k matches per query, each list sorted") {
+    val queries = emb.filter($"vec_id" < 3)
+    val r = VectorSearch.knnJoin(emb, "embedding", "vec_id",
+      queries, "embedding", "vec_id", 4).collect()
+    assert(r.length === 12)
+    val byQuery = r.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet === Set(0L, 1L, 2L))
+    byQuery.foreach { case (qid, rows) =>
+      // self is the top match
+      assert(rows.map(_.getAs[Float]("similarity")).sliding(2).forall(p => p(0) >= p(1)))
+    }
+  }
+
+  test("topKPerGroup keeps at most k per group") {
+    val r = VectorSearch.topKPerGroup(emb, "embedding", q0, 2, "label", "vec_id")
+    val counts = r.groupBy("label").count().select("count").as[Long].collect()
+    assert(counts.forall(_ <= 2))
+  }
+
+  test("lshTopK returns a subset consistent with brute force on its candidates") {
+    val exact = VectorSearch.topK(emb, "embedding", q0, 5, "vec_id")
+      .select("vec_id").as[Long].collect()
+    val approx = VectorSearch.lshTopK(emb, "embedding", q0, 5, "vec_id",
+      numPlanes = 8, maxHamming = 4)
+    val ids = approx.select("vec_id").as[Long].collect()
+    // self-match survives any LSH probe of its own bucket (hamming 0)
+    assert(ids.contains(0L))
+    assert(ids.length <= 5)
+  }
+
+  test("topK plan is TakeOrderedAndProject with no shuffle") {
+    val plan = VectorSearch.topK(emb, "embedding", q0, 5, "vec_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
+    assert(!plan.contains("Exchange"), s"top-k must not shuffle; plan was:\n$plan")
+  }
+}
