@@ -80,6 +80,23 @@ class DB private (
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }
 
+  /** Snapshot export — reference db.go:384-433 (see persist.ExportImport). */
+  def exportToFile(
+      filePath: String,
+      compress: Boolean = false,
+      encryptionKey: String = "",
+      collections: Seq[String] = Seq.empty): Unit =
+    graft.persist.ExportImport.exportToFile(
+      this, filePath, compress, encryptionKey, collections)
+
+  /** Snapshot import; overwrites same-named collections — db.go:208-280. */
+  def importFromFile(
+      filePath: String,
+      encryptionKey: String = "",
+      collections: Seq[String] = Seq.empty): Unit =
+    graft.persist.ExportImport.importFromFile(
+      this, spark, filePath, encryptionKey, collections)
+
   private[graft] def register(c: Collection): Unit = collections.put(c.name, c)
   private[graft] def sparkSession: SparkSession = spark
   private[graft] def root: Option[String] = persistRoot

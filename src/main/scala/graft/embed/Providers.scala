@@ -1,0 +1,233 @@
+package graft.embed
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.time.Duration
+import java.util.concurrent.atomic.AtomicReference
+
+import graft.functions.VectorFunctions
+import graft.persist.Json
+
+/**
+ * HTTP embedding providers — wire-contract parity with the reference's
+ * provider family (embed_openai.go, embed_ollama.go, embed_cohere.go,
+ * embed_vertex.go, embed_compat.go), on java.net.http.
+ *
+ * Executor integration: EmbeddingFunc is Serializable; the HttpClient is
+ * built lazily per JVM (transient), so `mapPartitions` gets one pooled
+ * client per executor rather than per row — the reference's one-client-
+ * per-func design (embed_openai.go:77) mapped to Spark's process model.
+ *
+ * Normalized-once caching: whether the provider returns normalized
+ * vectors is decided on the first response and cached (sync.Once pattern,
+ * embed_openai.go:79-80,148-158).
+ */
+abstract class HttpEmbeddingFunc extends EmbeddingFunc {
+
+  @transient private lazy val client: HttpClient =
+    HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(30)).build()
+
+  // null = undecided, TRUE/FALSE = cached decision
+  private val checkedNormalized = new AtomicReference[java.lang.Boolean](null)
+  protected def normalizedHint: Option[Boolean] = None
+
+  protected def request(text: String): HttpRequest
+  protected def parseResponse(body: String): Array[Float]
+
+  override def embed(text: String): Array[Float] = {
+    val resp = client.send(request(text), HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw new RuntimeException(
+        s"error response from the embedding API: ${resp.statusCode()}")
+    val v = parseResponse(resp.body())
+    if (v.isEmpty)
+      throw new RuntimeException("no embeddings found in the response")
+    val normalized = normalizedHint.getOrElse {
+      if (checkedNormalized.get() == null)
+        checkedNormalized.compareAndSet(null, VectorFunctions.isNormalized(v))
+      checkedNormalized.get().booleanValue()
+    }
+    if (normalized) v else VectorFunctions.normalize(v)
+  }
+
+  protected def post(url: String, body: String, headers: (String, String)*): HttpRequest = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    b.build()
+  }
+
+  protected def floats(xs: Any): Array[Float] =
+    xs.asInstanceOf[List[Any]].map(_.asInstanceOf[Double].toFloat).toArray
+}
+
+/**
+ * OpenAI-compatible API — reference embed_openai.go:60-161.
+ * POST {baseURL}/embeddings, body {"input": text, "model": model},
+ * `Authorization: Bearer <key>`; response data[0].embedding.
+ */
+class OpenAICompatEmbeddingFunc(
+    baseURL: String,
+    apiKey: String,
+    model: String,
+    normalized: Option[Boolean] = None,
+    extraHeaders: Map[String, String] = Map.empty,
+    queryParams: Map[String, String] = Map.empty) extends HttpEmbeddingFunc {
+
+  override protected def normalizedHint: Option[Boolean] = normalized
+
+  override protected def request(text: String): HttpRequest = {
+    val qs = if (queryParams.isEmpty) ""
+      else "?" + queryParams.map { case (k, v) =>
+        java.net.URLEncoder.encode(k, "UTF-8") + "=" +
+        java.net.URLEncoder.encode(v, "UTF-8") }.mkString("&")
+    val headers = Seq(
+      "Content-Type" -> "application/json",
+      "Authorization" -> s"Bearer $apiKey") ++ extraHeaders.toSeq
+    post(s"$baseURL/embeddings$qs",
+      Json.obj("input" -> Json.str(text), "model" -> Json.str(model)),
+      headers: _*)
+  }
+
+  override protected def parseResponse(body: String): Array[Float] = {
+    val data = Json.parse(body).asInstanceOf[Map[String, Any]]
+      .getOrElse("data", List.empty).asInstanceOf[List[Any]]
+    if (data.isEmpty) Array.empty
+    else floats(data.head.asInstanceOf[Map[String, Any]]("embedding"))
+  }
+}
+
+object OpenAIEmbedding {
+  val BaseURL = "https://api.openai.com/v1"
+  val Model3Small = "text-embedding-3-small"
+  val Model3Large = "text-embedding-3-large"
+  val ModelAda2 = "text-embedding-ada-002"
+
+  /** Reference NewEmbeddingFuncOpenAI: OpenAI output is normalized. */
+  def apply(apiKey: String, model: String = Model3Small): OpenAICompatEmbeddingFunc =
+    new OpenAICompatEmbeddingFunc(BaseURL, apiKey, model, Some(true))
+
+  /** Azure OpenAI — api-key header + api-version query param
+    * (reference embed_compat.go azure wrapper / headers+queryParams hook). */
+  def azure(apiKey: String, deploymentURL: String, apiVersion: String): OpenAICompatEmbeddingFunc =
+    new OpenAICompatEmbeddingFunc(deploymentURL, "", "", None,
+      extraHeaders = Map("api-key" -> apiKey),
+      queryParams = Map("api-version" -> apiVersion))
+
+  /** Mistral (normalized output) — reference embed_compat.go:4-18. */
+  def mistral(apiKey: String): OpenAICompatEmbeddingFunc =
+    new OpenAICompatEmbeddingFunc("https://api.mistral.ai/v1", apiKey,
+      "mistral-embed", Some(true))
+
+  /** Jina — reference embed_compat.go:21-39. */
+  def jina(apiKey: String, model: String = "jina-embeddings-v2-base-en"): OpenAICompatEmbeddingFunc =
+    new OpenAICompatEmbeddingFunc("https://api.jina.ai/v1", apiKey, model)
+
+  /** Mixedbread — reference embed_compat.go:42-72. */
+  def mixedbread(apiKey: String, model: String): OpenAICompatEmbeddingFunc =
+    new OpenAICompatEmbeddingFunc("https://api.mixedbread.ai", apiKey, model)
+
+  /** LocalAI — reference embed_compat.go:75-87. */
+  def localAI(model: String): OpenAICompatEmbeddingFunc =
+    new OpenAICompatEmbeddingFunc("http://localhost:8080/v1", "", model)
+}
+
+/**
+ * Ollama — reference embed_ollama.go:20-100.
+ * POST {baseURL}/embed, body {"model": ..., "input": ...};
+ * response embeddings[0].
+ */
+class OllamaEmbeddingFunc(
+    model: String,
+    baseURL: String = "http://localhost:11434/api") extends HttpEmbeddingFunc {
+
+  override protected def request(text: String): HttpRequest =
+    post(s"$baseURL/embed",
+      Json.obj("model" -> Json.str(model), "input" -> Json.str(text)),
+      "Content-Type" -> "application/json")
+
+  override protected def parseResponse(body: String): Array[Float] = {
+    val embs = Json.parse(body).asInstanceOf[Map[String, Any]]
+      .getOrElse("embeddings", List.empty).asInstanceOf[List[Any]]
+    if (embs.isEmpty) Array.empty else floats(embs.head)
+  }
+}
+
+/**
+ * Cohere — reference embed_cohere.go. Text must carry an input-type
+ * prefix ("search_document: ", "search_query: ", "classification: ",
+ * "clustering: ") which is stripped and sent as input_type.
+ */
+class CohereEmbeddingFunc(
+    apiKey: String,
+    model: String = "embed-english-v3.0",
+    baseURL: String = "https://api.cohere.com/v1") extends HttpEmbeddingFunc {
+
+  import CohereEmbeddingFunc._
+
+  override protected def request(text: String): HttpRequest = {
+    val (inputType, stripped) = InputTypePrefixes
+      .collectFirst { case (t, p) if text.startsWith(p) => (t, text.stripPrefix(p)) }
+      .getOrElse(throw new IllegalArgumentException(
+        "text must start with a valid input type plus colon and space"))
+    post(s"$baseURL/embed",
+      Json.obj(
+        "model" -> Json.str(model),
+        "texts" -> Json.arr(Seq(Json.str(stripped))),
+        "input_type" -> Json.str(inputType)),
+      "Accept" -> "application/json",
+      "Content-Type" -> "application/json",
+      "Authorization" -> s"Bearer $apiKey")
+  }
+
+  override protected def parseResponse(body: String): Array[Float] = {
+    val embs = Json.parse(body).asInstanceOf[Map[String, Any]]
+      .getOrElse("embeddings", List.empty).asInstanceOf[List[Any]]
+    if (embs.isEmpty) Array.empty else floats(embs.head)
+  }
+}
+
+object CohereEmbeddingFunc {
+  val SearchDocumentPrefix = "search_document: "
+  val SearchQueryPrefix = "search_query: "
+  val ClassificationPrefix = "classification: "
+  val ClusteringPrefix = "clustering: "
+  val InputTypePrefixes: Seq[(String, String)] = Seq(
+    "search_document" -> SearchDocumentPrefix,
+    "search_query" -> SearchQueryPrefix,
+    "classification" -> ClassificationPrefix,
+    "clustering" -> ClusteringPrefix)
+}
+
+/**
+ * Google Vertex AI — reference embed_vertex.go.
+ * POST {endpoint}/projects/{p}/locations/us-central1/publishers/google/
+ * models/{m}:predict with instances[0].content; response
+ * predictions[0].embeddings.values.
+ */
+class VertexEmbeddingFunc(
+    apiKey: String,
+    project: String,
+    model: String = "text-embedding-004",
+    apiEndpoint: String = "https://us-central1-aiplatform.googleapis.com/v1",
+    autoTruncate: Boolean = false) extends HttpEmbeddingFunc {
+
+  override protected def request(text: String): HttpRequest =
+    post(s"$apiEndpoint/projects/$project/locations/us-central1/publishers/google/models/$model:predict",
+      Json.obj(
+        "instances" -> Json.arr(Seq(Json.obj("content" -> Json.str(text)))),
+        "parameters" -> Json.obj("autoTruncate" ->
+          (if (autoTruncate) "true" else "false"))),
+      "Accept" -> "application/json",
+      "Content-Type" -> "application/json",
+      "Authorization" -> s"Bearer $apiKey")
+
+  override protected def parseResponse(body: String): Array[Float] = {
+    val preds = Json.parse(body).asInstanceOf[Map[String, Any]]
+      .getOrElse("predictions", List.empty).asInstanceOf[List[Any]]
+    if (preds.isEmpty) Array.empty
+    else floats(preds.head.asInstanceOf[Map[String, Any]]("embeddings")
+      .asInstanceOf[Map[String, Any]]("values"))
+  }
+}

@@ -1,0 +1,236 @@
+package graft.persist
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, InputStream, OutputStream}
+import java.nio.file.{Files, Path, Paths}
+import java.security.SecureRandom
+import java.util.zip.{GZIPInputStream, GZIPOutputStream, ZipEntry, ZipInputStream, ZipOutputStream}
+import javax.crypto.Cipher
+import javax.crypto.spec.{GCMParameterSpec, SecretKeySpec}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{DB, Document}
+
+/**
+ * Whole-DB snapshot export/import — parity with reference
+ * db.go:384-490 (ExportToFile/ExportToWriter/ImportFromFile/
+ * ImportFromReader), re-expressed for a Spark engine:
+ *
+ * Container: one ZIP archive holding `manifest.json` plus, per exported
+ * collection, `<hash2hex(name)>/metadata.json` and
+ * `<hash2hex(name)>/documents.parquet` (single-file parquet). The whole
+ * archive optionally gzip-compressed and/or AES-256-GCM encrypted with a
+ * random nonce prepended (same stream layout as the reference,
+ * persistence.go:136-142; key must be 32 bytes, persistence.go:40-41).
+ *
+ * Byte-format note: the reference's gob container is Go-specific; parquet
+ * inside ZIP keeps the snapshot portable and splittable on re-import.
+ */
+object ExportImport {
+
+  // ------------------------------ export ------------------------------
+
+  /** Export selected (or all) collections — reference db.go:384-433. */
+  def exportToFile(
+      db: DB,
+      filePath: String,
+      compress: Boolean = false,
+      encryptionKey: String = "",
+      collections: Seq[String] = Seq.empty): Unit = {
+    if (filePath == null || filePath.isEmpty)
+      throw new IllegalArgumentException("file path is empty")
+    val out = new BufferedOutputStream(Files.newOutputStream(Paths.get(filePath)))
+    try exportToWriter(db, out, compress, encryptionKey, collections)
+    finally out.close()
+  }
+
+  /** Stream variant (S3 etc.) — reference db.go:450-490. */
+  def exportToWriter(
+      db: DB,
+      out: OutputStream,
+      compress: Boolean = false,
+      encryptionKey: String = "",
+      collections: Seq[String] = Seq.empty): Unit = {
+    validateKey(encryptionKey)
+    val selected = selectCollections(db, collections)
+    // Build the raw ZIP in memory-bounded temp storage, then chain
+    // gzip/AES over the final stream (mirrors the chained writers of
+    // persistence.go:84-95).
+    val tmp = Files.createTempDirectory("graft-export")
+    try {
+      val zipPath = tmp.resolve("db.zip")
+      writeZip(db, zipPath, selected, tmp)
+      val raw = Files.readAllBytes(zipPath)
+      val compressed = if (compress) gzipBytes(raw) else raw
+      val cipherBytes = if (encryptionKey.nonEmpty) encrypt(compressed, encryptionKey) else compressed
+      out.write(cipherBytes)
+      out.flush()
+    } finally deleteTree(tmp)
+  }
+
+  private def writeZip(
+      db: DB, zipPath: Path, selected: Map[String, graft.core.Collection],
+      tmp: Path): Unit = {
+    val zos = new ZipOutputStream(new BufferedOutputStream(
+      Files.newOutputStream(zipPath)))
+    try {
+      val manifest = Json.obj(
+        "version" -> Json.str("1"),
+        "collections" -> Json.arr(selected.keys.toSeq.sorted.map(Json.str)))
+      zos.putNextEntry(new ZipEntry("manifest.json"))
+      zos.write(manifest.getBytes("UTF-8"))
+      zos.closeEntry()
+      selected.toSeq.sortBy(_._1).foreach { case (name, coll) =>
+        val dirName = Persistence.hash2hex(name)
+        zos.putNextEntry(new ZipEntry(s"$dirName/metadata.json"))
+        zos.write(Json.obj(
+          "name" -> Json.str(name),
+          "metadata" -> Json.obj(coll.metadata.toSeq.map {
+            case (k, v) => k -> Json.str(v) }: _*)).getBytes("UTF-8"))
+        zos.closeEntry()
+        // single-file parquet via temp dir
+        val pqDir = tmp.resolve(s"$dirName-pq")
+        coll.df.coalesce(1).write.mode("overwrite").parquet(pqDir.toString)
+        val part = Files.list(pqDir).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no parquet written for $name"))
+        zos.putNextEntry(new ZipEntry(s"$dirName/documents.parquet"))
+        Files.copy(part, zos)
+        zos.closeEntry()
+      }
+    } finally zos.close()
+  }
+
+  // ------------------------------ import ------------------------------
+
+  /** Import snapshot; overwrites existing same-named collections
+    * (reference db.go:201); selective by name (db.go:251-253). */
+  def importFromFile(
+      db: DB,
+      spark: SparkSession,
+      filePath: String,
+      encryptionKey: String = "",
+      collections: Seq[String] = Seq.empty): Unit = {
+    if (filePath == null || filePath.isEmpty)
+      throw new IllegalArgumentException("file path is empty")
+    if (!Files.exists(Paths.get(filePath)))
+      throw new IllegalArgumentException(s"file doesn't exist: $filePath")
+    val in = new BufferedInputStream(Files.newInputStream(Paths.get(filePath)))
+    try importFromReader(db, spark, in, encryptionKey, collections)
+    finally in.close()
+  }
+
+  /** Stream variant — reference db.go:297-355. */
+  def importFromReader(
+      db: DB,
+      spark: SparkSession,
+      in: InputStream,
+      encryptionKey: String = "",
+      collections: Seq[String] = Seq.empty): Unit = {
+    validateKey(encryptionKey)
+    var bytes = readAll(in)
+    if (encryptionKey.nonEmpty) bytes = decrypt(bytes, encryptionKey)
+    // gzip auto-detect by magic bytes (persistence.go:227-246)
+    if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1f && (bytes(1) & 0xFF) == 0x8b)
+      bytes = gunzipBytes(bytes)
+    val tmp = Files.createTempDirectory("graft-import")
+    try {
+      // unpack zip
+      val zis = new ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+      var entry = zis.getNextEntry
+      while (entry != null) {
+        if (!entry.isDirectory) {
+          val target = tmp.resolve(entry.getName).normalize()
+          if (!target.startsWith(tmp)) // zip-slip guard
+            throw new IllegalArgumentException(s"illegal archive path: ${entry.getName}")
+          Files.createDirectories(target.getParent)
+          Files.copy(zis, target)
+        }
+        entry = zis.getNextEntry
+      }
+      zis.close()
+      val manifest = Json.parse(Files.readString(tmp.resolve("manifest.json")))
+        .asInstanceOf[Map[String, Any]]
+      val names = manifest("collections").asInstanceOf[List[Any]].map(_.asInstanceOf[String])
+      val wanted = if (collections.isEmpty) names
+        else names.filter(collections.contains)
+      wanted.foreach { name =>
+        val dirName = Persistence.hash2hex(name)
+        val md = Json.parse(Files.readString(tmp.resolve(s"$dirName/metadata.json")))
+          .asInstanceOf[Map[String, Any]]
+        val metadata = md.getOrElse("metadata", Map.empty[String, Any])
+          .asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.asInstanceOf[String] }
+        val rows = spark.read.schema(Document.schema)
+          .parquet(tmp.resolve(s"$dirName/documents.parquet").toString)
+          .collect() // snapshot rows before the temp dir is deleted
+        val c = db.createCollection(name, metadata) // overwrite (db.go:201)
+        if (rows.nonEmpty) {
+          c.addDF(spark.createDataFrame(
+            spark.sparkContext.parallelize(rows.toIndexedSeq), Document.schema))
+        }
+      }
+    } finally deleteTree(tmp)
+  }
+
+  // ------------------------------ helpers ------------------------------
+
+  private def selectCollections(db: DB, names: Seq[String]) = {
+    val all = db.listCollections()
+    if (names.isEmpty) all
+    else {
+      names.foreach { n =>
+        if (!all.contains(n))
+          throw new IllegalArgumentException(s"collection doesn't exist: $n")
+      }
+      all.view.filterKeys(names.contains).toMap
+    }
+  }
+
+  private def validateKey(key: String): Unit =
+    if (key.nonEmpty && key.getBytes("UTF-8").length != 32)
+      throw new IllegalArgumentException("encryption key must be 32 bytes long")
+
+  private[persist] def gzipBytes(b: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(bos)
+    gz.write(b); gz.close()
+    bos.toByteArray
+  }
+
+  private[persist] def gunzipBytes(b: Array[Byte]): Array[Byte] =
+    readAll(new GZIPInputStream(new java.io.ByteArrayInputStream(b)))
+
+  /** AES-256-GCM, random 12-byte nonce prepended (persistence.go:136-142). */
+  private[persist] def encrypt(plain: Array[Byte], key: String): Array[Byte] = {
+    val nonce = new Array[Byte](12)
+    new SecureRandom().nextBytes(nonce)
+    val cipher = Cipher.getInstance("AES/GCM/NoPadding")
+    cipher.init(Cipher.ENCRYPT_MODE,
+      new SecretKeySpec(key.getBytes("UTF-8"), "AES"),
+      new GCMParameterSpec(128, nonce))
+    nonce ++ cipher.doFinal(plain)
+  }
+
+  private[persist] def decrypt(cipherBytes: Array[Byte], key: String): Array[Byte] = {
+    require(cipherBytes.length > 12, "ciphertext too short")
+    val cipher = Cipher.getInstance("AES/GCM/NoPadding")
+    cipher.init(Cipher.DECRYPT_MODE,
+      new SecretKeySpec(key.getBytes("UTF-8"), "AES"),
+      new GCMParameterSpec(128, cipherBytes.take(12)))
+    cipher.doFinal(cipherBytes.drop(12))
+  }
+
+  private def readAll(in: InputStream): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+    bos.toByteArray
+  }
+
+  private def deleteTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core.{DB, Document}
+import graft.embed.ConstEmbeddingFunc
+import graft.persist.ExportImport
+
+/** Export/import round-trips across the 4 format combos — mirrors
+  * reference db_test.go:70-280. */
+class ExportImportSpec extends SparkSuite {
+
+  private val key32 = "0123456789abcdef0123456789abcdef"
+
+  private def populated: DB = withLogLevel {
+    val db = DB.inMemory(spark, ConstEmbeddingFunc.stub())
+    val c1 = db.createCollection("alpha", Map("kind" -> "a"))
+    c1.addDocuments(Seq(
+      Document("1", Map("k" -> "v"), content = "hello world"),
+      Document("2", Map.empty, content = "hallo welt")))
+    val c2 = db.createCollection("beta", Map("kind" -> "b"))
+    c2.addDocuments(Seq(Document("x", content = "beta content")))
+    db
+  }
+
+  private def assertRestored(db: DB): Unit = {
+    val a = db.getCollection("alpha")
+    assert(a != null && a.count() === 2)
+    assert(a.metadata === Map("kind" -> "a"))
+    val d = a.getByID("1")
+    assert(d.content === "hello world" && d.metadata === Map("k" -> "v"))
+    assert(d.embedding.toSeq === ConstEmbeddingFunc.stub3.toSeq)
+    assert(db.getCollection("beta").count() === 1)
+  }
+
+  for ((compress, enc) <- Seq((false, ""), (true, ""), (false, key32), (true, key32))) {
+    val label = (if (compress) "gzip" else "plain") + (if (enc.nonEmpty) "+aes" else "")
+    test(s"export/import round-trip: $label") {
+      val f = Files.createTempDirectory("graft-exp").resolve("db.snapshot").toString
+      populated.exportToFile(f, compress, enc)
+      val fresh = DB.inMemory(spark, ConstEmbeddingFunc.stub())
+      fresh.importFromFile(f, enc)
+      assertRestored(fresh)
+    }
+  }
+
+  test("gzip actually compresses and is auto-detected on import") {
+    val dir = Files.createTempDirectory("graft-exp")
+    val plain = dir.resolve("plain.snap")
+    val gz = dir.resolve("gz.snap")
+    val db = populated
+    db.exportToFile(plain.toString, compress = false)
+    db.exportToFile(gz.toString, compress = true)
+    assert(Files.readAllBytes(gz).take(2).map(_ & 0xFF).toSeq === Seq(0x1f, 0x8b))
+  }
+
+  test("selective import only restores requested collections (db.go:251-253)") {
+    val f = Files.createTempDirectory("graft-exp").resolve("db.snap").toString
+    populated.exportToFile(f)
+    val fresh = DB.inMemory(spark, ConstEmbeddingFunc.stub())
+    fresh.importFromFile(f, "", Seq("beta"))
+    assert(fresh.getCollection("alpha") == null)
+    assert(fresh.getCollection("beta").count() === 1)
+  }
+
+  test("selective export validates collection existence") {
+    val f = Files.createTempDirectory("graft-exp").resolve("db.snap").toString
+    val e = intercept[IllegalArgumentException] {
+      populated.exportToFile(f, false, "", Seq("nope"))
+    }
+    assert(e.getMessage === "collection doesn't exist: nope")
+  }
+
+  test("import overwrites existing same-named collections (db.go:201)") {
+    val f = Files.createTempDirectory("graft-exp").resolve("db.snap").toString
+    populated.exportToFile(f)
+    val target = DB.inMemory(spark, ConstEmbeddingFunc.stub())
+    target.createCollection("alpha", Map("kind" -> "old"))
+      .addDocuments(Seq(Document("z", content = "stale")))
+    target.importFromFile(f)
+    assertRestored(target)
+    assert(!target.getCollection("alpha").listIDs().contains("z"))
+  }
+
+  test("wrong key / short key errors") {
+    val f = Files.createTempDirectory("graft-exp").resolve("db.snap").toString
+    val e = intercept[IllegalArgumentException] {
+      populated.exportToFile(f, false, "short")
+    }
+    assert(e.getMessage === "encryption key must be 32 bytes long")
+    populated.exportToFile(f, false, key32)
+    intercept[Exception] {
+      DB.inMemory(spark, ConstEmbeddingFunc.stub())
+        .importFromFile(f, "ffffffffffffffffffffffffffffffff")
+    }
+  }
+
+  test("import into a persistent DB re-persists (db.go:261-275)") {
+    val f = Files.createTempDirectory("graft-exp").resolve("db.snap").toString
+    populated.exportToFile(f)
+    val root = Files.createTempDirectory("graft-exp-p").toString
+    DB.persistent(spark, root, ConstEmbeddingFunc.stub()).importFromFile(f)
+    // reopen from disk only
+    val reopened = DB.persistent(spark, root, ConstEmbeddingFunc.stub())
+    assertRestored(reopened)
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.embed._
+import graft.persist.Json
+
+/**
+ * Provider wire-contract tests against a local mock server — mirrors
+ * reference embed_openai_test.go:23-87 and embed_ollama_test.go:16-77
+ * (assert URL path, method, auth header, request body; canned response).
+ */
+class ProvidersSpec extends AnyFunSuite {
+
+  private val stub = "[-0.40824828, 0.40824828, 0.81649655]"
+
+  private def withServer(
+      expectPath: String,
+      checks: HttpExchange => Unit,
+      response: String)(f: String => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    @volatile var failure: Option[Throwable] = None
+    server.createContext("/", (ex: HttpExchange) => {
+      try {
+        assert(ex.getRequestMethod === "POST")
+        assert(ex.getRequestURI.getPath === expectPath)
+        checks(ex)
+      } catch { case t: Throwable => failure = Some(t) }
+      val bytes = response.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      f(s"http://localhost:${server.getAddress.getPort}")
+      failure.foreach(throw _)
+    } finally server.stop(0)
+  }
+
+  private def body(ex: HttpExchange): Map[String, Any] =
+    Json.parse(new String(ex.getRequestBody.readAllBytes(),
+      StandardCharsets.UTF_8)).asInstanceOf[Map[String, Any]]
+
+  test("OpenAI-compat: path, bearer auth, body, parse (embed_openai_test.go)") {
+    withServer("/v1/embeddings",
+      ex => {
+        assert(ex.getRequestHeaders.getFirst("Authorization") === "Bearer secret")
+        val b = body(ex)
+        assert(b("input") === "hello world" && b("model") === "model-small")
+      },
+      s"""{"data": [{"embedding": $stub}]}""") { base =>
+      val f = new OpenAICompatEmbeddingFunc(s"$base/v1", "secret", "model-small")
+      val v = f.embed("hello world")
+      assert(v.toSeq === Seq(-0.40824828f, 0.40824828f, 0.81649655f))
+    }
+  }
+
+  test("Ollama: /api/embed, body {model, input}, embeddings[0] (embed_ollama_test.go)") {
+    withServer("/api/embed",
+      ex => {
+        val b = body(ex)
+        assert(b("model") === "model-small" && b("input") === "hello world")
+      },
+      s"""{"embeddings": [$stub]}""") { base =>
+      val f = new OllamaEmbeddingFunc("model-small", s"$base/api")
+      assert(f.embed("hello world").toSeq ===
+        Seq(-0.40824828f, 0.40824828f, 0.81649655f))
+    }
+  }
+
+  test("Cohere: prefix stripped into input_type; bearer auth") {
+    withServer("/v1/embed",
+      ex => {
+        assert(ex.getRequestHeaders.getFirst("Authorization") === "Bearer ckey")
+        val b = body(ex)
+        assert(b("input_type") === "search_document")
+        assert(b("texts").asInstanceOf[List[Any]] === List("hello world"))
+      },
+      s"""{"embeddings": [$stub]}""") { base =>
+      val f = new CohereEmbeddingFunc("ckey", "embed-english-v3.0", s"$base/v1")
+      assert(f.embed(CohereEmbeddingFunc.SearchDocumentPrefix + "hello world")
+        .length === 3)
+    }
+  }
+
+  test("Cohere: missing input-type prefix rejected") {
+    val f = new CohereEmbeddingFunc("k")
+    val e = intercept[IllegalArgumentException](f.embed("no prefix here"))
+    assert(e.getMessage === "text must start with a valid input type plus colon and space")
+  }
+
+  test("Vertex: predict URL, instances/content body, predictions parse") {
+    withServer("/v1/projects/proj1/locations/us-central1/publishers/google/models/m1:predict",
+      ex => {
+        val b = body(ex)
+        val inst = b("instances").asInstanceOf[List[Any]].head.asInstanceOf[Map[String, Any]]
+        assert(inst("content") === "hello world")
+      },
+      s"""{"predictions": [{"embeddings": {"values": $stub}}]}""") { base =>
+      val f = new VertexEmbeddingFunc("vkey", "proj1", "m1", s"$base/v1")
+      assert(f.embed("hello world").length === 3)
+    }
+  }
+
+  test("non-normalized response is normalized once-checked (embed_openai.go:148-158)") {
+    withServer("/v1/embeddings", _ => (),
+      """{"data": [{"embedding": [3.0, 4.0, 0.0]}]}""") { base =>
+      val f = new OpenAICompatEmbeddingFunc(s"$base/v1", "k", "m")
+      val v = f.embed("x")
+      assert(math.abs(graft.functions.VectorFunctions.norm(v) - 1.0) < 1e-6)
+      assert(math.abs(v(0) - 0.6f) < 1e-6)
+    }
+  }
+
+  test("error status surfaces as API error") {
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      ex.sendResponseHeaders(500, -1); ex.close()
+    })
+    server.start()
+    try {
+      val f = new OpenAICompatEmbeddingFunc(
+        s"http://localhost:${server.getAddress.getPort}/v1", "k", "m")
+      val e = intercept[RuntimeException](f.embed("x"))
+      assert(e.getMessage.contains("error response from the embedding API"))
+    } finally server.stop(0)
+  }
+}
