@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/**
+ * Structured Streaming operators over the events stream (schema of
+ * testdata events.parquet). Every transform here works unchanged on a
+ * batch DataFrame or a readStream DataFrame — declare once, run either
+ * way; watermarks bound state at scale.
+ */
+object EventsStream {
+
+  /** events schema as read from parquet (ts surfaced as TimestampType). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Open a file-based stream over an events directory. */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling/sliding window counts + sums with a watermark: the
+    * streaming form of SparkEntry's events_window_agg. */
+  def windowedAgg(
+      events: DataFrame,
+      windowDuration: String = "1 minute",
+      slideDuration: String = "1 minute",
+      watermark: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDuration, slideDuration), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Streaming exact-dedup by event_id within the watermark horizon —
+    * the streaming tier of the dedup family (state is bounded by the
+    * watermark; identical events arriving twice emit once). */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  case class Session(
+      user_id: Long,
+      n_events: Long,
+      total_value: Double,
+      start_ts: Timestamp,
+      end_ts: Timestamp)
+
+  private case class SessionState(
+      n: Long, total: Double, start: Long, last: Long)
+
+  /**
+   * Gap-based sessionization via flatMapGroupsWithState: a session closes
+   * after `gapMs` of user inactivity (processing-time timeout when
+   * streaming). Custom state the windowed operators can't express —
+   * KeyValueGroupedDataset state API, per SURVEY's streaming extension.
+   */
+  def sessionize(
+      events: Dataset[org.apache.spark.sql.Row],
+      gapMs: Long = 5 * 60 * 1000L): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "ts", "value")
+      .as[(Long, Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          // batch mode: all rows at once; emit every closed session + final
+          val sorted = rows.toSeq.sortBy(_._2.getTime)
+          val sessions = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var cur: Option[SessionState] = state.getOption
+          sorted.foreach { case (_, ts, v) =>
+            val t = ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(SessionState(s.n + 1, s.total + v, s.start, t))
+              case Some(s) =>
+                sessions += Session(userId, s.n, s.total,
+                  new Timestamp(s.start), new Timestamp(s.last))
+                cur = Some(SessionState(1, v, t, t))
+              case None =>
+                cur = Some(SessionState(1, v, t, t))
+            }
+          }
+          cur.foreach { s =>
+            sessions += Session(userId, s.n, s.total,
+              new Timestamp(s.start), new Timestamp(s.last))
+          }
+          state.remove()
+          sessions.iterator
+      }
+  }
+
+  /** Rate-of-events per user over a sliding window (streaming-safe). */
+  def perUserRates(
+      events: DataFrame,
+      windowDuration: String = "5 minutes",
+      slideDuration: String = "1 minute",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDuration, slideDuration), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("event_type")).as("n_types"))
+}
