@@ -240,7 +240,47 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("event_type")).as("n_types"),
-          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value")))
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))),
+
+    // ---- vector kernels: L2 norm + normalized-invariant check ----
+    "q_vector_norms" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        round(graft.functions.VectorFunctions.l2_norm(col("embedding")), 4).as("nrm"),
+        graft.functions.VectorFunctions.is_normalized(col("embedding")).as("is_norm"))),
+
+    // ---- vector kernels: normalization semantics (element/norm, f64) ----
+    "q_normalize_elem" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        round(col("embedding").getItem(0).cast("double") /
+          graft.functions.VectorFunctions.l2_norm(col("embedding")), 4).as("e0"))),
+
+    // ---- multimodal: binary decode -> feature-extract pipeline ----
+    // (deterministic stub kernels; no SQL oracle => rows-only + unit tests)
+    "multimodal_features" -> ((s, dir) => {
+      val assets = t(s, dir, "documents").select(
+        col("doc_id").cast("string").as("asset_id"),
+        lit("image").as("modality"),
+        col("text").cast("binary").as("bytes"),
+        map(lit("lang"), col("lang")).as("meta"))
+      graft.ops.Multimodal.imageFeatures(
+        graft.ops.Multimodal.decodeImages(assets), dim = 16)
+        .select(col("asset_id"), size(col("embedding")).cast("long").as("dim"))
+    }),
+
+    // ---- streaming-shaped: gap sessionization via flatMapGroupsWithState ----
+    "streaming_sessionize" -> ((s, dir) =>
+      graft.streaming.EventsStream.sessionize(events(s, dir), gapMs = 6 * 3600 * 1000L)
+        .toDF().select(col("user_id"), col("n_events"),
+          round(col("total_value"), 4).as("total_value"))),
+
+    // ---- ANN: LSH-bucketed approximate top-k (deterministic planes) ----
+    "q_lsh_topk" -> ((s, dir) =>
+      graft.ops.VectorSearch.lshTopK(
+          t(s, dir, "embeddings"), "embedding", vec(s, dir, 0), 10, "vec_id",
+          numPlanes = 12, maxHamming = 3)
+        .select(col("vec_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -400,6 +440,19 @@ object SparkEntry {
         |  count(DISTINCT event_type) AS n_types,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events
-        |GROUP BY user_id""".stripMargin
+        |GROUP BY user_id""".stripMargin,
+
+    "q_vector_norms" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS nrm,
+        |  abs(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) - 1.0) < 1e-6
+        |    AS is_norm
+        |FROM embeddings""".stripMargin,
+
+    "q_normalize_elem" ->
+      """SELECT vec_id,
+        |  round(embedding[1]::DOUBLE /
+        |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS e0
+        |FROM embeddings""".stripMargin
   )
 }

@@ -1,0 +1,80 @@
+package graft
+
+/**
+ * Physical-plan audit: pins the properties that make these queries scale —
+ * parquet predicate pushdown, column pruning, broadcast joins, shuffle
+ * counts, TakeOrderedAndProject top-k. A regression here is a performance
+ * bug even when results stay correct.
+ */
+class PlanSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = withLogLevel {
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+  }
+
+  private def countOccurrences(s: String, sub: String): Int =
+    s.sliding(sub.length).count(_ == sub)
+
+  test("filter predicates are pushed to the parquet scan") {
+    val p = plan("q_filter_contains")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("EqualTo(lang,en)"), s"lang filter must push down:\n$p")
+    assert(p.contains("StringContains(text,filter)"),
+      s"contains must push down:\n$p")
+  }
+
+  test("point lookup pushes the id predicate") {
+    val p = plan("q_get_by_id")
+    assert(p.contains("EqualTo(doc_id,42)"), p)
+  }
+
+  test("projection prunes the parquet ReadSchema to selected columns") {
+    val p = plan("q_list_ids")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"scan must read ONLY doc_id:\n$p")
+    val p2 = plan("q_similarity_topk")
+    assert(!p2.contains("label:int"),
+      s"top-k over embeddings must not read the label column:\n$p2")
+  }
+
+  test("similarity top-k is TakeOrderedAndProject with zero shuffles") {
+    val p = plan("q_similarity_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), s"no shuffle expected:\n$p")
+  }
+
+  test("customer join broadcasts the small dimension side") {
+    val p = plan("join_top_customers")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("knn join broadcasts the query side (corpus never shuffles for the join)") {
+    val p = plan("q_knn_join")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("exact dedup is a single-shuffle hash aggregate") {
+    val p = plan("dedup_exact")
+    assert(p.contains("HashAggregate"), p)
+    // partial + final aggregate around exactly one exchange
+    assert(countOccurrences(p, "Exchange") <= 2, // AQE may show reused/shuffle read
+      s"dedup_exact should shuffle once:\n$p")
+  }
+
+  test("minhash signature computes without exploding tokens (no pre-band shuffle)") {
+    val sig = graft.ops.Dedup.minhashCandidates(
+      spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+    val p = sig.queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("generate explode(split"),
+      s"signatures must be per-row, not exploded tokens:\n$p")
+  }
+
+  test("whole-stage codegen covers the similarity scan") {
+    // "*(N)" prefixes mark operators fused into a WholeStageCodegen stage
+    val p = plan("q_similarity_topk")
+    assert(p.contains("*(1) Project") || p.contains("WholeStageCodegen"), p)
+    assert(p.contains("ColumnarToRow"), p)
+  }
+}
