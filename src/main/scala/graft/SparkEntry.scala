@@ -43,11 +43,24 @@ object SparkEntry {
     t(spark, dir, "embeddings").filter(col("vec_id") === vecId)
       .select("embedding").head().getSeq[Float](0).toArray
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0.
+    * Exercises the full parity API: documents+embeddings become a
+    * Collection, then a filtered similarity query runs through
+    * Collection.queryDF (metadata predicate + float32 scoring + top-k). */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    VectorSearch.topK(t(spark, dir, "embeddings"), "embedding",
-      vec(spark, dir, 0), k = 10, idCol = "vec_id")
+    val docs = t(spark, dir, "documents")
+    val emb = t(spark, dir, "embeddings")
+    val asDocs = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(
+        col("doc_id").cast("string").as("id"),
+        map(lit("lang"), col("lang"), lit("source"), col("source")).as("metadata"),
+        col("embedding"),
+        col("text").as("content"))
+    val db = graft.core.DB.inMemory(spark, new graft.embed.HashingEmbeddingFunc(64))
+    val c = db.createCollection("flagship")
+    c.addDF(asDocs)
+    c.queryDF(vec(spark, dir, 0), 10, where = Map("lang" -> "en"))
   }
 
   // 21 English stopwords shared with the oracle SQL below.

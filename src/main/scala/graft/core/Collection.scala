@@ -49,6 +49,14 @@ class Collection private[core] (
 
   def metadata: Map[String, String] = collMetadata
 
+  /** Same collection state with a different embedding function attached
+    * (functions aren't serializable to disk — reference db.go:536-537). */
+  private[core] def withEmbeddingFunc(ef: EmbeddingFunc): Collection = {
+    val c = new Collection(name, collMetadata, ef, spark, None, persist)
+    c.state = this.state
+    c
+  }
+
   /** Current collection contents as a DataFrame (immutable snapshot). */
   def df: DataFrame = state._1
 

@@ -39,10 +39,17 @@ class DB private (
     c
   }
 
-  /** Lookup; re-attaches the embedding func (functions don't persist,
-    * db.go:536-537). Returns null when absent — Go-style, db.go:543-560. */
+  /** Lookup; re-attaches the embedding func when provided (functions
+    * don't persist, db.go:536-537, 552-558). Returns null when absent —
+    * Go-style, db.go:543-560. */
   def getCollection(name: String, embeddingFunc: EmbeddingFunc = null): Collection =
-    collections.get(name).orNull
+    collections.get(name) match {
+      case Some(c) if embeddingFunc != null && (c.embedFunc ne embeddingFunc) =>
+        val reattached = c.withEmbeddingFunc(embeddingFunc)
+        collections.put(name, reattached)
+        reattached
+      case other => other.orNull
+    }
 
   /** Get-or-create — reference db.go:569-580. */
   def getOrCreateCollection(
@@ -96,6 +103,17 @@ class DB private (
       collections: Seq[String] = Seq.empty): Unit =
     graft.persist.ExportImport.importFromFile(
       this, spark, filePath, encryptionKey, collections)
+
+  /** Deprecated alias — reference db.go:193-195. */
+  @deprecated("use importFromFile", "0.1.0")
+  def importDB(filePath: String, encryptionKey: String = ""): Unit =
+    importFromFile(filePath, encryptionKey)
+
+  /** Deprecated alias — reference db.go:368-370. */
+  @deprecated("use exportToFile", "0.1.0")
+  def exportDB(filePath: String, compress: Boolean = false,
+      encryptionKey: String = ""): Unit =
+    exportToFile(filePath, compress, encryptionKey)
 
   private[graft] def register(c: Collection): Unit = collections.put(c.name, c)
   private[graft] def sparkSession: SparkSession = spark

@@ -23,6 +23,21 @@ object Document {
     StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = true),
     StructField("content", StringType, nullable = true)))
 
+  /** Constructor that embeds content when no vector is given — parity
+    * with reference NewDocument (document.go:28-53). */
+  def create(
+      id: String,
+      metadata: Map[String, String] = Map.empty,
+      embedding: Array[Float] = null,
+      content: String = null,
+      embeddingFunc: graft.embed.EmbeddingFunc = null): Document = {
+    val doc = Document(id, metadata, embedding, content)
+    validate(doc)
+    if ((embedding == null || embedding.isEmpty) && embeddingFunc != null)
+      doc.copy(embedding = embeddingFunc.embed(content))
+    else doc
+  }
+
   /** Validation shared by add paths — reference collection.go:252-256. */
   def validate(doc: Document): Unit = {
     if (doc.id == null || doc.id.isEmpty)

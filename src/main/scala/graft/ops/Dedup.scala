@@ -66,9 +66,13 @@ object Dedup {
       shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
+    // Materialize signatures once: the bucket self-join would otherwise
+    // recompute the shingle+minhash scan for BOTH sides (a full corpus
+    // re-read at scale). Signatures are tiny (numHashes × 8 B per doc).
     val sig = df.select(
       col(idCol).as("doc"),
       minhash_signature(shingles(col(textCol), shingleSize), numHashes).as("sig"))
+      .localCheckpoint(true)
     val banded = sig.select(
       col("doc"),
       posexplode(transform(
@@ -117,6 +121,7 @@ object Dedup {
       idCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sig = df.select(col(idCol).as("doc"), simhash64(tokens(col(textCol))).as("sig"))
+      .localCheckpoint(true) // one signature pass, not one per join side
     val banded = sig.select(col("doc"), col("sig"),
       posexplode(array((0 until 4).map(q =>
         shiftrightunsigned(col("sig"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)))

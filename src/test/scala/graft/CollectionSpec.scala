@@ -126,6 +126,28 @@ class CollectionSpec extends SparkSuite {
     assert(math.abs(stored(0) - 0.6f) < 1e-6 && math.abs(stored(1) - 0.8f) < 1e-6)
   }
 
+  test("getCollection re-attaches a provided embedding func (db.go:552-558)") {
+    val db = freshDb
+    val c = db.createCollection("reattach")
+    c.addDocuments(Seq(Document("1", content = "hello")))
+    val newEf = new HashingEmbeddingFunc(16)
+    val re = db.getCollection("reattach", newEf)
+    assert(re.embedFunc eq newEf)
+    assert(re.count() === 1, "state must carry over")
+    assert(db.getCollection("reattach").embedFunc eq newEf,
+      "registry must hold the re-attached collection")
+  }
+
+  test("Document.create embeds content when no vector given (document.go:28-53)") {
+    val ef = new HashingEmbeddingFunc(16)
+    val d = Document.create("1", Map("a" -> "b"), content = "some text", embeddingFunc = ef)
+    assert(d.embedding.toSeq === ef.embed("some text").toSeq)
+    val withVec = Document.create("2", embedding = Array(1f, 0f), embeddingFunc = ef)
+    assert(withVec.embedding.toSeq === Seq(1f, 0f))
+    intercept[IllegalArgumentException](Document.create(""))
+    intercept[IllegalArgumentException](Document.create("3"))
+  }
+
   test("query clamps k to filtered size but errors when k > count (collection.go:505,536)") {
     val c = freshDb.createCollection("clamp")
     c.addDocuments(Seq(
