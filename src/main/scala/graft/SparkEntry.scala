@@ -255,6 +255,36 @@ object SparkEntry {
           countDistinct(col("event_type")).as("n_types"),
           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))),
 
+    // ---- relational: multiway broadcast join over the dim hierarchy ----
+    "join_multiway" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      sup.join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_sup"))
+    }),
+
+    // ---- relational: window rank (top-2 orders per customer) ----
+    "window_order_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("rnk"))
+    }),
+
+    // ---- relational: set ops — customers without orders (EXCEPT) ----
+    "set_except" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey").as("k"))
+        .except(t(s, dir, "orders").select(col("o_custkey").as("k")))),
+
+    // ---- relational: distinct projection ----
+    "q_distinct_types" -> ((s, dir) =>
+      events(s, dir).select(col("event_type")).distinct()),
+
     // ---- vector kernels: L2 norm + normalized-invariant check ----
     "q_vector_norms" -> ((s, dir) =>
       t(s, dir, "embeddings").select(
@@ -293,7 +323,19 @@ object SparkEntry {
       graft.ops.VectorSearch.lshTopK(
           t(s, dir, "embeddings"), "embedding", vec(s, dir, 0), 10, "vec_id",
           numPlanes = 12, maxHamming = 3)
-        .select(col("vec_id")))
+        .select(col("vec_id"))),
+
+    // ---- ANN: IVF cluster-then-probe; probing ALL cells == exact, so
+    // the brute-force top-k SQL is a valid oracle for the id set ----
+    "q_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = graft.ops.IvfIndex.trainCentroids(emb, "embedding",
+        nlist = 4, sampleSize = 500)
+      val assigned = graft.ops.IvfIndex.assign(emb, "embedding", cents)
+      graft.ops.IvfIndex.topK(assigned, "embedding", cents, vec(s, dir, 0),
+          10, "vec_id", nprobe = 4)
+        .select(col("vec_id"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -455,6 +497,28 @@ object SparkEntry {
         |FROM events
         |GROUP BY user_id""".stripMargin,
 
+    "join_multiway" ->
+      """SELECT r_name, count(*) AS n_sup
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "window_order_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |FROM orders
+        |QUALIFY rnk <= 2""".stripMargin,
+
+    "set_except" ->
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS k FROM orders""".stripMargin,
+
+    "q_distinct_types" ->
+      "SELECT DISTINCT event_type FROM events",
+
     "q_vector_norms" ->
       """SELECT vec_id,
         |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS nrm,
@@ -466,6 +530,12 @@ object SparkEntry {
       """SELECT vec_id,
         |  round(embedding[1]::DOUBLE /
         |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS e0
-        |FROM embeddings""".stripMargin
+        |FROM embeddings""".stripMargin,
+
+    "q_ivf_topk" ->
+      """SELECT vec_id FROM embeddings
+        |ORDER BY list_dot_product(embedding::DOUBLE[],
+        |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        |LIMIT 10""".stripMargin
   )
 }

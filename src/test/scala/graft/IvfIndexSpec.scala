@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{IvfIndex, SkewJoin, VectorSearch}
+
+class IvfIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = withLogLevel(
+    spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet"))
+  private lazy val q0: Array[Float] =
+    emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0).toArray
+
+  test("centroid training is deterministic and returns nlist vectors") {
+    val c1 = IvfIndex.trainCentroids(emb, "embedding", nlist = 4, sampleSize = 200)
+    val c2 = IvfIndex.trainCentroids(emb, "embedding", nlist = 4, sampleSize = 200)
+    assert(c1.length === 4)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
+  }
+
+  test("every row lands in exactly one cell; cells cover the corpus") {
+    val cents = IvfIndex.trainCentroids(emb, "embedding", nlist = 4, sampleSize = 200)
+    val assigned = IvfIndex.assign(emb, "embedding", cents)
+    assert(assigned.count() === emb.count())
+    val cells = assigned.select("__cell").distinct().as[Int].collect().toSet
+    assert(cells.subsetOf((0 until 4).toSet) && cells.nonEmpty)
+  }
+
+  test("probing all cells reproduces exact brute-force top-k") {
+    val cents = IvfIndex.trainCentroids(emb, "embedding", nlist = 4, sampleSize = 200)
+    val assigned = IvfIndex.assign(emb, "embedding", cents)
+    val ivf = IvfIndex.topK(assigned, "embedding", cents, q0, 10, "vec_id", nprobe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact = VectorSearch.topK(emb, "embedding", q0, 10, "vec_id")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ivf === exact)
+  }
+
+  test("nprobe=1 finds the self-match (its own cell) with partial recall") {
+    val cents = IvfIndex.trainCentroids(emb, "embedding", nlist = 4, sampleSize = 200)
+    val assigned = IvfIndex.assign(emb, "embedding", cents)
+    val ids = IvfIndex.topK(assigned, "embedding", cents, q0, 10, "vec_id", nprobe = 1)
+      .select("vec_id").as[Long].collect()
+    assert(ids.contains(0L), "query's own cell must contain the self-match")
+    assert(ids.length <= 10)
+  }
+
+  test("salted join equals plain join results on a skewed key") {
+    val left = (Seq.fill(500)(("hot", 1)) ++ Seq(("a", 2), ("b", 3)))
+      .toDF("k", "v")
+    val right = Seq(("hot", 10), ("a", 20), ("c", 30)).toDF("k", "w")
+    val plain = left.join(right, Seq("k")).groupBy("k")
+      .agg(count(lit(1)).as("n"), sum($"v" + $"w").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = SkewJoin.saltedJoin(left, right, "k", saltFactor = 4)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum($"v" + $"w").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted === plain)
+  }
+}
