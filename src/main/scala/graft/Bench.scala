@@ -53,8 +53,10 @@ object Bench {
       "events_per_user")
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
-        val t0 = System.nanoTime()
         try {
+          // warmup: codegen compile, parquet footers, JIT — not the query
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          val t0 = System.nanoTime()
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           results(name) = (System.nanoTime() - t0) / 1e9
         } catch {

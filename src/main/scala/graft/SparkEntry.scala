@@ -109,6 +109,24 @@ object SparkEntry {
         .select(col("vec_id"), round(col("similarity"), 4).as("sim"))
     }),
 
+    // ---- Q5 subtract mode: query := normalize(query - negative), then
+    // the standard pipeline (reference collection.go:462-464). Double
+    // arithmetic end-to-end for oracle parity; the float32 reference
+    // semantics are pinned by NegativeQuerySpec. ----
+    "q_negative_subtract" -> ((s, dir) => {
+      val q = vec(s, dir, 0).map(_.toDouble)
+      val n = vec(s, dir, 1).map(_.toDouble)
+      val sub = q.indices.map(i => q(i) - n(i)).toArray
+      val nrm = math.sqrt(sub.map(x => x * x).sum)
+      val subNorm = sub.map(_ / nrm)
+      t(s, dir, "embeddings")
+        .withColumn("similarity",
+          graft.functions.VectorFunctions.dot_const_f64(col("embedding"), subNorm))
+        .orderBy(desc("similarity"), asc("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(col("similarity"), 4).as("sim"))
+    }),
+
     // ---- batch k-NN join: top-3 corpus rows per query row ----
     "q_knn_join" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -373,6 +391,21 @@ object SparkEntry {
         |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 1)) <= 0.1
         |ORDER BY list_dot_product(embedding::DOUBLE[],
         |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
+    "q_negative_subtract" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
+        |     n AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 1),
+        |     sub AS (SELECT list_transform(list_zip(q.e, n.e), p -> p[1] - p[2]) AS v
+        |             FROM q, n),
+        |     nrm AS (SELECT list_transform(v,
+        |               x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
+        |             FROM sub)
+        |SELECT e.vec_id,
+        |  round(list_dot_product(e.embedding::DOUBLE[], (SELECT v FROM nrm)), 4) AS sim
+        |FROM embeddings e
+        |ORDER BY list_dot_product(e.embedding::DOUBLE[], (SELECT v FROM nrm)) DESC,
+        |  e.vec_id
         |LIMIT 10""".stripMargin,
 
     "q_knn_join" ->

@@ -28,6 +28,11 @@ object VectorFunctions {
   def dot_const_f32(v: Column, query: Array[Float]): Column =
     column(DotProductConstF32(expr(v), query))
 
+  /** Double-accumulated dot against a constant double[] query (oracle
+    * parity for derived query vectors). */
+  def dot_const_f64(v: Column, query: Array[Double]): Column =
+    column(DotProductConstF64(expr(v), query))
+
   /** Double-precision dot product (sequential fold, matches DuckDB's
     * list_dot_product accumulation closely enough for oracle checks). */
   def dot_f64(a: Column, b: Column): Column = column(DotProductF64(expr(a), expr(b)))
@@ -118,6 +123,46 @@ case class DotProductConstF32(child: Expression, query: Array[Float])
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "dot_const_f32"
+}
+
+/** Double-precision twin of DotProductConstF32: float column values
+  * widened to double against a constant double[] query — matches DuckDB's
+  * `list_dot_product(col::DOUBLE[], <double query>)` accumulation, for
+  * oracle-checked derived query vectors (e.g. subtract-mode negatives). */
+case class DotProductConstF64(child: Expression, query: Array[Double])
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != query.length) {
+      throw new IllegalArgumentException(
+        s"vectors must have the same length: $n vs ${query.length}")
+    }
+    var s = 0.0; var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * query(i); i += 1 }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qv = ctx.addReferenceObj("queryVecD", query, "double[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $qv.length) {
+         |  throw new IllegalArgumentException("vectors must have the same length: " +
+         |    $n + " vs " + $qv.length);
+         |}
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $x.getFloat($i) * $qv[$i];
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "dot_const_f64"
 }
 
 /** Shared shape for binary (vec, vec) expressions over float arrays. */
