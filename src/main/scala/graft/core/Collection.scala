@@ -47,6 +47,10 @@ class Collection private[core] (
     (df, initial.map(_.count()).getOrElse(0L))
   }
 
+  // Optional packed FLAT index over (id, embedding) — the hot-loop layout
+  // (see ops.VectorIndex). Built on demand, dropped on every mutation.
+  @volatile private var flatIndex: Option[graft.ops.VectorIndex[String]] = None
+
   def metadata: Map[String, String] = collMetadata
 
   /** Same collection state with a different embedding function attached
@@ -247,6 +251,28 @@ class Collection private[core] (
     runQuery(qv, options.nResults, options.where, options.whereDocument, negVec, negThreshold)
   }
 
+  /**
+   * Build (or rebuild) the packed FLAT index for this collection's
+   * embeddings. Unfiltered `queryEmbedding` calls then scan packed
+   * primitive float[] slabs (~2× faster than the columnar DataFrame scan;
+   * see ops.VectorIndex) and join survivors back by id — the reference's
+   * own materialize-by-id step (collection.go:547-556). Any mutation
+   * drops the index; call again to rebuild.
+   */
+  def buildIndex(numBlocks: Int = 0): Unit = synchronized {
+    val (df0, n) = state
+    if (n > 0) {
+      val dim = df0.select("embedding").filter(col("embedding").isNotNull)
+        .head().getSeq[Float](0).length
+      flatIndex = Some(graft.ops.VectorIndex
+        .build[String](df0.filter(col("embedding").isNotNull), "id", "embedding", dim,
+          numBlocks)
+        .persist().materialize())
+    }
+  }
+
+  def hasIndex: Boolean = flatIndex.isDefined
+
   /** The fused pipeline of reference queryEmbedding (collection.go:496-559). */
   private def runQuery(
       qv: Array[Float],
@@ -263,8 +289,24 @@ class Collection private[core] (
       throw new IllegalArgumentException(
         "nResults must be <= the number of documents in the collection")
     Filters.validateWhereDocument(whereDocument, "unsupported operator")
-    queryDF(qv, nResults, where, whereDocument, negVector, negThreshold)
-      .as[QueryResult].collect().toIndexedSeq
+    // Index path: exhaustive packed scan when no filters narrow the scan
+    // set (filters would have pruned BEFORE scoring, collection.go:521).
+    flatIndex match {
+      case Some(idx) if where.isEmpty && whereDocument.isEmpty && negVector == null =>
+        val q = if (VectorFunctions.isNormalized(qv)) qv else VectorFunctions.normalize(qv)
+        val top = idx.topK(q, nResults).sortBy { case (id, s) => (-s, id) }
+        if (top.isEmpty) return Seq.empty
+        val scores = top.toMap
+        val order = top.map(_._1).zipWithIndex.toMap
+        // join-back materialization by id (reference collection.go:547-556)
+        df.filter(col("id").isInCollection(top.map(_._1).toIndexedSeq))
+          .as[Document].collect()
+          .map(d => QueryResult(d.id, d.metadata, d.embedding, d.content, scores(d.id)))
+          .sortBy(r => order(r.id)).toIndexedSeq
+      case _ =>
+        queryDF(qv, nResults, where, whereDocument, negVector, negThreshold)
+          .as[QueryResult].collect().toIndexedSeq
+    }
   }
 
   /** Lazy DataFrame form of the query — for composition / explain / tests. */
@@ -302,6 +344,8 @@ class Collection private[core] (
         next.localCheckpoint(true)
     }
     state = (materialized, materialized.count())
+    flatIndex.foreach(_.unpersist()) // mutated state invalidates the index
+    flatIndex = None
   }
 }
 

@@ -46,6 +46,35 @@ class NegativeQuerySpec extends SparkSuite {
     assert(res.head.id === "1")
   }
 
+  test("indexed query returns identical results to the DataFrame path") {
+    val db = DB.inMemory(spark, ConstEmbeddingFunc.stub())
+    val c = db.createCollection("indexed")
+    c.addDocuments(Seq(
+      Document("1", Map("t" -> "v"),
+        testEmbeddings("search_document: Village Builder Game"), "village"),
+      Document("2", Map.empty,
+        testEmbeddings("search_document: Town Craft Idle Game"), "town craft"),
+      Document("3", Map.empty,
+        testEmbeddings("search_document: Some Idle Game"), "some idle")))
+    val q = testEmbeddings("search_query: town")
+    val viaDf = c.queryEmbedding(q, 3)
+    c.buildIndex()
+    assert(c.hasIndex)
+    val viaIdx = c.queryEmbedding(q, 3)
+    assert(viaIdx.map(_.id) === viaDf.map(_.id))
+    assert(viaIdx.map(_.similarity) === viaDf.map(_.similarity),
+      "same float32 kernel => bit-identical scores")
+    assert(viaIdx.map(_.content) === viaDf.map(_.content))
+    assert(viaIdx.map(_.metadata) === viaDf.map(_.metadata))
+    // filtered queries fall back to the DataFrame path (filters prune
+    // before scoring); mutations drop the index
+    assert(c.queryEmbedding(q, 1, where = Map("t" -> "v")).map(_.id) === Seq("1"))
+    c.addDocuments(Seq(Document("4",
+      embedding = testEmbeddings("search_query: idle"))))
+    assert(!c.hasIndex)
+    assert(c.queryEmbedding(q, 4).length === 4)
+  }
+
   test("plain query ranks town-like docs by cosine (sanity)") {
     val res = coll.queryWithOptions(QueryOptions(
       queryEmbedding = testEmbeddings("search_query: town"),
