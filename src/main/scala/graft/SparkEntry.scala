@@ -109,6 +109,19 @@ object SparkEntry {
         .select(col("vec_id"), round(col("similarity"), 4).as("sim"))
     }),
 
+    // ---- $and/$or filter combinators (reference roadmap extension) ----
+    "q_filter_combinators" -> ((s, dir) => {
+      import graft.core.Filters._
+      t(s, dir, "documents")
+        .withColumn("metadata",
+          map(lit("lang"), col("lang"), lit("source"), col("source")))
+        .withColumn("content", col("text"))
+        .filter(compile(And(Seq(
+          Or(Seq(MetaEq("lang", "en"), MetaEq("lang", "de"))),
+          ContentNotContains("slow")))))
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // ---- Q5 subtract mode: query := normalize(query - negative), then
     // the standard pipeline (reference collection.go:462-464). Double
     // arithmetic end-to-end for oracle parity; the float32 reference
@@ -392,6 +405,10 @@ object SparkEntry {
         |ORDER BY list_dot_product(embedding::DOUBLE[],
         |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id
         |LIMIT 10""".stripMargin,
+
+    "q_filter_combinators" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (lang = 'en' OR lang = 'de') AND NOT contains(text, 'slow')""".stripMargin,
 
     "q_negative_subtract" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),

@@ -309,6 +309,28 @@ class Collection private[core] (
     }
   }
 
+  /** Clause-combinator query ($and/$or/$not — reference roadmap,
+    * README.md:179-180): same pipeline with a compiled clause predicate. */
+  def queryEmbeddingWhere(
+      queryEmbedding: Array[Float],
+      nResults: Int,
+      clause: Filters.Clause): Seq[QueryResult] = {
+    if (queryEmbedding == null || queryEmbedding.isEmpty)
+      throw new IllegalArgumentException("queryEmbedding is empty")
+    if (nResults <= 0)
+      throw new IllegalArgumentException("nResults must be > 0")
+    if (nResults > count())
+      throw new IllegalArgumentException(
+        "nResults must be <= the number of documents in the collection")
+    val q = if (VectorFunctions.isNormalized(queryEmbedding)) queryEmbedding
+            else VectorFunctions.normalize(queryEmbedding)
+    df.filter(Filters.compile(clause))
+      .withColumn("similarity", dot_const_f32(col("embedding"), q))
+      .orderBy(desc("similarity"), asc("id"))
+      .limit(nResults)
+      .as[QueryResult].collect().toIndexedSeq
+  }
+
   /** Lazy DataFrame form of the query — for composition / explain / tests. */
   def queryDF(
       qv: Array[Float],

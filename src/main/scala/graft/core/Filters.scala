@@ -47,4 +47,33 @@ object Filters {
 
   def predicate(where: Map[String, String], whereDocument: Map[String, String]): Column =
     metadataPredicate(where) && contentPredicate(whereDocument)
+
+  // ------------------------------------------------------------------
+  // $and / $or combinators — the reference's roadmap extension
+  // (README.md:179-180, not implemented there). A small clause AST that
+  // compiles to one Catalyst predicate; leaf semantics identical to the
+  // flat maps above (missing metadata key ⇒ "", case-sensitive contains).
+  // ------------------------------------------------------------------
+
+  sealed trait Clause
+  /** metadata[key] == value (missing key ⇒ ""). */
+  case class MetaEq(key: String, value: String) extends Clause
+  /** content contains the substring (case-sensitive). */
+  case class ContentContains(s: String) extends Clause
+  /** content does NOT contain the substring. */
+  case class ContentNotContains(s: String) extends Clause
+  case class And(clauses: Seq[Clause]) extends Clause
+  case class Or(clauses: Seq[Clause]) extends Clause
+  case class Not(clause: Clause) extends Clause
+
+  def compile(clause: Clause): Column = clause match {
+    case MetaEq(k, v) =>
+      coalesce(element_at(col("metadata"), lit(k)), lit("")) === lit(v)
+    case ContentContains(s) => coalesce(col("content"), lit("")).contains(s)
+    case ContentNotContains(s) => !coalesce(col("content"), lit("")).contains(s)
+    case And(cs) => cs.map(compile).foldLeft(lit(true))(_ && _)
+    case Or(cs) =>
+      if (cs.isEmpty) lit(false) else cs.map(compile).reduce(_ || _)
+    case Not(c) => !compile(c)
+  }
 }

@@ -48,6 +48,19 @@ class FiltersSpec extends SparkSuite {
     assert(ids(Map("missing" -> "x"), Map.empty) === Set.empty)
   }
 
+  test("$and/$or/$not clause combinators (roadmap extension)") {
+    import graft.core.Filters._
+    def q(c: Clause): Set[String] =
+      coll.queryEmbeddingWhere(Array(0.1f, 0.2f, 0.3f), 2, c).map(_.id).toSet
+    assert(q(Or(Seq(MetaEq("language", "en"), MetaEq("language", "de")))) === Set("1", "2"))
+    assert(q(And(Seq(MetaEq("language", "en"), ContentContains("hello")))) === Set("1"))
+    assert(q(And(Seq(MetaEq("language", "en"), ContentContains("hallo")))) === Set.empty)
+    assert(q(Not(MetaEq("language", "en"))) === Set("2"))
+    assert(q(Or(Seq(ContentContains("bonjour"), ContentNotContains("welt")))) === Set("1"))
+    assert(q(Or(Seq.empty)) === Set.empty)
+    assert(q(And(Seq.empty)) === Set("1", "2"))
+  }
+
   test("unsupported whereDocument operator rejected (collection.go:513-518)") {
     val e = intercept[IllegalArgumentException] {
       coll.queryEmbedding(Array(0.1f, 0.2f, 0.3f), 1,
