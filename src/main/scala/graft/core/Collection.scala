@@ -138,10 +138,28 @@ class Collection private[core] (
    */
   def addDF(batch: DataFrame): Unit = synchronized {
     val ef = embedFunc
-    val embedded = batch
-      .withColumn("embedding",
-        when(col("embedding").isNull, embedUdf(ef)(col("content")))
-          .otherwise(col("embedding")))
+    val conformed = batch.select(
+      col("id").cast("string").as("id"),
+      col("metadata").cast(Document.schema("metadata").dataType).as("metadata"),
+      col("embedding").cast("array<float>").as("embedding"),
+      col("content").cast("string").as("content"))
+    // Embed missing vectors per PARTITION via embedBatch — one embedding
+    // client + request batching per task, not a row-at-a-time UDF call
+    // (the reference's worker-goroutine shape, collection.go:218-240,
+    // mapped onto Spark tasks).
+    val embedded = conformed.as[Document].mapPartitions { it =>
+      it.grouped(256).flatMap { chunk => // bounded per-task buffering
+        val (needVec, haveVec) =
+          chunk.partition(d => d.embedding == null || d.embedding.isEmpty)
+        needVec.foreach { d =>
+          if (d.content == null || d.content.isEmpty)
+            throw new IllegalArgumentException(
+              "either document embedding or content must be filled")
+        }
+        val vecs = ef.embedBatch(needVec.iterator.map(_.content)).toSeq
+        haveVec ++ needVec.lazyZip(vecs).map((d, v) => d.copy(embedding = v))
+      }
+    }.toDF()
       .withColumn("embedding",
         when(is_normalized(col("embedding")), col("embedding"))
           .otherwise(normalize_f32(col("embedding"))))
@@ -155,12 +173,6 @@ class Collection private[core] (
     val next = old.join(deduped.select("id"), Seq("id"), "left_anti")
       .unionByName(deduped.select(old.columns.map(col).toIndexedSeq: _*))
     commit(next)
-  }
-
-  private def embedUdf(ef: EmbeddingFunc) = udf { (content: String) =>
-    if (content == null)
-      throw new IllegalArgumentException("either document embedding or content must be filled")
-    ef.embed(content)
   }
 
   // ------------------------------------------------------------------
