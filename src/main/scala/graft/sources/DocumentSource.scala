@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Document
+
+/**
+ * Corpus readers that conform arbitrary files to the canonical document
+ * schema `(id, metadata map, embedding, content)` for `Collection.addDF`
+ * — the Spark-scale analog of the reference's example ingestion loop
+ * (examples/rag-wikipedia-ollama/main.go:63-97 reads a JSONL corpus and
+ * adds one Document per line).
+ *
+ * All readers are plain `spark.read` plans: schema inference is bounded,
+ * filters/pruning push down, and the result is splittable input — no
+ * driver-side file loops.
+ */
+object DocumentSource {
+
+  /** JSONL corpus: one JSON object per line. `idField` null ⇒ stable
+    * row ids derived from content hash (re-ingest idempotent). */
+  def fromJsonl(
+      spark: SparkSession,
+      path: String,
+      contentField: String,
+      idField: String = null,
+      metadataFields: Seq[String] = Seq.empty): DataFrame =
+    conform(spark.read.json(path), contentField, idField, metadataFields)
+
+  /** CSV with header. */
+  def fromCsv(
+      spark: SparkSession,
+      path: String,
+      contentField: String,
+      idField: String = null,
+      metadataFields: Seq[String] = Seq.empty): DataFrame =
+    conform(spark.read.option("header", "true").csv(path),
+      contentField, idField, metadataFields)
+
+  /** Parquet with arbitrary columns. */
+  def fromParquet(
+      spark: SparkSession,
+      path: String,
+      contentField: String,
+      idField: String = null,
+      metadataFields: Seq[String] = Seq.empty): DataFrame =
+    conform(spark.read.parquet(path), contentField, idField, metadataFields)
+
+  /** Plain text: one document per LINE, ids = content md5. */
+  def fromTextLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .filter(length(col("value")) > 0)
+      .select(
+        md5(col("value")).as("id"),
+        typedLit(Map.empty[String, String]).as("metadata"),
+        lit(null).cast("array<float>").as("embedding"),
+        col("value").as("content"))
+
+  /** Map any DataFrame onto the document schema. */
+  def conform(
+      df: DataFrame,
+      contentField: String,
+      idField: String = null,
+      metadataFields: Seq[String] = Seq.empty): DataFrame = {
+    require(df.columns.contains(contentField),
+      s"content field '$contentField' not found in ${df.columns.mkString(",")}")
+    val id: Column =
+      if (idField != null) col(idField).cast("string")
+      else md5(col(contentField).cast("string"))
+    val metadata: Column =
+      if (metadataFields.isEmpty) typedLit(Map.empty[String, String])
+      else map(metadataFields.flatMap(f =>
+        Seq(lit(f), coalesce(col(f).cast("string"), lit("")))): _*)
+    val embedding: Column =
+      if (df.columns.contains("embedding")) col("embedding").cast("array<float>")
+      else lit(null).cast("array<float>")
+    df.select(
+      id.as("id"),
+      metadata.as("metadata"),
+      embedding.as("embedding"),
+      col(contentField).cast("string").as("content"))
+  }
+}
