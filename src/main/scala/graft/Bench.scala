@@ -40,8 +40,15 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     // ---- chromem-parity microbenchmark --------------------------------
-    results ++= chromemParity(spark, n = 25000, queries = 10)
-    results ++= chromemParity(spark, n = 100000, queries = 10)
+    // (guarded: a failure here must not cost the whole bench line)
+    Seq(25000, 100000).foreach { n =>
+      try results ++= chromemParity(spark, n, queries = 10)
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] chromem_$n failed: ${e.getMessage}")
+          results(s"chromem_query_${n}_d1536_k10") = -1.0
+      }
+    }
 
     // ---- headline testdata queries ------------------------------------
     val headline = Seq(
