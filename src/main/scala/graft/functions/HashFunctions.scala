@@ -19,11 +19,14 @@ import org.apache.spark.sql.types._
 object HashFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression => expr}
 
-  /** MinHash signature: for each of `numHashes` seeds, min over tokens of
-    * xxhash64(token, seed). Standard shingle→minhash construction
-    * (Broder '97 resemblance sketches). */
-  def minhash_signature(tokens: Column, numHashes: Int): Column =
-    column(MinHashSignature(expr(tokens), numHashes))
+  /** MinHash signature over w-shingles of the token array — Broder '97
+    * resemblance sketches. Each token is XXH64-hashed ONCE; shingle
+    * hashes combine token hashes by rolling polynomial; the `numHashes`
+    * hash family is derived by per-function affine mixing (splitmix64
+    * constants) — ~64× fewer string hashes than hashing each shingle
+    * per seed, and no shingle-string allocation at all. */
+  def minhash_signature(tokens: Column, numHashes: Int, shingleSize: Int = 1): Column =
+    column(MinHashSignature(expr(tokens), numHashes, shingleSize))
 
   /** 64-bit SimHash (Charikar '02): sign of per-bit vote sums over token
     * hashes. Hamming-close signatures ⇒ similar token multisets. */
@@ -38,21 +41,52 @@ object HashFunctions {
 
 /** Static kernels shared by interpreted eval and generated code. */
 object HashKernels {
-  def minhash(toks: ArrayData, numHashes: Int): ArrayData = {
+
+  /** splitmix64 finalizer — cheap, well-mixed per-function constants. */
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  // affine family h_i(x) = A(i)*x + B(i) over 2^64 (A odd) — the standard
+  // one-hash minhash construction (Broder '97 + universal hashing).
+  private val MaxHashes = 256
+  private val A: Array[Long] =
+    Array.tabulate(MaxHashes)(i => splitmix64(2L * i) | 1L)
+  private val B: Array[Long] =
+    Array.tabulate(MaxHashes)(i => splitmix64(2L * i + 1))
+
+  def minhash(toks: ArrayData, numHashes: Int, shingleSize: Int): ArrayData = {
+    require(numHashes <= MaxHashes, s"numHashes must be <= $MaxHashes")
     val n = toks.numElements()
-    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val w = math.max(1, shingleSize)
+    // base hash per token, hashed exactly once
+    val base = new Array[Long](n)
     var i = 0
     while (i < n) {
-      if (!toks.isNullAt(i)) {
-        val t = toks.getUTF8String(i)
-        var h = 0
-        while (h < numHashes) {
-          val v = XXH64.hashUTF8String(t, h.toLong)
-          if (v < sig(h)) sig(h) = v
-          h += 1
-        }
-      }
+      base(i) = if (toks.isNullAt(i)) 0L
+        else XXH64.hashUTF8String(toks.getUTF8String(i), 0L)
       i += 1
+    }
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val nShingles = if (n == 0) 0 else math.max(1, n - w + 1)
+    var s = 0
+    while (s < nShingles) {
+      // rolling-polynomial shingle hash over the w token hashes
+      var sh = 0L
+      var j = 0
+      val end = math.min(n, s + w)
+      var k = s
+      while (k < end) { sh = sh * 0x100000001B3L + base(k); k += 1; j += 1 }
+      var h = 0
+      while (h < numHashes) {
+        val v = A(h) * sh + B(h)
+        if (v < sig(h)) sig(h) = v
+        h += 1
+      }
+      s += 1
     }
     new GenericArrayData(sig)
   }
@@ -79,12 +113,14 @@ object HashKernels {
   }
 }
 
-case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpression {
+case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int = 1)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(a: Any): Any =
-    HashKernels.minhash(a.asInstanceOf[ArrayData], numHashes)
+    HashKernels.minhash(a.asInstanceOf[ArrayData], numHashes, shingleSize)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, x => s"graft.functions.HashKernels.minhash($x, $numHashes)")
+    defineCodeGen(ctx, ev,
+      x => s"graft.functions.HashKernels.minhash($x, $numHashes, $shingleSize)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "minhash_signature"
 }

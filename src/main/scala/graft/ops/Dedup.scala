@@ -69,9 +69,11 @@ object Dedup {
     // Materialize signatures once: the bucket self-join would otherwise
     // recompute the shingle+minhash scan for BOTH sides (a full corpus
     // re-read at scale). Signatures are tiny (numHashes × 8 B per doc).
+    // Shingling happens INSIDE the kernel over the token array — no
+    // shingle-string construction.
     val sig = df.select(
       col(idCol).as("doc"),
-      minhash_signature(shingles(col(textCol), shingleSize), numHashes).as("sig"))
+      minhash_signature(tokens(col(textCol)), numHashes, shingleSize).as("sig"))
       .localCheckpoint(true)
     val banded = sig.select(
       col("doc"),
