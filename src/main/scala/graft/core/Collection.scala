@@ -175,6 +175,28 @@ class Collection private[core] (
     commit(next)
   }
 
+  /**
+   * Continuous ingestion: upsert every micro-batch of a streaming
+   * DataFrame (document-schema-conforming) into this collection.
+   * `foreachBatch` gives the batch-side merge (embed-missing + last-wins
+   * upsert) exactly-once per epoch under the checkpoint. The streaming
+   * tier of the ingest family — at scale this is how a collection tails
+   * a landing zone.
+   */
+  def addStream(
+      stream: DataFrame,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) addDF(batch)
+      }
+      .start()
+
   // ------------------------------------------------------------------
   // Point lookups / maintenance (reference collection.go:296-395)
   // ------------------------------------------------------------------

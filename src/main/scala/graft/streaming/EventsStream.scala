@@ -58,9 +58,14 @@ object EventsStream {
 
   /**
    * Gap-based sessionization via flatMapGroupsWithState: a session closes
-   * after `gapMs` of user inactivity (processing-time timeout when
-   * streaming). Custom state the windowed operators can't express —
-   * KeyValueGroupedDataset state API, per SURVEY's streaming extension.
+   * after `gapMs` of user inactivity. Custom state the windowed operators
+   * can't express — KeyValueGroupedDataset state API.
+   *
+   * Note: this variant emits every session seen in the processed data and
+   * clears state afterwards — exact for batch / single-epoch
+   * (AvailableNow) runs. A continuously-running stream wanting sessions
+   * held open ACROSS micro-batches should keep the state (drop
+   * `state.remove()`) and close sessions via GroupStateTimeout instead.
    */
   def sessionize(
       events: Dataset[org.apache.spark.sql.Row],

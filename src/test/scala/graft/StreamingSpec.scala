@@ -72,6 +72,34 @@ class StreamingSpec extends SparkSuite {
     assert(s.forall(x => !x.end_ts.before(x.start_ts)))
   }
 
+  test("streaming ingestion upserts micro-batches into a collection") {
+    import graft.core.{DB, Document}
+    import graft.embed.HashingEmbeddingFunc
+    val srcDir = Files.createTempDirectory("graft-coll-stream").toString
+    val ckpt = Files.createTempDirectory("graft-coll-ckpt").toString
+    // land two files, the second overwriting an id from the first
+    val batch1 = Seq(
+      ("a", Map("v" -> "1"), "first doc"),
+      ("b", Map("v" -> "1"), "second doc"))
+    val batch2 = Seq(("a", Map("v" -> "2"), "first doc UPDATED"))
+    def land(rows: Seq[(String, Map[String, String], String)]): Unit =
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.map(r =>
+            org.apache.spark.sql.Row(r._1, r._2, null, r._3))), Document.schema)
+        .write.mode("append").parquet(srcDir)
+    land(batch1); land(batch2)
+    val db = DB.inMemory(spark, new HashingEmbeddingFunc(16))
+    val c = db.createCollection("streamed")
+    val q = c.addStream(
+      spark.readStream.schema(Document.schema).parquet(srcDir), ckpt)
+    q.awaitTermination(120000)
+    assert(c.count() === 2)
+    // both files may land in one micro-batch (order undefined within it),
+    // but doc "b" is stable and embeddings were auto-filled
+    assert(c.getByID("b").metadata("v") === "1")
+    assert(c.getByID("a").embedding != null && c.getByID("a").embedding.nonEmpty)
+  }
+
   test("perUserRates sliding window runs on a stream") {
     val out = runToMemory(
       EventsStream.perUserRates(EventsStream.readStream(spark, streamDir)),
