@@ -157,6 +157,9 @@ class Collection private[core] (
               "either document embedding or content must be filled")
         }
         val vecs = ef.embedBatch(needVec.iterator.map(_.content)).toSeq
+        if (vecs.length != needVec.length)
+          throw new IllegalStateException(
+            s"embedding function returned ${vecs.length} vectors for ${needVec.length} texts")
         haveVec ++ needVec.lazyZip(vecs).map((d, v) => d.copy(embedding = v))
       }
     }.toDF()
