@@ -105,6 +105,24 @@ object EventsStream {
       }
   }
 
+  /** Streaming NEAR-dup suppression for a document stream: drop any doc
+    * whose SimHash signature was already seen within the watermark
+    * horizon (token-permutation/case variants share a signature). The
+    * streaming tier of the dedup family; state = one signature per
+    * horizon, bounded by the watermark. `tsCol` must exist on the
+    * stream for the watermark. */
+  def dedupBySimhash(
+      docs: DataFrame,
+      textCol: String,
+      tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("__sig", graft.functions.HashFunctions.simhash64(
+        split(lower(col(textCol)), " ")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("__sig")
+      .drop("__sig")
+
   /** Rate-of-events per user over a sliding window (streaming-safe). */
   def perUserRates(
       events: DataFrame,

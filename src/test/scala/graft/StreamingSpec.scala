@@ -100,6 +100,27 @@ class StreamingSpec extends SparkSuite {
     assert(c.getByID("a").embedding != null && c.getByID("a").embedding.nonEmpty)
   }
 
+  test("streaming simhash dedup drops permutation/case variants") {
+    val dir = Files.createTempDirectory("graft-simdedup").toString
+    val docs = Seq(
+      ("d1", "the quick brown fox", "2024-01-01 10:00:00"),
+      ("d2", "The Quick BROWN Fox", "2024-01-01 10:00:10"),   // case variant
+      ("d3", "fox brown quick the", "2024-01-01 10:00:20"),   // permutation
+      ("d4", "completely different words entirely", "2024-01-01 10:00:30"))
+    spark.createDataFrame(docs).toDF("doc_id", "text", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val out = runToMemory(
+      graft.streaming.EventsStream.dedupBySimhash(
+        spark.readStream.schema(schema).parquet(dir), "text", "ts"),
+      "sim_dedup")
+    val kept = out.select("doc_id").collect().map(_.getString(0)).toSet
+    assert(kept.size === 2, s"kept $kept")
+    assert(kept.contains("d4"))
+    assert(kept.intersect(Set("d1", "d2", "d3")).size === 1)
+  }
+
   test("perUserRates sliding window runs on a stream") {
     val out = runToMemory(
       EventsStream.perUserRates(EventsStream.readStream(spark, streamDir)),
