@@ -237,10 +237,12 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rfp"))),
 
-    // ---- text analysis: language-ID heuristic (no oracle — heuristic) ----
+    // ---- text analysis: language-ID heuristic (no oracle — heuristic;
+    // single-pass custom expression, see functions.FastLangId) ----
     "text_lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(
-        col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+        col("doc_id"),
+        graft.functions.LangIdExpression.fast_lang_id(col("text")).as("lang_pred"))),
 
     // ---- relational: aggregation pipeline (TPC-H Q1 shape) ----
     "agg_pricing_summary" -> ((s, dir) => {

@@ -35,6 +35,21 @@ class TextAnalysisSpec extends SparkSuite {
     assert(r(4) === "fr"); assert(r(5) === "zh"); assert(r(6) === "und")
   }
 
+  test("fast_lang_id single-pass expression agrees with the Catalyst version") {
+    val df = Seq(
+      (1, "the cat sat on the mat and it was happy"),
+      (2, "der hund ist nicht mit der katze"),
+      (3, "el perro es muy grande y la casa es blanca"),
+      (4, "le chien est dans les montagnes et la mer"),
+      (5, "你好世界这是中文文本"),
+      (6, "xyzzy plugh qwerty")).toDF("id", "text")
+    val r = df.select($"id",
+        graft.functions.LangIdExpression.fast_lang_id($"text").as("f"),
+        TextAnalysis.langId($"text").as("c"))
+      .collect().map(x => (x.getInt(0), x.getString(1), x.getString(2)))
+    r.foreach { case (i, f, c) => assert(f === c, s"row $i: fast=$f catalyst=$c") }
+  }
+
   test("rollingHash is order-sensitive, md5 fingerprint is content-stable") {
     val df = Seq(
       (1, "alpha beta gamma"),
