@@ -168,8 +168,8 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(j, 4).as("jaccard"))
   }
 
-  /** Embedding-cosine near-dup pairs (brute pairwise at modest n; compose
-    * with LSH bucketing for the 100 TB path). */
+  /** Embedding-cosine near-dup pairs — EXACT brute pairwise; ground truth
+    * and fine at modest n. The 100 TB path is the LSH variant below. */
   def embeddingNearDupPairs(
       df: DataFrame,
       vecCol: String,
@@ -178,6 +178,52 @@ object Dedup {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
     a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosine_sim(col("__va"), col("__vb")))
+      .filter(col("cos") >= lit(threshold))
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+
+  /**
+   * LSH-bucketed embedding near-dup pairs — the scale path: random-
+   * hyperplane signatures (map-only), banded bucket self-join (the only
+   * shuffle; candidate volume governed by collision probability), exact
+   * cosine verification on candidates only.
+   *
+   * Probability note: per-bit agreement is 1 − θ/π, so banding prunes
+   * well for HIGH thresholds (true near-dups, cos ≥ ~0.8). For loose
+   * thresholds the geometry gives little separation — use the exact
+   * variant or raise `bands`/lower `rowsPerBand` and pay more candidates.
+   */
+  def embeddingNearDupPairsLSH(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      numPlanes: Int = 32,
+      bands: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    require(numPlanes <= 64 && numPlanes % bands == 0,
+      "numPlanes must be <= 64 and divisible by bands")
+    val rows = numPlanes / bands
+    val mask = if (rows == 64) -1L else (1L << rows) - 1
+    val dim = df.select(vecCol).filter(col(vecCol).isNotNull)
+      .head().getSeq[Float](0).length
+    val planes = VectorSearch.randomPlanes(numPlanes, dim, seed)
+    val sig = df.select(col(idCol).as("doc"), col(vecCol).as("__v"),
+        VectorSearch.hyperplaneSignature(col(vecCol), planes).as("__sig"))
+      .localCheckpoint(true) // one signature pass, not one per join side
+    val banded = sig.select(col("doc"), col("__v"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("__sig"), b * rows).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+        col("a.__v").as("__va"), col("b.__v").as("__vb"))
+      .distinct()
       .withColumn("cos", cosine_sim(col("__va"), col("__vb")))
       .filter(col("cos") >= lit(threshold))
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))

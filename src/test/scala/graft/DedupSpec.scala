@@ -80,4 +80,26 @@ class DedupSpec extends SparkSuite {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("LSH embedding near-dup recovers planted near-dup clusters") {
+    // 60 random base vectors (d=32) + a jittered near-dup of each of the
+    // first 10 => 10 planted pairs with cos ~0.999
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Float] =
+      graft.functions.VectorFunctions.normalize(Array.fill(32)(rnd.nextFloat() * 2 - 1))
+    val base = (0 until 60).map(i => (i.toLong, unit()))
+    val dups = (0 until 10).map { i =>
+      val v = base(i)._2.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f)
+      (100L + i, graft.functions.VectorFunctions.normalize(v))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupPairs(df, "embedding", "vec_id", 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupPairsLSH(df, "embedding", "vec_id", 0.99,
+        numPlanes = 32, bands = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size === 10)
+    assert(lsh.subsetOf(exact), "verification must keep precision exact")
+    assert(lsh.size >= 9, s"recall too low: ${lsh.size}/10")
+  }
 }
