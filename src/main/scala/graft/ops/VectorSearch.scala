@@ -2,8 +2,8 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
+import graft.functions.TopKAggregate.topk_rows
 import graft.functions.VectorFunctions.{cosine_sim, dot_const_f32, dot_f32, dot_f64}
 
 /**
@@ -15,8 +15,10 @@ import graft.functions.VectorFunctions.{cosine_sim, dot_const_f32, dot_f32, dot_
  *    per-partition heap + driver merge of k rows, no shuffle, no full sort.
  *  - The query vector is a literal (KBs) — never a join.
  *  - `knnJoin` (many queries at once) broadcasts the query side and keeps
- *    the 100 TB corpus un-shuffled; per-query top-k is a windowed rank
- *    over (query_id) — shuffle is proportional to candidates, not corpus.
+ *    the 100 TB corpus un-shuffled; per-query top-k is a bounded-heap
+ *    AGGREGATE (not a window), so the map side pre-reduces each partition
+ *    to ≤ k rows per query and the only exchange carries
+ *    partitions × queries × k rows — independent of corpus size.
  */
 object VectorSearch {
 
@@ -79,7 +81,11 @@ object VectorSearch {
       .limit(k)
   }
 
-  /** Top-k per group (e.g. best matches within each label/partition). */
+  /** Top-k rows per group via the bounded-heap aggregate: each map task
+    * keeps ≤ k rows per group, so the group-key exchange moves
+    * partitions × groups × k rows instead of the whole scored corpus (and
+    * a hot group costs a bigger heap, not a straggler reducer). Ranking is
+    * (similarity desc, idCol asc) — identical to the window formulation. */
   def topKPerGroup(
       df: DataFrame,
       vecCol: String,
@@ -88,18 +94,26 @@ object VectorSearch {
       groupCol: String,
       idCol: String = "id",
       precision: String = "f32"): DataFrame = {
-    val w = Window.partitionBy(col(groupCol)).orderBy(desc("similarity"), asc(idCol))
+    val carry = df.columns.filterNot(c => c == idCol || c == groupCol)
+    val payload = struct(
+      (col("similarity") +: col(idCol) +: carry.map(col).toSeq): _*)
+    val outCols = df.columns.map(c =>
+        if (c == groupCol) col(groupCol) else col("__e").getField(c).as(c)) :+
+      col("__e").getField("similarity").as("similarity")
     scored(df, vecCol, queryVec, precision)
-      .withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= k)
-      .drop("__rank")
+      .groupBy(col(groupCol))
+      .agg(topk_rows(payload, k).as("__topk"))
+      .select(col(groupCol), explode(col("__topk")).as("__e"))
+      .select(outCols.toIndexedSeq: _*)
   }
 
   /**
    * Batch k-NN: for EVERY query row, the top-k corpus rows.
    * The query side is broadcast (small by construction); the corpus is
-   * scanned once with no shuffle; the per-query top-k window shuffles only
-   * scored candidates. Optional `preFilter` prunes the cross product.
+   * scanned once with no shuffle; per-query top-k is the bounded-heap
+   * aggregate — the map side reduces every partition of the scored cross
+   * product to ≤ k rows per query BEFORE the exchange, so shuffle volume
+   * is partitions × |queries| × k, never |corpus| × |queries|.
    */
   def knnJoin(
       corpus: DataFrame,
@@ -117,13 +131,17 @@ object VectorSearch {
       case "cosine" => cosine_sim(col(corpusVecCol), col("__qv"))
       case _ => dot_f32(col(corpusVecCol), col("__qv"))
     }
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("similarity"), asc(corpusIdCol))
+    val carry = corpus.columns.filterNot(_ == corpusIdCol)
+    val payload = struct(
+      (col("similarity") +: col(corpusIdCol) +: carry.map(col).toSeq): _*)
+    val outCols = corpus.columns.map(c => col("__e").getField(c).as(c)) ++
+      Seq(col("query_id"), col("__e").getField("similarity").as("similarity"))
     corpus.crossJoin(q)
       .withColumn("similarity", score)
-      .withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= k)
-      .drop("__rank", "__qv")
+      .groupBy(col("query_id"))
+      .agg(topk_rows(payload, k).as("__topk"))
+      .select(col("query_id"), explode(col("__topk")).as("__e"))
+      .select(outCols.toIndexedSeq: _*)
   }
 
   /**

@@ -55,6 +55,26 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("knn join pre-reduces per partition — no window over the cross product") {
+    val p = plan("q_knn_join")
+    assert(!p.contains("Window"),
+      s"per-query top-k must be a bounded-heap aggregate, not a window:\n$p")
+    // partial (map-side) + final ObjectHashAggregate around the exchange:
+    // the shuffle input is ≤ k rows per query per partition, not the corpus
+    assert(countOccurrences(p, "ObjectHashAggregate") >= 2,
+      s"expected partial+final topk_rows aggregate:\n$p")
+    assert(p.contains("partial_topk_rows"),
+      s"map-side partial aggregation must bound the exchange input:\n$p")
+  }
+
+  test("grouped top-k pre-reduces per partition — no full window shuffle on the group key") {
+    val p = plan("q_topk_per_label")
+    assert(!p.contains("Window"),
+      s"grouped top-k must be a bounded-heap aggregate, not a window:\n$p")
+    assert(countOccurrences(p, "ObjectHashAggregate") >= 2, p)
+    assert(p.contains("partial_topk_rows"), p)
+  }
+
   test("exact dedup is a single-shuffle hash aggregate") {
     val p = plan("dedup_exact")
     assert(p.contains("HashAggregate"), p)

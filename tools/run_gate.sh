@@ -6,7 +6,11 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 echo "== sbt test =="
-sbt -batch test 2>&1 | grep -E 'Tests:|\*\*\* FAILED' || true
+# run to a log and check the exit code explicitly — piping through grep
+# would let a red suite slip past `set -o pipefail` via the `|| true`
+sbt -batch test > /tmp/gate_test.log 2>&1 \
+  || { tail -30 /tmp/gate_test.log; echo "sbt test FAILED"; exit 1; }
+grep -E 'Tests:|\*\*\* FAILED' /tmp/gate_test.log || true
 
 echo "== Verify @ sf0.01 =="
 rm -rf /tmp/gate_out
