@@ -209,6 +209,24 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "embedding", "vec_id", 0.4)),
 
+    // ---- dedup: embedding near-dups via hyperplane LSH (the O(n) path) ----
+    // The synthetic corpus has no true near-dups (max pairwise cos ≈ 0.51),
+    // so the query plants them: every vector unioned with a 1.5×-scaled
+    // copy (id + 1e6). Scaling is cosine-invariant, so each (x, x+1e6)
+    // pair sits at cos = 1.0, and sign-hash signatures of v and 1.5v are
+    // identical ⇒ LSH recall is exact BY CONSTRUCTION at threshold 0.8
+    // (everything below ~0.51 is filtered either way). That determinism is
+    // what makes a hash-match oracle — the brute-force pair scan in
+    // DuckDB — attainable for a probabilistic operator.
+    "dedup_embedding_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = e.unionByName(e.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.5f)).as("embedding")))
+      Dedup.embeddingNearDupPairsLSH(
+        planted, "embedding", "vec_id", threshold = 0.8, dim = 64)
+    }),
+
     // ---- text analysis: token counting (whitespace + BPE-ish regex) ----
     "text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -494,6 +512,17 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin,
+
+    "dedup_embedding_lsh" ->
+      """WITH u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, list_transform(embedding, x -> x * 1.5::FLOAT)
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

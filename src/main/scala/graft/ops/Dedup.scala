@@ -199,15 +199,15 @@ object Dedup {
       vecCol: String,
       idCol: String,
       threshold: Double,
+      dim: Int,
       numPlanes: Int = 32,
       bands: Int = 4,
       seed: Long = 42L): DataFrame = {
     require(numPlanes <= 64 && numPlanes % bands == 0,
       "numPlanes must be <= 64 and divisible by bands")
+    require(dim > 0, "dim must be the embedding dimensionality (> 0)")
     val rows = numPlanes / bands
     val mask = if (rows == 64) -1L else (1L << rows) - 1
-    val dim = df.select(vecCol).filter(col(vecCol).isNotNull)
-      .head().getSeq[Float](0).length
     val planes = VectorSearch.randomPlanes(numPlanes, dim, seed)
     val sig = df.select(col(idCol).as("doc"), col(vecCol).as("__v"),
         VectorSearch.hyperplaneSignature(col(vecCol), planes).as("__sig"))

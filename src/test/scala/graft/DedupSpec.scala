@@ -96,7 +96,7 @@ class DedupSpec extends SparkSuite {
     val exact = Dedup.embeddingNearDupPairs(df, "embedding", "vec_id", 0.99)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.embeddingNearDupPairsLSH(df, "embedding", "vec_id", 0.99,
-        numPlanes = 32, bands = 8)
+        dim = 32, numPlanes = 32, bands = 8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.size === 10)
     assert(lsh.subsetOf(exact), "verification must keep precision exact")
