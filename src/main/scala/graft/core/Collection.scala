@@ -51,6 +51,12 @@ class Collection private[core] (
   // (see ops.VectorIndex). Built on demand, dropped on every mutation.
   @volatile private var flatIndex: Option[graft.ops.VectorIndex[String]] = None
 
+  // Optional ANN indexes (see ops.AnnIndex): signature / cell layout
+  // materialized once so repeated approximate queries skip the per-corpus
+  // recompute. Dropped on every mutation, like the FLAT index.
+  @volatile private var lshIndex: Option[graft.ops.LshIndex] = None
+  @volatile private var ivfIndex: Option[graft.ops.IvfState] = None
+
   def metadata: Map[String, String] = collMetadata
 
   /** Same collection state with a different embedding function attached
@@ -299,16 +305,82 @@ class Collection private[core] (
   def buildIndex(numBlocks: Int = 0): Unit = synchronized {
     val (df0, n) = state
     if (n > 0) {
-      val dim = df0.select("embedding").filter(col("embedding").isNotNull)
-        .head().getSeq[Float](0).length
       flatIndex = Some(graft.ops.VectorIndex
-        .build[String](df0.filter(col("embedding").isNotNull), "id", "embedding", dim,
-          numBlocks)
+        .build[String](df0.filter(col("embedding").isNotNull), "id", "embedding",
+          embeddingDim(df0), numBlocks)
         .persist().materialize())
     }
   }
 
   def hasIndex: Boolean = flatIndex.isDefined
+
+  /**
+   * Build (or rebuild) a persisted hyperplane-LSH index: one map-only
+   * signature pass over the collection, cached. Subsequent
+   * `queryEmbeddingApprox` calls probe the precomputed signature column —
+   * no per-query corpus signature recompute (the gap flagged against the
+   * one-shot `VectorSearch.lshTopK`).
+   */
+  def buildLshIndex(numPlanes: Int = 16, seed: Long = 42L): Unit = synchronized {
+    val (df0, n) = state
+    if (n > 0) {
+      lshIndex.foreach(_.unpersist())
+      lshIndex = Some(graft.ops.AnnIndex
+        .buildLsh(df0.filter(col("embedding").isNotNull), "embedding", "id",
+          dim = embeddingDim(df0), numPlanes = numPlanes, seed = seed)
+        .materialize())
+    }
+  }
+
+  /**
+   * Build (or rebuild) a persisted IVF index: centroids trained once on a
+   * bounded driver-side sample, corpus clustered by cell and cached.
+   * Subsequent `queryEmbeddingApprox` calls scan only the `nprobe`
+   * nearest cells of the clustered layout.
+   */
+  def buildIvfIndex(nlist: Int = 16, sampleSize: Int = 10000): Unit = synchronized {
+    val (df0, n) = state
+    if (n > 0) {
+      ivfIndex.foreach(_.unpersist())
+      ivfIndex = Some(graft.ops.AnnIndex
+        .buildIvf(df0.filter(col("embedding").isNotNull), "embedding", "id",
+          nlist = nlist, sampleSize = sampleSize)
+        .materialize())
+    }
+  }
+
+  def hasAnnIndex: Boolean = lshIndex.isDefined || ivfIndex.isDefined
+
+  /**
+   * Approximate nearest-neighbor query through a built ANN index (LSH
+   * preferred, then IVF); falls back to the EXACT path when none is
+   * built. Unfiltered by design — an ANN layout is an unfiltered
+   * physical clustering; filtered queries take the exact path where
+   * predicates prune before scoring.
+   */
+  def queryEmbeddingApprox(
+      queryEmbedding: Array[Float],
+      nResults: Int,
+      maxHamming: Int = 2,
+      nprobe: Int = 2): Seq[QueryResult] = {
+    if (queryEmbedding == null || queryEmbedding.isEmpty)
+      throw new IllegalArgumentException("queryEmbedding is empty")
+    if (nResults <= 0)
+      throw new IllegalArgumentException("nResults must be > 0")
+    if (nResults > count())
+      throw new IllegalArgumentException(
+        "nResults must be <= the number of documents in the collection")
+    val probe = lshIndex.map(_.topK(queryEmbedding, nResults, maxHamming))
+      .orElse(ivfIndex.map(_.topK(queryEmbedding, nResults, nprobe)))
+    probe match {
+      case Some(p) => p.as[QueryResult].collect().toIndexedSeq
+      case None => this.queryEmbedding(queryEmbedding, nResults)
+    }
+  }
+
+  private def embeddingDim(df0: DataFrame): Int =
+    df0.select("embedding").filter(col("embedding").isNotNull)
+      .head().getSeq[Float](0).length
 
   /** The fused pipeline of reference queryEmbedding (collection.go:496-559). */
   private def runQuery(
@@ -403,8 +475,12 @@ class Collection private[core] (
         next.localCheckpoint(true)
     }
     state = (materialized, materialized.count())
-    flatIndex.foreach(_.unpersist()) // mutated state invalidates the index
+    flatIndex.foreach(_.unpersist()) // mutated state invalidates all indexes
     flatIndex = None
+    lshIndex.foreach(_.unpersist())
+    lshIndex = None
+    ivfIndex.foreach(_.unpersist())
+    ivfIndex = None
   }
 }
 

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.HashFunctions.hamming64
+import graft.functions.VectorFunctions
+import graft.functions.VectorFunctions.dot_const_f32
+
+/**
+ * Persisted ANN index state — the "build once, probe many" counterpart of
+ * the one-shot helpers in [[VectorSearch]] / [[IvfIndex]].
+ *
+ * `VectorSearch.lshTopK` recomputes every row's hyperplane signature on
+ * every call, and `IvfIndex` leaves centroid training + cell assignment
+ * to the caller. Fine for a single query; for the repeated-query shape
+ * (an online ANN service, a bench loop) the signature/assignment pass is
+ * the dominant cost and must be paid ONCE. These classes materialize that
+ * pass into a cached DataFrame and keep the driver-side model (planes /
+ * centroids) alongside it, so each probe is:
+ *
+ *  - LSH: a codegen'd hamming-distance filter on a precomputed i64
+ *    signature column + exact re-rank of survivors → TakeOrderedAndProject
+ *    (no shuffle, no signature recompute).
+ *  - IVF: a partition-pruned scan of the `nprobe` nearest cells (the
+ *    layout is clustered by cell at build time) + exact re-rank.
+ *
+ * At 100 TB the build pass is one map-only job whose output would live as
+ * a signature/cell column in the table layout (Z-ordered or
+ * partitioned-by-cell parquet); the probe reads a sliver of it.
+ */
+object AnnIndex {
+
+  /** Build an LSH index: one map-only signature pass, cached. */
+  def buildLsh(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      numPlanes: Int = 16,
+      seed: Long = 42L,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): LshIndex = {
+    require(numPlanes > 0 && numPlanes <= 64, "numPlanes must be in [1, 64]")
+    require(dim > 0, "dim must be the embedding dimensionality (> 0)")
+    val planes = VectorSearch.randomPlanes(numPlanes, dim, seed)
+    val signed = df
+      .withColumn("__sig", VectorSearch.hyperplaneSignature(col(vecCol), planes))
+      .persist(storage)
+    new LshIndex(signed, planes, vecCol, idCol)
+  }
+
+  /** Build an IVF index: driver-trained centroids on a bounded sample,
+    * map-only cell assignment, layout clustered by cell, cached. */
+  def buildIvf(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nlist: Int = 16,
+      sampleSize: Int = 10000,
+      seed: Long = 42L,
+      partitionsPerCell: Int = 1,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): IvfState = {
+    val centroids = IvfIndex.trainCentroids(df, vecCol, nlist,
+      sampleSize = sampleSize, seed = seed)
+    val assigned = IvfIndex.assign(df, vecCol, centroids, partitionsPerCell)
+      .persist(storage)
+    new IvfState(assigned, centroids, vecCol, idCol)
+  }
+}
+
+/** Materialized hyperplane-LSH index (see [[AnnIndex.buildLsh]]). */
+final class LshIndex private[ops] (
+    val signed: DataFrame,
+    private[ops] val planes: Array[Array[Float]],
+    vecCol: String,
+    idCol: String) {
+
+  def numPlanes: Int = planes.length
+
+  /** Top-k by exact score among rows within `maxHamming` signature bits of
+    * the query — the probe never recomputes a corpus signature. */
+  def topK(queryVec: Array[Float], k: Int, maxHamming: Int = 2): DataFrame = {
+    val q = if (VectorFunctions.isNormalized(queryVec)) queryVec
+            else VectorFunctions.normalize(queryVec)
+    val qSig = VectorSearch.signatureOf(q, planes)
+    signed
+      .filter(hamming64(col("__sig"), lit(qSig)) <= lit(maxHamming))
+      .withColumn("similarity", dot_const_f32(col(vecCol), q))
+      .orderBy(desc("similarity"), asc(idCol))
+      .limit(k)
+      .drop("__sig")
+  }
+
+  /** Force materialization now (otherwise the first probe pays the build). */
+  def materialize(): this.type = { signed.count(); this }
+
+  def unpersist(): Unit = signed.unpersist()
+}
+
+/** Materialized IVF index (see [[AnnIndex.buildIvf]]). */
+final class IvfState private[ops] (
+    val assigned: DataFrame,
+    val centroids: Array[Array[Float]],
+    vecCol: String,
+    idCol: String) {
+
+  def nlist: Int = centroids.length
+
+  /** Exact top-k within the `nprobe` cells nearest the query — a
+    * partition-pruned scan of the clustered layout. */
+  def topK(queryVec: Array[Float], k: Int, nprobe: Int = 2): DataFrame = {
+    val q = if (VectorFunctions.isNormalized(queryVec)) queryVec
+            else VectorFunctions.normalize(queryVec)
+    IvfIndex.topK(assigned, vecCol, centroids, q, k, idCol, nprobe)
+  }
+
+  def materialize(): this.type = { assigned.count(); this }
+
+  def unpersist(): Unit = assigned.unpersist()
+}
