@@ -31,10 +31,24 @@ class VectorIndex[K: ClassTag] private (
     val blocks: RDD[VectorIndex.Block[K]],
     val dim: Int) extends Serializable {
 
+  // Small-corpus fast path: when n·d fits under LocalScanMaxFloats the
+  // whole index is collected to the driver at materialize() time and
+  // queries scan it in-process on a thread pool — Spark's per-job floor
+  // (~45 ms of scheduling at local[32]) would otherwise dwarf a sub-ms
+  // scan. This mirrors the reference, whose scan is always in-process
+  // (query.go:192-236); at 25k×1536 the driver copy is ~150 MB.
+  // At real scale (n·d above the threshold) nothing changes: blocks stay
+  // distributed and the driver only ever sees partitions × k candidates.
+  @volatile private var local: Array[VectorIndex.Block[K]] = null
+
+  /** True when queries run driver-locally (small corpus). */
+  def isLocal: Boolean = local != null
+
   /** Exhaustive top-k by dot product (== cosine for normalized vectors). */
   def topK(query: Array[Float], k: Int): Array[(K, Float)] = {
     require(query.length == dim,
       s"vectors must have the same length: ${query.length} vs $dim")
+    if (local != null) return localTopK(query, k)
     val d = dim
     val perPart = blocks.mapPartitions { it =>
       val ids = new Array[Any](k)
@@ -75,20 +89,93 @@ class VectorIndex[K: ClassTag] private (
     perPart.collect().sortBy(-_._2).take(k)
   }
 
+  /** Driver-local exhaustive scan: row-range chunks fanned out on a fixed
+    * pool, one bounded heap per chunk, tiny final merge — the same
+    * partial-top-k shape as the distributed path minus job scheduling. */
+  private def localTopK(query: Array[Float], k: Int): Array[(K, Float)] = {
+    val d = dim
+    val chunkRows = 4096
+    val chunks = local.iterator.flatMap { b =>
+      val n = b.ids.length
+      (0 until n by chunkRows).map(from => (b, from, math.min(from + chunkRows, n)))
+    }.toArray
+    val pool = VectorIndex.localPool
+    val tasks = chunks.map { case (block, from, until) =>
+      pool.submit(new java.util.concurrent.Callable[Array[(K, Float)]] {
+          def call(): Array[(K, Float)] = {
+            val data = block.data
+            val bids = block.ids
+            val ids = new Array[Any](k)
+            val scores = new Array[Float](k)
+            var size = 0
+            var minIdx = -1
+            var r = from
+            while (r < until) {
+              val off = r * d
+              var s = 0.0f
+              var i = 0
+              while (i < d) { s += data(off + i) * query(i); i += 1 }
+              if (size < k) {
+                ids(size) = bids(r); scores(size) = s; size += 1
+                if (size == k) {
+                  minIdx = 0
+                  var j = 1
+                  while (j < k) { if (scores(j) < scores(minIdx)) minIdx = j; j += 1 }
+                }
+              } else if (s > scores(minIdx)) {
+                ids(minIdx) = bids(r); scores(minIdx) = s
+                minIdx = 0
+                var j = 1
+                while (j < k) { if (scores(j) < scores(minIdx)) minIdx = j; j += 1 }
+              }
+              r += 1
+            }
+            Array.tabulate(size)(j => (ids(j).asInstanceOf[K], scores(j)))
+          }
+        })
+      }
+    tasks.flatMap(_.get()).sortBy(-_._2).take(k)
+  }
+
   /** Count of indexed vectors. */
-  def count(): Long = blocks.map(_.ids.length.toLong).sum().toLong
+  def count(): Long =
+    if (local != null) local.map(_.ids.length.toLong).sum
+    else blocks.map(_.ids.length.toLong).sum().toLong
 
   def persist(level: StorageLevel = StorageLevel.MEMORY_AND_DISK): this.type = {
     blocks.persist(level); this
   }
 
-  /** Force materialization (so first query isn't charged the build). */
-  def materialize(): this.type = { blocks.count(); this }
+  /** Force materialization (so first query isn't charged the build); pulls
+    * the index driver-local when it fits under LocalScanMaxFloats. */
+  def materialize(): this.type = {
+    val rows = blocks.map(_.ids.length.toLong).sum().toLong
+    if (rows * dim <= VectorIndex.LocalScanMaxFloats) {
+      local = blocks.collect()
+      blocks.unpersist() // executor copy no longer needed
+    }
+    this
+  }
 
-  def unpersist(): this.type = { blocks.unpersist(); this }
+  def unpersist(): this.type = { if (local == null) blocks.unpersist(); local = null; this }
 }
 
 object VectorIndex {
+
+  /** n·d at or below this scans driver-locally (~200 MB of float32) —
+    * Spark's per-job scheduling floor dominates scans this small. */
+  val LocalScanMaxFloats: Long = 50L * 1000 * 1000
+
+  /** Shared daemon pool for driver-local scans — creating threads
+    * per-query would cost more than the scan itself. */
+  private lazy val localPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, Runtime.getRuntime.availableProcessors()),
+      (r: Runnable) => {
+        val t = new Thread(r, "vectorindex-local-scan")
+        t.setDaemon(true)
+        t
+      })
 
   /** One block = a packed row-major slab of vectors + parallel id array.
     * ~64k rows per block at d=1536 is ~400 MB; blocks are per-partition

@@ -39,6 +39,20 @@ class VectorSearchSpec extends SparkSuite {
     assert(e.getMessage.contains("same length"))
   }
 
+  test("materialized small index scans driver-locally and agrees with the distributed scan") {
+    val distributed = VectorIndex.build[Long](emb, "vec_id", "embedding", q0.length, 2)
+    val localIdx = VectorIndex.build[Long](emb, "vec_id", "embedding", q0.length, 2)
+      .persist().materialize() // 500×64 floats ≪ LocalScanMaxFloats ⇒ local
+    try {
+      assert(localIdx.isLocal && !distributed.isLocal)
+      assert(localIdx.count() === emb.count())
+      val a = localIdx.topK(q0, 10).toSeq
+      val b = distributed.topK(q0, 10).toSeq
+      assert(a.map(_._1) === b.map(_._1))
+      assert(a.map(_._2) === b.map(_._2), "same float32 kernel ⇒ bit-identical scores")
+    } finally localIdx.unpersist()
+  }
+
   test("thresholdSearch returns exactly rows above threshold") {
     val viaFilter = VectorSearch.thresholdSearch(emb, "embedding", q0, 0.3)
       .select("vec_id").as[Long].collect().toSet
