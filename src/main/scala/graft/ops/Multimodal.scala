@@ -15,12 +15,12 @@ import org.apache.spark.sql.types._
  * kernel per batch, emits rows — same batch shape, schema discipline,
  * and partitioning story as the Arrow path, without Python).
  *
- * STUB NOTE — this container ships no image/audio codecs, so
- * `decodeBytes` is a clearly-marked deterministic fake (parses our own
- * 12-byte header or derives fake dims/samples from a content hash).
- * The Spark-side plumbing — schemas, batching, partitioning, null
- * handling — is real and tested; swapping in javacv/TwelveMonkeys means
- * replacing ONLY `decodeBytes`.
+ * Codecs: PNG/JPEG/GIF/BMP decode is REAL via the JDK-builtin
+ * `javax.imageio`; WAV PCM decode is REAL via `javax.sound.sampled`.
+ * The deterministic "GRFT" fake format is kept for reproducible tests,
+ * and unknown byte formats fall back to hash-derived dims (documented
+ * below) rather than failing the pipeline. Video keyframe extraction
+ * remains a clearly-marked stub — the JDK ships no video codec.
  */
 object Multimodal {
 
@@ -50,22 +50,62 @@ object Multimodal {
   val DefaultBatchSize = 64
 
   // ---------------------------------------------------------------
-  // STUB decoder — deterministic fake in place of a real codec.
-  // Header layout (our synthetic fixtures): magic "GRFT" + int32 width
-  // + int32 height; else dims are derived from a content hash.
+  // Image decode. Three tiers:
+  //  1. "GRFT" magic — our deterministic fixture format (tests).
+  //  2. A real container signature (PNG/JPEG/GIF/BMP) — decoded with
+  //     javax.imageio into interleaved RGB(A) bytes.
+  //  3. Anything else — deterministic hash-derived dims (FAKE, keeps
+  //     heterogeneous corpora flowing instead of failing the task).
   // ---------------------------------------------------------------
   private[ops] def decodeBytes(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
-    // STUB — real image decode (JPEG/PNG) would go here.
     if (bytes.length >= 12 && bytes(0) == 'G' && bytes(1) == 'R' &&
         bytes(2) == 'F' && bytes(3) == 'T') {
       val bb = java.nio.ByteBuffer.wrap(bytes, 4, 8)
       val w = bb.getInt; val h = bb.getInt
       (w, h, 3, bytes.drop(12))
-    } else {
-      val h = java.util.Arrays.hashCode(bytes)
-      val w = 16 + math.abs(h % 16); val ht = 16 + math.abs((h >> 8) % 16)
-      (w, ht, 3, bytes)
+    } else if (looksLikeImage(bytes)) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img != null) realDecode(img) else fakeDecode(bytes)
+    } else fakeDecode(bytes)
+  }
+
+  /** PNG / JPEG / GIF / BMP container signatures. */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
+      (b(0) == 'B' && b(1) == 'M'))
+
+  /** BufferedImage → (w, h, channels, interleaved RGB[A] bytes). */
+  private def realDecode(img: java.awt.image.BufferedImage): (Int, Int, Int, Array[Byte]) = {
+    val w = img.getWidth; val h = img.getHeight
+    val c = if (img.getColorModel.hasAlpha) 4 else 3
+    val px = new Array[Byte](w * h * c)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w) // packed ARGB
+      var x = 0
+      while (x < w) {
+        val argb = row(x)
+        val o = (y * w + x) * c
+        px(o) = ((argb >> 16) & 0xFF).toByte
+        px(o + 1) = ((argb >> 8) & 0xFF).toByte
+        px(o + 2) = (argb & 0xFF).toByte
+        if (c == 4) px(o + 3) = ((argb >>> 24) & 0xFF).toByte
+        x += 1
+      }
+      y += 1
     }
+    (w, h, c, px)
+  }
+
+  /** FAKE decode for unknown formats: hash-derived dims, bytes as pixels. */
+  private def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    val h = java.util.Arrays.hashCode(bytes)
+    val w = 16 + math.abs(h % 16); val ht = 16 + math.abs((h >> 8) % 16)
+    (w, ht, 3, bytes)
   }
 
   /** Encode our synthetic fixture format (test helper / fake data gen). */
@@ -94,26 +134,68 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
-  /** Resize decoded images (STUB kernel: nearest-neighbor index mapping
-    * over the fake pixel payload — deterministic, size-correct). */
+  /** Resize decoded images. When the pixel buffer is a real interleaved
+    * raster (length == w·h·channels) this is a REAL bilinear resample;
+    * otherwise (fake fixture payloads of arbitrary length) it falls back
+    * to deterministic index mapping so synthetic corpora keep flowing. */
   def resizeImages(decoded: DataFrame, newW: Int, newH: Int): DataFrame = {
     val spark = decoded.sparkSession
     val schema = decodedImageSchema
     val rdd = decoded.select("asset_id", "width", "height", "channels", "pixels")
       .rdd.mapPartitions { it =>
         it.map { row =>
+          val w = row.getInt(1); val h = row.getInt(2); val c = row.getInt(3)
           val px = row.getAs[Array[Byte]]("pixels")
-          // STUB — real bilinear resample would go here.
-          val out = new Array[Byte](math.max(1, newW * newH))
-          var i = 0
-          while (i < out.length) {
-            out(i) = if (px.nonEmpty) px((i.toLong * px.length / out.length).toInt) else 0
-            i += 1
-          }
-          Row(row.getString(0), newW, newH, row.getInt(3), out)
+          val out =
+            if (px.length == w * h * c && w > 0 && h > 0)
+              bilinearResize(px, w, h, c, newW, newH)
+            else {
+              val o = new Array[Byte](math.max(1, newW * newH))
+              var i = 0
+              while (i < o.length) {
+                o(i) = if (px.nonEmpty) px((i.toLong * px.length / o.length).toInt) else 0
+                i += 1
+              }
+              o
+            }
+          Row(row.getString(0), newW, newH, c, out)
         }
       }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** Bilinear resample of an interleaved byte raster. */
+  private[graft] def bilinearResize(
+      px: Array[Byte], w: Int, h: Int, c: Int, newW: Int, newH: Int): Array[Byte] = {
+    val out = new Array[Byte](newW * newH * c)
+    val xRatio = if (newW > 1) (w - 1).toDouble / (newW - 1) else 0.0
+    val yRatio = if (newH > 1) (h - 1).toDouble / (newH - 1) else 0.0
+    var y = 0
+    while (y < newH) {
+      val sy = y * yRatio
+      val y0 = sy.toInt; val y1 = math.min(h - 1, y0 + 1)
+      val fy = sy - y0
+      var x = 0
+      while (x < newW) {
+        val sx = x * xRatio
+        val x0 = sx.toInt; val x1 = math.min(w - 1, x0 + 1)
+        val fx = sx - x0
+        var ch = 0
+        while (ch < c) {
+          val p00 = java.lang.Byte.toUnsignedInt(px((y0 * w + x0) * c + ch))
+          val p01 = java.lang.Byte.toUnsignedInt(px((y0 * w + x1) * c + ch))
+          val p10 = java.lang.Byte.toUnsignedInt(px((y1 * w + x0) * c + ch))
+          val p11 = java.lang.Byte.toUnsignedInt(px((y1 * w + x1) * c + ch))
+          val v = (p00 * (1 - fx) + p01 * fx) * (1 - fy) +
+                  (p10 * (1 - fx) + p11 * fx) * fy
+          out((y * newW + x) * c + ch) = math.round(v).toInt.max(0).min(255).toByte
+          ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   /** Feature-extract: decoded image → d-dim float embedding, normalized —
@@ -161,8 +243,11 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
-  /** Audio: STUB pseudo-waveform stats per asset (count/mean/rms over
-    * bytes as i8 samples) — the aggregate-over-binary shape. */
+  /** Audio waveform stats per asset (sample count / mean / RMS).
+    * RIFF/WAV payloads get a REAL PCM decode via the JDK-builtin
+    * `javax.sound.sampled` (16-bit samples normalized to [-1, 1]);
+    * anything else treats bytes as i8 samples (deterministic fallback,
+    * keeps synthetic corpora flowing). */
   def audioStats(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
     val schema = StructType(Seq(
@@ -174,13 +259,50 @@ object Multimodal {
       .select("asset_id", "bytes").rdd.mapPartitions { it =>
         it.map { row =>
           val b = row.getAs[Array[Byte]]("bytes")
-          // STUB — real PCM decode would go here; bytes ARE the samples.
+          val samples = decodePcm(b)
           var sum = 0.0; var sq = 0.0
-          b.foreach { s => sum += s; sq += s.toDouble * s }
-          val n = math.max(1, b.length)
-          Row(row.getString(0), b.length.toLong, sum / n, math.sqrt(sq / n))
+          samples.foreach { s => sum += s; sq += s * s }
+          val n = math.max(1, samples.length)
+          Row(row.getString(0), samples.length.toLong, sum / n, math.sqrt(sq / n))
         }
       }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** WAV → normalized double samples via javax.sound; else i8 fallback. */
+  private[ops] def decodePcm(bytes: Array[Byte]): Array[Double] = {
+    val isWav = bytes.length > 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F'
+    if (isWav) {
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val frameBytes = math.max(1, fmt.getFrameSize)
+          val raw = in.readAllBytes()
+          val bits = fmt.getSampleSizeInBits
+          val bigEndian = fmt.isBigEndian
+          val n = raw.length / frameBytes
+          val out = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            val off = i * frameBytes // first channel of the frame
+            out(i) = bits match {
+              case 16 =>
+                val lo = raw(off + (if (bigEndian) 1 else 0)) & 0xFF
+                val hi = raw(off + (if (bigEndian) 0 else 1))
+                ((hi << 8) | lo).toShort / 32768.0
+              case 8 => ((raw(off) & 0xFF) - 128) / 128.0 // WAV u8 PCM
+              case _ => raw(off).toDouble / 128.0
+            }
+            i += 1
+          }
+          out
+        } finally in.close()
+      } catch {
+        case _: Exception => bytes.map(_.toDouble) // malformed RIFF
+      }
+    } else bytes.map(_.toDouble) // i8 fallback (synthetic fixtures)
   }
 }

@@ -73,4 +73,75 @@ class MultimodalSpec extends SparkSuite {
     assert(s.head.getLong(1) === 1000L)
     assert(s.head.getDouble(3) > 0) // rms
   }
+
+  // ---- real-codec cases (JDK javax.imageio / javax.sound) ----
+
+  /** A real PNG: 4×2, left half red (255,0,0), right half blue (0,0,255). */
+  private def realPng(): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0xFF0000 else 0x0000FF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImages decodes a real PNG byte array with correct dims and pixels") {
+    val rows = Seq(Row("png1", "image", realPng(), Map.empty[String, String]))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.assetSchema)
+    val d = Multimodal.decodeImages(df).collect()
+    assert(d.length === 1)
+    assert((d(0).getInt(1), d(0).getInt(2), d(0).getInt(3)) === ((4, 2, 3)))
+    val px = d(0).getAs[Array[Byte]]("pixels")
+    assert(px.length === 4 * 2 * 3)
+    // pixel (0,0) red, pixel (3,0) blue — interleaved RGB
+    assert((px(0) & 0xFF, px(1) & 0xFF, px(2) & 0xFF) === ((255, 0, 0)))
+    val o = 3 * 3
+    assert((px(o) & 0xFF, px(o + 1) & 0xFF, px(o + 2) & 0xFF) === ((0, 0, 255)))
+  }
+
+  test("real raster resize is a true bilinear resample") {
+    // 2×1 single-channel: [0, 100] → 3×1 should interpolate the middle
+    val out = Multimodal.bilinearResize(Array[Byte](0, 100), 2, 1, 1, 3, 1)
+    assert(out.map(_ & 0xFF).toSeq === Seq(0, 50, 100))
+    // end-to-end: real PNG through decode→resize keeps channel count
+    val rows = Seq(Row("png1", "image", realPng(), Map.empty[String, String]))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.assetSchema)
+    val r = Multimodal.resizeImages(Multimodal.decodeImages(df), 8, 4).collect()
+    assert(r.head.getAs[Array[Byte]]("pixels").length === 8 * 4 * 3)
+    // left edge stays red, right edge stays blue after upsample
+    val px = r.head.getAs[Array[Byte]]("pixels")
+    assert((px(0) & 0xFF) === 255 && (px(2) & 0xFF) === 0)
+    assert((px(7 * 3) & 0xFF) === 0 && (px(7 * 3 + 2) & 0xFF) === 255)
+  }
+
+  /** A real 16-bit mono WAV of a constant full-scale-half square wave. */
+  private def realWav(samples: Array[Short]): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asShortBuffer().put(samples)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audioStats decodes real WAV PCM (16-bit normalized samples)") {
+    val half = (16384, -16384) // ±0.5 full scale
+    val samples = Array.fill(400)(half._1.toShort) ++ Array.fill(400)(half._2.toShort)
+    val rows = Seq(Row("wav1", "audio", realWav(samples), Map.empty[String, String]))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.assetSchema)
+    val s = Multimodal.audioStats(df).collect()
+    assert(s.length === 1)
+    assert(s.head.getLong(1) === 800L)
+    assert(math.abs(s.head.getDouble(2)) < 1e-9) // symmetric wave ⇒ mean 0
+    assert(math.abs(s.head.getDouble(3) - 0.5) < 1e-3) // rms = 0.5 full scale
+  }
 }
