@@ -35,6 +35,14 @@ abstract class HttpEmbeddingFunc extends EmbeddingFunc {
   protected def request(text: String): HttpRequest
   protected def parseResponse(body: String): Array[Float]
 
+  /** Providers whose wire format accepts ARRAY inputs override these two;
+    * `embedBatch` then sends one request per `maxBatchSize` texts instead
+    * of one per text — at ingest scale the request count is the dominant
+    * embedding cost. Must return vectors in input order. */
+  protected def batchRequest(texts: Seq[String]): Option[HttpRequest] = None
+  protected def parseBatchResponse(body: String): Seq[Array[Float]] = Seq.empty
+  protected def maxBatchSize: Int = 256
+
   override def embed(text: String): Array[Float] = {
     val resp = client.send(request(text), HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() != 200)
@@ -43,6 +51,29 @@ abstract class HttpEmbeddingFunc extends EmbeddingFunc {
     val v = parseResponse(resp.body())
     if (v.isEmpty)
       throw new RuntimeException("no embeddings found in the response")
+    maybeNormalize(v)
+  }
+
+  /** One HTTP request per batch for providers with array-input support;
+    * per-text fallback otherwise (reference parity, collection.go:266-271). */
+  override def embedBatch(texts: Iterator[String]): Iterator[Array[Float]] =
+    texts.grouped(maxBatchSize).flatMap { chunk =>
+      batchRequest(chunk) match {
+        case None => chunk.map(embed)
+        case Some(req) =>
+          val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+          if (resp.statusCode() != 200)
+            throw new RuntimeException(
+              s"error response from the embedding API: ${resp.statusCode()}")
+          val vs = parseBatchResponse(resp.body())
+          if (vs.length != chunk.length)
+            throw new RuntimeException(
+              s"embedding API returned ${vs.length} embeddings for ${chunk.length} inputs")
+          vs.map(maybeNormalize)
+      }
+    }
+
+  private def maybeNormalize(v: Array[Float]): Array[Float] = {
     val normalized = normalizedHint.getOrElse {
       if (checkedNormalized.get() == null)
         checkedNormalized.compareAndSet(null, VectorFunctions.isNormalized(v))
@@ -95,6 +126,29 @@ class OpenAICompatEmbeddingFunc(
       .getOrElse("data", List.empty).asInstanceOf[List[Any]]
     if (data.isEmpty) Array.empty
     else floats(data.head.asInstanceOf[Map[String, Any]]("embedding"))
+  }
+
+  /** OpenAI `input` accepts an array — one request embeds the batch. */
+  override protected def batchRequest(texts: Seq[String]): Option[HttpRequest] = {
+    val qs = if (queryParams.isEmpty) ""
+      else "?" + queryParams.map { case (k, v) =>
+        java.net.URLEncoder.encode(k, "UTF-8") + "=" +
+        java.net.URLEncoder.encode(v, "UTF-8") }.mkString("&")
+    val headers = Seq(
+      "Content-Type" -> "application/json",
+      "Authorization" -> s"Bearer $apiKey") ++ extraHeaders.toSeq
+    Some(post(s"$baseURL/embeddings$qs",
+      Json.obj("input" -> Json.arr(texts.map(Json.str)), "model" -> Json.str(model)),
+      headers: _*))
+  }
+
+  /** data[] ordered by `index` (the API may reorder entries). */
+  override protected def parseBatchResponse(body: String): Seq[Array[Float]] = {
+    val data = Json.parse(body).asInstanceOf[Map[String, Any]]
+      .getOrElse("data", List.empty).asInstanceOf[List[Any]]
+    data.map(_.asInstanceOf[Map[String, Any]])
+      .sortBy(d => d.getOrElse("index", 0.0).asInstanceOf[Double])
+      .map(d => floats(d("embedding")))
   }
 }
 
@@ -151,6 +205,19 @@ class OllamaEmbeddingFunc(
     val embs = Json.parse(body).asInstanceOf[Map[String, Any]]
       .getOrElse("embeddings", List.empty).asInstanceOf[List[Any]]
     if (embs.isEmpty) Array.empty else floats(embs.head)
+  }
+
+  /** Ollama `/embed` accepts an array input — one request per batch. */
+  override protected def batchRequest(texts: Seq[String]): Option[HttpRequest] =
+    Some(post(s"$baseURL/embed",
+      Json.obj("model" -> Json.str(model), "input" -> Json.arr(texts.map(Json.str))),
+      "Content-Type" -> "application/json"))
+
+  /** embeddings[] in input order. */
+  override protected def parseBatchResponse(body: String): Seq[Array[Float]] = {
+    val embs = Json.parse(body).asInstanceOf[Map[String, Any]]
+      .getOrElse("embeddings", List.empty).asInstanceOf[List[Any]]
+    embs.map(floats)
   }
 }
 

@@ -117,6 +117,65 @@ class ProvidersSpec extends AnyFunSuite {
     }
   }
 
+  test("OpenAI-compat batch: ONE request per batch, array input, index-ordered parse") {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer("/v1/embeddings",
+      ex => {
+        counter.incrementAndGet()
+        val b = body(ex)
+        assert(b("input").asInstanceOf[List[Any]] === List("t0", "t1", "t2"))
+      },
+      // deliberately out of order: parse must sort by index
+      """{"data": [
+        |  {"index": 2, "embedding": [0.0, 0.0, 1.0]},
+        |  {"index": 0, "embedding": [1.0, 0.0, 0.0]},
+        |  {"index": 1, "embedding": [0.0, 1.0, 0.0]}]}""".stripMargin) { base =>
+      val f = new OpenAICompatEmbeddingFunc(s"$base/v1", "k", "m", Some(true))
+      val vs = f.embedBatch(Iterator("t0", "t1", "t2")).toSeq
+      assert(counter.get() === 1, "batch must be ONE http request")
+      assert(vs.map(_.toSeq) === Seq(
+        Seq(1f, 0f, 0f), Seq(0f, 1f, 0f), Seq(0f, 0f, 1f)))
+    }
+  }
+
+  test("Ollama batch: ONE request, array input, order preserved") {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer("/api/embed",
+      ex => {
+        counter.incrementAndGet()
+        val b = body(ex)
+        assert(b("input").asInstanceOf[List[Any]] === List("a", "b"))
+      },
+      """{"embeddings": [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]}""") { base =>
+      val f = new OllamaEmbeddingFunc("m", s"$base/api")
+      val vs = f.embedBatch(Iterator("a", "b")).toSeq
+      assert(counter.get() === 1)
+      assert(vs.map(_.toSeq) === Seq(Seq(1f, 0f, 0f), Seq(0f, 1f, 0f)))
+    }
+  }
+
+  test("batch count mismatch is a clear error") {
+    withServer("/v1/embeddings", _ => (),
+      """{"data": [{"index": 0, "embedding": [1.0, 0.0, 0.0]}]}""") { base =>
+      val f = new OpenAICompatEmbeddingFunc(s"$base/v1", "k", "m", Some(true))
+      val e = intercept[RuntimeException](f.embedBatch(Iterator("a", "b")).toSeq)
+      assert(e.getMessage.contains("returned 1 embeddings for 2 inputs"))
+    }
+  }
+
+  test("providers without array support fall back to per-text requests (Cohere)") {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer("/v1/embed",
+      _ => counter.incrementAndGet(),
+      s"""{"embeddings": [$stub]}""") { base =>
+      val f = new CohereEmbeddingFunc("k", "m", s"$base/v1")
+      val vs = f.embedBatch(Iterator(
+        CohereEmbeddingFunc.SearchQueryPrefix + "a",
+        CohereEmbeddingFunc.SearchQueryPrefix + "b")).toSeq
+      assert(vs.length === 2 && counter.get() === 2)
+    }
+  }
+
   test("error status surfaces as API error") {
     val server = HttpServer.create(new InetSocketAddress(0), 0)
     server.createContext("/", (ex: HttpExchange) => {
