@@ -218,8 +218,14 @@ class Collection private[core] (
       .getOrElse(throw new NoSuchElementException(s"document with ID '$id' not found"))
   }
 
-  /** All IDs — reference collection.go:296-306. */
+  /** All IDs — reference collection.go:296-306. API-parity convenience
+    * that COLLECTS to the driver: at 100 TB (billions of ids) this OOMs —
+    * use [[listIDsDF]] for anything downstream of a real corpus. */
   def listIDs(): Seq[String] = df.select("id").as[String].collect().toIndexedSeq
+
+  /** All IDs as a DataFrame — the scale-safe form of [[listIDs]]:
+    * composes into joins/anti-joins without ever touching the driver. */
+  def listIDsDF(): DataFrame = df.select("id")
 
   /** Delete by ids and/or filters — reference collection.go:338-388.
     * Spark-first: the new state is an anti-filter (no per-row file deletes). */

@@ -51,12 +51,18 @@ class DB private (
       case other => other.orNull
     }
 
-  /** Get-or-create — reference db.go:569-580. */
+  /** Get-or-create — reference db.go:569-580. Routes through
+    * getCollection so an existing collection (e.g. reloaded from disk
+    * with the default embedder) gets the CALLER's embedding func
+    * re-attached, exactly like the reference's GetCollection path
+    * (db.go:552-558) — otherwise text queries would silently embed with
+    * the wrong function. */
   def getOrCreateCollection(
       name: String,
       metadata: Map[String, String] = Map.empty,
       embeddingFunc: EmbeddingFunc = null): Collection = synchronized {
-    collections.getOrElse(name, createCollection(name, metadata, embeddingFunc))
+    val existing = getCollection(name, embeddingFunc)
+    if (existing != null) existing else createCollection(name, metadata, embeddingFunc)
   }
 
   /** Copy of the registry — reference db.go:523-533. */

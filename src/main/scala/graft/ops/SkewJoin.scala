@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
  */
 object SkewJoin {
 
+  /** Join types where replicating the right side is semantics-preserving.
+    * right_outer / full_outer would emit each UNMATCHED right row once per
+    * salt replica (saltFactor duplicates) — silently wrong, so rejected. */
+  private val SupportedJoinTypes =
+    Set("inner", "cross", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+
   def saltedJoin(
       left: DataFrame,
       right: DataFrame,
@@ -24,6 +31,9 @@ object SkewJoin {
       saltFactor: Int = 8,
       joinType: String = "inner"): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
+    require(SupportedJoinTypes.contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/cross/left joins only, not '$joinType': " +
+      "replicated right rows would duplicate unmatched right-side output")
     val salted = left.withColumn("__salt",
       (rand(42) * saltFactor).cast("int"))
     val replicated = right.withColumn("__salt",

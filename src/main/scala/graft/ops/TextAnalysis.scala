@@ -76,7 +76,12 @@ object TextAnalysis {
       "fr" -> hits(Seq("le", "la", "les", "et", "est", "que", "des", "une", "dans", "pour")),
       "zh" -> (length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")).cast("double") /
         greatest(length(text).cast("double"), lit(1.0))))
-    val best = scores.map { case (lang, s) => struct(s.as("s"), lit(lang).as("l")) }
+    // Tie-break rule (shared with FastLangId): FIRST language in the list
+    // wins equal scores — encoded as a descending priority field so
+    // greatest(struct) can't fall through to lexicographic code order.
+    val best = scores.zipWithIndex.map { case ((lang, s), i) =>
+      struct(s.as("s"), lit(scores.length - i).as("p"), lit(lang).as("l"))
+    }
     val top = greatest(best: _*)
     when(top.getField("s") > 0, top.getField("l")).otherwise(lit("und"))
   }

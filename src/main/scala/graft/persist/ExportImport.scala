@@ -45,7 +45,11 @@ object ExportImport {
     finally out.close()
   }
 
-  /** Stream variant (S3 etc.) — reference db.go:450-490. */
+  /** Stream variant (S3 etc.) — reference db.go:450-490. The ZIP is
+    * staged on disk, then STREAMED through chained gzip/AES-GCM output
+    * streams into the caller's sink (the chained-writer layout of
+    * persistence.go:84-95) — driver memory stays O(copy buffer), never
+    * O(snapshot). Byte layout is unchanged: [nonce ++] cipher(gzip(zip)). */
   def exportToWriter(
       db: DB,
       out: OutputStream,
@@ -54,19 +58,39 @@ object ExportImport {
       collections: Seq[String] = Seq.empty): Unit = {
     validateKey(encryptionKey)
     val selected = selectCollections(db, collections)
-    // Build the raw ZIP in memory-bounded temp storage, then chain
-    // gzip/AES over the final stream (mirrors the chained writers of
-    // persistence.go:84-95).
     val tmp = Files.createTempDirectory("graft-export")
     try {
       val zipPath = tmp.resolve("db.zip")
       writeZip(db, zipPath, selected, tmp)
-      val raw = Files.readAllBytes(zipPath)
-      val compressed = if (compress) gzipBytes(raw) else raw
-      val cipherBytes = if (encryptionKey.nonEmpty) encrypt(compressed, encryptionKey) else compressed
-      out.write(cipherBytes)
+      // exportToWriter must not close the caller's stream; the chained
+      // wrappers need close() to flush their trailers, so shield it.
+      var sink: OutputStream = new NonClosingOutputStream(out)
+      if (encryptionKey.nonEmpty) {
+        val nonce = new Array[Byte](12)
+        new SecureRandom().nextBytes(nonce)
+        out.write(nonce)
+        val cipher = Cipher.getInstance("AES/GCM/NoPadding")
+        cipher.init(Cipher.ENCRYPT_MODE,
+          new SecretKeySpec(encryptionKey.getBytes("UTF-8"), "AES"),
+          new GCMParameterSpec(128, nonce))
+        sink = new javax.crypto.CipherOutputStream(sink, cipher)
+      }
+      if (compress) sink = new GZIPOutputStream(sink)
+      try Files.copy(zipPath, sink)
+      finally sink.close() // flush gzip/GCM trailers; caller's out stays open
       out.flush()
     } finally deleteTree(tmp)
+  }
+
+  /** Delegating stream whose close() only flushes — lets gzip/cipher
+    * wrappers finalize without closing the caller's sink. */
+  private final class NonClosingOutputStream(underlying: OutputStream)
+      extends OutputStream {
+    override def write(b: Int): Unit = underlying.write(b)
+    override def write(b: Array[Byte], off: Int, len: Int): Unit =
+      underlying.write(b, off, len)
+    override def flush(): Unit = underlying.flush()
+    override def close(): Unit = underlying.flush()
   }
 
   private def writeZip(
@@ -161,14 +185,14 @@ object ExportImport {
           .asInstanceOf[Map[String, Any]]
         val metadata = md.getOrElse("metadata", Map.empty[String, Any])
           .asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.asInstanceOf[String] }
+        // Lazy parquet read — no driver-side collect. Safe against the
+        // temp-dir cleanup because addDF materializes eagerly (persist
+        // write or eager localCheckpoint in Collection.commit) before
+        // this method's finally runs.
         val rows = spark.read.schema(Document.schema)
           .parquet(tmp.resolve(s"$dirName/documents.parquet").toString)
-          .collect() // snapshot rows before the temp dir is deleted
         val c = db.createCollection(name, metadata) // overwrite (db.go:201)
-        if (rows.nonEmpty) {
-          c.addDF(spark.createDataFrame(
-            spark.sparkContext.parallelize(rows.toIndexedSeq), Document.schema))
-        }
+        if (!rows.isEmpty) c.addDF(rows)
       }
     } finally deleteTree(tmp)
   }

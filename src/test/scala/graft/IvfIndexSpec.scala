@@ -58,4 +58,18 @@ class IvfIndexSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(salted === plain)
   }
+
+  test("salted join rejects right/full outer (replicas would duplicate unmatched rows)") {
+    val left = Seq(("a", 1)).toDF("k", "v")
+    val right = Seq(("a", 10), ("orphan", 20)).toDF("k", "w")
+    Seq("right_outer", "full_outer", "full").foreach { jt =>
+      val e = intercept[IllegalArgumentException](
+        SkewJoin.saltedJoin(left, right, "k", 4, jt))
+      assert(e.getMessage.contains("inner/cross/left"), jt)
+    }
+    // left outer is fine: unmatched LEFT rows carry one salt value
+    val lo = SkewJoin.saltedJoin(left.union(Seq(("solo", 5)).toDF("k", "v")),
+      right, "k", 4, "left_outer").collect()
+    assert(lo.length === 2)
+  }
 }

@@ -78,6 +78,19 @@ class PersistenceSpec extends SparkSuite {
     assert(db.listCollections().keySet === Set("x"))
   }
 
+  test("getOrCreate re-attaches the caller's embedding func to an existing collection (db.go:552-558)") {
+    val root = tempRoot
+    val db0 = withLogLevel(DB.persistent(spark, root, ConstEmbeddingFunc.stub()))
+    db0.createCollection("c1").add(Seq("d1"),
+      embeddings = Seq(ConstEmbeddingFunc.stub3))
+    // reload: collections come back carrying the DEFAULT embedder
+    val db = DB.persistent(spark, root, ConstEmbeddingFunc.stub())
+    val mine = new graft.embed.HashingEmbeddingFunc(3)
+    val c = db.getOrCreateCollection("c1", embeddingFunc = mine)
+    assert(c.embedFunc eq mine,
+      "existing collection must get the caller's embedding func re-attached")
+  }
+
   test("Json round-trips nested structures") {
     val s = """{"name": "a\nb", "xs": [1, 2.5, true, null, "t"], "o": {"k": "v"}}"""
     val p = Json.parse(s).asInstanceOf[Map[String, Any]]

@@ -42,12 +42,29 @@ class TextAnalysisSpec extends SparkSuite {
       (3, "el perro es muy grande y la casa es blanca"),
       (4, "le chien est dans les montagnes et la mer"),
       (5, "你好世界这是中文文本"),
-      (6, "xyzzy plugh qwerty")).toDF("id", "text")
+      (6, "xyzzy plugh qwerty"),
+      // tie-inducing rows: equal marker-hit ratios across languages must
+      // resolve by ARRAY ORDER (en > de > es > fr > zh), both paths
+      (7, "la la"), // es and fr both score 1.0 ⇒ es (earlier in the list)
+      (8, "the der el le"), // one hit each ⇒ en
+      (9, "es 中"), // marker tie vs cjk ratio
+      (10, "und la the")).toDF("id", "text")
     val r = df.select($"id",
         graft.functions.LangIdExpression.fast_lang_id($"text").as("f"),
         TextAnalysis.langId($"text").as("c"))
       .collect().map(x => (x.getInt(0), x.getString(1), x.getString(2)))
     r.foreach { case (i, f, c) => assert(f === c, s"row $i: fast=$f catalyst=$c") }
+    assert(r.find(_._1 == 7).get._2 === "es")
+    assert(r.find(_._1 == 8).get._2 === "en")
+  }
+
+  test("fast_lang_id agrees with the Catalyst version over the documents corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val disagree = docs.select(
+        graft.functions.LangIdExpression.fast_lang_id($"text").as("f"),
+        TextAnalysis.langId($"text").as("c"))
+      .filter($"f" =!= $"c").count()
+    assert(disagree === 0L)
   }
 
   test("rollingHash is order-sensitive, md5 fingerprint is content-stable") {
