@@ -31,8 +31,14 @@ object Document {
       embedding: Array[Float] = null,
       content: String = null,
       embeddingFunc: graft.embed.EmbeddingFunc = null): Document = {
+    // NewDocument's own messages differ from the add-path ones
+    // (document.go:30,33 vs collection.go:252,255) — keep both exact.
+    if (id == null || id.isEmpty)
+      throw new IllegalArgumentException("id is empty")
+    if ((embedding == null || embedding.isEmpty) &&
+        (content == null || content.isEmpty))
+      throw new IllegalArgumentException("either embedding or content must be filled")
     val doc = Document(id, metadata, embedding, content)
-    validate(doc)
     if ((embedding == null || embedding.isEmpty) && embeddingFunc != null)
       doc.copy(embedding = embeddingFunc.embed(content))
     else doc

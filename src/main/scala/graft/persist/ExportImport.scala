@@ -40,6 +40,8 @@ object ExportImport {
       collections: Seq[String] = Seq.empty): Unit = {
     if (filePath == null || filePath.isEmpty)
       throw new IllegalArgumentException("file path is empty")
+    if (Files.isDirectory(Paths.get(filePath)))
+      throw new IllegalArgumentException(s"path is a directory: $filePath")
     val out = new BufferedOutputStream(Files.newOutputStream(Paths.get(filePath)))
     try exportToWriter(db, out, compress, encryptionKey, collections)
     finally out.close()
@@ -140,6 +142,8 @@ object ExportImport {
       throw new IllegalArgumentException("file path is empty")
     if (!Files.exists(Paths.get(filePath)))
       throw new IllegalArgumentException(s"file doesn't exist: $filePath")
+    if (Files.isDirectory(Paths.get(filePath)))
+      throw new IllegalArgumentException(s"path is a directory: $filePath")
     val in = new BufferedInputStream(Files.newInputStream(Paths.get(filePath)))
     try importFromReader(db, spark, in, encryptionKey, collections)
     finally in.close()
@@ -237,7 +241,7 @@ object ExportImport {
   }
 
   private[persist] def decrypt(cipherBytes: Array[Byte], key: String): Array[Byte] = {
-    require(cipherBytes.length > 12, "ciphertext too short")
+    require(cipherBytes.length > 12, "encrypted data too short")
     val cipher = Cipher.getInstance("AES/GCM/NoPadding")
     cipher.init(Cipher.DECRYPT_MODE,
       new SecretKeySpec(key.getBytes("UTF-8"), "AES"),
