@@ -520,6 +520,28 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin,
 
+    // MinHash+LSH verified by exact shingle Jaccard: all qualifying pairs
+    // in this corpus sit at J >= 0.9, where 16-band/4-row detection
+    // probability is 1 - 3e-8 per pair and signatures are seed-fixed, so
+    // the probabilistic op is deterministically exact here and the
+    // ground-truth inverted-index Jaccard is a valid hash-match oracle.
+    "dedup_minhash" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |    END AS shingles
+        |  FROM t),
+        |ds AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) * 1.0 /
+        |      len(list_distinct(list_concat(a.s, b.s))) AS j
+        |  FROM ds a JOIN ds b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.8""".stripMargin,
+
     "dedup_embedding_lsh" ->
       """WITH u AS (
         |  SELECT vec_id, embedding FROM embeddings
@@ -530,6 +552,54 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
         |FROM u a JOIN u b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8""".stripMargin,
+
+    // The lang-ID heuristic replicated in SQL: per-language marker-hit
+    // ratios over non-empty tokens, CJK codepoint ratio, first-in-order
+    // tie-break (the rule FastLangId and TextAnalysis.langId share).
+    "text_lang_id" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+        |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+        |    greatest(length(text), 1) AS nchars
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','for','with','was'))) * 1.0 / greatest(len(toks), 1) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','für','von'))) * 1.0 / greatest(len(toks), 1) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('el','la','los','las','es','y','de','que','en','por'))) * 1.0 / greatest(len(toks), 1) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','et','est','que','des','une','dans','pour'))) * 1.0 / greatest(len(toks), 1) AS s_fr,
+        |    cjk * 1.0 / nchars AS s_zh
+        |  FROM b)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN s_zh > greatest(s_en, s_de, s_es, s_fr) AND s_zh > 0 THEN 'zh'
+        |    WHEN greatest(s_en, s_de, s_es, s_fr) > 0 THEN
+        |      CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |           WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |           WHEN s_es >= s_fr THEN 'es'
+        |           ELSE 'fr' END
+        |    ELSE 'und'
+        |  END AS lang_pred
+        |FROM s""".stripMargin,
+
+    // Gap sessionization is deterministic relational logic: lag-gap flag,
+    // running-sum session id, per-session aggregate — an exact SQL oracle
+    // for the flatMapGroupsWithState operator (single-epoch semantics).
+    "streaming_sessionize" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM m)
+        |SELECT user_id, count(*)::BIGINT AS n_events,
+        |  round(sum(value), 4) AS total_value
+        |FROM g GROUP BY user_id, sess""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,
