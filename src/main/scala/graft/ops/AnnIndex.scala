@@ -118,4 +118,36 @@ final class IvfState private[ops] (
   def materialize(): this.type = { assigned.count(); this }
 
   def unpersist(): Unit = assigned.unpersist()
+
+  /**
+   * Persist the index as a DISK layout: rows written as parquet
+   * `partitionBy(__cell)` (one directory per cell) plus a centroid
+   * sidecar. A probe over the re-opened layout filters on `__cell`,
+   * which Spark turns into PARTITION PRUNING — at 100 TB the scan
+   * touches nprobe/nlist of the files and no task ever reads the rest.
+   * This is the durable form of the index; the cached `assigned`
+   * DataFrame is the session form.
+   */
+  def save(path: String): Unit = {
+    assigned.write.mode("overwrite").partitionBy("__cell").parquet(s"$path/cells")
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq, vecCol, idCol) }.toSeq
+      .toDF("cell", "centroid", "vec_col", "id_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+}
+
+object IvfState {
+  /** Re-open a layout written by [[IvfState.save]]. Probes over it are
+    * partition-pruned parquet scans (pinned by AnnIndexSpec). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfState = {
+    val meta = spark.read.parquet(s"$path/centroids")
+      .select("cell", "centroid", "vec_col", "id_col").collect()
+    require(meta.nonEmpty, s"no centroids found under $path")
+    val centroids = meta.sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray)
+    val cells = spark.read.parquet(s"$path/cells")
+    new IvfState(cells, centroids, meta.head.getString(2), meta.head.getString(3))
+  }
 }

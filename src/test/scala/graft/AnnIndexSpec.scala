@@ -51,6 +51,30 @@ class AnnIndexSpec extends SparkSuite {
     } finally idx.unpersist()
   }
 
+  test("saved IVF layout reloads and probes with PARTITION PRUNING") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-layout").toString
+    val built = AnnIndex.buildIvf(emb, "embedding", "vec_id",
+      nlist = 4, sampleSize = 500)
+    try {
+      built.save(dir)
+      val loaded = graft.ops.IvfState.load(spark, dir)
+      // probe equality: exhaustive probe == exact top-k, through the disk layout
+      val viaDisk = loaded.topK(q0, 10, nprobe = 4)
+        .select("vec_id").as[Long].collect().toSeq
+      val exact = VectorSearch.topK(emb, "embedding", q0, 10, "vec_id")
+        .select("vec_id").as[Long].collect().toSeq
+      assert(viaDisk === exact)
+      // the cell filter must reach the scan as a partition filter (true
+      // pruning: non-probed cells' files are never read)
+      val plan = loaded.topK(q0, 10, nprobe = 1).queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("__cell"),
+        s"expected partition-pruned scan:\n$plan")
+      val pruned = loaded.topK(q0, 10, nprobe = 1)
+        .select("vec_id").as[Long].collect()
+      assert(pruned.nonEmpty && pruned.contains(0L), "self cell must be probed")
+    } finally built.unpersist()
+  }
+
   test("Collection ANN index: build, probe, invalidate on mutation") {
     val ef = new HashingEmbeddingFunc(32)
     val db = DB.inMemory(spark, ef)
