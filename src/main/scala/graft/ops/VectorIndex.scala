@@ -162,9 +162,12 @@ class VectorIndex[K: ClassTag] private (
 
 object VectorIndex {
 
-  /** n·d at or below this scans driver-locally (~200 MB of float32) —
-    * Spark's per-job scheduling floor dominates scans this small. */
-  val LocalScanMaxFloats: Long = 50L * 1000 * 1000
+  /** n·d at or below this scans driver-locally (~800 MB of float32, well
+    * inside the 8 GB driver heap) — Spark's per-job scheduling floor
+    * (~45 ms at local[32]) dominates scans this small. This is exactly
+    * the reference's operating envelope (an embeddable in-process store);
+    * corpora beyond it stay distributed. */
+  val LocalScanMaxFloats: Long = 200L * 1000 * 1000
 
   /** Shared daemon pool for driver-local scans — creating threads
     * per-query would cost more than the scan itself. */
