@@ -290,16 +290,25 @@ object SparkEntry {
     }),
 
     // ---- relational: broadcast join + top-k by revenue ----
+    // Aggregation pushed BELOW the join: lineitem pre-aggregates exact
+    // integer-cents revenue per order (map-side partial combine shrinks
+    // the shuffle ~4×), the order join reuses that hash partitioning
+    // (no extra Exchange on the aggregated side), and only order-level
+    // rows reach the customer rollup. Same exact sums — integer cents
+    // are associative — so the oracle is unchanged.
     "join_top_customers" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
       val priceCents = round(col("l_extendedprice") * 100).cast("long")
       val discCents = round(col("l_discount") * 100).cast("long")
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
+      val revPerOrder = li
+        .groupBy(col("l_orderkey"))
+        .agg(sum(priceCents * (lit(100L) - discCents)).as("__rev"))
+      revPerOrder.join(o, col("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
-        .agg((sum(priceCents * (lit(100L) - discCents)) / 10000.0).as("revenue"))
+        .agg((sum(col("__rev")) / 10000.0).as("revenue"))
         .orderBy(desc("revenue"), asc("c_custkey"))
         .limit(10)
     }),

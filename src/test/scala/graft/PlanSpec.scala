@@ -75,6 +75,24 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_topk_rows"), p)
   }
 
+  test("customer revenue aggregates BELOW the order join (partial per-order rollup)") {
+    val p = plan("join_top_customers")
+    // the lineitem-side aggregate must appear under the join: partial+final
+    // HashAggregate pairs for BOTH rollups = at least 4 HashAggregates
+    assert(countOccurrences(p, "HashAggregate") >= 4,
+      s"expected per-order pre-aggregation below the join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"customer dim must broadcast:\n$p")
+  }
+
+  test("embedding LSH dedup plans a bucket equi-join, not a cartesian product") {
+    val p = plan("dedup_embedding_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be a banded equi-join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("exact dedup is a single-shuffle hash aggregate") {
     val p = plan("dedup_exact")
     assert(p.contains("HashAggregate"), p)
