@@ -25,6 +25,26 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** DuckDB oracle for q_lsh_topk, generated from the same deterministic
+    * hyperplanes the Spark side uses (numPlanes=12, dim=64, seed=42). */
+  private lazy val lshTopKOracleSql: String = {
+    val planes = graft.ops.VectorSearch.randomPlanes(12, 64, 42L)
+    val bitTerms = planes.zipWithIndex.map { case (p, i) =>
+      val lit = p.map(x => x.toDouble.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $lit::DOUBLE[]) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH sig AS (
+       |  SELECT vec_id, $bitTerms AS s
+       |  FROM embeddings),
+       |q AS (SELECT s AS qs FROM sig WHERE vec_id = 0)
+       |SELECT e.vec_id
+       |FROM embeddings e JOIN sig USING (vec_id), q
+       |WHERE bit_count(xor(sig.s, q.qs)) <= 3
+       |ORDER BY list_dot_product(e.embedding::DOUBLE[],
+       |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, e.vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   // ANN indexes built once per data dir: the whole point of an index is
   // that the signature / centroid-assignment pass is paid once and probes
   // reuse it — the bench's timed pass (after warmup) measures the probe,
@@ -561,6 +581,14 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
         |FROM u a JOIN u b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8""".stripMargin,
+
+    // LSH top-k replicated in SQL: the hyperplanes are seed-deterministic,
+    // so they are emitted as literals; signatures are the same sign
+    // pattern, candidates the same hamming<=3 filter, ranking the same
+    // (similarity desc, vec_id). Sign parity between the f32 Spark dot
+    // and DuckDB's double dot holds because no |dot| sits inside f32
+    // rounding error of zero on this corpus (seed-fixed, so stable).
+    "q_lsh_topk" -> lshTopKOracleSql,
 
     // The lang-ID heuristic replicated in SQL: per-language marker-hit
     // ratios over non-empty tokens, CJK codepoint ratio, first-in-order

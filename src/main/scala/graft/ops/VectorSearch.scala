@@ -178,12 +178,12 @@ object VectorSearch {
 
   /** Deterministic Gaussian hyperplanes (Box–Muller over splitmix-style
     * per-index seeds — reproducible on any executor). */
-  private[ops] def randomPlanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Float]] = {
+  private[graft] def randomPlanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Float]] = {
     val rnd = new java.util.Random(seed)
     Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
   }
 
-  private[ops] def signatureOf(v: Array[Float], planes: Array[Array[Float]]): Long = {
+  private[graft] def signatureOf(v: Array[Float], planes: Array[Array[Float]]): Long = {
     var sig = 0L
     var p = 0
     while (p < planes.length) {
