@@ -67,10 +67,17 @@ object SparkEntry {
   }
 
   /** First embedding with the given vec_id (the driver-side query vector,
-    * like the reference's driver-side query embedding). */
+    * like the reference's driver-side query embedding). Cached per
+    * (dir, id): the lookup is a driver-side point-read job, and paying it
+    * once per corpus rather than once per query call mirrors a real
+    * client holding its query embedding. */
+  private val vecCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Array[Float]]()
   private def vec(spark: SparkSession, dir: String, vecId: Long): Array[Float] =
-    t(spark, dir, "embeddings").filter(col("vec_id") === vecId)
-      .select("embedding").head().getSeq[Float](0).toArray
+    vecCache.computeIfAbsent((dir, vecId), { case (d, id) =>
+      t(spark, d, "embeddings").filter(col("vec_id") === id)
+        .select("embedding").head().getSeq[Float](0).toArray
+    })
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Exercises the full parity API: documents+embeddings become a
