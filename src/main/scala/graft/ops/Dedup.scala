@@ -239,18 +239,25 @@ object Dedup {
     val sig = df.select(col(idCol).as("doc"), col(vecCol).as("__v"),
         VectorSearch.hyperplaneSignature(col(vecCol), planes).as("__sig"))
       .localCheckpoint(true) // one signature pass, not one per join side
-    val banded = sig.select(col("doc"), col("__v"),
+    // Candidates travel as ID PAIRS only: the banded self-join and its
+    // distinct never shuffle embedding payloads (6 KB/row at d=1536 —
+    // the dominant exchange cost at scale); vectors re-attach from the
+    // checkpoint for the exact-cosine verification of candidates only.
+    val banded = sig.select(col("doc"),
       posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("__sig"), b * rows).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
     val a = banded.alias("a")
     val b = banded.alias("b")
-    a.join(b,
+    val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
         col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
-        col("a.__v").as("__va"), col("b.__v").as("__vb"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .distinct()
+    val vecs = sig.select(col("doc"), col("__v"))
+    cand
+      .join(vecs.select(col("doc").as("id_a"), col("__v").as("__va")), Seq("id_a"))
+      .join(vecs.select(col("doc").as("id_b"), col("__v").as("__vb")), Seq("id_b"))
       .withColumn("cos", cosine_sim(col("__va"), col("__vb")))
       .filter(col("cos") >= lit(threshold))
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
