@@ -36,6 +36,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case _ => throw new IllegalArgumentException(
+      s"$fn expects an integer literal argument")
+  }
+
   private val functions: Seq[(String, Int, Seq[Expression] => Expression)] = Seq(
     ("dot_f32", 2, args => DotProductF32(args(0), args(1))),
     ("dot_f64", 2, args => DotProductF64(args(0), args(1))),
@@ -43,7 +49,13 @@ object GraftExtensions {
     ("l2_norm", 1, args => L2Norm(args(0))),
     ("normalize_f32", 1, args => NormalizeF32(args(0))),
     ("is_normalized", 1, args => IsNormalizedF32(args(0))),
-    ("simhash64", 1, args => SimHash64(args(0))))
+    ("simhash64", 1, args => SimHash64(args(0))),
+    ("fast_lang_id", 1, args => FastLangId(args(0))),
+    ("minhash_signature", 3, args => MinHashSignature(args(0),
+      litInt(args(1), "minhash_signature"), litInt(args(2), "minhash_signature"))),
+    ("shingle_hashes", 2, args =>
+      ShingleHashes(args(0), litInt(args(1), "shingle_hashes"))),
+    ("jaccard_sorted", 2, args => JaccardSorted(args(0), args(1))))
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

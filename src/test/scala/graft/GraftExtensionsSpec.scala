@@ -26,6 +26,24 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(sh.getLong(0) === sh.getLong(1), "simhash is order-insensitive")
   }
 
+  test("text/dedup kernels are callable from SQL") {
+    GraftExtensions.register(spark)
+    val lang = spark.sql(
+      "SELECT fast_lang_id('the cat and the dog was here')").head().getString(0)
+    assert(lang === "en")
+    val j = spark.sql(
+      """SELECT jaccard_sorted(
+        |  shingle_hashes(split('a b c d', ' '), 2),
+        |  shingle_hashes(split('a b c e', ' '), 2))""".stripMargin).head().getDouble(0)
+    assert(j === 0.5) // shingles {ab,bc,cd} vs {ab,bc,ce}: 2 of 4
+    val sig = spark.sql(
+      "SELECT minhash_signature(split('x y z', ' '), 8, 2)").head().getSeq[Long](0)
+    assert(sig.length === 8)
+    val e = intercept[Exception](spark.sql(
+      "SELECT shingle_hashes(split('a', ' '), 1 + 1)").collect())
+    assert(e.getMessage.contains("integer literal"))
+  }
+
   test("arity errors are clear") {
     GraftExtensions.register(spark)
     val e = intercept[Exception](spark.sql("SELECT l2_norm()").collect())
