@@ -271,6 +271,14 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))),
 
+    // ---- text analysis: token-window chunking with overlap (the RAG /
+    // training ingest step before embedding) ----
+    "text_chunks" -> ((s, dir) =>
+      TextAnalysis.explodeChunks(t(s, dir, "documents"), "text", "doc_id",
+          chunkTokens = 30, overlap = 5)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk"))),
+
     // ---- text analysis: quality features ----
     "text_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -653,6 +661,15 @@ object SparkEntry {
         |  len(string_split(text, ' '))::BIGINT AS n_tokens,
         |  len(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT AS n_bpeish
         |FROM documents""".stripMargin,
+
+    "text_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |  greatest(ceil((len(toks) - 5) * 1.0 / 25)::INT, 1) AS n_chunks FROM t),
+        |u AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS i FROM c)
+        |SELECT doc_id, i AS chunk_idx,
+        |  array_to_string(toks[i * 25 + 1 : i * 25 + 30], ' ') AS chunk
+        |FROM u""".stripMargin,
 
     "text_quality" ->
       s"""SELECT doc_id,

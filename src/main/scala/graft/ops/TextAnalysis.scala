@@ -19,6 +19,38 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("""\w+|[^\w\s]"""), lit(0)))
 
+  /**
+   * Token-window chunking with overlap — the standard RAG / training
+   * ingest step before embedding. Chunk i covers tokens
+   * [i·step, i·step + chunkTokens) with step = chunkTokens − overlap;
+   * every document yields ≥ 1 chunk and every token is covered. Pure
+   * Catalyst (transform + slice over one split), so at 100 TB it runs
+   * inside the scan with no extra pass and no UDF.
+   */
+  def chunks(text: Column, chunkTokens: Int, overlap: Int): Column = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      "need 0 <= overlap < chunkTokens")
+    val step = chunkTokens - overlap
+    val toks = split(text, " ")
+    val nChunks = greatest(
+      ceil((size(toks) - overlap).cast("double") / step).cast("int"), lit(1))
+    transform(
+      sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(toks, i * step + 1, lit(chunkTokens))))
+  }
+
+  /** One row per chunk: (idCol, chunk_idx, chunk). */
+  def explodeChunks(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      chunkTokens: Int,
+      overlap: Int): DataFrame =
+    df.select(col(idCol),
+        posexplode(chunks(col(textCol), chunkTokens, overlap)))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk")
+
   /** Quality features in one projection: char length, token count, mean
     * word length, punctuation ratio, whitespace ratio, stopword ratio,
     * all-caps-word ratio. */

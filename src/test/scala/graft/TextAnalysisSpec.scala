@@ -67,6 +67,24 @@ class TextAnalysisSpec extends SparkSuite {
     assert(disagree === 0L)
   }
 
+  test("chunking covers every token with the requested overlap") {
+    val text = (1 to 67).map(i => s"t$i").mkString(" ")
+    val df = Seq((1, text)).toDF("id", "text")
+    val rows = TextAnalysis.explodeChunks(df, "text", "id",
+        chunkTokens = 30, overlap = 5)
+      .orderBy($"chunk_idx").collect()
+    // 67 tokens, step 25 ⇒ ceil(62/25) = 3 chunks
+    assert(rows.length === 3)
+    val chunks = rows.map(_.getAs[String]("chunk").split(" ").toSeq)
+    assert(chunks(0) === (1 to 30).map(i => s"t$i"))
+    assert(chunks(1) === (26 to 55).map(i => s"t$i")) // 5-token overlap
+    assert(chunks(2) === (51 to 67).map(i => s"t$i")) // final partial chunk
+    // short docs still yield exactly one chunk
+    val one = TextAnalysis.explodeChunks(
+      Seq((1, "a b c")).toDF("id", "text"), "text", "id", 30, 5).collect()
+    assert(one.length === 1 && one.head.getAs[String]("chunk") === "a b c")
+  }
+
   test("rollingHash is order-sensitive, md5 fingerprint is content-stable") {
     val df = Seq(
       (1, "alpha beta gamma"),
