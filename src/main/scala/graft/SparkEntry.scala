@@ -242,6 +242,12 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashDuplicates(t(s, dir, "documents"), "text", "doc_id", 8)),
 
+    // ---- dedup: connected components over the exact-Jaccard pair graph
+    // (cluster mutual near-dups so survivorship keeps one per cluster) ----
+    "dedup_components" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.wordJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 0.8))),
+
     // ---- dedup: embedding-cosine near-dup pairs ----
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "embedding", "vec_id", 0.4)),
@@ -270,6 +276,14 @@ object SparkEntry {
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))),
+
+    // ---- deterministic train/val/test split (portable md5-hex buckets:
+    // a pure function of the id — no sampling pass, no shuffle, stable
+    // across engines and re-runs) ----
+    "split_assign" -> ((s, dir) =>
+      graft.ops.Splits.assign(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))),
 
     // ---- text analysis: token-window chunking with overlap (the RAG /
     // training ingest step before embedding) ----
@@ -567,6 +581,31 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin,
 
+    // Connected components via recursive min-label propagation — the CTE
+    // walks labels along (symmetric) edges; min per vertex = component
+    // representative, exactly the DataFrame fixpoint's result.
+    "dedup_components" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tk FROM t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |pr AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM pr
+        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |walk(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id)
+        |SELECT id, min(label) AS component FROM walk GROUP BY id""".stripMargin,
+
     // MinHash+LSH verified by exact shingle Jaccard: all qualifying pairs
     // in this corpus sit at J >= 0.9, where 16-band/4-row detection
     // probability is 1 - 3e-8 per pair and signatures are seed-fixed, so
@@ -661,6 +700,16 @@ object SparkEntry {
         |  len(string_split(text, ' '))::BIGINT AS n_tokens,
         |  len(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT AS n_bpeish
         |FROM documents""".stripMargin,
+
+    "split_assign" -> {
+      val th = graft.ops.Splits.hexThresholds(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      s"""SELECT doc_id,
+         |  CASE WHEN substr(md5(doc_id::VARCHAR), 1, 4) < '${th(0)._2}' THEN 'train'
+         |       WHEN substr(md5(doc_id::VARCHAR), 1, 4) < '${th(1)._2}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin
+    },
 
     "text_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -195,6 +195,75 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(j, 4).as("jaccard"))
   }
 
+  /**
+   * Connected components over a candidate-pair graph: groups mutual
+   * near-duplicates into clusters (a ~ b, b ~ c ⇒ {a, b, c}) so
+   * survivorship can keep ONE document per cluster rather than
+   * re-comparing pairs. Iterative min-label propagation expressed in
+   * DataFrames: each round every vertex takes the minimum label among
+   * itself and its neighbors; rounds until fixpoint (≤ component
+   * diameter, typically ≤ 5 for dedup clusters). Each round is one
+   * shuffle on the EDGE list — the corpus itself is never touched, and
+   * the edge list is collision-bounded (the candidates), not corpus².
+   * State is localCheckpointed per round so lineage stays flat.
+   */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIterations: Int = 50): DataFrame = {
+    val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id"))
+      .distinct().withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIterations) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("__nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__nmin"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("component", "__old"), Seq("id"))
+        .filter(col("component") =!= col("__old")).count()
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
+  /**
+   * Survivorship: one winner per duplicate cluster. Rows never named in
+   * `pairs` survive untouched; within each component the row with the
+   * highest `scoreCol` (ties → smallest id) survives. Returns the
+   * surviving rows of `df`.
+   */
+  def survivors(
+      df: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      scoreCol: Column): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val scored = df.withColumn("__score", scoreCol)
+    val member = scored.join(comp.withColumnRenamed("id", idCol), Seq(idCol))
+    // argmax per component via the bounded-heap aggregate at k = 1:
+    // ranks (score DESC, id ASC) — deterministic, map-side pre-reduced
+    val winners = member
+      .groupBy(col("component"))
+      .agg(graft.functions.TopKAggregate.topk_rows(
+        struct(col("__score"), col(idCol)), 1).as("__w"))
+      .select(explode(col("__w")).as("__e"))
+      .select(col("__e").getField(idCol).as(idCol))
+    val nonMembers = scored.join(comp.withColumnRenamed("id", idCol),
+      Seq(idCol), "left_anti")
+    nonMembers.drop("__score")
+      .unionByName(scored.join(winners, Seq(idCol), "left_semi").drop("__score"))
+  }
+
   /** Embedding-cosine near-dup pairs — EXACT brute pairwise; ground truth
     * and fine at modest n. The 100 TB path is the LSH variant below. */
   def embeddingNearDupPairs(

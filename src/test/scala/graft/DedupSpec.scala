@@ -102,4 +102,27 @@ class DedupSpec extends SparkSuite {
     assert(lsh.subsetOf(exact), "verification must keep precision exact")
     assert(lsh.size >= 9, s"recall too low: ${lsh.size}/10")
   }
+
+  test("connected components group transitive near-dup chains") {
+    // two chains (1-2-3, 10-11) and an isolated pair graph vertex set
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comp(1L) === 1L && comp(2L) === 1L && comp(3L) === 1L)
+    assert(comp(10L) === 10L && comp(11L) === 10L)
+    assert(comp.size === 5, "only vertices appearing in pairs get labels")
+  }
+
+  test("survivors keep the best-scoring doc per cluster and all non-members") {
+    val docs = Seq(
+      (1L, "dup one", 0.5), (2L, "dup one b", 0.9), (3L, "dup one c", 0.9),
+      (10L, "dup two", 0.7), (11L, "dup two b", 0.1),
+      (42L, "unique", 0.0)).toDF("doc_id", "text", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Dedup.survivors(docs, pairs, "doc_id", col("quality"))
+      .select("doc_id").as[Long].collect().toSet
+    // cluster {1,2,3}: 2 and 3 tie at 0.9 → smallest id (2) wins;
+    // cluster {10,11}: 10 wins; 42 untouched
+    assert(kept === Set(2L, 10L, 42L))
+  }
 }
