@@ -293,6 +293,28 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
           col("chunk"))),
 
+    // ---- text analysis: PII redaction (emails/IPs/phones planted inside
+    // the query — the synthetic corpus has none — then scrubbed) ----
+    "text_redact_pii" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit(" contact bob@example.com or 10.1.2.3 or +1 555-867-5309 now"))
+            .otherwise(lit(""))))
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(col("text")).as("clean"))),
+
+    // ---- text analysis: within-doc repetition (Gopher-style signals;
+    // duplicate lines planted for one doc in seven) ----
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionFeatures(
+        t(s, dir, "documents")
+          .withColumn("text", concat(col("text"),
+            when(col("doc_id") % 7 === 0, lit("\nboiler plate\nboiler plate"))
+              .otherwise(lit("")))),
+        "text")
+        .select(col("doc_id"), col("dup_line_frac"), col("dup_char_frac"))),
+
     // ---- text analysis: quality features ----
     "text_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -719,6 +741,33 @@ object SparkEntry {
         |SELECT doc_id, i AS chunk_idx,
         |  array_to_string(toks[i * 25 + 1 : i * 25 + 30], ' ') AS chunk
         |FROM u""".stripMargin,
+
+    "text_redact_pii" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 7 = 0
+        |    THEN ' contact bob@example.com or 10.1.2.3 or +1 555-867-5309 now'
+        |    ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d\-. ]{7,}\d', '<PHONE>', 'g') AS clean
+        |FROM d""".stripMargin,
+
+    "text_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 7 = 0
+        |    THEN e'\nboiler plate\nboiler plate' ELSE '' END AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, string_split(text, e'\n') AS ls FROM d)
+        |SELECT doc_id,
+        |  round((len(ls) - len(list_distinct(ls))) * 1.0 / greatest(len(ls), 1), 4) AS dup_line_frac,
+        |  round((list_sum(list_transform(ls, x -> length(x))) -
+        |         list_sum(list_transform(list_distinct(ls), x -> length(x)))) * 1.0 /
+        |        greatest(list_sum(list_transform(ls, x -> length(x))), 1), 4) AS dup_char_frac
+        |FROM l""".stripMargin,
 
     "text_quality" ->
       s"""SELECT doc_id,

@@ -118,6 +118,46 @@ object TextAnalysis {
     when(top.getField("s") > 0, top.getField("l")).otherwise(lit("und"))
   }
 
+  // PII patterns kept to the portable regex subset (identical semantics
+  // under Java regex and RE2): email, IPv4, long digit runs (phone-ish).
+  private[graft] val EmailPattern =
+    """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private[graft] val Ipv4Pattern =
+    """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private[graft] val PhonePattern =
+    """\+?\d[\d\-. ]{7,}\d"""
+
+  /** PII redaction — the standard pre-training scrub. Three chained
+    * codegen'd regexp_replace calls, in-scan, no extra pass. Order
+    * matters: emails first (their digits must not be phone-matched),
+    * then IPs (dotted digits), then phone-ish digit runs. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  /**
+   * Within-document repetition metrics (Gopher-style quality signals):
+   * fraction of duplicate lines and fraction of characters inside
+   * duplicate lines. High values ⇒ boilerplate/template pages that
+   * depress model quality. Pure Catalyst over one split("\n").
+   */
+  def repetitionFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val nLines = size(lines).cast("double")
+    val nDistinct = size(array_distinct(lines)).cast("double")
+    val totChars = aggregate(lines, lit(0L),
+      (acc, l) => acc + length(l)).cast("double")
+    val distinctChars = aggregate(array_distinct(lines), lit(0L),
+      (acc, l) => acc + length(l)).cast("double")
+    df.withColumn("dup_line_frac",
+        round((nLines - nDistinct) / greatest(nLines, lit(1.0)), 4))
+      .withColumn("dup_char_frac",
+        round((totChars - distinctChars) / greatest(totChars, lit(1.0)), 4))
+  }
+
   /** Stable content fingerprint (md5 hex — portable across engines). */
   def fingerprint(text: Column): Column = md5(text)
 

@@ -85,6 +85,34 @@ class TextAnalysisSpec extends SparkSuite {
     assert(one.length === 1 && one.head.getAs[String]("chunk") === "a b c")
   }
 
+  test("PII redaction scrubs emails, IPs, and phone-ish digit runs") {
+    val df = Seq(
+      (1, "mail a.b+c@ex-ample.org now"),
+      (2, "host 192.168.0.1 up"),
+      (3, "call +49 30 1234-5678 today"),
+      (4, "clean text with numbers 42 and 3.14")).toDF("id", "text")
+    val r = df.select($"id", TextAnalysis.redactPii($"text").as("c"))
+      .collect().map(x => x.getInt(0) -> x.getString(1)).toMap
+    assert(r(1) === "mail <EMAIL> now")
+    assert(r(2) === "host <IP> up")
+    assert(r(3) === "call <PHONE> today")
+    assert(r(4) === "clean text with numbers 42 and 3.14")
+  }
+
+  test("repetition features flag duplicate lines") {
+    val df = Seq(
+      (1, "a\nb\nc"),
+      (2, "spam line\nspam line\nspam line\nreal"),
+      (3, "")).toDF("id", "text")
+    val r = TextAnalysis.repetitionFeatures(df, "text")
+      .select($"id", $"dup_line_frac", $"dup_char_frac")
+      .collect().map(x => x.getInt(0) -> ((x.getDouble(1), x.getDouble(2)))).toMap
+    assert(r(1) === ((0.0, 0.0)))
+    assert(r(2)._1 === 0.5) // 2 of 4 lines are repeats
+    assert(r(2)._2 > 0.5) // repeated lines carry most characters
+    assert(r(3) === ((0.0, 0.0)))
+  }
+
   test("rollingHash is order-sensitive, md5 fingerprint is content-stable") {
     val df = Seq(
       (1, "alpha beta gamma"),
