@@ -248,6 +248,16 @@ object SparkEntry {
       Dedup.connectedComponents(
         Dedup.wordJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 0.8))),
 
+    // ---- decontamination: n-gram overlap of a held-out slice against
+    // the rest of the corpus (train/test split simulated by doc_id) ----
+    "dedup_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.ngramContamination(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", n = 8)
+    }),
+
     // ---- dedup: embedding-cosine near-dup pairs ----
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "embedding", "vec_id", 0.4)),
@@ -602,6 +612,26 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin,
+
+    "dedup_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+7], ' ') FOR i IN range(1, len(toks) - 6)]
+        |    END AS grams
+        |  FROM t),
+        |train AS (
+        |  SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 10 <> 0),
+        |test_g AS (
+        |  SELECT doc_id AS test_id, unnest(list_distinct(grams)) AS g
+        |  FROM sh WHERE doc_id % 10 = 0),
+        |tot AS (SELECT test_id, count(*) AS n_grams FROM test_g GROUP BY 1),
+        |hit AS (SELECT test_id, count(*) AS n_hits
+        |        FROM test_g WHERE g IN (SELECT g FROM train) GROUP BY 1)
+        |SELECT test_id, n_grams,
+        |  round(coalesce(n_hits, 0) * 1.0 / n_grams, 4) AS contamination
+        |FROM tot LEFT JOIN hit USING (test_id)""".stripMargin,
 
     // Connected components via recursive min-label propagation — the CTE
     // walks labels along (symmetric) edges; min per vertex = component

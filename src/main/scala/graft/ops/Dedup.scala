@@ -196,6 +196,38 @@ object Dedup {
   }
 
   /**
+   * Test-set contamination: for each document in `test`, the fraction of
+   * its distinct word n-grams that also occur ANYWHERE in `train` — the
+   * standard decontamination signal (drop or flag test docs with high
+   * overlap before evaluation, or train docs that leak benchmarks).
+   *
+   * Scale shape: n-grams travel as 64-bit hashes (shingle_hashes — no
+   * n-gram strings materialized); the train side is one distinct of
+   * hashes; the test side joins against it on the hash — two shuffles
+   * total, both on 8-byte keys, never on text.
+   */
+  def ngramContamination(
+      train: DataFrame,
+      test: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8): DataFrame = {
+    import graft.functions.HashFunctions.shingle_hashes
+    val trainGrams = train
+      .select(explode(shingle_hashes(tokens(col(textCol)), n)).as("g"))
+      .distinct()
+    val testGrams = test.select(col(idCol).as("test_id"),
+        explode(shingle_hashes(tokens(col(textCol)), n)).as("g"))
+    val totals = testGrams.groupBy("test_id").agg(count(lit(1)).as("n_grams"))
+    val hits = testGrams.join(trainGrams, Seq("g"), "left_semi")
+      .groupBy("test_id").agg(count(lit(1)).as("n_hits"))
+    totals.join(hits, Seq("test_id"), "left")
+      .select(col("test_id"), col("n_grams"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_grams"), 4).as("contamination"))
+  }
+
+  /**
    * Connected components over a candidate-pair graph: groups mutual
    * near-duplicates into clusters (a ~ b, b ~ c ⇒ {a, b, c}) so
    * survivorship can keep ONE document per cluster rather than

@@ -103,6 +103,22 @@ class DedupSpec extends SparkSuite {
     assert(lsh.size >= 9, s"recall too low: ${lsh.size}/10")
   }
 
+  test("ngram contamination scores exact leaks 1.0 and fresh docs 0.0") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val test = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // leaked
+      (101L, "totally novel words nowhere in training corpus at all ok"), // fresh
+      (102L, "one two three four five six seven eight nine ten NEW")) // partial
+      .toDF("doc_id", "text")
+    val r = Dedup.ngramContamination(train, test, "text", "doc_id", n = 8)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(100L) === 1.0)
+    assert(r(101L) === 0.0)
+    assert(r(102L) > 0.0 && r(102L) < 1.0)
+  }
+
   test("connected components group transitive near-dup chains") {
     // two chains (1-2-3, 10-11) and an isolated pair graph vertex set
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
