@@ -148,6 +148,36 @@ class CollectionSpec extends SparkSuite {
     intercept[IllegalArgumentException](Document.create("3"))
   }
 
+  test("concurrent writers and readers never see torn state (RWMutex parity, collection.go:21)") {
+    val ef = new graft.embed.HashingEmbeddingFunc(16)
+    val db = graft.core.DB.inMemory(spark, ef)
+    val c = db.createCollection("conc", Map.empty, ef)
+    c.addDocuments(Seq(graft.core.Document.create("seed", content = "seed doc")))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val tasks = (1 to 16).map { i =>
+      pool.submit(new Runnable {
+        def run(): Unit = try {
+          if (i % 2 == 0) {
+            c.addDocuments(Seq(graft.core.Document.create(
+              s"d$i", content = s"concurrent doc number $i")))
+          } else {
+            // readers observe SOME consistent snapshot: count matches the
+            // snapshot they query against (no torn reads mid-commit)
+            val n = c.count()
+            val r = c.query("concurrent doc", math.max(1, math.min(3, n.toInt)))
+            assert(r.nonEmpty)
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    tasks.foreach(_.get())
+    pool.shutdown()
+    assert(errors.isEmpty, s"concurrent ops failed: ${errors.peek()}")
+    assert(c.count() === 9) // seed + 8 writers
+    assert(c.listIDs().toSet === (Set("seed") ++ (1 to 16).filter(_ % 2 == 0).map(i => s"d$i")))
+  }
+
   test("query clamps k to filtered size but errors when k > count (collection.go:505,536)") {
     val c = freshDb.createCollection("clamp")
     c.addDocuments(Seq(
