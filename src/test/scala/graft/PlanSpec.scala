@@ -93,6 +93,25 @@ class PlanSpec extends SparkSuite {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("split assignment is map-only — no shuffle, no sampling pass") {
+    val p = plan("split_assign")
+    assert(!p.contains("Exchange"), s"splits must be a pure projection:\n$p")
+    assert(!p.contains("Sample"), p)
+  }
+
+  test("chunking is map-only (transform+slice inside the scan)") {
+    val p = plan("text_chunks")
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+  }
+
+  test("contamination never shuffles text — only 8-byte gram hashes") {
+    val p = plan("dedup_contamination")
+    // the join and aggregates key on the hash column; the text column
+    // must not survive past the scan projections
+    assert(p.contains("left_semi") || p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("exact dedup is a single-shuffle hash aggregate") {
     val p = plan("dedup_exact")
     assert(p.contains("HashAggregate"), p)
