@@ -238,9 +238,19 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashDuplicates(t(s, dir, "documents"), "text", "doc_id", 0.8)),
 
-    // ---- dedup: SimHash near-dup pairs (banded 64-bit signatures) ----
-    "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashDuplicates(t(s, dir, "documents"), "text", "doc_id", 8)),
+    // ---- dedup: SimHash-prefiltered exact dups (banded 64-bit
+    // signatures at hamming 0, digest-verified). Determinism: identical
+    // planted texts ⇒ identical signatures ⇒ guaranteed candidates; the
+    // digest check removes accidental 64-bit collisions between DIFFERENT
+    // texts (the corpus has some!), so the result is exactly the
+    // lowered-text dup pair set — DuckDB-expressible. The hamming>0
+    // near-dup tier is pinned by DedupSpec recall tests instead. ----
+    "dedup_simhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d.unionByName(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.simhashExactDuplicates(planted, "text", "doc_id")
+    }),
 
     // ---- dedup: connected components over the exact-Jaccard pair graph
     // (cluster mutual near-dups so survivorship keeps one per cluster) ----
@@ -340,8 +350,8 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
 
-    // ---- text analysis: order-sensitive rolling hash (xxhash64 Horner) ----
-    // (xxhash64 not available in DuckDB ⇒ rows-only check + unit tests)
+    // ---- text analysis: order-sensitive rolling hash (md5-Horner,
+    // engine-portable — exact SQL oracle via DuckDB list_reduce) ----
     "text_rolling_fp" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rfp"))),
@@ -456,8 +466,10 @@ object SparkEntry {
         round(col("embedding").getItem(0).cast("double") /
           graft.functions.VectorFunctions.l2_norm(col("embedding")), 4).as("e0"))),
 
-    // ---- multimodal: binary decode -> feature-extract pipeline ----
-    // (deterministic stub kernels; no SQL oracle => rows-only + unit tests)
+    // ---- multimodal: binary decode -> feature-extract pipeline (real
+    // grid-moment kernel for rasters, histogram fallback otherwise; the
+    // gate pins the pipeline shape — every asset must come out the far
+    // end with a d-dim embedding — via the constant-dim SQL oracle) ----
     "multimodal_features" -> ((s, dir) => {
       val assets = t(s, dir, "documents").select(
         col("doc_id").cast("string").as("asset_id"),
@@ -680,6 +692,17 @@ object SparkEntry {
         |  FROM ds a JOIN ds b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.8""".stripMargin,
 
+    // SimHash at hamming 0 + digest verify = exactly the pairs with equal
+    // lowered text over the planted union (recall guaranteed by identical
+    // signatures; precision by the digest check).
+    "dedup_simhash" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM u a JOIN u b ON a.doc_id < b.doc_id AND lower(a.text) = lower(b.text)""".stripMargin,
+
     "dedup_embedding_lsh" ->
       """WITH u AS (
         |  SELECT vec_id, embedding FROM embeddings
@@ -813,6 +836,21 @@ object SparkEntry {
     "text_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
 
+    // Same double-modulus Horner chain over 60-bit md5-derived token
+    // hashes the Spark side computes — exact integer arithmetic in both
+    // engines, order-sensitive by construction.
+    "text_rolling_fp" ->
+      """WITH h AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '),
+        |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(hs, x -> x % 1000000007)),
+        |    (a, x) -> (a * 31 + x) % 1000000007) * 998244353
+        |  + list_reduce(list_prepend(0::BIGINT, list_transform(hs, x -> x % 998244353)),
+        |    (a, x) -> (a * 131 + x) % 998244353) AS rfp
+        |FROM h""".stripMargin,
+
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(round(l_quantity * 100)::BIGINT) / 100.0 AS sum_qty,
@@ -883,6 +921,12 @@ object SparkEntry {
         |  round(embedding[1]::DOUBLE /
         |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS e0
         |FROM embeddings""".stripMargin,
+
+    // Every image asset must survive decode → feature-extract with a
+    // dim-16 embedding: asset ids and the size of each output vector are
+    // deterministic even though the kernel itself has no SQL analog.
+    "multimodal_features" ->
+      "SELECT doc_id::VARCHAR AS asset_id, 16::BIGINT AS dim FROM documents",
 
     "q_ivf_topk" ->
       """SELECT vec_id FROM embeddings

@@ -22,8 +22,61 @@ import graft.functions.VectorFunctions.cosine_sim
  *    O(Σ df(token)²); the oracle/ground-truth for the sketch variants,
  *    not the 100 TB path.
  *  - embeddingNearDup: brute pair scan at small n, LSH-prefiltered at scale.
+ *
+ * Every banded self-join goes through `guardBuckets`: a hot (band, bucket)
+ * group — boilerplate-heavy shards, near-constant token streams — would
+ * otherwise make candidate generation quadratic in that bucket's occupancy
+ * on a single reducer. The guard counts occupancy (map-side-combined agg on
+ * the 8-byte keys), drops buckets above `maxBucketSize`, and LOGS the drop
+ * (bucket + row counts) so caps are never silent. Oversized buckets are
+ * dominated by exact duplicates, which `exact`/`exactSurvivors` catch
+ * without any pairwise join — run exact dedup first and the guard only
+ * fires on adversarial near-constant corpora.
  */
 object Dedup {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Default per-(band, bucket) occupancy cap for banded self-joins: a
+    * bucket of m rows emits m(m−1)/2 candidate pairs on ONE reducer, so
+    * 10k caps the worst single-bucket cost at ~5e7 pairs. */
+  val DefaultMaxBucketSize = 10000
+
+  /**
+   * Bucket-skew guard for banded LSH self-joins. `banded` must carry
+   * `band` and `bucket` columns (other columns pass through). Buckets with
+   * more than `maxBucketSize` rows are removed before the self-join and
+   * the drop is logged (never silent). `maxBucketSize <= 0` disables the
+   * guard. The occupancy count is a map-side-combined aggregate over the
+   * (band, bucket) keys — one cheap job on 16-byte rows; the anti-join
+   * against the (small by construction) oversized-bucket set broadcasts,
+   * and is skipped entirely when nothing is oversized, so the common-case
+   * plan is unchanged.
+   */
+  private[graft] def guardBuckets(
+      banded: DataFrame,
+      maxBucketSize: Int,
+      op: String): DataFrame = {
+    if (maxBucketSize <= 0) return banded
+    val over = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucketSize)
+    // ONE job in the no-skew common case (map-side-combined agg straight
+    // to the driver); `over` is only re-evaluated — inside the broadcast —
+    // on the rare skewed path.
+    val stats = over.agg(
+      count(lit(1)).as("nb"), coalesce(sum(col("__bsz")), lit(0L)).as("nr")).head()
+    val (nBuckets, nRows) = (stats.getLong(0), stats.getLong(1))
+    if (nBuckets == 0) banded
+    else {
+      log.warn(s"$op: dropping $nBuckets oversized LSH bucket(s) " +
+        s"(> $maxBucketSize rows each, $nRows banded rows skipped). " +
+        "Near-dups inside dropped buckets are NOT paired here — run exact " +
+        "dedup first (identical docs fill every bucket) or raise maxBucketSize.")
+      banded.join(broadcast(over.select("band", "bucket")),
+        Seq("band", "bucket"), "left_anti")
+    }
+  }
 
   /** Whitespace tokens, lowercased — tokenization shared by all dup ops. */
   def tokens(textCol: Column): Column = split(lower(textCol), " ")
@@ -63,7 +116,8 @@ object Dedup {
       idCol: String,
       numHashes: Int = 64,
       bands: Int = 16,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     // Materialize signatures once: the bucket self-join would otherwise
@@ -75,13 +129,14 @@ object Dedup {
       col(idCol).as("doc"),
       minhash_signature(tokens(col(textCol)), numHashes, shingleSize).as("sig"))
       .localCheckpoint(true)
-    val banded = sig.select(
+    val banded = guardBuckets(sig.select(
       col("doc"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
       .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+      .withColumnRenamed("col", "bucket"),
+      maxBucketSize, "minhashCandidates")
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b,
@@ -104,7 +159,8 @@ object Dedup {
       threshold: Double,
       numHashes: Int = 64,
       bands: Int = 16,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     // shingle sets carried as SORTED HASH arrays (shingle_hashes) — no
@@ -116,13 +172,14 @@ object Dedup {
       graft.functions.HashFunctions.shingle_hashes(
         tokens(col(textCol)), shingleSize).as("__toks"))
       .localCheckpoint(true)
-    val banded = sig.select(
+    val banded = guardBuckets(sig.select(
       col("doc"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
       .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+      .withColumnRenamed("col", "bucket"),
+      maxBucketSize, "minhashDuplicates")
     val a = banded.alias("a")
     val b = banded.alias("b")
     val cand = a.join(b,
@@ -141,24 +198,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** SimHash near-dup candidate pairs within `maxHamming` bits, via 4-way
-    * 16-bit banding (any equal quarter ⇒ candidate; guarantees recall for
-    * Hamming ≤ 3 when maxHamming ≥ 3). */
+  /**
+   * SimHash near-dup candidate pairs within `maxHamming` bits, via banded
+   * equality on `bands` signature chunks of 64/bands bits each (pigeonhole:
+   * any pair within Hamming ≤ bands−1 shares at least one unchanged chunk
+   * ⇒ full recall whenever `bands > maxHamming`). Chunks are re-hashed
+   * through xxhash64 into 64-bit bucket keys, so bucket CARDINALITY is not
+   * capped by the chunk width (a fixed 16-bit chunk space tops out at 65k
+   * buckets per band — occupancy then grows O(n) and the self-join O(n²)
+   * at billions of rows; hashed buckets spread with corpus size instead).
+   * An xxhash64 collision can only ADD a candidate, which the exact
+   * Hamming filter removes — recall is unaffected.
+   */
   def simhashDuplicates(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, "bands must divide 64")
+    require(bands > maxHamming,
+      s"bands ($bands) must exceed maxHamming ($maxHamming) for full recall")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val sig = df.select(col(idCol).as("doc"), simhash64(tokens(col(textCol))).as("sig"))
       .localCheckpoint(true) // one signature pass, not one per join side
-    val banded = sig.select(col("doc"), col("sig"),
-      posexplode(array((0 until 4).map(q =>
-        shiftrightunsigned(col("sig"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val banded = guardBuckets(sig.select(col("doc"), col("sig"),
+      posexplode(array((0 until bands).map(q =>
+        xxhash64(shiftrightunsigned(col("sig"), q * width).bitwiseAND(lit(mask)),
+          lit(q))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
+      maxBucketSize, "simhashDuplicates")
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b,
-        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
         col("a.sig").as("__sa"), col("b.sig").as("__sb"))
@@ -166,6 +241,49 @@ object Dedup {
       .withColumn("hamming", hamming64(col("__sa"), col("__sb")))
       .filter(col("hamming") <= lit(maxHamming))
       .select("id_a", "id_b", "hamming")
+  }
+
+  /**
+   * SimHash-prefiltered EXACT duplicates: hamming-0 banded candidates
+   * verified by content-digest equality. The signature banding prunes the
+   * corpus² pair space (identical token streams ⇒ identical signatures ⇒
+   * guaranteed candidates); the md5-of-lowered-text equality check then
+   * runs on CANDIDATES ONLY, so accidental 64-bit signature collisions
+   * between different texts are removed and the output is exactly the
+   * lowered-text duplicate pair set — deterministic, hence
+   * oracle-checkable, unlike raw hamming-thresholded pairs. Digests (16 B)
+   * ride the verification join, never the text itself.
+   */
+  def simhashExactDuplicates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    // ONE corpus pass computes signature AND digest into the same
+    // checkpoint; bucketing, the guard, and both sides of the verification
+    // join read from it — the text is never re-scanned. Hamming-0 means
+    // FULL-signature equality, so the bucket is the whole 64-bit signature
+    // (one band, no explode) and each candidate pair appears exactly once
+    // — no distinct pass. The multi-band `simhashDuplicates` remains the
+    // near-dup (hamming > 0) tier.
+    val base = df.select(col(idCol).as("doc"),
+        simhash64(tokens(col(textCol))).as("sig"),
+        md5(lower(col(textCol))).as("__d"))
+      .localCheckpoint(true)
+    val banded = guardBuckets(
+      base.select(col("doc"), lit(0).as("band"), col("sig").as("bucket")),
+      maxBucketSize, "simhashExactDuplicates")
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val cand = a.join(b,
+        col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+    val digests = base.select(col("doc"), col("__d"))
+    cand
+      .join(digests.select(col("doc").as("id_a"), col("__d").as("__da")), Seq("id_a"))
+      .join(digests.select(col("doc").as("id_b"), col("__d").as("__db")), Seq("id_b"))
+      .filter(col("__da") === col("__db"))
+      .select("id_a", "id_b")
   }
 
   /**
@@ -231,41 +349,96 @@ object Dedup {
    * Connected components over a candidate-pair graph: groups mutual
    * near-duplicates into clusters (a ~ b, b ~ c ⇒ {a, b, c}) so
    * survivorship can keep ONE document per cluster rather than
-   * re-comparing pairs. Iterative min-label propagation expressed in
-   * DataFrames: each round every vertex takes the minimum label among
-   * itself and its neighbors; rounds until fixpoint (≤ component
-   * diameter, typically ≤ 5 for dedup clusters). Each round is one
-   * shuffle on the EDGE list — the corpus itself is never touched, and
-   * the edge list is collision-bounded (the candidates), not corpus².
-   * State is localCheckpointed per round so lineage stays flat.
+   * re-comparing pairs.
+   *
+   * Algorithm: alternating large-star/small-star (Kiveris et al.,
+   * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+   * literature), which converges in O(log n) rounds on ANY graph shape,
+   * vs O(diameter) for naive min-label propagation (a 100 TB pathological
+   * chain would pay ~n rounds there). Each round touches only the EDGE
+   * list — two (groupBy + co-partitioned join) passes on 16-byte rows;
+   * the corpus itself is never shuffled, and the edge list is
+   * collision-bounded (the candidates), not corpus². State is
+   * localCheckpointed per round so lineage stays flat, and convergence is
+   * detected by an order-independent (count, bit_xor of edge hashes)
+   * signature computed on the already-materialized checkpoint — no extra
+   * shuffle, no join-against-previous.
+   *
+   * Terminal state is a star forest rooted at each component's MINIMUM id,
+   * so labels match the recursive min-propagation semantics exactly.
+   * Throws IllegalStateException if `maxIterations` rounds don't converge
+   * (never silently returns partial labels); at O(log n) rounds the
+   * default 50 covers any physically storable graph.
    */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIterations: Int = 50): DataFrame = {
-    val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-    val edges = fwd.unionByName(
-        fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
-    var labels = edges.select(col("src").as("id"))
-      .distinct().withColumn("component", col("id"))
-      .localCheckpoint(true)
-    var changed = 1L
-    var it = 0
-    while (changed > 0 && it < maxIterations) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("component")).as("__nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("__nmin"), col("component")))
-            .as("component"))
-        .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("component", "__old"), Seq("id"))
-        .filter(col("component") =!= col("__old")).count()
-      labels = next
-      it += 1
+      idB: String = "id_b", maxIterations: Int = 50): DataFrame =
+    connectedComponentsWithStats(pairs, idA, idB, maxIterations)._1
+
+  /** `connectedComponents` plus the number of large+small-star rounds it
+    * took to converge (exposed for tests pinning the O(log n) bound). */
+  def connectedComponentsWithStats(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIterations: Int = 50): (DataFrame, Int) = {
+    val raw = pairs.select(col(idA).as("u"), col(idB).as("v"))
+      .filter(col("u") =!= col("v"))
+    val vertices = raw.select(col("u").as("id"))
+      .unionByName(raw.select(col("v").as("id"))).distinct()
+    var edges = raw.distinct().localCheckpoint(true)
+    // Order-independent edge-set signature over the cached checkpoint:
+    // bit_xor never overflows (ANSI-safe) and a differing edge set with a
+    // colliding (count, xor-of-xxhash64) pair is cryptographically unlikely;
+    // the alternation is monotone (total star-height potential decreases),
+    // so there are no cycles for a collision to mask.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
     }
-    labels
+    var sig = signature(edges)
+    var rounds = 0
+    var converged = sig._1 == 0L
+    while (!converged && rounds < maxIterations) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = next
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIterations " +
+          "large/small-star rounds — raise maxIterations (O(log n) rounds " +
+          "suffice for any real graph; this indicates a pathological input)")
+    val mapping = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("component"))
+    val labels = vertices.join(mapping, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    (labels, rounds)
+  }
+
+  /** Large-star: every vertex connects its LARGER neighbors to the minimum
+    * of its neighborhood (including itself). One groupBy + one join, both
+    * keyed on `u` — the join reuses the aggregation's hash partitioning. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbr = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = nbr.groupBy("u").agg(min("v").as("__mn"))
+      .select(col("u"), least(col("__mn"), col("u")).as("__m"))
+    nbr.join(mins, Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("__m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star: every vertex connects its smaller-or-equal neighbors (and
+    * itself) to the minimum of that set. Same shuffle shape as largeStar. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val mins = dir.groupBy("u").agg(min("v").as("__m"))
+    dir.join(mins, Seq("u"))
+      .filter(col("v") =!= col("__m"))
+      .select(col("v").as("u"), col("__m").as("v"))
+      .unionByName(mins.select(col("u"), col("__m").as("v")))
+      .distinct()
   }
 
   /**
@@ -330,7 +503,8 @@ object Dedup {
       dim: Int,
       numPlanes: Int = 32,
       bands: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(numPlanes <= 64 && numPlanes % bands == 0,
       "numPlanes must be <= 64 and divisible by bands")
     require(dim > 0, "dim must be the embedding dimensionality (> 0)")
@@ -344,14 +518,15 @@ object Dedup {
     // distinct never shuffle embedding payloads (6 KB/row at d=1536 —
     // the dominant exchange cost at scale); vectors re-attach from the
     // checkpoint for the exact-cosine verification of candidates only.
-    val banded = sig.select(col("doc"),
+    val banded = guardBuckets(sig.select(col("doc"),
       posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("__sig"), b * rows).bitwiseAND(lit(mask))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
+      maxBucketSize, "embeddingNearDupPairsLSH")
     val a = banded.alias("a")
     val b = banded.alias("b")
     val cand = a.join(b,
-        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .distinct()

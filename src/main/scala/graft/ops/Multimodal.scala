@@ -200,22 +200,74 @@ object Multimodal {
 
   /** Feature-extract: decoded image → d-dim float embedding, normalized —
     * plugs straight into VectorSearch / Dedup.embeddingNearDupPairs.
-    * STUB kernel: histogram-of-bytes features (deterministic). */
+    * REAL kernel for true interleaved rasters (length == w·h·channels):
+    * grid color moments — mean luminance per cell of a ⌈√d⌉-wide spatial
+    * grid, the classic public image-retrieval descriptor (deterministic,
+    * no external libs). Non-raster payloads (synthetic fixtures, unknown
+    * formats) fall back to the byte-histogram sketch so heterogeneous
+    * corpora keep flowing. */
   def imageFeatures(decoded: DataFrame, dim: Int = 64): DataFrame = {
     val spark = decoded.sparkSession
     val schema = StructType(Seq(
       StructField("asset_id", StringType, nullable = false),
       StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false)))
-    val rdd = decoded.select("asset_id", "pixels").rdd.mapPartitions { it =>
-      it.map { row =>
-        val px = row.getAs[Array[Byte]]("pixels")
-        val v = new Array[Float](dim)
-        var i = 0
-        while (i < px.length) { v(java.lang.Byte.toUnsignedInt(px(i)) % dim) += 1f; i += 1 }
-        Row(row.getString(0), graft.functions.VectorFunctions.normalize(v).toSeq)
+    val rdd = decoded.select("asset_id", "width", "height", "channels", "pixels")
+      .rdd.mapPartitions { it =>
+        it.map { row =>
+          val w = row.getInt(1); val h = row.getInt(2); val c = row.getInt(3)
+          val px = row.getAs[Array[Byte]]("pixels")
+          val v =
+            if (px.length == w * h * c && w > 0 && h > 0)
+              gridColorMoments(px, w, h, c, dim)
+            else byteHistogram(px, dim)
+          Row(row.getString(0), graft.functions.VectorFunctions.normalize(v).toSeq)
+        }
       }
-    }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** Grid color moments: mean luminance (Rec.601 weights for RGB) per
+    * cell of a gw×gh spatial grid with gw·gh ≥ dim; the first `dim` cell
+    * means (row-major, scaled to [0,1]) form the descriptor. */
+  private[graft] def gridColorMoments(
+      px: Array[Byte], w: Int, h: Int, c: Int, dim: Int): Array[Float] = {
+    val gw = math.ceil(math.sqrt(dim.toDouble)).toInt
+    val gh = math.ceil(dim.toDouble / gw).toInt
+    val sums = new Array[Double](gw * gh)
+    val counts = new Array[Int](gw * gh)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(gh - 1, y * gh / h)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(gw - 1, x * gw / w)
+        val o = (y * w + x) * c
+        val lum =
+          if (c >= 3)
+            0.299 * (px(o) & 0xFF) + 0.587 * (px(o + 1) & 0xFF) +
+              0.114 * (px(o + 2) & 0xFF)
+          else (px(o) & 0xFF).toDouble
+        sums(cy * gw + cx) += lum
+        counts(cy * gw + cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val v = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      v(i) = if (counts(i) > 0) (sums(i) / counts(i) / 255.0).toFloat else 0f
+      i += 1
+    }
+    v
+  }
+
+  /** Byte-histogram sketch (the fallback for non-raster payloads). */
+  private def byteHistogram(px: Array[Byte], dim: Int): Array[Float] = {
+    val v = new Array[Float](dim)
+    var i = 0
+    while (i < px.length) { v(java.lang.Byte.toUnsignedInt(px(i)) % dim) += 1f; i += 1 }
+    v
   }
 
   /** Frame-sample videos: every `everyNth` fake frame up to `maxFrames`.

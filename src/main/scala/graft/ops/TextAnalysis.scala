@@ -161,14 +161,25 @@ object TextAnalysis {
   /** Stable content fingerprint (md5 hex — portable across engines). */
   def fingerprint(text: Column): Column = md5(text)
 
-  /** Order-sensitive 64-bit rolling hash over tokens — pure Catalyst
-    * `aggregate` chaining xxhash64(acc, token). Distinguishes permutations
-    * that set-based fingerprints collapse; overflow-free under ANSI mode. */
-  def rollingHash(text: Column): Column =
-    aggregate(
-      split(text, " "),
-      lit(0L),
-      (acc, tok) => xxhash64(acc, tok))
+  /** Order-sensitive rolling hash over tokens: a double-modulus Horner
+    * chain (M=31/131 mod two ~2^30 primes, combined into one ~60-bit
+    * value) over 60-bit md5-derived token hashes. Distinguishes
+    * permutations that set-based fingerprints collapse. Every step is
+    * engine-portable (md5 + hex-slice + modular Horner — DuckDB replays it
+    * with list_reduce, unlike xxhash64) and the modular arithmetic never
+    * exceeds 2^63, so it is ANSI-overflow-safe. Pure Catalyst: one
+    * transform + two folds inside the scan, no UDF. This is the
+    * order-SENSITIVE checksum tier; `fingerprint` (full md5) remains the
+    * collision-resistant content digest. */
+  def rollingHash(text: Column): Column = {
+    val (p1, p2) = (1000000007L, 998244353L)
+    val (m1, m2) = (31L, 131L)
+    val hashes = transform(split(text, " "),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val f1 = aggregate(hashes, lit(0L), (acc, h) => (acc * m1 + h % p1) % p1)
+    val f2 = aggregate(hashes, lit(0L), (acc, h) => (acc * m2 + h % p2) % p2)
+    f1 * lit(p2) + f2
+  }
 
   private val EnglishStopwords = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",

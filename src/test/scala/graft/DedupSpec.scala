@@ -70,6 +70,58 @@ class DedupSpec extends SparkSuite {
     assert(Set((1L, 2L), (1L, 5L), (1L, 6L)).subsetOf(r))
   }
 
+  test("simhashExactDuplicates returns exactly the lowered-text dup pairs") {
+    val r = Dedup.simhashExactDuplicates(docs, "text", "doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // 1, 2, 5 share lowered TEXT; 6 is a permutation (same signature,
+    // different text) and must be verified away; 3 is a near-dup (≠ sig).
+    assert(r === Set((1L, 2L), (1L, 5L), (2L, 5L)))
+  }
+
+  test("simhash recall holds with wider hashed bands (bands=8)") {
+    val r = Dedup.simhashDuplicates(docs, "text", "doc_id", 0, bands = 8)
+      .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(Set((1L, 2L), (1L, 5L), (1L, 6L)).subsetOf(r))
+    assertThrows[IllegalArgumentException] {
+      Dedup.simhashDuplicates(docs, "text", "doc_id", maxHamming = 4, bands = 4)
+    } // bands must exceed maxHamming for the pigeonhole recall guarantee
+  }
+
+  test("bucket-skew guard drops planted mega-buckets, keeps small ones") {
+    // 120 identical docs fill one bucket per band (size 120 > cap 50);
+    // ids 900/901 are a distinct near-dup pair in their own tiny buckets.
+    val mega = (0 until 120).map(i => (i.toLong, "boiler plate page body"))
+    val pair = Seq(
+      (900L, "rare unique sentence alpha beta gamma"),
+      (901L, "rare unique sentence alpha beta gamma"))
+    val df = (mega ++ pair).toDF("doc_id", "text")
+    val mh = Dedup.minhashCandidates(df, "text", "doc_id",
+        numHashes = 64, bands = 16, shingleSize = 1, maxBucketSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh === Set((900L, 901L)),
+      s"mega-bucket must be dropped, small bucket kept: $mh")
+    val sh = Dedup.simhashDuplicates(df, "text", "doc_id", 0, maxBucketSize = 50)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh === Set((900L, 901L)))
+    // guard off (<= 0): the mega-bucket pairs all come back
+    val unguarded = Dedup.minhashCandidates(df, "text", "doc_id",
+        numHashes = 64, bands = 16, shingleSize = 1, maxBucketSize = 0).count()
+    assert(unguarded === 120L * 119 / 2 + 1)
+  }
+
+  test("bucket-skew guard bounds embedding-LSH candidates too") {
+    val v = Array(0.6f, 0.8f, 0f, 0f)
+    val mega = (0 until 80).map(i => (i.toLong, v))
+    val other = Seq((900L, Array(0f, 0f, 0.6f, 0.8f)),
+      (901L, Array(0f, 0f, 0.6f, 0.8f)))
+    val df = (mega ++ other).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairsLSH(df, "embedding", "vec_id",
+        threshold = 0.99, dim = 4, numPlanes = 16, bands = 4, maxBucketSize = 40)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((900L, 901L)),
+      s"mega-bucket must be dropped, small bucket kept: $pairs")
+  }
+
   test("embedding near-dup pairs by cosine threshold") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f)),
@@ -127,6 +179,21 @@ class DedupSpec extends SparkSuite {
     assert(comp(1L) === 1L && comp(2L) === 1L && comp(3L) === 1L)
     assert(comp(10L) === 10L && comp(11L) === 10L)
     assert(comp.size === 5, "only vertices appearing in pairs get labels")
+  }
+
+  test("components converge in O(log n) rounds on a planted 64-chain") {
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.connectedComponentsWithStats(chain)
+    assert(rounds <= 10, s"large/small-star should need ~log2(64) rounds, took $rounds")
+    val comp = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(comp.length === 64 && comp.forall(_._2 === 0L))
+  }
+
+  test("components throw (never return partial labels) when rounds run out") {
+    val chain = (0L until 32L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIterations = 1)
+    }
   }
 
   test("survivors keep the best-scoring doc per cluster and all non-members") {

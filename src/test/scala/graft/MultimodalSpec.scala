@@ -58,6 +58,25 @@ class MultimodalSpec extends SparkSuite {
     assert(top.head.getString(0) === rows.head.getString(0))
   }
 
+  test("imageFeatures on a real raster are spatial grid means, not a histogram") {
+    // 4×2 PNG, left half red / right half blue: with dim=4 the 2×2 grid
+    // cells are (left, right) × (top, bottom); Rec.601 luminance of pure
+    // red = 0.299·255, pure blue = 0.114·255.
+    val rows = Seq(Row("png1", "image", realPng(), Map.empty[String, String]))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.assetSchema)
+    val v = Multimodal.imageFeatures(Multimodal.decodeImages(df), dim = 4)
+      .collect().head.getSeq[Float](1).toArray
+    val raw = graft.ops.Multimodal.gridColorMoments(
+      Multimodal.decodeImages(df).collect().head.getAs[Array[Byte]]("pixels"),
+      4, 2, 3, 4)
+    assert(math.abs(raw(0) - 0.299f) < 1e-3 && math.abs(raw(2) - 0.299f) < 1e-3,
+      s"left cells must be red luminance: ${raw.toSeq}")
+    assert(math.abs(raw(1) - 0.114f) < 1e-3 && math.abs(raw(3) - 0.114f) < 1e-3,
+      s"right cells must be blue luminance: ${raw.toSeq}")
+    assert(math.abs(graft.functions.VectorFunctions.norm(v) - 1.0) < 1e-6)
+  }
+
   test("sampleFrames explodes one row per sampled frame with frame indices") {
     val frames = Multimodal.sampleFrames(assets, everyNth = 2, maxFrames = 8).collect()
     assert(frames.nonEmpty)
