@@ -496,11 +496,23 @@ object SparkEntry {
     }),
 
     // ---- ANN: IVF cluster-then-probe; probing ALL cells == exact, so
-    // the brute-force top-k SQL is a valid oracle for the id set ----
+    // the brute-force top-k SQL is a valid oracle for the id set.
+    // The index goes through the DURABLE path — built, written as the
+    // partitionBy(__cell) parquet layout, re-opened with IvfState.load —
+    // so the gate covers the on-disk form a persistent deployment probes,
+    // not just the session cache. ----
     "q_ivf_topk" -> ((s, dir) => {
-      val idx = ivfCache.computeIfAbsent(dir, d =>
-        graft.ops.AnnIndex.buildIvf(t(s, d, "embeddings"), "embedding",
-          "vec_id", nlist = 4, sampleSize = 500).materialize())
+      val idx = ivfCache.computeIfAbsent(dir, d => {
+        val path = "/root/repo/target/ivf_gate/" +
+          java.lang.Integer.toHexString(d.hashCode)
+        val built = graft.ops.AnnIndex.buildIvf(t(s, d, "embeddings"),
+          "embedding", "vec_id", nlist = 4, sampleSize = 500)
+        built.save(path)
+        built.unpersist()
+        val reopened = graft.ops.IvfState.load(s, path)
+        reopened.assigned.persist()
+        reopened.materialize() // populates the cache FROM the disk layout
+      })
       idx.topK(vec(s, dir, 0), 10, nprobe = 4).select(col("vec_id"))
     })
   )

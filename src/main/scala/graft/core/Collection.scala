@@ -363,6 +363,14 @@ class Collection private[core] (
    * built. Unfiltered by design — an ANN layout is an unfiltered
    * physical clustering; filtered queries take the exact path where
    * predicates prune before scoring.
+   *
+   * An approximate probe visits only the query's signature/cell
+   * neighborhood, so it can find FEWER than `nResults` rows (e.g. a tight
+   * `maxHamming` around an isolated query). When that happens this method
+   * falls back to the exact path rather than silently underfilling — the
+   * caller always gets min(nResults, embedded rows) results. (nResults is
+   * validated against the total document count for reference error
+   * parity; rows with no embedding can never be returned by either path.)
    */
   def queryEmbeddingApprox(
       queryEmbedding: Array[Float],
@@ -379,7 +387,10 @@ class Collection private[core] (
     val probe = lshIndex.map(_.topK(queryEmbedding, nResults, maxHamming))
       .orElse(ivfIndex.map(_.topK(queryEmbedding, nResults, nprobe)))
     probe match {
-      case Some(p) => p.as[QueryResult].collect().toIndexedSeq
+      case Some(p) =>
+        val rows = p.as[QueryResult].collect().toIndexedSeq
+        if (rows.length < nResults) this.queryEmbedding(queryEmbedding, nResults)
+        else rows
       case None => this.queryEmbedding(queryEmbedding, nResults)
     }
   }

@@ -17,7 +17,8 @@ import graft.persist.{ParquetPersistence, Persistence}
 class DB private (
     spark: SparkSession,
     persistRoot: Option[String],
-    defaultEmbed: EmbeddingFunc) {
+    defaultEmbed: EmbeddingFunc,
+    compression: Option[String] = None) {
 
   private val collections = TrieMap.empty[String, Collection]
 
@@ -32,7 +33,7 @@ class DB private (
     val persist = persistRoot.map { root =>
       val dir = Persistence.collectionDir(root, name)
       Persistence.writeMetadata(dir, name, metadata)
-      new ParquetPersistence(dir)
+      new ParquetPersistence(dir, compression)
     }
     val c = new Collection(name, metadata, ef, spark, None, persist)
     collections.put(name, c)
@@ -134,15 +135,24 @@ object DB {
 
   /** Persistent DB: open-or-create root, load existing collections —
     * reference NewPersistentDB (db.go:68-181). */
-  def persistent(spark: SparkSession, root: String, defaultEmbed: EmbeddingFunc): DB = {
+  def persistent(spark: SparkSession, root: String, defaultEmbed: EmbeddingFunc): DB =
+    persistent(spark, root, defaultEmbed, compress = false)
+
+  /** Persistent DB with the reference's `compress` knob (db.go:57-66):
+    * `compress = true` writes this DB's collection files with gzip parquet
+    * compression instead of the session codec. Existing data re-compresses
+    * lazily on the next state commit; reads are codec-agnostic. */
+  def persistent(spark: SparkSession, root: String, defaultEmbed: EmbeddingFunc,
+      compress: Boolean): DB = {
     val rootPath = Paths.get(root)
     if (Files.exists(rootPath) && !Files.isDirectory(rootPath))
       throw new IllegalArgumentException(s"path is not a directory: $root")
     Files.createDirectories(rootPath)
-    val db = new DB(spark, Some(root), defaultEmbed)
+    val codec = if (compress) Some("gzip") else None
+    val db = new DB(spark, Some(root), defaultEmbed, codec)
     Persistence.listCollectionDirs(root).foreach { dir =>
       val (name, md) = Persistence.readMetadata(dir)
-      val persist = new ParquetPersistence(dir)
+      val persist = new ParquetPersistence(dir, codec)
       val df = persist.read(spark)
       db.register(new Collection(name, md, defaultEmbed, spark, Some(df), Some(persist)))
     }

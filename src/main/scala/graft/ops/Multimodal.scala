@@ -16,11 +16,13 @@ import org.apache.spark.sql.types._
  * and partitioning story as the Arrow path, without Python).
  *
  * Codecs: PNG/JPEG/GIF/BMP decode is REAL via the JDK-builtin
- * `javax.imageio`; WAV PCM decode is REAL via `javax.sound.sampled`.
- * The deterministic "GRFT" fake format is kept for reproducible tests,
- * and unknown byte formats fall back to hash-derived dims (documented
- * below) rather than failing the pipeline. Video keyframe extraction
- * remains a clearly-marked stub — the JDK ships no video codec.
+ * `javax.imageio`; WAV PCM decode is REAL via `javax.sound.sampled`;
+ * MJPEG-in-AVI keyframe extraction is REAL via a pure-JDK RIFF chunk
+ * walk + per-frame ImageIO decode (the JDK ships no general video codec,
+ * but motion-JPEG is just a RIFF container of JPEG frames). The
+ * deterministic "GRFT" fake format is kept for reproducible tests, and
+ * unknown byte formats fall back to hash-derived dims / payload slices
+ * (documented below) rather than failing the pipeline.
  */
 object Multimodal {
 
@@ -270,9 +272,14 @@ object Multimodal {
     v
   }
 
-  /** Frame-sample videos: every `everyNth` fake frame up to `maxFrames`.
-    * STUB kernel: frames are slices of the payload; the exploded
-    * one-row-per-frame shape and schema are the real contract. */
+  /** Frame-sample videos: every `everyNth` frame among the first
+    * `maxFrames`. MJPEG-in-AVI payloads get a REAL decode: the RIFF
+    * chunk walk collects the `##dc`/`##db` video chunks (JPEG frames for
+    * motion-JPEG) and each sampled frame decodes through ImageIO into an
+    * interleaved raster with its true dimensions. Non-AVI payloads keep
+    * the deterministic payload-slice fallback (synthetic fixtures); the
+    * exploded one-row-per-frame shape and schema are the same contract
+    * either way. */
   def sampleFrames(
       assets: DataFrame,
       everyNth: Int = 2,
@@ -282,17 +289,67 @@ object Multimodal {
     val rdd = assets.filter(col("modality") === "video" && col("bytes").isNotNull)
       .select("asset_id", "bytes").rdd.mapPartitions { it =>
         it.flatMap { row =>
-          val (w, h, _, payload) = decodeBytes(row.getAs[Array[Byte]]("bytes"))
-          // STUB — real keyframe extraction would go here.
-          val nFrames = math.min(maxFrames, math.max(1, payload.length / math.max(1, w)))
-          (0 until nFrames by everyNth).map { f =>
-            val start = (f.toLong * payload.length / math.max(1, nFrames)).toInt
-            val end = math.min(payload.length, start + math.max(1, w))
-            Row(row.getString(0), f, w, h, payload.slice(start, end))
+          val bytes = row.getAs[Array[Byte]]("bytes")
+          if (isAvi(bytes)) {
+            val frames = aviVideoChunks(bytes)
+            val n = math.min(maxFrames, frames.length)
+            (0 until n by everyNth).flatMap { f =>
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(frames(f)))
+              if (img == null) None // non-JPEG codec chunk: skip, don't fail
+              else {
+                val (w, h, _, px) = realDecode(img)
+                Some(Row(row.getString(0), f, w, h, px))
+              }
+            }
+          } else {
+            // FALLBACK for unknown containers: deterministic payload slices.
+            val (w, h, _, payload) = decodeBytes(bytes)
+            val nFrames = math.min(maxFrames, math.max(1, payload.length / math.max(1, w)))
+            (0 until nFrames by everyNth).map { f =>
+              val start = (f.toLong * payload.length / math.max(1, nFrames)).toInt
+              val end = math.min(payload.length, start + math.max(1, w))
+              Row(row.getString(0), f, w, h, payload.slice(start, end))
+            }
           }
         }
       }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** RIFF 'AVI ' container signature. */
+  private[ops] def isAvi(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+  /** Walk the RIFF chunk tree and collect the video stream chunks
+    * (`##dc` compressed / `##db` uncompressed — JPEG frames in MJPEG).
+    * Pure JDK: 4CC ids + little-endian sizes, chunks padded to even
+    * offsets, LIST/RIFF nodes carry a 4-byte form type then subchunks. */
+  private[ops] def aviVideoChunks(bytes: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    def u32(off: Int): Long =
+      (bytes(off) & 0xFFL) | ((bytes(off + 1) & 0xFFL) << 8) |
+        ((bytes(off + 2) & 0xFFL) << 16) | ((bytes(off + 3) & 0xFFL) << 24)
+    def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def walk(start: Int, end: Int): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val id = fourcc(p)
+        val sz = u32(p + 4).toInt
+        val dataStart = p + 8
+        val dataEnd = math.min(end, dataStart + math.max(0, sz))
+        if (id == "RIFF" || id == "LIST") {
+          if (dataStart + 4 <= dataEnd) walk(dataStart + 4, dataEnd)
+        } else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) &&
+            id.take(2).forall(_.isDigit) && sz > 0) {
+          frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+        }
+        p = dataStart + math.max(0, sz) + (sz & 1) // word alignment
+      }
+    }
+    walk(0, bytes.length)
+    frames.toIndexedSeq
   }
 
   /** Audio waveform stats per asset (sample count / mean / RMS).

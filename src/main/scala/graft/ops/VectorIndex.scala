@@ -48,7 +48,10 @@ class VectorIndex[K: ClassTag] private (
   def topK(query: Array[Float], k: Int): Array[(K, Float)] = {
     require(query.length == dim,
       s"vectors must have the same length: ${query.length} vs $dim")
-    if (local != null) return localTopK(query, k)
+    // Snapshot the @volatile once: a concurrent unpersist() nulling the
+    // field between a bare null-check and a re-read would NPE mid-query.
+    val snapshot = local
+    if (snapshot != null) return localTopK(snapshot, query, k)
     val d = dim
     val perPart = blocks.mapPartitions { it =>
       val ids = new Array[Any](k)
@@ -92,10 +95,11 @@ class VectorIndex[K: ClassTag] private (
   /** Driver-local exhaustive scan: row-range chunks fanned out on a fixed
     * pool, one bounded heap per chunk, tiny final merge — the same
     * partial-top-k shape as the distributed path minus job scheduling. */
-  private def localTopK(query: Array[Float], k: Int): Array[(K, Float)] = {
+  private def localTopK(snapshot: Array[VectorIndex.Block[K]],
+      query: Array[Float], k: Int): Array[(K, Float)] = {
     val d = dim
     val chunkRows = 4096
-    val chunks = local.iterator.flatMap { b =>
+    val chunks = snapshot.iterator.flatMap { b =>
       val n = b.ids.length
       (0 until n by chunkRows).map(from => (b, from, math.min(from + chunkRows, n)))
     }.toArray
@@ -138,9 +142,11 @@ class VectorIndex[K: ClassTag] private (
   }
 
   /** Count of indexed vectors. */
-  def count(): Long =
-    if (local != null) local.map(_.ids.length.toLong).sum
+  def count(): Long = {
+    val snapshot = local
+    if (snapshot != null) snapshot.map(_.ids.length.toLong).sum
     else blocks.map(_.ids.length.toLong).sum().toLong
+  }
 
   def persist(level: StorageLevel = StorageLevel.MEMORY_AND_DISK): this.type = {
     blocks.persist(level); this

@@ -67,13 +67,22 @@ object Persistence {
   * Writes go to a temp dir then swap in, because the new state is often
   * computed lazily FROM the current parquet (delete = anti-filter of the
   * existing data) — overwriting the directory being read would delete
-  * files mid-scan. */
-class ParquetPersistence(dir: Path) extends CollectionPersistence {
+  * files mid-scan.
+  *
+  * `compression`, when set, overrides the session's parquet codec for
+  * this collection's files — the analog of the reference's per-DB
+  * `compress` flag (db.go:36-38, 57-66), which gzips every persisted
+  * file. Parquet is already block-compressed by the session default
+  * (snappy), so this is a space/CPU trade knob, not an on/off switch. */
+class ParquetPersistence(dir: Path, compression: Option[String] = None)
+    extends CollectionPersistence {
   private val dataDir = dir.resolve("documents")
   override def write(df: DataFrame): Unit = {
     val tmp = dir.resolve("documents.tmp")
     deleteTree(tmp)
-    df.write.mode("overwrite").parquet(tmp.toString)
+    val w = df.write.mode("overwrite")
+    compression.foreach(c => w.option("compression", c))
+    w.parquet(tmp.toString)
     deleteTree(dataDir)
     Files.move(tmp, dataDir)
   }

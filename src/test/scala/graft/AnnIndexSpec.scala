@@ -75,6 +75,22 @@ class AnnIndexSpec extends SparkSuite {
     } finally built.unpersist()
   }
 
+  test("approx query falls back to exact when a tight probe underfills") {
+    val ef = new HashingEmbeddingFunc(32)
+    val db = DB.inMemory(spark, ef)
+    val c = db.createCollection("underfill", Map.empty, ef)
+    c.addDocuments((1 to 30).map(i =>
+      Document.create(s"d$i", content = s"totally different text number $i")))
+    c.buildLshIndex(numPlanes = 16)
+    val qv = ef.embed("an utterly unrelated query about something else")
+    // maxHamming = 0 probes only the query's own bucket, which will not
+    // hold 10 corpus rows — the fallback must still fill k from the exact
+    // scan instead of silently returning fewer.
+    val r = c.queryEmbeddingApprox(qv, 10, maxHamming = 0)
+    assert(r.length === 10, s"underfilled probe must fall back: got ${r.length}")
+    assert(r.map(_.id) === c.queryEmbedding(qv, 10).map(_.id))
+  }
+
   test("Collection ANN index: build, probe, invalidate on mutation") {
     val ef = new HashingEmbeddingFunc(32)
     val db = DB.inMemory(spark, ef)

@@ -137,6 +137,56 @@ class MultimodalSpec extends SparkSuite {
     assert((px(7 * 3) & 0xFF) === 0 && (px(7 * 3 + 2) & 0xFF) === 255)
   }
 
+  /** A real MJPEG-in-AVI: RIFF('AVI ', LIST('movi', 00dc JPEG chunks)),
+    * each frame a solid-color 6×4 JPEG written by ImageIO. */
+  private def mjpegAvi(colors: Seq[Int]): Array[Byte] = {
+    def jpeg(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(6, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 6) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val movi = new java.io.ByteArrayOutputStream()
+    movi.write("movi".getBytes("US-ASCII"))
+    colors.map(jpeg).foreach { f =>
+      movi.write("00dc".getBytes("US-ASCII")); movi.write(le32(f.length))
+      movi.write(f)
+      if (f.length % 2 == 1) movi.write(0) // RIFF word alignment
+    }
+    val riff = new java.io.ByteArrayOutputStream()
+    riff.write("AVI ".getBytes("US-ASCII"))
+    riff.write("LIST".getBytes("US-ASCII")); riff.write(le32(movi.size()))
+    riff.write(movi.toByteArray)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le32(riff.size()))
+    out.write(riff.toByteArray)
+    out.toByteArray
+  }
+
+  test("sampleFrames REALLY decodes MJPEG/AVI keyframes (RIFF + ImageIO)") {
+    // 5 solid frames: red, green, blue, white, black; sample every 2nd
+    val avi = mjpegAvi(Seq(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFFFF, 0x000000))
+    val rows = Seq(Row("avi1", "video", avi, Map.empty[String, String]))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.assetSchema)
+    val frames = Multimodal.sampleFrames(df, everyNth = 2, maxFrames = 8)
+      .collect().sortBy(_.getInt(1))
+    assert(frames.map(_.getInt(1)).toSeq === Seq(0, 2, 4), "frames 0,2,4 sampled")
+    assert(frames.forall(f => f.getInt(2) === 6 && f.getInt(3) === 4),
+      "true JPEG dims, not container guesses")
+    // JPEG is lossy but a solid frame decodes within a few counts
+    def ch(r: Row, c: Int): Int = r.getAs[Array[Byte]]("pixels")(c) & 0xFF
+    assert(ch(frames(0), 0) > 220 && ch(frames(0), 1) < 90, "frame 0 is red")
+    assert(ch(frames(1), 2) > 220 && ch(frames(1), 0) < 90, "frame 2 is blue")
+    assert(frames(2).getAs[Array[Byte]]("pixels").forall(b => (b & 0xFF) < 50),
+      "frame 4 is black")
+  }
+
   /** A real 16-bit mono WAV of a constant full-scale-half square wave. */
   private def realWav(samples: Array[Short]): Array[Byte] = {
     val pcm = new Array[Byte](samples.length * 2)

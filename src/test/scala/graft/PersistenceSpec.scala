@@ -34,6 +34,26 @@ class PersistenceSpec extends SparkSuite {
     assert(d.embedding.toSeq === ConstEmbeddingFunc.stub3.toSeq)
   }
 
+  test("compress knob writes gzip parquet and round-trips (db.go:57-66)") {
+    val root = tempRoot
+    val db = withLogLevel(
+      DB.persistent(spark, root, ConstEmbeddingFunc.stub(), compress = true))
+    val c = db.createCollection("gz")
+    c.addDocuments(Seq(
+      Document("1", content = "compress me"), Document("2", content = "me too")))
+    val files = Files.walk(Paths.get(root)).iterator()
+    var sawGz = false
+    while (files.hasNext) {
+      val f = files.next().getFileName.toString
+      if (f.endsWith(".gz.parquet")) sawGz = true
+      assert(!f.endsWith(".snappy.parquet"), s"session codec leaked into $f")
+    }
+    assert(sawGz, "expected gzip-compressed parquet parts")
+    // codec-agnostic reopen (with the default, non-compressing constructor)
+    val rc = DB.persistent(spark, root, ConstEmbeddingFunc.stub()).getCollection("gz")
+    assert(rc.count() === 2 && rc.getByID("2").content === "me too")
+  }
+
   test("mutations persist through reopen (delete survives)") {
     val root = tempRoot
     val db = withLogLevel(DB.persistent(spark, root, ConstEmbeddingFunc.stub()))
