@@ -48,10 +48,13 @@ object Dedup {
    * more than `maxBucketSize` rows are removed before the self-join and
    * the drop is logged (never silent). `maxBucketSize <= 0` disables the
    * guard. The occupancy count is a map-side-combined aggregate over the
-   * (band, bucket) keys — one cheap job on 16-byte rows; the anti-join
-   * against the (small by construction) oversized-bucket set broadcasts,
-   * and is skipped entirely when nothing is oversized, so the common-case
-   * plan is unchanged.
+   * (band, bucket) keys; since `banded` derives from the caller's lazily
+   * persisted signature frame, this stats job doubles as the job that
+   * materializes the signature cache — the guard adds NO extra job over
+   * the unguarded eager-checkpoint design. The anti-join against the
+   * (small by construction) oversized-bucket set broadcasts, and is
+   * skipped entirely when nothing is oversized, so the common-case plan
+   * is unchanged.
    */
   private[graft] def guardBuckets(
       banded: DataFrame,
@@ -77,6 +80,13 @@ object Dedup {
         Seq("band", "bucket"), "left_anti")
     }
   }
+
+  /** Lazily persist a (deterministic) signature frame. The guard's stats
+    * job — or the explicit count when the guard is disabled — fills the
+    * cache, so the corpus pass is paid exactly once and, unlike an eager
+    * localCheckpoint, costs no job of its own. */
+  private def cached(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Whitespace tokens, lowercased — tokenization shared by all dup ops. */
   def tokens(textCol: Column): Column = split(lower(textCol), " ")
@@ -125,10 +135,9 @@ object Dedup {
     // re-read at scale). Signatures are tiny (numHashes × 8 B per doc).
     // Shingling happens INSIDE the kernel over the token array — no
     // shingle-string construction.
-    val sig = df.select(
+    val sig = cached(df.select(
       col(idCol).as("doc"),
-      minhash_signature(tokens(col(textCol)), numHashes, shingleSize).as("sig"))
-      .localCheckpoint(true)
+      minhash_signature(tokens(col(textCol)), numHashes, shingleSize).as("sig")))
     val banded = guardBuckets(sig.select(
       col("doc"),
       posexplode(transform(
@@ -137,6 +146,7 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket"),
       maxBucketSize, "minhashCandidates")
+    if (maxBucketSize <= 0) sig.count() // materialize without the guard job
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b,
@@ -166,12 +176,11 @@ object Dedup {
     // shingle sets carried as SORTED HASH arrays (shingle_hashes) — no
     // shingle-string allocation (that pass measured ~10× the signature
     // kernel); Jaccard on candidates is then a linear merge.
-    val sig = df.select(
+    val sig = cached(df.select(
       col(idCol).as("doc"),
       minhash_signature(tokens(col(textCol)), numHashes, shingleSize).as("sig"),
       graft.functions.HashFunctions.shingle_hashes(
-        tokens(col(textCol)), shingleSize).as("__toks"))
-      .localCheckpoint(true)
+        tokens(col(textCol)), shingleSize).as("__toks")))
     val banded = guardBuckets(sig.select(
       col("doc"),
       posexplode(transform(
@@ -180,6 +189,7 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket"),
       maxBucketSize, "minhashDuplicates")
+    if (maxBucketSize <= 0) sig.count() // materialize without the guard job
     val a = banded.alias("a")
     val b = banded.alias("b")
     val cand = a.join(b,
@@ -222,14 +232,15 @@ object Dedup {
       s"bands ($bands) must exceed maxHamming ($maxHamming) for full recall")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sig = df.select(col(idCol).as("doc"), simhash64(tokens(col(textCol))).as("sig"))
-      .localCheckpoint(true) // one signature pass, not one per join side
+    val sig = cached(df.select(col(idCol).as("doc"),
+      simhash64(tokens(col(textCol))).as("sig"))) // one signature pass
     val banded = guardBuckets(sig.select(col("doc"), col("sig"),
       posexplode(array((0 until bands).map(q =>
         xxhash64(shiftrightunsigned(col("sig"), q * width).bitwiseAND(lit(mask)),
           lit(q))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
       maxBucketSize, "simhashDuplicates")
+    if (maxBucketSize <= 0) sig.count() // materialize without the guard job
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b,
@@ -266,13 +277,13 @@ object Dedup {
     // (one band, no explode) and each candidate pair appears exactly once
     // — no distinct pass. The multi-band `simhashDuplicates` remains the
     // near-dup (hamming > 0) tier.
-    val base = df.select(col(idCol).as("doc"),
+    val base = cached(df.select(col(idCol).as("doc"),
         simhash64(tokens(col(textCol))).as("sig"),
-        md5(lower(col(textCol))).as("__d"))
-      .localCheckpoint(true)
+        md5(lower(col(textCol))).as("__d")))
     val banded = guardBuckets(
       base.select(col("doc"), lit(0).as("band"), col("sig").as("bucket")),
       maxBucketSize, "simhashExactDuplicates")
+    if (maxBucketSize <= 0) base.count() // materialize without the guard job
     val a = banded.alias("a")
     val b = banded.alias("b")
     val cand = a.join(b,
@@ -511,18 +522,19 @@ object Dedup {
     val rows = numPlanes / bands
     val mask = if (rows == 64) -1L else (1L << rows) - 1
     val planes = VectorSearch.randomPlanes(numPlanes, dim, seed)
-    val sig = df.select(col(idCol).as("doc"), col(vecCol).as("__v"),
-        VectorSearch.hyperplaneSignature(col(vecCol), planes).as("__sig"))
-      .localCheckpoint(true) // one signature pass, not one per join side
+    val sig = cached(df.select(col(idCol).as("doc"), col(vecCol).as("__v"),
+      VectorSearch.hyperplaneSignature(col(vecCol), planes).as("__sig")))
     // Candidates travel as ID PAIRS only: the banded self-join and its
     // distinct never shuffle embedding payloads (6 KB/row at d=1536 —
     // the dominant exchange cost at scale); vectors re-attach from the
-    // checkpoint for the exact-cosine verification of candidates only.
+    // cached signature pass for the exact-cosine verification of
+    // candidates only.
     val banded = guardBuckets(sig.select(col("doc"),
       posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("__sig"), b * rows).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
       maxBucketSize, "embeddingNearDupPairsLSH")
+    if (maxBucketSize <= 0) sig.count() // materialize without the guard job
     val a = banded.alias("a")
     val b = banded.alias("b")
     val cand = a.join(b,
