@@ -107,9 +107,11 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Rows surviving exact dedup (the canonical "drop duplicates, keep
-    * first-by-id" shape). */
+    * first-by-id" shape). Groups by the md5 DIGEST, not the text itself,
+    * so the aggregation shuffle carries (16 B, id) rows — at 100 TB the
+    * document bodies never leave the scan. */
   def exactSurvivors(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val keep = df.groupBy(col(textCol).as("__t")).agg(min(col(idCol)).as(idCol))
+    val keep = df.groupBy(md5(col(textCol)).as("__fp")).agg(min(col(idCol)).as(idCol))
     df.join(keep.select(idCol), Seq(idCol), "left_semi")
   }
 

@@ -30,6 +30,14 @@ class DedupSpec extends SparkSuite {
     assert(ids === Set(1L, 3L, 4L, 5L, 6L))
   }
 
+  test("exactSurvivors shuffles digests, not document text") {
+    val plan = Dedup.exactSurvivors(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text"),
+      s"the aggregation shuffle must carry md5 digests, not text:\n$exchanges")
+  }
+
   test("word-set Jaccard finds near and case/permutation dups") {
     val pairs = Dedup.wordJaccardPairs(docs, "text", "doc_id", 0.7)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
