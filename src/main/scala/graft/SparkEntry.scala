@@ -305,6 +305,19 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split"))),
 
+    // ---- deterministic per-group downsampling (rebalance the corpus:
+    // keep 50% of en, 25% of de, everything else whole — a pure function
+    // of (id, lang): map-only, reproducible, engine-portable) ----
+    "split_downsample" -> ((s, dir) =>
+      graft.ops.Splits.downsample(t(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 0.25))
+        .select(col("doc_id"), col("lang"))),
+
+    // ---- corpus vocabulary: top-100 tokens by frequency (tokenizer-
+    // training / frequency-filter feed; bounded top-k, no full sort) ----
+    "text_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabulary(t(s, dir, "documents"), "text", 100)),
+
     // ---- text analysis: token-window chunking with overlap (the RAG /
     // training ingest step before embedding) ----
     "text_chunks" -> ((s, dir) =>
@@ -797,6 +810,22 @@ object SparkEntry {
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin
     },
+
+    "split_downsample" -> {
+      val en = graft.ops.Splits.rateHex(0.5)
+      val de = graft.ops.Splits.rateHex(0.25)
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE CASE WHEN lang = 'en' THEN substr(md5(doc_id::VARCHAR), 1, 4) < '$en'
+         |           WHEN lang = 'de' THEN substr(md5(doc_id::VARCHAR), 1, 4) < '$de'
+         |           ELSE TRUE END""".stripMargin
+    },
+
+    "text_vocab" ->
+      """SELECT tok AS token, count(*) AS freq
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok
+        |ORDER BY freq DESC, token
+        |LIMIT 100""".stripMargin,
 
     "text_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

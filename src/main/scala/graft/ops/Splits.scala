@@ -48,4 +48,37 @@ object Splits {
       (name, f"$t%04x")
     }
   }
+
+  /**
+   * Deterministic per-group downsampling — the "rebalance the corpus"
+   * step (overrepresented languages/domains/sources kept at a fraction,
+   * everything else untouched). A row survives iff its md5-hex bucket
+   * falls under its group's keep rate, so the result is a pure function
+   * of (id, group): reproducible across engines, re-runs, and
+   * re-partitionings, with NO sampling pass — at 100 TB this is a
+   * map-only filter fused into the scan. Groups absent from `rates` keep
+   * `defaultRate` of their rows.
+   */
+  def downsample(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0.0 && r <= 1.0),
+      "keep rates must be in [0, 1]")
+    val bucket = substring(md5(col(idCol).cast("string")), 1, 4)
+    def keep(rate: Double): Column =
+      if (rate >= 1.0) lit(true) else bucket < lit(rateHex(rate))
+    // sorted fold for a deterministic CASE chain (Map order isn't stable)
+    val cond = rates.toSeq.sortBy(_._1).foldLeft(keep(defaultRate)) {
+      case (acc, (g, r)) => when(col(groupCol) === g, keep(r)).otherwise(acc)
+    }
+    df.filter(cond)
+  }
+
+  /** 4-hex upper threshold for a keep rate — shared with the SQL oracle
+    * generator (rates ≥ 1 are handled as keep-all, never compared). */
+  def rateHex(rate: Double): String =
+    f"${math.min(65535L, math.round(rate * 65536.0))}%04x"
 }

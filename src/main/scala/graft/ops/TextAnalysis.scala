@@ -181,6 +181,23 @@ object TextAnalysis {
     f1 * lit(p2) + f2
   }
 
+  /**
+   * Corpus vocabulary: the `topK` most frequent whitespace tokens with
+   * counts — the frequency table a tokenizer-training / frequency-filter
+   * step consumes. One explode into a partial+final hash aggregate
+   * (map-side combine shrinks the token shuffle to distinct-tokens per
+   * partition) and a bounded TakeOrderedAndProject top-k — no full sort,
+   * no window. Ties at the cutoff break by token ascending, so the
+   * result is deterministic (and oracle-checkable).
+   */
+  def vocabulary(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK > 0, "topK must be > 0")
+    df.select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("token"))
+      .limit(topK)
+  }
+
   private val EnglishStopwords = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "for", "on", "with", "as", "by", "at", "it", "that", "this", "be")

@@ -120,6 +120,20 @@ class PlanSpec extends SparkSuite {
       s"dedup_exact should shuffle once:\n$p")
   }
 
+  test("downsampling is a map-only pushed filter — no shuffle, no sampling") {
+    val p = plan("split_downsample")
+    assert(!p.contains("Exchange"), s"downsample must be a pure filter:\n$p")
+    assert(!p.contains("Sample"), p)
+  }
+
+  test("vocabulary is partial+final aggregate with bounded top-k (no full sort)") {
+    val p = plan("text_vocab")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be bounded:\n$p")
+    assert(!p.contains("Window"), p)
+    assert(countOccurrences(p, "HashAggregate") >= 2,
+      s"expected map-side partial count:\n$p")
+  }
+
   test("minhash signature computes without exploding tokens (no pre-band shuffle)") {
     val sig = graft.ops.Dedup.minhashCandidates(
       spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")

@@ -23,6 +23,25 @@ class SplitsSpec extends SparkSuite {
       .filter($"split" =!= $"s2").count() === 0L)
   }
 
+  test("downsample keeps per-group rates deterministically, default untouched") {
+    val df = withLogLevel(spark.range(0, 9000)
+      .select($"id", (when($"id" % 3 === 0, "en")
+        .when($"id" % 3 === 1, "de").otherwise("fr")).as("lang")))
+    val kept = Splits.downsample(df, "id", "lang", Map("en" -> 0.5, "de" -> 0.0))
+    val counts = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("en") - 1500L) < 150, counts.toString) // 50% of 3000
+    assert(!counts.contains("de"), "rate 0 drops the whole group")
+    assert(counts("fr") === 3000L, "default rate 1.0 keeps every row")
+    // pure function of (id, group): identical under re-partitioning
+    val again = Splits.downsample(df.repartition(11), "id", "lang",
+      Map("en" -> 0.5, "de" -> 0.0))
+    assert(again.select("id").except(kept.select("id")).count() === 0L)
+    assert(kept.count() === again.count())
+    intercept[IllegalArgumentException](
+      Splits.downsample(df, "id", "lang", Map("en" -> 1.5)))
+  }
+
   test("fractions must be sane") {
     val df = spark.range(2).toDF("id")
     intercept[IllegalArgumentException](

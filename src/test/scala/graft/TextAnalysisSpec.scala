@@ -113,6 +113,16 @@ class TextAnalysisSpec extends SparkSuite {
     assert(r(3) === ((0.0, 0.0)))
   }
 
+  test("vocabulary ranks tokens by frequency with token tie-break") {
+    val df = Seq(
+      (1, "b b b a a c"),
+      (2, "a d d")).toDF("id", "text")
+    val v = TextAnalysis.vocabulary(df, "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // a:3, b:3 (tie → 'a' first), d:2, c:1
+    assert(v === Seq(("a", 3L), ("b", 3L), ("d", 2L)))
+  }
+
   test("rollingHash is order-sensitive, md5 fingerprint is content-stable") {
     val df = Seq(
       (1, "alpha beta gamma"),
