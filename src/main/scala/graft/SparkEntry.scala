@@ -527,7 +527,44 @@ object SparkEntry {
         reopened.materialize() // populates the cache FROM the disk layout
       })
       idx.topK(vec(s, dir, 0), 10, nprobe = 4).select(col("vec_id"))
-    })
+    }),
+
+    // ---- keyword retrieval: BM25 top-k (lexical tier). Per-term tf is
+    // computed IN-SCAN against the literal term list (no token explode,
+    // no shuffle); corpus stats (N, avgdl, df) reduce in one map-side-
+    // combined aggregate; top-k is TakeOrderedAndProject. k1 = 1.5 in the
+    // gate so every derived constant (k1+1 = 2.5, 1−b = 0.25) is an exact
+    // double — the oracle replays the arithmetic bit-for-bit. ----
+    "text_bm25" -> ((s, dir) =>
+      graft.ops.KeywordSearch.bm25TopK(t(s, dir, "documents"), "text",
+          "doc_id", Seq("vector", "query", "spark"), k = 20, k1 = 1.5)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))),
+
+    // ---- hybrid retrieval: RRF fusion (1/(60+rank)) of the BM25 top-30
+    // and the cosine top-30 — the standard lexical+semantic merge. ----
+    "search_hybrid" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+      graft.ops.KeywordSearch.hybridTopK(
+          t(s, dir, "documents"), "text", emb, "embedding", "doc_id",
+          Seq("vector", "query", "spark"), vec(s, dir, 0),
+          k = 15, fetchK = 30, rrfK = 60, k1 = 1.5)
+        .select(col("doc_id"), round(col("rrf"), 4).as("rrf"))
+    }),
+
+    // ---- int8 scalar-quantized top-k: the 4×-less-IO first-pass scan
+    // tier. Integer dot products are EXACT, so unlike the float kernels
+    // this oracle needs no accumulation-order care at all. ----
+    "q_quantized_topk" -> ((s, dir) => {
+      val q = graft.ops.Quantize.quantize(t(s, dir, "embeddings"), "embedding")
+      graft.ops.Quantize.quantizedTopK(q, vec(s, dir, 0), k = 10, idCol = "vec_id")
+        .select(col("vec_id"), round(col("qsim"), 4).as("qsim"))
+    }),
+
+    // ---- substring-level duplication profile (Lee et al. 2022 signal):
+    // per-doc count/fraction of distinct 8-gram spans shared with any
+    // other document; grams travel as 64-bit hashes, text never shuffles. ----
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(t(s, dir, "documents"), "text", "doc_id", n = 8))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -973,6 +1010,102 @@ object SparkEntry {
       """SELECT vec_id FROM embeddings
         |ORDER BY list_dot_product(embedding::DOUBLE[],
         |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+
+    // BM25 replayed exactly: same tokenization, same Okapi idf with the
+    // +1 floor, same parenthesization (k1 = 1.5, b = 0.75 ⇒ every derived
+    // constant is written as the exact literal Spark computes), terms
+    // added in the same fixed order.
+    "text_bm25" -> (bm25ScoredSql +
+      """
+        |SELECT doc_id, round(score, 4) AS score FROM sc
+        |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+
+    "search_hybrid" -> (bm25ScoredSql +
+      """,
+        |bm AS (SELECT doc_id, score FROM sc WHERE score > 0
+        |       ORDER BY score DESC, doc_id LIMIT 30),
+        |bmr AS (SELECT doc_id,
+        |          row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm),
+        |vs AS (SELECT vec_id AS doc_id,
+        |         list_dot_product(embedding::DOUBLE[],
+        |           (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) AS sim
+        |       FROM embeddings ORDER BY sim DESC, doc_id LIMIT 30),
+        |vsr AS (SELECT doc_id,
+        |          row_number() OVER (ORDER BY sim DESC, doc_id) AS r FROM vs),
+        |f AS (SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+        |        coalesce(1.0 / (60.0 + b.r), 0) + coalesce(1.0 / (60.0 + v.r), 0) AS rrf
+        |      FROM bmr b FULL OUTER JOIN vsr v ON b.doc_id = v.doc_id)
+        |SELECT doc_id, round(rrf, 4) AS rrf FROM f
+        |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin),
+
+    // Int8 quantization is exact integer arithmetic after a shared
+    // rounding convention (HALF_UP == round-away-from-zero in both
+    // engines), so the replay is bit-exact with no accumulation-order
+    // caveats: scale = max|x|/127, q = round(x/scale), score =
+    // (Σ qa·qb)·scale_a·scale_q.
+    "q_quantized_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc FROM e),
+        |qz AS (SELECT vec_id, sc,
+        |         CASE WHEN sc = 0 THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v, x -> round(x / sc)) END AS qv
+        |       FROM s),
+        |q AS (SELECT sc AS qsc, qv AS qqv FROM qz WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_dot_product(qv, (SELECT qqv FROM q)) * sc * (SELECT qsc FROM q), 4) AS qsim
+        |FROM qz
+        |ORDER BY list_dot_product(qv, (SELECT qqv FROM q)) * sc * (SELECT qsc FROM q) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
+    // Same gram convention as dedup_contamination: 8-token windows,
+    // whole-token-stream gram for short docs, DISTINCT grams per doc.
+    "dedup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+7], ' ') FOR i IN range(1, len(toks) - 6)]
+        |    END AS grams
+        |  FROM t),
+        |dg AS (SELECT doc_id, unnest(list_distinct(grams)) AS g FROM sh),
+        |shared AS (SELECT g FROM dg GROUP BY g HAVING count(*) >= 2),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY 1),
+        |hit AS (SELECT doc_id, count(*) AS n_shared
+        |        FROM dg WHERE g IN (SELECT g FROM shared) GROUP BY 1)
+        |SELECT doc_id, n_grams, coalesce(n_shared, 0) AS n_shared,
+        |  round(coalesce(n_shared, 0) * 1.0 / n_grams, 4) AS shared_frac
+        |FROM tot LEFT JOIN hit USING (doc_id)""".stripMargin
   )
+
+  /** Shared BM25 scoring CTE chain (ends at `sc(doc_id, score)`) for the
+    * text_bm25 / search_hybrid oracles — k1 = 1.5, b = 0.75, terms
+    * (vector, query, spark) in fixed order, arithmetic parenthesized
+    * exactly like `KeywordSearch.bm25Score`. */
+  private val bm25ScoredSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id,
+      |    len(string_split(lower(text), ' '))::DOUBLE AS dl,
+      |    len(list_filter(string_split(lower(text), ' '), t -> t = 'vector'))::DOUBLE AS tf1,
+      |    len(list_filter(string_split(lower(text), ' '), t -> t = 'query'))::DOUBLE AS tf2,
+      |    len(list_filter(string_split(lower(text), ' '), t -> t = 'spark'))::DOUBLE AS tf3
+      |  FROM documents),
+      |st AS (
+      |  SELECT count(*)::BIGINT AS n,
+      |    sum(len(string_split(lower(text), ' ')))::DOUBLE / count(*) AS avgdl,
+      |    sum(CASE WHEN list_contains(string_split(lower(text), ' '), 'vector')
+      |             THEN 1 ELSE 0 END)::BIGINT AS df1,
+      |    sum(CASE WHEN list_contains(string_split(lower(text), ' '), 'query')
+      |             THEN 1 ELSE 0 END)::BIGINT AS df2,
+      |    sum(CASE WHEN list_contains(string_split(lower(text), ' '), 'spark')
+      |             THEN 1 ELSE 0 END)::BIGINT AS df3
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id,
+      |    ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.5) / (tf1 + 1.5 * (0.25 + 0.75 * dl / avgdl))
+      |    + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.5) / (tf2 + 1.5 * (0.25 + 0.75 * dl / avgdl))
+      |    + ln(1 + (n - df3 + 0.5) / (df3 + 0.5)) * (tf3 * 2.5) / (tf3 + 1.5 * (0.25 + 0.75 * dl / avgdl))
+      |    AS score
+      |  FROM tf, st)""".stripMargin
 }

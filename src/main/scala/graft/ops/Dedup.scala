@@ -359,6 +359,46 @@ object Dedup {
   }
 
   /**
+   * Substring-level duplication profile (the signal behind suffix-array
+   * corpus dedup, Lee et al. 2022 "Deduplicating Training Data Makes
+   * Language Models Better" — public literature): for each document, how
+   * many of its distinct word n-grams also occur in ANOTHER document, and
+   * the fraction of its distinct grams that are shared. High-fraction docs
+   * are boilerplate/template members that survive document-level exact
+   * dedup because their full text differs.
+   *
+   * Scale shape: grams travel as 64-bit hashes (shingle_hashes — no gram
+   * strings materialized); cross-document gram incidence is ONE hash
+   * aggregate on 8-byte keys keeping only grams with ≥ 2 distinct docs
+   * (map-side combined, output bounded by the shared-gram set); the
+   * per-doc rollup is a semi-join on the hash + one count. Text never
+   * shuffles. Docs shorter than `n` tokens contribute their whole token
+   * stream as a single gram (same convention as `ngramContamination`).
+   */
+  def duplicatedSpans(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8): DataFrame = {
+    import graft.functions.HashFunctions.shingle_hashes
+    val grams = cached(df.select(col(idCol).as("doc"),
+      explode(shingle_hashes(tokens(col(textCol)), n)).as("g")))
+    // gram → #distinct docs; each (doc, gram) is already distinct (the
+    // kernel dedupes per row), so a plain count is a distinct-doc count.
+    val shared = grams.groupBy("g").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2)
+      .select("g")
+    val totals = grams.groupBy("doc").agg(count(lit(1)).as("n_grams"))
+    val hits = grams.join(shared, Seq("g"), "left_semi")
+      .groupBy("doc").agg(count(lit(1)).as("n_shared"))
+    totals.join(hits, Seq("doc"), "left")
+      .select(col("doc").as(idCol), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double") /
+          col("n_grams"), 4).as("shared_frac"))
+  }
+
+  /**
    * Connected components over a candidate-pair graph: groups mutual
    * near-duplicates into clusters (a ~ b, b ~ c ⇒ {a, b, c}) so
    * survivorship can keep ONE document per cluster rather than

@@ -216,4 +216,42 @@ class DedupSpec extends SparkSuite {
     // cluster {10,11}: 10 wins; 42 untouched
     assert(kept === Set(2L, 10L, 42L))
   }
+
+  test("duplicatedSpans counts cross-document shared n-grams per doc") {
+    val corpus = Seq(
+      // A and B share exactly one 8-gram: "a b c d e f g h"
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h x y"),
+      // C/D: short docs (< 8 tokens) — whole stream is the single gram;
+      // identical streams ⇒ fully shared
+      (3L, "z z z z"),
+      (4L, "z z z z"),
+      // E: unique content, zero overlap
+      (5L, "p q r s t u v w x0 y0 z0")
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpans(corpus, "text", "doc_id", n = 8)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    // docs 1, 2: 3 distinct grams each, 1 shared
+    assert(r(1L) === ((3L, 1L, 0.3333)))
+    assert(r(2L) === ((3L, 1L, 0.3333)))
+    // docs 3, 4: single whole-text gram, shared with each other
+    assert(r(3L) === ((1L, 1L, 1.0)))
+    assert(r(4L) === ((1L, 1L, 1.0)))
+    // doc 5: 4 grams, none shared
+    assert(r(5L) === ((4L, 0L, 0.0)))
+  }
+
+  test("duplicatedSpans counts a gram repeated WITHIN one doc only once") {
+    // "a b a b a b a b a b" at n=2: distinct grams {a b, b a}; doc 2
+    // shares "a b" only ⇒ doc 1 has 1 of its 2 distinct grams shared.
+    val corpus = Seq(
+      (1L, "a b a b a b a b a b"),
+      (2L, "x a b")).toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpans(corpus, "text", "doc_id", n = 2)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) === ((2L, 1L, 0.5)))
+    assert(r(2L) === ((2L, 1L, 0.5)))
+  }
 }

@@ -148,4 +148,30 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("*(1) Project") || p.contains("WholeStageCodegen"), p)
     assert(p.contains("ColumnarToRow"), p)
   }
+
+  test("BM25 scoring is in-scan: no token explode, no join, bounded top-k") {
+    val p = plan("text_bm25")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be bounded:\n$p")
+    assert(!p.contains("Generate"), s"tf must come from in-scan filters, " +
+      s"not an exploded token table:\n$p")
+    assert(!p.contains("Join"), s"BM25 over literal terms needs no join:\n$p")
+  }
+
+  test("quantized top-k is a scan + bounded top-k (no shuffle beyond merge)") {
+    val p = plan("q_quantized_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("duplicated-span profile shuffles gram hashes, never text") {
+    val p = plan("dedup_spans")
+    assert(p.contains("left_semi") || p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // every exchange keys on the 8-byte gram hash or the doc id — the
+    // text column must not appear in any shuffle partitioning
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text#")),
+      s"gram/doc shuffles only:\n$p")
+  }
 }
