@@ -54,6 +54,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, graft.ops.LshIndex]()
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.ops.IvfState]()
+  private val termIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.TermIndexState]()
 
   /** events.ts is TIMESTAMP(NANOS) in the source parquet; with
     * spark.sql.legacy.parquet.nanosAsLong=true it surfaces as long nanos —
@@ -540,6 +542,19 @@ object SparkEntry {
           "doc_id", Seq("vector", "query", "spark"), k = 20, k1 = 1.5)
         .select(col("doc_id"), round(col("score"), 4).as("score"))),
 
+    // ---- keyword retrieval over the DURABLE inverted index: bucket-
+    // partition-pruned posting scan, probe cost ∝ Σ df(term) instead of a
+    // corpus pass. Bit-identical to text_bm25 ⇒ same oracle. ----
+    "text_bm25_indexed" -> ((s, dir) => {
+      val idx = termIndexCache.computeIfAbsent(dir, d => {
+        val path = "/root/repo/target/term_index_gate/" +
+          java.lang.Integer.toHexString(d.hashCode)
+        graft.ops.TermIndex.build(t(s, d, "documents"), "text", "doc_id", path)
+      })
+      idx.topK(Seq("vector", "query", "spark"), k = 20, k1 = 1.5)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+
     // ---- hybrid retrieval: RRF fusion (1/(60+rank)) of the BM25 top-30
     // and the cosine top-30 — the standard lexical+semantic merge. ----
     "search_hybrid" -> ((s, dir) => {
@@ -1017,6 +1032,13 @@ object SparkEntry {
     // constant is written as the exact literal Spark computes), terms
     // added in the same fixed order.
     "text_bm25" -> (bm25ScoredSql +
+      """
+        |SELECT doc_id, round(score, 4) AS score FROM sc
+        |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+
+    // The indexed probe is bit-identical to the scan-based text_bm25
+    // (TermIndexSpec pins the equality), so it shares the oracle.
+    "text_bm25_indexed" -> (bm25ScoredSql +
       """
         |SELECT doc_id, round(score, 4) AS score FROM sc
         |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
