@@ -395,6 +395,76 @@ class Collection private[core] (
     }
   }
 
+  /**
+   * Keyword (BM25) query over document content — the lexical retrieval
+   * tier a search stack pairs with the vector query. Beyond-reference
+   * (chromem-go scores cosine only); tokenization is lowercased
+   * whitespace, consistent with the dedup/text operators. Returns up to
+   * `nResults` documents that share ≥ 1 term with the query, ranked by
+   * Okapi BM25, `similarity` = the BM25 score.
+   */
+  def queryKeyword(
+      terms: Seq[String],
+      nResults: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): Seq[QueryResult] = {
+    if (terms == null || terms.isEmpty)
+      throw new IllegalArgumentException("terms is empty")
+    if (nResults <= 0)
+      throw new IllegalArgumentException("nResults must be > 0")
+    if (nResults > count())
+      throw new IllegalArgumentException(
+        "nResults must be <= the number of documents in the collection")
+    materializeByScore(graft.ops.KeywordSearch.bm25TopK(
+      df.filter(col("content").isNotNull), "content", "id", terms,
+      nResults, k1, b))
+  }
+
+  /**
+   * Hybrid query: BM25 keyword top-`fetchK` fused with cosine top-`fetchK`
+   * by reciprocal-rank fusion, returning the fused top-`nResults`.
+   * `similarity` = the RRF score (Σ 1/(rrfK + rank) over the lists that
+   * contain the document).
+   */
+  def queryHybrid(
+      terms: Seq[String],
+      queryEmbedding: Array[Float],
+      nResults: Int,
+      fetchK: Int = 50,
+      rrfK: Int = 60): Seq[QueryResult] = {
+    if (terms == null || terms.isEmpty)
+      throw new IllegalArgumentException("terms is empty")
+    if (queryEmbedding == null || queryEmbedding.isEmpty)
+      throw new IllegalArgumentException("queryEmbedding is empty")
+    if (nResults <= 0)
+      throw new IllegalArgumentException("nResults must be > 0")
+    if (nResults > count())
+      throw new IllegalArgumentException(
+        "nResults must be <= the number of documents in the collection")
+    val q = if (VectorFunctions.isNormalized(queryEmbedding)) queryEmbedding
+            else VectorFunctions.normalize(queryEmbedding)
+    val fetch = math.max(fetchK, nResults)
+    materializeByScore(graft.ops.KeywordSearch.hybridTopK(
+      df.filter(col("content").isNotNull), "content",
+      df.filter(col("embedding").isNotNull), "embedding", "id",
+      terms, q, nResults, fetch, rrfK))
+  }
+
+  /** Join-back materialization for (id, score) frames — the reference's
+    * own re-read-by-id step (collection.go:547-556), preserving the
+    * score ranking. */
+  private def materializeByScore(scored: DataFrame): Seq[QueryResult] = {
+    val top = scored.collect().map(r => r.getString(0) -> r.getDouble(1)).toIndexedSeq
+    if (top.isEmpty) return Seq.empty
+    val scores = top.toMap
+    val order = top.map(_._1).zipWithIndex.toMap
+    df.filter(col("id").isInCollection(top.map(_._1)))
+      .as[Document].collect()
+      .map(d => QueryResult(d.id, d.metadata, d.embedding, d.content,
+        scores(d.id).toFloat))
+      .sortBy(r => order(r.id)).toIndexedSeq
+  }
+
   private def embeddingDim(df0: DataFrame): Int =
     df0.select("embedding").filter(col("embedding").isNotNull)
       .head().getSeq[Float](0).length

@@ -189,4 +189,46 @@ class CollectionSpec extends SparkSuite {
     assert(r.length === 2)
     assert(r.head.id === "1" && math.abs(r.head.similarity - 1f) < 1e-6)
   }
+
+  test("queryKeyword ranks by BM25 and materializes full documents") {
+    val c = freshDb.createCollection("kw")
+    c.add(
+      ids = Seq("1", "2", "3"),
+      metadatas = Seq(Map("s" -> "a"), Map("s" -> "b"), Map("s" -> "c")),
+      contents = Seq("spark spark spark engine", "spark tutorial", "nothing here"))
+    val r = c.queryKeyword(Seq("spark"), 3)
+    assert(r.map(_.id) === Seq("1", "2")) // doc 3 shares no term ⇒ excluded
+    assert(r.head.similarity > r(1).similarity)
+    assert(r.head.content === "spark spark spark engine")
+    assert(r.head.metadata === Map("s" -> "a"))
+    def msg(f: => Unit): String = intercept[Exception](f).getMessage
+    assert(msg(c.queryKeyword(Seq.empty, 1)) === "terms is empty")
+    assert(msg(c.queryKeyword(Seq("spark"), 0)) === "nResults must be > 0")
+    assert(msg(c.queryKeyword(Seq("spark"), 9)) ===
+      "nResults must be <= the number of documents in the collection")
+  }
+
+  test("queryHybrid fuses keyword and vector evidence with RRF") {
+    val db = withLogLevel(DB.inMemory(spark, new HashingEmbeddingFunc(8)))
+    val c = db.createCollection("hybrid")
+    c.add(
+      ids = Seq("lex", "sem", "both", "none"),
+      contents = Seq(
+        "spark spark spark spark",     // strong lexical match only
+        "completely different words",  // will match only by vector
+        "spark here too",              // lexical + whatever vector
+        "irrelevant filler text"))
+    // query vector = embedding of the "sem" doc ⇒ sem ranks 1st semantically
+    val qv = new HashingEmbeddingFunc(8).embed("completely different words")
+    val r = c.queryHybrid(Seq("spark"), qv, nResults = 4)
+    assert(r.nonEmpty)
+    val ids = r.map(_.id)
+    assert(ids.contains("sem") && ids.contains("lex"))
+    // every returned similarity is a positive RRF mass ≤ 2/(rrfK+1)
+    r.foreach(x => assert(x.similarity > 0f && x.similarity <= 2f / 61f + 1e-6f))
+    assert(msgOf(c.queryHybrid(Seq("spark"), Array.empty[Float], 1)) ===
+      "queryEmbedding is empty")
+  }
+
+  private def msgOf(f: => Unit): String = intercept[Exception](f).getMessage
 }
