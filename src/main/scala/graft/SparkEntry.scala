@@ -579,7 +579,18 @@ object SparkEntry {
     // per-doc count/fraction of distinct 8-gram spans shared with any
     // other document; grams travel as 64-bit hashes, text never shuffles. ----
     "dedup_spans" -> ((s, dir) =>
-      Dedup.duplicatedSpans(t(s, dir, "documents"), "text", "doc_id", n = 8))
+      Dedup.duplicatedSpans(t(s, dir, "documents"), "text", "doc_id", n = 8)),
+
+    // ---- product-quantized ADC top-k: the 64×-compression scan tier
+    // (m=8 nibble codes per d=64 vector). Deterministic seeded codebook
+    // ⇒ the oracle replays encode + table lookups with literal centroids,
+    // like the LSH hyperplane oracle. ----
+    "q_pq_topk" -> ((s, dir) => {
+      val cb = graft.ops.Pq.randomCodebook(dim = 64, m = 8, k = 16, seed = 7L)
+      val enc = graft.ops.Pq.encode(t(s, dir, "embeddings"), "embedding", cb)
+      graft.ops.Pq.adcTopK(enc, cb, vec(s, dir, 0), k = 10, idCol = "vec_id")
+        .select(col("vec_id"), round(col("qsim"), 4).as("qsim"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1081,6 +1092,12 @@ object SparkEntry {
         |ORDER BY list_dot_product(qv, (SELECT qqv FROM q)) * sc * (SELECT qsc FROM q) DESC, vec_id
         |LIMIT 10""".stripMargin,
 
+    // PQ replayed with literal centroids (cf. the LSH hyperplane oracle):
+    // same double squared-L2 encode with first-minimum tie-break
+    // (list_position of list_min == the kernel's strict-< scan), same
+    // per-subspace dot-product terms added in subspace order.
+    "q_pq_topk" -> pqTopKOracleSql,
+
     // Same gram convention as dedup_contamination: 8-token windows,
     // whole-token-stream gram for short docs, DISTINCT grams per doc.
     "dedup_spans" ->
@@ -1100,6 +1117,35 @@ object SparkEntry {
         |  round(coalesce(n_shared, 0) * 1.0 / n_grams, 4) AS shared_frac
         |FROM tot LEFT JOIN hit USING (doc_id)""".stripMargin
   )
+
+  /** DuckDB oracle for q_pq_topk, generated from the same deterministic
+    * codebook the Spark side uses (dim=64, m=8, k=16, seed=7). */
+  private lazy val pqTopKOracleSql: String = {
+    val cb = graft.ops.Pq.randomCodebook(dim = 64, m = 8, k = 16, seed = 7L)
+    def cbLit(j: Int): String = (0 until cb.k).map { c =>
+      cb.centroid(j, c).mkString("[", ", ", "]")
+    }.mkString("[", ", ", "]")
+    def dists(j: Int): String = {
+      val o = j * cb.subDim
+      s"[ list_sum([ (v[$o+i]-c[i])*(v[$o+i]-c[i]) " +
+        s"FOR i IN range(1,${cb.subDim + 1}) ]) FOR c IN ${cbLit(j)} ]"
+    }
+    val codeCols = (0 until cb.m).map(j =>
+      s"list_position(${dists(j)}, list_min(${dists(j)})) AS c$j").mkString(",\n    ")
+    val terms = (0 until cb.m).map { j =>
+      val o = j * cb.subDim
+      s"list_dot_product(qv[${o + 1}:${o + cb.subDim}], (${cbLit(j)})[c$j])"
+    }.mkString("\n    + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |enc AS (
+       |  SELECT vec_id,
+       |    $codeCols
+       |  FROM e),
+       |sc AS (SELECT vec_id, $terms AS qsim FROM enc, q)
+       |SELECT vec_id, round(sc.qsim, 4) AS qsim FROM sc
+       |ORDER BY sc.qsim DESC, sc.vec_id LIMIT 10""".stripMargin
+  }
 
   /** Shared BM25 scoring CTE chain (ends at `sc(doc_id, score)`) for the
     * text_bm25 / search_hybrid oracles — k1 = 1.5, b = 0.75, terms

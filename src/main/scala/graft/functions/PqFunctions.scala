@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression => expr}
+import org.apache.spark.sql.types._
+
+/**
+ * Product-quantization kernels. A PQ code is `m` small integers (one
+ * centroid index per subspace), so a d=1536 float32 embedding (6 KB)
+ * compresses to m bytes — the 64×-compression tier beyond int8, the
+ * standard billion-vector first-pass representation (Jégou et al.,
+ * "Product Quantization for Nearest Neighbor Search", TPAMI 2011 —
+ * public literature; the reference scores exact float32 only,
+ * `/root/reference/vector.go:14-26`).
+ *
+ * Both kernels are Catalyst expressions with codegen; the codebook /
+ * lookup table ships as a reference object inside the serialized
+ * expression (no driver-side static registry), so the same plan works on
+ * a real cluster.
+ *
+ * All arithmetic is DOUBLE with fixed iteration order, so an external
+ * engine can replay encode and scoring bit-for-bit.
+ */
+object PqFunctions {
+
+  /** Encode a float-array column into `m` centroid indices.
+    * `codebook` is flat `[m][k][subDim]` row-major doubles. */
+  def pq_encode(vec: Column, codebook: Array[Double], m: Int, k: Int, subDim: Int): Column =
+    column(PqEncode(expr(vec), codebook, m, k, subDim))
+
+  /** Asymmetric-distance score: Σ_j table[j][code_j] with `table` flat
+    * `[m][k]` (per-subspace query·centroid dot products). */
+  def pq_adc(code: Column, table: Array[Double], m: Int, k: Int): Column =
+    column(PqAdc(expr(code), table, m, k))
+}
+
+/** Static kernels shared by interpreted eval and generated code. */
+object PqKernels {
+
+  /** Nearest-centroid index per subspace; squared-L2 in double, ascending
+    * element order, strict `<` ⇒ first minimum wins (matches
+    * `list_position(dists, list_min(dists))` replay semantics). */
+  def encode(v: ArrayData, cb: Array[Double], m: Int, k: Int, subDim: Int): ArrayData = {
+    val n = v.numElements()
+    if (n != m * subDim) {
+      throw new IllegalArgumentException(
+        s"vector length $n does not match m*subDim = ${m * subDim}")
+    }
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        var d = 0.0
+        var i = 0
+        val off = (j * k + c) * subDim
+        while (i < subDim) {
+          val diff = v.getFloat(j * subDim + i).toDouble - cb(off + i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC lookup sum: per-subspace table entries added in subspace order. */
+  def adc(code: ArrayData, table: Array[Double], m: Int, k: Int): Double = {
+    if (code.numElements() != m) {
+      throw new IllegalArgumentException(
+        s"code length ${code.numElements()} does not match m = $m")
+    }
+    var s = 0.0
+    var j = 0
+    while (j < m) { s += table(j * k + code.getInt(j)); j += 1 }
+    s
+  }
+}
+
+case class PqEncode(child: Expression, codebook: Array[Double], m: Int, k: Int, subDim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    PqKernels.encode(a.asInstanceOf[ArrayData], codebook, m, k, subDim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    defineCodeGen(ctx, ev,
+      x => s"graft.functions.PqKernels.encode($x, $cb, $m, $k, $subDim)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "pq_encode"
+}
+
+case class PqAdc(child: Expression, table: Array[Double], m: Int, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any): Any =
+    PqKernels.adc(a.asInstanceOf[ArrayData], table, m, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("pqTable", table, "double[]")
+    defineCodeGen(ctx, ev, x => s"graft.functions.PqKernels.adc($x, $t, $m, $k)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "pq_adc"
+}
