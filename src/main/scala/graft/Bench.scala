@@ -60,7 +60,7 @@ object Bench {
       "agg_pricing_summary", "join_top_customers", "events_window_agg",
       "events_per_user",
       "text_bm25", "text_bm25_indexed", "search_hybrid", "q_quantized_topk",
-      "q_pq_topk", "dedup_spans")
+      "q_pq_topk", "q_ivfpq_topk", "dedup_spans")
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try {

@@ -590,8 +590,27 @@ object SparkEntry {
       val enc = graft.ops.Pq.encode(t(s, dir, "embeddings"), "embedding", cb)
       graft.ops.Pq.adcTopK(enc, cb, vec(s, dir, 0), k = 10, idCol = "vec_id")
         .select(col("vec_id"), round(col("qsim"), 4).as("qsim"))
+    }),
+
+    // ---- IVF-PQ ADC top-k (FAISS IVFPQ shape): coarse cell + residual
+    // codes, one fused encode kernel; probing ALL cells makes the full
+    // ADC ordering the oracle-checkable result. Seeded cells + codebook
+    // ⇒ literal replay. ----
+    "q_ivfpq_topk" -> ((s, dir) => {
+      val cb = graft.ops.Pq.randomCodebook(dim = 64, m = 8, k = 16, seed = 7L)
+      val idx = graft.ops.IvfPq.fromParams(t(s, dir, "embeddings"),
+        "embedding", "vec_id", gateIvfPqCells, cb)
+      idx.topK(vec(s, dir, 0), k = 10, nprobe = gateIvfPqCells.length)
+        .select(col("vec_id"), round(col("qsim"), 4).as("qsim"))
     })
   )
+
+  /** Deterministic cell centroids for the q_ivfpq_topk gate (seed 11,
+    * nlist=4, d=64) — shared by the Spark side and the generated oracle. */
+  private lazy val gateIvfPqCells: Array[Array[Double]] = {
+    val rnd = new java.util.Random(11L)
+    Array.fill(4)(Array.fill(64)(rnd.nextDouble() * 2 - 1))
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_filter_contains" ->
@@ -1092,6 +1111,11 @@ object SparkEntry {
         |ORDER BY list_dot_product(qv, (SELECT qqv FROM q)) * sc * (SELECT qsc FROM q) DESC, vec_id
         |LIMIT 10""".stripMargin,
 
+    // IVF-PQ replayed with literal cell centroids + codebook: argmax
+    // cell dot (list_position of list_max == the kernel's strict-> scan),
+    // double residual, PQ encode of the residual, score = q·cell + ADC.
+    "q_ivfpq_topk" -> ivfPqTopKOracleSql,
+
     // PQ replayed with literal centroids (cf. the LSH hyperplane oracle):
     // same double squared-L2 encode with first-minimum tie-break
     // (list_position of list_min == the kernel's strict-< scan), same
@@ -1143,6 +1167,52 @@ object SparkEntry {
        |    $codeCols
        |  FROM e),
        |sc AS (SELECT vec_id, $terms AS qsim FROM enc, q)
+       |SELECT vec_id, round(sc.qsim, 4) AS qsim FROM sc
+       |ORDER BY sc.qsim DESC, sc.vec_id LIMIT 10""".stripMargin
+  }
+
+  /** DuckDB oracle for q_ivfpq_topk: same seeded cells/codebook as the
+    * Spark side, encode and scoring replayed with literal parameters. */
+  private lazy val ivfPqTopKOracleSql: String = {
+    val cb = graft.ops.Pq.randomCodebook(dim = 64, m = 8, k = 16, seed = 7L)
+    val cellsLit = gateIvfPqCells.map(_.mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    val cellDots = gateIvfPqCells.indices.map(c =>
+      s"list_dot_product(v, ($cellsLit)[${c + 1}])").mkString("[", ",\n      ", "]")
+    def cbLit(j: Int): String = (0 until cb.k).map { c =>
+      cb.centroid(j, c).mkString("[", ", ", "]")
+    }.mkString("[", ", ", "]")
+    def dists(j: Int): String = {
+      val o = j * cb.subDim
+      s"[ list_sum([ (r[$o+i]-c[i])*(r[$o+i]-c[i]) " +
+        s"FOR i IN range(1,${cb.subDim + 1}) ]) FOR c IN ${cbLit(j)} ]"
+    }
+    val codeCols = (0 until cb.m).map(j =>
+      s"list_position(${dists(j)}, list_min(${dists(j)})) AS c$j").mkString(",\n    ")
+    val terms = (0 until cb.m).map { j =>
+      val o = j * cb.subDim
+      s"list_dot_product(qv[${o + 1}:${o + cb.subDim}], (${cbLit(j)})[c$j])"
+    }.mkString("\n    + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |asg AS (
+       |  SELECT vec_id, v,
+       |    list_position($cellDots,
+       |      list_max($cellDots)) AS cell
+       |  FROM e),
+       |res AS (
+       |  SELECT vec_id, cell,
+       |    [ v[i] - (($cellsLit)[cell])[i] FOR i IN range(1, ${cb.dim + 1}) ] AS r
+       |  FROM asg),
+       |enc AS (
+       |  SELECT vec_id, cell,
+       |    $codeCols
+       |  FROM res),
+       |sc AS (
+       |  SELECT vec_id,
+       |    list_dot_product(qv, ($cellsLit)[cell])
+       |    + $terms AS qsim
+       |  FROM enc, q)
        |SELECT vec_id, round(sc.qsim, 4) AS qsim FROM sc
        |ORDER BY sc.qsim DESC, sc.vec_id LIMIT 10""".stripMargin
   }

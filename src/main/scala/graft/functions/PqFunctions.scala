@@ -35,6 +35,20 @@ object PqFunctions {
     * `[m][k]` (per-subspace query·centroid dot products). */
   def pq_adc(code: Column, table: Array[Double], m: Int, k: Int): Column =
     column(PqAdc(expr(code), table, m, k))
+
+  /** Fused IVF-PQ encode: cell = argmax dot against `cells` (flat
+    * `[nlist][dim]`), then PQ-encode the residual v − cell_centroid.
+    * Returns struct(cell int, code array<int>). */
+  def ivfpq_encode(vec: Column, cells: Array[Double], nlist: Int,
+      codebook: Array[Double], m: Int, k: Int, subDim: Int): Column =
+    column(IvfPqEncode(expr(vec), cells, nlist, codebook, m, k, subDim))
+
+  /** IVF-PQ ADC score: cellDots[cell] + Σ_j table[j][code_j] — the
+    * query·cell-centroid part plus the residual lookup sum, added in
+    * that fixed order. */
+  def ivfpq_adc(enc: Column, cellDots: Array[Double],
+      table: Array[Double], m: Int, k: Int): Column =
+    column(IvfPqAdc(expr(enc), cellDots, table, m, k))
 }
 
 /** Static kernels shared by interpreted eval and generated code. */
@@ -84,6 +98,61 @@ object PqKernels {
     while (j < m) { s += table(j * k + code.getInt(j)); j += 1 }
     s
   }
+
+  /** Cell argmax (double dot, strict > ⇒ first maximum wins), residual in
+    * double, then the standard PQ encode of the residual. */
+  def ivfpqEncode(v: ArrayData, cells: Array[Double], nlist: Int,
+      cb: Array[Double], m: Int, k: Int,
+      subDim: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val dim = m * subDim
+    val n = v.numElements()
+    if (n != dim) {
+      throw new IllegalArgumentException(
+        s"vector length $n does not match m*subDim = $dim")
+    }
+    var cell = 0
+    var bestS = Double.NegativeInfinity
+    var c = 0
+    while (c < nlist) {
+      var s = 0.0; var i = 0
+      val off = c * dim
+      while (i < dim) { s += v.getFloat(i).toDouble * cells(off + i); i += 1 }
+      if (s > bestS) { bestS = s; cell = c }
+      c += 1
+    }
+    val res = new Array[Double](dim)
+    val coff = cell * dim
+    var i = 0
+    while (i < dim) { res(i) = v.getFloat(i).toDouble - cells(coff + i); i += 1 }
+    val code = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var cc = 0
+      while (cc < k) {
+        var d = 0.0
+        var ii = 0
+        val off = (j * k + cc) * subDim
+        while (ii < subDim) {
+          val diff = res(j * subDim + ii) - cb(off + ii)
+          d += diff * diff
+          ii += 1
+        }
+        if (d < bestD) { bestD = d; best = cc }
+        cc += 1
+      }
+      code(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](cell, new GenericArrayData(code)))
+  }
+
+  /** cellDots[cell] + residual ADC, in that order. */
+  def ivfpqAdc(enc: org.apache.spark.sql.catalyst.InternalRow,
+      cellDots: Array[Double], table: Array[Double], m: Int, k: Int): Double =
+    cellDots(enc.getInt(0)) + adc(enc.getArray(1), table, m, k)
 }
 
 case class PqEncode(child: Expression, codebook: Array[Double], m: Int, k: Int, subDim: Int)
@@ -111,4 +180,39 @@ case class PqAdc(child: Expression, table: Array[Double], m: Int, k: Int)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "pq_adc"
+}
+
+case class IvfPqEncode(child: Expression, cells: Array[Double], nlist: Int,
+    codebook: Array[Double], m: Int, k: Int, subDim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("code", ArrayType(IntegerType, containsNull = false), nullable = false)))
+  override def nullSafeEval(a: Any): Any =
+    PqKernels.ivfpqEncode(a.asInstanceOf[ArrayData], cells, nlist, codebook, m, k, subDim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ce = ctx.addReferenceObj("ivfpqCells", cells, "double[]")
+    val cb = ctx.addReferenceObj("ivfpqCodebook", codebook, "double[]")
+    defineCodeGen(ctx, ev, x =>
+      s"graft.functions.PqKernels.ivfpqEncode($x, $ce, $nlist, $cb, $m, $k, $subDim)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "ivfpq_encode"
+}
+
+case class IvfPqAdc(child: Expression, cellDots: Array[Double],
+    table: Array[Double], m: Int, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any): Any =
+    PqKernels.ivfpqAdc(a.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow],
+      cellDots, table, m, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cd = ctx.addReferenceObj("ivfpqCellDots", cellDots, "double[]")
+    val t = ctx.addReferenceObj("ivfpqTable", table, "double[]")
+    defineCodeGen(ctx, ev, x =>
+      s"graft.functions.PqKernels.ivfpqAdc($x, $cd, $t, $m, $k)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "ivfpq_adc"
 }

@@ -55,17 +55,29 @@ object Pq {
       k: Int = 16,
       sampleSize: Int = 10000,
       iters: Int = 10): Codebook = {
-    require(dim % m == 0, "dim must be divisible by m")
-    val subDim = dim / m
     val sample = df.select(col(vecCol)).filter(col(vecCol).isNotNull)
       .limit(sampleSize).collect()
-      .map(_.getSeq[Float](0).toArray)
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    trainOnSamples(sample, dim, m, k, iters)
+  }
+
+  /** Per-subspace Lloyd on in-memory samples — shared by [[train]] and
+    * the IVF-PQ residual training. Deterministic: first-k init, fixed
+    * iterations, double math. */
+  def trainOnSamples(
+      sample: Array[Array[Double]],
+      dim: Int,
+      m: Int,
+      k: Int,
+      iters: Int = 10): Codebook = {
+    require(dim % m == 0, "dim must be divisible by m")
+    val subDim = dim / m
     require(sample.nonEmpty, "empty training sample")
     val flat = new Array[Double](m * k * subDim)
     var j = 0
     while (j < m) {
       val subs = sample.map { v =>
-        Array.tabulate(subDim)(i => v(j * subDim + i).toDouble)
+        Array.tabulate(subDim)(i => v(j * subDim + i))
       }
       val cents = Array.tabulate(k)(c => subs(c % subs.length).clone())
       var it = 0

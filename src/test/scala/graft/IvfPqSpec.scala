@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{IvfPq, Pq, VectorSearch}
+
+class IvfPqSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = withLogLevel(
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+
+  private def qv: Array[Float] = withLogLevel(
+    emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray)
+
+  test("encode assigns the argmax-dot cell and PQ codes stay in range") {
+    val cb = Pq.randomCodebook(dim = 64, m = 8, k = 16, seed = 7L)
+    val rnd = new java.util.Random(11L)
+    val cells = Array.fill(4)(Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    val idx = IvfPq.fromParams(emb, "embedding", "vec_id", cells, cb)
+    val rows = idx.encoded.select("__cell", "__code")
+      .as[(Int, Array[Int])].collect()
+    assert(rows.forall { case (c, code) =>
+      c >= 0 && c < 4 && code.length == 8 && code.forall(x => x >= 0 && x < 16)
+    })
+    // at least two distinct cells must be populated with random planes
+    assert(rows.map(_._1).distinct.length >= 2)
+  }
+
+  test("probing all cells at high resolution approximates exact ranking") {
+    // trained index, m=16 subspaces of dim 4 → fine-grained residual codes
+    val idx = IvfPq.build(emb, "embedding", "vec_id", nlist = 4, m = 16,
+      k = 16, sampleSize = 500)
+    val approx = idx.topK(qv, k = 20, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = VectorSearch.topK(emb, "embedding", qv, 20, "vec_id",
+      precision = "f64").select("vec_id").as[Long].collect().toSet
+    assert((approx intersect exact).size >= 12,
+      s"ADC recall too low: ${(approx intersect exact).size}/20")
+  }
+
+  test("rerank returns the exact top-k when candidates cover it") {
+    val idx = IvfPq.build(emb, "embedding", "vec_id", nlist = 4, m = 16,
+      k = 16, sampleSize = 500)
+    val rr = idx.topKRerank(qv, k = 5, nprobe = 4, rerankK = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = VectorSearch.topK(emb, "embedding", qv, 5, "vec_id",
+      precision = "f64").select(col("vec_id"), col("similarity"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rr === exact)
+  }
+
+  test("save/load round-trips parameters and codes; probe prunes partitions") {
+    val cb = Pq.randomCodebook(dim = 64, m = 8, k = 16, seed = 7L)
+    val rnd = new java.util.Random(11L)
+    val cells = Array.fill(4)(Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    val idx = IvfPq.fromParams(emb, "embedding", "vec_id", cells, cb)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    idx.save(dir)
+    val re = IvfPq.load(spark, dir)
+    assert(re.nlist === 4 && re.cb.m === 8 && re.cb.k === 16)
+    assert(re.cb.flat.toSeq === cb.flat.toSeq)
+    // same ADC ranking from the reopened layout
+    val a = idx.topK(qv, 10, nprobe = 4).collect().map(_.toSeq).toSeq
+    val b = re.topK(qv, 10, nprobe = 4).collect().map(_.toSeq).toSeq
+    assert(a === b)
+    // nprobe=1 probe over the reopened layout is partition-pruned
+    val plan = re.topK(qv, 5, nprobe = 1).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__cell"),
+      s"expected partition-pruned probe:\n$plan")
+  }
+
+  test("nprobe=1 reads a strict subset and stays consistent with full probe") {
+    val idx = IvfPq.build(emb, "embedding", "vec_id", nlist = 4, m = 8,
+      k = 16, sampleSize = 500)
+    val one = idx.topK(qv, 10, nprobe = 1).select("vec_id").as[Long].collect().toSet
+    val all = idx.topK(qv, 500, nprobe = 4).select("vec_id").as[Long].collect().toSet
+    assert(one.subsetOf(all))
+  }
+}
