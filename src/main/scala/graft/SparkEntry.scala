@@ -315,6 +315,13 @@ object SparkEntry {
           Map("en" -> 0.5, "de" -> 0.25))
         .select(col("doc_id"), col("lang"))),
 
+    // ---- exact-size per-group cap: at most 50 docs per lang, kept by
+    // deterministic md5 rank via the bounded-heap aggregate (exchange
+    // carries ≤ partitions × groups × 50 rows, no window sort) ----
+    "split_cap_per_group" -> ((s, dir) =>
+      graft.ops.Splits.capPerGroup(t(s, dir, "documents"), "doc_id", "lang", 50)
+        .select(col("doc_id"), col("lang"))),
+
     // ---- corpus vocabulary: top-100 tokens by frequency (tokenizer-
     // training / frequency-filter feed; bounded top-k, no full sort) ----
     "text_vocab" -> ((s, dir) =>
@@ -901,6 +908,14 @@ object SparkEntry {
          |           WHEN lang = 'de' THEN substr(md5(doc_id::VARCHAR), 1, 4) < '$de'
          |           ELSE TRUE END""".stripMargin
     },
+
+    // Same deterministic md5 ranking as capPerGroup: the 15-hex-prefix
+    // numeric order IS the lexicographic prefix order (lowercase hex in
+    // both engines), prefix ties break by id.
+    "split_cap_per_group" ->
+      """SELECT doc_id, lang FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY substr(md5(doc_id::VARCHAR), 1, 15), doc_id) <= 50""".stripMargin,
 
     "text_vocab" ->
       """SELECT tok AS token, count(*) AS freq

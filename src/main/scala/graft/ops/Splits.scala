@@ -81,4 +81,40 @@ object Splits {
     * generator (rates ≥ 1 are handled as keep-all, never compared). */
   def rateHex(rate: Double): String =
     f"${math.min(65535L, math.round(rate * 65536.0))}%04x"
+
+  /**
+   * Exact-size per-group cap: keep AT MOST `maxPerGroup` rows of every
+   * group, chosen deterministically by md5-of-id rank (not arrival
+   * order), so the kept set is a pure function of the data — stable
+   * across engines, re-runs, and partitionings. The rate-based
+   * `downsample` keeps a FRACTION (size varies with group size); this
+   * caps an absolute budget per group — the "at most N docs per domain"
+   * dedup-adjacent rebalance step.
+   *
+   * Scale shape: the bounded-heap `TopKRows` aggregate pre-reduces
+   * map-side, so the exchange carries ≤ partitions × groups × N rows —
+   * never a full window sort over the corpus (no `row_number` pass).
+   */
+  def capPerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      maxPerGroup: Int): DataFrame = {
+    require(maxPerGroup > 0, "maxPerGroup must be > 0")
+    // rank ascending by (md5(id), id): TopKRows keeps the k LARGEST by
+    // struct order, so rank by the NEGATED comparison via a descending
+    // sort key — md5 hex strings reverse-order under string DESC. The
+    // aggregate orders (score DESC, id ASC) on its first field, so feed
+    // it a key whose DESC order is our ASC md5 order: use the bitwise
+    // complement of the first 15 md5 hex digits as a long.
+    val rankKey = -conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val kept = df
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopKAggregate.topk_rows(
+        struct(rankKey.as("__r"), col(idCol)), maxPerGroup).as("__w"))
+      .select(explode(col("__w")).as("__e"))
+      .select(col("__e").getField(idCol).as(idCol))
+    df.join(kept, Seq(idCol), "left_semi")
+  }
 }

@@ -49,4 +49,41 @@ class SplitsSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       Splits.assign(df, "id", Seq.empty))
   }
+
+  test("capPerGroup keeps exactly min(n, cap) rows per group, deterministically") {
+    import spark.implicits._
+    val df = (0L until 300L)
+      .map(i => (i, if (i % 3 == 0) "big" else if (i % 3 == 1) "mid" else "tiny"))
+      .toDF("id", "grp")
+      .filter(col("grp") =!= "mid" || col("id") < 30)   // mid: 10 rows
+      .filter(col("grp") =!= "tiny" || col("id") < 150) // tiny: 50 rows
+    val kept = Splits.capPerGroup(df, "id", "grp", 40)
+    val counts = kept.groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("big") === 40L)  // 100 rows capped to 40
+    assert(counts("mid") === 10L)  // under the cap: untouched
+    assert(counts("tiny") === 40L) // 50 capped to 40
+    // deterministic and partition-independent: same ids on a reshuffle
+    val again = Splits.capPerGroup(df.repartition(13), "id", "grp", 40)
+    assert(again.select("id").except(kept.select("id")).count() === 0L)
+    assert(kept.count() === again.count())
+    // the kept set matches an explicit md5-rank selection
+    val expected = df
+      .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+          .orderBy(substring(md5(col("id").cast("string")), 1, 15), col("id"))))
+      .filter(col("__rk") <= 40).select("id")
+    assert(kept.select("id").except(expected).count() === 0L)
+    intercept[IllegalArgumentException](Splits.capPerGroup(df, "id", "grp", 0))
+  }
+
+  test("capPerGroup plans a bounded-heap aggregate, not a window sort") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, (i % 5).toString)).toDF("id", "grp")
+    val p = Splits.capPerGroup(df, "id", "grp", 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"no window sort over the corpus:\n$p")
+    assert(p.contains("topk_rows") || p.contains("ObjectHashAggregate"),
+      s"expected the bounded-heap aggregate:\n$p")
+  }
 }
