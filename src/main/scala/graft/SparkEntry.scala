@@ -335,6 +335,19 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
           col("chunk"))),
 
+    // ---- text normalization: Unicode NFC + control-char strip (planted
+    // decomposed accents and control bytes — the corpus is plain ASCII) ----
+    "text_normalize" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text",
+        concat(col("text"), when(col("doc_id") % 5 === 0,
+          lit(" cafe\u0301 fac\u0327ade \u0007x\u001f ko\u0304an"))
+          .otherwise(lit(""))))
+      planted.select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("clean"),
+        length(TextAnalysis.normalizeText(col("text"))).cast("long")
+          .as("n_chars_clean"))
+    }),
+
     // ---- text analysis: PII redaction (emails/IPs/phones planted inside
     // the query — the synthetic corpus has none — then scrubbed) ----
     "text_redact_pii" -> ((s, dir) =>
@@ -932,6 +945,23 @@ object SparkEntry {
         |SELECT doc_id, i AS chunk_idx,
         |  array_to_string(toks[i * 25 + 1 : i * 25 + 30], ' ') AS chunk
         |FROM u""".stripMargin,
+
+    // NFC (both engines implement Unicode canonical composition) + the
+    // same control-strip regex; chr() rebuilds the planted combining
+    // marks (769 = U+0301, 807 = U+0327, 772 = U+0304) and controls.
+    "text_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 5 = 0
+        |    THEN ' cafe' || chr(769) || ' fac' || chr(807) || 'ade ' ||
+        |         chr(7) || 'x' || chr(31) || ' ko' || chr(772) || 'an'
+        |    ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(nfc_normalize(text),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS clean,
+        |  length(regexp_replace(nfc_normalize(text),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS n_chars_clean
+        |FROM d""".stripMargin,
 
     "text_redact_pii" ->
       """WITH d AS (

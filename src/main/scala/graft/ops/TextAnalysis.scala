@@ -158,6 +158,22 @@ object TextAnalysis {
         round((totChars - distinctChars) / greatest(totChars, lit(1.0)), 4))
   }
 
+  // Control characters except \t (09), \n (0a), \r (0d) — the strip set
+  // is shared (same \x escapes) between Java regex and RE2.
+  private[graft] val ControlCharPattern = """[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"""
+
+  /**
+   * Canonical text normalization before hashing/dedup: Unicode NFC
+   * (composed form — decomposed "e◌́" ⇒ "é", so byte-identical text
+   * fingerprints identically) followed by a control-character strip
+   * (everything below 0x20 except tab/newline/CR, plus DEL). Both steps
+   * are in-scan: a codegen'd kernel with an already-normalized fast path
+   * and one codegen'd regexp_replace.
+   */
+  def normalizeText(text: Column): Column =
+    regexp_replace(graft.functions.NormalizeFunctions.nfc(text),
+      ControlCharPattern, "")
+
   /** Stable content fingerprint (md5 hex — portable across engines). */
   def fingerprint(text: Column): Column = md5(text)
 

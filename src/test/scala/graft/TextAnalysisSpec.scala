@@ -155,4 +155,26 @@ class TextAnalysisSpec extends SparkSuite {
     assert(row.getAs[Int]("n_chars_q") === 26)
     assert(row.getAs[Double]("caps_word_ratio") === 0.4) // WORLD, ALL
   }
+
+  test("normalizeText composes NFC and strips control chars") {
+    val df = Seq(
+      (1, "cafe\u0301"),            // e + combining acute → é (composed)
+      (2, "café"),             // already composed — unchanged
+      (3, "a\u0007b\u001fc"),       // BEL / unit-separator stripped
+      (4, "keep\ttabs\nand\rCR"),   // whitelisted controls survive
+      (5, "plain ascii")
+    ).toDF("id", "text")
+    val r = df.select(col("id"),
+        TextAnalysis.normalizeText(col("text")).as("t"))
+      .collect().map(x => x.getInt(0) -> x.getString(1)).toMap
+    assert(r(1) === "caf\u00e9")
+    assert(r(1) === r(2), "decomposed and composed must normalize equal")
+    assert(r(3) === "abc")
+    assert(r(4) === "keep\ttabs\nand\rCR")
+    assert(r(5) === "plain ascii")
+    // the dedup consequence: identical after normalization ⇒ same md5
+    val fps = df.select(md5(TextAnalysis.normalizeText(col("text"))))
+      .collect().map(_.getString(0))
+    assert(fps(0) === fps(1))
+  }
 }
