@@ -55,7 +55,8 @@ object GraftExtensions {
       litInt(args(1), "minhash_signature"), litInt(args(2), "minhash_signature"))),
     ("shingle_hashes", 2, args =>
       ShingleHashes(args(0), litInt(args(1), "shingle_hashes"))),
-    ("jaccard_sorted", 2, args => JaccardSorted(args(0), args(1))))
+    ("jaccard_sorted", 2, args => JaccardSorted(args(0), args(1))),
+    ("nfc_normalize", 1, args => NfcNormalize(args(0))))
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -42,6 +42,8 @@ class GraftExtensionsSpec extends SparkSuite {
     val e = intercept[Exception](spark.sql(
       "SELECT shingle_hashes(split('a', ' '), 1 + 1)").collect())
     assert(e.getMessage.contains("integer literal"))
+    val nfc = spark.sql("SELECT nfc_normalize('cafe\u0301')").head().getString(0)
+    assert(nfc === "caf\u00e9")
   }
 
   test("arity errors are clear") {
