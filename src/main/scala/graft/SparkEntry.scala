@@ -448,6 +448,18 @@ object SparkEntry {
           sum(round(col("value") * 100).cast("long")).cast("double")
             .divide(100.0).as("sum_value"))),
 
+    // ---- events: SLIDING (hopping) windows — 2-minute windows every
+    // minute, so each event lands in exactly two epoch-aligned windows;
+    // the overlap factor is bounded by width/slide, not corpus size ----
+    "events_sliding_agg" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "2 minutes", "1 minute"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).cast("double")
+            .divide(100.0).as("sum_value"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))),
+
     // ---- events: sessionization-lite — per-user event counts + value ----
     "events_per_user" -> ((s, dir) =>
       events(s, dir)
@@ -1047,6 +1059,18 @@ object SparkEntry {
         |  sum(round(value * 100)::BIGINT) / 100.0 AS sum_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+
+    // A 2-min/1-min hop assigns each event to its truncated minute and
+    // the minute before — epoch alignment matches Spark's window().
+    "events_sliding_agg" ->
+      """WITH w AS (
+        |  SELECT unnest([date_trunc('minute', ts),
+        |                 date_trunc('minute', ts) - INTERVAL 1 MINUTE]) AS w_start,
+        |    event_type, value
+        |  FROM events)
+        |SELECT w_start, event_type, count(*) AS n,
+        |  sum(round(value * 100)::BIGINT) / 100.0 AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
 
     "events_per_user" ->
       """SELECT user_id, count(*) AS n_events,

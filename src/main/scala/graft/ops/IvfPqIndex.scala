@@ -139,6 +139,10 @@ final class IvfPqIndex private[ops] (
     * only). */
   def topKRerank(queryVec: Array[Float], k: Int, nprobe: Int, rerankK: Int): DataFrame = {
     require(rerankK >= k, "rerankK must be >= k")
+    require(encoded.columns.contains(vecCol),
+      s"re-rank needs the float column '$vecCol', which the durable layout " +
+        "does not store — re-rank against the source table, or use an index " +
+        "built in-session via IvfPq.build/fromParams")
     val cand = topK(queryVec, rerankK, nprobe).select(idCol)
     val exact = encoded.join(broadcast(cand), Seq(idCol), "left_semi")
     VectorSearch.topK(exact, vecCol, queryVec, k, idCol, precision = "f64")
