@@ -1143,17 +1143,21 @@ object SparkEntry {
     // +1 floor, same parenthesization (k1 = 1.5, b = 0.75 ⇒ every derived
     // constant is written as the exact literal Spark computes), terms
     // added in the same fixed order.
+    // WHERE/ORDER BY qualify sc.score: a bare `score` would bind to the
+    // SELECT alias (the ROUNDED copy) in DuckDB, flipping rows at the
+    // cutoff whenever two scores round equal — Spark filters/orders on
+    // the unrounded value.
     "text_bm25" -> (bm25ScoredSql +
       """
-        |SELECT doc_id, round(score, 4) AS score FROM sc
-        |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+        |SELECT doc_id, round(sc.score, 4) AS score FROM sc
+        |WHERE sc.score > 0 ORDER BY sc.score DESC, doc_id LIMIT 20""".stripMargin),
 
     // The indexed probe is bit-identical to the scan-based text_bm25
     // (TermIndexSpec pins the equality), so it shares the oracle.
     "text_bm25_indexed" -> (bm25ScoredSql +
       """
-        |SELECT doc_id, round(score, 4) AS score FROM sc
-        |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+        |SELECT doc_id, round(sc.score, 4) AS score FROM sc
+        |WHERE sc.score > 0 ORDER BY sc.score DESC, doc_id LIMIT 20""".stripMargin),
 
     "search_hybrid" -> (bm25ScoredSql +
       """,
@@ -1170,8 +1174,8 @@ object SparkEntry {
         |f AS (SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
         |        coalesce(1.0 / (60.0 + b.r), 0) + coalesce(1.0 / (60.0 + v.r), 0) AS rrf
         |      FROM bmr b FULL OUTER JOIN vsr v ON b.doc_id = v.doc_id)
-        |SELECT doc_id, round(rrf, 4) AS rrf FROM f
-        |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin),
+        |SELECT doc_id, round(f.rrf, 4) AS rrf FROM f
+        |ORDER BY f.rrf DESC, doc_id LIMIT 15""".stripMargin),
 
     // Int8 quantization is exact integer arithmetic after a shared
     // rounding convention (HALF_UP == round-away-from-zero in both

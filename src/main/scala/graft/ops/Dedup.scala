@@ -374,6 +374,11 @@ object Dedup {
    * per-doc rollup is a semi-join on the hash + one count. Text never
    * shuffles. Docs shorter than `n` tokens contribute their whole token
    * stream as a single gram (same convention as `ngramContamination`).
+   *
+   * Cache lifecycle: the gram frame persists for the session (same
+   * policy as the signature caches above) — Spark evicts it LRU under
+   * memory pressure; long-lived sessions issuing many distinct
+   * `duplicatedSpans` calls can clear it via `spark.catalog.clearCache`.
    */
   def duplicatedSpans(
       df: DataFrame,

@@ -42,8 +42,10 @@ object IvfPq {
     val cellsF = IvfIndex.trainCentroids(df, vecCol, nlist, sampleSize, seed = seed)
     val dim = cellsF.head.length
     val cells = cellsF.map(_.map(_.toDouble))
+    // deterministic sample (see Pq.train): sorted-take, not first-arrived
     val sample = df.select(col(vecCol)).filter(col(vecCol).isNotNull)
-      .limit(sampleSize).collect().map(_.getSeq[Float](0).toArray)
+      .orderBy(col(vecCol)).limit(sampleSize).collect()
+      .map(_.getSeq[Float](0).toArray)
     val residuals = sample.map { v =>
       var best = 0; var bestS = Double.NegativeInfinity
       var c = 0
@@ -119,12 +121,13 @@ final class IvfPqIndex private[ops] (
    */
   def topK(queryVec: Array[Float], k: Int, nprobe: Int): DataFrame = {
     require(k > 0 && nprobe > 0, "need k > 0 and nprobe > 0")
+    // adcTable first: it validates the query length before cellDots
+    // would index out of bounds. The residual table is built against the
+    // RAW query: q·decode(code) terms use the same codebook the
+    // residuals were encoded with.
+    val table = Pq.adcTable(queryVec, cb)
     val dots = cellDots(queryVec)
     val probed = dots.zipWithIndex.sortBy(-_._1).map(_._2).take(nprobe)
-    val table = Pq.adcTable(
-      // residual table is built against the RAW query: q·decode(code)
-      // terms use the same codebook the residuals were encoded with
-      queryVec, cb)
     encoded
       .filter(col("__cell").isInCollection(probed.toIndexedSeq))
       .withColumn("qsim",
@@ -143,10 +146,8 @@ final class IvfPqIndex private[ops] (
       s"re-rank needs the float column '$vecCol', which the durable layout " +
         "does not store — re-rank against the source table, or use an index " +
         "built in-session via IvfPq.build/fromParams")
-    val cand = topK(queryVec, rerankK, nprobe).select(idCol)
-    val exact = encoded.join(broadcast(cand), Seq(idCol), "left_semi")
-    VectorSearch.topK(exact, vecCol, queryVec, k, idCol, precision = "f64")
-      .select(col(idCol), col("similarity"))
+    VectorSearch.exactRerank(encoded, vecCol, idCol,
+      topK(queryVec, rerankK, nprobe), queryVec, k)
   }
 
   /** Durable layout: codes `partitionBy(__cell)` + a parameter sidecar.

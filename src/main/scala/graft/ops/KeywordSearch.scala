@@ -24,7 +24,10 @@ object KeywordSearch {
   /** Corpus-level BM25 statistics for a fixed query-term list. */
   final case class Bm25Stats(nDocs: Long, avgDl: Double, docFreq: Map[String, Long])
 
-  private def toks(textCol: Column): Column = split(lower(textCol), " ")
+  // The ONE tokenization convention (shared with Dedup and TermIndex):
+  // the scan/index bit-identity guarantee and the shared oracle depend
+  // on all three using the same function.
+  private def toks(textCol: Column): Column = Dedup.tokens(textCol)
 
   /** One scalar aggregate over the corpus: document count, total token
     * count (for avgdl), and per-query-term document frequency. */

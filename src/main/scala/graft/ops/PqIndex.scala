@@ -55,8 +55,12 @@ object Pq {
       k: Int = 16,
       sampleSize: Int = 10000,
       iters: Int = 10): Codebook = {
+    // orderBy before limit: a bare limit takes whichever partitions answer
+    // first, so the codebook would vary across runs/layouts — sorting by
+    // the vector value makes the sample (and the codebook) a pure
+    // function of the data, as the replayability contract requires.
     val sample = df.select(col(vecCol)).filter(col(vecCol).isNotNull)
-      .limit(sampleSize).collect()
+      .orderBy(col(vecCol)).limit(sampleSize).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     trainOnSamples(sample, dim, m, k, iters)
   }
@@ -173,9 +177,7 @@ object Pq {
       idCol: String,
       rerankK: Int): DataFrame = {
     require(rerankK >= k, "rerankK must be >= k")
-    val cand = adcTopK(encoded, cb, queryVec, rerankK, idCol).select(idCol)
-    val exact = encoded.join(broadcast(cand), Seq(idCol), "left_semi")
-    VectorSearch.topK(exact, vecCol, queryVec, k, idCol, precision = "f64")
-      .select(col(idCol), col("similarity"))
+    VectorSearch.exactRerank(encoded, vecCol, idCol,
+      adcTopK(encoded, cb, queryVec, rerankK, idCol), queryVec, k)
   }
 }

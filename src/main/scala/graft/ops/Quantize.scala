@@ -69,8 +69,14 @@ object Quantize {
     require(k > 0, "k must be > 0")
     val (qq, qs) = quantizeQuery(queryVec)
     val qlit = array(qq.map(v => lit(v)): _*)
-    df.withColumn("qsim",
-        qdot(col("qvec"), qlit).cast("double") * col("qscale") * lit(qs))
+    // in-scan length check: zip_with would silently null-pad a mismatched
+    // query and return k rows of null scores
+    val score = when(size(col("qvec")) =!= lit(qq.length),
+        raise_error(concat(
+          lit(s"query length ${qq.length} does not match qvec length "),
+          size(col("qvec")).cast("string"))).cast("double"))
+      .otherwise(qdot(col("qvec"), qlit).cast("double") * col("qscale") * lit(qs))
+    df.withColumn("qsim", score)
       .orderBy(desc("qsim"), asc(idCol))
       .limit(k)
       .select(col(idCol), col("qsim"))
@@ -92,9 +98,7 @@ object Quantize {
       idCol: String,
       rerankK: Int): DataFrame = {
     require(rerankK >= k, "rerankK must be >= k")
-    val cand = quantizedTopK(df, queryVec, rerankK, idCol).select(idCol)
-    val exact = df.join(broadcast(cand), Seq(idCol), "left_semi")
-    VectorSearch.topK(exact, vecCol, queryVec, k, idCol, precision = "f64")
-      .select(col(idCol), col("similarity"))
+    VectorSearch.exactRerank(df, vecCol, idCol,
+      quantizedTopK(df, queryVec, rerankK, idCol), queryVec, k)
   }
 }

@@ -52,9 +52,11 @@ object TermIndex {
       idCol: String,
       path: String): TermIndexState = {
     val spark = docs.sparkSession
+    // Dedup.tokens = the shared tokenization convention; the bit-identity
+    // with KeywordSearch.bm25TopK depends on using the same function.
     val toks = docs.select(col(idCol).as("doc"),
-      explode(split(lower(col(textCol)), " ")).as("token"),
-      size(split(col(textCol), " ")).cast("long").as("dl"))
+      explode(Dedup.tokens(col(textCol))).as("token"),
+      size(Dedup.tokens(col(textCol))).cast("long").as("dl"))
     val tf = toks.groupBy("token", "doc")
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))

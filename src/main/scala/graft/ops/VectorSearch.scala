@@ -22,6 +22,22 @@ import graft.functions.VectorFunctions.{cosine_sim, dot_const_f32, dot_f32, dot_
  */
 object VectorSearch {
 
+  /** Exact f64 re-rank of a (small) candidate id set: semi-join the float
+    * column back for candidates only, then the standard bounded top-k.
+    * Shared by the int8 / PQ / IVF-PQ first-pass tiers. */
+  def exactRerank(
+      df: org.apache.spark.sql.DataFrame,
+      vecCol: String,
+      idCol: String,
+      candidates: org.apache.spark.sql.DataFrame,
+      queryVec: Array[Float],
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val exact = df.join(broadcast(candidates.select(idCol)), Seq(idCol), "left_semi")
+    topK(exact, vecCol, queryVec, k, idCol, precision = "f64")
+      .select(col(idCol), col("similarity"))
+  }
+
   /** Score every row against `queryVec`; precision "f32" matches the
     * reference kernel (vector.go:14-26), "f64" is oracle-friendly. */
   def scored(

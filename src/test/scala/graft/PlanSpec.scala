@@ -164,6 +164,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("sliding windows expand rows map-side, then partial+final aggregate") {
+    val p = plan("events_sliding_agg")
+    // row amplification (width/slide = 2×) happens in the scan stage via
+    // Expand/Generate, followed by a map-side partial aggregate — never a
+    // corpus join or per-window shuffle
+    assert(p.contains("Expand") || p.contains("Generate"), p)
+    assert(countOccurrences(p, "HashAggregate") >= 2,
+      s"expected partial+final aggregate:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("duplicated-span profile shuffles gram hashes, never text") {
     val p = plan("dedup_spans")
     assert(p.contains("left_semi") || p.contains("LeftSemi"), p)
