@@ -425,6 +425,22 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // ---- salted skew join: output is salt-INVARIANT (each left row
+    // joins the replicated right side whatever its salt), so the plain
+    // join is an exact oracle — the salting only changes the shuffle
+    // key space from `okey` to (okey, salt), spreading hot keys over
+    // saltFactor reducers ----
+    "join_salted" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"),
+          round(col("l_quantity") * 100).cast("long").as("qty_centi"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      graft.ops.SkewJoin.saltedJoin(li, ord, "okey", saltFactor = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), (sum(col("qty_centi")) / 100.0).as("sum_qty"))
+    }),
+
     // ---- relational: broadcast join + top-k by revenue ----
     // Aggregation pushed BELOW the join: lineitem pre-aggregates exact
     // integer-cents revenue per order (map-side partial combine shrinks
@@ -1054,6 +1070,12 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "join_salted" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  sum(round(l_quantity * 100)::BIGINT) / 100.0 AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     "join_top_customers" ->
       """SELECT c_custkey, c_name,
