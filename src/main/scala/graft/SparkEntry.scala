@@ -73,7 +73,9 @@ object SparkEntry {
     val e = t(spark, dir, "events")
     e.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        e.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        // integer DIV, not `/`: double division on ~1.7e18 ns values loses
+        // sub-µs bits (53-bit mantissa) and shifts some rows by ±1 µs
+        e.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case _ => e
     }
   }
@@ -494,6 +496,50 @@ object SparkEntry {
           sum(round(col("value") * 100).cast("long")).cast("double")
             .divide(100.0).as("sum_value"))),
 
+    // ---- events: point-in-time (as-of) join — each purchase picks the
+    // user's most recent click at-or-before it. Plan is union + ONE hash
+    // exchange + sort + running last() window (no join operator at all);
+    // AsofJoinSpec pins that shape ----
+    "join_asof" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("value_cents"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      graft.ops.AsofJoin.asofJoin(
+          purchases, clicks, key = "user_id", leftTime = "ts",
+          rightTime = "click_ts", rightCols = Seq("click_id", "click_ts"),
+          tieBreak = Some("click_id"), joinType = "inner")
+        .select(col("event_id"), col("user_id"), col("value_cents"),
+          col("click_id"), col("click_ts"))
+    }),
+
+    // ---- events: binned range join — attribute each click to the error
+    // bursts ([error_ts, +6h)) it falls inside, per user. A bare
+    // inequality join would plan BroadcastNestedLoop (O(|errors|·|clicks|)
+    // comparisons); binning by the window width turns it into a plain
+    // equi-join on (user, bin) with ≤2 replicas per interval —
+    // RangeJoinSpec pins the no-nested-loop plan ----
+    "join_range" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val sixHoursUs = 6L * 3600 * 1000000
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"),
+          unix_micros(col("ts")).as("err_us"),
+          (unix_micros(col("ts")) + sixHoursUs).as("err_end_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("click_us"))
+      graft.ops.RangeJoin.binnedRangeJoin(
+          clicks, errors, key = "user_id", pointCol = "click_us",
+          startCol = "err_us", endCol = "err_end_us",
+          binWidth = sixHoursUs)
+        .select(col("err_id"), col("click_id"), col("user_id"),
+          (col("click_us") - col("err_us")).as("delta_us"))
+    }),
+
     // ---- relational: multiway broadcast join over the dim hierarchy ----
     "join_multiway" -> ((s, dir) => {
       val sup = t(s, dir, "supplier")
@@ -537,6 +583,16 @@ object SparkEntry {
         col("vec_id"),
         round(col("embedding").getItem(0).cast("double") /
           graft.functions.VectorFunctions.l2_norm(col("embedding")), 4).as("e0"))),
+
+    // ---- embedding pooling: per-label mean vectors (class prototypes).
+    // Elements scale to exact longs in-scan, the vector_sum_long aggregate
+    // carries ONE fixed-size array per (partition, label) over the
+    // exchange (no posexplode row blow-up), and the division back happens
+    // once per output cell — deterministic under any partitioning
+    // (PoolingSpec pins both the plan and the partitioning invariance) ----
+    "emb_centroids" -> ((s, dir) =>
+      graft.ops.Pooling.centroids(
+        t(s, dir, "embeddings"), "embedding", "label")),
 
     // ---- multimodal: binary decode -> feature-extract pipeline (real
     // grid-moment kernel for rasters, histogram fallback otherwise; the
@@ -1114,6 +1170,27 @@ object SparkEntry {
         |FROM events
         |GROUP BY user_id""".stripMargin,
 
+    // DuckDB's native ASOF JOIN replays the operator exactly: the events
+    // table has no (user_id, ts) collisions at any SF, so the
+    // greatest-click-at-or-before pick is unique on both engines. The gate
+    // runs the inner variant (null-free output — the driver compare hashes
+    // values); left-join null semantics are pinned in AsofJoinSpec.
+    "join_asof" ->
+      """SELECT p.event_id, p.user_id,
+        |  round(p.value * 100)::BIGINT AS value_cents,
+        |  c.event_id AS click_id, c.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "join_range" ->
+      """SELECT e.event_id AS err_id, c.event_id AS click_id, e.user_id,
+        |  epoch_us(c.ts) - epoch_us(e.ts) AS delta_us
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id
+        |  AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 6 HOUR""".stripMargin,
+
     "join_multiway" ->
       """SELECT r_name, count(*) AS n_sup
         |FROM supplier
@@ -1148,6 +1225,18 @@ object SparkEntry {
         |  round(embedding[1]::DOUBLE /
         |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS e0
         |FROM embeddings""".stripMargin,
+
+    // Parallel unnests zip values with 0-based positions; the scaled-long
+    // sum replays the exact integer arithmetic of the Spark aggregate.
+    "emb_centroids" ->
+      """SELECT label, pos,
+        |  sum(round(e * 10000000)::BIGINT) / (10000000 * count(*)) AS c
+        |FROM (
+        |  SELECT label,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |    unnest(embedding::DOUBLE[]) AS e
+        |  FROM embeddings)
+        |GROUP BY label, pos""".stripMargin,
 
     // Every image asset must survive decode → feature-extract with a
     // dim-16 embedding: asset ids and the size of each output vector are

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Point-in-time (as-of) join — for each left row, attach the right row
+ * with the greatest `rightTime <= leftTime` (or strictly `<`) within the
+ * same key. The canonical enrichment join for event pipelines ("state of
+ * X at the moment Y happened") that Spark has no native operator for.
+ *
+ * Scale shape: NOT a join at all. Both sides are tagged and unioned, then
+ * a single hash repartition by key + one sort-within-partitions feeds a
+ * running `last(right_payload, ignoreNulls)` window. The plan is
+ * Union -> Exchange(key) -> Sort -> Window -> Filter, i.e. exactly one
+ * shuffle whose width is |left| + |right| rows of (key, time, payload) —
+ * no range explosion, no per-row right-side probe, no broadcast
+ * requirement on either side. At 100 TB this is the same cost as a
+ * groupBy over the union; a naive SQL formulation (correlated max or
+ * inequality join) degenerates to a per-key quadratic scan.
+ *
+ * Determinism: among right rows sharing (key, rightTime), the row with
+ * the greatest `tieBreak` value wins (pass one whenever right times can
+ * collide — without it the pick among exact ties is partition-order
+ * dependent, same caveat as any as-of engine).
+ */
+object AsofJoin {
+
+  /**
+   * @param left       rows to enrich; all its columns are carried through
+   * @param right      lookup side; only `rightCols` are attached
+   * @param key        equi-join key column name, present on both sides
+   * @param leftTime   event-time column on `left`
+   * @param rightTime  event-time column on `right` (cast to leftTime's type)
+   * @param rightCols  right columns to attach (must not collide with left
+   *                   column names after `suffix` is applied)
+   * @param suffix     appended to attached right column names
+   * @param inclusive  true: match rightTime <= leftTime; false: strict <
+   * @param tieBreak   right column breaking exact rightTime ties (max wins)
+   * @param joinType   "left" keeps unmatched left rows with nulls; "inner"
+   *                   drops them
+   */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[String],
+      suffix: String = "",
+      inclusive: Boolean = true,
+      tieBreak: Option[String] = None,
+      joinType: String = "left"): DataFrame = {
+    require(rightCols.nonEmpty, "rightCols must be non-empty")
+    require(Seq("left", "inner").contains(joinType.toLowerCase),
+      s"asofJoin supports left/inner, not '$joinType'")
+    require(left.columns.contains(key) && left.columns.contains(leftTime),
+      s"left side must have '$key' and '$leftTime'")
+    require(right.columns.contains(key) && right.columns.contains(rightTime),
+      s"right side must have '$key' and '$rightTime'")
+    val attached = rightCols.map(_ + suffix)
+    val collisions = attached.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"attached right columns collide with left columns: $collisions — use suffix")
+
+    val timeType = left.schema(leftTime).dataType
+    val lpayType = left.select(struct(left.columns.map(col): _*)).schema.head.dataType
+    val rpayType = right.select(struct(rightCols.map(col): _*)).schema.head.dataType
+    val tbType = tieBreak.map(c => right.schema(c).dataType)
+      .getOrElse(org.apache.spark.sql.types.LongType)
+
+    // Sort position of right rows relative to an equal-time left row:
+    // before it (0 < 1) when the match is inclusive, after it (2 > 1)
+    // when strict — the running last() then in/excludes equal-time rows.
+    val rightSide = if (inclusive) 0 else 2
+
+    val lTagged = left.select(
+      col(key).as("__k"),
+      col(leftTime).as("__t"),
+      lit(1).as("__side"),
+      lit(null).cast(tbType).as("__tb"),
+      struct(left.columns.map(col): _*).as("__lpay"),
+      lit(null).cast(rpayType).as("__rpay"))
+    val rTagged = right.select(
+      col(key).as("__k"),
+      col(rightTime).cast(timeType).as("__t"),
+      lit(rightSide).as("__side"),
+      tieBreak.map(col).getOrElse(lit(0L)).cast(tbType).as("__tb"),
+      lit(null).cast(lpayType).as("__lpay"),
+      struct(rightCols.map(col): _*).as("__rpay"))
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = lTagged.unionByName(rTagged)
+      .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val kept = if (joinType.toLowerCase == "inner")
+      filled.filter(col("__match").isNotNull) else filled
+
+    val outCols: Seq[Column] =
+      left.columns.toSeq.map(c => col(s"__lpay.$c").as(c)) ++
+        rightCols.map(c => col(s"__match.$c").as(c + suffix))
+    kept.select(outCols: _*)
+  }
+}

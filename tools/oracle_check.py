@@ -6,6 +6,7 @@ Usage: oracle_check.py <sfDir> <verifyOutDir>
 """
 import json, math, os, sys
 import duckdb
+import pandas as pd
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -55,9 +56,11 @@ for name in sorted(os.listdir(out_dir)):
     for c in sc:
         av, bv = a[c].tolist(), b[c].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
-            same = (x == y) or (
-                isinstance(x, float) and isinstance(y, float) and
-                (math.isnan(x) and math.isnan(y) or abs(x - y) < 1e-12))
+            xna, yna = pd.isna(x), pd.isna(y)
+            same = (xna and yna) or (not xna and not yna and (
+                (x == y) or (
+                    isinstance(x, float) and isinstance(y, float) and
+                    abs(x - y) < 1e-12)))
             if not same:
                 mismatch = (c, i, x, y)
                 break
