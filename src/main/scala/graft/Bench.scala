@@ -60,7 +60,9 @@ object Bench {
       "agg_pricing_summary", "join_top_customers", "events_window_agg",
       "events_sliding_agg", "events_per_user",
       "text_bm25", "text_bm25_indexed", "search_hybrid", "q_quantized_topk",
-      "q_pq_topk", "q_ivfpq_topk", "dedup_spans")
+      "q_pq_topk", "q_ivfpq_topk", "dedup_spans",
+      "join_asof", "join_range", "emb_centroids", "events_retention",
+      "agg_rollup", "profile_stats")
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try {

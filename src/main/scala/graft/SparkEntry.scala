@@ -402,6 +402,16 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rfp"))),
 
+    // ---- text analysis: corpus char-trigram LM quality score (CCNet-style
+    // typicality signal; integer milli-nat quantization keeps the mean
+    // order-independent → exact SQL oracle) ----
+    "text_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"),
+          round(col("avg_nats"), 4).as("avg_nats"),
+          round(col("rare_frac"), 4).as("rare_frac"),
+          col("n_grams"))),
+
     // ---- text analysis: language-ID heuristic (no oracle — heuristic;
     // single-pass custom expression, see functions.FastLangId) ----
     "text_lang_id" -> ((s, dir) =>
@@ -442,6 +452,27 @@ object SparkEntry {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), (sum(col("qty_centi")) / 100.0).as("sum_qty"))
     }),
+
+    // ---- relational: grouping sets (ROLLUP) with null-free projection ----
+    "agg_rollup" -> ((s, dir) => {
+      val qtyCenti = round(col("l_quantity") * 100).cast("long")
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), (sum(qtyCenti) / 100.0).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+    }),
+
+    // ---- profiling: per-column stats in one scan (Profile op) ----
+    "profile_stats" -> ((s, dir) =>
+      graft.ops.Profile.numericProfile(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // ---- events: cohort retention (first-active-day cohorts) ----
+    "events_retention" -> ((s, dir) =>
+      graft.ops.Cohorts.retention(events(s, dir), "user_id", "ts")
+        .withColumnRenamed("offset", "day_offset")),
 
     // ---- relational: broadcast join + top-k by revenue ----
     // Aggregation pushed BELOW the join: lineitem pre-aggregates exact
@@ -1116,6 +1147,28 @@ object SparkEntry {
         |    (a, x) -> (a * 131 + x) % 998244353) AS rfp
         |FROM h""".stripMargin,
 
+    // Same trigram statistics computed relationally: lateral
+    // generate_series explodes positions, counts join back, and the
+    // floor(ln·1000) milli-nat quantization makes the sum integer-exact
+    // in both engines.
+    "text_lm_score" ->
+      """WITH base AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents
+        |  WHERE length(text) >= 3),
+        |p AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS i
+        |  FROM base),
+        |g AS (SELECT doc_id, substr(t, i::INT, 3) AS g FROM p),
+        |c AS (SELECT g, count(*) AS cnt FROM g GROUP BY g)
+        |SELECT doc_id,
+        |  round(sum(floor(ln(cnt) * 1000)::BIGINT) / (1000.0 * count(*)), 4)
+        |    AS avg_nats,
+        |  round(sum(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) / (count(*) * 1.0), 4)
+        |    AS rare_frac,
+        |  count(*) AS n_grams
+        |FROM g JOIN c USING (g)
+        |GROUP BY doc_id""".stripMargin,
+
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(round(l_quantity * 100)::BIGINT) / 100.0 AS sum_qty,
@@ -1132,6 +1185,33 @@ object SparkEntry {
         |  sum(round(l_quantity * 100)::BIGINT) / 100.0 AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n,
+        |  sum(round(l_quantity * 100)::BIGINT) / 100.0 AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "profile_stats" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  min($c)::DOUBLE AS mn, max($c)::DOUBLE AS mx
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+
+    "events_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS p
+        |  FROM events),
+        |f AS (SELECT user_id, min(p) AS p0 FROM active GROUP BY user_id)
+        |SELECT p0 AS cohort, datediff('day', p0, p) AS day_offset,
+        |  count(*) AS n_users
+        |FROM active JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "join_top_customers" ->
       """SELECT c_custkey, c_name,

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Dataset profiling — per-column summary statistics in ONE scan, the
+ * "know your corpus before you train on it" primitive (null rates,
+ * cardinalities, ranges drive schema checks and drift alerts between
+ * pipeline runs).
+ *
+ * Scale shape: a single global aggregation computes every metric for
+ * every column in one pass (partial+final, no per-column jobs), then the
+ * one result row unpivots driver-free via `stack`. Exact distinct counts
+ * make Catalyst EXPAND the input ×|cols| before the partial aggregate —
+ * fine for a handful of profiled columns, but at 100 TB × many columns
+ * pass `exact = false` to use HyperLogLog sketches (approx_count_distinct,
+ * no expand, one pass, ~2% error).
+ */
+object Profile {
+
+  /** One output row per profiled numeric column:
+    * (column, n, n_null, n_distinct, mn, mx). */
+  def numericProfile(
+      df: DataFrame,
+      cols: Seq[String],
+      exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: $missing")
+
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      val v = col(c)
+      Seq(
+        count(lit(1)).as(s"n__$c"),
+        (count(lit(1)) - count(v)).as(s"null__$c"),
+        (if (exact) countDistinct(v) else approx_count_distinct(v))
+          .as(s"dist__$c"),
+        min(v).cast("double").as(s"mn__$c"),
+        max(v).cast("double").as(s"mx__$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+
+    // unpivot the single row: stack(n, 'col1', n__col1, ..., 'colk', ...)
+    val stacked = cols.map { c =>
+      s"'$c', `n__$c`, `null__$c`, `dist__$c`, `mn__$c`, `mx__$c`"
+    }.mkString(", ")
+    one.select(expr(
+      s"stack(${cols.size}, $stacked) AS (column, n, n_null, n_distinct, mn, mx)"))
+  }
+}

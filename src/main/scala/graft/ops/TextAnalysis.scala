@@ -214,6 +214,52 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /**
+   * Corpus character-n-gram language-model score — the CCNet-style
+   * "how typical is this document of the corpus" quality signal, computed
+   * from the corpus's own statistics (no external model): each document
+   * scores the mean log-frequency of its character n-grams, plus the
+   * fraction of n-grams rarer than `rareBelow` (an OOV-rate analog).
+   * Atypical documents (mojibake, random IDs, foreign scripts in a
+   * monolingual corpus) sit in the low tail of `avg_nats` / high tail of
+   * `rare_frac`.
+   *
+   * Scale shape: n-gram counting is a partial+final hash aggregate whose
+   * output is VOCABULARY-bounded (≤ charset^n rows, independent of corpus
+   * size), so the count table broadcasts; scoring re-explodes the text
+   * map-side, joins the broadcast counts (no shuffle of exploded rows),
+   * and the per-doc rollup's map-side combine collapses each document
+   * back to one row before the only data-sized exchange.
+   *
+   * Determinism: log-counts quantize to integer milli-nats
+   * (floor(ln(cnt)·1000)) BEFORE summation — integer sums are
+   * order-independent, so the score is bit-stable under any partitioning
+   * (a float mean of raw ln values would not be).
+   */
+  def lmScore(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      rareBelow: Long = 5L): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val grams = df
+      .select(col(idCol), lower(col(textCol)).as("__t"))
+      .filter(length(col("__t")) >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), length(col("__t")) - (n - 1)),
+        i => col("__t").substr(i, lit(n)))).as("__g"))
+    val counts = grams.groupBy(col("__g")).agg(count(lit(1)).as("__cnt"))
+    grams.join(broadcast(counts), "__g")
+      .groupBy(col(idCol))
+      .agg(
+        (sum(floor(log(col("__cnt")) * 1000).cast("long")) /
+          (lit(1000.0) * count(lit(1)))).as("avg_nats"),
+        (sum(when(col("__cnt") < rareBelow, 1L).otherwise(0L)) /
+          count(lit(1)).cast("double")).as("rare_frac"),
+        count(lit(1)).as("n_grams"))
+  }
+
   private val EnglishStopwords = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "for", "on", "with", "as", "by", "at", "it", "that", "this", "be")

@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Cohorts, Profile}
+
+class ProfileCohortsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("numericProfile computes per-column stats in one row each") {
+    val df = Seq(
+      (1.0, Some(10.0)), (2.0, None), (2.0, Some(30.0)), (4.0, Some(10.0))
+    ).toDF("a", "b")
+    val r = Profile.numericProfile(df, Seq("a", "b")).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4), x.getDouble(5)))).toMap
+    assert(r("a") === ((4L, 0L, 3L, 1.0, 4.0)))
+    assert(r("b") === ((4L, 1L, 2L, 10.0, 30.0)))
+  }
+
+  test("numericProfile validates column names") {
+    intercept[IllegalArgumentException] {
+      Profile.numericProfile(Seq(1).toDF("x"), Seq("nope"))
+    }
+  }
+
+  test("approx mode avoids the exact-distinct expand") {
+    val df = Seq((1.0, 2.0), (3.0, 4.0)).toDF("a", "b")
+    val exact = Profile.numericProfile(df, Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    val approx = Profile.numericProfile(df, Seq("a", "b"), exact = false)
+      .queryExecution.executedPlan.toString
+    assert(exact.contains("Expand"), s"exact distinct should expand:\n$exact")
+    assert(!approx.contains("Expand"), s"approx must not expand:\n$approx")
+  }
+
+  test("single-pass plan: one scan, partial+final aggregate") {
+    val df = Seq((1.0, 2.0), (3.0, 4.0)).toDF("a", "b")
+    val p = Profile.numericProfile(df, Seq("a", "b"), exact = false)
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Scan")) <= 1,
+      s"profile must be one pass:\n$p")
+  }
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("retention buckets users by first-active day and offset") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 23:00:00")),  // same day, dedup'd
+      (1L, ts("2024-01-03 09:00:00")),  // day offset 2
+      (2L, ts("2024-01-01 12:00:00")),
+      (2L, ts("2024-01-02 12:00:00")),  // offset 1
+      (3L, ts("2024-01-02 00:00:00"))   // a different cohort
+    ).toDF("user_id", "t")
+    val r = Cohorts.retention(ev, "user_id", "t").collect()
+      .map(x => (x.getDate(0).toString, x.getLong(1), x.getLong(2))).toSet
+    assert(r === Set(
+      ("2024-01-01", 0L, 2L),   // users 1,2 on their first day
+      ("2024-01-01", 1L, 1L),   // user 2 returns next day
+      ("2024-01-01", 2L, 1L),   // user 1 returns on day 3
+      ("2024-01-02", 0L, 1L)))  // user 3's cohort
+  }
+
+  test("weekly retention truncates to weeks") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),  // Monday, week of Jan 1
+      (1L, ts("2024-01-04 10:00:00")),  // same week
+      (1L, ts("2024-01-09 10:00:00"))   // next week -> offset 1
+    ).toDF("user_id", "t")
+    val r = Cohorts.retention(ev, "user_id", "t", period = "week").collect()
+      .map(x => (x.getLong(1), x.getLong(2))).toSet
+    assert(r === Set((0L, 1L), (1L, 1L)))
+  }
+
+  test("retention plan shuffles once on the user key") {
+    val ev = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("user_id", "t")
+    val p = Cohorts.retention(ev, "user_id", "t")
+      .queryExecution.executedPlan.toString
+    // distinct keys (u, p) then window by u then rollup by (cohort, offset):
+    // the u-window must reuse the distinct's partitioning when keyed
+    // compatibly; allow the final small rollup exchange
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n <= 3, s"too many exchanges ($n):\n$p")
+  }
+}

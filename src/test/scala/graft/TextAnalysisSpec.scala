@@ -177,4 +177,24 @@ class TextAnalysisSpec extends SparkSuite {
       .collect().map(_.getString(0))
     assert(fps(0) === fps(1))
   }
+
+  test("lmScore ranks corpus-typical text above mojibake") {
+    // 20 near-identical prose docs share trigrams; one junk doc does not.
+    val prose = (1 to 20).map(i => (i, s"the cat sat on the mat number $i"))
+    val junk = Seq((99, "qzxjv wkqzp zzxqj vvqkz"))
+    val df = (prose ++ junk).toDF("id", "text")
+    val r = TextAnalysis.lmScore(df, "text", "id")
+      .collect().map(x => x.getInt(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    val proseAvg = prose.map(p => r(p._1)._1).sum / prose.size
+    assert(proseAvg > r(99)._1, "junk doc must have lower avg_nats")
+    assert(r(99)._2 > 0.9, s"junk doc rare_frac ${r(99)._2} should be ~1")
+    assert(r(1)._2 < 0.5, "prose docs share most trigrams")
+  }
+
+  test("lmScore n_grams counts len-n+1 grams and skips short docs") {
+    val df = Seq((1, "abcdef"), (2, "ab")).toDF("id", "text")
+    val r = TextAnalysis.lmScore(df, "text", "id").collect()
+    assert(r.length === 1, "docs shorter than n are excluded")
+    assert(r.head.getAs[Long]("n_grams") === 4L) // abc bcd cde def
+  }
 }
