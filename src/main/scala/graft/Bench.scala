@@ -62,7 +62,8 @@ object Bench {
       "text_bm25", "text_bm25_indexed", "search_hybrid", "q_quantized_topk",
       "q_pq_topk", "q_ivfpq_topk", "dedup_spans",
       "join_asof", "join_range", "emb_centroids", "events_retention",
-      "agg_rollup", "profile_stats")
+      "agg_rollup", "profile_stats", "text_lm_score", "emb_outliers",
+      "split_temperature", "text_packing")
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try {

@@ -326,6 +326,27 @@ object SparkEntry {
           Map("en" -> 0.5, "de" -> 0.25))
         .select(col("doc_id"), col("lang"))),
 
+    // ---- temperature rebalance: output group sizes ∝ n^alpha (the
+    // multilingual-LM mixing rule), as deterministic md5 keep rates
+    // anchored at the smallest source ----
+    "split_temperature" -> ((s, dir) =>
+      graft.ops.Splits.temperatureSample(
+          t(s, dir, "documents"), "doc_id", "lang", 0.5)
+        .select(col("doc_id"), col("lang"))),
+
+    // ---- sequence packing: concat-and-chunk token offsets, md5-sharded,
+    // one window cumsum per shard ----
+    "text_packing" -> ((s, dir) =>
+      graft.ops.Packing.contiguousOffsets(
+        t(s, dir, "documents"), "doc_id", "text", 512, 8)),
+
+    // ---- embeddings: distance-to-own-centroid outlier scores (exact
+    // integer numerator — see Pooling.outlierScores) ----
+    "emb_outliers" -> ((s, dir) =>
+      graft.ops.Pooling.outlierScores(
+          t(s, dir, "embeddings"), "embedding", "label", "vec_id")
+        .select(col("vec_id"), col("label"), round(col("dist"), 4).as("dist"))),
+
     // ---- exact-size per-group cap: at most 50 docs per lang, kept by
     // deterministic md5 rank via the bounded-heap aggregate (exchange
     // carries ≤ partitions × groups × 50 rows, no window sort) ----
@@ -407,9 +428,7 @@ object SparkEntry {
     // order-independent → exact SQL oracle) ----
     "text_lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(t(s, dir, "documents"), "text", "doc_id")
-        .select(col("doc_id"),
-          round(col("avg_nats"), 4).as("avg_nats"),
-          round(col("rare_frac"), 4).as("rare_frac"),
+        .select(col("doc_id"), col("sum_millinats"), col("n_rare"),
           col("n_grams"))),
 
     // ---- text analysis: language-ID heuristic (no oracle — heuristic;
@@ -1161,10 +1180,8 @@ object SparkEntry {
         |g AS (SELECT doc_id, substr(t, i::INT, 3) AS g FROM p),
         |c AS (SELECT g, count(*) AS cnt FROM g GROUP BY g)
         |SELECT doc_id,
-        |  round(sum(floor(ln(cnt) * 1000)::BIGINT) / (1000.0 * count(*)), 4)
-        |    AS avg_nats,
-        |  round(sum(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) / (count(*) * 1.0), 4)
-        |    AS rare_frac,
+        |  sum(floor(ln(cnt) * 1000)::BIGINT)::BIGINT AS sum_millinats,
+        |  sum(CASE WHEN cnt < 5 THEN 1 ELSE 0 END)::BIGINT AS n_rare,
         |  count(*) AS n_grams
         |FROM g JOIN c USING (g)
         |GROUP BY doc_id""".stripMargin,
@@ -1305,6 +1322,56 @@ object SparkEntry {
         |  round(embedding[1]::DOUBLE /
         |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS e0
         |FROM embeddings""".stripMargin,
+
+    // Rates replayed from the same counts + pow expression; the md5
+    // bucket compare is integer on both sides.
+    "split_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |m AS (SELECT min(n) AS nmin FROM c)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN c USING (lang) CROSS JOIN m
+        |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 4))::BIGINT
+        |      < round(pow(m.nmin::DOUBLE / c.n, 0.5) * 65536)::BIGINT""".stripMargin,
+
+    // Same md5 shard, same whitespace token count, same window cumsum —
+    // integer division (`//`) mirrors Spark's `div`.
+    "text_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 8 AS shard,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS start_offset
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens, start_offset,
+        |  start_offset // 512 AS pack_first,
+        |  (start_offset + n_tokens - 1) // 512 AS pack_last
+        |FROM o""".stripMargin,
+
+    // Full integer replay of the scaled-long distance numerator
+    // (HUGEINT squares), then one sqrt + divide at the end.
+    "emb_outliers" ->
+      """WITH x AS (
+        |  SELECT vec_id, label,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |    round(unnest(embedding::DOUBLE[]) * 10000000)::BIGINT AS e7
+        |  FROM embeddings),
+        |s AS (SELECT label, pos, sum(e7)::BIGINT AS sm, count(*) AS n
+        |      FROM x GROUP BY label, pos),
+        |d AS (
+        |  SELECT x.vec_id, x.label,
+        |    sum((x.e7 * s.n - s.sm)::HUGEINT * (x.e7 * s.n - s.sm)::HUGEINT)
+        |      AS num,
+        |    max(s.n) AS n
+        |  FROM x JOIN s USING (label, pos)
+        |  GROUP BY x.vec_id, x.label)
+        |SELECT vec_id, label,
+        |  round(sqrt(num::DOUBLE) / (10000000.0 * n), 4) AS dist
+        |FROM d""".stripMargin,
 
     // Parallel unnests zip values with 0-based positions; the scaled-long
     // sum replays the exact integer arithmetic of the Spark aggregate.

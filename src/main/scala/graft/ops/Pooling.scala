@@ -57,6 +57,50 @@ object Pooling {
         col("__n").as("n"))
   }
 
+  /**
+   * Distance of every vector to its own group's centroid — the
+   * "mislabeled / out-of-distribution sample" signal (high distance =
+   * the embedding disagrees with its label; standard training-data
+   * triage before fine-tuning on labeled sets).
+   *
+   * Exactness: works entirely in scaled-integer space. With e7 =
+   * round(e·scale), S_p = Σ e7 over the group at position p and n the
+   * group size, the squared distance is Σ_p (e7·n − S_p)² / (scale·n)²
+   * — the numerator is an EXACT integer (decimal(38) guards the squares
+   * against long overflow), so the score is order-independent and
+   * bit-reproducible, and a SQL engine can replay it exactly.
+   *
+   * Scale shape: one tiny aggregate (groups × dim longs) broadcasts
+   * back; the distance itself is a map-side zip_with over the scan — no
+   * data-sized shuffle at all, so the cost at 100 TB is one pass.
+   */
+  def outlierScores(
+      df: DataFrame,
+      vecCol: String,
+      groupCol: String,
+      idCol: String,
+      scale: Long = 10000000L): DataFrame = {
+    require(scale > 0, "scale must be > 0")
+    val stats = df.filter(col(vecCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(vector_sum_long(scaledLongs(col(vecCol), scale)).as("__sum"),
+        count(lit(1)).as("__n"))
+    val diffSq = zip_with(
+      scaledLongs(col(vecCol), scale), col("__sum"),
+      (e7, s) => {
+        val d = (e7 * col("__n") - s).cast("decimal(38,0)")
+        d * d
+      })
+    df.filter(col(vecCol).isNotNull)
+      .join(broadcast(stats), groupCol)
+      .select(col(idCol), col(groupCol),
+        aggregate(diffSq, lit(0).cast("decimal(38,0)"), (acc, x) => acc + x)
+          .as("__num"), col("__n"))
+      .select(col(idCol), col(groupCol),
+        (sqrt(col("__num").cast("double")) /
+          (lit(scale).cast("double") * col("__n"))).as("dist"))
+  }
+
   private def scaledLongs(vec: Column, scale: Long): Column =
     transform(vec, e => round(e.cast("double") * scale).cast("long"))
 }

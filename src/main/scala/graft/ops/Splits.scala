@@ -83,6 +83,41 @@ object Splits {
     f"${math.min(65535L, math.round(rate * 65536.0))}%04x"
 
   /**
+   * Temperature-based source rebalancing — the multilingual-LM sampling
+   * rule (size of group g in the output ∝ n_g^alpha): alpha = 1 keeps
+   * the natural distribution, alpha → 0 equalizes all groups down to the
+   * smallest. Realized WITHOUT replacement as deterministic per-group
+   * keep rates r_g = (n_min / n_g)^(1-alpha) (the smallest group keeps
+   * everything, larger groups thin toward it), decided by the same
+   * md5-bucket rule as `downsample` — so the sampled set is a pure
+   * function of (id, group, corpus counts): engine-portable and stable
+   * across re-runs.
+   *
+   * Scale shape: one tiny counts aggregate (|groups| rows) broadcasts
+   * back; the filter itself is map-only against the scan. Rates are
+   * computed IN the plan (no driver collect), so the op stays one job.
+   */
+  def temperatureSample(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("__n")).as("__nmin"))))
+      .select(col(groupCol),
+        pow(col("__nmin").cast("double") / col("__n"), 1.0 - alpha)
+          .as("__rate"))
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(bucket < round(col("__rate") * 65536).cast("long"))
+      .drop("__rate")
+      .select(df.columns.map(col): _*)
+  }
+
+  /**
    * Exact-size per-group cap: keep AT MOST `maxPerGroup` rows of every
    * group, chosen deterministically by md5-of-id rank (not arrival
    * order), so the kept set is a pure function of the data — stable

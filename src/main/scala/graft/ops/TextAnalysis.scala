@@ -257,7 +257,13 @@ object TextAnalysis {
           (lit(1000.0) * count(lit(1)))).as("avg_nats"),
         (sum(when(col("__cnt") < rareBelow, 1L).otherwise(0L)) /
           count(lit(1)).cast("double")).as("rare_frac"),
-        count(lit(1)).as("n_grams"))
+        count(lit(1)).as("n_grams"),
+        // exact integer accumulators — the scores above are these three
+        // divided out; downstream equality checks (and the correctness
+        // gate) compare THESE, because a rounded double quotient can
+        // land on a 5e-5 tie and round differently across engines
+        sum(floor(log(col("__cnt")) * 1000).cast("long")).as("sum_millinats"),
+        sum(when(col("__cnt") < rareBelow, 1L).otherwise(0L)).as("n_rare"))
   }
 
   private val EnglishStopwords = Seq(

@@ -32,6 +32,40 @@ class PoolingSpec extends SparkSuite {
     assert(r("b") === ((Seq(-1.0, 0.5, 0.25), 1L)))
   }
 
+  test("outlierScores: exact distance to own-group centroid flags the odd one") {
+    import spark.implicits._
+    val df = withLogLevel(Seq(
+      (1L, "a", Array(1.0f, 0.0f)),
+      (2L, "a", Array(1.0f, 0.0f)),
+      (3L, "a", Array(1.0f, 0.0f)),
+      (4L, "a", Array(0.0f, 1.0f)),   // the mislabeled point
+      (5L, "b", Array(0.5f, 0.5f)),
+      (6L, "b", null.asInstanceOf[Array[Float]])
+    ).toDF("id", "g", "v"))
+    val r = Pooling.outlierScores(df, "v", "g", "id")
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    // centroid of a = (0.75, 0.25); d(1,0) = sqrt(0.125), d(0,1) = sqrt(1.125)
+    assert(math.abs(r(1L) - math.sqrt(0.125)) < 1e-9, r.toString)
+    assert(math.abs(r(4L) - math.sqrt(1.125)) < 1e-9, r.toString)
+    assert(r(4L) > r(1L) * 2.9, "outlier must dominate")
+    assert(r(5L) === 0.0, "singleton group sits on its own centroid")
+    assert(!r.contains(6L), "null vectors are excluded")
+    // deterministic under re-partitioning (integer numerator)
+    val again = Pooling.outlierScores(df.repartition(5), "v", "g", "id")
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(again === r)
+  }
+
+  test("outlierScores broadcasts the centroid stats — map-side distance") {
+    import spark.implicits._
+    val df = Seq((1L, "a", Array(1.0f, 0.0f))).toDF("id", "g", "v")
+    val p = Pooling.outlierScores(df, "v", "g", "id")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"stats must broadcast back, not shuffle the vectors:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("dimension mismatch raises instead of silently zero-padding") {
     val bad = Seq(("a", Array(1.0f)), ("a", Array(1.0f, 2.0f))).toDF("g", "v")
     val e = intercept[Exception] {

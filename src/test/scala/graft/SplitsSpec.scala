@@ -86,4 +86,42 @@ class SplitsSpec extends SparkSuite {
     assert(p.contains("topk_rows") || p.contains("ObjectHashAggregate"),
       s"expected the bounded-heap aggregate:\n$p")
   }
+
+  test("temperatureSample sizes groups ~ n^alpha, anchored at the smallest") {
+    val df = withLogLevel(spark.range(0, 10000)
+      .select($"id", (when($"id" < 8000, "big")
+        .when($"id" < 9600, "mid").otherwise("small")).as("g")))
+    // alpha=1: natural distribution untouched
+    assert(Splits.temperatureSample(df, "id", "g", 1.0).count() === 10000L)
+    // alpha=0.5: n_g -> n_g^0.5 * nmin^0.5; big 8000 -> ~1789, mid 1600
+    // -> ~800, small 400 kept whole
+    val counts = Splits.temperatureSample(df, "id", "g", 0.5)
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("small") === 400L, "smallest group keeps everything")
+    assert(math.abs(counts("big") - 1789L) < 180, counts.toString)
+    assert(math.abs(counts("mid") - 800L) < 120, counts.toString)
+    // deterministic under re-partitioning
+    val again = Splits.temperatureSample(df.repartition(7), "id", "g", 0.5)
+    assert(again.count() === counts.values.sum)
+    assert(again.select("id")
+      .except(Splits.temperatureSample(df, "id", "g", 0.5).select("id"))
+      .count() === 0L)
+    // original column order survives the internal join
+    assert(Splits.temperatureSample(df, "id", "g", 0.5).columns.toSeq
+      === Seq("id", "g"))
+    intercept[IllegalArgumentException](
+      Splits.temperatureSample(df, "id", "g", 0.0))
+    intercept[IllegalArgumentException](
+      Splits.temperatureSample(df, "id", "g", 1.5))
+  }
+
+  test("temperatureSample broadcasts the rates — no data-sized shuffle") {
+    val df = (0L until 100L).map(i => (i, (i % 3).toString)).toDF("id", "g")
+    val p = Splits.temperatureSample(df, "id", "g", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"rates must broadcast back, not shuffle the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
