@@ -63,7 +63,8 @@ object Bench {
       "q_pq_topk", "q_ivfpq_topk", "dedup_spans",
       "join_asof", "join_range", "emb_centroids", "events_retention",
       "agg_rollup", "profile_stats", "text_lm_score", "emb_outliers",
-      "split_temperature", "text_packing")
+      "split_temperature", "text_packing", "join_asof_fwd", "events_funnel",
+      "profile_quantiles")
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try {

@@ -488,6 +488,38 @@ object SparkEntry {
       graft.ops.Profile.numericProfile(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
+    // ---- profiling: exact interpolated quartiles, one agg pass,
+    // integer-cents scaling keeps the interpolation bit-exact ----
+    "profile_quantiles" -> ((s, dir) =>
+      graft.ops.Profile.quantileProfile(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        scale = 100L)),
+
+    // ---- events: ordered funnel with first-match semantics ----
+    "events_funnel" -> ((s, dir) =>
+      graft.ops.Funnel.funnel(events(s, dir), "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"))),
+
+    // ---- events: FORWARD as-of — next click at/after each purchase
+    // (time-to-next-action enrichment; same single-shuffle union+window
+    // plan as the backward direction) ----
+    "join_asof_fwd" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("value_cents"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      graft.ops.AsofJoin.asofJoin(
+          purchases, clicks, key = "user_id", leftTime = "ts",
+          rightTime = "click_ts", rightCols = Seq("click_id", "click_ts"),
+          tieBreak = Some("click_id"), joinType = "inner",
+          direction = "forward")
+        .select(col("event_id"), col("user_id"), col("value_cents"),
+          col("click_id"), col("click_ts"))
+    }),
+
     // ---- events: cohort retention (first-active-day cohorts) ----
     "events_retention" -> ((s, dir) =>
       graft.ops.Cohorts.retention(events(s, dir), "user_id", "ts")
@@ -1279,6 +1311,44 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    // DuckDB's ASOF with the inequality flipped = nearest following row.
+    "join_asof_fwd" ->
+      """SELECT p.event_id, p.user_id,
+        |  round(p.value * 100)::BIGINT AS value_cents,
+        |  c.event_id AS click_id, c.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts <= c.ts""".stripMargin,
+
+    // Stage-by-stage conditional-min replay of the first-match funnel.
+    "events_funnel" ->
+      """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s0 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.ts > s0.t GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+        |SELECT 0 AS stage, 'signup' AS step, count(*) AS n_users FROM s0
+        |UNION ALL SELECT 1, 'view', count(*) FROM s1
+        |UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM s3""".stripMargin,
+
+    // quantile_cont shares Spark percentile's rank-(n-1)·q linear
+    // interpolation; integer-cents endpoints make it bit-exact.
+    "profile_quantiles" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").flatMap { c =>
+        Seq(0.25, 0.5, 0.75).map { q =>
+          s"""SELECT '$c' AS "column", ${q}::DOUBLE AS q,
+             |  quantile_cont(round($c * 100), $q) / 100.0 AS v
+             |FROM lineitem""".stripMargin
+        }
+      }.mkString("\nUNION ALL\n"),
 
     "join_range" ->
       """SELECT e.event_id AS err_id, c.event_id AS click_id, e.user_id,

@@ -37,9 +37,15 @@ object AsofJoin {
    *                   column names after `suffix` is applied)
    * @param suffix     appended to attached right column names
    * @param inclusive  true: match rightTime <= leftTime; false: strict <
+   *                   (directions flip under `direction = "forward"`)
    * @param tieBreak   right column breaking exact rightTime ties (max wins)
    * @param joinType   "left" keeps unmatched left rows with nulls; "inner"
    *                   drops them
+   * @param direction  "backward" (default): greatest rightTime <= leftTime;
+   *                   "forward": smallest rightTime >= leftTime — the
+   *                   "next event after" enrichment (time-to-conversion,
+   *                   next-error-after-deploy); same single-shuffle plan,
+   *                   only the traversal order flips
    */
   def asofJoin(
       left: DataFrame,
@@ -51,10 +57,13 @@ object AsofJoin {
       suffix: String = "",
       inclusive: Boolean = true,
       tieBreak: Option[String] = None,
-      joinType: String = "left"): DataFrame = {
+      joinType: String = "left",
+      direction: String = "backward"): DataFrame = {
     require(rightCols.nonEmpty, "rightCols must be non-empty")
     require(Seq("left", "inner").contains(joinType.toLowerCase),
       s"asofJoin supports left/inner, not '$joinType'")
+    require(Seq("backward", "forward").contains(direction),
+      s"direction must be backward/forward, not '$direction'")
     require(left.columns.contains(key) && left.columns.contains(leftTime),
       s"left side must have '$key' and '$leftTime'")
     require(right.columns.contains(key) && right.columns.contains(rightTime),
@@ -90,8 +99,13 @@ object AsofJoin {
       lit(null).cast(lpayType).as("__lpay"),
       struct(rightCols.map(col): _*).as("__rpay"))
 
+    // Forward = the same running-last() over the REVERSED time order:
+    // "most recent prior in reverse" is "nearest following". The side
+    // constants keep working because equal-time right rows must precede
+    // the left row in traversal order exactly when the match is inclusive.
+    val tOrder = if (direction == "forward") col("__t").desc else col("__t").asc
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
+      .orderBy(tOrder, col("__side").asc, col("__tb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = lTagged.unionByName(rTagged)

@@ -48,4 +48,44 @@ object Profile {
     one.select(expr(
       s"stack(${cols.size}, $stacked) AS (column, n, n_null, n_distinct, mn, mx)"))
   }
+
+  /**
+   * Exact interpolated quantiles for every column in ONE aggregation pass
+   * (linear interpolation at rank q·(n−1), the quantile_cont convention).
+   *
+   * Values are scaled to integers (`round(col·scale)`) before ranking, so
+   * the interpolation arithmetic is exact in double (integer endpoints ×
+   * exactly-representable quartile fractions) — bit-reproducible and
+   * SQL-replayable. Exact percentiles keep per-value counts as aggregate
+   * state: bounded-domain columns (money cents, counts, enum codes) stay
+   * small at any corpus size; for unbounded high-cardinality doubles at
+   * 100 TB use `exact = false` (t-digest sketch, no value map).
+   */
+  def quantileProfile(
+      df: DataFrame,
+      cols: Seq[String],
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75),
+      scale: Long = 1L,
+      exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "quantiles must be in [0, 1]")
+    require(scale > 0, "scale must be > 0")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: $missing")
+
+    val fn = if (exact) "percentile" else "percentile_approx"
+    val qArr = qs.mkString("array(", ", ", ")")
+    val aggs = cols.map { c =>
+      expr(s"$fn(round(`$c` * $scale), $qArr)").as(s"p__$c")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.flatMap { c =>
+      qs.zipWithIndex.map { case (q, i) =>
+        s"'$c', ${q}D, `p__$c`[$i] / ${scale}D"
+      }
+    }.mkString(", ")
+    one.select(expr(
+      s"stack(${cols.size * qs.size}, $stacked) AS (column, q, v)"))
+  }
 }

@@ -60,6 +60,29 @@ class AsofJoinSpec extends SparkSuite {
     assert(r.toSeq === Seq(999L))
   }
 
+  test("forward direction picks the nearest state at or after each row") {
+    val fwd = AsofJoin.asofJoin(obs, states, key = "k", leftTime = "t",
+      rightTime = "st", rightCols = Seq("sid"),
+      tieBreak = Some("sid"), direction = "forward")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(fwd === Set(
+      (1L, 10L, 100L),  // equal time matches when inclusive
+      (1L, 20L, 101L),  // next state is t=30
+      (1L, 35L, -1L),   // nothing after 35
+      (2L, 5L, 102L),
+      (3L, 50L, -1L)))
+    // strict forward: the t=10 state no longer matches the t=10 row
+    val strict = AsofJoin.asofJoin(obs.filter($"t" === 10), states,
+      "k", "t", "st", Seq("sid"), inclusive = false, direction = "forward")
+      .select("sid").as[Long].collect()
+    assert(strict.toSeq === Seq(101L))
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(obs, states, "k", "t", "st", Seq("sid"),
+        direction = "sideways")
+    }
+  }
+
   test("collision and type validation") {
     intercept[IllegalArgumentException] {
       AsofJoin.asofJoin(obs, states.withColumnRenamed("sval", "tag"),

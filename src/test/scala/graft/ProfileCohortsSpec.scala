@@ -44,6 +44,34 @@ class ProfileCohortsSpec extends SparkSuite {
       s"profile must be one pass:\n$p")
   }
 
+  test("quantileProfile computes exact interpolated quartiles per column") {
+    val df = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0), (4.0, 40.0))
+      .toDF("a", "b")
+    val r = Profile.quantileProfile(df, Seq("a", "b")).collect()
+      .map(x => (x.getString(0), x.getDouble(1)) -> x.getDouble(2)).toMap
+    // ranks q·(n−1) over 1..4: q25 → 1.75, median → 2.5, q75 → 3.25
+    assert(r(("a", 0.25)) === 1.75)
+    assert(r(("a", 0.5)) === 2.5)
+    assert(r(("a", 0.75)) === 3.25)
+    assert(r(("b", 0.5)) === 25.0)
+    // scale divides back out
+    val s = Profile.quantileProfile(df, Seq("a"), Seq(0.5), scale = 100L)
+      .collect().head.getDouble(2)
+    assert(s === 2.5)
+    intercept[IllegalArgumentException](
+      Profile.quantileProfile(df, Seq("a"), Seq(1.5)))
+  }
+
+  test("quantileProfile approx mode plans the sketch, one scan either way") {
+    val df = Seq((1.0, 2.0), (3.0, 4.0)).toDF("a", "b")
+    val p = Profile.quantileProfile(df, Seq("a", "b"), exact = false)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("approx_percentile") || p.contains("percentile_approx"),
+      s"approx mode must use the sketch:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan")) <= 1,
+      s"quantile profile must be one pass:\n$p")
+  }
+
   private def ts(s: String) = Timestamp.valueOf(s)
 
   test("retention buckets users by first-active day and offset") {
