@@ -64,7 +64,8 @@ object Bench {
       "join_asof", "join_range", "emb_centroids", "events_retention",
       "agg_rollup", "profile_stats", "text_lm_score", "emb_outliers",
       "split_temperature", "text_packing", "join_asof_fwd", "events_funnel",
-      "profile_quantiles")
+      "profile_quantiles", "profile_histogram", "events_pivot",
+      "events_gapfill")
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try {

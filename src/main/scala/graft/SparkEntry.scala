@@ -495,6 +495,22 @@ object SparkEntry {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
         scale = 100L)),
 
+    // ---- profiling: fixed-width histogram, exact integer binning ----
+    "profile_histogram" -> ((s, dir) =>
+      graft.ops.Profile.histogram(t(s, dir, "lineitem"),
+        "l_extendedprice", 5000.0)),
+
+    // ---- relational: pivot with EXPLICIT values (no driver-side
+    // distinct pass) — users × event-type count matrix ----
+    "events_pivot" -> ((s, dir) =>
+      events(s, dir).groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1))).na.fill(0L)),
+
+    // ---- events: per-user daily counts with zero-filled gaps ----
+    "events_gapfill" -> ((s, dir) =>
+      graft.ops.TimeSeries.gapFillCounts(events(s, dir), "user_id", "ts")),
+
     // ---- events: ordered funnel with first-match semantics ----
     "events_funnel" -> ((s, dir) =>
       graft.ops.Funnel.funnel(events(s, dir), "user_id", "ts", "event_type",
@@ -1320,6 +1336,40 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts <= c.ts""".stripMargin,
+
+    // Integer floor-division binning replayed exactly; prices are
+    // positive so // and floor agree.
+    "profile_histogram" ->
+      """SELECT round(l_extendedprice * 100)::BIGINT // 500000 AS bin,
+        |  round(l_extendedprice * 100)::BIGINT // 500000 * 500000 / 100.0 AS lo,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_extendedprice IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    "events_pivot" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    // Same calendar expansion: per-key span -> generate_series -> left
+    // join fills silent days with explicit zeros.
+    "events_gapfill" ->
+      """WITH d AS (
+        |  SELECT user_id, date_trunc('day', ts)::DATE AS p, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(p) AS lo, max(p) AS hi FROM d GROUP BY 1),
+        |cal AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+        |      INTERVAL 1 DAY))::DATE AS p
+        |  FROM s)
+        |SELECT cal.user_id, cal.p AS period, coalesce(d.n, 0)::BIGINT AS n
+        |FROM cal LEFT JOIN d ON cal.user_id = d.user_id AND cal.p = d.p""".stripMargin,
 
     // Stage-by-stage conditional-min replay of the first-match funnel.
     "events_funnel" ->

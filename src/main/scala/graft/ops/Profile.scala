@@ -88,4 +88,35 @@ object Profile {
     one.select(expr(
       s"stack(${cols.size * qs.size}, $stacked) AS (column, q, v)"))
   }
+
+  /**
+   * Fixed-width histogram — (bin, lo, n) where bin = value DIV width in
+   * scaled-integer space (exact binning, no float-edge ambiguity about
+   * which side of a boundary a value lands on). One groupBy whose key
+   * count is the number of OCCUPIED bins — bounded by the value range,
+   * not the corpus — so the exchange stays tiny at any scale.
+   */
+  def histogram(
+      df: DataFrame,
+      c: String,
+      binWidth: Double,
+      scale: Long = 100L): DataFrame = {
+    require(binWidth > 0, "binWidth must be > 0")
+    require(scale > 0, "scale must be > 0")
+    val widthScaled = math.round(binWidth * scale)
+    require(widthScaled > 0, "binWidth must not round to zero at this scale")
+    val v = round(col(c).cast("double") * scale).cast("long")
+    df.filter(col(c).isNotNull)
+      .groupBy(floorDiv(v, widthScaled).as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        (col("bin") * widthScaled / lit(scale.toDouble)).as("lo"), col("n"))
+  }
+
+  // floor division for possibly-negative longs (Spark's `div` truncates
+  // toward zero; histogram bins must floor so -1 cents lands in bin -1).
+  // (a - pmod(a,b)) is exactly divisible by b and pmod is non-negative,
+  // so the double division is an exact integer.
+  private def floorDiv(a: Column, b: Long): Column =
+    ((a - pmod(a, lit(b))) / lit(b)).cast("long")
 }

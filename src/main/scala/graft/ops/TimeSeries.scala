@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Time-series utilities over event streams.
+ *
+ * Gap-fill: per-key activity counts with EXPLICIT zero rows for the
+ * silent periods inside each key's active span — what downstream
+ * trend/anomaly models need (a missing day and a zero day are different
+ * signals, and most regressors can't tell them apart from an absent row).
+ *
+ * Scale shape: counts aggregate to (key, period) — the minimum state —
+ * then per-key spans (two values per key) generate the calendar via
+ * `sequence` + explode, and a left join against the counts fills zeros.
+ * Shuffles touch only per-key-period aggregates, never raw events; the
+ * explode amplification is bounded by span length per key, not corpus
+ * size.
+ */
+object TimeSeries {
+
+  /** (key, period, n) — one row per day (or week) of every key's active
+    * span, zero-filled where the key was silent. */
+  def gapFillCounts(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      period: String = "day"): DataFrame = {
+    require(Seq("day", "week").contains(period), s"bad period '$period'")
+    val daily = events
+      .select(col(keyCol).as("__k"),
+        to_date(date_trunc(period, col(tsCol))).as("__p"))
+      .groupBy(col("__k"), col("__p")).agg(count(lit(1)).as("__n"))
+    val step = if (period == "week") expr("INTERVAL 7 DAY")
+      else expr("INTERVAL 1 DAY")
+    val calendar = daily
+      .groupBy(col("__k"))
+      .agg(min(col("__p")).as("__lo"), max(col("__p")).as("__hi"))
+      .select(col("__k"),
+        explode(sequence(col("__lo"), col("__hi"), step)).as("__p"))
+    calendar.join(daily, Seq("__k", "__p"), "left")
+      .select(col("__k").as(keyCol), col("__p").as("period"),
+        coalesce(col("__n"), lit(0L)).as("n"))
+  }
+}

@@ -62,6 +62,23 @@ class ProfileCohortsSpec extends SparkSuite {
       Profile.quantileProfile(df, Seq("a"), Seq(1.5)))
   }
 
+  test("histogram bins exactly on scaled-integer floor division") {
+    val df = Seq(0.0, 0.49, 0.5, 0.99, 1.0, 2.49, -0.01, -0.5)
+      .toDF("x")
+    val r = Profile.histogram(df, "x", 0.5).collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(1), x.getLong(2)))).toMap
+    // width 0.5 → bin = floor(cents / 50)
+    assert(r(0L) === ((0.0, 2L)))     // 0.0, 0.49
+    assert(r(1L) === ((0.5, 2L)))     // 0.5, 0.99
+    assert(r(2L) === ((1.0, 1L)))     // 1.0
+    assert(r(4L) === ((2.0, 1L)))     // 2.49
+    assert(r(-1L) === ((-0.5, 2L)),
+      "negative values floor DOWN: -0.01 and -0.5 land in bin -1")
+    intercept[IllegalArgumentException](Profile.histogram(df, "x", 0.0))
+    intercept[IllegalArgumentException](
+      Profile.histogram(df, "x", 0.001, scale = 100L)) // rounds to zero width
+  }
+
   test("quantileProfile approx mode plans the sketch, one scan either way") {
     val df = Seq((1.0, 2.0), (3.0, 4.0)).toDF("a", "b")
     val p = Profile.quantileProfile(df, Seq("a", "b"), exact = false)

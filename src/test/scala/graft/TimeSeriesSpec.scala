@@ -1,0 +1,54 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TimeSeries
+
+class TimeSeriesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("gapFillCounts zero-fills the silent days inside each key's span") {
+    val ev = withLogLevel(Seq(
+      (1L, ts("2024-03-01 10:00:00")),
+      (1L, ts("2024-03-01 11:00:00")),
+      (1L, ts("2024-03-04 09:00:00")),   // 2nd+3rd are silent
+      (2L, ts("2024-03-02 08:00:00"))    // single-day span
+    ).toDF("k", "t"))
+    val r = TimeSeries.gapFillCounts(ev, "k", "t")
+      .collect().map(x => (x.getLong(0), x.getDate(1).toString, x.getLong(2)))
+      .toSet
+    assert(r === Set(
+      (1L, "2024-03-01", 2L),
+      (1L, "2024-03-02", 0L),
+      (1L, "2024-03-03", 0L),
+      (1L, "2024-03-04", 1L),
+      (2L, "2024-03-02", 1L)))
+  }
+
+  test("weekly period steps by 7 days") {
+    val ev = withLogLevel(Seq(
+      (1L, ts("2024-03-04 10:00:00")),    // a Monday
+      (1L, ts("2024-03-25 10:00:00"))     // 3 weeks later
+    ).toDF("k", "t"))
+    val r = TimeSeries.gapFillCounts(ev, "k", "t", period = "week")
+      .collect().map(x => x.getDate(1).toString -> x.getLong(2)).toMap
+    assert(r === Map(
+      "2024-03-04" -> 1L, "2024-03-11" -> 0L,
+      "2024-03-18" -> 0L, "2024-03-25" -> 1L))
+    intercept[IllegalArgumentException](
+      TimeSeries.gapFillCounts(ev, "k", "t", period = "hour"))
+  }
+
+  test("shuffles touch per-key-period aggregates, never raw events") {
+    val ev = Seq((1L, ts("2024-03-01 10:00:00"))).toDF("k", "t")
+    val p = TimeSeries.gapFillCounts(ev, "k", "t")
+      .queryExecution.executedPlan.toString
+    // the first exchange must sit above the partial count aggregate
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+}
