@@ -65,7 +65,8 @@ object Bench {
       "agg_rollup", "profile_stats", "text_lm_score", "emb_outliers",
       "split_temperature", "text_packing", "join_asof_fwd", "events_funnel",
       "profile_quantiles", "profile_histogram", "events_pivot",
-      "events_gapfill")
+      "events_gapfill", "profile_topvalues", "profile_corr",
+      "split_weighted")
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try {

@@ -495,6 +495,26 @@ object SparkEntry {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
         scale = 100L)),
 
+    // ---- profiling: top-5 most frequent values per categorical column ----
+    "profile_topvalues" -> ((s, dir) =>
+      graft.ops.Profile.topValues(t(s, dir, "documents"),
+        Seq("lang", "source"), 5)),
+
+    // ---- profiling: exact-moment Pearson correlation (order-independent
+    // decimal sums; only the closed-form combine is floating point) ----
+    "profile_corr" -> ((s, dir) =>
+      graft.ops.Profile.corrExact(t(s, dir, "lineitem"),
+        Seq(("l_quantity", "l_extendedprice"),
+          ("l_extendedprice", "l_discount")))
+        .select(col("x_col"), col("y_col"), col("n"), col("sx"), col("sy"),
+          col("sxy"), col("sxx"), col("syy"), round(col("corr"), 6).as("corr"))),
+
+    // ---- quality-weighted sampling: keep probability = min(1, chars/1k) ----
+    "split_weighted" -> ((s, dir) =>
+      graft.ops.Splits.weightedSample(t(s, dir, "documents"), "doc_id",
+          least(lit(1.0), col("n_chars").cast("double") / 1000.0))
+        .select(col("doc_id"), col("n_chars"))),
+
     // ---- profiling: fixed-width histogram, exact integer binning ----
     "profile_histogram" -> ((s, dir) =>
       graft.ops.Profile.histogram(t(s, dir, "lineitem"),
@@ -1336,6 +1356,57 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts <= c.ts""".stripMargin,
+
+    "profile_topvalues" ->
+      """WITH c AS (
+        |  SELECT * FROM (
+        |    SELECT 'lang' AS "column", lang AS value FROM documents
+        |    UNION ALL
+        |    SELECT 'source', source FROM documents)
+        |  WHERE value IS NOT NULL)
+        |SELECT "column", value, count(*) AS n,
+        |  row_number() OVER (PARTITION BY "column"
+        |    ORDER BY count(*) DESC, value ASC) AS rank
+        |FROM c GROUP BY 1, 2
+        |QUALIFY rank <= 5""".stripMargin,
+
+    // Moments replayed as exact HUGEINT sums of scaled integers; the
+    // closed-form combine uses the identical double expression.
+    "profile_corr" ->
+      Seq(("l_quantity", "l_extendedprice"), ("l_extendedprice", "l_discount"))
+        .map { case (x, y) =>
+          s"""SELECT '$x' AS x_col, '$y' AS y_col, count(*) AS n,
+             |  sum(round($x * 100)::BIGINT)::HUGEINT AS sx,
+             |  sum(round($y * 100)::BIGINT)::HUGEINT AS sy,
+             |  sum(round($x * 100)::BIGINT::HUGEINT
+             |    * round($y * 100)::BIGINT::HUGEINT) AS sxy,
+             |  sum(round($x * 100)::BIGINT::HUGEINT
+             |    * round($x * 100)::BIGINT::HUGEINT) AS sxx,
+             |  sum(round($y * 100)::BIGINT::HUGEINT
+             |    * round($y * 100)::BIGINT::HUGEINT) AS syy,
+             |  round((count(*)::DOUBLE
+             |      * sum(round($x * 100)::BIGINT::HUGEINT
+             |        * round($y * 100)::BIGINT::HUGEINT)::DOUBLE
+             |    - sum(round($x * 100)::BIGINT)::HUGEINT::DOUBLE
+             |      * sum(round($y * 100)::BIGINT)::HUGEINT::DOUBLE) /
+             |    sqrt((count(*)::DOUBLE
+             |        * sum(round($x * 100)::BIGINT::HUGEINT
+             |          * round($x * 100)::BIGINT::HUGEINT)::DOUBLE
+             |      - sum(round($x * 100)::BIGINT)::HUGEINT::DOUBLE
+             |        * sum(round($x * 100)::BIGINT)::HUGEINT::DOUBLE) *
+             |      (count(*)::DOUBLE
+             |        * sum(round($y * 100)::BIGINT::HUGEINT
+             |          * round($y * 100)::BIGINT::HUGEINT)::DOUBLE
+             |      - sum(round($y * 100)::BIGINT)::HUGEINT::DOUBLE
+             |        * sum(round($y * 100)::BIGINT)::HUGEINT::DOUBLE)), 6)
+             |    AS corr
+             |FROM lineitem""".stripMargin
+        }.mkString("\nUNION ALL\n"),
+
+    "split_weighted" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT
+        |  < round(least(1.0, n_chars::DOUBLE / 1000.0) * 65536)::BIGINT""".stripMargin,
 
     // Integer floor-division binning replayed exactly; prices are
     // positive so // and floor agree.

@@ -119,4 +119,81 @@ object Profile {
   // so the double division is an exact integer.
   private def floorDiv(a: Column, b: Long): Column =
     ((a - pmod(a, lit(b))) / lit(b)).cast("long")
+
+  /**
+   * Top-k most frequent values per (categorical) column — the value-
+   * distribution half of profiling (enum drift, junk-value detection).
+   *
+   * Scale shape: one unpivoted pass (`stack`) feeds a partial+final
+   * count aggregate, so the corpus collapses to (column, value) counts
+   * before anything ranks; the rank window runs over that counts table,
+   * whose size is the summed value CARDINALITY of the profiled columns —
+   * for categorical columns this is unrelated to corpus size. Ties break
+   * (count DESC, value ASC), so the result is deterministic.
+   */
+  def topValues(
+      df: DataFrame,
+      cols: Seq[String],
+      k: Int): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    require(k > 0, "k must be > 0")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: $missing")
+    val stacked = cols.map(c => s"'$c', cast(`$c` AS string)").mkString(", ")
+    val counts = df
+      .select(expr(s"stack(${cols.size}, $stacked) AS (column, value)"))
+      .filter(col("value").isNotNull)
+      .groupBy(col("column"), col("value")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("column"))
+      .orderBy(col("n").desc, col("value").asc)
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /**
+   * Exact-moment Pearson correlation for column pairs in one pass.
+   *
+   * A naive float `corr` is partition-order dependent (float sums do not
+   * commute); here every moment (Σx, Σy, Σxy, Σx², Σy²) is an EXACT
+   * decimal sum of scaled-integer values, so the moments are
+   * bit-reproducible and SQL-replayable, and only the final closed-form
+   * combination runs in floating point. Scale bounds: |x·scale| up to
+   * ~1e16 squares into ~1e32 per row — decimal(38) holds corpus sums to
+   * ~1e38, i.e. trillions of rows at money-cents magnitudes.
+   */
+  def corrExact(
+      df: DataFrame,
+      pairs: Seq[(String, String)],
+      scale: Long = 100L): DataFrame = {
+    require(pairs.nonEmpty, "pairs must be non-empty")
+    require(scale > 0, "scale must be > 0")
+    val missing = pairs.flatMap(p => Seq(p._1, p._2))
+      .filterNot(df.columns.contains).distinct
+    require(missing.isEmpty, s"columns not in frame: $missing")
+
+    val dec = "decimal(38,0)"
+    val aggs = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
+      val xs = round(col(x).cast("double") * scale).cast("long").cast(dec)
+      val ys = round(col(y).cast("double") * scale).cast("long").cast(dec)
+      Seq(
+        count(lit(1)).as(s"n__$i"),
+        sum(xs).as(s"sx__$i"), sum(ys).as(s"sy__$i"),
+        sum(xs * ys).as(s"sxy__$i"),
+        sum(xs * xs).as(s"sxx__$i"), sum(ys * ys).as(s"syy__$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.zipWithIndex.map { case ((x, y), i) =>
+      s"'$x', '$y', `n__$i`, `sx__$i`, `sy__$i`, `sxy__$i`, `sxx__$i`, `syy__$i`"
+    }.mkString(", ")
+    one.select(expr(
+        s"stack(${pairs.size}, $stacked) AS (x_col, y_col, n, sx, sy, sxy, sxx, syy)"))
+      .withColumn("corr",
+        (col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double")) /
+        sqrt((col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")) *
+          (col("n").cast("double") * col("syy").cast("double")
+            - col("sy").cast("double") * col("sy").cast("double"))))
+  }
 }

@@ -118,6 +118,19 @@ object Splits {
   }
 
   /**
+   * Per-row weighted sampling — keep each row with probability given by
+   * its own `prob` column (quality-weighted corpus thinning: keep
+   * probability ∝ quality score, the soft alternative to a hard quality
+   * cutoff). Decided by the md5-bucket rule, so the kept set is a pure
+   * function of (id, prob): deterministic, engine-portable, map-only.
+   */
+  def weightedSample(df: DataFrame, idCol: String, prob: Column): DataFrame = {
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    df.filter(bucket < round(prob * 65536).cast("long"))
+  }
+
+  /**
    * Exact-size per-group cap: keep AT MOST `maxPerGroup` rows of every
    * group, chosen deterministically by md5-of-id rank (not arrival
    * order), so the kept set is a pure function of the data — stable

@@ -79,6 +79,42 @@ class ProfileCohortsSpec extends SparkSuite {
       Profile.histogram(df, "x", 0.001, scale = 100L)) // rounds to zero width
   }
 
+  test("topValues ranks by count desc with value-asc tie-break") {
+    val df = Seq("b", "b", "a", "a", "c", "d").map(Tuple1(_)).toDF("x")
+    val r = Profile.topValues(df, Seq("x"), 3).collect()
+      .map(x => (x.getString(1), x.getLong(2), x.getLong(3)))
+    assert(r.sortBy(_._3) === Seq(("a", 2L, 1L), ("b", 2L, 2L), ("c", 1L, 3L)),
+      "tie a/b breaks to 'a' first; d is cut at k=3: " + r.toSeq)
+  }
+
+  test("topValues unpivots multiple columns in one scan, skips nulls") {
+    val df = Seq((Some("en"), 1), (Some("en"), 2), (None, 2)).toDF("lang", "v")
+    val r = Profile.topValues(df, Seq("lang", "v"), 2).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSet
+    assert(r === Set(("lang", "en", 2L), ("v", "2", 2L), ("v", "1", 1L)))
+    val p = Profile.topValues(df, Seq("lang", "v"), 2)
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Scan")) <= 1,
+      s"one unpivoted pass:\n$p")
+  }
+
+  test("corrExact: exact moments, closed-form corr hits ±1 on linear data") {
+    val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0))
+      .toDF("x", "y", "z")
+    val r = Profile.corrExact(df, Seq(("x", "y"), ("x", "z"))).collect()
+      .map(row => (row.getString(0), row.getString(1)) -> row).toMap
+    val xy = r(("x", "y"))
+    assert(xy.getAs[java.math.BigDecimal]("sx").longValueExact === 600L)
+    assert(xy.getAs[java.math.BigDecimal]("sxy").longValueExact === 280000L)
+    assert(math.abs(xy.getAs[Double]("corr") - 1.0) < 1e-12)
+    assert(math.abs(r(("x", "z")).getAs[Double]("corr") + 1.0) < 1e-12)
+    // order-independence: moments identical under re-partitioning
+    val again = Profile.corrExact(df.repartition(7), Seq(("x", "y")))
+      .collect().head
+    assert(again.getAs[java.math.BigDecimal]("sxy").longValueExact === 280000L)
+    intercept[IllegalArgumentException](Profile.corrExact(df, Nil))
+  }
+
   test("quantileProfile approx mode plans the sketch, one scan either way") {
     val df = Seq((1.0, 2.0), (3.0, 4.0)).toDF("a", "b")
     val p = Profile.quantileProfile(df, Seq("a", "b"), exact = false)

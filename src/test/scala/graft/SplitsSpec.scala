@@ -116,6 +116,21 @@ class SplitsSpec extends SparkSuite {
       Splits.temperatureSample(df, "id", "g", 1.5))
   }
 
+  test("weightedSample keeps rows with per-row probability, deterministically") {
+    val df = withLogLevel(spark.range(0, 9000)
+      .select($"id", (when($"id" % 3 === 0, 0.0)
+        .when($"id" % 3 === 1, 0.5).otherwise(1.0)).as("p")))
+    val kept = Splits.weightedSample(df, "id", col("p"))
+    val counts = kept.groupBy("p").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(!counts.contains(0.0), "probability 0 drops every row")
+    assert(counts(1.0) === 3000L, "probability 1 keeps every row")
+    assert(math.abs(counts(0.5) - 1500L) < 150, counts.toString)
+    val again = Splits.weightedSample(df.repartition(11), "id", col("p"))
+    assert(again.select("id").except(kept.select("id")).count() === 0L)
+    assert(kept.count() === again.count())
+  }
+
   test("temperatureSample broadcasts the rates — no data-sized shuffle") {
     val df = (0L until 100L).map(i => (i, (i % 3).toString)).toDF("id", "g")
     val p = Splits.temperatureSample(df, "id", "g", 0.5)
