@@ -426,8 +426,11 @@ object SparkEntry {
     // ---- text analysis: corpus char-trigram LM quality score (CCNet-style
     // typicality signal; integer milli-nat quantization keeps the mean
     // order-independent → exact SQL oracle) ----
+    // (kernel tier: packed-long trigram counts + driver vocabulary inside
+    // a codegen'd per-doc scorer — bit-identical to TextAnalysis.lmScore,
+    // pinned in TextAnalysisSpec)
     "text_lm_score" -> ((s, dir) =>
-      TextAnalysis.lmScore(t(s, dir, "documents"), "text", "doc_id")
+      TextAnalysis.lmScoreFast(t(s, dir, "documents"), "text", "doc_id")
         .select(col("doc_id"), col("sum_millinats"), col("n_rare"),
           col("n_grams"))),
 

@@ -266,6 +266,60 @@ object TextAnalysis {
         sum(when(col("__cnt") < rareBelow, 1L).otherwise(0L)).as("n_rare"))
   }
 
+  /**
+   * Kernel tier of [[lmScore]] for the trigram case — bit-identical
+   * output, two corpus passes instead of three logical ones, and neither
+   * pass shuffles anything document-sized:
+   *
+   *  1. counts: trigrams travel as PACKED LONGS (3 codepoints × 21 bits,
+   *     `functions.LmKernels.trigramKeys`) through one partial+final
+   *     aggregate — no per-gram string allocation, 8-byte shuffle keys,
+   *     output vocabulary-bounded.
+   *  2. the vocabulary collects to the driver (bounded: ≤ charset³ and in
+   *     practice ~1e5 for natural text — same envelope as IVF centroid
+   *     training; `maxVocab` guards the degenerate case) and ships inside
+   *     a codegen'd expression that scores each document in ONE call:
+   *     binary-search probes of a sorted long array, no explode, no join.
+   *
+   * Quantization (floor(ln·1000) milli-nats) is shared with the
+   * declarative tier, so both produce identical integers; `lmScore`
+   * remains the no-driver-state path and the n ≠ 3 generalization.
+   */
+  def lmScoreFast(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      rareBelow: Long = 5L,
+      maxVocab: Int = 8 * 1000 * 1000): DataFrame = {
+    import graft.functions.LmFunctions
+    val lowered = df
+      .select(col(idCol), lower(col(textCol)).as("__t"))
+      .filter(length(col("__t")) >= 3)
+    val vocab = lowered
+      .select(explode(LmFunctions.trigram_keys(col("__t"))).as("__k"))
+      .groupBy(col("__k")).agg(count(lit(1)).as("__cnt"))
+      .collect()
+    require(vocab.length <= maxVocab,
+      s"trigram vocabulary ${vocab.length} exceeds maxVocab=$maxVocab — " +
+        "use the declarative lmScore for unbounded alphabets")
+    val sorted = vocab.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val keys = sorted.map(_._1)
+    val packed = sorted.map { case (_, cnt) =>
+      val millinats = math.floor(math.log(cnt.toDouble) * 1000).toLong
+      (millinats << 1) | (if (cnt < rareBelow) 1L else 0L)
+    }
+    lowered
+      .select(col(idCol),
+        LmFunctions.lm_doc_score(col("__t"), keys, packed).as("__s"))
+      .select(col(idCol),
+        (col("__s.sum_millinats") / (lit(1000.0) * col("__s.n_grams")))
+          .as("avg_nats"),
+        (col("__s.n_rare") / col("__s.n_grams").cast("double")).as("rare_frac"),
+        col("__s.n_grams").as("n_grams"),
+        col("__s.sum_millinats").as("sum_millinats"),
+        col("__s.n_rare").as("n_rare"))
+  }
+
   private val EnglishStopwords = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "for", "on", "with", "as", "by", "at", "it", "that", "this", "be")

@@ -197,4 +197,28 @@ class TextAnalysisSpec extends SparkSuite {
     assert(r.length === 1, "docs shorter than n are excluded")
     assert(r.head.getAs[Long]("n_grams") === 4L) // abc bcd cde def
   }
+
+  test("lmScoreFast is bit-identical to the declarative tier") {
+    val df = Seq(
+      (1, "the cat sat on the mat"),
+      (2, "the dog sat on the rug"),
+      (3, "qzxjv wkqzp"),
+      (4, "MIXED Case And UPPER"),
+      (5, "café con café"),
+      (6, "emoji 😀 pair 😀 twice"), // astral codepoints
+      (7, "ab")                                          // excluded (< 3)
+    ).toDF("id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Int]("id"), r.getAs[Long]("sum_millinats"),
+        r.getAs[Long]("n_rare"), r.getAs[Long]("n_grams"),
+        r.getAs[Double]("avg_nats"), r.getAs[Double]("rare_frac"))
+    val slow = TextAnalysis.lmScore(df, "text", "id").collect().map(key).toSet
+    val fast = TextAnalysis.lmScoreFast(df, "text", "id").collect().map(key).toSet
+    assert(fast === slow)
+    assert(slow.size === 6, "the 2-char doc is excluded by both tiers")
+    // vocab guard trips on a tiny cap
+    intercept[IllegalArgumentException] {
+      TextAnalysis.lmScoreFast(df, "text", "id", maxVocab = 2)
+    }
+  }
 }
