@@ -1,0 +1,76 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/**
+ * End-to-end LLM training-data preparation over the `documents` table —
+ * the pipeline a 100 TB corpus would run, at toy scale:
+ *
+ *   normalize → quality + corpus-LM filter → exact dedup → MinHash
+ *   near-dedup (cluster + survivor) → decontaminate vs a held-out set →
+ *   temperature-mix sources → deterministic splits → sequence packing
+ *
+ * Every stage is a deterministic pure function of the data (md5 buckets,
+ * integer quantization), so re-running yields byte-identical output —
+ * the property that makes incremental 100 TB pipelines diffable.
+ *
+ *   sbt "runMain graft.examples.TrainingPipeline [sfDir]"
+ */
+object TrainingPipeline {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[*]")
+      .appName("graft-training-pipeline")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    println(s"raw:            ${raw.count()}")
+
+    // 1. normalize + attach quality and corpus-typicality signals
+    val normed = raw.withColumn("text", TextAnalysis.normalizeText(col("text")))
+    val scored = normed
+      .join(TextAnalysis.lmScoreFast(normed, "text", "doc_id")
+        .select(col("doc_id"), col("avg_nats"), col("rare_frac")), "doc_id")
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+    val kept = scored.filter(col("quality") > 0.2 && col("rare_frac") < 0.5)
+    println(s"quality-kept:   ${kept.count()}")
+
+    // 2. exact dedup (content digest), then MinHash near-dedup:
+    //    verified pairs -> connected components -> best-quality survivor
+    val exact = Dedup.exactSurvivors(kept, "text", "doc_id")
+    val pairs = Dedup.minhashDuplicates(exact, "text", "doc_id",
+      threshold = 0.8)
+    val survivors = Dedup.survivors(exact,
+      pairs.select(col("id_a"), col("id_b")), "doc_id", col("quality"))
+    println(s"post-dedup:     ${survivors.count()}")
+
+    // 3. decontaminate against a fake "benchmark" slice (2% of docs):
+    //    drop corpus docs sharing >50% of their 8-grams with it
+    val benchmark = raw.filter(pmod(col("doc_id"), lit(50)) === 0)
+    val overlap = Dedup.ngramContamination(
+      benchmark, survivors, "text", "doc_id", n = 8)
+    val clean = survivors.join(
+      overlap.filter(col("contamination") > 0.5)
+        .select(col("test_id").as("doc_id")), Seq("doc_id"), "left_anti")
+    println(s"decontaminated: ${clean.count()}")
+
+    // 4. rebalance sources toward uniform (alpha = 0.7), then split + pack
+    val mixed = Splits.temperatureSample(clean, "doc_id", "source", 0.7)
+    val split = Splits.assign(mixed, "doc_id",
+      Seq("train" -> 0.95, "val" -> 0.04, "test" -> 0.01))
+    val packed = Packing.contiguousOffsets(
+      split.filter(col("split") === "train"), "doc_id", "text",
+      budgetTokens = 2048, shards = 4)
+    println(s"train-packed:   ${packed.count()} docs in " +
+      s"${packed.agg(countDistinct(col("shard"), col("pack_first"))).head.getLong(0)} packs")
+
+    spark.stop()
+  }
+}
