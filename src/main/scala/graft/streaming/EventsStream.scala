@@ -123,6 +123,41 @@ object EventsStream {
       .dropDuplicates("__sig")
       .drop("__sig")
 
+  /**
+   * Stream-stream interval join — attach to each left row the right rows
+   * of the same key whose `rightTs` falls in [leftTs − lookback, leftTs]
+   * (attribution: "purchases with the clicks that preceded them by ≤ 30
+   * minutes"). Both sides are watermarked, and the time-range predicate
+   * is exactly what Structured Streaming needs to BOUND the join state:
+   * right rows age out of state once the left watermark passes
+   * rightTs + lookback — without the interval bound, stream-stream join
+   * state grows forever. Works identically on batch frames (watermarks
+   * are no-ops there).
+   *
+   * Column names must not collide (pre-rename the sides); `key` is the
+   * equi-join column present on both.
+   */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      lookback: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val collisions = (left.columns.toSet - key)
+      .intersect(right.columns.toSet - key)
+    require(collisions.isEmpty,
+      s"rename colliding columns before the interval join: $collisions")
+    val l = if (left.isStreaming) left.withWatermark(leftTs, watermark) else left
+    val r = if (right.isStreaming) right.withWatermark(rightTs, watermark) else right
+    l.join(r,
+      l(key) === r(key) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+        col(rightTs) <= col(leftTs))
+      .drop(r(key))
+  }
+
   /** Rate-of-events per user over a sliding window (streaming-safe). */
   def perUserRates(
       events: DataFrame,

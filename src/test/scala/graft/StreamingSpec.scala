@@ -121,6 +121,38 @@ class StreamingSpec extends SparkSuite {
     assert(kept.intersect(Set("d1", "d2", "d3")).size === 1)
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val ev = spark.read.parquet(streamDir)
+    def side(t: String, prefix: String) = ev.filter($"event_type" === t)
+      .select($"user_id", $"event_id".as(s"${prefix}_id"), $"ts".as(s"${prefix}_ts"))
+    val purchases = side("purchase", "p")
+    val clicks = side("click", "c")
+    // batch reference: plain inequality join with the same bounds
+    val expected = purchases.join(clicks,
+        purchases("user_id") === clicks("user_id") &&
+          $"c_ts" >= $"p_ts" - expr("INTERVAL 30 minutes") && $"c_ts" <= $"p_ts")
+      .select($"p_id", $"c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture must produce at least one pair")
+    // streaming run over the same data
+    val pDir = Files.createTempDirectory("graft-ij-p").toString
+    val cDir = Files.createTempDirectory("graft-ij-c").toString
+    purchases.write.mode("overwrite").parquet(pDir)
+    clicks.write.mode("overwrite").parquet(cDir)
+    def rs(dir: String) = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val streamed = runToMemory(
+      EventsStream.intervalJoin(rs(pDir), rs(cDir), "user_id",
+        "p_ts", "c_ts", "30 minutes").select($"p_id", $"c_id"),
+      "interval_join")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === expected)
+    // colliding non-key columns are rejected up front
+    intercept[IllegalArgumentException] {
+      EventsStream.intervalJoin(purchases, purchases, "user_id", "p_ts", "p_ts")
+    }
+  }
+
   test("perUserRates sliding window runs on a stream") {
     val out = runToMemory(
       EventsStream.perUserRates(EventsStream.readStream(spark, streamDir)),
