@@ -1,8 +1,9 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.core.Filters
 import graft.ops.{Dedup, TextAnalysis, VectorSearch}
@@ -517,6 +518,17 @@ object SparkEntry {
       graft.ops.Splits.weightedSample(t(s, dir, "documents"), "doc_id",
           least(lit(1.0), col("n_chars").cast("double") / 1000.0))
         .select(col("doc_id"), col("n_chars"))),
+
+    // ---- entity resolution: fuzzy best-match against a broadcast
+    // canonical dimension (Levenshtein, deterministic argmin) ----
+    "join_fuzzy" -> ((s, dir) => {
+      val canon = s.createDataFrame(
+        s.sparkContext.parallelize((0 to 9).map(i => Row(s"src$i"))),
+        StructType(Seq(StructField("name", StringType))))
+      graft.ops.FuzzyJoin.bestMatch(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        canon, "source", "name", maxDist = 1)
+    }),
 
     // ---- profiling: fixed-width histogram, exact integer binning ----
     "profile_histogram" -> ((s, dir) =>
@@ -1359,6 +1371,20 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts <= c.ts""".stripMargin,
+
+    // Same broadcast-candidate set as VALUES; QUALIFY replays the
+    // deterministic (dist, candidate) argmin.
+    "join_fuzzy" ->
+      """WITH r(name) AS (VALUES ('src0'), ('src1'), ('src2'), ('src3'),
+        |  ('src4'), ('src5'), ('src6'), ('src7'), ('src8'), ('src9')),
+        |cand AS (
+        |  SELECT d.doc_id, d.source, r.name,
+        |    levenshtein(d.source, r.name) AS dist
+        |  FROM documents d CROSS JOIN r
+        |  WHERE levenshtein(d.source, r.name) <= 1)
+        |SELECT doc_id, source, name AS match, dist FROM cand
+        |QUALIFY row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY dist, name) = 1""".stripMargin,
 
     "profile_topvalues" ->
       """WITH c AS (
