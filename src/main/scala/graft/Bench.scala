@@ -66,7 +66,7 @@ object Bench {
       "split_temperature", "text_packing", "join_asof_fwd", "events_funnel",
       "profile_quantiles", "profile_histogram", "events_pivot",
       "events_gapfill", "profile_topvalues", "profile_corr",
-      "split_weighted", "join_fuzzy")
+      "split_weighted", "join_fuzzy", "events_sessions", "events_zscore")
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try {

@@ -742,6 +742,22 @@ object SparkEntry {
         .select(col("asset_id"), size(col("embedding")).cast("long").as("dim"))
     }),
 
+    // ---- streaming-shaped: gap sessions via the NATIVE session_window
+    // (declarative twin of the flatMapGroupsWithState sessionizer; same
+    // island semantics, watermark-evictable state on a stream) ----
+    "events_sessions" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("n_events"), col("total_value"))),
+
+    // ---- events: per-user z-score anomaly signal (exact moments) ----
+    "events_zscore" -> ((s, dir) =>
+      graft.ops.Profile.zscores(events(s, dir), "value", "user_id", "event_id")
+        .select(col("event_id"), col("user_id"), round(col("z"), 4).as("z"))),
+
     // ---- streaming-shaped: gap sessionization via flatMapGroupsWithState ----
     "streaming_sessionize" -> ((s, dir) =>
       graft.streaming.EventsStream.sessionize(events(s, dir), gapMs = 6 * 3600 * 1000L)
@@ -1112,6 +1128,39 @@ object SparkEntry {
     // Gap sessionization is deterministic relational logic: lag-gap flag,
     // running-sum session id, per-session aggregate — an exact SQL oracle
     // for the flatMapGroupsWithState operator (single-epoch semantics).
+    // Same island detection; session_start = the island's first event.
+    "events_sessions" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM m)
+        |SELECT user_id, min(ts) AS session_start,
+        |  count(*)::BIGINT AS n_events,
+        |  sum(round(value * 100)::BIGINT) / 100.0 AS total_value
+        |FROM g GROUP BY user_id, sess""".stripMargin,
+
+    // z rearranged to one integer numerator over one integer-rooted
+    // denominator — exact HUGEINT moments, zero-variance guard.
+    "events_zscore" ->
+      """WITH s AS (
+        |  SELECT user_id, count(*)::HUGEINT AS n,
+        |    sum(round(value * 100)::BIGINT)::HUGEINT AS sv,
+        |    sum(round(value * 100)::BIGINT::HUGEINT
+        |      * round(value * 100)::BIGINT::HUGEINT) AS ss
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id,
+        |  CASE WHEN (s.n * s.ss - s.sv * s.sv) > 0 THEN
+        |    round((s.n * round(e.value * 100)::BIGINT - s.sv)::DOUBLE /
+        |      sqrt((s.n * s.ss - s.sv * s.sv)::DOUBLE), 4)
+        |  ELSE NULL END AS z
+        |FROM events e JOIN s USING (user_id)""".stripMargin,
+
     "streaming_sessionize" ->
       """WITH m AS (
         |  SELECT user_id, ts, value,

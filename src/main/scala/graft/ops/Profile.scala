@@ -152,6 +152,39 @@ object Profile {
   }
 
   /**
+   * Per-group z-scores with EXACT moments — the anomaly-flagging staple
+   * ("this event's value is 4σ off this user's norm"). Mean/variance come
+   * from exact decimal sums of scaled integers, algebraically rearranged
+   * so the whole score is one integer numerator over one integer-rooted
+   * denominator: z = (n·v − Σv) / √(n·Σv² − (Σv)²) — bit-reproducible
+   * and SQL-replayable; groups with zero variance (or one row) yield
+   * null rather than ±∞.
+   *
+   * Scale shape: one stats aggregate (one row per group) plus one
+   * equi-join of the input against it — a single data-sized shuffle,
+   * keyed the way anomaly consumers group anyway.
+   */
+  def zscores(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      idCol: String,
+      scale: Long = 100L): DataFrame = {
+    require(scale > 0, "scale must be > 0")
+    val dec = "decimal(38,0)"
+    val v = round(col(valueCol).cast("double") * scale).cast("long").cast(dec)
+    val stats = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast(dec).as("__n"),
+      sum(v).as("__s"), sum(v * v).as("__ss"))
+    val num = (col("__n") * v - col("__s")).cast("double")
+    val den = (col("__n") * col("__ss") - col("__s") * col("__s"))
+      .cast("double")
+    df.join(stats, groupCol)
+      .select(col(idCol), col(groupCol),
+        when(den > 0, num / sqrt(den)).as("z"))
+  }
+
+  /**
    * Exact-moment Pearson correlation for column pairs in one pass.
    *
    * A naive float `corr` is partition-order dependent (float sums do not

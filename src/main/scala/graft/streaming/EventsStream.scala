@@ -79,18 +79,29 @@ object EventsStream {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (userId, rows, state: GroupState[SessionState]) =>
-          // batch mode: all rows at once; emit every closed session + final
-          val sorted = rows.toSeq.sortBy(_._2.getTime)
+          // batch mode: all rows at once; emit every closed session + final.
+          // Times tracked in MICROSECONDS — Timestamp.getTime truncates to
+          // ms, which would disagree with micro-precision engines (and the
+          // native session_window operator) on borderline gaps.
+          def us(ts: Timestamp): Long =
+            ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+          def fromUs(u: Long): Timestamp = {
+            val t = new Timestamp(Math.floorDiv(u, 1000000L) * 1000L)
+            t.setNanos((Math.floorMod(u, 1000000L) * 1000L).toInt)
+            t
+          }
+          val gapUs = gapMs * 1000L
+          val sorted = rows.toSeq.sortBy(r => us(r._2))
           val sessions = scala.collection.mutable.ArrayBuffer.empty[Session]
           var cur: Option[SessionState] = state.getOption
           sorted.foreach { case (_, ts, v) =>
-            val t = ts.getTime
+            val t = us(ts)
             cur match {
-              case Some(s) if t - s.last <= gapMs =>
+              case Some(s) if t - s.last <= gapUs =>
                 cur = Some(SessionState(s.n + 1, s.total + v, s.start, t))
               case Some(s) =>
                 sessions += Session(userId, s.n, s.total,
-                  new Timestamp(s.start), new Timestamp(s.last))
+                  fromUs(s.start), fromUs(s.last))
                 cur = Some(SessionState(1, v, t, t))
               case None =>
                 cur = Some(SessionState(1, v, t, t))
@@ -98,7 +109,7 @@ object EventsStream {
           }
           cur.foreach { s =>
             sessions += Session(userId, s.n, s.total,
-              new Timestamp(s.start), new Timestamp(s.last))
+              fromUs(s.start), fromUs(s.last))
           }
           state.remove()
           sessions.iterator

@@ -115,6 +115,27 @@ class ProfileCohortsSpec extends SparkSuite {
     intercept[IllegalArgumentException](Profile.corrExact(df, Nil))
   }
 
+  test("zscores: exact standardized values, null on zero variance") {
+    val df = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "b", 7.0),                       // singleton -> null
+      (5L, "c", 4.0), (6L, "c", 4.0)        // constant -> null
+    ).toDF("id", "g", "v")
+    val r = Profile.zscores(df, "v", "g", "id").collect()
+      .map(x => x.getLong(0) ->
+        (if (x.isNullAt(2)) Double.NaN else x.getDouble(2))).toMap
+    assert(math.abs(r(1L) + math.sqrt(1.5)) < 1e-12, r.toString)
+    assert(r(2L) === 0.0)
+    assert(math.abs(r(3L) - math.sqrt(1.5)) < 1e-12)
+    assert(r(4L).isNaN && r(5L).isNaN && r(6L).isNaN,
+      "degenerate groups must yield null, not infinity")
+    // order-independence under re-partitioning
+    val again = Profile.zscores(df.repartition(7), "v", "g", "id").collect()
+      .map(x => x.getLong(0) ->
+        (if (x.isNullAt(2)) Double.NaN else x.getDouble(2))).toMap
+    assert(again(1L) === r(1L) && again(3L) === r(3L))
+  }
+
   test("quantileProfile approx mode plans the sketch, one scan either way") {
     val df = Seq((1.0, 2.0), (3.0, 4.0)).toDF("a", "b")
     val p = Profile.quantileProfile(df, Seq("a", "b"), exact = false)

@@ -121,6 +121,22 @@ class StreamingSpec extends SparkSuite {
     assert(kept.intersect(Set("d1", "d2", "d3")).size === 1)
   }
 
+  test("native session_window agrees with the flatMapGroupsWithState sessionizer") {
+    val ev = spark.read.parquet(streamDir)
+    val gap = "6 hours"
+    val native = ev.groupBy($"user_id",
+        session_window($"ts", gap).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"w.start".as("s"), $"n")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val custom = EventsStream.sessionize(ev, gapMs = 6 * 3600 * 1000L)
+      .toDF().select($"user_id", $"start_ts", $"n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(native === custom,
+      "two independent sessionizers must produce identical islands")
+    assert(native.nonEmpty)
+  }
+
   test("stream-stream interval join matches the batch join") {
     val ev = spark.read.parquet(streamDir)
     def side(t: String, prefix: String) = ev.filter($"event_type" === t)
