@@ -282,6 +282,16 @@ object SparkEntry {
         "text", "doc_id", n = 8)
     }),
 
+    // ---- dedup: benchmark leaks flagged on the TRAIN side (broadcast
+    // test grams — the 100 TB-corpus direction of decontamination) ----
+    "dedup_leaks" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.benchmarkLeaks(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", n = 8)
+    }),
+
     // ---- dedup: embedding-cosine near-dup pairs ----
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "embedding", "vec_id", 0.4)),
@@ -1017,6 +1027,28 @@ object SparkEntry {
         |SELECT test_id, n_grams,
         |  round(coalesce(n_hits, 0) * 1.0 / n_grams, 4) AS contamination
         |FROM tot LEFT JOIN hit USING (test_id)""".stripMargin,
+
+    // Mirror of dedup_contamination with the per-doc score on the TRAIN
+    // side (benchmark-leak direction); same 8-token gram convention.
+    "dedup_leaks" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+7], ' ') FOR i IN range(1, len(toks) - 6)]
+        |    END AS grams
+        |  FROM t),
+        |test_g AS (
+        |  SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 10 = 0),
+        |train_g AS (
+        |  SELECT doc_id AS train_id, unnest(list_distinct(grams)) AS g
+        |  FROM sh WHERE doc_id % 10 <> 0),
+        |tot AS (SELECT train_id, count(*) AS n_grams FROM train_g GROUP BY 1),
+        |hit AS (SELECT train_id, count(*) AS n_hits
+        |        FROM train_g WHERE g IN (SELECT g FROM test_g) GROUP BY 1)
+        |SELECT train_id, n_grams, coalesce(n_hits, 0) AS n_hits,
+        |  round(coalesce(n_hits, 0) * 1.0 / n_grams, 4) AS leak_frac
+        |FROM tot LEFT JOIN hit USING (train_id)""".stripMargin,
 
     // Connected components via recursive min-label propagation — the CTE
     // walks labels along (symmetric) edges; min per vertex = component

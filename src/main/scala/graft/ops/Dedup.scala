@@ -359,6 +359,45 @@ object Dedup {
   }
 
   /**
+   * Benchmark-leak flags for TRAINING documents: for each train doc, how
+   * many of its distinct word n-grams occur anywhere in the benchmark/
+   * test corpus — the mirror of `ngramContamination` (there the per-doc
+   * score lands on the TEST side; here it lands on the TRAIN side, the
+   * direction used to DROP leaking training docs before a run).
+   *
+   * Scale shape — the asymmetry is the point: benchmarks are tiny next
+   * to a 100 TB corpus, so the test gram set BROADCASTS and the train
+   * side probes it map-side (one broadcast-left-join inside the scan
+   * stage). Train grams never shuffle at all — the single exchange
+   * carries per-doc (n_grams, n_hits) aggregate rows. Compare
+   * `ngramContamination`, which must shuffle the big side's grams to
+   * build the distinct probe set; semantics here equal
+   * `ngramContamination(test, train)` with the sides swapped (pinned in
+   * DedupSpec), only the physical plan differs.
+   */
+  def benchmarkLeaks(
+      train: DataFrame,
+      test: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8): DataFrame = {
+    import graft.functions.HashFunctions.shingle_hashes
+    val testGrams = test
+      .select(explode(shingle_hashes(tokens(col(textCol)), n)).as("g"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    val trainGrams = train.select(col(idCol).as("train_id"),
+      explode(shingle_hashes(tokens(col(textCol)), n)).as("g"))
+    trainGrams
+      .join(broadcast(testGrams), Seq("g"), "left")
+      .groupBy("train_id")
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+      .select(col("train_id"), col("n_grams"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_grams"), 4).as("leak_frac"))
+  }
+
+  /**
    * Substring-level duplication profile (the signal behind suffix-array
    * corpus dedup, Lee et al. 2022 "Deduplicating Training Data Makes
    * Language Models Better" — public literature): for each document, how

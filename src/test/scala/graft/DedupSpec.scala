@@ -179,6 +179,30 @@ class DedupSpec extends SparkSuite {
     assert(r(102L) > 0.0 && r(102L) < 1.0)
   }
 
+  test("benchmark leaks mirror contamination with sides swapped") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // leaked
+      (2L, "totally novel words nowhere in any benchmark at all ok"), // clean
+      (3L, "one two three four five six seven eight nine ten extra")) // partial
+      .toDF("doc_id", "text")
+    val test = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val r = Dedup.benchmarkLeaks(train, test, "text", "doc_id", n = 8)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L)._3 === 1.0)
+    assert(r(2L)._3 === 0.0 && r(2L)._2 === 0L)
+    assert(r(3L)._3 > 0.0 && r(3L)._3 < 1.0)
+    // semantics == ngramContamination with the corpora swapped (only the
+    // physical plan differs: broadcast probe vs shuffled distinct)
+    val swapped = Dedup.ngramContamination(test, train, "text", "doc_id", n = 8)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    r.foreach { case (id, (nGrams, _, frac)) =>
+      assert(swapped(id) === ((nGrams, frac)), s"doc $id")
+    }
+  }
+
   test("connected components group transitive near-dup chains") {
     // two chains (1-2-3, 10-11) and an isolated pair graph vertex set
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")

@@ -112,6 +112,16 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("benchmark leaks broadcast the test grams — train side never shuffles rows") {
+    val p = plan("dedup_leaks")
+    assert(p.contains("BroadcastHashJoin"), s"test grams must broadcast:\n$p")
+    // exactly two hash exchanges: the TEST-side gram distinct (tiny by
+    // assumption) and the per-train-doc aggregate rows; the train gram
+    // stream itself stays inside the scan stage via the broadcast probe
+    assert(countOccurrences(p, "Exchange hashpartitioning") <= 2,
+      s"train grams must not shuffle:\n$p")
+  }
+
   test("exact dedup is a single-shuffle hash aggregate") {
     val p = plan("dedup_exact")
     assert(p.contains("HashAggregate"), p)
