@@ -694,6 +694,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sup"))
     }),
 
+    // ---- relational: co-bucketed join through the persisted bucketed
+    // layout (shuffle paid once at write, zero Exchange at join time —
+    // plan property pinned in BucketedCorpusSpec) ----
+    "join_bucketed" -> ((s, dir) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_gate_bucketed"
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.sources.BucketedCorpus.save(
+        docs, "gate_bc_corpus", s"$tmp/corpus", buckets = 8, key = "doc_id")
+      graft.sources.BucketedCorpus.save(
+        docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "gate_bc_stats", s"$tmp/stats", buckets = 8, key = "doc_id")
+      s.table("gate_bc_corpus").join(s.table("gate_bc_stats"), "doc_id")
+        .select(col("doc_id"), col("n_tokens"))
+    }),
+
     // ---- relational: window rank (top-2 orders per customer) ----
     "window_order_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -1595,6 +1611,12 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
+
+    // The bucketed layout changes WHERE rows live, never what they are —
+    // the oracle is the plain logical join the layout co-locates.
+    "join_bucketed" ->
+      """SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+        |FROM documents""".stripMargin,
 
     "window_order_rank" ->
       """SELECT o_custkey, o_orderkey,
