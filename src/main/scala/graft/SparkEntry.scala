@@ -337,6 +337,12 @@ object SparkEntry {
           Map("en" -> 0.5, "de" -> 0.25))
         .select(col("doc_id"), col("lang"))),
 
+    // ---- exact-N deterministic global sample via bounded top-k heap
+    // (eval-subset carve-out: one pass, no count job, no global sort) ----
+    "split_take" -> ((s, dir) =>
+      graft.ops.Splits.deterministicTake(t(s, dir, "documents"), "doc_id", 100)
+        .select(col("doc_id"), col("lang"))),
+
     // ---- temperature rebalance: output group sizes ∝ n^alpha (the
     // multilingual-LM mixing rule), as deterministic md5 keep rates
     // anchored at the smallest source ----
@@ -1248,6 +1254,12 @@ object SparkEntry {
          |           WHEN lang = 'de' THEN substr(md5(doc_id::VARCHAR), 1, 4) < '$de'
          |           ELSE TRUE END""".stripMargin
     },
+
+    // Winner SET is order-insensitive (the gate sorts rows), so LIMIT
+    // over the same md5 order is an exact oracle.
+    "split_take" ->
+      """SELECT doc_id, lang FROM documents
+        |ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 100""".stripMargin,
 
     // Same deterministic md5 ranking as capPerGroup: the 15-hex-prefix
     // numeric order IS the lexicographic prefix order (lowercase hex in

@@ -131,6 +131,24 @@ object Splits {
   }
 
   /**
+   * Exact-N deterministic global sample: the `n` rows with the smallest
+   * md5(id) — a uniformly-spread subset that is a pure function of the
+   * id set (engine-portable, reproducible across re-runs and
+   * partitionings), for carving eval/inspection subsets out of a corpus.
+   *
+   * Scale shape: `orderBy(md5).limit(n)` plans as TakeOrderedAndProject
+   * (pinned in PlanSpec) — every partition keeps its n smallest in a
+   * bounded heap and the driver merges heads. ONE corpus pass, no
+   * count job, no global sort, no Exchange; contrast `sample(fraction)`,
+   * which needs a separate count to hit an exact N and still isn't
+   * deterministic under repartitioning.
+   */
+  def deterministicTake(df: DataFrame, idCol: String, n: Int): DataFrame = {
+    require(n > 0, "n must be > 0")
+    df.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(n)
+  }
+
+  /**
    * Exact-size per-group cap: keep AT MOST `maxPerGroup` rows of every
    * group, chosen deterministically by md5-of-id rank (not arrival
    * order), so the kept set is a pure function of the data — stable

@@ -87,6 +87,31 @@ class SplitsSpec extends SparkSuite {
       s"expected the bounded-heap aggregate:\n$p")
   }
 
+  test("deterministicTake returns exactly n rows, nested under larger takes") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val t10 = Splits.deterministicTake(df, "id", 10).select("id")
+      .as[Long].collect().toSet
+    val t50 = Splits.deterministicTake(df, "id", 50).select("id")
+      .as[Long].collect().toSet
+    assert(t10.size === 10 && t50.size === 50)
+    // smaller takes are prefixes of larger ones (same md5 order)
+    assert(t10.subsetOf(t50))
+    // deterministic across re-runs and re-partitionings
+    val again = Splits.deterministicTake(df.repartition(7), "id", 10)
+      .select("id").as[Long].collect().toSet
+    assert(again === t10)
+  }
+
+  test("deterministicTake plans a bounded top-k, not a global sort") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, s"d$i")).toDF("id", "text")
+    val p = withLogLevel(Splits.deterministicTake(df, "id", 5)
+      .queryExecution.executedPlan.toString)
+    assert(p.contains("TakeOrderedAndProject"), s"must be bounded top-k:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"no global sort:\n$p")
+  }
+
   test("temperatureSample sizes groups ~ n^alpha, anchored at the smallest") {
     val df = withLogLevel(spark.range(0, 10000)
       .select($"id", (when($"id" < 8000, "big")
