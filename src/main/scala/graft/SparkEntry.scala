@@ -645,6 +645,19 @@ object SparkEntry {
           sum(round(col("value") * 100).cast("long")).cast("double")
             .divide(100.0).as("sum_value"))),
 
+    // ---- events: stream-static broadcast enrichment (batch twin of the
+    // streaming path — stream-vs-batch equality pinned in StreamingSpec;
+    // the dimension broadcasts, the event stream never shuffles) ----
+    "events_enrich" -> ((s, dir) =>
+      graft.streaming.EventsStream.enrich(
+          events(s, dir), t(s, dir, "customer")
+            .select(col("c_custkey").as("user_id"), col("c_mktsegment")),
+          "user_id", "inner")
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).cast("double")
+            .divide(100.0).as("sum_value"))),
+
     // ---- events: point-in-time (as-of) join — each purchase picks the
     // user's most recent click at-or-before it. Plan is union + ONE hash
     // exchange + sort + running last() window (no join operator at all);
@@ -1458,6 +1471,12 @@ object SparkEntry {
         |  sum(round(value * 100)::BIGINT) / 100.0 AS sum_value
         |FROM events
         |GROUP BY user_id""".stripMargin,
+
+    "events_enrich" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+        |  sum(round(value * 100)::BIGINT) / 100.0 AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
 
     // DuckDB's native ASOF JOIN replays the operator exactly: the events
     // table has no (user_id, ts) collisions at any SF, so the

@@ -169,6 +169,24 @@ object EventsStream {
       .drop(r(key))
   }
 
+  /**
+   * Stream-static enrichment: attach dimension attributes to each event
+   * via a BROADCAST join against a static (batch) table — the canonical
+   * Structured Streaming enrich pattern. Stream-static joins are
+   * stateless (no watermark, no join state: each micro-batch probes the
+   * dimension map-side), so this composes freely before any windowed
+   * aggregate; the broadcast keeps the stream side from ever shuffling.
+   * At 100 TB-of-events scale the dimension is the small side by
+   * definition — for a dimension too big to broadcast, pre-bucket both
+   * sides instead (see BucketedCorpus).
+   */
+  def enrich(
+      events: DataFrame,
+      dim: DataFrame,
+      key: String,
+      joinType: String = "left"): DataFrame =
+    events.join(broadcast(dim), Seq(key), joinType)
+
   /** Rate-of-events per user over a sliding window (streaming-safe). */
   def perUserRates(
       events: DataFrame,

@@ -169,6 +169,21 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("stream-static broadcast enrich matches the batch join") {
+    val ev = spark.read.parquet(streamDir)
+    val dim = ev.select($"user_id").distinct()
+      .withColumn("tier", when($"user_id" % 2 === 0, "even").otherwise("odd"))
+    val expected = ev.join(dim, Seq("user_id"))
+      .select($"event_id", $"tier").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val streamed = runToMemory(
+      EventsStream.enrich(EventsStream.readStream(spark, streamDir), dim, "user_id")
+        .select($"event_id", $"tier"),
+      "enrich")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed === expected)
+  }
+
   test("perUserRates sliding window runs on a stream") {
     val out = runToMemory(
       EventsStream.perUserRates(EventsStream.readStream(spark, streamDir)),
