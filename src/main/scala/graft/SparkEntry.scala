@@ -397,6 +397,18 @@ object SparkEntry {
           .as("n_chars_clean"))
     }),
 
+    // ---- text analysis: HTML -> text extraction (markup planted inside
+    // the query — the synthetic corpus is plain text — then stripped) ----
+    "text_strip_html" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("html", concat(
+          lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;" +
+            "</script><style>p { color: red; }</style></head><body><p>"),
+          col("text"),
+          lit("</p><!-- footer --><div>&amp;lt; &nbsp;done&#39;</div></body></html>")))
+        .select(col("doc_id"),
+          TextAnalysis.stripHtml(col("html")).as("clean"))),
+
     // ---- text analysis: PII redaction (emails/IPs/phones planted inside
     // the query — the synthetic corpus has none — then scrubbed) ----
     "text_redact_pii" -> ((s, dir) =>
@@ -1314,6 +1326,29 @@ object SparkEntry {
         |  length(regexp_replace(nfc_normalize(text),
         |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS n_chars_clean
         |FROM d""".stripMargin,
+
+    // Exact replay of the stripHtml chain — patterns are RE2-safe by
+    // construction (no backreferences, no \s), entities decode in the
+    // same order with &amp; last.
+    "text_strip_html" ->
+      ("""WITH d AS (
+        |  SELECT doc_id,
+        |    '<html><head><script type="text/javascript">var x = 1 < 2;' ||
+        |    '</script><style>p { color: red; }</style></head><body><p>' ||
+        |    text ||
+        |    '</p><!-- footer --><div>&amp;lt; &nbsp;done&#39;</div></body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '<[^>]+>', ' ', 'g'),
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |    '&quot;', '"'), '&#39;', CHR(39)), '&amp;', '&'),
+        |  '[ """ + "\\t\\n\\r\\f" + """]+', ' ', 'g')) AS clean
+        |FROM d""").stripMargin,
 
     "text_redact_pii" ->
       """WITH d AS (

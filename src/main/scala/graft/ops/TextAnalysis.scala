@@ -127,6 +127,32 @@ object TextAnalysis {
   private[graft] val PhonePattern =
     """\+?\d[\d\-. ]{7,}\d"""
 
+  /**
+   * HTML → text extraction: the first step of any web-crawl ingest
+   * pipeline. Strips script/style blocks, comments, and tags (tags
+   * become word boundaries), decodes the six ubiquitous entities, and
+   * collapses whitespace. A chain of codegen'd regexp_replace/replace —
+   * runs inside the scan like the other text kernels, no parse tree, no
+   * UDF.
+   *
+   * Portability discipline: patterns avoid backreferences and `\s`
+   * (Java regex and DuckDB's RE2 disagree on both — `\s` includes
+   * vertical tab in Java only), so the exact chain replays in the
+   * DuckDB oracle. `&amp;` decodes LAST: `&amp;lt;` must yield the
+   * literal text `&lt;`, not `<`.
+   */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(decoded, "[ \t\n\r\f]+", " "))
+  }
+
   /** PII redaction — the standard pre-training scrub. Three chained
     * codegen'd regexp_replace calls, in-scan, no extra pass. Order
     * matters: emails first (their digits must not be phone-matched),

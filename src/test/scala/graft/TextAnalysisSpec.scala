@@ -85,6 +85,22 @@ class TextAnalysisSpec extends SparkSuite {
     assert(one.length === 1 && one.head.getAs[String]("chunk") === "a b c")
   }
 
+  test("stripHtml drops script/style/comments/tags, decodes entities, collapses space") {
+    val df = Seq(
+      (1, "<html><head><script>if (a < b) alert('x');</script>" +
+        "<style>p { a: 1; }</style></head><body>\n<h1>Title</h1>" +
+        "<p>Hello <b>world</b> &amp; friends</p><!-- hidden --></body></html>"),
+      (2, "no markup at all"),
+      (3, "<div>a&nbsp;b &lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp;lt;</div>"))
+      .toDF("id", "text")
+    val r = df.select($"id", TextAnalysis.stripHtml($"text").as("c"))
+      .collect().map(x => x.getInt(0) -> x.getString(1)).toMap
+    assert(r(1) === "Title Hello world & friends")
+    assert(r(2) === "no markup at all")
+    // &amp;lt; must decode to the LITERAL &lt;, not <
+    assert(r(3) === "a b <tag> \"q\" 's' &lt;")
+  }
+
   test("PII redaction scrubs emails, IPs, and phone-ish digit runs") {
     val df = Seq(
       (1, "mail a.b+c@ex-ample.org now"),
