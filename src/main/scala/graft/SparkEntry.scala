@@ -397,6 +397,21 @@ object SparkEntry {
           .as("n_chars_clean"))
     }),
 
+    // ---- text analysis: URL host/domain extraction + per-domain corpus
+    // stats (URLs planted from source/doc_id — the curation group key
+    // for per-domain caps and mixing weights) ----
+    "text_url_domains" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("url", concat(
+          lit("https://user:pw@www.CDN"), (col("doc_id") % 20).cast("string"),
+          lit("."), col("source"), lit(".org:8080/p/"),
+          col("doc_id").cast("string"), lit("?ref=x#frag")))
+        .select(TextAnalysis.urlHost(col("url")).as("host"),
+          TextAnalysis.registeredDomain(col("url")).as("domain"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"))),
+
     // ---- text analysis: HTML -> text extraction (markup planted inside
     // the query — the synthetic corpus is plain text — then stripped) ----
     "text_strip_html" -> ((s, dir) =>
@@ -1326,6 +1341,22 @@ object SparkEntry {
         |  length(regexp_replace(nfc_normalize(text),
         |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS n_chars_clean
         |FROM d""".stripMargin,
+
+    // Exact replay of urlHost/registeredDomain — same RE2-safe patterns.
+    "text_url_domains" ->
+      """WITH u AS (
+        |  SELECT 'https://user:pw@www.CDN' || (doc_id % 20)::VARCHAR || '.' ||
+        |         source || '.org:8080/p/' || doc_id::VARCHAR || '?ref=x#frag' AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT regexp_replace(
+        |    lower(regexp_extract(url,
+        |      '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/:?#]+)', 1)),
+        |    '^www\.', '') AS host
+        |  FROM u),
+        |d AS (SELECT host, regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain FROM h)
+        |SELECT domain, count(*) AS n_docs, count(DISTINCT host) AS n_hosts
+        |FROM d GROUP BY 1""".stripMargin,
 
     // Exact replay of the stripHtml chain — patterns are RE2-safe by
     // construction (no backreferences, no \s), entities decode in the

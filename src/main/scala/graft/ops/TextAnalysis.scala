@@ -153,6 +153,26 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "[ \t\n\r\f]+", " "))
   }
 
+  /**
+   * URL host extraction — scheme, userinfo, port, path, query stripped;
+   * lowercased; leading `www.` dropped. Web-corpus curation is organized
+   * around the source host (per-domain caps, domain blocklists, domain
+   * mixing weights — `capPerGroup`/`downsample` take the result as their
+   * group column). Single codegen'd regex, RE2-safe for the oracle.
+   */
+  def urlHost(url: Column): Column = {
+    val host = regexp_extract(url,
+      "^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/:?#]+)", 1)
+    regexp_replace(lower(host), "^www\\.", "")
+  }
+
+  /** Registrable-domain heuristic: the last two dot-labels of the host
+    * (`cdn3.example.org` → `example.org`). Deliberately suffix-list-free
+    * (a real PSL lookup is a broadcast-join against the public list);
+    * documented approximation for grouping, not ownership. */
+  def registeredDomain(url: Column): Column =
+    regexp_extract(urlHost(url), "([^.]+\\.[^.]+)$", 1)
+
   /** PII redaction — the standard pre-training scrub. Three chained
     * codegen'd regexp_replace calls, in-scan, no extra pass. Order
     * matters: emails first (their digits must not be phone-matched),

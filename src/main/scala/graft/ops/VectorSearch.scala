@@ -192,6 +192,90 @@ object VectorSearch {
       .drop("__sig")
   }
 
+  /**
+   * Maximal Marginal Relevance re-rank: select `k` of the candidate rows
+   * greedily by `lambda·relevance − (1−lambda)·max cosine to the already
+   * selected` (Carbonell & Goldstein 1998) — the standard
+   * diversity-aware final stage over a first-pass top-K list.
+   *
+   * Scale shape: runs AFTER a bounded retrieval (topK / ANN probe), so
+   * the candidate list is k-sized by construction (≤ a few thousand
+   * rows); the greedy loop is driver-local over that bounded set — the
+   * same envelope as the reference's in-process result stage. The 100 TB
+   * corpus is only touched by the first-pass retrieval. Deterministic:
+   * score ties break by id ascending.
+   *
+   * `candidates` must carry (idCol: string-castable, vecCol:
+   * Array[Float], scoreCol: numeric relevance, higher = better).
+   * Returns (id, relevance, mmr_rank) — mmr_rank is 1-based selection
+   * order.
+   */
+  def mmrRerank(
+      candidates: DataFrame,
+      vecCol: String,
+      idCol: String,
+      scoreCol: String,
+      k: Int,
+      lambda: Double = 0.7): DataFrame = {
+    require(k > 0, "k must be > 0")
+    require(lambda >= 0 && lambda <= 1, "lambda must be in [0,1]")
+    val spark = candidates.sparkSession
+    import org.apache.spark.sql.Row
+    val rows = candidates
+      .select(col(idCol).cast("string"), col(vecCol),
+        col(scoreCol).cast("double"))
+      .collect()
+      .map(r => (r.getString(0),
+        r.getSeq[Float](1).toArray,
+        r.getDouble(2)))
+      .sortBy { case (id, _, rel) => (-rel, id) }
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val remaining = scala.collection.mutable.ArrayBuffer(rows: _*)
+    val maxSimToPicked = scala.collection.mutable.HashMap.empty[String, Double]
+    while (picked.length < math.min(k, rows.length)) {
+      var best: (String, Array[Float], Double) = null
+      var bestScore = Double.NegativeInfinity
+      for (c <- remaining) {
+        val div = maxSimToPicked.getOrElse(c._1, 0.0)
+        val s = if (picked.isEmpty) c._3
+                else lambda * c._3 - (1 - lambda) * div
+        if (s > bestScore + 1e-12 ||
+            (math.abs(s - bestScore) <= 1e-12 && best != null && c._1 < best._1)) {
+          best = c; bestScore = s
+        }
+      }
+      picked += ((best._1, best._3))
+      remaining -= best
+      // fold the new pick into every survivor's max-sim-to-selected
+      for (c <- remaining) {
+        val sim = cosineLocal(c._2, best._2)
+        val cur = maxSimToPicked.getOrElse(c._1, Double.NegativeInfinity)
+        if (sim > cur) maxSimToPicked(c._1) = sim
+      }
+    }
+    val out = picked.zipWithIndex.map { case ((id, rel), i) =>
+      Row(id, rel, (i + 1).toLong)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol,
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField(scoreCol,
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("mmr_rank",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  private def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
   /** Deterministic Gaussian hyperplanes (Box–Muller over splitmix-style
     * per-index seeds — reproducible on any executor). */
   private[graft] def randomPlanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Float]] = {

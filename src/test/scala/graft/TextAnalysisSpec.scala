@@ -85,6 +85,22 @@ class TextAnalysisSpec extends SparkSuite {
     assert(one.length === 1 && one.head.getAs[String]("chunk") === "a b c")
   }
 
+  test("urlHost strips scheme/userinfo/port/path/www and lowercases") {
+    val df = Seq(
+      (1, "https://user:pw@WWW.Example.COM:8443/a/b?q=1#f"),
+      (2, "http://cdn3.static.example.org/x"),
+      (3, "example.net/path"), // scheme-less
+      (4, "ftp://files.example.io")).toDF("id", "url")
+    val r = df.select($"id",
+        TextAnalysis.urlHost($"url").as("h"),
+        TextAnalysis.registeredDomain($"url").as("d"))
+      .collect().map(x => x.getInt(0) -> ((x.getString(1), x.getString(2)))).toMap
+    assert(r(1) === (("example.com", "example.com")))
+    assert(r(2) === (("cdn3.static.example.org", "example.org")))
+    assert(r(3) === (("example.net", "example.net")))
+    assert(r(4) === (("files.example.io", "example.io")))
+  }
+
   test("stripHtml drops script/style/comments/tags, decodes entities, collapses space") {
     val df = Seq(
       (1, "<html><head><script>if (a < b) alert('x');</script>" +

@@ -101,6 +101,30 @@ class VectorSearchSpec extends SparkSuite {
     assert(ids.length <= 5)
   }
 
+  test("mmrRerank trades relevance for diversity; lambda=1 is pure relevance") {
+    def unit(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    // a and b are near-duplicates close to the query; c is distinct
+    val cands = Seq(
+      ("a", unit(5), 0.99), ("b", unit(6), 0.98), ("c", unit(-40), 0.80))
+      .toDF("id", "vec", "rel")
+    val diverse = graft.ops.VectorSearch
+      .mmrRerank(cands, "vec", "id", "rel", k = 2, lambda = 0.5)
+      .collect().sortBy(_.getLong(2)).map(_.getString(0)).toSeq
+    assert(diverse === Seq("a", "c"),
+      "MMR must skip the near-duplicate b in favor of the diverse c")
+    val pure = graft.ops.VectorSearch
+      .mmrRerank(cands, "vec", "id", "rel", k = 2, lambda = 1.0)
+      .collect().sortBy(_.getLong(2)).map(_.getString(0)).toSeq
+    assert(pure === Seq("a", "b"), "lambda=1 must reduce to relevance order")
+    // rank column is 1-based selection order; k clamps to candidate count
+    val all = graft.ops.VectorSearch
+      .mmrRerank(cands, "vec", "id", "rel", k = 10, lambda = 0.5)
+    assert(all.count() === 3)
+  }
+
   test("topK plan is TakeOrderedAndProject with no shuffle") {
     val plan = VectorSearch.topK(emb, "embedding", q0, 5, "vec_id")
       .queryExecution.executedPlan.toString
