@@ -364,6 +364,16 @@ object SparkEntry {
           t(s, dir, "embeddings"), "embedding", "label", "vec_id")
         .select(col("vec_id"), col("label"), round(col("dist"), 4).as("dist"))),
 
+    // ---- graph: integer-exact PageRank over the customer↔supplier trade
+    // graph (3 rounds, damping 0.85). Rank mass is integer (scale units),
+    // every step is DIV/sum arithmetic — bit-reproducible under any
+    // partitioning and exactly replayable in SQL. Each round is one
+    // src-join + one dst-aggregate, the minimal edge-partitioned shape ----
+    "graph_pagerank" -> ((s, dir) =>
+      graft.ops.Graph.pageRank(
+        graft.ops.Graph.tradeGraph(t(s, dir, "orders"), t(s, dir, "lineitem")),
+        "src", "dst", 3)),
+
     // ---- exact-size per-group cap: at most 50 docs per lang, kept by
     // deterministic md5 rank via the bounded-heap aggregate (exchange
     // carries ≤ partitions × groups × 50 rows, no window sort) ----
@@ -1804,6 +1814,42 @@ object SparkEntry {
         |    unnest(embedding::DOUBLE[]) AS e
         |  FROM embeddings)
         |GROUP BY label, pos""".stripMargin,
+
+    // Full integer replay of 3 PageRank rounds: rank mass in 1e9 units,
+    // contrib = rank // outdeg, rank' = 0.15*scale + (85*Σin) // 100.
+    // DuckDB `//` and Spark `DIV` both truncate toward zero, and every
+    // intermediate is cast back to BIGINT (DuckDB sums widen to HUGEINT).
+    "graph_pagerank" ->
+      """WITH p AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT a AS src, b AS dst FROM p
+        |      UNION ALL SELECT b, a FROM p),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT node, 1000000000::BIGINT AS rank FROM n),
+        |r1 AS (
+        |  SELECT n.node,
+        |    (150000000 + (85 * coalesce(s.s, 0)) // 100)::BIGINT AS rank
+        |  FROM n LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r.rank // d.deg)::BIGINT AS s
+        |    FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |    GROUP BY e.dst) s ON n.node = s.node),
+        |r2 AS (
+        |  SELECT n.node,
+        |    (150000000 + (85 * coalesce(s.s, 0)) // 100)::BIGINT AS rank
+        |  FROM n LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r.rank // d.deg)::BIGINT AS s
+        |    FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |    GROUP BY e.dst) s ON n.node = s.node),
+        |r3 AS (
+        |  SELECT n.node,
+        |    (150000000 + (85 * coalesce(s.s, 0)) // 100)::BIGINT AS rank
+        |  FROM n LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r.rank // d.deg)::BIGINT AS s
+        |    FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |    GROUP BY e.dst) s ON n.node = s.node)
+        |SELECT node, rank FROM r3""".stripMargin,
 
     // Every image asset must survive decode → feature-extract with a
     // dim-16 embedding: asset ids and the size of each output vector are
