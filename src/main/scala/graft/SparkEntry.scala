@@ -47,6 +47,20 @@ object SparkEntry {
        |LIMIT 10""".stripMargin
   }
 
+  /** DuckDB oracle for layout_zorder: the same 16-term unrolled Morton
+    * interleave the Spark expression computes, generated from one place. */
+  private lazy val zorderOracleSql: String = {
+    val terms = (0 until 16).map(b =>
+      s"(((x >> $b) & 1) << ${2 * b}) + (((y >> $b) & 1) << ${2 * b + 1})")
+      .mkString("\n      + ")
+    s"""WITH t AS (
+       |  SELECT event_id,
+       |    user_id & 65535 AS x,
+       |    round(value * 100)::BIGINT & 65535 AS y
+       |  FROM events)
+       |SELECT event_id, ($terms)::BIGINT AS zkey FROM t""".stripMargin
+  }
+
   // ANN indexes built once per data dir: the whole point of an index is
   // that the signature / centroid-assignment pass is paid once and probes
   // reuse it — the bench's timed pass (after warmup) measures the probe,
@@ -363,6 +377,39 @@ object SparkEntry {
       graft.ops.Pooling.outlierScores(
           t(s, dir, "embeddings"), "embedding", "label", "vec_id")
         .select(col("vec_id"), col("label"), round(col("dist"), 4).as("dist"))),
+
+    // ---- embeddings: distributed Lloyd k-means (4 cells, 2 rounds,
+    // id-ordered seeds). Integer-exact distances, first-min tie-break,
+    // and truncated-mean centroid updates make the whole fit
+    // SQL-replayable; each round pays one codegen'd scan + one k×dim
+    // aggregate (map-side combined — same exchange volume as a count) ----
+    "emb_kmeans" -> ((s, dir) =>
+      graft.ops.KMeans.fitAssign(
+        t(s, dir, "embeddings"), "embedding", "vec_id", 4, 2)),
+
+    // ---- embeddings: JL ±1 random projection 64→16. Signs are md5-hex
+    // parity (no sampled state — the oracle recomputes them in SQL),
+    // projections are exact integer sums, the whole op is map-only ----
+    "emb_random_projection" -> ((s, dir) =>
+      graft.ops.Projection.randomProject(
+        t(s, dir, "embeddings"), "embedding", "vec_id", 16, 64)),
+
+    // ---- late-interaction retrieval: ColBERT MaxSim with the embedding
+    // reshaped as 8 sub-vectors of 8 dims, query = vec 0. Exact integer
+    // sub-dots, max/sum over integers, bounded top-k — same zero-shuffle
+    // envelope as the flat similarity scan ----
+    "q_maxsim_topk" -> ((s, dir) =>
+      graft.ops.LateInteraction.maxSimTopK(
+        t(s, dir, "embeddings"), "embedding", "vec_id",
+        vec(s, dir, 0), 8, 10)),
+
+    // ---- layout: z-order (Morton) clustering key over (user_id, cents)
+    // — multi-dimension data-skipping sort key; unrolled bit interleave,
+    // map-only, codegen'd ----
+    "layout_zorder" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+        graft.ops.Layout.zorderKey(
+          col("user_id"), round(col("value") * 100).cast("long")).as("zkey"))),
 
     // ---- graph: integer-exact PageRank over the customer↔supplier trade
     // graph (3 rounds, damping 0.85). Rank mass is integer (scale units),
@@ -1814,6 +1861,77 @@ object SparkEntry {
         |    unnest(embedding::DOUBLE[]) AS e
         |  FROM embeddings)
         |GROUP BY label, pos""".stripMargin,
+
+    // Full replay of 2 Lloyd rounds: integer distances, QUALIFY first-min
+    // assignment (dist, cell) = the Spark first-minimum tie-break, and
+    // truncated-mean updates (DuckDB // truncates toward zero exactly
+    // like the driver's long division). Seeds = vec_ids 0..3.
+    "emb_kmeans" ->
+      """WITH x AS (
+        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |         round(unnest(embedding::DOUBLE[]) * 10000000)::BIGINT AS e7
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id::BIGINT AS cell, pos, e7 AS c FROM x WHERE vec_id < 4),
+        |d1 AS (SELECT x.vec_id, c.cell,
+        |         sum((x.e7 - c.c) * (x.e7 - c.c))::BIGINT AS dist
+        |       FROM x JOIN c0 c USING (pos) GROUP BY x.vec_id, c.cell),
+        |a1 AS (SELECT vec_id, cell FROM d1
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+        |c1 AS (SELECT a.cell, x.pos, (sum(x.e7)::BIGINT // count(*)) AS c
+        |       FROM x JOIN a1 a USING (vec_id) GROUP BY a.cell, x.pos),
+        |d2 AS (SELECT x.vec_id, c.cell,
+        |         sum((x.e7 - c.c) * (x.e7 - c.c))::BIGINT AS dist
+        |       FROM x JOIN c1 c USING (pos) GROUP BY x.vec_id, c.cell),
+        |a2 AS (SELECT vec_id, cell FROM d2
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+        |c2 AS (SELECT a.cell, x.pos, (sum(x.e7)::BIGINT // count(*)) AS c
+        |       FROM x JOIN a2 a USING (vec_id) GROUP BY a.cell, x.pos),
+        |d3 AS (SELECT x.vec_id, c.cell,
+        |         sum((x.e7 - c.c) * (x.e7 - c.c))::BIGINT AS dist
+        |       FROM x JOIN c2 c USING (pos) GROUP BY x.vec_id, c.cell),
+        |a3 AS (SELECT vec_id, cell FROM d3
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1)
+        |SELECT vec_id, cell FROM a3""".stripMargin,
+
+    // Sign matrix recomputed in SQL from the shared md5-parity rule;
+    // the projection sum is exact integer arithmetic.
+    "emb_random_projection" ->
+      """WITH x AS (
+        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |         round(unnest(embedding::DOUBLE[]) * 10000000)::BIGINT AS e7
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT j.j, p.pos,
+        |    CASE WHEN substring(md5(p.pos || '_' || j.j), 1, 1)
+        |         IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS sgn
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS j) j,
+        |       (SELECT unnest(generate_series(0, 63)) AS pos) p)
+        |SELECT x.vec_id, s.j::BIGINT AS j, sum(x.e7 * s.sgn)::BIGINT AS proj
+        |FROM x JOIN s USING (pos)
+        |GROUP BY x.vec_id, s.j""".stripMargin,
+
+    // MaxSim replayed term by term: 8×8 sub-dot products as exact
+    // integer sums, max per query part, sum of maxima, same (score
+    // desc, vec_id) tie-break.
+    "q_maxsim_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    [round(x * 10000000)::BIGINT FOR x IN embedding::DOUBLE[]] AS e7
+        |  FROM embeddings),
+        |q AS (SELECT e7 AS q7 FROM e WHERE vec_id = 0),
+        |g AS (SELECT unnest(generate_series(0, 7)) AS v),
+        |dots AS (
+        |  SELECT e.vec_id, i.v AS i, j.v AS j,
+        |    sum(q.q7[i.v * 8 + w.v + 1] * e.e7[j.v * 8 + w.v + 1])::BIGINT AS dp
+        |  FROM e, q, g i, g j, g w
+        |  GROUP BY e.vec_id, i.v, j.v),
+        |mx AS (SELECT vec_id, i, max(dp) AS m FROM dots GROUP BY vec_id, i),
+        |sc AS (SELECT vec_id, sum(m)::BIGINT AS score FROM mx GROUP BY vec_id)
+        |SELECT vec_id, score FROM sc
+        |ORDER BY score DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
+    "layout_zorder" -> zorderOracleSql,
 
     // Full integer replay of 3 PageRank rounds: rank mass in 1e9 units,
     // contrib = rank // outdeg, rank' = 0.15*scale + (85*Σin) // 100.
