@@ -66,7 +66,9 @@ object Bench {
       "split_temperature", "text_packing", "join_asof_fwd", "events_funnel",
       "profile_quantiles", "profile_histogram", "events_pivot",
       "events_gapfill", "profile_topvalues", "profile_corr",
-      "split_weighted", "join_fuzzy", "events_sessions", "events_zscore")
+      "split_weighted", "join_fuzzy", "events_sessions", "events_zscore",
+      "graph_pagerank", "emb_kmeans", "emb_random_projection",
+      "q_maxsim_topk", "layout_zorder")
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try {

@@ -266,6 +266,18 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashDuplicates(t(s, dir, "documents"), "text", "doc_id", 0.8)),
 
+    // ---- dedup: cross-corpus MinHash (new batch vs existing corpus —
+    // the incremental-ingest primitive). Sides split by doc_id % 5; all
+    // qualifying cross pairs sit at J >= 0.9 where banded detection is
+    // deterministic-in-practice (1 - 3e-8 per pair), and the exact-
+    // Jaccard verify makes the output the exact cross-side pair set ----
+    "dedup_cross_corpus" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.minhashCrossCorpus(
+        d.filter(col("doc_id") % 5 === 0), d.filter(col("doc_id") % 5 =!= 0),
+        "text", "doc_id", 0.8)
+    }),
+
     // ---- dedup: SimHash-prefiltered exact dups (banded 64-bit
     // signatures at hamming 0, digest-verified). Determinism: identical
     // planted texts ⇒ identical signatures ⇒ guaranteed candidates; the
@@ -1215,6 +1227,27 @@ object SparkEntry {
         |      len(list_distinct(list_concat(a.s, b.s))) AS j
         |  FROM ds a JOIN ds b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.8""".stripMargin,
+
+    // Cross-side exact Jaccard ≥ 0.8 (all qualifying pairs in this corpus
+    // are at J ≥ 0.9 — deterministic banded recall, same argument as
+    // dedup_minhash above).
+    "dedup_cross_corpus" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |    END AS shingles
+        |  FROM t),
+        |ds AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+        |    len(list_intersect(a.s, b.s)) * 1.0 /
+        |      len(list_distinct(list_concat(a.s, b.s))) AS j
+        |  FROM ds a JOIN ds b ON a.doc_id % 5 = 0 AND b.doc_id % 5 != 0)
+        |SELECT batch_id, corpus_id, round(j, 4) AS jaccard
+        |FROM pairs WHERE j >= 0.8""".stripMargin,
 
     // SimHash at hamming 0 + digest verify = exactly the pairs with equal
     // lowered text over the planted union (recall guaranteed by identical

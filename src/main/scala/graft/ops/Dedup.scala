@@ -211,6 +211,89 @@ object Dedup {
   }
 
   /**
+   * Cross-corpus MinHash dedup: near-dup pairs BETWEEN a new batch and an
+   * existing corpus (the "dedup this crawl against the 100 TB training
+   * set" operation — incremental ingest's core primitive; see Lee et al.
+   * 2022 on cross-snapshot duplication). Same machinery as
+   * `minhashDuplicates` but the banded join is batch×corpus instead of a
+   * self-join: candidate volume is governed by cross-side bucket
+   * collisions, the corpus is scanned exactly once (signatures +
+   * shingle hashes in one cached pass per side), and the exact-Jaccard
+   * verification touches candidates only. Text never shuffles — bands,
+   * candidate ids, and 8-byte shingle hashes do.
+   *
+   * Returns (batch_id, corpus_id, jaccard) for pairs with exact shingle
+   * Jaccard ≥ threshold. Both sides go through the bucket-skew guard: a
+   * boilerplate bucket hot on BOTH sides would otherwise emit
+   * |A∩bucket|·|B∩bucket| pairs on one reducer.
+   */
+  def minhashCrossCorpus(
+      batch: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    def side(df: DataFrame, op: String): (DataFrame, DataFrame) = {
+      val sig = cached(df.select(
+        col(idCol).as("doc"),
+        minhash_signature(tokens(col(textCol)), numHashes, shingleSize).as("sig"),
+        graft.functions.HashFunctions.shingle_hashes(
+          tokens(col(textCol)), shingleSize).as("__toks")))
+      val banded = guardBuckets(sig.select(
+        col("doc"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket"),
+        maxBucketSize, op)
+      if (maxBucketSize <= 0) sig.count() // materialize without the guard job
+      (sig, banded)
+    }
+    val (sigA, bandedA) = side(batch, "minhashCrossCorpus(batch)")
+    val (sigB, bandedB) = side(corpus, "minhashCrossCorpus(corpus)")
+    val cand = bandedA.alias("a").join(bandedB.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc").as("batch_id"), col("b.doc").as("corpus_id"))
+      .distinct()
+    cand
+      .join(sigA.select(col("doc").as("batch_id"), col("__toks").as("__ta")),
+        Seq("batch_id"))
+      .join(sigB.select(col("doc").as("corpus_id"), col("__toks").as("__tb")),
+        Seq("corpus_id"))
+      .withColumn("jaccard",
+        graft.functions.HashFunctions.jaccard_sorted(col("__ta"), col("__tb")))
+      .filter(col("jaccard") >= lit(threshold))
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Batch rows that do NOT near-duplicate any corpus document — the
+    * ingest filter built on `minhashCrossCorpus` (anti-join on the pair
+    * set; batch rows and their columns pass through untouched). */
+  def newAgainstCorpus(
+      batch: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val dup = minhashCrossCorpus(batch, corpus, textCol, idCol, threshold,
+      numHashes, bands, shingleSize, maxBucketSize)
+      .select(col("batch_id").as(idCol)).distinct()
+    batch.join(dup, Seq(idCol), "left_anti")
+  }
+
+  /**
    * SimHash near-dup candidate pairs within `maxHamming` bits, via banded
    * equality on `bands` signature chunks of 64/bands bits each (pigeonhole:
    * any pair within Hamming ≤ bands−1 shares at least one unchanged chunk

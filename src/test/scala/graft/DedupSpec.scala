@@ -71,6 +71,28 @@ class DedupSpec extends SparkSuite {
     assert(exact.nonEmpty, "testdata should contain identical-word-set pairs")
   }
 
+  test("cross-corpus minhash pairs a batch only against the corpus side") {
+    val batch = docs.filter(col("doc_id") <= 2L)   // ids 1 (dup family), 2
+    val corpus = docs.filter(col("doc_id") > 2L)   // ids 3..6
+    val pairs = Dedup.minhashCrossCorpus(batch, corpus, "text", "doc_id",
+        0.9, numHashes = 64, bands = 16, shingleSize = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical word sets across sides must pair; within-side dup (1,2)
+    // and unrelated doc 4 must not appear
+    assert(pairs === Set((1L, 5L), (1L, 6L), (2L, 5L), (2L, 6L)))
+  }
+
+  test("newAgainstCorpus keeps only batch rows without a corpus near-dup") {
+    val batch = docs.filter(col("doc_id") <= 2L)
+      .unionByName(Seq((7L, "entirely new content nothing shares"))
+        .toDF("doc_id", "text"))
+    val corpus = docs.filter(col("doc_id") > 2L)
+    val kept = Dedup.newAgainstCorpus(batch, corpus, "text", "doc_id",
+        0.9, numHashes = 64, bands = 16, shingleSize = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(7L))
+  }
+
   test("simhash flags permutation/case variants as hamming-0") {
     val r = Dedup.simhashDuplicates(docs, "text", "doc_id", 0)
       .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet

@@ -195,4 +195,39 @@ class PlanSpec extends SparkSuite {
     assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text#")),
       s"gram/doc shuffles only:\n$p")
   }
+
+  test("MaxSim late interaction is a pure scan + bounded top-k") {
+    val p = plan("q_maxsim_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"the 8x8 sub-dot scoring must stay in the scan stage:\n$p")
+  }
+
+  test("random projection is map-only (no shuffle, pruned scan)") {
+    val p = plan("emb_random_projection")
+    assert(!p.contains("Exchange"), s"projection must not shuffle:\n$p")
+    assert(!p.contains("label:int"), s"label column must be pruned:\n$p")
+  }
+
+  test("z-order key is map-only over a two-column pruned scan") {
+    val p = plan("layout_zorder")
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+    assert(!p.contains("props"), s"unused event columns must be pruned:\n$p")
+  }
+
+  test("k-means assignment adds no shuffle beyond the final-round scan") {
+    // fitAssign's OUTPUT plan is the assignment pass: distances to k
+    // literal centroids computed in-scan, no exchange at all
+    val p = plan("emb_kmeans")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"assignment must be map-only:\n$p")
+  }
+
+  test("pagerank rounds shuffle ranks and edge endpoints, never wide rows") {
+    val p = plan("graph_pagerank")
+    // 3 rounds × (contrib join + in-sum aggregate) — bounded exchange
+    // count, no cartesian, no broadcast of the full edge list needed
+    assert(!p.contains("CartesianProduct"), p)
+    assert(countOccurrences(p, "HashAggregate") >= 2, p)
+  }
 }
