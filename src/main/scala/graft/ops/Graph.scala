@@ -49,20 +49,26 @@ object Graph {
       scale: Long = 1000000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(scale > 0, "scale must be > 0")
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // Edges ride every round's join and the degree/node derivations —
+    // cache the (src, dst, deg) frame so the upstream edge derivation
+    // (often a join + distinct) is computed once, not once per round.
+    // Cached frames stay registered for the session (CacheManager
+    // dedupes identical plans across calls); Spark evicts LRU.
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val eDeg = e.join(outdeg, Seq("src")).persist(mem)
     // every endpoint is a node, including pure sinks (no out-edges)
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .union(e.select(col("dst").as("node"))).distinct().persist(mem)
     val base = (15L * scale) / 100L
 
     var ranks = nodes.withColumn("rank", lit(scale))
     for (_ <- 1 to iterations) {
-      val contrib = ranks
-        .join(outdeg, ranks("node") === outdeg("src"))
-        .select(col("node"), expr("rank DIV deg").as("c"))
-      val inSum = e.join(contrib, e("src") === contrib("node"))
-        .groupBy(col("dst").as("node"))
+      // one join (ranks onto out-degreed edges) + one dst-aggregate
+      val inSum = eDeg.join(ranks, eDeg("src") === ranks("node"))
+        .select(col("dst").as("node"), expr("rank DIV deg").as("c"))
+        .groupBy("node")
         .agg(sum("c").as("s"))
       ranks = nodes
         .join(inSum, Seq("node"), "left")

@@ -53,32 +53,35 @@ object KMeans {
       .collect().map(_.getSeq[Long](0).toArray)
     require(init.length == k, s"need at least $k rows to seed $k cells")
     var centroids = init
-    for (_ <- 1 to iterations) {
-      val sums = vecs
-        .select(cellFor(col(vecCol), centroids, scale).as("cell"),
-          scaledLongs(col(vecCol), scale).as("e7"))
-        .groupBy("cell")
-        .agg(vector_sum_long(col("e7")).as("s"), count(lit(1)).as("n"))
-        .collect()
-        .map(r => r.getLong(0).toInt ->
-          ((r.getSeq[Long](1).toArray, r.getLong(2))))
-        .toMap
-      centroids = centroids.zipWithIndex.map { case (old, j) =>
-        sums.get(j) match {
-          case Some((s, n)) => s.map(_ / n) // quot, toward zero — SQL `//`
-          case None => old                  // empty cell keeps its centroid
+    // each round re-scans vecs (assignment + sums); cache for the fit
+    val cachedVecs =
+      vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (_ <- 1 to iterations) {
+        val sums = assignCells(cachedVecs, vecCol, centroids, scale,
+            scaledLongs(col(vecCol), scale).as("e7"))
+          .groupBy("cell")
+          .agg(vector_sum_long(col("e7")).as("s"), count(lit(1)).as("n"))
+          .collect()
+          .map(r => r.getLong(0).toInt ->
+            ((r.getSeq[Long](1).toArray, r.getLong(2))))
+          .toMap
+        centroids = centroids.zipWithIndex.map { case (old, j) =>
+          sums.get(j) match {
+            case Some((s, n)) => s.map(_ / n) // quot, toward zero — SQL `//`
+            case None => old                  // empty cell keeps its centroid
+          }
         }
       }
-    }
+    } finally cachedVecs.unpersist()
     Model(centroids, scale)
   }
 
   /** Assignment column: argmin cell id for each row of `df`. */
   def assign(df: DataFrame, vecCol: String, idCol: String,
       model: Model): DataFrame =
-    df.filter(col(vecCol).isNotNull)
-      .select(col(idCol),
-        cellFor(col(vecCol), model.centroids, model.scale).as("cell"))
+    assignCells(df, vecCol, model.centroids, model.scale, col(idCol))
+      .select(col(idCol), col("cell"))
 
   /** fit + assign in one call (the gate shape). */
   def fitAssign(df: DataFrame, vecCol: String, idCol: String, k: Int,
@@ -88,15 +91,29 @@ object KMeans {
   private def scaledLongs(vec: org.apache.spark.sql.Column, scale: Long) =
     transform(vec, e => round(e.cast("double") * scale).cast("long"))
 
-  /** Exact integer argmin over literal centroids, first-min tie-break. */
-  private def cellFor(vec: org.apache.spark.sql.Column,
-      centroids: Array[Array[Long]], scale: Long) = {
-    val e7 = scaledLongs(vec, scale)
-    val dists = array(centroids.map { c =>
-      aggregate(
-        zip_with(e7, typedlit(c.toSeq), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-    }: _*)
-    (array_position(dists, array_min(dists)) - 1).cast("long")
+  /**
+   * Exact integer argmin over literal centroids, first-min tie-break.
+   * dist²_j = Σe7² − 2·y_j + Σc_j² with y = C·e7 computed by the ONE
+   * codegen'd matmul kernel; Σe7² is row-constant, so
+   * argmin_j (Σc_j² − 2·y_j) has identical order AND ties. Staged
+   * projections keep the matmul evaluated exactly once per row.
+   */
+  private def assignCells(
+      df: DataFrame,
+      vecCol: String,
+      centroids: Array[Array[Long]],
+      scale: Long,
+      carry: org.apache.spark.sql.Column): DataFrame = {
+    val c2 = centroids.map(_.map(c => c * c).sum)
+    df.filter(col(vecCol).isNotNull)
+      .select(carry,
+        graft.functions.IntKernels.scaled_matmul(col(vecCol), centroids, scale)
+          .as("__y"))
+      .select(col("*"),
+        zip_with(typedlit(c2.toSeq), col("__y"), (a, y) => a - y * 2L).as("__d"))
+      .select(col("*"),
+        (array_position(col("__d"), array_min(col("__d"))) - 1)
+          .cast("long").as("cell"))
+      .drop("__y", "__d")
   }
 }

@@ -50,22 +50,23 @@ object LateInteraction {
     val q7: Array[Array[Long]] = Array.tabulate(numSub, subDim)((i, w) =>
       java.math.BigDecimal.valueOf(queryVec(i * subDim + w).toDouble * scale)
         .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact)
-    val e7 = transform(col(vecCol),
-      e => round(e.cast("double") * scale).cast("long"))
 
-    // dot(i, j) = ⟨q_i, doc sub-vector j⟩, exact longs; slice is 1-based
-    def dot(i: Int, j: Int) =
-      aggregate(
-        zip_with(slice(e7, j * subDim + 1, subDim), typedlit(q7(i).toSeq),
-          (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x)
+    // All numSub² sub-dots in ONE codegen'd matmul pass: row (i·m + j)
+    // holds q_i placed at doc-sub-vector j's offset (zeros elsewhere), so
+    // dots[i·m + j] = ⟨q_i, d_j⟩. The staged projection evaluates the
+    // kernel once per row; max/sum then run over the tiny m² array.
+    val dim = queryVec.length
+    val big = Array.tabulate(numSub * numSub, dim) { (r, c) =>
+      val i = r / numSub; val j = r % numSub
+      if (c >= j * subDim && c < (j + 1) * subDim) q7(i)(c - j * subDim) else 0L
+    }
+    val score = (0 until numSub).map(i =>
+      array_max(slice(col("__dots"), i * numSub + 1, numSub))).reduce(_ + _)
 
-    val score = (0 until numSub).map { i =>
-      val row = (0 until numSub).map(j => dot(i, j))
-      if (row.size == 1) row.head else greatest(row: _*)
-    }.reduce(_ + _)
-
-    df.filter(col(vecCol).isNotNull && size(col(vecCol)) === queryVec.length)
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol),
+        graft.functions.IntKernels.scaled_matmul(col(vecCol), big, scale)
+          .as("__dots"))
       .select(col(idCol), score.as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)

@@ -52,13 +52,10 @@ object Projection {
       scale: Long = 10000000L): DataFrame = {
     require(outDim >= 1 && inDim >= 1, "dims must be >= 1")
     val signs = signMatrix(outDim, inDim)
-    val e7 = transform(col(vecCol),
-      e => round(e.cast("double") * scale).cast("long"))
-    val projs = array(signs.map { row =>
-      aggregate(
-        zip_with(e7, typedlit(row.toSeq), (a, s) => a * s),
-        lit(0L), (acc, x) => acc + x)
-    }: _*)
+    // one codegen'd pass: scale each element once, k integer dot rows
+    // (raises on a vector whose length != inDim — silent truncation
+    // would corrupt downstream distance comparisons)
+    val projs = graft.functions.IntKernels.scaled_matmul(col(vecCol), signs, scale)
     df.filter(col(vecCol).isNotNull)
       .select(col(idCol), posexplode(projs).as(Seq("j", "proj")))
       .select(col(idCol), col("j").cast("long").as("j"), col("proj"))
