@@ -68,7 +68,8 @@ object Bench {
       "events_gapfill", "profile_topvalues", "profile_corr",
       "split_weighted", "join_fuzzy", "events_sessions", "events_zscore",
       "graph_pagerank", "emb_kmeans", "emb_random_projection",
-      "q_maxsim_topk", "layout_zorder")
+      "q_maxsim_topk", "layout_zorder", "text_bpe_merges",
+      "dedup_cross_corpus")
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try {

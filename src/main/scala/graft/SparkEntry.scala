@@ -47,6 +47,37 @@ object SparkEntry {
        |LIMIT 10""".stripMargin
   }
 
+  /** DuckDB oracle for text_bpe_merges: 3 unrolled merge rounds over the
+    * same canonical "two spaces between symbols" encoding, the same
+    * (freq DESC, left, right) argmax, and replace()'s shared left-to-right
+    * non-overlapping semantics. */
+  private lazy val bpeOracleSql: String = {
+    def round(si: String, i: Int): String =
+      s"""p$i AS (
+         |  SELECT y[i] AS l, y[i+1] AS r, sum(f)::BIGINT AS freq FROM (
+         |    SELECT string_split(trim(s), '  ') AS y, f,
+         |           unnest(generate_series(1, len(string_split(trim(s), '  ')) - 1)) AS i
+         |    FROM $si)
+         |  GROUP BY l, r),
+         |t$i AS (SELECT l, r, freq FROM p$i
+         |        QUALIFY row_number() OVER (ORDER BY freq DESC, l, r) = 1),
+         |s$i AS (SELECT replace(s, ' ' || t.l || '  ' || t.r || ' ',
+         |                       ' ' || t.l || t.r || ' ') AS s, f
+         |        FROM $si, t$i t)""".stripMargin
+    s"""WITH w AS (
+       |  SELECT t AS word, count(*)::BIGINT AS f FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+       |  WHERE regexp_matches(t, '^[a-z]+$$')
+       |  GROUP BY t),
+       |s0 AS (SELECT ' ' || rtrim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' ' AS s, f FROM w),
+       |${round("s0", 1)},
+       |${round("s1", 2)},
+       |${round("s2", 3)}
+       |SELECT 1::BIGINT AS rank, l AS "left", r AS "right", freq FROM t1
+       |UNION ALL SELECT 2, l, r, freq FROM t2
+       |UNION ALL SELECT 3, l, r, freq FROM t3""".stripMargin
+  }
+
   /** DuckDB oracle for layout_zorder: the same 16-term unrolled Morton
     * interleave the Spark expression computes, generated from one place. */
   private lazy val zorderOracleSql: String = {
@@ -422,6 +453,14 @@ object SparkEntry {
       t(s, dir, "events").select(col("event_id"),
         graft.ops.Layout.zorderKey(
           col("user_id"), round(col("value") * 100).cast("long")).as("zkey"))),
+
+    // ---- tokenizer training: the first 3 BPE merges over the corpus
+    // vocabulary (Sennrich et al. 2016). ONE corpus scan builds the
+    // (word, freq) vocab; every merge round is a vocabulary-bounded pair
+    // count + a map-only rewrite — the corpus text is never re-read, and
+    // the driver receives exactly one row per round ----
+    "text_bpe_merges" -> ((s, dir) =>
+      graft.ops.Bpe.learnMergesDF(s, t(s, dir, "documents"), "text", 3)),
 
     // ---- graph: integer-exact PageRank over the customer↔supplier trade
     // graph (3 rounds, damping 0.85). Rank mass is integer (scale units),
@@ -1965,6 +2004,8 @@ object SparkEntry {
         |LIMIT 10""".stripMargin,
 
     "layout_zorder" -> zorderOracleSql,
+
+    "text_bpe_merges" -> bpeOracleSql,
 
     // Full integer replay of 3 PageRank rounds: rank mass in 1e9 units,
     // contrib = rank // outdeg, rank' = 0.15*scale + (85*Σin) // 100.

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Byte-pair-encoding merge learning (Sennrich et al. 2016, "Neural
+ * Machine Translation of Rare Words with Subword Units" — public
+ * literature): iteratively merge the most frequent adjacent symbol pair
+ * across the corpus vocabulary. The learned merge list IS the tokenizer.
+ *
+ * Scale shape — the core trick is that BPE training never touches the
+ * corpus after round 0: ONE corpus scan builds the (word, freq)
+ * vocabulary (hash aggregate, output bounded by vocabulary size, not
+ * corpus size), and every merge round runs over the vocab frame only —
+ * a pair-count aggregate (vocabulary-bounded) plus a map-only merge
+ * rewrite. The driver receives exactly one row per round (the argmax
+ * pair via a bounded top-1), mirroring every production BPE trainer.
+ *
+ * Determinism contract: pair counts are exact integer sums and the
+ * argmax tie-breaks on (freq DESC, left ASC, right ASC); the merge
+ * rewrite is a plain string replace with both engines' left-to-right
+ * non-overlapping semantics, over a canonical "space word, two spaces
+ * between symbols" encoding — two adjacent pattern occurrences share no
+ * delimiter, so back-to-back pairs (`a b a b`) merge in one pass and
+ * overlapping runs (`a a a`) merge greedily left-to-right exactly like
+ * reference BPE. Everything is SQL-replayable.
+ *
+ * Vocabulary is restricted to `^[a-z]+$` words after lowercasing (the
+ * classic pre-tokenized-letters setup; it also sidesteps engine
+ * disagreement on multi-byte character indexing).
+ */
+object Bpe {
+
+  final case class Merge(rank: Int, left: String, right: String, freq: Long)
+
+  /** The canonical symbol-string encoding: leading/trailing single
+    * space, TWO spaces between symbols; round 0 symbols = characters. */
+  private def initialSymbols(word: Column): Column =
+    concat(lit(" "), rtrim(regexp_replace(word, "(.)", "$1  ")), lit(" "))
+
+  /** (word, freq) vocabulary — the single corpus-sized aggregate. */
+  def vocabulary(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(Dedup.tokens(col(textCol))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("f"))
+
+  /** Learn `numMerges` merges; returns them in rank order. */
+  def learnMerges(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int): Seq[Merge] = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    var state = vocabulary(df, textCol)
+      .select(initialSymbols(col("word")).as("s"), col("f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer[Merge]()
+    try {
+      for (r <- 1 to numMerges) {
+        val syms = split(trim(col("s")), "  ")
+        // single-symbol words contribute no pairs; guard the sequence —
+        // Spark's sequence(1, 0) would DESCEND, not produce empty
+        val pairs = when(size(syms) < 2, array().cast("array<struct<l:string,r:string>>"))
+          .otherwise(transform(
+            sequence(lit(1), size(syms) - 1),
+            i => struct(element_at(syms, i).as("l"),
+              element_at(syms, i + 1).as("r"))))
+        val top = state
+          .select(explode(pairs).as("pair"), col("f"))
+          .groupBy(col("pair.l").as("l"), col("pair.r").as("r"))
+          .agg(sum("f").as("freq"))
+          .orderBy(desc("freq"), col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty) return merges.toSeq // nothing left to merge
+        val (l, rr, f) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += Merge(r, l, rr, f)
+        val next = state.withColumn("s",
+            replace(col("s"), lit(s" $l  $rr "), lit(s" $l$rr ")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        state.unpersist()
+        state = next
+      }
+      merges.toSeq
+    } finally state.unpersist()
+  }
+
+  /** Gate shape: the merge table as a DataFrame (rank, left, right, freq). */
+  def learnMergesDF(spark: SparkSession, df: DataFrame, textCol: String,
+      numMerges: Int): DataFrame = {
+    import spark.implicits._
+    learnMerges(df, textCol, numMerges)
+      .map(m => (m.rank.toLong, m.left, m.right, m.freq))
+      .toDF("rank", "left", "right", "freq")
+  }
+
+  /**
+   * Apply a learned merge list to segment words into subword tokens —
+   * map-only over any frame carrying a word column (merges applied in
+   * rank order, same replace semantics as training).
+   */
+  def segment(df: DataFrame, wordCol: String, merges: Seq[Merge]): DataFrame = {
+    val merged = merges.foldLeft(initialSymbols(col(wordCol))) {
+      case (acc, m) =>
+        replace(acc, lit(s" ${m.left}  ${m.right} "), lit(s" ${m.left}${m.right} "))
+    }
+    df.withColumn("subwords", split(trim(merged), "  "))
+  }
+}

@@ -30,6 +30,19 @@ object Layout {
     }.reduce(_ + _)
   }
 
+  /** N-column Morton key: bit b of column i lands at position b·n + i.
+    * n·bits must stay ≤ 63 (e.g. 4 columns × 15 bits). */
+  def zorderKeyN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 1, "need at least one column")
+    require(bits >= 1 && n * bits <= 63, s"$n columns × $bits bits must be <= 63")
+    val mask = (1L << bits) - 1
+    val masked = cols.map(_.cast("long").bitwiseAND(lit(mask)))
+    (for (b <- 0 until bits; i <- 0 until n) yield
+      shiftleft(shiftright(masked(i), b).bitwiseAND(lit(1L)), b * n + i))
+      .reduce(_ + _)
+  }
+
   /**
    * Range-partition + sort by the z-key: each output partition (= file on
    * write) covers a disjoint key range, so both x- and y-filtered scans

@@ -1,0 +1,52 @@
+package graft
+
+import graft.ops.Bpe
+
+class BpeSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("learnMerges finds the classic most-frequent pairs in order") {
+    // vocabulary: low ×5, lower ×2, newest ×6, widest ×3  (Sennrich-style)
+    val docs = withLogLevel(Seq(
+      (1L, ("low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3).trim)
+    ).toDF("doc_id", "text"))
+    val m = Bpe.learnMerges(docs, "text", 3)
+    // pair counts r1: (e,s) 6+3=9, (s,t) 9, (w,e) 2+6+3=11 ... argmax (w,e)=11?
+    // chars: l o w (5+2), l o w e r (2), n e w e s t (6), w i d e s t (3)
+    // (w,e): lower 2 + newest 6 = 8; (e,s): 6+3=9; (s,t): 9; (e,w): 6
+    // (l,o): 7; (o,w): 7; tie (e,s) vs (s,t) at 9 → lexicographic: (e,s)
+    assert(m(0).left === "e" && m(0).right === "s" && m(0).freq === 9L)
+    // after merge 1: n e w es t, w i d es t → (es,t): 9 wins
+    assert(m(1).left === "es" && m(1).right === "t" && m(1).freq === 9L)
+    // after merge 2: n e w est, w i d est → (l,o)=7, (o,w)=7, (w,est)=6,
+    // (n,e)=6, (e,w)=6 ... tie (l,o)/(o,w) at 7 → (l,o)
+    assert(m(2).left === "l" && m(2).right === "o" && m(2).freq === 7L)
+  }
+
+  test("back-to-back and overlapping pairs merge greedily left-to-right") {
+    // "abab": pairs (a,b)=2·f, (b,a)=f → merge (a,b) twice in one pass
+    val docs = withLogLevel(Seq((1L, "abab abab")).toDF("doc_id", "text"))
+    val m = Bpe.learnMerges(docs, "text", 2)
+    assert(m(0).left === "a" && m(0).right === "b" && m(0).freq === 4L)
+    // next round operates on "ab ab": pair (ab,ab) freq 2
+    assert(m(1).left === "ab" && m(1).right === "ab" && m(1).freq === 2L)
+  }
+
+  test("segment applies merges in rank order") {
+    val docs = withLogLevel(Seq((1L, "lowest lowest low")).toDF("doc_id", "text"))
+    val merges = Bpe.learnMerges(docs, "text", 2)
+    val segs = Bpe.segment(
+        Bpe.vocabulary(docs, "text").select($"word"), "word", merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    // merges: (l,o)=3 → (lo,w)=3; "low" → ["low"], "lowest" → ["low","e","s","t"]
+    assert(segs("low") === Seq("low"))
+    assert(segs("lowest") === Seq("low", "e", "s", "t"))
+  }
+
+  test("non-alpha tokens are excluded from the vocabulary") {
+    val docs = withLogLevel(Seq((1L, "aaa 123 a-b aaa")).toDF("doc_id", "text"))
+    val v = Bpe.vocabulary(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v === Map("aaa" -> 2L))
+  }
+}

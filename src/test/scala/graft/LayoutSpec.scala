@@ -31,6 +31,18 @@ class LayoutSpec extends SparkSuite {
     assert(z === expected && z >= 0L && z < (1L << 32))
   }
 
+  test("zorderKeyN generalizes: 2-col agrees with zorderKey, 3-col interleaves") {
+    val df = withLogLevel(Seq((5L, 9L, 3L)).toDF("x", "y", "w"))
+    val both = df.select(
+      Layout.zorderKey(col("x"), col("y")).as("a"),
+      Layout.zorderKeyN(Seq(col("x"), col("y")), 16).as("b")).head()
+    assert(both.getLong(0) === both.getLong(1))
+    // 3 columns, 1 bit each: key = x&1 + 2*(y&1) + 4*(w&1)
+    val k3 = df.select(Layout.zorderKeyN(
+      Seq(col("x"), col("y"), col("w")), 1).as("k")).head().getLong(0)
+    assert(k3 === (1L + 2L + 4L))
+  }
+
   test("clusterByZOrder yields disjoint per-partition key ranges") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 2000).map(_ =>
