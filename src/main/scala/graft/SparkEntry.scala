@@ -454,6 +454,12 @@ object SparkEntry {
         graft.ops.Layout.zorderKey(
           col("user_id"), round(col("value") * 100).cast("long")).as("zkey"))),
 
+    // ---- time series: trailing 5-event moving average per user (cents-
+    // exact window sums, one shuffle by key, bounded frame) ----
+    "events_moving_avg" -> ((s, dir) =>
+      graft.ops.TimeSeries.movingAverage(
+        events(s, dir), "user_id", "ts", "event_id", "value", 5)),
+
     // ---- tokenizer training: the first 3 BPE merges over the corpus
     // vocabulary (Sennrich et al. 2016). ONE corpus scan builds the
     // (word, freq) vocab; every merge round is a vocabulary-bounded pair
@@ -2006,6 +2012,16 @@ object SparkEntry {
     "layout_zorder" -> zorderOracleSql,
 
     "text_bpe_merges" -> bpeOracleSql,
+
+    // Same cents-integer window sum, same (ts, event_id) frame order,
+    // one division at the end.
+    "events_moving_avg" ->
+      """SELECT user_id, event_id,
+        |  round(sum(round(value * 100)::BIGINT) OVER w / (100.0 *
+        |    count(*) OVER w), 4) AS mavg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // Full integer replay of 3 PageRank rounds: rank mass in 1e9 units,
     // contrib = rank // outdeg, rank' = 0.15*scale + (85*Σin) // 100.

@@ -43,4 +43,39 @@ object TimeSeries {
       .select(col("__k").as(keyCol), col("__p").as("period"),
         coalesce(col("__n"), lit(0L)).as("n"))
   }
+
+  /**
+   * Trailing moving average of a measure over the last `windowRows`
+   * events per key (event-count frame, not time frame — the smoothing
+   * most monitoring/feature pipelines use).
+   *
+   * Exactness: the measure sums as ROUNDED INTEGER cents inside the
+   * window frame (order-independent, engine-exact); the single division
+   * back to currency happens once per output row, so results are
+   * bit-stable and SQL-replayable. Frame order is (ts, idCol) — the id
+   * tiebreak makes same-timestamp rows deterministic.
+   *
+   * Scale shape: ONE shuffle by key, one sort within partitions, a
+   * bounded running frame — the canonical window op; state per task is
+   * the frame buffer, never the corpus.
+   */
+  def movingAverage(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valCol: String,
+      windowRows: Int): DataFrame = {
+    require(windowRows >= 1, "windowRows must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-(windowRows - 1), 0)
+    events
+      .select(col(keyCol), col(tsCol), col(idCol),
+        round(col(valCol) * 100).cast("long").as("__cents"))
+      .select(col(keyCol), col(idCol),
+        (sum(col("__cents")).over(w).cast("double") /
+          (lit(100.0) * count(lit(1)).over(w))).as("mavg"))
+      .select(col(keyCol), col(idCol), round(col("mavg"), 4).as("mavg"))
+  }
 }

@@ -51,4 +51,19 @@ class TimeSeriesSpec extends SparkSuite {
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
+
+  test("movingAverage: trailing frame, cents-exact, id tiebreak") {
+    import java.sql.Timestamp
+    val df = withLogLevel(Seq(
+      (1L, Timestamp.valueOf("2026-01-01 00:00:00"), 10L, 1.00),
+      (1L, Timestamp.valueOf("2026-01-01 00:00:01"), 11L, 2.00),
+      (1L, Timestamp.valueOf("2026-01-01 00:00:01"), 12L, 4.00), // same ts: id order
+      (1L, Timestamp.valueOf("2026-01-01 00:00:02"), 13L, 8.00),
+      (2L, Timestamp.valueOf("2026-01-01 00:00:00"), 20L, 5.00)
+    ).toDF("user_id", "ts", "event_id", "value"))
+    val r = graft.ops.TimeSeries
+      .movingAverage(df, "user_id", "ts", "event_id", "value", 2)
+      .collect().map(x => x.getLong(1) -> x.getDouble(2)).toMap
+    assert(r === Map(10L -> 1.0, 11L -> 1.5, 12L -> 3.0, 13L -> 6.0, 20L -> 5.0))
+  }
 }
