@@ -386,6 +386,17 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split"))),
 
+    // ---- leakage-safe split: near-dup clusters (exact Jaccard >= 0.8
+    // pair graph, same source as dedup_components) never straddle
+    // train/test — the split key is the connected component ----
+    "split_leakage_safe" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.Splits.leakageSafeAssign(d, "doc_id",
+          Dedup.wordJaccardPairs(d, "text", "doc_id", 0.8),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+    }),
+
     // ---- deterministic per-group downsampling (rebalance the corpus:
     // keep 50% of en, 25% of de, everything else whole — a pure function
     // of (id, lang): map-only, reproducible, engine-portable) ----
@@ -1250,6 +1261,42 @@ object SparkEntry {
         |  UNION
         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id)
         |SELECT id, min(label) AS component FROM walk GROUP BY id""".stripMargin,
+
+    // Same recursive components as dedup_components, then the standard
+    // md5 split rule applied to coalesce(component, doc_id) — whole
+    // clusters land on one side.
+    "split_leakage_safe" -> {
+      val th = graft.ops.Splits.hexThresholds(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tk FROM t),
+         |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         |pr AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM pr
+         |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |walk(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+         |comp AS (SELECT id, min(label) AS component FROM walk GROUP BY id),
+         |keyed AS (
+         |  SELECT d.doc_id, coalesce(c.component, d.doc_id)::VARCHAR AS k
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN substr(md5(k), 1, 4) < '${th(0)._2}' THEN 'train'
+         |       WHEN substr(md5(k), 1, 4) < '${th(1)._2}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM keyed""".stripMargin
+    },
 
     // MinHash+LSH verified by exact shingle Jaccard: all qualifying pairs
     // in this corpus sit at J >= 0.9, where 16-band/4-row detection

@@ -183,4 +183,32 @@ object Splits {
       .select(col("__e").getField(idCol).as(idCol))
     df.join(kept, Seq(idCol), "left_semi")
   }
+
+  /**
+   * Leakage-safe split assignment: near-duplicate documents must never
+   * straddle train/test (a test doc whose near-dup sits in train leaks
+   * the answer — the standard eval-contamination failure). The split key
+   * is the document's near-dup CLUSTER (connected component of `pairs`),
+   * not the document itself: every member of a cluster hashes to the
+   * same side, singletons fall back to their own id, and the assignment
+   * stays a pure deterministic function (engine-portable md5 rule).
+   *
+   * Scale shape: components run on the collision-bounded pair graph
+   * (edge-list-only shuffles, O(log n) rounds); the join back to the
+   * corpus is one shuffle on id; the split itself is map-only.
+   */
+  def leakageSafeAssign(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      fractions: Seq[(String, Double)],
+      idA: String = "id_a",
+      idB: String = "id_b"): DataFrame = {
+    val comp = Dedup.connectedComponents(pairs, idA, idB)
+      .withColumnRenamed("id", idCol)
+    df.join(comp, Seq(idCol), "left")
+      .withColumn("split",
+        splitColumn(coalesce(col("component"), col(idCol)), fractions))
+      .drop("component")
+  }
 }

@@ -164,4 +164,24 @@ class SplitsSpec extends SparkSuite {
       s"rates must broadcast back, not shuffle the corpus:\n$p")
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("leakageSafeAssign puts whole near-dup clusters on one side") {
+    val docs = withLogLevel(Seq(
+      (1L, "aa bb cc dd"), (2L, "aa bb cc dd"), (3L, "aa bb cc dd"),
+      (10L, "zz yy xx ww"), (20L, "qq rr ss tt")).toDF("doc_id", "text"))
+    val pairs = graft.ops.Dedup.wordJaccardPairs(docs, "text", "doc_id", 0.7)
+    val assigned = Splits.leakageSafeAssign(docs, "doc_id", pairs,
+      Seq("train" -> 0.5, "test" -> 0.5))
+    val r = assigned.select("doc_id", "split")
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    // cluster {1,2,3} must agree (keyed by component min = 1)
+    assert(r(1L) === r(2L) && r(2L) === r(3L))
+    // and the cluster's side equals the plain assignment of its min id
+    val solo = Splits.assign(docs.filter($"doc_id" === 1L), "doc_id",
+        Seq("train" -> 0.5, "test" -> 0.5))
+      .select("split").head().getString(0)
+    assert(r(1L) === solo)
+    // all five rows assigned, no rows lost or duplicated
+    assert(assigned.count() === 5L)
+  }
 }
