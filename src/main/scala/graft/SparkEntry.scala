@@ -501,6 +501,11 @@ object SparkEntry {
     "text_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(t(s, dir, "documents"), "text", 100)),
 
+    // ---- vocabulary coverage curve (Zipf): cumulative corpus share of
+    // the top-100 tokens; window cumsum over the k-row table only ----
+    "text_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabularyCoverage(t(s, dir, "documents"), "text", 100)),
+
     // ---- text analysis: token-window chunking with overlap (the RAG /
     // training ingest step before embedding) ----
     "text_chunks" -> ((s, dir) =>
@@ -1497,6 +1502,22 @@ object SparkEntry {
         |GROUP BY tok
         |ORDER BY freq DESC, token
         |LIMIT 100""".stripMargin,
+
+    // Same top-100, then rank + cumulative share over the tiny table;
+    // total token count divides once at the end.
+    "text_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |v AS (
+        |  SELECT tok AS token, count(*) AS freq FROM tok
+        |  GROUP BY tok ORDER BY freq DESC, token LIMIT 100),
+        |tot AS (SELECT count(*) AS total FROM tok)
+        |SELECT row_number() OVER (ORDER BY freq DESC, token) AS rank,
+        |  token, freq,
+        |  round(sum(freq) OVER (ORDER BY freq DESC, token
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / total::DOUBLE,
+        |    6) AS coverage
+        |FROM v, tot""".stripMargin,
 
     "text_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

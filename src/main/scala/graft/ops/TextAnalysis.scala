@@ -261,6 +261,33 @@ object TextAnalysis {
   }
 
   /**
+   * Vocabulary coverage curve: the top-k tokens with each prefix's
+   * cumulative share of ALL token occurrences — the Zipf/coverage signal
+   * behind vocabulary-size decisions ("how many types cover 95% of the
+   * corpus?") and OOV-rate estimates for a candidate tokenizer.
+   *
+   * Scale shape: the corpus pays the one vocabulary aggregate (and a
+   * count reusing the same scan shape); the window cumsum runs over the
+   * k-row top table only — never the corpus. Coverage is an exact
+   * integer ratio divided once (order-stable, SQL-replayable).
+   */
+  def vocabularyCoverage(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val toks = df.select(explode(split(col(textCol), " ")).as("token"))
+    val total = toks.agg(count(lit(1)).as("__total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("freq"), asc("token"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    vocabulary(df, textCol, topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("freq"), asc("token"))).cast("long"))
+      .withColumn("__cum", sum("freq").over(w))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("freq"),
+        round(col("__cum").cast("double") / col("__total"), 6).as("coverage"))
+  }
+
+  /**
    * Corpus character-n-gram language-model score — the CCNet-style
    * "how typical is this document of the corpus" quality signal, computed
    * from the corpus's own statistics (no external model): each document

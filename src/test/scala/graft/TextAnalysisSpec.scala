@@ -155,6 +155,19 @@ class TextAnalysisSpec extends SparkSuite {
     assert(v === Seq(("a", 3L), ("b", 3L), ("d", 2L)))
   }
 
+  test("vocabularyCoverage: cumulative share of all token occurrences") {
+    val df = Seq(
+      (1, "b b b a a c"),
+      (2, "a d d")).toDF("id", "text")
+    val v = TextAnalysis.vocabularyCoverage(df, "text", 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // 9 tokens total: a(3) → 3/9, b(3) → 6/9, d(2) → 8/9
+    assert(v === Seq(
+      (1L, "a", 3L, 0.333333), (2L, "b", 3L, 0.666667), (3L, "d", 2L, 0.888889)))
+  }
+
   test("rollingHash is order-sensitive, md5 fingerprint is content-stable") {
     val df = Seq(
       (1, "alpha beta gamma"),
