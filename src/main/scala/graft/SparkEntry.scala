@@ -371,6 +371,19 @@ object SparkEntry {
         planted, "embedding", "vec_id", threshold = 0.8, dim = 64)
     }),
 
+    // ---- dedup: cross-corpus embedding near-dup (batch = 1.5×-scaled
+    // copies of every 5th vector ⇒ planted cos=1.0 cross pairs with
+    // identical sign signatures — deterministic recall, brute-force
+    // cross-scan oracle; same plant argument as dedup_embedding_lsh) ----
+    "dedup_embedding_cross" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val batch = e.filter(col("vec_id") % 5 === 0).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      Dedup.embeddingCrossCorpusLSH(batch, e, "embedding", "vec_id",
+        threshold = 0.8, dim = 64)
+    }),
+
     // ---- text analysis: token counting (whitespace + BPE-ish regex) ----
     "text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1367,6 +1380,17 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
         |FROM u a JOIN u b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8""".stripMargin,
+
+    // Brute-force cross-side cosine scan over the planted batch.
+    "dedup_embedding_cross" ->
+      """WITH b AS (
+        |  SELECT vec_id + 1000000 AS batch_id,
+        |         list_transform(embedding, x -> x * 1.5::FLOAT) AS v
+        |  FROM embeddings WHERE vec_id % 5 = 0)
+        |SELECT b.batch_id, e.vec_id AS corpus_id,
+        |  round(list_cosine_similarity(b.v::DOUBLE[], e.embedding::DOUBLE[]), 4) AS cos
+        |FROM b, embeddings e
+        |WHERE list_cosine_similarity(b.v::DOUBLE[], e.embedding::DOUBLE[]) >= 0.8""".stripMargin,
 
     // LSH top-k replicated in SQL: the hyperplanes are seed-deterministic,
     // so they are emitted as literals; signatures are the same sign

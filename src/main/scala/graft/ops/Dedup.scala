@@ -649,6 +649,59 @@ object Dedup {
       .unionByName(scored.join(winners, Seq(idCol), "left_semi").drop("__score"))
   }
 
+  /**
+   * Cross-corpus embedding near-dup pairs — the semantic twin of
+   * `minhashCrossCorpus`: hyperplane-LSH signatures per side (map-only,
+   * same seed ⇒ same planes), banded batch×corpus bucket join, exact
+   * cosine verification on candidates only. Returns
+   * (batch_id, corpus_id, cos) for pairs with cosine ≥ threshold.
+   * Vectors never ride the candidate shuffle; both sides pass the
+   * bucket-skew guard.
+   */
+  def embeddingCrossCorpusLSH(
+      batch: DataFrame,
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      dim: Int,
+      numPlanes: Int = 32,
+      bands: Int = 4,
+      seed: Long = 42L,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(numPlanes <= 64 && numPlanes % bands == 0,
+      "numPlanes must be <= 64 and divisible by bands")
+    require(dim > 0, "dim must be the embedding dimensionality (> 0)")
+    val rows = numPlanes / bands
+    val mask = if (rows == 64) -1L else (1L << rows) - 1
+    val planes = VectorSearch.randomPlanes(numPlanes, dim, seed)
+    def side(df: DataFrame, op: String): (DataFrame, DataFrame) = {
+      val sig = cached(df.select(col(idCol).as("doc"), col(vecCol).as("__v"),
+        VectorSearch.hyperplaneSignature(col(vecCol), planes).as("__sig")))
+      val banded = guardBuckets(sig.select(col("doc"),
+        posexplode(array((0 until bands).map(b =>
+          shiftrightunsigned(col("__sig"), b * rows).bitwiseAND(lit(mask))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
+        maxBucketSize, op)
+      if (maxBucketSize <= 0) sig.count() // materialize without the guard job
+      (sig, banded)
+    }
+    val (sigA, bandedA) = side(batch, "embeddingCrossCorpusLSH(batch)")
+    val (sigB, bandedB) = side(corpus, "embeddingCrossCorpusLSH(corpus)")
+    val cand = bandedA.alias("a").join(bandedB.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc").as("batch_id"), col("b.doc").as("corpus_id"))
+      .distinct()
+    cand
+      .join(sigA.select(col("doc").as("batch_id"), col("__v").as("__va")),
+        Seq("batch_id"))
+      .join(sigB.select(col("doc").as("corpus_id"), col("__v").as("__vb")),
+        Seq("corpus_id"))
+      .withColumn("cos", cosine_sim(col("__va"), col("__vb")))
+      .filter(col("cos") >= lit(threshold))
+      .select(col("batch_id"), col("corpus_id"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Embedding-cosine near-dup pairs — EXACT brute pairwise; ground truth
     * and fine at modest n. The 100 TB path is the LSH variant below. */
   def embeddingNearDupPairs(

@@ -82,6 +82,21 @@ class DedupSpec extends SparkSuite {
     assert(pairs === Set((1L, 5L), (1L, 6L), (2L, 5L), (2L, 6L)))
   }
 
+  test("embeddingCrossCorpusLSH recovers planted cross pairs only") {
+    val rnd = new scala.util.Random(11)
+    val corpus = withLogLevel((0L until 40L).map { i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("id", "v"))
+    // batch = scaled copies of ids 0..9 (cos = 1.0 vs their original)
+    val batch = corpus.filter(col("id") < 10L).select(
+      (col("id") + 100L).as("id"),
+      transform(col("v"), x => x * lit(2.0f)).as("v"))
+    val pairs = Dedup.embeddingCrossCorpusLSH(batch, corpus, "v", "id",
+        threshold = 0.95, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === (0L until 10L).map(i => (i + 100L, i)).toSet)
+  }
+
   test("newAgainstCorpus keeps only batch rows without a corpus near-dup") {
     val batch = docs.filter(col("doc_id") <= 2L)
       .unionByName(Seq((7L, "entirely new content nothing shares"))
