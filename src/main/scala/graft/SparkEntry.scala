@@ -484,6 +484,22 @@ object SparkEntry {
       graft.ops.TimeSeries.movingAverage(
         events(s, dir), "user_id", "ts", "event_id", "value", 5)),
 
+    // ---- versioned snapshots: commit two corpus versions to a fresh
+    // SnapshotStore, then time-travel diff them (added/removed/changed
+    // by id; the join carries (id, 8-byte row hash), never payloads) ----
+    "snapshot_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val root = java.nio.file.Files.createTempDirectory("graft_snap").toString
+      val st = new graft.persist.SnapshotStore(root)
+      st.commit(d)
+      st.commit(d.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text", when(col("doc_id") % 10 === 0,
+          upper(col("text"))).otherwise(col("text")))
+        .unionByName(d.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))))
+      st.diff(s, 1L, 2L, "doc_id")
+    }),
+
     // ---- tokenizer training: the first 3 BPE merges over the corpus
     // vocabulary (Sennrich et al. 2016). ONE corpus scan builds the
     // (word, freq) vocab; every merge round is a vocabulary-bounded pair
@@ -2104,6 +2120,17 @@ object SparkEntry {
     "layout_zorder" -> zorderOracleSql,
 
     "text_bpe_merges" -> bpeOracleSql,
+
+    // The expected diff derives from the version-2 construction rule:
+    // %17 rows removed, %10 survivors changed (iff uppercasing actually
+    // alters the text), %50 rows re-added under id+1e6.
+    "snapshot_diff" ->
+      """SELECT doc_id, 'removed' AS change FROM documents WHERE doc_id % 17 = 0
+        |UNION ALL
+        |SELECT doc_id, 'changed' FROM documents
+        |WHERE doc_id % 17 != 0 AND doc_id % 10 = 0 AND upper(text) != text
+        |UNION ALL
+        |SELECT doc_id + 1000000, 'added' FROM documents WHERE doc_id % 50 = 0""".stripMargin,
 
     // Same cents-integer window sum, same (ts, event_id) frame order,
     // one division at the end.

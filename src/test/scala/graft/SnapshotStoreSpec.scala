@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.persist.SnapshotStore
+
+class SnapshotStoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("commit/read round-trips versions; old versions stay readable") {
+    val root = Files.createTempDirectory("snap").toString
+    val st = new SnapshotStore(root)
+    assert(st.versions.isEmpty && st.latestVersion.isEmpty)
+
+    val v1 = st.commit(withLogLevel(Seq((1L, "a"), (2L, "b")).toDF("id", "x")))
+    val v2 = st.commit(Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("id", "x"))
+    assert(v1 === 1L && v2 === 2L && st.latestVersion === Some(2L))
+
+    // time travel: v1 unchanged after v2 commit
+    val r1 = st.read(spark, 1L).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(r1 === Set((1L, "a"), (2L, "b")))
+    val latest = st.readLatest(spark).collect().map(_.getLong(0)).toSet
+    assert(latest === Set(1L, 2L, 3L))
+  }
+
+  test("diff labels added/removed/changed rows by id") {
+    val root = Files.createTempDirectory("snap").toString
+    val st = new SnapshotStore(root)
+    st.commit(withLogLevel(Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("id", "x")))
+    st.commit(Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("id", "x"))
+    val d = st.diff(spark, 1L, 2L, "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(2L -> "changed", 3L -> "added", 4L -> "removed"))
+  }
+
+  test("prune keeps the newest versions and the latest-pointer target") {
+    val root = Files.createTempDirectory("snap").toString
+    val st = new SnapshotStore(root)
+    (1 to 4).foreach(i => st.commit(Seq((i.toLong, "x")).toDF("id", "x")))
+    val dropped = st.prune(2)
+    assert(dropped === Seq(1L, 2L))
+    assert(st.versions === Seq(3L, 4L))
+    // pruned versions are gone, retained ones readable
+    intercept[IllegalArgumentException](st.read(spark, 1L))
+    assert(st.read(spark, 3L).count() === 1L)
+  }
+
+  test("a crashed writer's tmp dir is invisible and does not block commits") {
+    val root = Files.createTempDirectory("snap").toString
+    val st = new SnapshotStore(root)
+    st.commit(withLogLevel(Seq((1L, "x")).toDF("id", "x")))
+    Files.createDirectories(java.nio.file.Paths.get(root, "v00000002.tmp"))
+    assert(st.versions === Seq(1L))
+    assert(st.commit(Seq((2L, "y")).toDF("id", "x")) === 2L)
+    assert(st.read(spark, 2L).count() === 1L)
+  }
+}
