@@ -450,6 +450,35 @@ class Collection private[core] (
       terms, q, nResults, fetch, rrfK))
   }
 
+  /**
+   * Late-interaction (ColBERT MaxSim) query: the stored embedding and
+   * the query are reshaped into `numSub` contiguous sub-vectors and
+   * scored Σ_i max_j ⟨q_i, d_j⟩ — token-level matching that pooling
+   * averages away. Beyond-reference retrieval tier alongside
+   * queryKeyword/queryHybrid; `similarity` = MaxSim score normalized
+   * by numSub (mean best-part cosine, ∈ [-1, 1] for normalized parts).
+   */
+  def queryMaxSim(
+      queryEmbedding: Array[Float],
+      nResults: Int,
+      numSub: Int = 8): Seq[QueryResult] = {
+    if (queryEmbedding == null || queryEmbedding.isEmpty)
+      throw new IllegalArgumentException("queryEmbedding is empty")
+    if (nResults <= 0)
+      throw new IllegalArgumentException("nResults must be > 0")
+    if (nResults > count())
+      throw new IllegalArgumentException(
+        "nResults must be <= the number of documents in the collection")
+    val q = if (VectorFunctions.isNormalized(queryEmbedding)) queryEmbedding
+            else VectorFunctions.normalize(queryEmbedding)
+    val scored = graft.ops.LateInteraction.maxSimTopK(
+        df.filter(col("embedding").isNotNull), "embedding", "id",
+        q, numSub, nResults)
+      .select(col("id"),
+        (col("score").cast("double") / (1e14 * numSub)).as("score"))
+    materializeByScore(scored)
+  }
+
   /** Join-back materialization for (id, score) frames — the reference's
     * own re-read-by-id step (collection.go:547-556), preserving the
     * score ranking. */

@@ -71,6 +71,13 @@ object TrainingPipeline {
     println(s"train-packed:   ${packed.count()} docs in " +
       s"${packed.agg(countDistinct(col("shard"), col("pack_first"))).head.getLong(0)} packs")
 
+    // 5. learn a starter BPE merge table on the train split (vocabulary-
+    //    bounded rounds — the corpus is scanned once)
+    val merges = Bpe.learnMerges(
+      split.filter(col("split") === "train"), "text", 5)
+    println("bpe merges:     " +
+      merges.map(m => s"${m.left}+${m.right}(${m.freq})").mkString(", "))
+
     spark.stop()
   }
 }

@@ -208,6 +208,26 @@ class CollectionSpec extends SparkSuite {
       "nResults must be <= the number of documents in the collection")
   }
 
+  test("queryMaxSim scores by best sub-vector match per query part") {
+    val c = freshDb.createCollection("maxsim")
+    // 4-dim = 2 sub-vectors of 2; docs pre-normalized
+    val s = math.sqrt(0.5).toFloat
+    c.addDocuments(Seq(
+      Document("ordered", Map.empty, Array(s, 0f, 0f, s)),   // parts in order
+      Document("swapped", Map.empty, Array(0f, s, s, 0f)),   // parts swapped
+      Document("half", Map.empty, Array(s, 0f, s, 0f))))     // one part matches
+    val q = Array(s, 0f, 0f, s)
+    val r = c.queryMaxSim(q, 3, numSub = 2)
+    // MaxSim is part-permutation invariant: ordered == swapped > half
+    assert(r.map(_.id).toSet.contains("ordered"))
+    val byId = r.map(x => x.id -> x.similarity).toMap
+    assert(math.abs(byId("ordered") - byId("swapped")) < 1e-6)
+    assert(byId("ordered") > byId("half"))
+    def msg(f: => Unit): String = intercept[Exception](f).getMessage
+    assert(msg(c.queryMaxSim(Array.empty[Float], 1)) === "queryEmbedding is empty")
+    assert(msg(c.queryMaxSim(q, 0)) === "nResults must be > 0")
+  }
+
   test("queryHybrid fuses keyword and vector evidence with RRF") {
     val db = withLogLevel(DB.inMemory(spark, new HashingEmbeddingFunc(8)))
     val c = db.createCollection("hybrid")
