@@ -478,6 +478,12 @@ object SparkEntry {
         graft.ops.Layout.zorderKey(
           col("user_id"), round(col("value") * 100).cast("long")).as("zkey"))),
 
+    // ---- trending: top-3 event types per 5-minute tumbling window via
+    // the bounded-heap aggregate over the (window, type) count table —
+    // no rank() window sort; per-window state is k rows ----
+    "events_trending" -> ((s, dir) =>
+      graft.streaming.EventsStream.trendingTypes(events(s, dir), 3)),
+
     // ---- time series: trailing 5-event moving average per user (cents-
     // exact window sums, one shuffle by key, bounded frame) ----
     "events_moving_avg" -> ((s, dir) =>
@@ -2131,6 +2137,17 @@ object SparkEntry {
         |WHERE doc_id % 17 != 0 AND doc_id % 10 = 0 AND upper(text) != text
         |UNION ALL
         |SELECT doc_id + 1000000, 'added' FROM documents WHERE doc_id % 50 = 0""".stripMargin,
+
+    // time_bucket shares Spark window()'s epoch alignment; QUALIFY
+    // replays the (n DESC, type ASC) bounded top-3.
+    "events_trending" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+        |  row_number() OVER (PARTITION BY time_bucket(INTERVAL '5 minutes', ts)
+        |    ORDER BY count(*) DESC, event_type) AS rank,
+        |  event_type, count(*) AS n
+        |FROM events
+        |GROUP BY 1, event_type
+        |QUALIFY rank <= 3""".stripMargin,
 
     // Same cents-integer window sum, same (ts, event_id) frame order,
     // one division at the end.

@@ -54,6 +54,10 @@ object Bpe {
     var state = vocabulary(df, textCol)
       .select(initialSymbols(col("word")).as("s"), col("f"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // unpersist lags one round: round r's collect materializes state_r,
+    // after which state_{r-1} (its parent) is safe to evict without
+    // forcing a recompute chain back to the vocabulary
+    var prevState: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer[Merge]()
     try {
       for (r <- 1 to numMerges) {
@@ -72,17 +76,22 @@ object Bpe {
           .orderBy(desc("freq"), col("l"), col("r"))
           .limit(1).collect()
         if (top.isEmpty) return merges.toSeq // nothing left to merge
+        // state_r is materialized by the collect above — its parent can go
+        if (prevState != null) { prevState.unpersist(); prevState = null }
         val (l, rr, f) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         merges += Merge(r, l, rr, f)
         val next = state.withColumn("s",
             replace(col("s"), lit(s" $l  $rr "), lit(s" $l$rr ")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        state.unpersist()
+        prevState = state
         state = next
       }
       merges.toSeq
-    } finally state.unpersist()
+    } finally {
+      state.unpersist()
+      if (prevState != null) prevState.unpersist()
+    }
   }
 
   /** Gate shape: the merge table as a DataFrame (rank, left, right, freq). */

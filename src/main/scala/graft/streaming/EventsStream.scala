@@ -198,4 +198,40 @@ object EventsStream {
       .groupBy(window(col("ts"), windowDuration, slideDuration), col("user_id"))
       .agg(count(lit(1)).as("n"),
         approx_count_distinct(col("event_type")).as("n_types"))
+
+  /**
+   * Trending: top-k event types per tumbling window, via the bounded-heap
+   * `topk_rows` aggregate OVER the (window, type) count table — the
+   * per-window state is k rows, never the type cardinality, and there is
+   * no rank() window function (which would sort every window's full type
+   * list). Works batch or streaming; streaming runs chain two stateful
+   * aggregates, which Spark's global-watermark checker flags
+   * conservatively — run in complete mode (no watermark eviction ⇒ the
+   * guarded late-row risk cannot occur) with
+   * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`,
+   * as pinned stream-vs-batch-equal in StreamingSpec.
+   * Deterministic ties: (count DESC, type ASC).
+   */
+  def trendingTypes(
+      events: DataFrame,
+      k: Int,
+      windowDuration: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val counts = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    // second stateful agg re-windows ON the window column — the chained-
+    // time-window pattern Spark's watermark checker accepts (3.4+)
+    counts
+      .groupBy(window(col("window"), windowDuration))
+      .agg(graft.functions.TopKAggregate.topk_rows(
+        struct(col("n"), col("event_type")), k).as("__top"))
+      .select(col("window"), posexplode(col("__top")).as(Seq("__r", "__e")))
+      .select(col("window").getField("start").as("window_start"),
+        (col("__r") + 1).cast("long").as("rank"),
+        col("__e").getField("event_type").as("event_type"),
+        col("__e").getField("n").as("n"))
+  }
 }

@@ -190,4 +190,26 @@ class StreamingSpec extends SparkSuite {
       "user_rates")
     assert(out.count() > 0)
   }
+
+  test("streaming trending top-k matches the batch computation") {
+    // Two stacked stateful aggregates. Spark's global-watermark checker
+    // flags ANY chained stateful pair conservatively; in COMPLETE mode no
+    // state is ever evicted by the watermark, so late-row discard — the
+    // risk the check guards — cannot occur. Disable it for this query
+    // only (the escape hatch Spark's own error message prescribes).
+    val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    spark.conf.set(key, "false")
+    val streamed = try runToMemory(
+      EventsStream.trendingTypes(EventsStream.readStream(spark, streamDir), 3),
+      "trending", mode = "complete")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    finally spark.conf.set(key, "true")
+    val batch = EventsStream
+      .trendingTypes(spark.read.parquet(streamDir), 3)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
