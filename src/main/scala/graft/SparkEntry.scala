@@ -536,6 +536,12 @@ object SparkEntry {
     "text_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(t(s, dir, "documents"), "text", 100)),
 
+    // ---- per-source characteristic terms: top-5 tokens by exact integer
+    // frequency lift (P(tok|source)/P(tok) ×1e6), bounded-heap per group ----
+    "text_group_keywords" -> ((s, dir) =>
+      TextAnalysis.groupKeywords(
+        t(s, dir, "documents"), "text", "source", 5, minCount = 5L)),
+
     // ---- vocabulary coverage curve (Zipf): cumulative corpus share of
     // the top-100 tokens; window cumsum over the k-row table only ----
     "text_vocab_coverage" -> ((s, dir) =>
@@ -1548,6 +1554,27 @@ object SparkEntry {
         |GROUP BY tok
         |ORDER BY freq DESC, token
         |LIMIT 100""".stripMargin,
+
+    // Exact HUGEINT lift replay with the same truncating integral divide
+    // and the same (lift DESC, token ASC) bounded top-5 per source.
+    "text_group_keywords" ->
+      """WITH toks AS (
+        |  SELECT source AS g, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |pg AS (SELECT g, token, count(*)::BIGINT AS tf_g FROM toks GROUP BY g, token),
+        |gl AS (SELECT token, count(*)::BIGINT AS tf FROM toks GROUP BY token),
+        |gt AS (SELECT g, sum(tf_g)::BIGINT AS tg FROM pg GROUP BY g),
+        |tot AS (SELECT sum(tf)::BIGINT AS t FROM gl),
+        |lifted AS (
+        |  SELECT pg.g, pg.token, pg.tf_g,
+        |    ((pg.tf_g::HUGEINT * t * 1000000) // (gl.tf::HUGEINT * gt.tg))::BIGINT AS lift
+        |  FROM pg JOIN gl USING (token) JOIN gt USING (g), tot
+        |  WHERE pg.tf_g >= 5)
+        |SELECT g AS source,
+        |  row_number() OVER (PARTITION BY g ORDER BY lift DESC, token) AS rank,
+        |  token, lift, tf_g
+        |FROM lifted
+        |QUALIFY rank <= 5""".stripMargin,
 
     // Same top-100, then rank + cumulative share over the tiny table;
     // total token count divides once at the end.

@@ -288,6 +288,61 @@ object TextAnalysis {
   }
 
   /**
+   * Per-group characteristic terms: for each group (source, domain,
+   * language...), the tokens most over-represented vs the whole corpus,
+   * ranked by frequency LIFT — P(token|group) / P(token) — the
+   * "what makes this slice different" signal behind corpus audits and
+   * domain-mixing decisions.
+   *
+   * Determinism: lift is computed as one integer floor division
+   * (tf_g · T · 1e6) quot (tf · T_g) — exact, engine-portable, no
+   * floating log-odds whose last-ulp libm differences could flip ranks.
+   * `minCount` suppresses the noise floor (rare tokens trivially reach
+   * huge lift). Ties: (lift DESC, token ASC).
+   *
+   * Scale shape: two token aggregates (per-group and global — both
+   * vocabulary-bounded outputs with map-side combine) joined on token,
+   * then the bounded-heap top-k per group: the exchange after the counts
+   * carries ≤ partitions × groups × k rows, never a full sort.
+   */
+  def groupKeywords(
+      df: DataFrame,
+      textCol: String,
+      groupCol: String,
+      k: Int,
+      minCount: Long = 5L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val toks = df.select(col(groupCol).as("g"),
+      explode(split(col(textCol), " ")).as("token"))
+    val perGroup = toks.groupBy("g", "token").agg(count(lit(1)).as("tf_g"))
+    val global = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+    val groupTotals = perGroup.groupBy("g").agg(sum("tf_g").as("tg"))
+    val total = global.agg(sum("tf").as("t"))
+    val lifted = perGroup
+      .join(global, Seq("token"))
+      .join(broadcast(groupTotals), Seq("g"))
+      .crossJoin(broadcast(total))
+      .filter(col("tf_g") >= minCount)
+      // DECIMAL(38) intermediates: count products overflow long at real
+      // corpus scales (T² · 1e6 passes 2^63 near 3M tokens); integral
+      // divide truncates toward zero in both engines and the quotient
+      // (≤ 1e6 · corpus/group ratio) fits BIGINT
+      .select(col("g"), col("token"), col("tf_g"),
+        expr("CAST(tf_g AS DECIMAL(38,0)) * t * 1000000 DIV " +
+          "(CAST(tf AS DECIMAL(38,0)) * tg)").as("lift"))
+    lifted
+      .groupBy("g")
+      .agg(graft.functions.TopKAggregate.topk_rows(
+        struct(col("lift"), col("token"), col("tf_g")), k).as("__top"))
+      .select(col("g").as(groupCol),
+        posexplode(col("__top")).as(Seq("__r", "__e")))
+      .select(col(groupCol), (col("__r") + 1).cast("long").as("rank"),
+        col("__e").getField("token").as("token"),
+        col("__e").getField("lift").as("lift"),
+        col("__e").getField("tf_g").as("tf_g"))
+  }
+
+  /**
    * Corpus character-n-gram language-model score — the CCNet-style
    * "how typical is this document of the corpus" quality signal, computed
    * from the corpus's own statistics (no external model): each document

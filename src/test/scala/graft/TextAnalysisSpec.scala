@@ -155,6 +155,24 @@ class TextAnalysisSpec extends SparkSuite {
     assert(v === Seq(("a", 3L), ("b", 3L), ("d", 2L)))
   }
 
+  test("groupKeywords ranks tokens by exact integer frequency lift") {
+    val df = Seq(
+      ("a", "x x x x x y"),
+      ("a", "x x x x y z"),
+      ("b", "y y y y y y z z z w w w")).toDF("src", "text")
+    val r = TextAnalysis.groupKeywords(df, "text", "src", 2, minCount = 3L)
+      .collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> ((x.getString(2), x.getLong(3))))
+      .toMap
+    // totals: T=24; group a: tg=12, x:9 (global 9) → lift = 9*24e6/(9*12) = 2e6
+    assert(r(("a", 1L)) === (("x", 2000000L)))
+    // group b: tg=12, y appears 6 of global 8 → 6*24e6/(8*12) = 1.5e6;
+    // w: 3 of 3 → 3*24e6/(3*12) = 2e6; z: 3 of 4 → 1.5e6 → top2 = w, then
+    // tie y/z at 1.5e6 → 'y' by token asc
+    assert(r(("b", 1L)) === (("w", 2000000L)))
+    assert(r(("b", 2L)) === (("y", 1500000L)))
+  }
+
   test("vocabularyCoverage: cumulative share of all token occurrences") {
     val df = Seq(
       (1, "b b b a a c"),
