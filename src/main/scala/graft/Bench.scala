@@ -69,7 +69,9 @@ object Bench {
       "split_weighted", "join_fuzzy", "events_sessions", "events_zscore",
       "graph_pagerank", "emb_kmeans", "emb_random_projection",
       "q_maxsim_topk", "layout_zorder", "text_bpe_merges",
-      "dedup_cross_corpus", "events_moving_avg")
+      "dedup_cross_corpus", "events_moving_avg", "events_trending",
+      "text_group_keywords", "snapshot_diff", "emb_random_projection")
+      .distinct
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try {
