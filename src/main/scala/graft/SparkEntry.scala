@@ -536,6 +536,12 @@ object SparkEntry {
     "text_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(t(s, dir, "documents"), "text", 100)),
 
+    // ---- phrase mining: top-20 collocations (adjacent word pairs) by
+    // exact integer lift — the word2phrase vocabulary-induction step ----
+    "text_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(t(s, dir, "documents"), "text", 20,
+        minCount = 10L)),
+
     // ---- per-source characteristic terms: top-5 tokens by exact integer
     // frequency lift (P(tok|source)/P(tok) ×1e6), bounded-heap per group ----
     "text_group_keywords" -> ((s, dir) =>
@@ -1554,6 +1560,25 @@ object SparkEntry {
         |GROUP BY tok
         |ORDER BY freq DESC, token
         |LIMIT 100""".stripMargin,
+
+    // Bigram/unigram counts + the same HUGEINT lift; ORDER BY
+    // (lift DESC, "w1 w2" ASC) LIMIT 20 replays the bounded top-k and
+    // its string tie-break.
+    "text_collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS y FROM documents),
+        |bg AS (
+        |  SELECT y[i] AS w1, y[i+1] AS w2, count(*)::BIGINT AS c_ab FROM (
+        |    SELECT y, unnest(generate_series(1, len(y) - 1)) AS i FROM t)
+        |  GROUP BY 1, 2),
+        |ug AS (SELECT w, count(*)::BIGINT AS c FROM (
+        |    SELECT unnest(y) AS w FROM t) GROUP BY w),
+        |tot AS (SELECT sum(c)::BIGINT AS t FROM ug)
+        |SELECT bg.w1, bg.w2, bg.c_ab,
+        |  ((bg.c_ab::HUGEINT * t * 1000000) // (a.c::HUGEINT * b.c))::BIGINT AS lift
+        |FROM bg JOIN ug a ON a.w = bg.w1 JOIN ug b ON b.w = bg.w2, tot
+        |WHERE bg.c_ab >= 10
+        |ORDER BY lift DESC, bg.w1 || ' ' || bg.w2
+        |LIMIT 20""".stripMargin,
 
     // Exact HUGEINT lift replay with the same truncating integral divide
     // and the same (lift DESC, token ASC) bounded top-5 per source.

@@ -343,6 +343,55 @@ object TextAnalysis {
   }
 
   /**
+   * Collocation / phrase mining: adjacent word pairs that co-occur far
+   * more than chance — the word2phrase step (Mikolov et al. 2013) that
+   * induces a phrase vocabulary ("new york", "machine learning") before
+   * tokenizer/embedding training.
+   *
+   * Scored by the same exact-integer lift discipline as
+   * [[groupKeywords]]: lift ≈ PMI's ratio c_ab·T / (c_a·c_b), scaled
+   * ×1e6 and computed as ONE truncating integral divide over
+   * DECIMAL(38) products — no floating log whose libm last-ulp could
+   * flip ranks between engines. `minCount` is word2phrase's discount
+   * knob (rare pairs trivially reach huge lift).
+   *
+   * Scale shape: bigram and unigram counts are map-only explodes into
+   * vocabulary-bounded aggregates (map-side combined); the join keys on
+   * words; the final top-k is the bounded heap — no full sort anywhere.
+   */
+  def collocations(
+      df: DataFrame,
+      textCol: String,
+      k: Int,
+      minCount: Long = 5L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val toks = df.select(split(col(textCol), " ").as("__t"))
+    val bigrams = toks
+      .select(explode(when(size(col("__t")) < 2,
+          array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(transform(sequence(lit(1), size(col("__t")) - 1),
+          i => struct(element_at(col("__t"), i).as("w1"),
+            element_at(col("__t"), i + 1).as("w2"))))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+    val unigrams = toks.select(explode(col("__t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val total = unigrams.agg(sum("c").as("t"))
+    bigrams
+      .join(unigrams.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(unigrams.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .filter(col("c_ab") >= minCount)
+      .select(col("w1"), col("w2"), col("c_ab"),
+        expr("CAST(c_ab AS DECIMAL(38,0)) * t * 1000000 DIV " +
+          "(CAST(c_a AS DECIMAL(38,0)) * c_b)").as("lift"),
+        concat(col("w1"), lit(" "), col("w2")).as("__tie"))
+      .orderBy(desc("lift"), asc("__tie"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("c_ab"), col("lift"))
+  }
+
+  /**
    * Corpus character-n-gram language-model score — the CCNet-style
    * "how typical is this document of the corpus" quality signal, computed
    * from the corpus's own statistics (no external model): each document

@@ -173,6 +173,21 @@ class TextAnalysisSpec extends SparkSuite {
     assert(r(("b", 2L)) === (("y", 1500000L)))
   }
 
+  test("collocations rank sticky adjacent pairs by exact lift") {
+    // "new york" always adjacent; "the the" frequent but independent
+    val df = Seq.fill(6)("visit new york today").zipWithIndex
+      .map { case (t, i) => (i.toLong, t + " the the the") }
+      .toDF("id", "text")
+    val r = TextAnalysis.collocations(df, "text", 3, minCount = 3L)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getLong(3)))
+    // T=42; (new,york): 6*42e6/(6*6)=7e6 — top; (the,the): c_ab=12,
+    // c=18 each → 12*42e6/(18*18)≈1.55e6
+    assert(r.head._1 === "new" && r.head._2 === "york" && r.head._4 === 7000000L)
+    val lifts = r.map(_._4)
+    assert(lifts === lifts.sorted.reverse)
+  }
+
   test("vocabularyCoverage: cumulative share of all token occurrences") {
     val df = Seq(
       (1, "b b b a a c"),
