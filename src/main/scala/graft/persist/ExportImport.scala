@@ -259,6 +259,8 @@ object ExportImport {
 
   private def deleteTree(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      val w = Files.walk(p)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally w.close()
     }
 }

@@ -56,9 +56,13 @@ object Persistence {
   def listCollectionDirs(root: String): Seq[Path] = {
     val rootPath = Paths.get(root)
     if (!Files.isDirectory(rootPath)) Seq.empty
-    else Files.list(rootPath).iterator().asScala
-      .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("_metadata.json")))
-      .toSeq.sortBy(_.getFileName.toString)
+    else {
+      val s = Files.list(rootPath)
+      try s.iterator().asScala
+        .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("_metadata.json")))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally s.close()
+    }
   }
 }
 
@@ -91,7 +95,9 @@ class ParquetPersistence(dir: Path, compression: Option[String] = None)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Document.schema)
   private def deleteTree(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      val w = Files.walk(p)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally w.close()
     }
 }
 

@@ -37,10 +37,12 @@ class SnapshotStore(rootDir: String) {
     * never matches). */
   def versions: Seq[Long] = {
     if (!Files.isDirectory(root)) return Seq.empty
-    Files.list(root).iterator().asScala
+    val s = Files.list(root)
+    try s.iterator().asScala
       .map(_.getFileName.toString)
       .filter(_.matches("v\\d{8}"))
       .map(_.drop(1).toLong).toSeq.sorted
+    finally s.close()
   }
 
   def latestVersion: Option[Long] =
@@ -117,6 +119,8 @@ class SnapshotStore(rootDir: String) {
 
   private def deleteTree(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      val w = Files.walk(p)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally w.close()
     }
 }

@@ -81,4 +81,16 @@ object DocumentSource {
       embedding.as("embedding"),
       col(contentField).cast("string").as("content"))
   }
+
+  /**
+   * JSONL corpus writer — the interchange format training stacks ingest
+   * (one JSON object per line: id, content, metadata keys inlined,
+   * embedding as a number array when present). Distributed `text` write,
+   * one file per partition; `repartition` first to control file count.
+   * Round-trips through `fromJsonl` (pinned in DocumentSourceSpec).
+   */
+  def writeJsonl(docs: DataFrame, path: String): Unit =
+    docs.select(to_json(struct(
+        col("id"), col("content"), col("metadata"), col("embedding"))).as("value"))
+      .write.mode("overwrite").text(path)
 }

@@ -59,4 +59,21 @@ class DocumentSourceSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("content field 'nope' not found"))
   }
+
+  test("writeJsonl round-trips through fromJsonl") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("jsonl-rt")
+      .resolve("out").toString
+    val docs = withLogLevel(Seq(
+      ("d1", Map("lang" -> "en"), Array(0.5f, 0.25f), "hello world"),
+      ("d2", Map.empty[String, String],
+        null.asInstanceOf[Array[Float]], "zweite zeile"))
+      .toDF("id", "metadata", "embedding", "content"))
+    DocumentSource.writeJsonl(docs, dir)
+    val back = DocumentSource.fromJsonl(spark, dir, "content", "id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(3), Option(r.getSeq[Float](2)).map(_.toSeq)))).toMap
+    assert(back("d1") === (("hello world", Some(Seq(0.5f, 0.25f)))))
+    assert(back("d2") === (("zweite zeile", None)))
+  }
 }
