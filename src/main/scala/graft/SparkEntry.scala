@@ -725,13 +725,16 @@ object SparkEntry {
         Seq("lang", "source"), 5)),
 
     // ---- profiling: exact-moment Pearson correlation (order-independent
-    // decimal sums; only the closed-form combine is floating point) ----
+    // decimal sums; only the closed-form combine is floating point).
+    // corr_e6 = floor(corr·1e6) is the hash-stable integer handle — a
+    // decimal round(double, 6) diverges between engines at half-way
+    // points, an integer floor of the bit-identical IEEE double does not.
     "profile_corr" -> ((s, dir) =>
       graft.ops.Profile.corrExact(t(s, dir, "lineitem"),
         Seq(("l_quantity", "l_extendedprice"),
           ("l_extendedprice", "l_discount")))
         .select(col("x_col"), col("y_col"), col("n"), col("sx"), col("sy"),
-          col("sxy"), col("sxx"), col("syy"), round(col("corr"), 6).as("corr"))),
+          col("sxy"), col("sxx"), col("syy"), col("corr_e6"))),
 
     // ---- quality-weighted sampling: keep probability = min(1, chars/1k) ----
     "split_weighted" -> ((s, dir) =>
@@ -1895,7 +1898,13 @@ object SparkEntry {
         |QUALIFY rank <= 5""".stripMargin,
 
     // Moments replayed as exact HUGEINT sums of scaled integers; the
-    // closed-form combine uses the identical double expression.
+    // closed-form combine uses the identical double expression. The corr
+    // handle is floor(corr * 1e6)::BIGINT: every step (int→double cast,
+    // *, -, /, sqrt, floor) is IEEE-754 correctly rounded and both
+    // engines evaluate the operators un-fused, so the integer is
+    // bit-stable across engines — unlike round(double, 6), whose
+    // decimal half-way behavior differs (JVM Double.toString→BigDecimal
+    // HALF_UP vs native dtoa).
     "profile_corr" ->
       Seq(("l_quantity", "l_extendedprice"), ("l_extendedprice", "l_discount"))
         .map { case (x, y) =>
@@ -1908,7 +1917,7 @@ object SparkEntry {
              |    * round($x * 100)::BIGINT::HUGEINT) AS sxx,
              |  sum(round($y * 100)::BIGINT::HUGEINT
              |    * round($y * 100)::BIGINT::HUGEINT) AS syy,
-             |  round((count(*)::DOUBLE
+             |  floor(((count(*)::DOUBLE
              |      * sum(round($x * 100)::BIGINT::HUGEINT
              |        * round($y * 100)::BIGINT::HUGEINT)::DOUBLE
              |    - sum(round($x * 100)::BIGINT)::HUGEINT::DOUBLE
@@ -1922,8 +1931,8 @@ object SparkEntry {
              |        * sum(round($y * 100)::BIGINT::HUGEINT
              |          * round($y * 100)::BIGINT::HUGEINT)::DOUBLE
              |      - sum(round($y * 100)::BIGINT)::HUGEINT::DOUBLE
-             |        * sum(round($y * 100)::BIGINT)::HUGEINT::DOUBLE)), 6)
-             |    AS corr
+             |        * sum(round($y * 100)::BIGINT)::HUGEINT::DOUBLE))) * 1e6)
+             |    ::BIGINT AS corr_e6
              |FROM lineitem""".stripMargin
         }.mkString("\nUNION ALL\n"),
 

@@ -108,6 +108,9 @@ class ProfileCohortsSpec extends SparkSuite {
     assert(xy.getAs[java.math.BigDecimal]("sxy").longValueExact === 280000L)
     assert(math.abs(xy.getAs[Double]("corr") - 1.0) < 1e-12)
     assert(math.abs(r(("x", "z")).getAs[Double]("corr") + 1.0) < 1e-12)
+    // integer cross-engine handle: floor(corr * 1e6)
+    assert(xy.getAs[Long]("corr_e6") === 1000000L)
+    assert(r(("x", "z")).getAs[Long]("corr_e6") === -1000000L)
     // order-independence: moments identical under re-partitioning
     val again = Profile.corrExact(df.repartition(7), Seq(("x", "y")))
       .collect().head
