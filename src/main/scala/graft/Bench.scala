@@ -70,8 +70,7 @@ object Bench {
       "graph_pagerank", "emb_kmeans", "emb_random_projection",
       "q_maxsim_topk", "layout_zorder", "text_bpe_merges",
       "dedup_cross_corpus", "events_moving_avg", "events_trending",
-      "text_group_keywords", "snapshot_diff", "emb_random_projection")
-      .distinct
+      "text_group_keywords", "snapshot_diff")
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try {

@@ -471,11 +471,16 @@ class Collection private[core] (
         "nResults must be <= the number of documents in the collection")
     val q = if (VectorFunctions.isNormalized(queryEmbedding)) queryEmbedding
             else VectorFunctions.normalize(queryEmbedding)
+    // maxSimTopK scores in scale² integer units (one scale per operand
+    // of each sub-dot); divide by the same scale the kernel ran with so
+    // the two can never drift apart, then average over the sub-vectors.
+    val scale = 10000000L
+    val unit = scale.toDouble * scale.toDouble * numSub
     val scored = graft.ops.LateInteraction.maxSimTopK(
         df.filter(col("embedding").isNotNull), "embedding", "id",
-        q, numSub, nResults)
+        q, numSub, nResults, scale)
       .select(col("id"),
-        (col("score").cast("double") / (1e14 * numSub)).as("score"))
+        (col("score").cast("double") / unit).as("score"))
     materializeByScore(scored)
   }
 

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /**
  * Integer-exact kernels for the deterministic embedding operators
@@ -42,6 +43,14 @@ case class ScaledIntMatMul(
     scale: Long) extends UnaryExpression {
   require(matrix.nonEmpty && matrix.forall(_.length == matrix(0).length),
     "matrix must be rectangular and non-empty")
+
+  // getFloat on non-float32 element storage silently misreads bytes —
+  // fail analysis instead of producing garbage projections.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> input, got ${other.sql}")
+  }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

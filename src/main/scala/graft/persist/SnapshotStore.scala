@@ -45,10 +45,23 @@ class SnapshotStore(rootDir: String) {
     finally s.close()
   }
 
+  /** The pointer is the READ source of truth: a version exists for
+    * readers only once `_latest.json` names it (or a newer one). The
+    * directory listing is the ALLOCATION counter: `commit` numbers the
+    * next version from it, so a crash between the data-dir rename and
+    * the pointer swap leaves an allocated-but-unpublished version that
+    * `latestVersion` ignores and the next `commit` skips past — readers
+    * never observe it unless they time-travel to it explicitly. */
   def latestVersion: Option[Long] =
     if (Files.exists(pointer))
       Some(Json.parse(Files.readString(pointer))
-        .asInstanceOf[Map[String, Any]]("version").asInstanceOf[Double].toLong)
+        .asInstanceOf[Map[String, Any]]("version") match {
+        // numeric match, not asInstanceOf[Double]: the parser may return
+        // any Number subtype for an integer literal
+        case n: Number => n.longValue
+        case other => throw new IllegalStateException(
+          s"snapshot pointer version is not numeric: $other")
+      })
     else None
 
   /** Write `df` as the next version and move the latest-pointer to it.

@@ -30,6 +30,15 @@ class ProjectionSpec extends SparkSuite {
     assert(r.size === 2) // null vector skipped
   }
 
+  test("scaled_matmul rejects non-float32 element types at analysis") {
+    val df = withLogLevel(Seq((1L, Array(1.0, 2.0, 3.0))).toDF("id", "v"))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.IntKernels.scaled_matmul(
+        col("v"), Array(Array(1L, 1L, 1L)), 10000000L)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("array<float>"))
+  }
+
   test("projection roughly preserves relative distances (JL sanity)") {
     val rnd = new scala.util.Random(42)
     val rows = (0 until 50).map { i =>
