@@ -39,8 +39,14 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
+    // local-iteration aid: bench only these comma-separated queries
+    // (the driver never sets this — full run is the default)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
     // ---- chromem-parity microbenchmark --------------------------------
     // (guarded: a failure here must not cost the whole bench line)
+    if (only.forall(_.exists(_.startsWith("chromem"))))
     Seq(25000, 100000).foreach { n =>
       try results ++= chromemParity(spark, n, queries = 10)
       catch {
@@ -71,7 +77,7 @@ object Bench {
       "q_maxsim_topk", "layout_zorder", "text_bpe_merges",
       "dedup_cross_corpus", "events_moving_avg", "events_trending",
       "text_group_keywords", "snapshot_diff")
-    headline.foreach { name =>
+    headline.filter(n => only.forall(_.contains(n))).foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try {
           // warmup: codegen compile, parquet footers, JIT — not the query

@@ -45,13 +45,96 @@ object Bpe {
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy("word").agg(count(lit(1)).as("f"))
 
-  /** Learn `numMerges` merges; returns them in rank order. */
+  /**
+   * Learn `numMerges` merges; returns them in rank order.
+   *
+   * Two tiers, chosen by vocabulary size — NOT corpus size. The corpus
+   * scan (the only corpus-sized work) is always distributed; the merge
+   * loop runs over the (word, freq) vocabulary, which is bounded by
+   * unique-word count regardless of corpus bytes:
+   *
+   *  - `≤ maxLocalVocab` entries (default 4M ≈ a few hundred MB):
+   *    collect the vocab ONCE and run the rounds driver-locally — one
+   *    Spark job total instead of one-plus per round. This is the shape
+   *    of every production BPE trainer; at 100 TB the corpus scan
+   *    dominates and the local loop is noise.
+   *  - larger: the fully distributed per-round pair-count path.
+   *
+   * Both tiers implement the identical determinism contract (exact
+   * integer counts, argmax tie-break freq DESC / left ASC / right ASC,
+   * greedy left-to-right non-overlapping merge), so the tier switch is
+   * invisible in results.
+   */
   def learnMerges(
       df: DataFrame,
       textCol: String,
-      numMerges: Int): Seq[Merge] = {
+      numMerges: Int,
+      maxLocalVocab: Int = 4000000): Seq[Merge] = {
     require(numMerges >= 1, "numMerges must be >= 1")
-    var state = vocabulary(df, textCol)
+    val vocab = vocabulary(df, textCol)
+    val probe = vocab.limit(maxLocalVocab + 1).collect()
+    if (probe.length <= maxLocalVocab)
+      learnMergesLocal(
+        probe.map(r => (r.getString(0), r.getLong(1))), numMerges)
+    else learnMergesDistributed(vocab, numMerges)
+  }
+
+  /** Driver-local merge rounds over a collected bounded vocabulary. */
+  private def learnMergesLocal(
+      vocab: Array[(String, Long)],
+      numMerges: Int): Seq[Merge] = {
+    // (symbols, freq) per word; symbols start as single characters
+    val words: Array[(Array[String], Long)] =
+      vocab.map { case (w, f) => (w.map(_.toString).toArray, f) }
+    val merges = scala.collection.mutable.ArrayBuffer[Merge]()
+    var cur = words
+    for (r <- 1 to numMerges) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      cur.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) return merges.toSeq
+      // argmax: freq DESC, then left ASC, right ASC — same contract as
+      // the distributed orderBy
+      val ((l, rr), f) = counts.reduce { (a, b) =>
+        val cmp = java.lang.Long.compare(a._2, b._2)
+        if (cmp > 0) a else if (cmp < 0) b
+        else {
+          val lc = a._1._1.compareTo(b._1._1)
+          if (lc < 0) a else if (lc > 0) b
+          else if (a._1._2.compareTo(b._1._2) <= 0) a else b
+        }
+      }
+      merges += Merge(r, l, rr, f)
+      // greedy left-to-right non-overlapping merge — identical to the
+      // canonical-string replace() semantics of the distributed tier
+      cur = cur.map { case (syms, fr) =>
+        if (syms.length < 2) (syms, fr)
+        else {
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == rr) {
+              out += l + rr; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, fr)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Distributed per-round path for vocabularies too large to collect. */
+  private def learnMergesDistributed(
+      vocab: DataFrame,
+      numMerges: Int): Seq[Merge] = {
+    var state = vocab
       .select(initialSymbols(col("word")).as("s"), col("f"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // unpersist lags one round: round r's collect materializes state_r,

@@ -32,6 +32,15 @@ class BpeSpec extends SparkSuite {
     assert(m(1).left === "ab" && m(1).right === "ab" && m(1).freq === 2L)
   }
 
+  test("local and distributed tiers learn identical merges") {
+    val docs = withLogLevel(Seq(
+      (1L, "low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3),
+      (2L, "abab abab banana bandana low lowest")).toDF("doc_id", "text"))
+    val local = Bpe.learnMerges(docs, "text", 4)
+    val dist = Bpe.learnMerges(docs, "text", 4, maxLocalVocab = 0)
+    assert(local === dist)
+  }
+
   test("segment applies merges in rank order") {
     val docs = withLogLevel(Seq((1L, "lowest lowest low")).toDF("doc_id", "text"))
     val merges = Bpe.learnMerges(docs, "text", 2)
