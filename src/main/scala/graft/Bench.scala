@@ -34,6 +34,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // pinned explicitly so round-over-round numbers are attributable:
+      // a Spark default flip would otherwise silently re-plan every query
+      .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -81,16 +84,25 @@ object Bench {
       SparkEntry.queries.get(name).foreach { fn =>
         try {
           // warmup: codegen compile, parquet footers, JIT — not the query
+          val w0 = System.nanoTime()
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          // median of 3 timed runs: single-run numbers at this scale carry
-          // ±10-20% scheduler/JIT noise and residual warmup — the median
-          // is the steady-state figure a repeated-query user sees
-          val ts = (1 to 3).map { _ =>
+          val warmup = (System.nanoTime() - w0) / 1e9
+          // GC barrier: old-gen pressure accumulated by EARLIER queries
+          // otherwise surfaces as a collection pause inside a LATER
+          // query's timed window — the main round-over-round variance
+          // source observed on sub-second entries
+          System.gc()
+          // median of N timed runs: single-run numbers at this scale
+          // carry ±10-20% scheduler/JIT noise. Sub-second queries get 5
+          // samples (their absolute noise band is the size of the
+          // signal); multi-second queries keep 3 (noise amortizes).
+          val reps = if (warmup < 1.0) 5 else 3
+          val ts = (1 to reps).map { _ =>
             val t0 = System.nanoTime()
             fn(spark, sfDir).write.mode("overwrite").format("noop").save()
             (System.nanoTime() - t0) / 1e9
           }.sorted
-          results(name) = ts(1)
+          results(name) = ts(reps / 2)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -136,7 +148,8 @@ object Bench {
     val nBlocks = math.max(1, math.min(parts, n / 6144))
     val idx = VectorIndex.build[Long](corpus, "id", "embedding", d, nBlocks)
       .persist().materialize()
-    (1 to 3).foreach(_ => idx.topK(qvec(), 10))
+    (1 to 5).foreach(_ => idx.topK(qvec(), 10))
+    System.gc() // drop corpus-build garbage before the timed window
     var t0 = System.nanoTime()
     (1 to queries).foreach(_ => idx.topK(qvec(), 10))
     out(s"chromem_query_${n}_d1536_k10") = (System.nanoTime() - t0) / 1e9 / queries
@@ -145,15 +158,22 @@ object Bench {
     if (n == 100000) { // declarative-path comparison point
       val cached = corpus.persist(StorageLevel.MEMORY_AND_DISK)
       cached.count()
-      (1 to 3).foreach { _ =>
+      // 2× the samples of the index path: each query is a full 32-task
+      // job over the 600 MB cached corpus, so per-query noise (scheduler
+      // + GC) is the dominant term — more samples, plus a GC barrier,
+      // keep the mean honest (r3 measured 0.46 s for this entry purely
+      // from a pause landing inside a 10-sample window)
+      val dfQueries = queries * 2
+      (1 to 5).foreach { _ =>
         VectorSearch.topK(cached, "embedding", qvec(), 10, "id").collect()
       }
+      System.gc()
       t0 = System.nanoTime()
-      (1 to queries).foreach { _ =>
+      (1 to dfQueries).foreach { _ =>
         VectorSearch.topK(cached, "embedding", qvec(), 10, "id").collect()
       }
       out(s"chromem_query_${n}_d1536_k10_dataframe") =
-        (System.nanoTime() - t0) / 1e9 / queries
+        (System.nanoTime() - t0) / 1e9 / dfQueries
       cached.unpersist()
     }
     out.toMap
