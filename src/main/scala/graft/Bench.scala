@@ -71,9 +71,11 @@ object Bench {
       "text_bm25", "text_bm25_indexed", "search_hybrid", "q_quantized_topk",
       "q_pq_topk", "q_ivfpq_topk", "dedup_spans",
       "join_asof", "join_range", "emb_centroids", "events_retention",
-      "agg_rollup", "profile_stats", "text_lm_score", "emb_outliers",
+      "agg_rollup", "profile_stats", "profile_stats_approx",
+      "text_lm_score", "emb_outliers",
       "split_temperature", "text_packing", "join_asof_fwd", "events_funnel",
-      "profile_quantiles", "profile_histogram", "events_pivot",
+      "profile_quantiles", "profile_quantiles_approx",
+      "profile_histogram", "events_pivot",
       "events_gapfill", "profile_topvalues", "profile_corr",
       "split_weighted", "join_fuzzy", "events_sessions", "events_zscore",
       "graph_pagerank", "emb_kmeans", "emb_random_projection",

@@ -733,12 +733,29 @@ object SparkEntry {
       graft.ops.Profile.numericProfile(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
+    // ---- profiling, sketch tier: HyperLogLog distinct counts — no
+    // EXPAND, one pass, ~2% error; the 100 TB default for unbounded
+    // domains (rows-only gate: approximate by contract, error bounds
+    // pinned in ProfileCohortsSpec) ----
+    "profile_stats_approx" -> ((s, dir) =>
+      graft.ops.Profile.numericProfile(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        exact = false)),
+
     // ---- profiling: exact interpolated quartiles, one agg pass,
     // integer-cents scaling keeps the interpolation bit-exact ----
     "profile_quantiles" -> ((s, dir) =>
       graft.ops.Profile.quantileProfile(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
         scale = 100L)),
+
+    // ---- profiling, sketch tier: t-digest quartiles — no per-value
+    // count map in aggregate state; the 100 TB default for unbounded
+    // high-cardinality doubles (rows-only gate, bounds in spec) ----
+    "profile_quantiles_approx" -> ((s, dir) =>
+      graft.ops.Profile.quantileProfile(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        scale = 100L, exact = false)),
 
     // ---- profiling: top-5 most frequent values per categorical column ----
     "profile_topvalues" -> ((s, dir) =>

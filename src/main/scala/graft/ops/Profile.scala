@@ -24,8 +24,10 @@ object Profile {
   def numericProfile(
       df: DataFrame,
       cols: Seq[String],
-      exact: Boolean = true): DataFrame = {
+      exact: Boolean = true,
+      rsd: Double = 0.02): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
+    require(rsd > 0, "rsd must be > 0")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in frame: $missing")
 
@@ -34,7 +36,7 @@ object Profile {
       Seq(
         count(lit(1)).as(s"n__$c"),
         (count(lit(1)) - count(v)).as(s"null__$c"),
-        (if (exact) countDistinct(v) else approx_count_distinct(v))
+        (if (exact) countDistinct(v) else approx_count_distinct(v, rsd))
           .as(s"dist__$c"),
         min(v).cast("double").as(s"mn__$c"),
         max(v).cast("double").as(s"mx__$c"))

@@ -36,6 +36,35 @@ class ProfileCohortsSpec extends SparkSuite {
     assert(!approx.contains("Expand"), s"approx must not expand:\n$approx")
   }
 
+  test("sketch tiers stay within contract error bounds of exact") {
+    // 5k rows, ~1k distinct values — enough mass for HLL/t-digest to
+    // operate in their designed regime
+    val df = withLogLevel(
+      spark.range(0, 5000).selectExpr("cast(id % 997 as double) as a"))
+    val ex = Profile.numericProfile(df, Seq("a")).collect().head
+    val ap = Profile.numericProfile(df, Seq("a"), exact = false).collect().head
+    // HyperLogLog++ contract: ~2% standard error at default precision;
+    // pin a 5% hard bound
+    val exD = ex.getLong(3).toDouble
+    assert(math.abs(ap.getLong(3) - exD) / exD < 0.05,
+      s"HLL distinct ${ap.getLong(3)} vs exact $exD")
+    // n / nulls / min / max are exact in both tiers
+    assert(ap.getLong(1) === ex.getLong(1))
+    assert(ap.getDouble(4) === ex.getDouble(4))
+    assert(ap.getDouble(5) === ex.getDouble(5))
+
+    val qex = Profile.quantileProfile(df, Seq("a")).collect()
+      .map(x => x.getDouble(1) -> x.getDouble(2)).toMap
+    val qap = Profile.quantileProfile(df, Seq("a"), exact = false).collect()
+      .map(x => x.getDouble(1) -> x.getDouble(2)).toMap
+    // percentile_approx default accuracy 10000 → rank error ≤ n/10000;
+    // pin 2% relative on this distribution
+    qex.foreach { case (q, v) =>
+      assert(math.abs(qap(q) - v) / math.max(v, 1.0) < 0.02,
+        s"q=$q approx ${qap(q)} vs exact $v")
+    }
+  }
+
   test("single-pass plan: one scan, partial+final aggregate") {
     val df = Seq((1.0, 2.0), (3.0, 4.0)).toDF("a", "b")
     val p = Profile.numericProfile(df, Seq("a", "b"), exact = false)
