@@ -103,6 +103,14 @@ class CollectionSpec extends SparkSuite {
     val c = freshDb.createCollection("list")
     c.addDocuments((1 to 5).map(i => Document(i.toString, content = s"doc $i")))
     assert(c.listIDs().toSet === (1 to 5).map(_.toString).toSet)
+    // the scale-safe variant stays LAZY: building the frame runs no job
+    // and collects nothing to the driver
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val idsDF = c.listIDsDF()
+    assert(idsDF.columns === Array("id"))
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after === before, "listIDsDF must not trigger a Spark job")
+    assert(idsDF.count() === 5L) // materializes only when the user asks
   }
 
   test("auto-embedding via EmbeddingFunc when no vector given (collection.go:266-271)") {
