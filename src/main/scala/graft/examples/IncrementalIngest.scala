@@ -22,6 +22,10 @@ import graft.persist.SnapshotStore
  * snapshot store keeps prior versions readable — so tonight's run is
  * diffable, auditable, and reproducible.
  *
+ * Streaming form: `graft.streaming.CorpusIngest.dedupedIngest` runs the
+ * same self-dedup → cross-corpus-filter → commit loop continuously via
+ * foreachBatch (stream ≡ batch pinned in StreamingSpec).
+ *
  *   sbt "runMain graft.examples.IncrementalIngest [sfDir]"
  */
 object IncrementalIngest {

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.Dedup
+import graft.persist.SnapshotStore
+
+/**
+ * Streaming tier of the incremental-ingest loop
+ * (`graft.examples.IncrementalIngest`, batch form): a document stream is
+ * exact-self-deduped, near-dedup-filtered against the CURRENT corpus
+ * snapshot, and the survivors committed as the next snapshot version —
+ * continuously, one micro-batch at a time.
+ *
+ * Why foreachBatch: `Dedup.newAgainstCorpus` is a banded MinHash
+ * batch×corpus join (groupBy + distinct + anti-join) — relational shapes
+ * Structured Streaming cannot run incrementally in append mode. Inside
+ * foreachBatch each micro-batch is an ordinary batch frame, so the
+ * EXACT batch operator runs unchanged (stream ≡ batch by construction,
+ * pinned in StreamingSpec), and the corpus side re-reads the snapshot
+ * store's latest version each batch — so batch N+1 dedups against
+ * everything batch N admitted, with no unbounded in-memory state and no
+ * growing plan lineage (every version is plain parquet).
+ *
+ * Scale shape: per micro-batch cost is one corpus-side signature pass +
+ * the banded join — the same envelope as the nightly batch job; the
+ * snapshot store gives durable exactly-once progress (checkpointed
+ * source offsets + versioned commits), and prior corpus versions stay
+ * readable for time-travel diffing of what any batch admitted.
+ */
+object CorpusIngest {
+
+  /**
+   * Start the deduped-ingest stream. `docs` is a STREAMING frame
+   * carrying `idCol` + `textCol` (extra columns pass through to the
+   * committed corpus). An empty store seeds itself with the first
+   * batch's exact-survivors.
+   */
+  def dedupedIngest(
+      docs: DataFrame,
+      store: SnapshotStore,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      checkpointDir: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val selfClean = Dedup.exactSurvivors(batch, textCol, idCol)
+        if (store.versions.isEmpty) {
+          if (!selfClean.isEmpty) { store.commit(selfClean); () }
+        } else {
+          val corpus = store.readLatest(spark)
+          // persist: the emptiness probe and the commit otherwise each
+          // re-run the banded batch×corpus join
+          val fresh = Dedup.newAgainstCorpus(
+            selfClean, corpus, textCol, idCol, threshold,
+            numHashes, bands, shingleSize)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            if (!fresh.isEmpty) { store.commit(corpus.unionByName(fresh)); () }
+          } finally { fresh.unpersist(); () }
+        }
+      }
+      .start()
+}

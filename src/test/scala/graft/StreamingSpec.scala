@@ -191,6 +191,71 @@ class StreamingSpec extends SparkSuite {
     assert(out.count() > 0)
   }
 
+  test("streaming deduped ingest: stream ≡ batch, cross-batch suppression") {
+    import graft.ops.Dedup
+    import graft.persist.SnapshotStore
+    import graft.streaming.CorpusIngest
+    val srcDir = Files.createTempDirectory("graft-ingest-src").toString
+    val ckpt = Files.createTempDirectory("graft-ingest-ckpt").toString
+    val store = new SnapshotStore(
+      Files.createTempDirectory("graft-ingest-store").toString)
+
+    def docsDF(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+    // seed corpus: the nightly loop's current snapshot
+    val corpus0 = docsDF(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "colorless green ideas sleep furiously tonight again")))
+    store.commit(corpus0)
+
+    // batch 1: one exact re-crawl of corpus doc 1 (must drop), one exact
+    // self-dup inside the batch (one survivor), one genuinely new doc
+    val batch1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),  // corpus dup
+      (11L, "entirely novel words describing unrelated things here"),
+      (12L, "entirely novel words describing unrelated things here"), // self-dup
+      (13L, "a second fresh document with its own distinct content"))
+    docsDF(batch1).coalesce(1).write.mode("append").parquet(srcDir)
+
+    val schema = spark.read.parquet(srcDir).schema
+    def runIngest(): Unit = {
+      val q = CorpusIngest.dedupedIngest(
+        spark.readStream.schema(schema).parquet(srcDir),
+        store, "text", "doc_id", threshold = 0.8, checkpointDir = ckpt)
+      q.awaitTermination(120000)
+    }
+    withLogLevel { runIngest() }
+
+    // stream ≡ batch: one micro-batch, so the committed corpus must be
+    // bit-equal in ids to the batch pipeline on the same input
+    val expect1 = {
+      val selfClean = Dedup.exactSurvivors(docsDF(batch1), "text", "doc_id")
+      val fresh = Dedup.newAgainstCorpus(
+        selfClean, corpus0, "text", "doc_id", 0.8)
+      corpus0.unionByName(fresh)
+    }
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val after1 = ids(store.readLatest(spark))
+    assert(after1 === ids(expect1))
+    assert(after1.contains(13L) && !after1.contains(10L))
+    assert(after1.intersect(Set(11L, 12L)).size === 1) // one self-dup survivor
+
+    // batch 2: re-crawls a doc ADMITTED by batch 1 (cross-batch
+    // suppression: the corpus side is re-read from the store each batch)
+    // plus one new doc
+    docsDF(Seq(
+      (20L, "a second fresh document with its own distinct content"), // batch-1 dup
+      (21L, "yet another completely independent piece of writing")))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    withLogLevel { runIngest() } // same checkpoint → only the new file
+
+    val after2 = ids(store.readLatest(spark))
+    assert(after2 === after1 + 21L, s"got $after2")
+    // prior versions stay readable (time travel over ingest history)
+    assert(ids(store.read(spark, 1L)) === Set(1L, 2L))
+  }
+
   test("streaming trending top-k matches the batch computation") {
     // Two stacked stateful aggregates. Spark's global-watermark checker
     // flags ANY chained stateful pair conservatively; in COMPLETE mode no
