@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
  * cardinalities, ranges drive schema checks and drift alerts between
  * pipeline runs).
  *
- * Scale shape: a single global aggregation computes every metric for
- * every column in one pass (partial+final, no per-column jobs), then the
- * one result row unpivots driver-free via `stack`. Exact distinct counts
- * make Catalyst EXPAND the input ×|cols| before the partial aggregate —
- * fine for a handful of profiled columns, but at 100 TB × many columns
- * pass `exact = false` to use HyperLogLog sketches (approx_count_distinct,
- * no expand, one pass, ~2% error).
+ * Scale shape, exact tier: the input unpivots via `stack` into
+ * (column, value) and collapses to a (column, value, count) table in a
+ * codegen hash aggregate — the shuffle carries the summed value
+ * CARDINALITY of the profiled columns, never the corpus, and every
+ * metric (n, nulls, distinct, min, max) derives from that table in a
+ * second |cols|-row aggregate. No EXPAND (the multi-distinct plan
+ * Catalyst would otherwise emit), no boxed per-row aggregate state.
+ * For unbounded high-cardinality domains at 100 TB the counts table
+ * itself is the bound — pass `exact = false` for HyperLogLog sketches
+ * (one pass, no counts table, `rsd` error).
  */
 object Profile {
 
@@ -31,24 +34,40 @@ object Profile {
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in frame: $missing")
 
-    val aggs: Seq[Column] = cols.flatMap { c =>
-      val v = col(c)
-      Seq(
-        count(lit(1)).as(s"n__$c"),
-        (count(lit(1)) - count(v)).as(s"null__$c"),
-        (if (exact) countDistinct(v) else approx_count_distinct(v, rsd))
-          .as(s"dist__$c"),
-        min(v).cast("double").as(s"mn__$c"),
-        max(v).cast("double").as(s"mx__$c"))
+    if (exact) {
+      // (column, value, count) — nulls kept as a counted group so the
+      // null tally rides the same table. Values unify as double for the
+      // heterogeneous stack; integral values beyond 2^53 would alias
+      // under the cast — profile such ids as strings or sketch them.
+      val stacked = cols.map(c => s"'$c', cast(`$c` AS double)").mkString(", ")
+      df.select(expr(s"stack(${cols.size}, $stacked) AS (column, v)"))
+        .groupBy(col("column"), col("v")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("column")).agg(
+          sum("cnt").as("n"),
+          coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L))
+            .as("n_null"),
+          count(col("v")).as("n_distinct"), // non-null (column, v) rows
+          min("v").as("mn"), max("v").as("mx"))
+        .select(col("column"), col("n"), col("n_null"), col("n_distinct"),
+          col("mn"), col("mx"))
+    } else {
+      val aggs: Seq[Column] = cols.flatMap { c =>
+        val v = col(c)
+        Seq(
+          count(lit(1)).as(s"n__$c"),
+          (count(lit(1)) - count(v)).as(s"null__$c"),
+          approx_count_distinct(v, rsd).as(s"dist__$c"),
+          min(v).cast("double").as(s"mn__$c"),
+          max(v).cast("double").as(s"mx__$c"))
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      // unpivot the single row: stack(n, 'col1', n__col1, ..., 'colk', ...)
+      val stacked = cols.map { c =>
+        s"'$c', `n__$c`, `null__$c`, `dist__$c`, `mn__$c`, `mx__$c`"
+      }.mkString(", ")
+      one.select(expr(
+        s"stack(${cols.size}, $stacked) AS (column, n, n_null, n_distinct, mn, mx)"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-
-    // unpivot the single row: stack(n, 'col1', n__col1, ..., 'colk', ...)
-    val stacked = cols.map { c =>
-      s"'$c', `n__$c`, `null__$c`, `dist__$c`, `mn__$c`, `mx__$c`"
-    }.mkString(", ")
-    one.select(expr(
-      s"stack(${cols.size}, $stacked) AS (column, n, n_null, n_distinct, mn, mx)"))
   }
 
   /**
@@ -58,10 +77,19 @@ object Profile {
    * Values are scaled to integers (`round(col·scale)`) before ranking, so
    * the interpolation arithmetic is exact in double (integer endpoints ×
    * exactly-representable quartile fractions) — bit-reproducible and
-   * SQL-replayable. Exact percentiles keep per-value counts as aggregate
-   * state: bounded-domain columns (money cents, counts, enum codes) stay
-   * small at any corpus size; for unbounded high-cardinality doubles at
-   * 100 TB use `exact = false` (t-digest sketch, no value map).
+   * SQL-replayable.
+   *
+   * Exact tier shape: NOT the builtin `percentile` aggregate (per-row
+   * boxed OpenHashMap state, whole maps merged between partials) — the
+   * input collapses to a (column, value, count) table in a codegen hash
+   * aggregate (shuffle ∝ value cardinality, not rows), a window cumsum
+   * assigns each value its global rank range, and the q·(n−1)
+   * interpolation (the `quantile_cont` convention, Spark's own
+   * `(hi−pos)·lower + (pos−lo)·higher` form) reads its two endpoints
+   * straight off that table. Bounded-domain columns (money cents,
+   * counts, enum codes) keep the table small at any corpus size; for
+   * unbounded high-cardinality doubles at 100 TB use `exact = false`
+   * (t-digest sketch, no value table).
    */
   def quantileProfile(
       df: DataFrame,
@@ -76,19 +104,119 @@ object Profile {
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in frame: $missing")
 
-    val fn = if (exact) "percentile" else "percentile_approx"
-    val qArr = qs.mkString("array(", ", ", ")")
-    val aggs = cols.map { c =>
-      expr(s"$fn(round(`$c` * $scale), $qArr)").as(s"p__$c")
-    }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = cols.flatMap { c =>
-      qs.zipWithIndex.map { case (q, i) =>
-        s"'$c', ${q}D, `p__$c`[$i] / ${scale}D"
+    if (exact) {
+      // Two-pass histogram SELECTION (the distributed exact-quantile
+      // classic; same driver-bounded shape as Spark's own approxQuantile):
+      //   pass 1: ONE scan, one LongBucketCounts aggregate per column —
+      //           a (v div 1024 → count) map whose size is OCCUPIED
+      //           buckets, not rows (hard-guarded against pathological
+      //           sparse domains). Prefix-summing the ≤3 target ranks
+      //           q·(n−1) through the sorted buckets on the driver
+      //           locates each rank's bucket.
+      //   pass 2: ONE more scan, per-value count maps restricted to the
+      //           ≤ 2·|qs| candidate buckets per column (≤1024 distinct
+      //           values each), from which the driver reads the two
+      //           interpolation endpoints exactly.
+      // The corpus is scanned twice and SHUFFLED never; driver state is
+      // bucket-bounded. Interpolation is Spark/DuckDB's quantile_cont
+      // form (hi−pos)·lower + (pos−lo)·higher on exact integers.
+      val W = 1024L
+      val spark = df.sparkSession
+      def scaled(c: String) = round(col(c) * scale).cast("long")
+
+      // pre-project the scaled values in a codegen'd select: the
+      // TypedImperativeAggregate evaluates its child INTERPRETED per
+      // row, so the child must be a bare column reference
+      val scaledDF = df.select(cols.map(c => scaled(c).as(c)): _*)
+      val hist1 = scaledDF.agg(
+        graft.functions.HistAgg.bucket_counts(col(cols.head), W)
+          .as(cols.head),
+        cols.tail.map(c =>
+          graft.functions.HistAgg.bucket_counts(col(c), W).as(c)): _*)
+        .head()
+      // driver: locate, per (column, q), the bucket(s) holding the two
+      // endpoint ranks; remember each bucket's starting global rank
+      case class Target(column: String, q: Double, pos: Double,
+          loI: Long, hiI: Long)
+      val perCol = cols.zipWithIndex.map { case (c, i) =>
+        val m = hist1.getMap[Long, Long](i)
+        val buckets = m.toSeq.sortBy(_._1) // (bucket, count) ascending
+        val n = buckets.iterator.map(_._2).sum
+        (c, buckets, n)
       }
-    }.mkString(", ")
-    one.select(expr(
-      s"stack(${cols.size * qs.size}, $stacked) AS (column, q, v)"))
+      val targets = perCol.flatMap { case (c, _, n) =>
+        qs.map { q =>
+          val pos = q * (n - 1).toDouble
+          Target(c, q, pos, math.floor(pos).toLong, math.ceil(pos).toLong)
+        }
+      }
+      // candidate buckets + their rank offsets, per column
+      val candOf: Map[String, Map[Long, Long]] = perCol.map {
+        case (c, buckets, n) =>
+          val wanted = targets.filter(_.column == c)
+            .flatMap(t => Seq(t.loI, t.hiI)).toSet
+          var off = 0L
+          val cand = Map.newBuilder[Long, Long]
+          buckets.foreach { case (b, cnt) =>
+            if (wanted.exists(r => r >= off && r < off + cnt)) cand += b -> off
+            off += cnt
+          }
+          c -> cand.result()
+      }.toMap
+
+      val nonEmpty = perCol.filter(_._3 > 0).map(_._1)
+      val out: Seq[(String, Double, Double)] = if (nonEmpty.isEmpty) Seq.empty
+      else {
+        // pass 2: per-value counts inside candidate buckets only (the
+        // bucket membership filter rides the codegen'd projection too)
+        val candDF = df.select(nonEmpty.map { c =>
+          when(floorDiv(scaled(c), W).isin(candOf(c).keys.toSeq: _*),
+            scaled(c)).as(c)
+        }: _*)
+        val hist2 = candDF.agg(
+          graft.functions.HistAgg.bucket_counts(col(nonEmpty.head), 1L)
+            .as(nonEmpty.head),
+          nonEmpty.tail.map(c =>
+            graft.functions.HistAgg.bucket_counts(col(c), 1L).as(c)): _*)
+          .head()
+        val valueCounts: Map[String, Seq[(Long, Long)]] =
+          nonEmpty.zipWithIndex.map { case (c, i) =>
+            c -> hist2.getMap[Long, Long](i).toSeq.sortBy(_._1)
+          }.toMap
+        targets.filter(t => valueCounts.contains(t.column)).map { t =>
+          val offByBucket = candOf(t.column)
+          // walk the candidate values in order, tracking each value's
+          // global rank range [cum − cnt, cum − 1] from its bucket's off
+          var lo = Long.MinValue; var hi = Long.MinValue
+          var curBucket = Long.MinValue; var cum = 0L
+          valueCounts(t.column).foreach { case (v, cnt) =>
+            val b = Math.floorDiv(v, W)
+            if (b != curBucket) { curBucket = b; cum = offByBucket(b) }
+            cum += cnt
+            if (t.loI >= cum - cnt && t.loI < cum) lo = v
+            if (t.hiI >= cum - cnt && t.hiI < cum) hi = v
+          }
+          val raw = if (t.hiI == t.loI) lo.toDouble
+            else (t.hiI - t.pos) * lo.toDouble + (t.pos - t.loI) * hi.toDouble
+          (t.column, t.q, raw / scale.toDouble)
+        }
+      }
+      import spark.implicits._
+      out.toDF("column", "q", "v")
+    } else {
+      val qArr = qs.mkString("array(", ", ", ")")
+      val aggs = cols.map { c =>
+        expr(s"percentile_approx(round(`$c` * $scale), $qArr)").as(s"p__$c")
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val stacked = cols.flatMap { c =>
+        qs.zipWithIndex.map { case (q, i) =>
+          s"'$c', ${q}D, `p__$c`[$i] / ${scale}D"
+        }
+      }.mkString(", ")
+      one.select(expr(
+        s"stack(${cols.size * qs.size}, $stacked) AS (column, q, v)"))
+    }
   }
 
   /**

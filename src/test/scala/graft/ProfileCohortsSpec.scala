@@ -26,14 +26,18 @@ class ProfileCohortsSpec extends SparkSuite {
     }
   }
 
-  test("approx mode avoids the exact-distinct expand") {
+  test("neither tier plans the multi-distinct EXPAND") {
     val df = Seq((1.0, 2.0), (3.0, 4.0)).toDF("a", "b")
     val exact = Profile.numericProfile(df, Seq("a", "b"))
       .queryExecution.executedPlan.toString
     val approx = Profile.numericProfile(df, Seq("a", "b"), exact = false)
       .queryExecution.executedPlan.toString
-    assert(exact.contains("Expand"), s"exact distinct should expand:\n$exact")
+    // exact derives every metric from the (column, value, count) table —
+    // no countDistinct, so no EXPAND ×|cols| of the corpus
+    assert(!exact.contains("Expand"), s"exact must not expand:\n$exact")
     assert(!approx.contains("Expand"), s"approx must not expand:\n$approx")
+    assert(exact.linesIterator.count(_.contains("Scan")) <= 1,
+      s"exact profile must be one pass:\n$exact")
   }
 
   test("sketch tiers stay within contract error bounds of exact") {
