@@ -260,10 +260,11 @@ object Profile {
    *
    * Scale shape: one unpivoted pass (`stack`) feeds a partial+final
    * count aggregate, so the corpus collapses to (column, value) counts
-   * before anything ranks; the rank window runs over that counts table,
-   * whose size is the summed value CARDINALITY of the profiled columns —
-   * for categorical columns this is unrelated to corpus size. Ties break
-   * (count DESC, value ASC), so the result is deterministic.
+   * before anything ranks; ranking is the bounded-heap TopKAggregate
+   * over that counts table — NOT a `row_number` window, which would
+   * sort a high-cardinality column's whole value domain in one task.
+   * The rank exchange carries ≤ partitions × |cols| × k rows. Ties
+   * break (count DESC, value ASC), so the result is deterministic.
    */
   def topValues(
       df: DataFrame,
@@ -274,15 +275,17 @@ object Profile {
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in frame: $missing")
     val stacked = cols.map(c => s"'$c', cast(`$c` AS string)").mkString(", ")
-    val counts = df
-      .select(expr(s"stack(${cols.size}, $stacked) AS (column, value)"))
+    df.select(expr(s"stack(${cols.size}, $stacked) AS (column, value)"))
       .filter(col("value").isNotNull)
       .groupBy(col("column"), col("value")).agg(count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("column"))
-      .orderBy(col("n").desc, col("value").asc)
-    counts.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+      .groupBy(col("column"))
+      .agg(graft.functions.TopKAggregate.topk_rows(
+        struct(col("n"), col("value")), k).as("__top"))
+      .select(col("column"), posexplode(col("__top")).as(Seq("__r", "__e")))
+      .select(col("column"),
+        col("__e").getField("value").as("value"),
+        col("__e").getField("n").as("n"),
+        (col("__r") + 1).cast("long").as("rank"))
   }
 
   /**
