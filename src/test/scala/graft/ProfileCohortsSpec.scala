@@ -95,6 +95,35 @@ class ProfileCohortsSpec extends SparkSuite {
       Profile.quantileProfile(df, Seq("a"), Seq(1.5)))
   }
 
+  test("exact quantile tier ≡ builtin percentile on randomized data") {
+    // the histogram-selection path must agree bit-for-bit with Spark's
+    // own exact percentile across sign, ties, tiny n, and extreme q
+    val rnd = new scala.util.Random(1234)
+    val qs = Seq(0.0, 0.1, 0.25, 0.5, 0.9, 1.0)
+    for (trial <- 1 to 3) {
+      val n = Seq(1, 7, 500)(trial - 1)
+      val rows = (0 until n).map { _ =>
+        (math.round(rnd.nextGaussian() * 5000) / 100.0, // negatives + ties
+          rnd.nextInt(5) / 100.0)                        // heavy ties
+      }
+      val df = withLogLevel(rows.toDF("a", "b"))
+      val got = Profile.quantileProfile(df, Seq("a", "b"), qs, scale = 100L)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+        .toMap
+      val want = Seq("a", "b").flatMap { c =>
+        val arr = df.selectExpr(
+          s"percentile(round(`$c` * 100), array(${qs.mkString(",")}))")
+          .head().getSeq[Double](0)
+        qs.zip(arr).map { case (q, v) => (c, q) -> v / 100.0 }
+      }.toMap
+      want.foreach { case (k, v) =>
+        assert(java.lang.Double.doubleToRawLongBits(got(k)) ===
+          java.lang.Double.doubleToRawLongBits(v),
+          s"trial=$trial $k: got ${got(k)}, want $v")
+      }
+    }
+  }
+
   test("histogram bins exactly on scaled-integer floor division") {
     val df = Seq(0.0, 0.49, 0.5, 0.99, 1.0, 2.49, -0.01, -0.5)
       .toDF("x")
