@@ -155,29 +155,70 @@ object Bench {
     var t0 = System.nanoTime()
     (1 to queries).foreach(_ => idx.topK(qvec(), 10))
     out(s"chromem_query_${n}_d1536_k10") = (System.nanoTime() - t0) / 1e9 / queries
-    idx.unpersist()
 
-    if (n == 100000) { // declarative-path comparison point
+    if (n == 100000) {
+      // -- distributed tier: same index, blocks pinned on executors.
+      // 100k×1536 is under LocalScanMaxFloats, so the headline above
+      // exercises the driver-local fast path; this entry forces the
+      // partition-heap path every at-scale corpus takes (per-partition
+      // bounded heap + partitions×k driver merge), so the 100 TB claim
+      // for the core query path has a measured point. Expected cost =
+      // packed scan + Spark's per-job scheduling floor (~40 ms local[32]).
+      val idxDist = VectorIndex.build[Long](corpus, "id", "embedding", d, parts)
+        .persist().materialize(forceDistributed = true)
+      (1 to 3).foreach(_ => idxDist.topK(qvec(), 10))
+      System.gc()
+      t0 = System.nanoTime()
+      (1 to queries).foreach(_ => idxDist.topK(qvec(), 10))
+      out(s"chromem_query_${n}_d1536_k10_distributed") =
+        (System.nanoTime() - t0) / 1e9 / queries
+      idxDist.unpersist()
+
+      // -- declarative-path comparison point, with two controls that make
+      // the artifact self-explaining:
+      //  * packed_interleaved: the driver-local packed scan re-timed
+      //    strictly alternated with the DataFrame queries — if THIS
+      //    drifts vs the headline above, the machine drifted mid-bench
+      //    (ambient load); if only the DataFrame point is high, the cost
+      //    is in the DataFrame path itself.
+      //  * scan_floor: the same cached columnar frame, same column, no
+      //    top-k — Spark's in-memory cache decodes ArrayType per query
+      //    (one ~600 MB buffer→row copy per pass; InMemoryTableScan's
+      //    vectorized reader covers primitives only), so this pins how
+      //    much of the DataFrame point is cache-decode bandwidth that no
+      //    expression or plan change can remove. The packed index is the
+      //    designed answer to exactly this decode tax (deserialized
+      //    primitive slabs, zero per-query decode).
       val cached = corpus.persist(StorageLevel.MEMORY_AND_DISK)
       cached.count()
-      // 2× the samples of the index path: each query is a full 32-task
-      // job over the 600 MB cached corpus, so per-query noise (scheduler
-      // + GC) is the dominant term — more samples, plus a GC barrier,
-      // keep the mean honest (r3 measured 0.46 s for this entry purely
-      // from a pause landing inside a 10-sample window)
       val dfQueries = queries * 2
       (1 to 5).foreach { _ =>
         VectorSearch.topK(cached, "embedding", qvec(), 10, "id").collect()
       }
+      cached.agg(sum(element_at(col("embedding"), 1))).collect()
       System.gc()
+      var dfSec = 0.0
+      var packedSec = 0.0
+      (1 to dfQueries).foreach { _ =>
+        var t = System.nanoTime()
+        VectorSearch.topK(cached, "embedding", qvec(), 10, "id").collect()
+        dfSec += (System.nanoTime() - t) / 1e9
+        t = System.nanoTime()
+        idx.topK(qvec(), 10)
+        packedSec += (System.nanoTime() - t) / 1e9
+      }
+      out(s"chromem_query_${n}_d1536_k10_dataframe") = dfSec / dfQueries
+      out(s"chromem_query_${n}_d1536_k10_packed_interleaved") =
+        packedSec / dfQueries
       t0 = System.nanoTime()
       (1 to dfQueries).foreach { _ =>
-        VectorSearch.topK(cached, "embedding", qvec(), 10, "id").collect()
+        cached.agg(sum(element_at(col("embedding"), 1))).collect()
       }
-      out(s"chromem_query_${n}_d1536_k10_dataframe") =
+      out(s"chromem_query_${n}_d1536_k10_scan_floor") =
         (System.nanoTime() - t0) / 1e9 / dfQueries
       cached.unpersist()
     }
+    idx.unpersist()
     out.toMap
   }
 }

@@ -764,15 +764,18 @@ object SparkEntry {
 
     // ---- profiling: exact-moment Pearson correlation (order-independent
     // decimal sums; only the closed-form combine is floating point).
-    // corr_e6 = floor(corr·1e6) is the hash-stable integer handle — a
-    // decimal round(double, 6) diverges between engines at half-way
-    // points, an integer floor of the bit-identical IEEE double does not.
+    // The gate hashes ONLY the six exact integer moments — they fully
+    // determine the correlation. Any double-derived scalar (corr,
+    // round(corr,6), floor(corr·1e6)) is excluded: decimal(38)→double
+    // rounding differs across engines once n·sxy exceeds 2^53, and any
+    // 1-ulp drift survives both round and floor. The double `corr` is
+    // tolerance-checked in ProfileCohortsSpec instead.
     "profile_corr" -> ((s, dir) =>
       graft.ops.Profile.corrExact(t(s, dir, "lineitem"),
         Seq(("l_quantity", "l_extendedprice"),
           ("l_extendedprice", "l_discount")))
         .select(col("x_col"), col("y_col"), col("n"), col("sx"), col("sy"),
-          col("sxy"), col("sxx"), col("syy"), col("corr_e6"))),
+          col("sxy"), col("sxx"), col("syy"))),
 
     // ---- quality-weighted sampling: keep probability = min(1, chars/1k) ----
     "split_weighted" -> ((s, dir) =>
@@ -1935,14 +1938,11 @@ object SparkEntry {
         |FROM c GROUP BY 1, 2
         |QUALIFY rank <= 5""".stripMargin,
 
-    // Moments replayed as exact HUGEINT sums of scaled integers; the
-    // closed-form combine uses the identical double expression. The corr
-    // handle is floor(corr * 1e6)::BIGINT: every step (int→double cast,
-    // *, -, /, sqrt, floor) is IEEE-754 correctly rounded and both
-    // engines evaluate the operators un-fused, so the integer is
-    // bit-stable across engines — unlike round(double, 6), whose
-    // decimal half-way behavior differs (JVM Double.toString→BigDecimal
-    // HALF_UP vs native dtoa).
+    // Moments replayed as exact HUGEINT sums of scaled integers. Only
+    // the six integer moments are hashed — no double-derived scalar
+    // (corr, round, floor·1e6) appears: decimal→double casts of
+    // >2^53 magnitudes round differently across engines, and two rounds
+    // of floor/round handles failed the driver gate to prove it.
     "profile_corr" ->
       Seq(("l_quantity", "l_extendedprice"), ("l_extendedprice", "l_discount"))
         .map { case (x, y) =>
@@ -1954,23 +1954,7 @@ object SparkEntry {
              |  sum(round($x * 100)::BIGINT::HUGEINT
              |    * round($x * 100)::BIGINT::HUGEINT) AS sxx,
              |  sum(round($y * 100)::BIGINT::HUGEINT
-             |    * round($y * 100)::BIGINT::HUGEINT) AS syy,
-             |  floor(((count(*)::DOUBLE
-             |      * sum(round($x * 100)::BIGINT::HUGEINT
-             |        * round($y * 100)::BIGINT::HUGEINT)::DOUBLE
-             |    - sum(round($x * 100)::BIGINT)::HUGEINT::DOUBLE
-             |      * sum(round($y * 100)::BIGINT)::HUGEINT::DOUBLE) /
-             |    sqrt((count(*)::DOUBLE
-             |        * sum(round($x * 100)::BIGINT::HUGEINT
-             |          * round($x * 100)::BIGINT::HUGEINT)::DOUBLE
-             |      - sum(round($x * 100)::BIGINT)::HUGEINT::DOUBLE
-             |        * sum(round($x * 100)::BIGINT)::HUGEINT::DOUBLE) *
-             |      (count(*)::DOUBLE
-             |        * sum(round($y * 100)::BIGINT::HUGEINT
-             |          * round($y * 100)::BIGINT::HUGEINT)::DOUBLE
-             |      - sum(round($y * 100)::BIGINT)::HUGEINT::DOUBLE
-             |        * sum(round($y * 100)::BIGINT)::HUGEINT::DOUBLE))) * 1e6)
-             |    ::BIGINT AS corr_e6
+             |    * round($y * 100)::BIGINT::HUGEINT) AS syy
              |FROM lineitem""".stripMargin
         }.mkString("\nUNION ALL\n"),
 

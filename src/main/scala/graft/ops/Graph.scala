@@ -23,13 +23,17 @@ import org.apache.spark.sql.functions._
  *
  * Scale shape: each iteration is one (rank ⋈ edges) shuffle on src plus
  * one hash aggregate on dst — the minimum any edge-partitioned PageRank
- * pays. The edge list and out-degrees are computed once and cached by the
- * caller if iterating many rounds (the gate runs a fixed small round
- * count, so the plan stays a finite DAG with no checkpoint needed; at
- * hundreds of rounds you would checkpoint ranks every ~10 rounds to cut
- * lineage). Overflow bound: 85 · totalMass = 85 · |V| · scale must stay
- * under 2^63 — at scale=1e9 that allows ~10^8 nodes; drop `scale` for
- * larger graphs.
+ * pays. The out-degreed edge list and node set are snapshotted ONCE via
+ * checkpoint (reliable if the session has a checkpoint dir, local
+ * otherwise) rather than `persist`: checkpoint blocks are RDD-level, so
+ * the ContextCleaner frees them when the returned frame is
+ * garbage-collected — a CacheManager `persist` here would live (and
+ * compete with every later cached frame) for the whole session, since
+ * no unpersist point exists once the frame is handed to the caller.
+ * Ranks are re-snapshotted every `checkpointEvery` rounds so lineage
+ * stays bounded at hundreds of iterations. Overflow bound:
+ * 85 · totalMass = 85 · |V| · scale must stay under 2^63 — at scale=1e9
+ * that allows ~10^8 nodes; drop `scale` for larger graphs.
  */
 object Graph {
 
@@ -46,25 +50,34 @@ object Graph {
       srcCol: String,
       dstCol: String,
       iterations: Int,
-      scale: Long = 1000000000L): DataFrame = {
+      scale: Long = 1000000000L,
+      checkpointEvery: Int = 10): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(scale > 0, "scale must be > 0")
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    // Snapshot = materialize once + truncate lineage, WITHOUT registering
+    // with the CacheManager (whose entries outlive this call — there is
+    // no sound unpersist point for a frame we return). Reliable
+    // checkpoint when the session has one configured (survives executor
+    // loss — the right tier on a real cluster); localCheckpoint
+    // otherwise (local/bench; blocks are ContextCleaner-freed on GC).
+    val snap: DataFrame => DataFrame =
+      if (edges.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df => df.checkpoint(eager = true)
+      else df => df.localCheckpoint(eager = true)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    // Edges ride every round's join and the degree/node derivations —
-    // cache the (src, dst, deg) frame so the upstream edge derivation
-    // (often a join + distinct) is computed once, not once per round.
-    // Cached frames stay registered for the session (CacheManager
-    // dedupes identical plans across calls); Spark evicts LRU.
+    // Edges ride every round's join — snapshot the (src, dst, deg) frame
+    // so the upstream edge derivation (often a join + distinct) runs
+    // once, not once per round.
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val eDeg = e.join(outdeg, Seq("src")).persist(mem)
+    val eDeg = snap(e.join(outdeg, Seq("src")))
     // every endpoint is a node, including pure sinks (no out-edges)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist(mem)
+    val nodes = snap(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     val base = (15L * scale) / 100L
 
     var ranks = nodes.withColumn("rank", lit(scale))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       // one join (ranks onto out-degreed edges) + one dst-aggregate
       val inSum = eDeg.join(ranks, eDeg("src") === ranks("node"))
         .select(col("dst").as("node"), expr("rank DIV deg").as("c"))
@@ -74,6 +87,9 @@ object Graph {
         .join(inSum, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr("85 * coalesce(s, 0L) DIV 100")).as("rank"))
+      // bound lineage at high iteration counts; a superseded snapshot
+      // becomes unreachable after the next one and its blocks GC-free
+      if (i % checkpointEvery == 0 && i < iterations) ranks = snap(ranks)
     }
     ranks
   }

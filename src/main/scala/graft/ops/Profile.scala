@@ -365,13 +365,10 @@ object Profile {
             - col("sx").cast("double") * col("sx").cast("double")) *
           (col("n").cast("double") * col("syy").cast("double")
             - col("sy").cast("double") * col("sy").cast("double"))))
-      // Deterministic cross-engine handle: `round(corr, 6)` diverges
-      // between engines (JVM BigDecimal-of-Double.toString vs native
-      // dtoa half-way rules), but the double `corr` itself is
-      // bit-identical wherever casts, *, -, / and sqrt are IEEE-754
-      // correctly rounded and operators are evaluated un-fused — so
-      // floor(corr * 1e6) as an integer never touches a decimal
-      // formatting path and compares exactly across engines.
-      .withColumn("corr_e6", floor(col("corr") * lit(1e6)).cast("long"))
+      // `corr` is a convenience double for callers. It is NOT a
+      // cross-engine-stable handle: the decimal(38)→double casts feeding
+      // the closed form round differently between engines (n·sxy can
+      // exceed 2^53), so any exact comparison must use the six integer
+      // moments — they fully determine the correlation.
   }
 }

@@ -153,10 +153,14 @@ class VectorIndex[K: ClassTag] private (
   }
 
   /** Force materialization (so first query isn't charged the build); pulls
-    * the index driver-local when it fits under LocalScanMaxFloats. */
-  def materialize(): this.type = {
+    * the index driver-local when it fits under LocalScanMaxFloats.
+    * `forceDistributed = true` keeps blocks on executors regardless —
+    * the path every corpus above the threshold takes; benchmarked
+    * explicitly so the at-scale tier has a measured point, not just the
+    * small-corpus fast path. */
+  def materialize(forceDistributed: Boolean = false): this.type = {
     val rows = blocks.map(_.ids.length.toLong).sum().toLong
-    if (rows * dim <= VectorIndex.LocalScanMaxFloats) {
+    if (!forceDistributed && rows * dim <= VectorIndex.LocalScanMaxFloats) {
       local = blocks.collect()
       blocks.unpersist() // executor copy no longer needed
     }

@@ -168,16 +168,33 @@ class ProfileCohortsSpec extends SparkSuite {
     val xy = r(("x", "y"))
     assert(xy.getAs[java.math.BigDecimal]("sx").longValueExact === 600L)
     assert(xy.getAs[java.math.BigDecimal]("sxy").longValueExact === 280000L)
+    // corr is tolerance-checked only — it is a double-derived scalar and
+    // deliberately excluded from the hashed oracle gate (the six exact
+    // integer moments are the gate; see SparkEntry profile_corr).
     assert(math.abs(xy.getAs[Double]("corr") - 1.0) < 1e-12)
     assert(math.abs(r(("x", "z")).getAs[Double]("corr") + 1.0) < 1e-12)
-    // integer cross-engine handle: floor(corr * 1e6)
-    assert(xy.getAs[Long]("corr_e6") === 1000000L)
-    assert(r(("x", "z")).getAs[Long]("corr_e6") === -1000000L)
     // order-independence: moments identical under re-partitioning
     val again = Profile.corrExact(df.repartition(7), Seq(("x", "y")))
       .collect().head
     assert(again.getAs[java.math.BigDecimal]("sxy").longValueExact === 280000L)
     intercept[IllegalArgumentException](Profile.corrExact(df, Nil))
+  }
+
+  test("corrExact: closed-form corr within 1e-6 of builtin corr on lineitem") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val got = Profile.corrExact(li,
+        Seq(("l_quantity", "l_extendedprice"), ("l_extendedprice", "l_discount")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("corr"))
+      .toMap
+    val want = li.agg(
+        corr(col("l_quantity"), col("l_extendedprice")),
+        corr(col("l_extendedprice"), col("l_discount")))
+      .collect().head
+    // scale=100 quantization of already-2dp money/quantity columns is exact,
+    // so the only divergence from builtin corr is float summation order —
+    // well inside 1e-6 at sf0.001.
+    assert(math.abs(got(("l_quantity", "l_extendedprice")) - want.getDouble(0)) < 1e-6)
+    assert(math.abs(got(("l_extendedprice", "l_discount")) - want.getDouble(1)) < 1e-6)
   }
 
   test("zscores: exact standardized values, null on zero variance") {
