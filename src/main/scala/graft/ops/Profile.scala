@@ -44,7 +44,8 @@ object Profile {
       // heterogeneous stack; integral values beyond 2^53 would alias
       // under the cast — profile such ids as strings or sketch them.
       val stacked = cols.map(c => s"'$c', cast(`$c` AS double)").mkString(", ")
-      df.select(expr(s"stack(${cols.size}, $stacked) AS (column, v)"))
+      val grouped = df
+        .select(expr(s"stack(${cols.size}, $stacked) AS (column, v)"))
         .groupBy(col("column"), col("v")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("column")).agg(
           sum("cnt").as("n"),
@@ -52,7 +53,17 @@ object Profile {
             .as("n_null"),
           count(col("v")).as("n_distinct"), // non-null (column, v) rows
           min("v").as("mn"), max("v").as("mx"))
-        .select(col("column"), col("n"), col("n_null"), col("n_distinct"),
+      // left-join against the requested column list so an empty input
+      // frame still yields one row per column with n=0 and null min/max —
+      // the sketch tier's single-row agg produces exactly that, and
+      // callers distinguishing "column absent" from "column empty" rely
+      // on it. |cols|-row build side: always a broadcast.
+      import df.sparkSession.implicits._
+      cols.toDF("column").join(grouped, Seq("column"), "left")
+        .select(col("column"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("n_null"), lit(0L)).as("n_null"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
           col("mn"), col("mx"))
     } else {
       val aggs: Seq[Column] = cols.flatMap { c =>
@@ -93,14 +104,15 @@ object Profile {
    * straight off that table. Bounded-domain columns (money cents,
    * counts, enum codes) keep the table small at any corpus size; for
    * unbounded high-cardinality doubles at 100 TB use `exact = false`
-   * (t-digest sketch, no value table).
+   * (Greenwald-Khanna sketch, no value table).
    */
   def quantileProfile(
       df: DataFrame,
       cols: Seq[String],
       qs: Seq[Double] = Seq(0.25, 0.5, 0.75),
       scale: Long = 1L,
-      exact: Boolean = true): DataFrame = {
+      exact: Boolean = true,
+      accuracy: Int = 2500): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       "quantiles must be in [0, 1]")
@@ -169,7 +181,7 @@ object Profile {
       }.toMap
 
       val nonEmpty = perCol.filter(_._3 > 0).map(_._1)
-      val out: Seq[(String, Double, Double)] = if (nonEmpty.isEmpty) Seq.empty
+      val out: Seq[(String, Double, Option[Double])] = if (nonEmpty.isEmpty) Seq.empty
       else {
         // pass 2: per-value counts inside candidate buckets only (the
         // bucket membership filter rides the codegen'd projection too)
@@ -200,19 +212,44 @@ object Profile {
             if (t.loI >= cum - cnt && t.loI < cum) lo = v
             if (t.hiI >= cum - cnt && t.hiI < cum) hi = v
           }
+          // pass 2 re-scans the source: a non-deterministic df (rand(),
+          // files changed between the two actions) can disagree with
+          // pass 1's ranks — surface that as an error, not a garbage
+          // interpolation from the Long.MinValue sentinels
+          require(lo != Long.MinValue && hi != Long.MinValue,
+            s"quantile scan inconsistency for ${t.column} q=${t.q}: " +
+              "pass 2 did not reproduce pass 1's ranks (non-deterministic input?)")
           val raw = if (t.hiI == t.loI) lo.toDouble
             else (t.hiI - t.pos) * lo.toDouble + (t.pos - t.loI) * hi.toDouble
-          (t.column, t.q, raw / scale.toDouble)
+          (t.column, t.q, Some(raw / scale.toDouble))
         }
       }
+      // all-null / empty columns still yield one row per requested
+      // quantile, with a null value — matching the builtin-percentile
+      // semantics, so downstream (column, q)-keyed joins (drift checks)
+      // see nulls, not missing keys
+      val empty = perCol.filter(_._3 == 0).map(_._1)
+      val stubs = empty.flatMap(c => qs.map(q => (c, q, None: Option[Double])))
       import spark.implicits._
-      out.toDF("column", "q", "v")
+      (out ++ stubs).toDF("column", "q", "v")
     } else {
       val qArr = qs.mkString("array(", ", ", ")")
+      // percentile_approx is a TypedImperativeAggregate: its child is
+      // evaluated INTERPRETED per row, so the round/multiply must be
+      // pre-projected in a codegen'd select and the aggregate fed a bare
+      // column reference (same trap as HistAgg above — feeding the
+      // expression directly costs an interpreted eval per row per column).
+      // accuracy bounds the GK summary's state and compress cost: rank
+      // error ≤ 1/accuracy of n — 2500 puts a quartile within ±0.04% of
+      // its true rank, plenty for a sketch tier whose reason to exist is
+      // bounded state on unbounded domains. (Spark's default 10000 costs
+      // ~20% more per row for precision a profiling sketch doesn't need.)
+      val scaledDF = df.select(cols.map(c =>
+        round(col(c) * scale).cast("long").as(c)): _*)
       val aggs = cols.map { c =>
-        expr(s"percentile_approx(round(`$c` * $scale), $qArr)").as(s"p__$c")
+        expr(s"percentile_approx(`$c`, $qArr, $accuracy)").as(s"p__$c")
       }
-      val one = df.agg(aggs.head, aggs.tail: _*)
+      val one = scaledDF.agg(aggs.head, aggs.tail: _*)
       val stacked = cols.flatMap { c =>
         qs.zipWithIndex.map { case (q, i) =>
           s"'$c', ${q}D, `p__$c`[$i] / ${scale}D"

@@ -24,10 +24,18 @@ import graft.persist.SnapshotStore
  * growing plan lineage (every version is plain parquet).
  *
  * Scale shape: per micro-batch cost is one corpus-side signature pass +
- * the banded join — the same envelope as the nightly batch job; the
- * snapshot store gives durable exactly-once progress (checkpointed
- * source offsets + versioned commits), and prior corpus versions stay
- * readable for time-travel diffing of what any batch admitted.
+ * the banded join — the same envelope as the nightly batch job; prior
+ * corpus versions stay readable for time-travel diffing of what any
+ * batch admitted.
+ *
+ * Delivery contract: foreachBatch is AT-LEAST-once (a crash between
+ * `store.commit` and the checkpoint advancing replays the batch), so
+ * commits are EFFECTIVELY-once via re-dedup, not exactly-once: a
+ * replayed doc re-arrives, near-dedups against the corpus copy of
+ * itself at similarity 1.0, and is dropped. Docs that produce no
+ * shingles (text shorter than `shingleSize`) would bypass the MinHash
+ * filter, so the batch path closes that window with an exact-text
+ * anti-join against the corpus before committing.
  */
 object CorpusIngest {
 
@@ -58,11 +66,24 @@ object CorpusIngest {
           if (!selfClean.isEmpty) { store.commit(selfClean); () }
         } else {
           val corpus = store.readLatest(spark)
-          // persist: the emptiness probe and the commit otherwise each
-          // re-run the banded batch×corpus join
-          val fresh = Dedup.newAgainstCorpus(
+          val nearNew = Dedup.newAgainstCorpus(
             selfClean, corpus, textCol, idCol, threshold,
             numHashes, bands, shingleSize)
+          // replay guard (see delivery contract above): identical text
+          // already in the corpus near-dedups at similarity 1.0 ONLY
+          // when it shingles; zero-shingle docs (shorter than
+          // shingleSize) would re-commit on an at-least-once replay, so
+          // suppress exact-text matches explicitly. coalesce: a null
+          // text must equal itself across replays (null ≠ null in a
+          // join key would leak every replayed null-text doc through).
+          import org.apache.spark.sql.functions.{coalesce, col, lit, xxhash64}
+          val fresh = nearNew.join(
+            corpus.select(
+              xxhash64(coalesce(col(textCol), lit(""))).as("__text_h")).distinct(),
+            xxhash64(coalesce(nearNew(textCol), lit(""))) === col("__text_h"),
+            "left_anti")
+          // persist: the emptiness probe and the commit otherwise each
+          // re-run the banded batch×corpus join
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             if (!fresh.isEmpty) { store.commit(corpus.unionByName(fresh)); () }

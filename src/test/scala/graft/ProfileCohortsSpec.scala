@@ -36,8 +36,13 @@ class ProfileCohortsSpec extends SparkSuite {
     // no countDistinct, so no EXPAND ×|cols| of the corpus
     assert(!exact.contains("Expand"), s"exact must not expand:\n$exact")
     assert(!approx.contains("Expand"), s"approx must not expand:\n$approx")
-    assert(exact.linesIterator.count(_.contains("Scan")) <= 1,
-      s"exact profile must be one pass:\n$exact")
+    // 2 scans: the corpus pass + the |cols|-row column-name list that
+    // left-joins (broadcast) so empty inputs still emit n=0 rows — the
+    // CORPUS is read once; the column list is constant-size
+    assert(exact.linesIterator.count(_.contains("Scan")) <= 2,
+      s"exact profile must be one corpus pass:\n$exact")
+    assert(exact.contains("BroadcastHashJoin"),
+      s"column-list join must broadcast:\n$exact")
   }
 
   test("sketch tiers stay within contract error bounds of exact") {
@@ -122,6 +127,32 @@ class ProfileCohortsSpec extends SparkSuite {
           s"trial=$trial $k: got ${got(k)}, want $v")
       }
     }
+  }
+
+  test("all-null and empty columns still emit rows: quantiles null, stats n=0") {
+    val df = Seq((1.0, Option.empty[Double]), (2.0, None), (3.0, None))
+      .toDF("x", "y")
+    // quantileProfile: the all-null column yields (column, q, null) per
+    // requested q — drift checks joining on (column, q) must find the
+    // key, not a hole (matches the old builtin-percentile semantics)
+    val q = Profile.quantileProfile(df, Seq("x", "y"), Seq(0.5))
+      .collect().map(r => r.getString(0) -> Option(r.get(2))).toMap
+    assert(q("x") === Some(2.0))
+    assert(q("y") === None)
+    // numericProfile on an EMPTY frame: one row per requested column,
+    // n=0, null min/max — same shape as the sketch tier's single-row agg
+    val empty = df.filter(lit(false))
+    val p = Profile.numericProfile(empty, Seq("x", "y")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), Option(r.get(4))))
+      .toMap
+    assert(p === Map("x" -> ((0L, 0L, None)), "y" -> ((0L, 0L, None))))
+    // approx tiers agree on the shape
+    val qa = Profile.quantileProfile(df, Seq("y"), Seq(0.5), exact = false)
+      .collect().map(r => Option(r.get(2)))
+    assert(qa.toSeq === Seq(None))
+    val pa = Profile.numericProfile(empty, Seq("x"), exact = false)
+      .collect().map(r => (r.getLong(1), Option(r.get(4))))
+    assert(pa.toSeq === Seq((0L, None)))
   }
 
   test("histogram bins exactly on scaled-integer floor division") {

@@ -256,6 +256,42 @@ class StreamingSpec extends SparkSuite {
     assert(ids(store.read(spark, 1L)) === Set(1L, 2L))
   }
 
+  test("deduped ingest suppresses re-crawled zero-shingle docs (exact-text guard)") {
+    import graft.persist.SnapshotStore
+    import graft.streaming.CorpusIngest
+    val srcDir = Files.createTempDirectory("graft-ingest2-src").toString
+    val ckpt = Files.createTempDirectory("graft-ingest2-ckpt").toString
+    val store = new SnapshotStore(
+      Files.createTempDirectory("graft-ingest2-store").toString)
+    // seed with one normal doc so the non-seed (guarded) batch path runs
+    store.commit(Seq((1L, "a perfectly ordinary seed document with words"))
+      .toDF("doc_id", "text"))
+
+    // "hi there" is shorter than the 3-word shingle window: it produces
+    // NO MinHash signature, so ONLY the exact-text anti-join can stop a
+    // re-crawl of it — this is the at-least-once replay window
+    Seq((10L, "hi there")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def runIngest(): Unit = {
+      val q = CorpusIngest.dedupedIngest(
+        spark.readStream.schema(schema).parquet(srcDir),
+        store, "text", "doc_id", threshold = 0.8, checkpointDir = ckpt)
+      q.awaitTermination(120000)
+    }
+    withLogLevel { runIngest() }
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(store.readLatest(spark)) === Set(1L, 10L))
+
+    // re-crawl of the same zero-shingle text under a new id — the
+    // MinHash filter is blind to it; the exact-text guard must drop it
+    Seq((20L, "hi there")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    withLogLevel { runIngest() }
+    assert(ids(store.readLatest(spark)) === Set(1L, 10L))
+  }
+
   test("streaming trending top-k matches the batch computation") {
     // Two stacked stateful aggregates. Spark's global-watermark checker
     // flags ANY chained stateful pair conservatively; in COMPLETE mode no
