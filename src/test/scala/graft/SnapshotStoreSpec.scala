@@ -54,4 +54,35 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(st.commit(Seq((2L, "y")).toDF("id", "x")) === 2L)
     assert(st.read(spark, 2L).count() === 1L)
   }
+
+  test("torn commit (data-dir moved, pointer not swapped) stays unpublished") {
+    // the OTHER crash window: the v<n> rename completed but the process
+    // died before _latest.json moved. Contract (see latestVersion doc):
+    // readers never observe the orphan — the pointer is the read source
+    // of truth — while the listing remains the allocation counter, so
+    // the next commit skips PAST the orphan rather than reusing or
+    // clobbering its number.
+    val root = Files.createTempDirectory("snap").toString
+    val st = new SnapshotStore(root)
+    st.commit(withLogLevel(Seq((1L, "committed")).toDF("id", "x")))
+
+    // simulate the torn commit of v2: a completed data directory exactly
+    // where the rename would land it, with no pointer swap
+    Seq((99L, "orphaned")).toDF("id", "x").write
+      .parquet(java.nio.file.Paths.get(root, "v00000002").toString)
+
+    // readers: pointer rules — latest is still v1
+    assert(st.latestVersion === Some(1L))
+    assert(st.readLatest(spark).collect().map(_.getLong(0)).toSet === Set(1L))
+    // listing: the orphan is allocated (visible to the counter)
+    assert(st.versions === Seq(1L, 2L))
+    // explicit time-travel to the orphan remains possible (audit path)
+    assert(st.read(spark, 2L).collect().map(_.getLong(0)).toSet === Set(99L))
+    // recovery: the next commit allocates PAST the orphan and publishes
+    val v = st.commit(Seq((3L, "recovered")).toDF("id", "x"))
+    assert(v === 3L)
+    assert(st.latestVersion === Some(3L))
+    assert(st.readLatest(spark).collect().map(_.getLong(0)).toSet === Set(3L))
+    assert(st.versions === Seq(1L, 2L, 3L))
+  }
 }
