@@ -59,6 +59,23 @@ object Bench {
       }
     }
 
+    // ---- big-corpus tier (opt-in: SPARK_GRAFT_BIG=<n docs>) -----------
+    // 1M×1536 = 1.5e9 floats — ABOVE LocalScanMaxFloats, so this
+    // exercises the genuinely distributed scan (executor-resident
+    // blocks, per-partition heaps, partitions×k merge) at ~10× the
+    // reference's published corpus, with the corpus too big for any
+    // driver-local fast path. Needs SPARK_DRIVER_MEM≈24g (6 GB of
+    // packed float blocks + headroom). Not part of the standard bench
+    // line so the driver's per-round budget is unaffected.
+    sys.env.get("SPARK_GRAFT_BIG").map(_.toInt).foreach { n =>
+      try results ++= bigCorpus(spark, n, queries = 5)
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] big_$n failed: ${e.getMessage}")
+          results(s"chromem_query_${n}_d1536_k10_big") = -1.0
+      }
+    }
+
     // ---- headline testdata queries ------------------------------------
     val headline = Seq(
       "q_similarity_topk", "q_similarity_range", "q_negative_filter",
@@ -118,6 +135,46 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Big-corpus distributed-tier probe: n docs (intended ≥1M), d=1536,
+    * k=10 — build the packed index, materialize WITHOUT any driver-local
+    * pull (n·d exceeds LocalScanMaxFloats, so this is also what
+    * materialize() would decide on its own), and time full distributed
+    * top-k scans. Reported per query, plus the build time — at this
+    * size the build (one pass packing ~6 GB of vectors) is the
+    * dominant one-off cost, exactly as at 100 TB. */
+  private def bigCorpus(
+      spark: SparkSession, n: Int, queries: Int): Map[String, Double] = {
+    import spark.implicits._
+    val d = 1536
+    val parts = spark.sparkContext.defaultParallelism
+    val corpus = spark.range(0, n.toLong, 1, parts)
+      .mapPartitions { it =>
+        it.map { id =>
+          val rnd = new java.util.Random(42L + id)
+          val v = Array.fill(d)(rnd.nextFloat() * 2f - 1f)
+          (id, graft.functions.VectorFunctions.normalize(v))
+        }
+      }.toDF("id", "embedding")
+    val qrnd = new java.util.Random(7L)
+    def qvec(): Array[Float] =
+      graft.functions.VectorFunctions.normalize(
+        Array.fill(d)(qrnd.nextFloat() * 2f - 1f))
+
+    val out = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var t0 = System.nanoTime()
+    val idx = VectorIndex.build[Long](corpus, "id", "embedding", d, parts)
+      .persist().materialize(forceDistributed = true)
+    out(s"chromem_build_${n}_d1536_big") = (System.nanoTime() - t0) / 1e9
+    (1 to 2).foreach(_ => idx.topK(qvec(), 10))
+    System.gc()
+    t0 = System.nanoTime()
+    (1 to queries).foreach(_ => idx.topK(qvec(), 10))
+    out(s"chromem_query_${n}_d1536_k10_big") =
+      (System.nanoTime() - t0) / 1e9 / queries
+    idx.unpersist()
+    out.toMap
   }
 
   /** Reference workload: n docs, d=1536 normalized random vectors, k=10.

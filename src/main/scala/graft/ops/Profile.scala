@@ -112,7 +112,7 @@ object Profile {
       qs: Seq[Double] = Seq(0.25, 0.5, 0.75),
       scale: Long = 1L,
       exact: Boolean = true,
-      accuracy: Int = 2500): DataFrame = {
+      accuracy: Int = 1000): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       "quantiles must be in [0, 1]")
@@ -240,7 +240,7 @@ object Profile {
       // column reference (same trap as HistAgg above — feeding the
       // expression directly costs an interpreted eval per row per column).
       // accuracy bounds the GK summary's state and compress cost: rank
-      // error ≤ 1/accuracy of n — 2500 puts a quartile within ±0.04% of
+      // error ≤ 1/accuracy of n — 1000 puts a quartile within ±0.1% of
       // its true rank, plenty for a sketch tier whose reason to exist is
       // bounded state on unbounded domains. (Spark's default 10000 costs
       // ~20% more per row for precision a profiling sketch doesn't need.)
