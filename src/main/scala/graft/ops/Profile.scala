@@ -379,17 +379,29 @@ object Profile {
       .filterNot(df.columns.contains).distinct
     require(missing.isEmpty, s"columns not in frame: $missing")
 
-    val dec = "decimal(38,0)"
+    // One scaled long per distinct column, computed in a CODEGEN
+    // projection; the 128-bit aggregates then see bare column refs
+    // (TypedImperativeAggregate evaluates children interpreted).
+    // Int128Sum/Int128SumProduct keep the entire sum in two primitive
+    // longs — no per-row Decimal boxing, and no BigDecimal degradation
+    // once partial sums leave the compact-long range (which they DO at
+    // billions of rows per partition over ~1e32-magnitude squares; the
+    // product itself is exact via 128-bit multiply).
+    val usedCols = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val proj = df.select(usedCols.map(c =>
+      round(col(c).cast("double") * scale).cast("long").as(s"s__$c")): _*)
     val aggs = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
-      val xs = round(col(x).cast("double") * scale).cast("long").cast(dec)
-      val ys = round(col(y).cast("double") * scale).cast("long").cast(dec)
+      val xs = col(s"s__$x")
+      val ys = col(s"s__$y")
       Seq(
         count(lit(1)).as(s"n__$i"),
-        sum(xs).as(s"sx__$i"), sum(ys).as(s"sy__$i"),
-        sum(xs * ys).as(s"sxy__$i"),
-        sum(xs * xs).as(s"sxx__$i"), sum(ys * ys).as(s"syy__$i"))
+        graft.functions.Int128Sum.sum128(xs).as(s"sx__$i"),
+        graft.functions.Int128Sum.sum128(ys).as(s"sy__$i"),
+        graft.functions.Int128Sum.sumProduct128(xs, ys).as(s"sxy__$i"),
+        graft.functions.Int128Sum.sumProduct128(xs, xs).as(s"sxx__$i"),
+        graft.functions.Int128Sum.sumProduct128(ys, ys).as(s"syy__$i"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one = proj.agg(aggs.head, aggs.tail: _*)
     val stacked = pairs.zipWithIndex.map { case ((x, y), i) =>
       s"'$x', '$y', `n__$i`, `sx__$i`, `sy__$i`, `sxy__$i`, `sxx__$i`, `syy__$i`"
     }.mkString(", ")
