@@ -99,6 +99,24 @@ object Bench {
       "q_maxsim_topk", "layout_zorder", "text_bpe_merges",
       "dedup_cross_corpus", "events_moving_avg", "events_trending",
       "text_group_keywords", "snapshot_diff")
+    // Ambient-load control: a FIXED Spark job (range-sum over 2e9 longs,
+    // all cores, codegen'd) timed before and after the headline sweep.
+    // Its work never changes, so round-over-round drift in these two
+    // numbers measures the MACHINE (co-tenant load, thermal state), not
+    // the library — per-query regressions that track the controls are
+    // environment; ones that don't are real. Excluded from `total`.
+    def sparkControl(): Double = {
+      import org.apache.spark.sql.functions.sum
+      val job = () => spark.range(0L, 2000000000L, 1L,
+        spark.sparkContext.defaultParallelism).agg(sum("id")).collect()
+      job() // warm codegen
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); job(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1)
+    }
+    results("ambient_control_pre") = sparkControl()
+
     headline.filter(n => only.forall(_.contains(n))).foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try {
@@ -130,9 +148,13 @@ object Bench {
       }
     }
 
+    results("ambient_control_post") = sparkControl()
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.collect {
+      case (k, v) if v >= 0 && !k.startsWith("ambient_control") => v
+    }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
