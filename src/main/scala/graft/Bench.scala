@@ -236,6 +236,23 @@ object Bench {
     out(s"chromem_query_${n}_d1536_k10") = (System.nanoTime() - t0) / 1e9 / queries
 
     if (n == 100000) {
+      // -- "with content" parity point: the reference benches the same
+      // corpus with 1875 chars of text per doc and reports no measurable
+      // effect (BASELINE.md) — here that falls out of column pruning:
+      // the index build selects (id, embedding), so content never leaves
+      // the source projection
+      val withContent = corpus.withColumn("content",
+        concat_ws("", (0 until 59).map(_ => md5(col("id").cast("string"))): _*))
+      val idxC = VectorIndex.build[Long](withContent, "id", "embedding", d, nBlocks)
+        .persist().materialize()
+      (1 to 3).foreach(_ => idxC.topK(qvec(), 10))
+      System.gc()
+      t0 = System.nanoTime()
+      (1 to queries).foreach(_ => idxC.topK(qvec(), 10))
+      out(s"chromem_query_${n}_d1536_k10_content") =
+        (System.nanoTime() - t0) / 1e9 / queries
+      idxC.unpersist()
+
       // -- distributed tier: same index, blocks pinned on executors.
       // 100k×1536 is under LocalScanMaxFloats, so the headline above
       // exercises the driver-local fast path; this entry forces the
