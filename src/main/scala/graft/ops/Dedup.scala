@@ -393,12 +393,39 @@ object Dedup {
       textCol: String,
       idCol: String,
       threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1] for prefix filtering")
     val t = df.select(col(idCol).as("doc"),
       explode(array_distinct(tokens(col(textCol)))).as("tok"))
     val sizes = t.groupBy("doc").agg(count(lit(1)).as("n"))
-    val pairs = t.alias("a").join(t.alias("b"),
+    // Prefix filtering (the AllPairs/PPJoin bound, Bayardo et al. 2007):
+    // J(A,B) >= t implies |A∩B| >= t·|A| (since |B| >= |A∩B|), so if A
+    // and B share NO token among A's first |A| − ceil(t·|A|) + 1 tokens
+    // in a canonical global order, the pair cannot qualify. Ordering
+    // rare-first (ascending document frequency) makes prefixes collide
+    // as little as possible. A naive inverted-index self-join is
+    // Σ_tok df² — quadratic in the df of stopword-class tokens; the
+    // prefix join touches only each doc's ~(1−t)·n rarest tokens, whose
+    // df is small BY CONSTRUCTION, and the exact intersection count runs
+    // on surviving candidates only. Output is IDENTICAL to the full
+    // join: the filter only removes pairs provably below threshold.
+    val dfreq = t.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranked = t.join(dfreq, Seq("tok"))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc"))
+          .orderBy(col("df"), col("tok"))))
+      .join(sizes, Seq("doc"))
+    val prefix = ranked
+      .filter(col("rank") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("doc"), col("tok"))
+    val cand = prefix.alias("a").join(prefix.alias("b"),
         col("a.tok") === col("b.tok") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+    val pairs = cand
+      .join(t.select(col("doc").as("id_a"), col("tok")), Seq("id_a"))
+      .join(t.select(col("doc").as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
     val j = col("inter").cast("double") /
       (col("na") + col("nb") - col("inter")).cast("double")
