@@ -324,6 +324,12 @@ object SparkEntry {
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.wordJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 0.8)),
 
+    // ---- dedup: exact all-pairs bag-of-words cosine (AllPairs prefix
+    // filter, Bayardo et al. 2007) — integer dot/norms only, threshold
+    // decided by cross-multiplication in decimal(38,0) ----
+    "dedup_cosine_pairs" -> ((s, dir) =>
+      Dedup.cosineCountPairs(t(s, dir, "documents"), "text", "doc_id", 0.9)),
+
     // ---- dedup: MinHash+LSH candidates verified by exact Jaccard ----
     // (probabilistic recall ⇒ no SQL oracle; rows-only check + unit tests)
     "dedup_minhash" -> ((s, dir) =>
@@ -672,6 +678,17 @@ object SparkEntry {
         round(TextAnalysis.stopwordRatio(col("text"), Stopwords), 4).as("stopword_ratio"),
         round((length(col("text")) - length(regexp_replace(col("text"), " ", "")))
           .cast("double") / length(col("text")), 4).as("space_ratio"))),
+
+    // ---- text analysis: Gopher quality rules (Rae et al. 2021 §A1.1) —
+    // integer counters + cross-multiplied verdicts, no double decides a
+    // flag; one map-only codegen pass over the scan ----
+    "text_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents"), "text", minWords = 50)
+        .select(col("doc_id"), col("n_words"), col("sum_word_chars"),
+          col("n_symbols"), col("n_alpha_words"), col("n_stopword_hits"),
+          col("pass_word_count"), col("pass_mean_word_len"),
+          col("pass_symbol_ratio"), col("pass_alpha"),
+          col("pass_stopwords"), col("pass_gopher"))),
 
     // ---- text analysis: content fingerprint (md5 — portable) ----
     "text_fingerprint" -> ((s, dir) =>
@@ -1305,6 +1322,27 @@ object SparkEntry {
         |JOIN sz sb ON sb.doc_id = id_b
         |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
 
+    // Brute-force ground truth for the AllPairs prefix-filtered join:
+    // the filter is provably lossless (Cauchy–Schwarz suffix bound), so
+    // the outputs must be identical. Threshold 0.9 = 900000/1e6 exact
+    // rational, decided in HUGEINT — mirrors Spark's decimal(38,0).
+    "dedup_cosine_pairs" ->
+      """WITH tf AS (
+        |  SELECT doc, tok, count(*)::BIGINT AS tf FROM (
+        |    SELECT doc_id AS doc, unnest(string_split(lower(text), ' ')) AS tok
+        |    FROM documents) GROUP BY doc, tok),
+        |norm AS (SELECT doc, sum(tf * tf)::BIGINT AS n2 FROM tf GROUP BY doc),
+        |dot AS (
+        |  SELECT a.doc AS id_a, b.doc AS id_b, sum(a.tf * b.tf)::BIGINT AS dot
+        |  FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc < b.doc
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, dot, na.n2 AS na2, nb.n2 AS nb2
+        |FROM dot
+        |JOIN norm na ON na.doc = id_a
+        |JOIN norm nb ON nb.doc = id_b
+        |WHERE 1000000::HUGEINT * 1000000 * dot * dot
+        |      >= 900000::HUGEINT * 900000 * na.n2 * nb.n2""".stripMargin,
+
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
@@ -1783,6 +1821,52 @@ object SparkEntry {
          |  round((length(text) - length(replace(text, ' ', ''))) * 1.0
          |    / length(text), 4) AS space_ratio
          |FROM documents""".stripMargin,
+
+    // Gopher rules: counters and verdicts mirror the Spark kernels
+    // exactly — integer cross-multiplication everywhere, `[ \t]` not
+    // `\s` (Java/RE2 parity), replace() for non-overlapping occurrence
+    // counts. Line rules (bullet/ellipsis) participate in pass_gopher.
+    "text_gopher_rules" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS n_words,
+        |    length(replace(text, ' ', ''))::BIGINT AS sum_word_chars,
+        |    ((length(text) - length(replace(text, '#', '')))
+        |     + (length(text) - length(replace(text, '...', ''))) // 3
+        |     + (length(text) - length(replace(text, '…', ''))))::BIGINT AS n_symbols,
+        |    len(string_split(text, chr(10)))::BIGINT AS n_lines,
+        |    len(list_filter(string_split(text, chr(10)),
+        |      l -> regexp_matches(l, '^[ \t]*[-*•]')))::BIGINT AS n_bullet_lines,
+        |    len(list_filter(string_split(text, chr(10)),
+        |      l -> regexp_matches(l, '(\.\.\.|…)[ \t]*$')))::BIGINT AS n_ellipsis_lines,
+        |    len(list_filter(string_split(text, ' '),
+        |      w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS n_alpha_words,
+        |    (list_contains(string_split(lower(text), ' '), 'the')::INT
+        |     + list_contains(string_split(lower(text), ' '), 'be')::INT
+        |     + list_contains(string_split(lower(text), ' '), 'to')::INT
+        |     + list_contains(string_split(lower(text), ' '), 'of')::INT
+        |     + list_contains(string_split(lower(text), ' '), 'and')::INT
+        |     + list_contains(string_split(lower(text), ' '), 'that')::INT
+        |     + list_contains(string_split(lower(text), ' '), 'have')::INT
+        |     + list_contains(string_split(lower(text), ' '), 'with')::INT
+        |    )::BIGINT AS n_stopword_hits
+        |  FROM documents)
+        |SELECT doc_id, n_words, sum_word_chars, n_symbols, n_alpha_words,
+        |  n_stopword_hits,
+        |  (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+        |  (sum_word_chars >= 3 * n_words AND sum_word_chars <= 10 * n_words)
+        |    AS pass_mean_word_len,
+        |  (10 * n_symbols <= n_words) AS pass_symbol_ratio,
+        |  (10 * n_alpha_words >= 8 * n_words) AS pass_alpha,
+        |  (n_stopword_hits >= 2) AS pass_stopwords,
+        |  (n_words >= 50 AND n_words <= 100000
+        |   AND sum_word_chars >= 3 * n_words AND sum_word_chars <= 10 * n_words
+        |   AND 10 * n_symbols <= n_words
+        |   AND 10 * n_bullet_lines <= n_lines
+        |   AND 10 * n_ellipsis_lines <= 3 * n_lines
+        |   AND 10 * n_alpha_words >= 8 * n_words
+        |   AND n_stopword_hits >= 2) AS pass_gopher
+        |FROM g""".stripMargin,
 
     "text_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",

@@ -437,6 +437,87 @@ object Dedup {
   }
 
   /**
+   * EXACT all-pairs bag-of-words cosine similarity ≥ threshold — the
+   * weighted sibling of [[wordJaccardPairs]] (term frequencies instead of
+   * set membership), after the AllPairs algorithm of Bayardo, Ma &
+   * Srikant, "Scaling Up All Pairs Similarity Search" (WWW 2007).
+   *
+   * Completeness argument for the prefix filter: order each document's
+   * terms canonically (ascending global document frequency, then term).
+   * Let P(A) be the shortest prefix whose complement S(A) = A∖P(A)
+   * satisfies ‖S(A)‖ < t·‖A‖. If a pair (A,B) shares no term in P(A),
+   * every shared term lies in S(A), so by Cauchy–Schwarz
+   * dot(A,B) ≤ ‖S(A)‖·‖B‖ < t·‖A‖·‖B‖ — the pair cannot qualify.
+   * Hence every qualifying pair shares a term in P(A) or in P(B), and a
+   * prefix-vs-full inverted-index join in each direction finds them all;
+   * the exact dot product then runs on surviving candidates only.
+   *
+   * Scale shape: the naive inverted-index self-join is Σ_term df² —
+   * quadratic in the df of stopword-class terms. Rare-first ordering
+   * keeps hub terms OUT of prefixes (they carry the bulk of every
+   * document's squared mass, so they land in the suffix), making the
+   * candidate join Σ_term df_prefix(term)·df(term) with df_prefix ≈ 0
+   * for hubs. All threshold tests are exact integer arithmetic: the
+   * threshold is interpreted as the exact rational round(t·1e6)/1e6 and
+   * compared by cross-multiplication in decimal(38,0) — no double ever
+   * decides membership, so results are bit-stable across engines.
+   *
+   * Output: (id_a, id_b, dot, na2, nb2) with id_a < id_b — the exact
+   * integer dot product and squared norms (cos = dot/√(na2·nb2)).
+   */
+  def cosineCountPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1] for prefix filtering")
+    // exact rational handle: t = p / 1e6
+    val p = math.round(threshold * 1e6)
+    val q = 1000000L
+    val dec = "decimal(38,0)"
+    val tf = df
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
+    val norms = tf.groupBy("doc")
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("df"), col("tok"))
+    // cumBefore = squared mass of terms strictly rarer than this rank;
+    // rank r belongs to the prefix iff the suffix starting AT r still
+    // carries ≥ t of the norm: q²·(n2 − cumBefore) ≥ p²·n2  (exact).
+    val ranked = tf.join(dfreq, Seq("tok")).join(norms, Seq("doc"))
+      .withColumn("__cumBefore",
+        coalesce(sum(col("tf") * col("tf")).over(
+          w.rowsBetween(Long.MinValue, -1)), lit(0L)))
+    val prefix = ranked
+      .filter(lit(q * q).cast(dec) * (col("n2") - col("__cumBefore")).cast(dec)
+        >= lit(p * p).cast(dec) * col("n2").cast(dec))
+      .select(col("doc"), col("tok"))
+    val cand = prefix.alias("a")
+      .join(tf.select(col("doc"), col("tok")).alias("b"),
+        col("a.tok") === col("b.tok") && col("a.doc") =!= col("b.doc"))
+      .select(least(col("a.doc"), col("b.doc")).as("id_a"),
+        greatest(col("a.doc"), col("b.doc")).as("id_b"))
+      .distinct()
+    val dot = cand
+      .join(tf.select(col("doc").as("id_a"), col("tok"), col("tf").as("__ta")),
+        Seq("id_a"))
+      .join(tf.select(col("doc").as("id_b"), col("tok"), col("tf").as("__tb")),
+        Seq("id_b", "tok"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("__ta") * col("__tb")).as("dot"))
+    dot
+      .join(norms.select(col("doc").as("id_a"), col("n2").as("na2")), Seq("id_a"))
+      .join(norms.select(col("doc").as("id_b"), col("n2").as("nb2")), Seq("id_b"))
+      .filter(lit(q * q).cast(dec) * col("dot").cast(dec) * col("dot").cast(dec)
+        >= lit(p).cast(dec) * lit(p).cast(dec)
+          * col("na2").cast(dec) * col("nb2").cast(dec))
+      .select(col("id_a"), col("id_b"), col("dot"), col("na2"), col("nb2"))
+  }
+
+  /**
    * Test-set contamination: for each document in `test`, the fraction of
    * its distinct word n-grams that also occur ANYWHERE in `train` — the
    * standard decontamination signal (drop or flag test docs with high

@@ -71,6 +71,84 @@ object TextAnalysis {
         round(size(filter(toks, w => w.rlike("^[A-Z]{2,}$"))).cast("double") / size(toks), 4))
   }
 
+  /** The eight "required" stopwords of the Gopher quality filter
+    * (Rae et al. 2021, "Scaling Language Models", table A1). */
+  private[graft] val GopherStopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher document-quality rules (Rae et al. 2021 §A1.1, as reused by
+   * MassiveText / RefinedWeb / Dolma): word-count bounds, mean word
+   * length 3–10, symbol-to-word ratio ≤ 0.1 (# and ellipsis), ≤10% of
+   * lines bullet-led, ≤30% of lines ellipsis-terminated, ≥80% of words
+   * containing an alphabetic character, and ≥2 of the eight required
+   * stopwords present.
+   *
+   * Every rule is emitted twice: the raw integer counter (auditable,
+   * aggregable across a corpus) and the boolean verdict. Verdicts are
+   * decided by integer cross-multiplication (e.g. symbol ratio ≤ 1/10
+   * ⇔ 10·n_symbols ≤ n_words) — no floating-point ratio ever decides a
+   * flag, so results are bit-stable across engines and partitionings.
+   * All counters are codegen'd expressions over the scan — at 100 TB
+   * this is one map-only pass with zero shuffles.
+   *
+   * Regex portability: `[ \t]` instead of `\s` (Java's `\s` includes
+   * vertical tab, RE2's does not), no backreferences — the same
+   * patterns replay exactly in the DuckDB oracle.
+   */
+  def gopherRules(
+      df: DataFrame,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val toks = split(t, " ")
+    val low = split(lower(t), " ")
+    val lines = split(t, "\n")
+    val nWords = size(toks).cast("long")
+    val nLines = size(lines).cast("long")
+    // non-overlapping occurrence counts via length deltas (both engines
+    // replace left-to-right, non-overlapping)
+    def occurrences(needle: String): Column =
+      ((length(t) - length(replace(t, lit(needle), lit("")))) /
+        lit(needle.length)).cast("long")
+    val nSymbols = occurrences("#") + occurrences("...") + occurrences("…")
+    val nBullet = size(filter(lines, l => l.rlike("^[ \t]*[-*•]"))).cast("long")
+    val nEllipsis =
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)[ \t]*$"))).cast("long")
+    val nAlpha = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long")
+    val nStop = GopherStopwords
+      .map(s => when(array_contains(low, s), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val sumWordChars = length(regexp_replace(t, " ", "")).cast("long")
+    df.withColumn("n_words", nWords)
+      .withColumn("sum_word_chars", sumWordChars)
+      .withColumn("n_symbols", nSymbols)
+      .withColumn("n_lines", nLines)
+      .withColumn("n_bullet_lines", nBullet)
+      .withColumn("n_ellipsis_lines", nEllipsis)
+      .withColumn("n_alpha_words", nAlpha)
+      .withColumn("n_stopword_hits", nStop)
+      .withColumn("pass_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("pass_mean_word_len",
+        col("sum_word_chars") >= lit(3L) * col("n_words") &&
+          col("sum_word_chars") <= lit(10L) * col("n_words"))
+      .withColumn("pass_symbol_ratio",
+        lit(10L) * col("n_symbols") <= col("n_words"))
+      .withColumn("pass_bullet",
+        lit(10L) * col("n_bullet_lines") <= col("n_lines"))
+      .withColumn("pass_ellipsis",
+        lit(10L) * col("n_ellipsis_lines") <= lit(3L) * col("n_lines"))
+      .withColumn("pass_alpha",
+        lit(10L) * col("n_alpha_words") >= lit(8L) * col("n_words"))
+      .withColumn("pass_stopwords", col("n_stopword_hits") >= 2L)
+      .withColumn("pass_gopher",
+        col("pass_word_count") && col("pass_mean_word_len") &&
+          col("pass_symbol_ratio") && col("pass_bullet") &&
+          col("pass_ellipsis") && col("pass_alpha") && col("pass_stopwords"))
+  }
+
   /** English stopword hit ratio over whitespace tokens. */
   def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
     val toks = split(lower(text), " ")

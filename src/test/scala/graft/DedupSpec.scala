@@ -48,6 +48,50 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("cosine count pairs: identical bags (case/permutation) at cos=1, none across unrelated") {
+    val pairs = Dedup.cosineCountPairs(docs, "text", "doc_id", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // tokens() lowercases: 1,2,5,6 have IDENTICAL term-count bags (6 is a
+    // permutation — bag-of-words is order-blind) => all 6 pairs at cos=1
+    val family = Set(1L, 2L, 5L, 6L)
+    val expected = for (a <- family; b <- family if a < b) yield (a, b)
+    assert(expected.subsetOf(pairs))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("cosine count pairs: prefix-filtered join ≡ brute force, exact integer threshold") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val base = (1L to 60L).map { i =>
+      val n = 5 + rnd.nextInt(40)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // planted near-identical family so the top threshold is non-degenerate
+    val rows = base ++ Seq(61L -> base.head._2, 62L -> (base.head._2 + " alpha"))
+    val d = withLogLevel(rows.toDF("doc_id", "text"))
+    val bags: Map[Long, Map[String, Long]] = rows.map { case (id, text) =>
+      id -> text.split(" ").groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    }.toMap
+    def n2(b: Map[String, Long]): BigInt =
+      b.values.map(v => BigInt(v) * v).sum
+    def dot(a: Map[String, Long], b: Map[String, Long]): BigInt =
+      a.iterator.map { case (w, v) => BigInt(v) * BigInt(b.getOrElse(w, 0L)) }.sum
+    for (t <- Seq(0.7, 0.9, 0.97)) {
+      val p = BigInt(math.round(t * 1e6)); val q = BigInt(1000000)
+      val expected = (for {
+        a <- bags.keys; b <- bags.keys if a < b
+        dp = dot(bags(a), bags(b))
+        if q * q * dp * dp >= p * p * n2(bags(a)) * n2(bags(b))
+      } yield (a, b, dp.toLong, n2(bags(a)).toLong, n2(bags(b)).toLong)).toSet
+      val got = Dedup.cosineCountPairs(d, "text", "doc_id", t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(got === expected, s"threshold $t")
+      assert(expected.nonEmpty, s"degenerate spec corpus at threshold $t")
+    }
+  }
+
   test("minhash candidates achieve full recall on exact-set dups and verify by jaccard") {
     val dups = Dedup.minhashDuplicates(docs, "text", "doc_id", 0.9,
         numHashes = 64, bands = 16, shingleSize = 1)

@@ -21,6 +21,43 @@ class TextAnalysisSpec extends SparkSuite {
     assert(r(2) === ((3, 1, 1)))
   }
 
+  test("gopher rules: each rule fires on its targeted pathology, good doc passes all") {
+    val good = (Seq.fill(6)("the data and model that have with training corpus tokens")
+      .mkString(" "))                                   // 60 words, all rules green
+    val short = "the data and model that have with"     // 7 words < 50
+    val symbols = Seq.fill(60)("x#").mkString(" ")      // 60 '#' > 60/10 words
+    val bullets = (Seq.fill(8)("the data and that have") ++
+      Seq("- bullet one", "- bullet two")).mkString("\n")   // 2/10 lines > 10%
+    val ellipsis = (Seq.fill(6)("the data and that have") ++
+      Seq.fill(4)("trailing off...")).mkString("\n")        // 4/10 lines > 30%
+    val longWords = Seq.fill(60)("aaaaaaaaaaaaaaaa").mkString(" ") // mean 16 > 10
+    val numeric = Seq.fill(60)("12345").mkString(" ")   // 0% alpha words
+    val noStop = Seq.fill(60)("spark").mkString(" ")    // 0 required stopwords
+    val df = Seq((1L, good), (2L, short), (3L, symbols), (4L, bullets),
+      (5L, ellipsis), (6L, longWords), (7L, numeric), (8L, noStop))
+      .toDF("id", "text")
+    val r = TextAnalysis.gopherRules(df, "text").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    def flag(id: Long, name: String): Boolean =
+      r(id).getBoolean(r(id).fieldIndex(name))
+    assert(flag(1L, "pass_gopher"), "good doc must pass every rule")
+    assert(!flag(2L, "pass_word_count") && flag(2L, "pass_mean_word_len"))
+    assert(!flag(3L, "pass_symbol_ratio"))
+    assert(!flag(4L, "pass_bullet") && flag(4L, "pass_ellipsis"))
+    assert(!flag(5L, "pass_ellipsis") && flag(5L, "pass_bullet"))
+    assert(!flag(6L, "pass_mean_word_len"))
+    assert(!flag(7L, "pass_alpha"))
+    assert(!flag(8L, "pass_stopwords"))
+    (2L to 8L).foreach(id => assert(!flag(id, "pass_gopher"), s"doc $id"))
+    // counters are exact integers
+    val g = r(1L)
+    assert(g.getLong(g.fieldIndex("n_words")) === 60L)
+    assert(g.getLong(g.fieldIndex("n_stopword_hits")) === 5L)
+    assert(g.getLong(g.fieldIndex("n_symbols")) === 0L)
+    assert(r(5L).getLong(r(5L).fieldIndex("n_ellipsis_lines")) === 4L)
+    assert(r(4L).getLong(r(4L).fieldIndex("n_bullet_lines")) === 2L)
+  }
+
   test("langId picks marker-word languages and CJK by script") {
     val df = Seq(
       (1, "the cat sat on the mat and it was happy"),
