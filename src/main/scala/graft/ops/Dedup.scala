@@ -452,15 +452,32 @@ object Dedup {
    * prefix-vs-full inverted-index join in each direction finds them all;
    * the exact dot product then runs on surviving candidates only.
    *
+   * The argument applies in BOTH directions, so a qualifying pair shares
+   * a term in P(A) *and* one in P(B) — candidates come from the
+   * prefix-vs-prefix self-join, not prefix-vs-full.
+   *
    * Scale shape: the naive inverted-index self-join is Σ_term df² —
    * quadratic in the df of stopword-class terms. Rare-first ordering
    * keeps hub terms OUT of prefixes (they carry the bulk of every
    * document's squared mass, so they land in the suffix), making the
-   * candidate join Σ_term df_prefix(term)·df(term) with df_prefix ≈ 0
-   * for hubs. All threshold tests are exact integer arithmetic: the
-   * threshold is interpreted as the exact rational round(t·1e6)/1e6 and
-   * compared by cross-multiplication in decimal(38,0) — no double ever
-   * decides membership, so results are bit-stable across engines.
+   * candidate join Σ_term df_prefix(term)² with df_prefix ≈ 0 for hubs.
+   * Verification never explodes tokens: each doc's term counts are
+   * carried as ONE map column (bag size ≈ doc length, not corpus), the
+   * candidate→bag join is broadcastable when the bag frame is small and
+   * a plain shuffle join otherwise, and the exact dot product is a
+   * per-row `map_zip_with`+`aggregate` over the two bags — so the
+   * post-candidate cost is O(|candidates| · doc length) map-side work
+   * with zero token-level shuffles. On an adversarial corpus whose
+   * vocabulary is too small to prune (every doc shares every term) the
+   * candidate set degenerates toward all-pairs — that is the true
+   * output complexity of *exact* all-pairs similarity, not a plan
+   * artifact; the sketch variants (minhash/simhash/embedding LSH) are
+   * the 100 TB recall path and this operator is their exact oracle.
+   *
+   * All threshold tests are exact integer arithmetic: the threshold is
+   * interpreted as the exact rational round(t·1e6)/1e6 and compared by
+   * cross-multiplication in decimal(38,0) — no double ever decides
+   * membership, so results are bit-stable across engines.
    *
    * Output: (id_a, id_b, dot, na2, nb2) with id_a < id_b — the exact
    * integer dot product and squared norms (cos = dot/√(na2·nb2)).
@@ -476,9 +493,12 @@ object Dedup {
     val p = math.round(threshold * 1e6)
     val q = 1000000L
     val dec = "decimal(38,0)"
+    // tf feeds four downstream frames (dfreq, norms, the ranked window,
+    // bags) — materialize the explode+agg once, lineage-free
     val tf = df
       .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("tok"))
       .groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val norms = tf.groupBy("doc")
       .agg(sum(col("tf") * col("tf")).as("n2"))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -491,26 +511,37 @@ object Dedup {
       .withColumn("__cumBefore",
         coalesce(sum(col("tf") * col("tf")).over(
           w.rowsBetween(Long.MinValue, -1)), lit(0L)))
+    // the self-join below would otherwise re-evaluate the whole
+    // tf→window chain once per side (and `bags` a third time) — these
+    // frames are tiny (≈ distinct (doc, tok) prefix rows / one row per
+    // doc), so materialize them once; localCheckpoint, not persist:
+    // blocks die with the RDD, nothing leaks into the CacheManager
     val prefix = ranked
       .filter(lit(q * q).cast(dec) * (col("n2") - col("__cumBefore")).cast(dec)
         >= lit(p * p).cast(dec) * col("n2").cast(dec))
       .select(col("doc"), col("tok"))
+      .localCheckpoint(true)
+    // qualifying pairs share a prefix term in each direction ⇒ the
+    // prefix-vs-prefix join is complete (see Scaladoc)
     val cand = prefix.alias("a")
-      .join(tf.select(col("doc"), col("tok")).alias("b"),
-        col("a.tok") === col("b.tok") && col("a.doc") =!= col("b.doc"))
-      .select(least(col("a.doc"), col("b.doc")).as("id_a"),
-        greatest(col("a.doc"), col("b.doc")).as("id_b"))
+      .join(prefix.alias("b"),
+        col("a.tok") === col("b.tok") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .distinct()
-    val dot = cand
-      .join(tf.select(col("doc").as("id_a"), col("tok"), col("tf").as("__ta")),
-        Seq("id_a"))
-      .join(tf.select(col("doc").as("id_b"), col("tok"), col("tf").as("__tb")),
-        Seq("id_b", "tok"))
-      .groupBy("id_a", "id_b")
-      .agg(sum(col("__ta") * col("__tb")).as("dot"))
-    dot
-      .join(norms.select(col("doc").as("id_a"), col("n2").as("na2")), Seq("id_a"))
-      .join(norms.select(col("doc").as("id_b"), col("n2").as("nb2")), Seq("id_b"))
+    // one sorted bag (term, count) + squared norm per doc; doc-length-sized
+    val bags = tf.groupBy("doc").agg(
+      sort_array(collect_list(struct(col("tok"), col("tf")))).as("bag"),
+      sum(col("tf") * col("tf")).as("n2"))
+      .localCheckpoint(true)
+    // exact integer dot per candidate: one codegen'd sorted-merge pass
+    val dotExpr =
+      graft.functions.BagDot.sorted_bag_dot(col("__ba"), col("__bb"))
+    cand
+      .join(bags.select(col("doc").as("id_a"), col("bag").as("__ba"),
+        col("n2").as("na2")), Seq("id_a"))
+      .join(bags.select(col("doc").as("id_b"), col("bag").as("__bb"),
+        col("n2").as("nb2")), Seq("id_b"))
+      .withColumn("dot", dotExpr)
       .filter(lit(q * q).cast(dec) * col("dot").cast(dec) * col("dot").cast(dec)
         >= lit(p).cast(dec) * lit(p).cast(dec)
           * col("na2").cast(dec) * col("nb2").cast(dec))
