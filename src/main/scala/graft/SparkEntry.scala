@@ -690,6 +690,27 @@ object SparkEntry {
           col("pass_symbol_ratio"), col("pass_alpha"),
           col("pass_stopwords"), col("pass_gopher"))),
 
+    // ---- text analysis: C4 cleaning rules (Raffel et al. 2020 §2.2) —
+    // line-level terminal-punctuation filter + page verdicts. The
+    // synthetic corpus has no punctuation, so the entry injects it
+    // deterministically (literal replaces + id-keyed pathologies,
+    // mirrored verbatim in the oracle) to exercise every rule ----
+    "text_c4_rules" -> ((s, dir) => {
+      val punctuated = t(s, dir, "documents").withColumn("text",
+        concat(
+          replace(replace(col("text"), lit(" value "), lit(". ")),
+            lit(" line "), lit("?\n")),
+          when(col("doc_id") % 31 === 0, lit("\nlorem ipsum dolor"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 37 === 0, lit("\nfunction() { }"))
+            .otherwise(lit(""))))
+      TextAnalysis.c4Rules(punctuated, "text")
+        .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+          length(col("kept_text")).cast("long").as("kept_chars"),
+          col("n_sentences"), col("has_lorem"), col("has_brace"),
+          col("pass_c4"))
+    }),
+
     // ---- text analysis: content fingerprint (md5 — portable) ----
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1867,6 +1888,46 @@ object SparkEntry {
         |   AND 10 * n_alpha_words >= 8 * n_words
         |   AND n_stopword_hits >= 2) AS pass_gopher
         |FROM g""".stripMargin,
+
+    // C4 rules: the punctuation-injection transform is replayed with the
+    // same literal replaces; list lambdas mirror the Spark filters and
+    // sentence counting is the same length-delta occurrence trick.
+    "text_c4_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    replace(replace(text, ' value ', '. '), ' line ', '?' || chr(10))
+        |    || CASE WHEN doc_id % 31 = 0
+        |         THEN chr(10) || 'lorem ipsum dolor' ELSE '' END
+        |    || CASE WHEN doc_id % 37 = 0
+        |         THEN chr(10) || 'function() { }' ELSE '' END AS text
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, text,
+        |    len(string_split(text, chr(10)))::BIGINT AS n_lines,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      regexp_matches(l, '[.!?]["”'']?[ \t]*$')
+        |      AND len(list_filter(string_split(l, ' '), w -> w != '')) >= 3
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM d),
+        |k AS (
+        |  SELECT doc_id, text, n_lines,
+        |    len(kept)::BIGINT AS n_kept_lines,
+        |    -- array_to_string([]) is NULL in DuckDB, '' in Spark's concat_ws
+        |    coalesce(array_to_string(kept, chr(10)), '') AS kt
+        |  FROM g)
+        |SELECT doc_id, n_lines, n_kept_lines,
+        |  length(kt)::BIGINT AS kept_chars,
+        |  ((length(kt) - length(replace(kt, '.', '')))
+        |   + (length(kt) - length(replace(kt, '!', '')))
+        |   + (length(kt) - length(replace(kt, '?', ''))))::BIGINT AS n_sentences,
+        |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |  contains(text, '{') AS has_brace,
+        |  (((length(kt) - length(replace(kt, '.', '')))
+        |    + (length(kt) - length(replace(kt, '!', '')))
+        |    + (length(kt) - length(replace(kt, '?', '')))) >= 5
+        |   AND NOT contains(lower(text), 'lorem ipsum')
+        |   AND NOT contains(text, '{')) AS pass_c4
+        |FROM k""".stripMargin,
 
     "text_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",

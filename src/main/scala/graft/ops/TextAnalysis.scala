@@ -149,6 +149,53 @@ object TextAnalysis {
           col("pass_ellipsis") && col("pass_alpha") && col("pass_stopwords"))
   }
 
+  /**
+   * C4 cleaning rules (Raffel et al. 2020 §2.2, the heuristics behind
+   * the C4 corpus): keep only lines that end in a terminal punctuation
+   * mark, contain ≥ `minWordsPerLine` words, and don't mention
+   * "javascript"; then drop any page with fewer than `minSentences`
+   * sentences across its kept lines, any page containing "lorem ipsum",
+   * and any page containing a curly brace.
+   *
+   * Like [[gopherRules]], every rule surfaces as an exact integer
+   * counter plus a boolean verdict (no floating-point decisions), and
+   * `kept_text` carries the line-filtered page for downstream reuse —
+   * all computed in one map-only pass over the scan, zero shuffles at
+   * any scale. Sentences are counted as occurrences of `.`/`!`/`?` in
+   * the kept text (kept lines end in terminal punctuation, so every
+   * kept line contributes at least one).
+   *
+   * Regex portability (Java ⇄ RE2/DuckDB): `[ \t]` not `\s`, explicit
+   * character classes, no backreferences.
+   */
+  def c4Rules(
+      df: DataFrame,
+      textCol: String,
+      minSentences: Int = 5,
+      minWordsPerLine: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val keptLines = filter(lines, l =>
+      l.rlike("[.!?][\"”']?[ \t]*$") &&
+        size(filter(split(l, " "), w => w =!= "")) >= minWordsPerLine &&
+        !lower(l).contains("javascript"))
+    val keptText = concat_ws("\n", keptLines)
+    def occ(c: Column, needle: String): Column =
+      ((length(c) - length(replace(c, lit(needle), lit("")))) /
+        lit(needle.length)).cast("long")
+    df.withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("kept_text", keptText)
+      .withColumn("n_kept_lines", size(keptLines).cast("long"))
+      .withColumn("n_sentences",
+        occ(col("kept_text"), ".") + occ(col("kept_text"), "!") +
+          occ(col("kept_text"), "?"))
+      .withColumn("has_lorem",
+        lower(col(textCol)).contains("lorem ipsum"))
+      .withColumn("has_brace", col(textCol).contains("{"))
+      .withColumn("pass_c4",
+        col("n_sentences") >= minSentences.toLong &&
+          !col("has_lorem") && !col("has_brace"))
+  }
+
   /** English stopword hit ratio over whitespace tokens. */
   def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
     val toks = split(lower(text), " ")

@@ -58,6 +58,33 @@ class TextAnalysisSpec extends SparkSuite {
     assert(r(4L).getLong(r(4L).fieldIndex("n_bullet_lines")) === 2L)
   }
 
+  test("c4 rules: line filter keeps punctuated prose, page verdicts fire per pathology") {
+    val good = (1 to 6).map(i => s"this is sentence number $i of the page.").mkString("\n")
+    val unpunct = Seq.fill(6)("no terminal punctuation here").mkString("\n")
+    val short = Seq.fill(6)("too short.").mkString("\n")    // 2 words < 3
+    val js = (1 to 6).map(i => s"enable javascript to view item $i.").mkString("\n")
+    val few = "one good sentence stands alone."             // 1 sentence < 5
+    val lorem = good + "\nlorem ipsum dolor sit amet."
+    val brace = good + "\nif (x) { return; }"
+    val df = Seq((1L, good), (2L, unpunct), (3L, short), (4L, js),
+      (5L, few), (6L, lorem), (7L, brace)).toDF("id", "text")
+    val r = TextAnalysis.c4Rules(df, "text").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    def f(id: Long, name: String) = r(id).getBoolean(r(id).fieldIndex(name))
+    def n(id: Long, name: String) = r(id).getLong(r(id).fieldIndex(name))
+    assert(f(1L, "pass_c4") && n(1L, "n_kept_lines") === 6L
+      && n(1L, "n_sentences") === 6L)
+    assert(n(2L, "n_kept_lines") === 0L && !f(2L, "pass_c4"))
+    assert(n(3L, "n_kept_lines") === 0L, "2-word lines dropped")
+    assert(n(4L, "n_kept_lines") === 0L, "javascript lines dropped")
+    assert(n(5L, "n_kept_lines") === 1L && !f(5L, "pass_c4"), "<5 sentences")
+    assert(f(6L, "has_lorem") && !f(6L, "pass_c4"))
+    assert(f(7L, "has_brace") && !f(7L, "pass_c4"))
+    // kept_text carries only the surviving lines
+    val kept5 = r(5L).getString(r(5L).fieldIndex("kept_text"))
+    assert(kept5 === "one good sentence stands alone.")
+  }
+
   test("langId picks marker-word languages and CJK by script") {
     val df = Seq(
       (1, "the cat sat on the mat and it was happy"),
