@@ -690,6 +690,14 @@ object SparkEntry {
           col("pass_symbol_ratio"), col("pass_alpha"),
           col("pass_stopwords"), col("pass_gopher"))),
 
+    // ---- text analysis: Gopher repetition filter (Rae et al. 2021
+    // §A1.2) — top word-n-gram char fraction per doc for n=2,3,4; ties
+    // break to the lexicographically smallest gram, verdicts by integer
+    // cross-multiplication ----
+    "text_top_ngram" -> ((s, dir) =>
+      TextAnalysis.topNgramRepetition(
+        t(s, dir, "documents"), "text", "doc_id")),
+
     // ---- text analysis: C4 cleaning rules (Raffel et al. 2020 §2.2) —
     // line-level terminal-punctuation filter + page verdicts. The
     // synthetic corpus has no punctuation, so the entry injects it
@@ -1888,6 +1896,39 @@ object SparkEntry {
         |   AND 10 * n_alpha_words >= 8 * n_words
         |   AND n_stopword_hits >= 2) AS pass_gopher
         |FROM g""".stripMargin,
+
+    // Top n-gram repetition: same gram construction (1-based slices
+    // joined by one space), same tie-break (count desc, gram asc —
+    // binary collation both engines), same integer verdicts; LEFT JOIN
+    // from the doc×n universe reinstates rows for docs shorter than n.
+    "text_top_ngram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |         length(text)::BIGINT AS total_chars
+        |  FROM documents),
+        |nn AS (SELECT unnest([2, 3, 4]) AS n),
+        |g AS (
+        |  SELECT t.doc_id, nn.n, t.total_chars,
+        |    unnest(list_transform(range(1, len(tk) - nn.n + 2),
+        |      i -> array_to_string(tk[i:i+nn.n-1], ' '))) AS gram
+        |  FROM toks t, nn),
+        |c AS (SELECT doc_id, n, gram, count(*)::BIGINT AS cnt,
+        |        any_value(total_chars) AS total_chars
+        |      FROM g GROUP BY doc_id, n, gram),
+        |r AS (SELECT doc_id, n, gram, cnt, total_chars,
+        |        row_number() OVER (PARTITION BY doc_id, n
+        |                           ORDER BY cnt DESC, gram ASC) AS rn
+        |      FROM c),
+        |u AS (SELECT t.doc_id, nn.n, t.total_chars FROM toks t, nn)
+        |SELECT u.doc_id, u.n, r.gram AS top_gram,
+        |  coalesce(r.cnt, 0)::BIGINT AS top_count,
+        |  coalesce(r.cnt * length(r.gram), 0)::BIGINT AS gram_chars,
+        |  u.total_chars,
+        |  (100 * coalesce(r.cnt * length(r.gram), 0)
+        |     <= (CASE u.n WHEN 2 THEN 20 WHEN 3 THEN 18 ELSE 16 END)
+        |        * u.total_chars) AS pass_top_ngram
+        |FROM u LEFT JOIN (SELECT * FROM r WHERE rn = 1) r
+        |  ON r.doc_id = u.doc_id AND r.n = u.n""".stripMargin,
 
     // C4 rules: the punctuation-injection transform is replayed with the
     // same literal replaces; list lambdas mirror the Spark filters and

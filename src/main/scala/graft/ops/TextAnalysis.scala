@@ -196,6 +196,75 @@ object TextAnalysis {
           !col("has_lorem") && !col("has_brace"))
   }
 
+  /** Gopher §A1.2 top-n-gram caps: fraction of characters attributable
+    * to the single most frequent word n-gram, per cent (n → max %). */
+  private[graft] val TopNgramCapsPct = Map(2 -> 20, 3 -> 18, 4 -> 16)
+
+  /**
+   * Gopher repetition filter, exact tier (Rae et al. 2021 §A1.2): for
+   * each n in `ns`, the most frequent word n-gram of every document and
+   * the fraction of the document's characters it accounts for
+   * (`top_count · length(top_gram)` vs `length(text)`). Documents whose
+   * top n-gram exceeds the Gopher cap (20%/18%/16% for n=2/3/4) are
+   * flagged. Complements [[repetitionFeatures]] (duplicate lines) and
+   * `dedup_spans` (cross-document substring dups).
+   *
+   * Determinism: ties on count break to the lexicographically smallest
+   * gram via a single `min(struct(-count, gram))` aggregate — map-side
+   * combinable, so the shuffle carries one candidate per (doc, n,
+   * partition), never the gram lists. Verdicts are integer
+   * cross-multiplication (`100·gram_chars ≤ cap·total_chars`). Docs
+   * shorter than n tokens keep their (doc, n) row with a null gram and
+   * zero counts (profile-key joins see nulls, not holes).
+   *
+   * Scale shape: one scan → explode n-grams (×Σn per token) → two
+   * map-side-combined aggregates keyed by (doc, n[, gram]). No windows,
+   * no joins, no driver state; exchange cardinality is bounded by
+   * distinct (doc, n, gram) then (doc, n).
+   */
+  def topNgramRepetition(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(n => TopNgramCapsPct.contains(n)),
+      s"ns must be among ${TopNgramCapsPct.keys.toSeq.sorted}")
+    val toks = split(col(textCol), " ")
+    def gramsFor(n: Int): Column =
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - lit(n) + lit(1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    val exploded = df.select(col(idCol).as("doc_id"),
+        length(col(textCol)).cast("long").as("total_chars"),
+        explode(array(ns.map(n =>
+          struct(lit(n).as("n"), gramsFor(n).as("grams"))): _*)).as("e"))
+      .select(col("doc_id"), col("total_chars"), col("e.n").as("n"),
+        // outer: a doc shorter than n tokens keeps its (doc, n) row
+        explode_outer(col("e.grams")).as("gram"))
+    val counts = exploded
+      .groupBy("doc_id", "n", "gram")
+      .agg(count(lit(1)).as("cnt"), first(col("total_chars")).as("total_chars"))
+    val top = counts
+      .groupBy("doc_id", "n")
+      .agg(
+        min(when(col("gram").isNotNull,
+          struct((-col("cnt")).as("nc"), col("gram").as("g")))).as("t"),
+        first(col("total_chars")).as("total_chars"))
+    val capPct = ns.map(n => (lit(n), lit(TopNgramCapsPct(n))))
+      .foldLeft(lit(null).cast("int")) { case (acc, (n, cap)) =>
+        when(col("n") === n, cap).otherwise(acc) }
+    top
+      .withColumn("top_gram", col("t.g"))
+      .withColumn("top_count", coalesce(-col("t.nc"), lit(0L)))
+      .withColumn("gram_chars",
+        coalesce(col("top_count") * length(col("top_gram")).cast("long"), lit(0L)))
+      .withColumn("pass_top_ngram",
+        lit(100L) * col("gram_chars") <= capPct.cast("long") * col("total_chars"))
+      .select(col("doc_id"), col("n"), col("top_gram"), col("top_count"),
+        col("gram_chars"), col("total_chars"), col("pass_top_ngram"))
+  }
+
   /** English stopword hit ratio over whitespace tokens. */
   def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
     val toks = split(lower(text), " ")

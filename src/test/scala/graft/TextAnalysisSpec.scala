@@ -85,6 +85,28 @@ class TextAnalysisSpec extends SparkSuite {
     assert(kept5 === "one good sentence stands alone.")
   }
 
+  test("top n-gram repetition: exact counts, smallest-gram tie-break, short-doc null rows") {
+    val loopy = Seq.fill(10)("buy now").mkString(" ")       // "now buy" x9, "buy now" x10
+    val clean = "the quick brown fox jumps over the lazy dog today"
+    val short = "hi"                                        // 1 token: null rows for n=2..4
+    val df = Seq((1L, loopy), (2L, clean), (3L, short)).toDF("id", "text")
+    val r = TextAnalysis.topNgramRepetition(df, "text", "id").collect()
+      .map(x => (x.getLong(0), x.getInt(1)) -> x).toMap
+    assert(r.size === 9, "3 docs x 3 ns, short doc keeps its rows")
+    val l2 = r((1L, 2))
+    assert(l2.getString(2) === "buy now" && l2.getLong(3) === 10L)
+    assert(l2.getLong(4) === 70L && !l2.getBoolean(6), "70 of 79 chars > 20%")
+    // clean doc: every 2-gram count 1; tie-break picks smallest gram
+    val c2 = r((2L, 2))
+    assert(c2.getLong(3) === 1L && c2.getString(2) === "brown fox")
+    assert(c2.getBoolean(6))
+    for (n <- 2 to 4) {
+      val s = r((3L, n))
+      assert(s.isNullAt(2) && s.getLong(3) === 0L && s.getLong(4) === 0L)
+      assert(s.getBoolean(6), "no repetition = pass")
+    }
+  }
+
   test("langId picks marker-word languages and CJK by script") {
     val df = Seq(
       (1, "the cat sat on the mat and it was happy"),
