@@ -320,6 +320,19 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
 
+    // ---- dedup: cross-document paragraph boilerplate counters (Dolma
+    // shape) — corpus is single-line, so the entry splits paragraphs on
+    // ' line ' and plants id-keyed boilerplate, mirrored in the oracle ----
+    "dedup_paragraphs" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("text",
+        concat(replace(col("text"), lit(" line "), lit("\n")),
+          when(col("doc_id") % 3 === 0, lit("\nsubscribe to our newsletter"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("\nall rights reserved"))
+            .otherwise(lit(""))))
+      Dedup.paragraphDuplicates(d, "text", "doc_id")
+    }),
+
     // ---- dedup: exact pairwise word-set Jaccard (inverted-index join) ----
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.wordJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 0.8)),
@@ -1350,6 +1363,31 @@ object SparkEntry {
         |JOIN sz sa ON sa.doc_id = id_a
         |JOIN sz sb ON sb.doc_id = id_b
         |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
+
+    // Paragraph dedup: duplicate = verbatim paragraph in >=2 distinct
+    // docs; DuckDB groups by paragraph TEXT where Spark groups by md5
+    // digest — identical partition of the key space.
+    "dedup_paragraphs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    replace(text, ' line ', chr(10))
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN chr(10) || 'subscribe to our newsletter' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN chr(10) || 'all rights reserved' ELSE '' END AS text
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS para FROM d),
+        |dup AS (SELECT para FROM p GROUP BY para
+        |        HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT p.doc_id,
+        |  count(*)::BIGINT AS n_paragraphs,
+        |  sum(CASE WHEN dup.para IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_dup_paragraphs,
+        |  sum(CASE WHEN dup.para IS NOT NULL THEN length(p.para) ELSE 0 END)::BIGINT
+        |    AS dup_chars,
+        |  sum(length(p.para))::BIGINT AS paragraph_chars
+        |FROM p LEFT JOIN dup ON dup.para = p.para
+        |GROUP BY p.doc_id""".stripMargin,
 
     // Brute-force ground truth for the AllPairs prefix-filtered join:
     // the filter is provably lossless (Cauchy–Schwarz suffix bound), so

@@ -116,6 +116,49 @@ object Dedup {
   }
 
   /**
+   * Cross-document paragraph dedup counters (the Dolma / CCNet shape:
+   * a paragraph that appears verbatim in two or more DISTINCT documents
+   * is boilerplate — navigation chrome, license footers, newsletter
+   * prompts — and gets stripped corpus-wide). Paragraphs are
+   * newline-delimited; same-document repeats alone do NOT mark a
+   * paragraph duplicate (those are [[repetitionFeatures]]' concern).
+   *
+   * Per input row: total paragraphs, how many of them are cross-doc
+   * duplicates, and the exact character split — everything downstream
+   * needs to strip or weigh boilerplate.
+   *
+   * Scale shape: paragraphs travel as md5 DIGESTS after the scan — the
+   * duplicate-key aggregate shuffles (16 B, id) pairs and the per-doc
+   * rollup shuffles (id, digest, len); paragraph BODIES never leave the
+   * scan (same contract as [[exactSurvivors]]). The digest frame feeds
+   * two branches (dup-key set + per-doc rollup), so it is materialized
+   * once via localCheckpoint; the dup-set join is a semi-join on the
+   * digest, broadcast when small.
+   */
+  def paragraphDuplicates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String): DataFrame = {
+    val paras = df
+      .select(col(idCol).as("doc"),
+        explode(split(col(textCol), "\n")).as("para"))
+      .select(col("doc"), md5(col("para")).as("fp"),
+        length(col("para")).cast("long").as("len"))
+      .localCheckpoint(true)
+    val dupKeys = paras.groupBy("fp")
+      .agg(count_distinct(col("doc")).as("nd"))
+      .filter(col("nd") >= 2).select(col("fp"))
+    paras
+      .join(dupKeys.withColumn("__dup", lit(true)), Seq("fp"), "left")
+      .groupBy(col("doc").as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_paragraphs"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_paragraphs"),
+        sum(when(col("__dup"), col("len")).otherwise(0L)).as("dup_chars"),
+        sum(col("len")).as("paragraph_chars"))
+  }
+
+  /**
    * MinHash + LSH candidate pairs. Signature: `numHashes` minima per row
    * (map-only). Banding: `bands` bands of numHashes/bands values; docs
    * agreeing on ANY band land in the same bucket. Bucket self-join emits

@@ -92,6 +92,25 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("paragraph duplicates: cross-doc verbatim paragraphs counted, same-doc repeats ignored") {
+    val df = Seq(
+      (1L, "unique intro\nshared footer text\nunique body one"),
+      (2L, "another page\nshared footer text"),
+      (3L, "solo doc\nrepeated para\nrepeated para"),   // same-doc repeat only
+      (4L, "totally unique content")
+    ).toDF("doc_id", "text")
+    val r = Dedup.paragraphDuplicates(df, "text", "doc_id").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    def n(id: Long, f: String) = r(id).getLong(r(id).fieldIndex(f))
+    assert(n(1L, "n_paragraphs") === 3L && n(1L, "n_dup_paragraphs") === 1L)
+    assert(n(1L, "dup_chars") === "shared footer text".length.toLong)
+    assert(n(2L, "n_dup_paragraphs") === 1L)
+    assert(n(3L, "n_dup_paragraphs") === 0L, "same-doc repeats are not cross-doc dups")
+    assert(n(4L, "n_dup_paragraphs") === 0L)
+    assert(n(3L, "paragraph_chars") ===
+      "solo doc".length + 2L * "repeated para".length)
+  }
+
   test("minhash candidates achieve full recall on exact-set dups and verify by jaccard") {
     val dups = Dedup.minhashDuplicates(docs, "text", "doc_id", 0.9,
         numHashes = 64, bands = 16, shingleSize = 1)
