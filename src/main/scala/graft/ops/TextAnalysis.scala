@@ -229,19 +229,26 @@ object TextAnalysis {
       ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
     require(ns.nonEmpty && ns.forall(n => TopNgramCapsPct.contains(n)),
       s"ns must be among ${TopNgramCapsPct.keys.toSeq.sorted}")
-    val toks = split(col(textCol), " ")
-    def gramsFor(n: Int): Column =
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - lit(n) + lit(1)),
-          i => array_join(slice(toks, i, lit(n)), " ")))
-        .otherwise(array().cast("array<string>"))
-    val exploded = df.select(col(idCol).as("doc_id"),
-        length(col(textCol)).cast("long").as("total_chars"),
-        explode(array(ns.map(n =>
-          struct(lit(n).as("n"), gramsFor(n).as("grams"))): _*)).as("e"))
-      .select(col("doc_id"), col("total_chars"), col("e.n").as("n"),
-        // outer: a doc shorter than n tokens keeps its (doc, n) row
-        explode_outer(col("e.grams")).as("gram"))
+    // tokenize ONCE in its own projection before any lambda touches it:
+    // higher-order functions evaluate interpreted, with no common-
+    // subexpression elimination — split() referenced inside the lambda
+    // would re-tokenize the document once per gram (measured 5× on the
+    // whole operator). Same reason `n` rides along as a column through
+    // one explode instead of materializing all gram arrays per row.
+    val base = df.select(col(idCol).as("doc_id"),
+      length(col(textCol)).cast("long").as("total_chars"),
+      split(col(textCol), " ").as("__toks"))
+    val nCol = explode(array(ns.map(n => lit(n)): _*)).as("n")
+    val withN = base.select(col("doc_id"), col("total_chars"),
+      col("__toks"), nCol)
+    val exploded = withN.select(col("doc_id"), col("total_chars"), col("n"),
+      // outer: a doc shorter than n tokens keeps its (doc, n) row
+      explode_outer(
+        when(size(col("__toks")) >= col("n"),
+          transform(
+            sequence(lit(1), size(col("__toks")) - col("n") + lit(1)),
+            i => array_join(slice(col("__toks"), i, col("n")), " ")))
+          .otherwise(array().cast("array<string>"))).as("gram"))
     val counts = exploded
       .groupBy("doc_id", "n", "gram")
       .agg(count(lit(1)).as("cnt"), first(col("total_chars")).as("total_chars"))

@@ -230,4 +230,45 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(countOccurrences(p, "HashAggregate") >= 2, p)
   }
+
+  test("gopher and c4 rules are map-only single passes") {
+    for (name <- Seq("text_gopher_rules", "text_c4_rules")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange") && !p.contains("Join"),
+        s"$name must be one map-only pass:\n$p")
+    }
+  }
+
+  test("top n-gram repetition: explode + two combined aggregates, no window, no join") {
+    val p = plan("text_top_ngram")
+    assert(p.contains("Generate"), s"gram explode expected:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    // (doc, n, gram) count + (doc, n) argmin — each partial+final; AQE
+    // may insert shuffle reads but never a third logical exchange
+    assert(countOccurrences(p, "Exchange hashpartitioning") <= 2,
+      s"two shuffles max:\n$p")
+    // min(struct) buffers may fall back to SortAggregate — still
+    // partial+final either way
+    assert(countOccurrences(p, "HashAggregate")
+      + countOccurrences(p, "SortAggregate") >= 4,
+      s"both aggregates must be partial+final (map-side combined):\n$p")
+  }
+
+  test("paragraph dedup shuffles digests, never paragraph bodies") {
+    val p = plan("dedup_paragraphs")
+    assert(!p.contains("CartesianProduct"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("para#")),
+      s"digest/doc shuffles only:\n$p")
+  }
+
+  test("all-pairs cosine: candidate joins key on token/ids, text never shuffles") {
+    val p = plan("dedup_cosine_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text#")),
+      s"token/id shuffles only:\n$p")
+    assert(p.contains("sorted_bag_dot"),
+      s"codegen merge-dot kernel must be in the plan:\n$p")
+  }
 }
