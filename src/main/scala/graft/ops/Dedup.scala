@@ -542,15 +542,18 @@ object Dedup {
       .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("tok"))
       .groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
-    val norms = tf.groupBy("doc")
-      .agg(sum(col("tf") * col("tf")).as("n2"))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc")).orderBy(col("df"), col("tok"))
     // cumBefore = squared mass of terms strictly rarer than this rank;
     // rank r belongs to the prefix iff the suffix starting AT r still
     // carries ≥ t of the norm: q²·(n2 − cumBefore) ≥ p²·n2  (exact).
-    val ranked = tf.join(dfreq, Seq("tok")).join(norms, Seq("doc"))
+    // n2 comes from an unbounded frame over the SAME window spec — one
+    // exchange + one sort serve both, no separate norms agg/join.
+    val ranked = tf.join(dfreq, Seq("tok"))
+      .withColumn("n2",
+        sum(col("tf") * col("tf")).over(
+          w.rowsBetween(Long.MinValue, Long.MaxValue)))
       .withColumn("__cumBefore",
         coalesce(sum(col("tf") * col("tf")).over(
           w.rowsBetween(Long.MinValue, -1)), lit(0L)))
