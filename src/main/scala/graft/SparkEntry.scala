@@ -703,6 +703,13 @@ object SparkEntry {
           col("pass_symbol_ratio"), col("pass_alpha"),
           col("pass_stopwords"), col("pass_gopher"))),
 
+    // ---- text analysis: corpus datasheet — per-(source, lang) dataset-
+    // card counters; one combined aggregate, exchange bounded by slice
+    // cardinality ----
+    "text_datasheet" -> ((s, dir) =>
+      TextAnalysis.corpusDatasheet(
+        t(s, dir, "documents"), "text", Seq("source", "lang"))),
+
     // ---- text analysis: Gopher repetition filter (Rae et al. 2021
     // §A1.2) — top word-n-gram char fraction per doc for n=2,3,4; ties
     // break to the lexicographically smallest gram, verdicts by integer
@@ -1934,6 +1941,50 @@ object SparkEntry {
         |   AND 10 * n_alpha_words >= 8 * n_words
         |   AND n_stopword_hits >= 2) AS pass_gopher
         |FROM g""".stripMargin,
+
+    // Corpus datasheet: the gopher per-doc counters (same expressions as
+    // text_gopher_rules) aggregated per (source, lang) slice.
+    "text_datasheet" ->
+      """WITH g AS (
+        |  SELECT source, lang,
+        |    len(string_split(text, ' '))::BIGINT AS n_words,
+        |    length(text)::BIGINT AS n_chars,
+        |    length(replace(text, ' ', ''))::BIGINT AS sum_word_chars,
+        |    ((length(text) - length(replace(text, '#', '')))
+        |     + (length(text) - length(replace(text, '...', ''))) // 3
+        |     + (length(text) - length(replace(text, '…', ''))))::BIGINT AS n_symbols,
+        |    len(string_split(text, chr(10)))::BIGINT AS n_lines,
+        |    len(list_filter(string_split(text, chr(10)),
+        |      l -> regexp_matches(l, '^[ \t]*[-*•]')))::BIGINT AS n_bullet_lines,
+        |    len(list_filter(string_split(text, chr(10)),
+        |      l -> regexp_matches(l, '(\.\.\.|…)[ \t]*$')))::BIGINT AS n_ellipsis_lines,
+        |    len(list_filter(string_split(text, ' '),
+        |      w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS n_alpha_words,
+        |    (list_contains(string_split(lower(text), ' '), 'the')::INT
+        |     + list_contains(string_split(lower(text), ' '), 'be')::INT
+        |     + list_contains(string_split(lower(text), ' '), 'to')::INT
+        |     + list_contains(string_split(lower(text), ' '), 'of')::INT
+        |     + list_contains(string_split(lower(text), ' '), 'and')::INT
+        |     + list_contains(string_split(lower(text), ' '), 'that')::INT
+        |     + list_contains(string_split(lower(text), ' '), 'have')::INT
+        |     + list_contains(string_split(lower(text), ' '), 'with')::INT
+        |    )::BIGINT AS n_stopword_hits
+        |  FROM documents)
+        |SELECT source, lang,
+        |  count(*)::BIGINT AS n_docs,
+        |  sum(n_words)::BIGINT AS total_words,
+        |  sum(n_chars)::BIGINT AS total_chars,
+        |  sum(n_alpha_words)::BIGINT AS total_alpha_words,
+        |  sum(CASE WHEN n_words >= 50 AND n_words <= 100000
+        |        AND sum_word_chars >= 3 * n_words
+        |        AND sum_word_chars <= 10 * n_words
+        |        AND 10 * n_symbols <= n_words
+        |        AND 10 * n_bullet_lines <= n_lines
+        |        AND 10 * n_ellipsis_lines <= 3 * n_lines
+        |        AND 10 * n_alpha_words >= 8 * n_words
+        |        AND n_stopword_hits >= 2 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_pass_gopher
+        |FROM g GROUP BY source, lang""".stripMargin,
 
     // Top n-gram repetition: same gram construction (1-based slices
     // joined by one space), same tie-break (count desc, gram asc —

@@ -272,6 +272,31 @@ object TextAnalysis {
         col("gram_chars"), col("total_chars"), col("pass_top_ngram"))
   }
 
+  /**
+   * Corpus datasheet: the per-slice counters a dataset card reports —
+   * document/word/char totals and Gopher-quality pass counts, grouped
+   * by the given slice columns (source, language, …). Pure integer
+   * aggregates over the [[gopherRules]] frame: one scan, one map-side-
+   * combined aggregate whose exchange is bounded by the slice
+   * cardinality — the cheapest possible shape at any corpus size.
+   * Rates are left to the consumer (n_pass_gopher / n_docs) so the
+   * published numbers stay exact.
+   */
+  def corpusDatasheet(
+      df: DataFrame,
+      textCol: String,
+      sliceCols: Seq[String]): DataFrame = {
+    require(sliceCols.nonEmpty, "at least one slice column")
+    gopherRules(df, textCol)
+      .groupBy(sliceCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        sum(length(col(textCol)).cast("long")).as("total_chars"),
+        sum(col("n_alpha_words")).as("total_alpha_words"),
+        sum(when(col("pass_gopher"), 1L).otherwise(0L)).as("n_pass_gopher"))
+  }
+
   /** English stopword hit ratio over whitespace tokens. */
   def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
     val toks = split(lower(text), " ")

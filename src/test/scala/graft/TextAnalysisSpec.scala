@@ -107,6 +107,27 @@ class TextAnalysisSpec extends SparkSuite {
     }
   }
 
+  test("corpus datasheet aggregates exact per-slice counters") {
+    val good = Seq.fill(6)("the data and model that have with training corpus tokens")
+      .mkString(" ")                                     // passes gopher
+    val short = "the data"                               // fails word count
+    val df = Seq(
+      ("web", "en", good), ("web", "en", short),
+      ("web", "de", good), ("books", "en", good)
+    ).toDF("source", "lang", "text")
+    val r = TextAnalysis.corpusDatasheet(df, "text", Seq("source", "lang"))
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    assert(r.size === 3)
+    val webEn = r(("web", "en"))
+    assert(webEn.getLong(webEn.fieldIndex("n_docs")) === 2L)
+    assert(webEn.getLong(webEn.fieldIndex("total_words")) === 62L)
+    assert(webEn.getLong(webEn.fieldIndex("n_pass_gopher")) === 1L)
+    val books = r(("books", "en"))
+    assert(books.getLong(books.fieldIndex("n_docs")) === 1L)
+    assert(books.getLong(books.fieldIndex("n_pass_gopher")) === 1L)
+    assert(books.getLong(books.fieldIndex("total_chars")) === good.length.toLong)
+  }
+
   test("langId picks marker-word languages and CJK by script") {
     val df = Seq(
       (1, "the cat sat on the mat and it was happy"),
