@@ -44,6 +44,16 @@ object CorpusIngest {
    * carrying `idCol` + `textCol` (extra columns pass through to the
    * committed corpus). An empty store seeds itself with the first
    * batch's exact-survivors.
+   *
+   * `qualityGate` runs FIRST on every micro-batch (before any dedup
+   * work — rejected docs never pay signature or join cost). It is an
+   * ordinary batch-frame transform, so the oracle-gated batch filters
+   * compose directly, e.g.
+   * `b => TextAnalysis.gopherRules(b, "text").filter(col("pass_gopher"))
+   *       .drop(gopherAuditCols: _*)`
+   * — the stream admits exactly what the batch pipeline would admit
+   * (stream ≡ batch, pinned in StreamingSpec). The gate must preserve
+   * the batch's schema for the committed corpus to stay unioned-able.
    */
   def dedupedIngest(
       docs: DataFrame,
@@ -55,13 +65,14 @@ object CorpusIngest {
       numHashes: Int = 64,
       bands: Int = 16,
       shingleSize: Int = 3,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      qualityGate: DataFrame => DataFrame = identity): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val selfClean = Dedup.exactSurvivors(batch, textCol, idCol)
+        val selfClean = Dedup.exactSurvivors(qualityGate(batch), textCol, idCol)
         if (store.versions.isEmpty) {
           if (!selfClean.isEmpty) { store.commit(selfClean); () }
         } else {

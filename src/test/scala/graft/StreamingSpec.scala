@@ -256,6 +256,37 @@ class StreamingSpec extends SparkSuite {
     assert(ids(store.read(spark, 1L)) === Set(1L, 2L))
   }
 
+  test("deduped ingest applies the quality gate before dedup (junk never committed)") {
+    import graft.persist.SnapshotStore
+    import graft.streaming.CorpusIngest
+    import graft.ops.TextAnalysis
+    val srcDir = Files.createTempDirectory("graft-ingest3-src").toString
+    val ckpt = Files.createTempDirectory("graft-ingest3-ckpt").toString
+    val store = new SnapshotStore(
+      Files.createTempDirectory("graft-ingest3-store").toString)
+    Seq(
+      (1L, "the data and model that have with broad coverage here"),
+      (2L, "junk junk junk junk junk junk junk junk junk junk"), // no stopwords
+      (3L, "too short"))                                         // < 5 words
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    // oracle-gated batch filter composed directly into the stream
+    val gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      b => TextAnalysis.gopherRules(b, "text", minWords = 5)
+        .filter(col("pass_word_count") && col("pass_stopwords"))
+        .select("doc_id", "text")
+    withLogLevel {
+      val q = CorpusIngest.dedupedIngest(
+        spark.readStream.schema(schema).parquet(srcDir),
+        store, "text", "doc_id", threshold = 0.8, checkpointDir = ckpt,
+        qualityGate = gate)
+      q.awaitTermination(120000)
+    }
+    val ids = store.readLatest(spark)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L), s"quality gate must reject 2 and 3, got $ids")
+  }
+
   test("deduped ingest suppresses re-crawled zero-shingle docs (exact-text guard)") {
     import graft.persist.SnapshotStore
     import graft.streaming.CorpusIngest
