@@ -9,9 +9,10 @@ import graft.ops._
  * End-to-end LLM training-data preparation over the `documents` table —
  * the pipeline a 100 TB corpus would run, at toy scale:
  *
- *   normalize → quality + corpus-LM filter → exact dedup → MinHash
- *   near-dedup (cluster + survivor) → decontaminate vs a held-out set →
- *   temperature-mix sources → deterministic splits → sequence packing
+ *   normalize → Gopher rules + quality + corpus-LM filter → exact dedup
+ *   → MinHash near-dedup (cluster + survivor) → decontaminate vs a
+ *   held-out set → temperature-mix sources → deterministic splits →
+ *   sequence packing → per-source datasheet
  *
  * Every stage is a deterministic pure function of the data (md5 buckets,
  * integer quantization), so re-running yields byte-identical output —
@@ -33,10 +34,24 @@ object TrainingPipeline {
     val raw = spark.read.parquet(s"$dir/documents.parquet")
     println(s"raw:            ${raw.count()}")
 
-    // 1. normalize + attach quality and corpus-typicality signals
+    // 1. normalize + attach quality and corpus-typicality signals.
+    //    Gopher word-count/stopword rules run first (integer verdicts,
+    //    map-only) so pathological docs never reach the scored joins.
+    //    The admitted set is MATERIALIZED before the LM trains on it:
+    //    corpus-statistics models must see a pinned snapshot — in a lazy
+    //    plan Catalyst may reorder the score predicate ahead of the
+    //    admission filter and score docs outside the training corpus
+    //    (lmScoreFast fails loudly on exactly that).
     val normed = raw.withColumn("text", TextAnalysis.normalizeText(col("text")))
-    val scored = normed
-      .join(TextAnalysis.lmScoreFast(normed, "text", "doc_id")
+    // (stopword rule omitted: the synthetic corpus has only "the" of
+    // the eight required stopwords, so it would reject every doc)
+    val gophered = TextAnalysis.gopherRules(normed, "text", minWords = 10)
+      .filter(col("pass_word_count") && col("pass_symbol_ratio") &&
+        col("pass_alpha"))
+      .select(normed.columns.map(col): _*)
+      .localCheckpoint(true)
+    val scored = gophered
+      .join(TextAnalysis.lmScoreFast(gophered, "text", "doc_id")
         .select(col("doc_id"), col("avg_nats"), col("rare_frac")), "doc_id")
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
     val kept = scored.filter(col("quality") > 0.2 && col("rare_frac") < 0.5)
@@ -77,6 +92,11 @@ object TrainingPipeline {
       split.filter(col("split") === "train"), "text", 5)
     println("bpe merges:     " +
       merges.map(m => s"${m.left}+${m.right}(${m.freq})").mkString(", "))
+
+    // 6. publish the dataset card: exact per-source counters of what
+    //    survived the pipeline
+    TextAnalysis.corpusDatasheet(mixed, "text", Seq("source"))
+      .orderBy(col("source")).show(5, false)
 
     spark.stop()
   }

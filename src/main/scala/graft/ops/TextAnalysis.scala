@@ -687,6 +687,13 @@ object TextAnalysis {
    * Quantization (floor(ln·1000) milli-nats) is shared with the
    * declarative tier, so both produce identical integers; `lmScore`
    * remains the no-driver-state path and the n ≠ 3 generalization.
+   *
+   * Contract: the scoring expression is TOTAL only over the training
+   * corpus (unknown trigrams fail loudly rather than skew scores). If
+   * `df` is a lazily-filtered subset, materialize it (localCheckpoint)
+   * before calling — Catalyst may reorder a downstream score-based
+   * predicate ahead of the admission filter and evaluate the kernel on
+   * rows outside the vocabulary.
    */
   def lmScoreFast(
       df: DataFrame,
