@@ -1063,6 +1063,19 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"))
     }),
 
+    // ---- sources: partition-pruned slice read through the Hive-
+    // partitioned layout (slice predicate resolves at file listing —
+    // PartitionFilters pinned in PartitionedCorpusSpec) ----
+    "q_partition_pruned" -> ((s, dir) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_gate_partitioned"
+      graft.sources.PartitionedCorpus.save(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        tmp, Seq("lang"))
+      graft.sources.PartitionedCorpus.load(s, tmp)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
     // ---- relational: window rank (top-2 orders per customer) ----
     "window_order_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -2335,6 +2348,11 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
+
+    // The partitioned layout changes WHERE rows live, never what they
+    // are — the oracle is the plain logical slice.
+    "q_partition_pruned" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'",
 
     // The bucketed layout changes WHERE rows live, never what they are —
     // the oracle is the plain logical join the layout co-locates.
