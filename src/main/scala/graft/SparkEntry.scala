@@ -718,6 +718,18 @@ object SparkEntry {
       TextAnalysis.topNgramRepetition(
         t(s, dir, "documents"), "text", "doc_id")),
 
+    // ---- text analysis: Gopher repetition coverage tier — fraction of
+    // chars inside word 5-grams repeating within the doc (span union);
+    // corpus lacks within-doc repeats, so an id-keyed repeated phrase is
+    // planted, mirrored in the oracle ----
+    "text_dup_ngrams" -> ((s, dir) =>
+      TextAnalysis.dupNgramCoverage(
+        t(s, dir, "documents").withColumn("text",
+          concat(col("text"),
+            when(col("doc_id") % 4 === 0,
+              lit(" p1 p2 p3 p4 p5 z p1 p2 p3 p4 p5")).otherwise(lit("")))),
+        "text", "doc_id", 5)),
+
     // ---- text analysis: C4 cleaning rules (Raffel et al. 2020 §2.2) —
     // line-level terminal-punctuation filter + page verdicts. The
     // synthetic corpus has no punctuation, so the entry injects it
@@ -2031,6 +2043,41 @@ object SparkEntry {
         |        * u.total_chars) AS pass_top_ngram
         |FROM u LEFT JOIN (SELECT * FROM r WHERE rn = 1) r
         |  ON r.doc_id = u.doc_id AND r.n = u.n""".stripMargin,
+
+    // Duplicate-n-gram coverage: 1-based list indexing mirrors Spark's
+    // 0-based posexplode internally; only counters surface. range() is
+    // end-exclusive, tk[i:i+4] is the 5-token inclusive slice.
+    "text_dup_ngrams" ->
+      """WITH d AS (SELECT doc_id, text || CASE WHEN doc_id % 4 = 0
+        |             THEN ' p1 p2 p3 p4 p5 z p1 p2 p3 p4 p5' ELSE '' END AS text
+        |           FROM documents),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM d),
+        |p AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)+1),
+        |        i -> {'i': i, 'tok': tk[i]})) AS e FROM t),
+        |pos AS (SELECT doc_id, e.i AS i, e.tok AS tok FROM p),
+        |g0 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-5+2),
+        |        i -> {'gi': i, 'gram': array_to_string(tk[i:i+4], ' ')})) AS e
+        |       FROM t),
+        |g AS (SELECT doc_id, e.gi AS gi, e.gram AS gram FROM g0),
+        |dup AS (SELECT doc_id, gram FROM g GROUP BY doc_id, gram
+        |        HAVING count(*) >= 2),
+        |cov0 AS (SELECT g.doc_id, unnest(range(g.gi, g.gi + 5)) AS j
+        |         FROM g JOIN dup USING (doc_id, gram)),
+        |cov AS (SELECT DISTINCT doc_id, j FROM cov0),
+        |ts AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |         sum(length(tok))::BIGINT AS token_chars
+        |       FROM pos GROUP BY doc_id),
+        |cs AS (SELECT p.doc_id, count(*)::BIGINT AS covered_tokens,
+        |         sum(length(p.tok))::BIGINT AS covered_chars
+        |       FROM pos p JOIN cov c ON c.doc_id = p.doc_id AND c.j = p.i
+        |       GROUP BY p.doc_id)
+        |SELECT ts.doc_id, 5 AS n, ts.n_tokens,
+        |  coalesce(cs.covered_tokens, 0)::BIGINT AS covered_tokens,
+        |  coalesce(cs.covered_chars, 0)::BIGINT AS covered_chars,
+        |  ts.token_chars,
+        |  (100 * coalesce(cs.covered_chars, 0) <= 15 * ts.token_chars)
+        |    AS pass_dup_ngram
+        |FROM ts LEFT JOIN cs ON cs.doc_id = ts.doc_id""".stripMargin,
 
     // C4 rules: the punctuation-injection transform is replayed with the
     // same literal replaces; list lambdas mirror the Spark filters and

@@ -272,6 +272,76 @@ object TextAnalysis {
         col("gram_chars"), col("total_chars"), col("pass_top_ngram"))
   }
 
+  /** Gopher §A1.2 duplicate-n-gram caps: max % of characters inside
+    * n-grams that repeat within the document (n → max %). */
+  private[graft] val DupNgramCapsPct =
+    Map(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+
+  /**
+   * Gopher repetition filter, coverage tier (Rae et al. 2021 §A1.2,
+   * second family): the fraction of a document covered by word n-grams
+   * that occur MORE THAN ONCE in that document — the union of their
+   * spans, so overlapping repeats are not double-counted. Coverage is
+   * measured over token positions and token characters (separator
+   * spaces excluded), which keeps every number an exact integer; caps
+   * are the Gopher thresholds 15/14/13/12/11/10% for n=5…10, decided by
+   * cross-multiplication. Complements [[topNgramRepetition]] (the
+   * single-most-frequent-gram family).
+   *
+   * Shape: positions and grams explode from ONE materialized token
+   * array (the [[topNgramRepetition]] HOF lesson); duplicated grams
+   * come from a (doc, gram) count, their spans re-explode to covered
+   * token indices, and a distinct + two per-doc aggregates finish. All
+   * exchanges key on (doc[, gram|idx]) — text bodies never shuffle,
+   * cardinality bounded by tokens-per-doc × corpus rows. Docs shorter
+   * than n tokens keep their row with zero coverage.
+   */
+  def dupNgramCoverage(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int): DataFrame = {
+    require(DupNgramCapsPct.contains(n),
+      s"n must be among ${DupNgramCapsPct.keys.toSeq.sorted}")
+    val capPct = DupNgramCapsPct(n)
+    val base = df.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("__toks"))
+      .localCheckpoint(true)
+    val pos = base.select(col("doc_id"),
+      posexplode(col("__toks")).as(Seq("i", "tok")))
+    val grams = base.select(col("doc_id"),
+        explode(
+          when(size(col("__toks")) >= n,
+            transform(sequence(lit(0), size(col("__toks")) - lit(n)),
+              i => struct(i.as("gi"),
+                array_join(slice(col("__toks"), i + lit(1), lit(n)), " ")
+                  .as("gram"))))
+            .otherwise(array().cast("array<struct<gi:int,gram:string>>")))
+          .as("g"))
+      .select(col("doc_id"), col("g.gi").as("gi"), col("g.gram").as("gram"))
+    val dupGrams = grams.groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select("doc_id", "gram")
+    val covered = grams.join(dupGrams, Seq("doc_id", "gram"))
+      .select(col("doc_id"),
+        explode(sequence(col("gi"), col("gi") + lit(n - 1))).as("i"))
+      .distinct()
+    val tokStats = pos.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      sum(length(col("tok")).cast("long")).as("token_chars"))
+    val covStats = pos.join(covered, Seq("doc_id", "i"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("covered_tokens"),
+        sum(length(col("tok")).cast("long")).as("covered_chars"))
+    tokStats.join(covStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), lit(n).as("n"), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        coalesce(col("covered_chars"), lit(0L)).as("covered_chars"),
+        col("token_chars"),
+        (lit(100L) * coalesce(col("covered_chars"), lit(0L))
+          <= lit(capPct.toLong) * col("token_chars")).as("pass_dup_ngram"))
+  }
+
   /**
    * Corpus datasheet: the per-slice counters a dataset card reports —
    * document/word/char totals and Gopher-quality pass counts, grouped

@@ -107,6 +107,33 @@ class TextAnalysisSpec extends SparkSuite {
     }
   }
 
+  test("duplicate n-gram coverage: span union, overlap merge, short docs zero") {
+    // doc 1 with n=5: "x1..x5" appears twice with a gap token between;
+    // covered indices = 0..4 and 6..10 => 10 of 11 tokens
+    val rep = "x1 x2 x3 x4 x5 gap x1 x2 x3 x4 x5"
+    // doc 2: overlapping repeats "a a a a a a" — every 5-gram is "a a a a a"
+    // (x2) => all 6 positions covered exactly once despite overlap
+    val aaa = "a a a a a a"
+    val clean = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"   // all 5-grams unique
+    val short = "t1 t2 t3"                          // < 5 tokens
+    val df = Seq((1L, rep), (2L, aaa), (3L, clean), (4L, short))
+      .toDF("id", "text")
+    val r = TextAnalysis.dupNgramCoverage(df, "text", "id", 5).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    def g(id: Long, f: String) = r(id).getLong(r(id).fieldIndex(f))
+    assert(r.size === 4)
+    assert(g(1L, "n_tokens") === 11L && g(1L, "covered_tokens") === 10L)
+    assert(g(1L, "covered_chars") === 20L)   // ten 2-char tokens, gap excluded
+    assert(!r(1L).getBoolean(r(1L).fieldIndex("pass_dup_ngram")),
+      "20/23 chars covered > 15%")
+    assert(g(2L, "covered_tokens") === 6L && g(2L, "covered_chars") === 6L,
+      "overlapping repeats cover each position once")
+    assert(g(3L, "covered_tokens") === 0L
+      && r(3L).getBoolean(r(3L).fieldIndex("pass_dup_ngram")))
+    assert(g(4L, "n_tokens") === 3L && g(4L, "covered_tokens") === 0L,
+      "short docs keep a zero-coverage row")
+  }
+
   test("corpus datasheet aggregates exact per-slice counters") {
     val good = Seq.fill(6)("the data and model that have with training corpus tokens")
       .mkString(" ")                                     // passes gopher
