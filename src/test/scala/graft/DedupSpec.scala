@@ -111,6 +111,34 @@ class DedupSpec extends SparkSuite {
       "solo doc".length + 2L * "repeated para".length)
   }
 
+  test("paragraph duplicates ≡ brute force on random shared-paragraph docs") {
+    val rnd = new scala.util.Random(23)
+    val paras = Vector("shared footer", "nav menu", "body one", "body two",
+      "unique " + "x", "plain paragraph")
+    val rows = (1L to 50L).map { i =>
+      val k = 1 + rnd.nextInt(5)
+      val shared = Seq.fill(k)(paras(rnd.nextInt(paras.size)))
+      // genuinely per-doc paragraphs so docs mix dup and non-dup
+      val own = if (i % 2 == 0) Seq(s"only in document $i") else Nil
+      (i, rnd.shuffle(shared ++ own).mkString("\n"))
+    }
+    val byDoc = rows.map { case (id, t) => id -> t.split("\n", -1).toSeq }
+    val dupSet = byDoc.flatMap { case (id, ps) => ps.distinct.map(_ -> id) }
+      .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+    val expected = byDoc.map { case (id, ps) =>
+      (id, ps.size.toLong, ps.count(dupSet).toLong,
+        ps.filter(dupSet).map(_.length.toLong).sum,
+        ps.map(_.length.toLong).sum)
+    }.toSet
+    val got = Dedup.paragraphDuplicates(rows.toDF("doc_id", "text"),
+        "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === expected)
+    assert(expected.exists(e => e._3 > 0 && e._3 < e._2),
+      "corpus must mix dup and non-dup paragraphs")
+  }
+
   test("minhash candidates achieve full recall on exact-set dups and verify by jaccard") {
     val dups = Dedup.minhashDuplicates(docs, "text", "doc_id", 0.9,
         numHashes = 64, bands = 16, shingleSize = 1)

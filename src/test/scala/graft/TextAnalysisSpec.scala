@@ -134,6 +134,41 @@ class TextAnalysisSpec extends SparkSuite {
       "short docs keep a zero-coverage row")
   }
 
+  test("duplicate n-gram coverage ≡ brute force on random repeat-heavy docs") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("aa", "b", "ccc", "dd")  // tiny vocab forces repeats
+    val rows = (1L to 40L).map { i =>
+      val len = 3 + rnd.nextInt(30)
+      val body = Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
+      // plant a long verbatim repeat in some docs so every tested n has
+      // non-degenerate coverage (random 4-symbol text rarely repeats 7-grams)
+      val planted = if (i % 5 == 0) {
+        val phrase = Seq.fill(8)(vocab(rnd.nextInt(vocab.size)))
+        body ++ phrase ++ Seq(vocab(rnd.nextInt(vocab.size))) ++ phrase
+      } else body
+      (i, planted.mkString(" "))
+    }
+    for (n <- Seq(5, 7)) {
+      val expected = rows.map { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val grams = toks.sliding(n).map(_.mkString(" ")).toVector
+        val dup = grams.groupBy(identity).filter(_._2.size >= 2).keySet
+        val covered = grams.zipWithIndex.collect {
+          case (g, i) if dup(g) => (i until i + n)
+        }.flatten.toSet
+        (id, toks.length.toLong, covered.size.toLong,
+          covered.toSeq.map(j => toks(j).length.toLong).sum,
+          toks.map(_.length.toLong).sum)
+      }.toSet
+      val got = TextAnalysis.dupNgramCoverage(
+          rows.toDF("id", "text"), "text", "id", n).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toSet
+      assert(got === expected, s"n=$n")
+      assert(expected.exists(_._3 > 0), s"degenerate corpus at n=$n")
+    }
+  }
+
   test("corpus datasheet aggregates exact per-slice counters") {
     val good = Seq.fill(6)("the data and model that have with training corpus tokens")
       .mkString(" ")                                     // passes gopher
