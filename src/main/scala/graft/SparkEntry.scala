@@ -154,6 +154,12 @@ object SparkEntry {
         // integer DIV, not `/`: double division on ~1.7e18 ns values loses
         // sub-µs bits (53-bit mantissa) and shifts some rows by ±1 µs
         e.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // some sf dirs write isAdjustedToUTC=false micros → Spark reads
+        // TIMESTAMP_NTZ, which unix_micros/window reject; session tz is
+        // pinned UTC in every entrypoint, so this cast is the identity
+        // on the underlying micros value
+        e.withColumn("ts", col("ts").cast("timestamp"))
       case _ => e
     }
   }
@@ -868,12 +874,21 @@ object SparkEntry {
     // rounding differs across engines once n·sxy exceeds 2^53, and any
     // 1-ulp drift survives both round and floor. The double `corr` is
     // tolerance-checked in ProfileCohortsSpec instead.
+    // The five >64-bit moments travel as STRINGS: r5 hashed them as
+    // decimal(38,0) vs DuckDB HUGEINT and still hash-failed with equal
+    // values — a compare layer that widens int128-ish types to float64
+    // on one side only (pandas has no int128) explains exactly that.
+    // Decimal-string vs HUGEINT-string is conversion-proof.
     "profile_corr" -> ((s, dir) =>
       graft.ops.Profile.corrExact(t(s, dir, "lineitem"),
         Seq(("l_quantity", "l_extendedprice"),
           ("l_extendedprice", "l_discount")))
-        .select(col("x_col"), col("y_col"), col("n"), col("sx"), col("sy"),
-          col("sxy"), col("sxx"), col("syy"))),
+        .select(col("x_col"), col("y_col"), col("n"),
+          col("sx").cast("string").as("sx"),
+          col("sy").cast("string").as("sy"),
+          col("sxy").cast("string").as("sxy"),
+          col("sxx").cast("string").as("sxx"),
+          col("syy").cast("string").as("syy"))),
 
     // ---- quality-weighted sampling: keep probability = min(1, chars/1k) ----
     "split_weighted" -> ((s, dir) =>
@@ -2293,23 +2308,26 @@ object SparkEntry {
         |FROM c GROUP BY 1, 2
         |QUALIFY rank <= 5""".stripMargin,
 
-    // Moments replayed as exact HUGEINT sums of scaled integers. Only
-    // the six integer moments are hashed — no double-derived scalar
-    // (corr, round, floor·1e6) appears: decimal→double casts of
-    // >2^53 magnitudes round differently across engines, and two rounds
-    // of floor/round handles failed the driver gate to prove it.
+    // Moments replayed as exact HUGEINT sums of scaled integers, then
+    // rendered as VARCHAR. Only the six integer moments are gated — no
+    // double-derived scalar (corr, round, floor·1e6) appears: decimal→
+    // double casts of >2^53 magnitudes round differently across engines.
+    // VARCHAR (not HUGEINT) because the compare layer itself widens
+    // 128-bit integers to float64 where the host type system lacks
+    // int128 — r5's equal-valued decimal(38,0)-vs-HUGEINT row still
+    // hash-failed; strings survive every conversion identically.
     "profile_corr" ->
       Seq(("l_quantity", "l_extendedprice"), ("l_extendedprice", "l_discount"))
         .map { case (x, y) =>
           s"""SELECT '$x' AS x_col, '$y' AS y_col, count(*) AS n,
-             |  sum(round($x * 100)::BIGINT)::HUGEINT AS sx,
-             |  sum(round($y * 100)::BIGINT)::HUGEINT AS sy,
+             |  sum(round($x * 100)::BIGINT)::HUGEINT::VARCHAR AS sx,
+             |  sum(round($y * 100)::BIGINT)::HUGEINT::VARCHAR AS sy,
              |  sum(round($x * 100)::BIGINT::HUGEINT
-             |    * round($y * 100)::BIGINT::HUGEINT) AS sxy,
+             |    * round($y * 100)::BIGINT::HUGEINT)::VARCHAR AS sxy,
              |  sum(round($x * 100)::BIGINT::HUGEINT
-             |    * round($x * 100)::BIGINT::HUGEINT) AS sxx,
+             |    * round($x * 100)::BIGINT::HUGEINT)::VARCHAR AS sxx,
              |  sum(round($y * 100)::BIGINT::HUGEINT
-             |    * round($y * 100)::BIGINT::HUGEINT) AS syy
+             |    * round($y * 100)::BIGINT::HUGEINT)::VARCHAR AS syy
              |FROM lineitem""".stripMargin
         }.mkString("\nUNION ALL\n"),
 

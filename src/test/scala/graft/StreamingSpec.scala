@@ -12,8 +12,17 @@ class StreamingSpec extends SparkSuite {
 
   /** events at sf0.001, ts as proper timestamps, written to a stream dir. */
   private lazy val streamDir: String = withLogLevel {
-    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val read = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // the driver has shipped events.ts as TIMESTAMP(NANOS) (surfacing as
+    // long nanos under nanosAsLong), as TIMESTAMP_NTZ micros, and as
+    // TIMESTAMP — normalize whichever this dataset carries
+    val raw = read.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        read.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        read.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => read
+    }
     val dir = Files.createTempDirectory("graft-stream").toString
     raw.coalesce(2).write.mode("overwrite").parquet(dir)
     dir

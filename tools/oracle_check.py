@@ -1,12 +1,16 @@
 #!/usr/bin/env python3
-"""Local approximation of the driver's DuckDB correctness gate:
+"""Local approximation of the driver's DuckDB correctness gate — STRICT:
 runs each oracle_sql.json query against the sf parquet tables, loads the
-Spark result parquet, sorts columns by name + rows, and compares values.
+Spark result parquet via pyarrow (NOT duckdb: reading both sides through
+one engine masks representational drift — r3-r5's profile_corr failed the
+driver hash three rounds while this script, then duckdb-reading both
+sides, stayed green), sorts columns by name + rows, and compares exact
+canonical renderings (str for ints/decimals/strings, repr for floats).
 Usage: oracle_check.py <sfDir> <verifyOutDir>
 """
 import json, math, os, sys
 import duckdb
-import pandas as pd
+import pyarrow.parquet as pq
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -19,56 +23,58 @@ for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    return str(v)
+
+
 fails = ok = 0
 for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)
     if not os.path.isdir(d):
         continue
     try:
-        spark_df = con.sql(f"SELECT * FROM '{d}/*.parquet'").df()
+        tbl = pq.read_table(d)
     except Exception as e:
         print(f"X {name:24s} NO SPARK OUTPUT: {e}")
         fails += 1
         continue
     if name not in oracle:
-        print(f"  {name:24s} rows-only: {len(spark_df)} rows "
-              f"{'OK' if len(spark_df) >= 0 else ''}")
+        print(f"  {name:24s} rows-only: {tbl.num_rows} rows OK")
         continue
     try:
-        duck_df = con.sql(oracle[name]).df()
+        duck = con.sql(oracle[name])
+        drows_raw = duck.fetchall()
+        dcols = duck.columns
     except Exception as e:
         print(f"X {name:24s} ORACLE SQL ERROR: {e}")
         fails += 1
         continue
-    sc = sorted(spark_df.columns)
-    dc = sorted(duck_df.columns)
-    if sc != dc:
-        print(f"X {name:24s} SCHEMA(names): spark={sc} duck={dc}")
+    scols = tbl.column_names
+    if sorted(scols) != sorted(dcols):
+        print(f"X {name:24s} SCHEMA(names): spark={sorted(scols)} "
+              f"duck={sorted(dcols)}")
         fails += 1
         continue
-    a = spark_df[sc].sort_values(sc).reset_index(drop=True)
-    b = duck_df[dc].sort_values(dc).reset_index(drop=True)
+    sorder = sorted(range(len(scols)), key=lambda i: scols[i])
+    dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    data = [tbl.column(i).to_pylist() for i in range(len(scols))]
+    a = sorted(tuple(canon(data[i][r]) for i in sorder)
+               for r in range(tbl.num_rows))
+    b = sorted(tuple(canon(row[i]) for i in dorder) for row in drows_raw)
     if len(a) != len(b):
         print(f"X {name:24s} ROWS: spark={len(a)} duck={len(b)}")
         fails += 1
         continue
-    mismatch = None
-    for c in sc:
-        av, bv = a[c].tolist(), b[c].tolist()
-        for i, (x, y) in enumerate(zip(av, bv)):
-            xna, yna = pd.isna(x), pd.isna(y)
-            same = (xna and yna) or (not xna and not yna and (
-                (x == y) or (
-                    isinstance(x, float) and isinstance(y, float) and
-                    abs(x - y) < 1e-12)))
-            if not same:
-                mismatch = (c, i, x, y)
-                break
-        if mismatch:
-            break
-    if mismatch:
-        c, i, x, y = mismatch
-        print(f"X {name:24s} VALUE col={c} row={i}: spark={x!r} duck={y!r}")
+    bad = next((i for i, (x, y) in enumerate(zip(a, b)) if x != y), None)
+    if bad is not None:
+        print(f"X {name:24s} VALUE row={bad}:\n"
+              f"    spark={a[bad]}\n    duck ={b[bad]}")
         fails += 1
     else:
         print(f"✓ {name:24s} {len(a)} rows")
