@@ -542,7 +542,17 @@ object Dedup {
       .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("tok"))
       .groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
-    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    // exact term dictionary: distinct tokens get distinct LONG ids (a
+    // snapshot of monotonically_increasing_id — stable because
+    // checkpointed, and only intra-computation consistency matters).
+    // Everything downstream of the ranked window — prefixes, the
+    // candidate self-join, bags, the verify merge — runs on 8-byte ids
+    // instead of UTF8 strings: cheaper shuffle keys and a long-compare
+    // merge in the verify kernel. NOT a hash: collisions would silently
+    // merge terms and break exactness.
+    val dict = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .withColumn("tid", monotonically_increasing_id())
+      .localCheckpoint(true)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc")).orderBy(col("df"), col("tok"))
     // cumBefore = squared mass of terms strictly rarer than this rank;
@@ -550,7 +560,7 @@ object Dedup {
     // carries ≥ t of the norm: q²·(n2 − cumBefore) ≥ p²·n2  (exact).
     // n2 comes from an unbounded frame over the SAME window spec — one
     // exchange + one sort serve both, no separate norms agg/join.
-    val ranked = tf.join(dfreq, Seq("tok"))
+    val ranked = tf.join(dict, Seq("tok"))
       .withColumn("n2",
         sum(col("tf") * col("tf")).over(
           w.rowsBetween(Long.MinValue, Long.MaxValue)))
@@ -565,33 +575,87 @@ object Dedup {
     val prefix = ranked
       .filter(lit(q * q).cast(dec) * (col("n2") - col("__cumBefore")).cast(dec)
         >= lit(p * p).cast(dec) * col("n2").cast(dec))
-      .select(col("doc"), col("tok"))
+      .select(col("doc"), col("tid"))
       .localCheckpoint(true)
     // qualifying pairs share a prefix term in each direction ⇒ the
-    // prefix-vs-prefix join is complete (see Scaladoc)
-    val cand = prefix.alias("a")
-      .join(prefix.alias("b"),
-        col("a.tok") === col("b.tok") && col("a.doc") < col("b.doc"))
+    // prefix-vs-prefix join is complete (see Scaladoc).
+    //
+    // Small-vocab corpora cap this join's parallelism at |vocab| — a
+    // 31-term corpus runs 23M pair emissions on 31 tasks no matter how
+    // many cores exist, and no AQE skew split fires because the INPUT
+    // partitions are tiny (it is the join's output that explodes).
+    // When vocab < 4×parallelism, salt: the probe side keys each row by
+    // hash(doc) mod R, the build side replicates ×R — every pair is
+    // still produced exactly once, parallelism becomes vocab×R, and the
+    // replicated frame is (doc, tid) pairs on a corpus whose vocabulary
+    // is by definition tiny. Large-vocab corpora (the normal case) skip
+    // salting entirely — there the replication would be the cost.
+    val vocab = math.max(1L, dict.count())
+    val par = df.sparkSession.sparkContext.defaultParallelism.toLong
+    val nSalt =
+      if (vocab >= 4L * par) 1
+      else math.min(64L, math.max(1L, (4L * par) / vocab)).toInt
+    val probe = prefix
+      .withColumn("__s", pmod(xxhash64(col("doc")), lit(nSalt.toLong)))
+    val build = prefix.withColumn("__s",
+      explode(array((0 until nSalt).map(s => lit(s.toLong)): _*)))
+    val cand = probe.alias("a")
+      .join(build.alias("b"),
+        col("a.tid") === col("b.tid") && col("a.__s") === col("b.__s")
+          && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .distinct()
-    // one sorted bag (term, count) + squared norm per doc; doc-length-sized
-    val bags = tf.groupBy("doc").agg(
-      sort_array(collect_list(struct(col("tok"), col("tf")))).as("bag"),
+    // one id-sorted bag per doc, PACKED as flat [tid, tf, …] longs
+    // (BagCos Scaladoc: the struct layout costs two UnsafeRow view
+    // allocations per element per candidate in the merge kernel); the
+    // flatten HOF is interpreted but runs once per DOC, not per pair
+    val bags = ranked.groupBy("doc").agg(
+      sort_array(collect_list(struct(col("tid"), col("tf")))).as("__sb"),
       sum(col("tf") * col("tf")).as("n2"))
+      .withColumn("bag",
+        flatten(transform(col("__sb"), s => array(s("tid"), s("tf")))))
+      .drop("__sb")
       .localCheckpoint(true)
-    // exact integer dot per candidate: one codegen'd sorted-merge pass
-    val dotExpr =
-      graft.functions.BagDot.sorted_bag_dot(col("__ba"), col("__bb"))
+    // Candidates outnumber docs by orders of magnitude (they are pairs),
+    // so the bag side is the small one — but the planner can't see that:
+    // checkpointed-RDD stats inherit the pre-checkpoint ESTIMATE, which
+    // for an explode→agg chain is inflated enough that AQE keeps
+    // sort-merge joins and shuffles every candidate with its ~doc-length
+    // bag attached (measured: 5 GB shuffled, 7× the whole operator's
+    // budget). One cheap agg over the checkpointed frame measures the
+    // true size; under 64 MB the bag side broadcasts and candidates
+    // stream map-side through both probes + the verify predicate without
+    // ever shuffling a bag. Above that bound (≫10⁷ docs) the hint is
+    // skipped — at that scale this exact-oracle operator is the wrong
+    // tool anyway (see Scaladoc: the sketch tiers are the recall path).
+    val bagStats = bags.agg(count(lit(1)), sum(size(col("bag")))).head()
+    val bagBytes = bagStats.getLong(0) * 48L + bagStats.getLong(1) * 32L
+    val bagsJ = if (bagBytes <= (64L << 20)) broadcast(bags) else bags
+    // exact verification in ONE kernel per candidate: the predicate
+    // computes the sorted-merge dot once and decides q²·dot² ≥ p²·na2·nb2
+    // with a double fast-path + BigInteger fallback (BagCos Scaladoc).
+    // The previous composed form (projected dot, decimal cross-multiply
+    // filter) was inlined into the join condition by Catalyst and
+    // evaluated the merge TWICE plus four decimal(38,0) products per
+    // candidate — 8× slower on an adversarial small-vocab corpus where
+    // candidates ≈ all pairs. Survivors (output-sized, tiny) recompute
+    // the dot for the result projection.
     cand
-      .join(bags.select(col("doc").as("id_a"), col("bag").as("__ba"),
+      .join(bagsJ.select(col("doc").as("id_a"), col("bag").as("__ba"),
         col("n2").as("na2")), Seq("id_a"))
-      .join(bags.select(col("doc").as("id_b"), col("bag").as("__bb"),
+      .join(bagsJ.select(col("doc").as("id_b"), col("bag").as("__bb"),
         col("n2").as("nb2")), Seq("id_b"))
-      .withColumn("dot", dotExpr)
-      .filter(lit(q * q).cast(dec) * col("dot").cast(dec) * col("dot").cast(dec)
-        >= lit(p).cast(dec) * lit(p).cast(dec)
-          * col("na2").cast(dec) * col("nb2").cast(dec))
-      .select(col("id_a"), col("id_b"), col("dot"), col("na2"), col("nb2"))
+      .filter(graft.functions.BagCos.packed_bag_cos_ge(
+        col("__ba"), col("__bb"), col("na2"), col("nb2"), p, q))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.BagCos.packed_bag_dot(col("__ba"), col("__bb"))
+          .as("dot"),
+        col("na2"), col("nb2"))
+      // a pair sharing k prefix terms is emitted k times by the salted
+      // join; dedup AFTER verification — distinct-ing the 12M-row
+      // candidate set cost a full exchange + corpus-pair-sized hash
+      // aggregate, while this distinct runs on the qualifying pairs
+      // (output-sized, every column deterministic per pair)
+      .distinct()
   }
 
   /**

@@ -210,17 +210,17 @@ object TextAnalysis {
    * `dedup_spans` (cross-document substring dups).
    *
    * Determinism: ties on count break to the lexicographically smallest
-   * gram via a single `min(struct(-count, gram))` aggregate — map-side
-   * combinable, so the shuffle carries one candidate per (doc, n,
-   * partition), never the gram lists. Verdicts are integer
+   * gram inside the per-row kernel. Verdicts are integer
    * cross-multiplication (`100·gram_chars ≤ cap·total_chars`). Docs
    * shorter than n tokens keep their (doc, n) row with a null gram and
    * zero counts (profile-key joins see nulls, not holes).
    *
-   * Scale shape: one scan → explode n-grams (×Σn per token) → two
-   * map-side-combined aggregates keyed by (doc, n[, gram]). No windows,
-   * no joins, no driver state; exchange cardinality is bounded by
-   * distinct (doc, n, gram) then (doc, n).
+   * Scale shape: a per-DOCUMENT statistic, computed per document — one
+   * scan, one codegen projection calling [[graft.functions.NgramStats]]
+   * once per (doc, n), ZERO exchanges. The previous formulation
+   * (explode every gram → two corpus-wide aggregates) shuffled
+   * O(tokens·|ns|) rows per doc and paid interpreted HOF evaluation per
+   * gram — ~5× slower at sf0.1 and a needless shuffle at any scale.
    */
   def topNgramRepetition(
       df: DataFrame,
@@ -229,41 +229,19 @@ object TextAnalysis {
       ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
     require(ns.nonEmpty && ns.forall(n => TopNgramCapsPct.contains(n)),
       s"ns must be among ${TopNgramCapsPct.keys.toSeq.sorted}")
-    // tokenize ONCE in its own projection before any lambda touches it:
-    // higher-order functions evaluate interpreted, with no common-
-    // subexpression elimination — split() referenced inside the lambda
-    // would re-tokenize the document once per gram (measured 5× on the
-    // whole operator). Same reason `n` rides along as a column through
-    // one explode instead of materializing all gram arrays per row.
     val base = df.select(col(idCol).as("doc_id"),
       length(col(textCol)).cast("long").as("total_chars"),
       split(col(textCol), " ").as("__toks"))
-    val nCol = explode(array(ns.map(n => lit(n)): _*)).as("n")
-    val withN = base.select(col("doc_id"), col("total_chars"),
-      col("__toks"), nCol)
-    val exploded = withN.select(col("doc_id"), col("total_chars"), col("n"),
-      // outer: a doc shorter than n tokens keeps its (doc, n) row
-      explode_outer(
-        when(size(col("__toks")) >= col("n"),
-          transform(
-            sequence(lit(1), size(col("__toks")) - col("n") + lit(1)),
-            i => array_join(slice(col("__toks"), i, col("n")), " ")))
-          .otherwise(array().cast("array<string>"))).as("gram"))
-    val counts = exploded
-      .groupBy("doc_id", "n", "gram")
-      .agg(count(lit(1)).as("cnt"), first(col("total_chars")).as("total_chars"))
-    val top = counts
-      .groupBy("doc_id", "n")
-      .agg(
-        min(when(col("gram").isNotNull,
-          struct((-col("cnt")).as("nc"), col("gram").as("g")))).as("t"),
-        first(col("total_chars")).as("total_chars"))
+    val withN = base.select(col("doc_id"), col("total_chars"), col("__toks"),
+      explode(array(ns.map(n => lit(n)): _*)).as("n"))
     val capPct = ns.map(n => (lit(n), lit(TopNgramCapsPct(n))))
       .foldLeft(lit(null).cast("int")) { case (acc, (n, cap)) =>
         when(col("n") === n, cap).otherwise(acc) }
-    top
-      .withColumn("top_gram", col("t.g"))
-      .withColumn("top_count", coalesce(-col("t.nc"), lit(0L)))
+    withN
+      .withColumn("t",
+        graft.functions.NgramStats.top_ngram_stats(col("__toks"), col("n")))
+      .withColumn("top_gram", col("t.gram"))
+      .withColumn("top_count", coalesce(col("t.cnt"), lit(0L)))
       .withColumn("gram_chars",
         coalesce(col("top_count") * length(col("top_gram")).cast("long"), lit(0L)))
       .withColumn("pass_top_ngram",
@@ -288,13 +266,14 @@ object TextAnalysis {
    * cross-multiplication. Complements [[topNgramRepetition]] (the
    * single-most-frequent-gram family).
    *
-   * Shape: positions and grams explode from ONE materialized token
-   * array (the [[topNgramRepetition]] HOF lesson); duplicated grams
-   * come from a (doc, gram) count, their spans re-explode to covered
-   * token indices, and a distinct + two per-doc aggregates finish. All
-   * exchanges key on (doc[, gram|idx]) — text bodies never shuffle,
-   * cardinality bounded by tokens-per-doc × corpus rows. Docs shorter
-   * than n tokens keep their row with zero coverage.
+   * Shape: a per-DOCUMENT statistic, computed per document — one scan,
+   * one codegen projection calling [[graft.functions.NgramStats]] once
+   * per row (count grams, mark spans of the duplicated ones, union,
+   * tally), ZERO exchanges. The previous formulation exploded positions
+   * AND grams into three corpus-wide aggregates plus two joins — every
+   * one of those exchanges keyed by (doc, …) for state that never
+   * leaves the document. Docs shorter than n tokens keep their row with
+   * zero coverage.
    */
   def dupNgramCoverage(
       df: DataFrame,
@@ -304,42 +283,16 @@ object TextAnalysis {
     require(DupNgramCapsPct.contains(n),
       s"n must be among ${DupNgramCapsPct.keys.toSeq.sorted}")
     val capPct = DupNgramCapsPct(n)
-    val base = df.select(col(idCol).as("doc_id"),
-        split(col(textCol), " ").as("__toks"))
-      .localCheckpoint(true)
-    val pos = base.select(col("doc_id"),
-      posexplode(col("__toks")).as(Seq("i", "tok")))
-    val grams = base.select(col("doc_id"),
-        explode(
-          when(size(col("__toks")) >= n,
-            transform(sequence(lit(0), size(col("__toks")) - lit(n)),
-              i => struct(i.as("gi"),
-                array_join(slice(col("__toks"), i + lit(1), lit(n)), " ")
-                  .as("gram"))))
-            .otherwise(array().cast("array<struct<gi:int,gram:string>>")))
-          .as("g"))
-      .select(col("doc_id"), col("g.gi").as("gi"), col("g.gram").as("gram"))
-    val dupGrams = grams.groupBy("doc_id", "gram")
-      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-      .select("doc_id", "gram")
-    val covered = grams.join(dupGrams, Seq("doc_id", "gram"))
-      .select(col("doc_id"),
-        explode(sequence(col("gi"), col("gi") + lit(n - 1))).as("i"))
-      .distinct()
-    val tokStats = pos.groupBy("doc_id").agg(
-      count(lit(1)).as("n_tokens"),
-      sum(length(col("tok")).cast("long")).as("token_chars"))
-    val covStats = pos.join(covered, Seq("doc_id", "i"))
-      .groupBy("doc_id").agg(
-        count(lit(1)).as("covered_tokens"),
-        sum(length(col("tok")).cast("long")).as("covered_chars"))
-    tokStats.join(covStats, Seq("doc_id"), "left")
-      .select(col("doc_id"), lit(n).as("n"), col("n_tokens"),
-        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
-        coalesce(col("covered_chars"), lit(0L)).as("covered_chars"),
-        col("token_chars"),
-        (lit(100L) * coalesce(col("covered_chars"), lit(0L))
-          <= lit(capPct.toLong) * col("token_chars")).as("pass_dup_ngram"))
+    df.select(col(idCol).as("doc_id"),
+        graft.functions.NgramStats.dup_ngram_stats(
+          split(col(textCol), " "), lit(n)).as("s"))
+      .select(col("doc_id"), lit(n).as("n"),
+        col("s.n_tokens").as("n_tokens"),
+        col("s.covered_tokens").as("covered_tokens"),
+        col("s.covered_chars").as("covered_chars"),
+        col("s.token_chars").as("token_chars"),
+        (lit(100L) * col("s.covered_chars")
+          <= lit(capPct.toLong) * col("s.token_chars")).as("pass_dup_ngram"))
   }
 
   /**
