@@ -64,6 +64,27 @@ object BagCos {
     s
   }
 
+  /** First common element of two ascending long arrays, boxed (null when
+    * disjoint). Referenced from generated code. */
+  def firstCommon(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0
+    while (i < na && j < nb) {
+      val ka = a.getLong(i); val kb = b.getLong(j)
+      if (ka == kb) return java.lang.Long.valueOf(ka)
+      else if (ka < kb) i += 1
+      else j += 1
+    }
+    null
+  }
+
+  /** First common element of two ascending long arrays as a Column
+    * (null when disjoint) — the emit-once guard of the AllPairs
+    * self-join: accept a joined pair only on its first shared prefix
+    * token, so each pair is emitted exactly once. */
+  def first_common_long(a: Column, b: Column): Column =
+    column(FirstCommonLong(toExpr(a), toExpr(b)))
+
   /** Referenced from generated code: q²·dot² ≥ p²·na2·nb2, exactly. */
   def ge(dotV: Long, na2: Long, nb2: Long, p: Long, q: Long): Boolean = {
     val a = q.toDouble * dotV.toDouble
@@ -79,6 +100,37 @@ object BagCos {
       l.multiply(l).compareTo(r) >= 0
     }
   }
+}
+
+case class FirstCommonLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (BagCos.isPackedBag(left.dataType) && BagCos.isPackedBag(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> inputs, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    BagCos.firstCommon(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("fc")
+      s"""
+         |Long $boxed = graft.functions.BagCos.firstCommon($a, $b);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  override def prettyName: String = "first_common_long"
 }
 
 case class PackedBagDot(left: Expression, right: Expression)

@@ -81,12 +81,17 @@ object Dedup {
     }
   }
 
-  /** Lazily persist a (deterministic) signature frame. The guard's stats
-    * job — or the explicit count when the guard is disabled — fills the
-    * cache, so the corpus pass is paid exactly once and, unlike an eager
-    * localCheckpoint, costs no job of its own. */
+  /** Materialize a (deterministic) signature frame once, lineage-free.
+    * localCheckpoint, NOT persist: CacheManager entries live for the
+    * session (each identical per-call plan re-persists the same entry —
+    * the "Asked to cache already cached data" warnings — and the blocks
+    * compete with every later query's memory until shutdown), while
+    * checkpoint blocks are owned by the RDD and freed by the
+    * ContextCleaner as soon as the caller drops the frame. The eager
+    * pass it costs is the same corpus pass the guard's stats job paid
+    * to fill the lazy cache. */
   private def cached(df: DataFrame): DataFrame =
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.localCheckpoint(true)
 
   /** Whitespace tokens, lowercased — tokenization shared by all dup ops. */
   def tokens(textCol: Column): Column = split(lower(textCol), " ")
@@ -560,6 +565,8 @@ object Dedup {
     // carries ≥ t of the norm: q²·(n2 − cumBefore) ≥ p²·n2  (exact).
     // n2 comes from an unbounded frame over the SAME window spec — one
     // exchange + one sort serve both, no separate norms agg/join.
+    // checkpointed: BOTH prefix and bags derive from ranked — without
+    // the barrier each re-runs the dict join + window sort
     val ranked = tf.join(dict, Seq("tok"))
       .withColumn("n2",
         sum(col("tf") * col("tf")).over(
@@ -567,6 +574,7 @@ object Dedup {
       .withColumn("__cumBefore",
         coalesce(sum(col("tf") * col("tf")).over(
           w.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .localCheckpoint(true)
     // the self-join below would otherwise re-evaluate the whole
     // tf→window chain once per side (and `bags` a third time) — these
     // frames are tiny (≈ distinct (doc, tok) prefix rows / one row per
@@ -595,14 +603,28 @@ object Dedup {
     val nSalt =
       if (vocab >= 4L * par) 1
       else math.min(64L, math.max(1L, (4L * par) / vocab)).toInt
-    val probe = prefix
+    // emit-once guard: each prefix row carries its doc's SORTED prefix
+    // token-id array (attached by a window over the doc partitioning the
+    // prefix filter already has — no join), and the self-join accepts a
+    // pair only on the FIRST tid the two prefixes share. A pair sharing
+    // k prefix terms would otherwise be emitted k times (measured ~3.3×
+    // here) and pay the bag probes + verify kernel k times; the guard is
+    // a ~prefix-length primitive merge evaluated inside the join
+    // condition, far cheaper than the duplicate verifications it kills.
+    val wp = org.apache.spark.sql.expressions.Window.partitionBy(col("doc"))
+    val prefixed = prefix
+      .withColumn("pp", sort_array(collect_list(col("tid")).over(
+        wp.rowsBetween(Long.MinValue, Long.MaxValue))))
+    val probe = prefixed
       .withColumn("__s", pmod(xxhash64(col("doc")), lit(nSalt.toLong)))
-    val build = prefix.withColumn("__s",
+    val build = prefixed.withColumn("__s",
       explode(array((0 until nSalt).map(s => lit(s.toLong)): _*)))
     val cand = probe.alias("a")
       .join(build.alias("b"),
         col("a.tid") === col("b.tid") && col("a.__s") === col("b.__s")
-          && col("a.doc") < col("b.doc"))
+          && col("a.doc") < col("b.doc")
+          && col("a.tid") === graft.functions.BagCos.first_common_long(
+            col("a.pp"), col("b.pp")))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
     // one id-sorted bag per doc, PACKED as flat [tid, tf, …] longs
     // (BagCos Scaladoc: the struct layout costs two UnsafeRow view
@@ -650,11 +672,10 @@ object Dedup {
         graft.functions.BagCos.packed_bag_dot(col("__ba"), col("__bb"))
           .as("dot"),
         col("na2"), col("nb2"))
-      // a pair sharing k prefix terms is emitted k times by the salted
-      // join; dedup AFTER verification — distinct-ing the 12M-row
-      // candidate set cost a full exchange + corpus-pair-sized hash
-      // aggregate, while this distinct runs on the qualifying pairs
-      // (output-sized, every column deterministic per pair)
+      // the first-common-tid guard makes emission exactly-once, so this
+      // distinct is a safety net over OUTPUT-sized rows (every column is
+      // deterministic per pair) — never the corpus-pair-sized exchange
+      // that distinct-ing the raw candidate set cost
       .distinct()
   }
 

@@ -406,4 +406,19 @@ class DedupSpec extends SparkSuite {
     assert(r(1L) === ((2L, 1L, 0.5)))
     assert(r(2L) === ((2L, 1L, 0.5)))
   }
+
+  test("BagCos.ge decides near-threshold comparisons exactly (BigInteger path)") {
+    import graft.functions.BagCos
+    // dot² lands one off na2·nb2 at magnitudes where doubles cannot
+    // represent the difference — the 1e-9 tolerance must route these to
+    // the BigInteger fallback, never to a rounded double sign
+    val dot = 3037000499L                 // dot² = 9223372030926249001
+    val sq = dot * dot
+    assert(BagCos.ge(dot, sq, 1L, 1L, 1L), "equality is ≥")
+    assert(!BagCos.ge(dot, sq + 1L, 1L, 1L, 1L), "one over must fail")
+    assert(BagCos.ge(dot, sq - 1L, 1L, 1L, 1L), "one under must pass")
+    // far-from-threshold stays on the double fast path and agrees
+    assert(BagCos.ge(100L, 99L, 99L, 900000L, 1000000L))
+    assert(!BagCos.ge(10L, 1000L, 1000L, 900000L, 1000000L))
+  }
 }
