@@ -239,19 +239,25 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("top n-gram repetition: explode + two combined aggregates, no window, no join") {
+  test("top n-gram repetition: per-doc kernel, zero exchanges, no window, no join") {
     val p = plan("text_top_ngram")
-    assert(p.contains("Generate"), s"gram explode expected:\n$p")
-    assert(!p.contains("Window") && !p.contains("Join"), p)
-    // (doc, n, gram) count + (doc, n) argmin — each partial+final; AQE
-    // may insert shuffle reads but never a third logical exchange
-    assert(countOccurrences(p, "Exchange hashpartitioning") <= 2,
-      s"two shuffles max:\n$p")
-    // min(struct) buffers may fall back to SortAggregate — still
-    // partial+final either way
-    assert(countOccurrences(p, "HashAggregate")
-      + countOccurrences(p, "SortAggregate") >= 4,
-      s"both aggregates must be partial+final (map-side combined):\n$p")
+    // per-DOCUMENT statistic computed per document: one codegen
+    // projection calling the kernel once per (doc, n) — the only
+    // Generate is the 3-element ns explode; nothing shuffles
+    assert(p.contains("top_ngram_stats"),
+      s"per-row kernel must be in the plan:\n$p")
+    assert(!p.contains("Exchange") && !p.contains("Window")
+      && !p.contains("Join") && !p.contains("Aggregate"),
+      s"must be one map-only pass:\n$p")
+  }
+
+  test("duplicate n-gram coverage: per-doc kernel, zero exchanges") {
+    val p = plan("text_dup_ngrams")
+    assert(p.contains("dup_ngram_stats"),
+      s"per-row kernel must be in the plan:\n$p")
+    assert(!p.contains("Exchange") && !p.contains("Window")
+      && !p.contains("Join") && !p.contains("Aggregate"),
+      s"must be one map-only pass:\n$p")
   }
 
   test("paragraph dedup shuffles digests, never paragraph bodies") {
@@ -268,7 +274,15 @@ class PlanSpec extends SparkSuite {
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
     assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text#")),
       s"token/id shuffles only:\n$p")
-    assert(p.contains("sorted_bag_dot"),
+    // verification: ONE kernel predicate per candidate (merge dot +
+    // exact threshold inside the join condition), survivors recompute
+    // the dot for the output projection; emit-once guard in the
+    // candidate self-join condition
+    assert(p.contains("packed_bag_cos_ge"),
+      s"single-eval verify predicate must be in the plan:\n$p")
+    assert(p.contains("packed_bag_dot"),
       s"codegen merge-dot kernel must be in the plan:\n$p")
+    assert(p.contains("first_common_long"),
+      s"emit-once candidate guard must be in the join condition:\n$p")
   }
 }
