@@ -64,18 +64,20 @@ object BagCos {
     s
   }
 
-  /** First common element of two ascending long arrays, boxed (null when
-    * disjoint). Referenced from generated code. */
-  def firstCommon(a: ArrayData, b: ArrayData): java.lang.Long = {
+  /** First common element of two ascending long arrays;
+    * Long.MIN_VALUE when disjoint (allocation-free — a boxed return
+    * would allocate once per joined row, tens of millions per verify
+    * stage). Referenced from generated code. */
+  def firstCommon(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0
     while (i < na && j < nb) {
       val ka = a.getLong(i); val kb = b.getLong(j)
-      if (ka == kb) return java.lang.Long.valueOf(ka)
+      if (ka == kb) return ka
       else if (ka < kb) i += 1
       else j += 1
     }
-    null
+    Long.MinValue
   }
 
   /** First common element of two ascending long arrays as a Column
@@ -115,16 +117,19 @@ case class FirstCommonLong(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    BagCos.firstCommon(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = BagCos.firstCommon(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (v == Long.MinValue) null else v
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val boxed = ctx.freshName("fc")
+      // sentinel, not a boxed Long: dictionary tids are non-negative,
+      // so MIN_VALUE can never be a real first-common value
       s"""
-         |Long $boxed = graft.functions.BagCos.firstCommon($a, $b);
-         |if ($boxed == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = $boxed.longValue(); }
+         |${ev.value} = graft.functions.BagCos.firstCommon($a, $b);
+         |${ev.isNull} = (${ev.value} == Long.MIN_VALUE);
        """.stripMargin
     })
 
