@@ -650,8 +650,13 @@ object Dedup {
     // skipped — at that scale this exact-oracle operator is the wrong
     // tool anyway (see Scaladoc: the sketch tiers are the recall path).
     val bagStats = bags.agg(count(lit(1)), sum(size(col("bag")))).head()
-    val bagBytes = bagStats.getLong(0) * 48L + bagStats.getLong(1) * 32L
-    val bagsJ = if (bagBytes <= (64L << 20)) broadcast(bags) else bags
+    // packed long arrays: 8 B per element + ~row overhead; the hashed
+    // relation roughly doubles that. 256 MB of bags (~10⁶ docs of ~100
+    // distinct terms) is comfortably broadcastable on any executor
+    // sized for shuffle-heavy work; beyond it the candidate side is
+    // astronomically large and this exact tier is the wrong tool.
+    val bagBytes = bagStats.getLong(0) * 32L + bagStats.getLong(1) * 16L
+    val bagsJ = if (bagBytes <= (256L << 20)) broadcast(bags) else bags
     // exact verification in ONE kernel per candidate: the predicate
     // computes the sorted-merge dot once and decides q²·dot² ≥ p²·na2·nb2
     // with a double fast-path + BigInteger fallback (BagCos Scaladoc).
