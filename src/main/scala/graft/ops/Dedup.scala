@@ -42,6 +42,16 @@ object Dedup {
     * 10k caps the worst single-bucket cost at ~5e7 pairs. */
   val DefaultMaxBucketSize = 10000
 
+  /** [[cosineCountPairs]] degenerate-vocabulary bounds: at or under
+    * these, the prefix filter provably cannot prune (every term is a
+    * hub) and the operator evaluates the exact kernel over all ordered
+    * pairs in one broadcast nested-loop pass instead of materializing
+    * an all-pairs candidate set through the salted prefix join. 50k
+    * docs ⇒ ≤2.5e9 combos of ≤2·64-step merges — bounded map-side work;
+    * the broadcast side is ≤ 50k bags of ≤64 terms ≈ 50 MB. */
+  val DenseAllPairsMaxVocab = 64L
+  val DenseAllPairsMaxDocs = 50000L
+
   /**
    * Bucket-skew guard for banded LSH self-joins. `banded` must carry
    * `band` and `bucket` columns (other columns pass through). Buckets with
@@ -518,8 +528,12 @@ object Dedup {
    * with zero token-level shuffles. On an adversarial corpus whose
    * vocabulary is too small to prune (every doc shares every term) the
    * candidate set degenerates toward all-pairs — that is the true
-   * output complexity of *exact* all-pairs similarity, not a plan
-   * artifact; the sketch variants (minhash/simhash/embedding LSH) are
+   * verification complexity of *exact* all-pairs similarity, not a plan
+   * artifact — and the operator detects the degeneracy up front
+   * (vocab ≤ [[DenseAllPairsMaxVocab]], docs ≤ [[DenseAllPairsMaxDocs]])
+   * and switches to a broadcast nested-loop pass that evaluates the
+   * kernel on pairs directly instead of materializing them as join
+   * output. The sketch variants (minhash/simhash/embedding LSH) remain
    * the 100 TB recall path and this operator is their exact oracle.
    *
    * All threshold tests are exact integer arithmetic: the threshold is
@@ -534,7 +548,20 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    cosineCountPairs(df, textCol, idCol, threshold,
+      DenseAllPairsMaxVocab, DenseAllPairsMaxDocs)
+
+  /** Path-forcing variant for tests: `denseMaxVocab = 0` pins the
+    * prefix-join tier regardless of corpus shape, oversized bounds pin
+    * the dense tier — both must produce identical output. */
+  private[graft] def cosineCountPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      denseMaxVocab: Long,
+      denseMaxDocs: Long): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "threshold must be in (0, 1] for prefix filtering")
     // exact rational handle: t = p / 1e6
@@ -558,6 +585,55 @@ object Dedup {
     val dict = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       .withColumn("tid", monotonically_increasing_id())
       .localCheckpoint(true)
+    // Degenerate-vocabulary fast path. The prefix filter's pruning power
+    // comes from rare terms: P(A) must carry ≥ (1−t) of A's squared mass
+    // in globally-RARE terms for the candidate join to stay sparse. When
+    // the whole vocabulary is a handful of terms, every term is a hub,
+    // prefixes collide by construction, and the candidate set provably
+    // degenerates to ≈ all pairs — at which point the salted prefix
+    // self-join + guard + bag probes is a strictly MORE expensive way to
+    // enumerate all pairs than evaluating the kernel on them directly
+    // (measured at sf0.1's 31-word corpus: 8.9 s of candidate-join
+    // machinery ahead of a 0.5 s verify). So: when vocab ≤ 64 and the
+    // corpus is small enough that |docs|² kernel evaluations are feasible
+    // (≤ 50k docs ⇒ ≤ 2.5e9 ordered combos of ~2·|vocab|-step merges),
+    // stream the packed bags through a broadcast nested-loop join whose
+    // condition IS the exact threshold kernel: zero shuffles, zero
+    // candidate materialization, each unordered pair evaluated exactly
+    // once (id_a < id_b short-circuits ahead of the merge). Beyond those
+    // bounds the prefix path below remains the tier of record — on any
+    // REALISTIC vocabulary it is asymptotically superior (the 20k-word
+    // smoke in SURVEY §8), which is why the dense path is gated on the
+    // vocabulary actually being degenerate, never on row count alone.
+    val vocab = math.max(1L, dict.count())
+    if (vocab <= denseMaxVocab && df.count() <= denseMaxDocs) {
+      // no df-ordered window needed: bags only require SOME canonical
+      // per-doc term order for the merge kernel, and tid-ascending is
+      // free — the one window sort the prefix path pays is skipped
+      val bags = tf.join(dict.select(col("tok"), col("tid")), Seq("tok"))
+        .groupBy("doc").agg(
+          sort_array(collect_list(struct(col("tid"), col("tf")))).as("__sb"),
+          sum(col("tf") * col("tf")).as("n2"))
+        .withColumn("bag",
+          flatten(transform(col("__sb"), s => array(s("tid"), s("tf")))))
+        .select(col("doc"), col("bag"), col("n2"))
+        // explicit partition count: AQE coalesces the tiny groupBy
+        // exchange to ONE partition, which would serialize the 2.5e9
+        // combo evaluations onto a single task — the stream side must
+        // carry the parallelism because the nested-loop pass is the
+        // whole cost (measured: 3.9 s single-task vs 0.1 s spread)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .localCheckpoint(true)
+      return bags.alias("a")
+        .join(broadcast(bags.alias("b")),
+          col("a.doc") < col("b.doc")
+            && graft.functions.BagCos.packed_bag_cos_ge(
+              col("a.bag"), col("b.bag"), col("a.n2"), col("b.n2"), p, q))
+        .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+          graft.functions.BagCos.packed_bag_dot(col("a.bag"), col("b.bag"))
+            .as("dot"),
+          col("a.n2").as("na2"), col("b.n2").as("nb2"))
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc")).orderBy(col("df"), col("tok"))
     // cumBefore = squared mass of terms strictly rarer than this rank;
@@ -598,7 +674,6 @@ object Dedup {
     // replicated frame is (doc, tid) pairs on a corpus whose vocabulary
     // is by definition tiny. Large-vocab corpora (the normal case) skip
     // salting entirely — there the replication would be the cost.
-    val vocab = math.max(1L, dict.count())
     val par = df.sparkSession.sparkContext.defaultParallelism.toLong
     val nSalt =
       if (vocab >= 4L * par) 1

@@ -59,7 +59,7 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
-  test("cosine count pairs: prefix-filtered join ≡ brute force, exact integer threshold") {
+  test("cosine count pairs: BOTH tiers ≡ brute force, exact integer threshold") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
       "zeta", "eta", "theta", "iota", "kappa")
@@ -84,10 +84,18 @@ class DedupSpec extends SparkSuite {
         dp = dot(bags(a), bags(b))
         if q * q * dp * dp >= p * p * n2(bags(a)) * n2(bags(b))
       } yield (a, b, dp.toLong, n2(bags(a)).toLong, n2(bags(b)).toLong)).toSet
-      val got = Dedup.cosineCountPairs(d, "text", "doc_id", t).collect()
+      // the 10-word vocabulary selects the dense nested-loop tier by
+      // default; denseMaxVocab = 0 pins the prefix-join tier on the SAME
+      // corpus — both must equal brute force (hence each other) exactly
+      val dense = Dedup.cosineCountPairs(d, "text", "doc_id", t).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
         .toSet
-      assert(got === expected, s"threshold $t")
+      val prefixTier = Dedup.cosineCountPairs(d, "text", "doc_id", t, 0L, 0L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(dense === expected, s"dense tier, threshold $t")
+      assert(prefixTier === expected, s"prefix tier, threshold $t")
       assert(expected.nonEmpty, s"degenerate spec corpus at threshold $t")
     }
   }

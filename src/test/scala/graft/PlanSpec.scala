@@ -268,9 +268,34 @@ class PlanSpec extends SparkSuite {
       s"digest/doc shuffles only:\n$p")
   }
 
-  test("all-pairs cosine: candidate joins key on token/ids, text never shuffles") {
+  test("all-pairs cosine, degenerate vocab: dense nested-loop tier, kernel in the join condition") {
+    // the gate corpus has a 31-word vocabulary → the operator must
+    // detect the degeneracy and take the broadcast nested-loop tier:
+    // pairs are evaluated in-stream by the exact kernel, never
+    // materialized as candidate join output
     val p = plan("dedup_cosine_pairs")
-    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"degenerate vocab must select the dense tier:\n$p")
+    assert(p.contains("packed_bag_cos_ge"),
+      s"exact threshold kernel must be the join condition:\n$p")
+    assert(p.contains("packed_bag_dot"),
+      s"codegen merge-dot kernel must be in the output projection:\n$p")
+    // no candidate-set machinery on this tier
+    assert(!p.contains("first_common_long") && !p.contains("Window"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(!_.contains("text#")),
+      s"bag/id shuffles only, never text:\n$p")
+  }
+
+  test("all-pairs cosine, prefix tier: candidate joins key on token/ids, text never shuffles") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val p = withLogLevel {
+      graft.ops.Dedup.cosineCountPairs(docs, "text", "doc_id", 0.9, 0L, 0L)
+        .queryExecution.executedPlan.toString
+    }
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
     assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text#")),
       s"token/id shuffles only:\n$p")
