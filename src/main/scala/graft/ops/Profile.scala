@@ -104,7 +104,15 @@ object Profile {
    * straight off that table. Bounded-domain columns (money cents,
    * counts, enum codes) keep the table small at any corpus size; for
    * unbounded high-cardinality doubles at 100 TB use `exact = false`
-   * (Greenwald-Khanna sketch, no value table).
+   * (seeded uniform sample feeding a Greenwald-Khanna sketch — no value
+   * table, per-row cost one RNG compare).
+   *
+   * Sketch-tier error: the sample term dominates — a uniform sample of
+   * m rows puts a sample quantile within ±z·√(q(1−q)/m) of the true
+   * RANK (m = 65536 ⇒ ±0.5% at the median at 99% confidence); the GK
+   * summary over the sample adds ≤ 1/accuracy of m on top. Seeded, so
+   * deterministic for a fixed partition layout — a profiling contract,
+   * not a reproducibility one (the exact tier is the latter).
    */
   def quantileProfile(
       df: DataFrame,
@@ -112,7 +120,8 @@ object Profile {
       qs: Seq[Double] = Seq(0.25, 0.5, 0.75),
       scale: Long = 1L,
       exact: Boolean = true,
-      accuracy: Int = 1000): DataFrame = {
+      accuracy: Int = 1000,
+      sampleRows: Long = 65536L): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       "quantiles must be in [0, 1]")
@@ -234,17 +243,28 @@ object Profile {
       (out ++ stubs).toDF("column", "q", "v")
     } else {
       val qArr = qs.mkString("array(", ", ", ")")
+      // Sample-then-sketch: a GK summary over EVERY row costs ~|cols|
+      // buffer inserts per row — measured ~2× the exact tier's two
+      // cheap bucket-count passes at any scale, which inverted the
+      // sketch tier's reason to exist. A seeded uniform sample drops
+      // the per-row cost to one XORShift compare; the GK inserts run
+      // on the ~sampleRows survivors and the end-to-end rank error is
+      // the sampling term (Scaladoc). The row count that sizes the
+      // fraction is a columnless scan — parquet answers it from
+      // row-group metadata, and at 100 TB a profiler caller has it
+      // anyway (numericProfile's n, or the catalog).
+      val n = df.count()
+      val frac = if (n <= sampleRows) 1.0 else sampleRows.toDouble / n
+      val sampled = if (frac >= 1.0) df else df.sample(frac, seed = 42L)
       // percentile_approx is a TypedImperativeAggregate: its child is
       // evaluated INTERPRETED per row, so the round/multiply must be
       // pre-projected in a codegen'd select and the aggregate fed a bare
       // column reference (same trap as HistAgg above — feeding the
       // expression directly costs an interpreted eval per row per column).
       // accuracy bounds the GK summary's state and compress cost: rank
-      // error ≤ 1/accuracy of n — 1000 puts a quartile within ±0.1% of
-      // its true rank, plenty for a sketch tier whose reason to exist is
-      // bounded state on unbounded domains. (Spark's default 10000 costs
-      // ~20% more per row for precision a profiling sketch doesn't need.)
-      val scaledDF = df.select(cols.map(c =>
+      // error ≤ 1/accuracy of the SAMPLE — subordinate to the sampling
+      // term, so the knob only matters when frac = 1.
+      val scaledDF = sampled.select(cols.map(c =>
         round(col(c) * scale).cast("long").as(c)): _*)
       val aggs = cols.map { c =>
         expr(s"percentile_approx(`$c`, $qArr, $accuracy)").as(s"p__$c")

@@ -66,11 +66,27 @@ class ProfileCohortsSpec extends SparkSuite {
       .map(x => x.getDouble(1) -> x.getDouble(2)).toMap
     val qap = Profile.quantileProfile(df, Seq("a"), exact = false).collect()
       .map(x => x.getDouble(1) -> x.getDouble(2)).toMap
-    // percentile_approx default accuracy 10000 → rank error ≤ n/10000;
+    // corpus smaller than sampleRows ⇒ frac = 1, the GK summary sees
+    // every row and its rank error (≤ 1/accuracy) is the only term;
     // pin 2% relative on this distribution
     qex.foreach { case (q, v) =>
       assert(math.abs(qap(q) - v) / math.max(v, 1.0) < 0.02,
         s"q=$q approx ${qap(q)} vs exact $v")
+    }
+  }
+
+  test("quantile sketch tier samples above sampleRows; rank error within the sampling bound") {
+    // 100k uniform values, sampleRows = 8192 ⇒ frac ≈ 0.08 and the
+    // sampling term dominates: ±z·√(q(1−q)/m) ≈ ±1.4% rank at the
+    // median at 99% confidence. Seeded sample ⇒ deterministic here;
+    // the 3% pin leaves headroom over the CI, not over determinism.
+    val df = withLogLevel(spark.range(0L, 100000L).toDF("v"))
+    val got = Profile.quantileProfile(df, Seq("v"), exact = false,
+        sampleRows = 8192L).collect()
+      .map(x => x.getDouble(1) -> x.getDouble(2)).toMap
+    for ((q, want) <- Seq(0.25 -> 25000.0, 0.5 -> 50000.0, 0.75 -> 75000.0)) {
+      assert(math.abs(got(q) - want) / 100000.0 < 0.03,
+        s"q=$q sampled ${got(q)} vs true $want")
     }
   }
 
