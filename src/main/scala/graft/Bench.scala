@@ -94,7 +94,8 @@ object Bench {
       "profile_quantiles", "profile_quantiles_approx",
       "profile_histogram", "events_pivot",
       "events_gapfill", "profile_topvalues", "profile_corr",
-      "split_weighted", "join_fuzzy", "events_sessions", "events_zscore",
+      "split_weighted", "split_token_budget",
+      "join_fuzzy", "events_sessions", "events_zscore",
       "graph_pagerank", "emb_kmeans", "emb_random_projection",
       "q_maxsim_topk", "layout_zorder", "text_bpe_merges",
       "dedup_cross_corpus", "events_moving_avg", "events_trending",

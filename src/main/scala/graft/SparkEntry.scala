@@ -596,6 +596,16 @@ object SparkEntry {
       graft.ops.Splits.capPerGroup(t(s, dir, "documents"), "doc_id", "lang", 50)
         .select(col("doc_id"), col("lang"))),
 
+    // ---- pretraining mix: per-language TOKEN budgets, md5-prioritized
+    // take-while (two-pass bucket selection — no full-group window
+    // sort; fr/es absent from the budget map ⇒ dropped by contract) ----
+    "split_token_budget" -> ((s, dir) =>
+      graft.ops.Splits.tokenBudgetTake(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "lang", "n_tokens",
+        Map("en" -> 8000L, "de" -> 2000L, "zh" -> 3000L))),
+
     // ---- corpus vocabulary: top-100 tokens by frequency (tokenizer-
     // training / frequency-filter feed; bounded top-k, no full sort) ----
     "text_vocab" -> ((s, dir) =>
@@ -1769,6 +1779,23 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |QUALIFY row_number() OVER (PARTITION BY lang
         |  ORDER BY substr(md5(doc_id::VARCHAR), 1, 15), doc_id) <= 50""".stripMargin,
+
+    "split_token_budget" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |         len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |         md5(doc_id::VARCHAR) AS h
+        |  FROM documents
+        |  WHERE lang IN ('en', 'de', 'zh')
+        |), c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM w
+        |)
+        |SELECT doc_id, lang, n_tokens FROM c
+        |WHERE cum <= CASE lang WHEN 'en' THEN 8000
+        |                       WHEN 'de' THEN 2000 ELSE 3000 END""".stripMargin,
 
     "text_vocab" ->
       """SELECT tok AS token, count(*) AS freq

@@ -211,4 +211,95 @@ object Splits {
         splitColumn(coalesce(col("component"), col(idCol)), fractions))
       .drop("component")
   }
+
+  /**
+   * Token-budget corpus mix: for each group (language, source, domain),
+   * keep the md5-prioritized prefix of its documents whose cumulative
+   * `weightCol` stays within the group's budget — the standard
+   * pretraining-mix primitive ("60 B tokens of web, 10 B of code, 3 B
+   * of wiki"). The kept set is a pure function of the data: documents
+   * are ordered by (md5(id), id) within their group and a document is
+   * kept iff its INCLUSIVE cumulative weight ≤ budget (weights are
+   * non-negative, so the cumulative sum is monotone and "first prefix
+   * under budget" ≡ this filter). Groups absent from `budgets` are
+   * dropped — the mix is an explicit contract, not a passthrough.
+   *
+   * Scale shape: the obvious formulation — a window cumsum over every
+   * group — sorts each ENTIRE group on one task (partitionBy(group)
+   * sends 60 TB of web docs to one reducer). This instead does two-pass
+   * bucket SELECTION, the same shape as the exact-quantile profiler:
+   * pass 1 aggregates weight sums per (group, first-2-hex-digits-of-md5
+   * bucket) — ≤ groups×256 rows to the driver — and a driver walk of
+   * each group's buckets in hex order finds the single CUTOFF bucket
+   * where the cumulative crosses the budget (buckets before it are
+   * kept whole, after it dropped whole). Pass 2 window-sorts ONLY the
+   * cutoff buckets — ~1/256 of each group — against the budget
+   * remainder. Both passes shuffle (group, bucket, id, weight) tuples,
+   * never text; the window's partition carries ~group/256 rows.
+   *
+   * Returns (idCol, groupCol, weightCol) of the kept documents; callers
+   * semi-join on idCol for full rows.
+   */
+  def tokenBudgetTake(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      weightCol: String,
+      budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    require(df.schema(groupCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"$groupCol must be string-typed (budget keys are strings)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val proj = df
+      .filter(col(groupCol).isin(budgets.keys.toSeq.map(x => x: Any): _*))
+      .select(col(groupCol).as("__g"), col(idCol),
+        col(weightCol).cast("long").as("__w"),
+        md5(col(idCol).cast("string")).as("__h"))
+      .withColumn("__b", substring(col("__h"), 1, 2))
+    // pass 1: per-(group, bucket) weight totals — bounded at groups×256
+    val totals = proj.groupBy("__g", "__b").agg(sum("__w").as("__s"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    // driver walk in hex-bucket order: whole-kept buckets, ONE cutoff
+    // bucket per group carrying the budget remainder, rest dropped
+    val keepWhole = Seq.newBuilder[(String, String)]
+    val cutoffs = Seq.newBuilder[(String, String, Long)]
+    totals.foreach { case (g, rows) =>
+      val budget = budgets(g)
+      var acc = 0L
+      var cut = false
+      rows.sortBy(_._2).foreach { case (_, b, s) =>
+        if (!cut) {
+          if (acc + s <= budget) { keepWhole += ((g, b)); acc += s }
+          else { cutoffs += ((g, b, budget - acc)); cut = true }
+        }
+      }
+    }
+    val wholeRows = {
+      val kw = keepWhole.result()
+      if (kw.isEmpty) proj.limit(0).select(col("__g"), col(idCol), col("__w"))
+      else proj.join(broadcast(kw.toDF("__g", "__b")), Seq("__g", "__b"))
+        .select(col("__g"), col(idCol), col("__w"))
+    }
+    val cutoffRows = {
+      val cf = cutoffs.result()
+      if (cf.isEmpty) proj.limit(0).select(col("__g"), col(idCol), col("__w"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__g"), col("__b"))
+          .orderBy(col("__h"), col(idCol))
+        proj.join(broadcast(cf.toDF("__g", "__b", "__r")), Seq("__g", "__b"))
+          .withColumn("__cum", sum(col("__w")).over(
+            w.rowsBetween(Long.MinValue, 0)))
+          .filter(col("__cum") <= col("__r"))
+          .select(col("__g"), col(idCol), col("__w"))
+      }
+    }
+    wholeRows.union(cutoffRows)
+      .select(col(idCol), col("__g").as(groupCol), col("__w").as(weightCol))
+  }
 }

@@ -184,4 +184,54 @@ class SplitsSpec extends SparkSuite {
     // all five rows assigned, no rows lost or duplicated
     assert(assigned.count() === 5L)
   }
+
+  test("tokenBudgetTake ≡ brute-force md5-ordered take-while, per group") {
+    val rnd = new scala.util.Random(11)
+    val groups = Vector("en", "de", "zh", "fr")
+    val rows = (1L to 400L).map(i =>
+      (i, groups(rnd.nextInt(groups.size)), 1L + rnd.nextInt(50)))
+    val df = withLogLevel(rows.toDF("id", "g", "w"))
+    val budgets = Map("en" -> 900L, "de" -> 300L, "zh" -> 0L)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    val expected = rows.filter(r => budgets.contains(r._2))
+      .groupBy(_._2).flatMap { case (g, rs) =>
+        var acc = 0L
+        rs.sortBy(r => (md5hex(r._1.toString), r._1)).takeWhile { r =>
+          acc += r._3; acc <= budgets(g)
+        }
+      }.map(r => (r._1, r._2, r._3)).toSet
+    val got = Splits.tokenBudgetTake(df, "id", "g", "w", budgets).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === expected)
+    // fr absent from the budget map ⇒ dropped entirely
+    assert(!got.exists(_._2 == "fr"))
+    // zh budget 0 ⇒ nothing kept
+    assert(!got.exists(_._2 == "zh"))
+    // a budget covering the whole group keeps every row
+    val all = Splits.tokenBudgetTake(df, "id", "g", "w",
+        Map("en" -> Long.MaxValue)).collect()
+    assert(all.length === rows.count(_._2 == "en"))
+    // determinism under repartitioning
+    val re = Splits.tokenBudgetTake(df.repartition(7), "id", "g", "w", budgets)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(re === got)
+  }
+
+  test("tokenBudgetTake shuffles id/weight tuples, never text; window only on cutoff buckets") {
+    val rows = (1L to 300L).map(i => (i, "en", 3L, s"body of document $i"))
+    val df = withLogLevel(rows.toDF("id", "g", "w", "text"))
+    val taken = Splits.tokenBudgetTake(
+      df.select($"id", $"g", $"w"), "id", "g", "w", Map("en" -> 100L))
+    val p = taken.queryExecution.executedPlan.toString
+    // both passes broadcast the driver's bucket verdicts back — the
+    // corpus side never sort-merge-joins, and the one window runs over
+    // the cutoff-bucket slice, partitioned by (group, bucket)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val wins = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(wins.nonEmpty && wins.forall(_.contains("__b")),
+      s"window must partition by (group, bucket):\n$p")
+  }
 }
