@@ -100,7 +100,7 @@ object Bench {
       "q_maxsim_topk", "layout_zorder", "text_bpe_merges",
       "dedup_cross_corpus", "events_moving_avg", "events_trending",
       "text_group_keywords", "snapshot_diff",
-      "dedup_cosine_pairs", "text_gopher_rules", "text_c4_rules",
+      "dedup_cosine_pairs", "dedup_semantic", "text_gopher_rules", "text_c4_rules",
       "text_top_ngram", "dedup_paragraphs", "text_datasheet", "text_dup_ngrams",
       "q_partition_pruned")
     // Ambient-load control: a FIXED Spark job (range-sum over 2e9 longs,

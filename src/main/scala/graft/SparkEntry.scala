@@ -441,6 +441,15 @@ object SparkEntry {
         threshold = 0.8, dim = 64)
     }),
 
+    // ---- dedup: SemDeDup semantic dedup (Abbas et al. 2023) — the
+    // emb_kmeans fit (4 cells, 2 Lloyd rounds) buckets the space, then
+    // within-cell exact-integer cosine >= 2/5 marks any doc with a
+    // tau-similar LOWER-id cell-mate as a duplicate. Clustering is the
+    // candidate prune; the keep set is a pure function of the data ----
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDedup(t(s, dir, "embeddings"), "embedding", "vec_id",
+        k = 4, iterations = 2, thresholdP = 2, thresholdQ = 5)),
+
     // ---- text analysis: token counting (whitespace + BPE-ish regex) ----
     "text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1472,6 +1481,52 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin,
+
+    // Full SemDeDup replay: the emb_kmeans Lloyd CTEs produce the final
+    // assignment a3, then within-cell pairs are decided by the exact
+    // integer test dot > 0 AND q^2*dot^2 >= p^2*na2*nb2 in HUGEINT
+    // (q=5, p=2 - the same sign-aware comparison the dense_cos_ge
+    // kernel makes; no doubles anywhere in the hashed projection).
+    "dedup_semantic" ->
+      """WITH x AS (
+        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |         round(unnest(embedding::DOUBLE[]) * 10000000)::BIGINT AS e7
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id::BIGINT AS cell, pos, e7 AS c FROM x WHERE vec_id < 4),
+        |d1 AS (SELECT x.vec_id, c.cell,
+        |         sum((x.e7 - c.c) * (x.e7 - c.c))::BIGINT AS dist
+        |       FROM x JOIN c0 c USING (pos) GROUP BY x.vec_id, c.cell),
+        |a1 AS (SELECT vec_id, cell FROM d1
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+        |c1 AS (SELECT a.cell, x.pos, (sum(x.e7)::BIGINT // count(*)) AS c
+        |       FROM x JOIN a1 a USING (vec_id) GROUP BY a.cell, x.pos),
+        |d2 AS (SELECT x.vec_id, c.cell,
+        |         sum((x.e7 - c.c) * (x.e7 - c.c))::BIGINT AS dist
+        |       FROM x JOIN c1 c USING (pos) GROUP BY x.vec_id, c.cell),
+        |a2 AS (SELECT vec_id, cell FROM d2
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+        |c2 AS (SELECT a.cell, x.pos, (sum(x.e7)::BIGINT // count(*)) AS c
+        |       FROM x JOIN a2 a USING (vec_id) GROUP BY a.cell, x.pos),
+        |d3 AS (SELECT x.vec_id, c.cell,
+        |         sum((x.e7 - c.c) * (x.e7 - c.c))::BIGINT AS dist
+        |       FROM x JOIN c2 c USING (pos) GROUP BY x.vec_id, c.cell),
+        |a3 AS (SELECT vec_id, cell FROM d3
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+        |n2 AS (SELECT vec_id, sum(e7 * e7)::BIGINT AS n2 FROM x GROUP BY vec_id),
+        |pd AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |         sum(xa.e7 * xb.e7)::BIGINT AS dot
+        |       FROM a3 a JOIN a3 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |       JOIN x xa ON xa.vec_id = a.vec_id
+        |       JOIN x xb ON xb.vec_id = b.vec_id AND xb.pos = xa.pos
+        |       GROUP BY 1, 2),
+        |dup AS (SELECT DISTINCT pd.ib AS vec_id
+        |        FROM pd
+        |        JOIN n2 na ON na.vec_id = pd.ia
+        |        JOIN n2 nb ON nb.vec_id = pd.ib
+        |        WHERE pd.dot > 0
+        |          AND 25::HUGEINT * pd.dot * pd.dot >= 4::HUGEINT * na.n2 * nb.n2)
+        |SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
+        |FROM a3 a LEFT JOIN dup d USING (vec_id)""".stripMargin,
 
     "dedup_contamination" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),

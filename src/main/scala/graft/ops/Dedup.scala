@@ -1122,4 +1122,64 @@ object Dedup {
       .filter(col("cos") >= lit(threshold))
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
+
+  /**
+   * SemDeDup semantic dedup (Abbas et al. 2023, arXiv:2303.09540),
+   * deterministic variant: k-means-bucket the embedding space
+   * ([[KMeans]] — integer-exact Lloyd, SQL-replayable), then inside
+   * each cell mark a document as a duplicate when ANY lower-id
+   * cell-mate is τ-cosine-similar, `cos ≥ p/q` decided exactly by the
+   * sign-aware integer kernel ([[graft.functions.DenseVec]] — no
+   * double ever decides membership). Pairwise-to-any-earlier, not
+   * transitive closure: the kept set is a pure function of the data,
+   * independent of partitioning and visit order.
+   *
+   * Returns (idCol, cell, keep) for every input row.
+   *
+   * Scale shape: the clustering IS the candidate prune — pairs exist
+   * only within a cell (expected candidate volume n²/2k vs the exact
+   * tier's n²/2), and the only exchanges are the k-means fit (map-side
+   * combined k×dim aggregate per round) plus ONE shuffle of
+   * (id, cell, e7, n2) rows for the pair join. When k is below 4× the
+   * cluster parallelism the cell key alone would cap the join at k
+   * tasks (the dense-cosine-tier lesson), so the build side replicates
+   * over ceil(4·par/k) salt lanes and each probe row lands on the lane
+   * hashed from its id — every unordered pair still meets exactly
+   * once, because the probe's lane is a function of its own id. At
+   * SemDeDup's published operating point (k ≈ √n or larger) the salt
+   * collapses to one lane and this is a plain per-cell hash join.
+   */
+  def semanticDedup(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      iterations: Int,
+      thresholdP: Long,
+      thresholdQ: Long,
+      scale: Long = 10000000L,
+      saltOverride: Int = 0): DataFrame = {
+    require(thresholdP > 0 && thresholdQ > 0, "threshold p/q must be positive")
+    val model = KMeans.fit(df, vecCol, idCol, k, iterations, scale)
+    val e = cached(KMeans.assignScaled(df, vecCol, idCol, model))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val salts =
+      if (saltOverride > 0) saltOverride
+      else math.max(1, math.min(64, (4 * par + k - 1) / k))
+    val a = e.select(col(idCol).as("__ida"), col("cell").as("__cella"),
+        col("e7").as("__ea"), col("n2").as("__na2"))
+      .withColumn("__salta", explode(array((0 until salts).map(lit): _*)))
+    val b = e.select(col(idCol).as("__idb"), col("cell").as("__cellb"),
+        col("e7").as("__eb"), col("n2").as("__nb2"),
+        pmod(xxhash64(col(idCol)), lit(salts)).cast("int").as("__saltb"))
+    val dups = a.join(b,
+        col("__cella") === col("__cellb") && col("__salta") === col("__saltb") &&
+        col("__ida") < col("__idb") &&
+        graft.functions.DenseVec.dense_cos_ge(col("__ea"), col("__eb"),
+          col("__na2"), col("__nb2"), thresholdP, thresholdQ))
+      .select(col("__idb").as(idCol)).distinct()
+    e.select(col(idCol), col("cell"))
+      .join(dups.withColumn("__dup", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("__dup").isNull.as("keep"))
+  }
 }

@@ -59,7 +59,7 @@ object KMeans {
     try {
       for (_ <- 1 to iterations) {
         val sums = assignCells(cachedVecs, vecCol, centroids, scale,
-            scaledLongs(col(vecCol), scale).as("e7"))
+            Seq(scaledLongs(col(vecCol), scale).as("e7")))
           .groupBy("cell")
           .agg(vector_sum_long(col("e7")).as("s"), count(lit(1)).as("n"))
           .collect()
@@ -80,8 +80,19 @@ object KMeans {
   /** Assignment column: argmin cell id for each row of `df`. */
   def assign(df: DataFrame, vecCol: String, idCol: String,
       model: Model): DataFrame =
-    assignCells(df, vecCol, model.centroids, model.scale, col(idCol))
+    assignCells(df, vecCol, model.centroids, model.scale, Seq(col(idCol)))
       .select(col(idCol), col("cell"))
+
+  /** Assignment keeping the scaled vector and its exact squared norm:
+    * (idCol, cell, e7, n2) — the input shape of within-cell pair
+    * operators ([[Dedup.semanticDedup]]) that need exact integer dots
+    * without joining the vectors back. One scan, no extra exchange. */
+  def assignScaled(df: DataFrame, vecCol: String, idCol: String,
+      model: Model): DataFrame =
+    assignCells(df, vecCol, model.centroids, model.scale,
+      Seq(col(idCol), scaledLongs(col(vecCol), model.scale).as("e7")))
+      .select(col(idCol), col("cell"), col("e7"),
+        graft.functions.DenseVec.dense_dot(col("e7"), col("e7")).as("n2"))
 
   /** fit + assign in one call (the gate shape). */
   def fitAssign(df: DataFrame, vecCol: String, idCol: String, k: Int,
@@ -103,12 +114,12 @@ object KMeans {
       vecCol: String,
       centroids: Array[Array[Long]],
       scale: Long,
-      carry: org.apache.spark.sql.Column): DataFrame = {
+      carry: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val c2 = centroids.map(_.map(c => c * c).sum)
     df.filter(col(vecCol).isNotNull)
-      .select(carry,
+      .select(carry :+
         graft.functions.IntKernels.scaled_matmul(col(vecCol), centroids, scale)
-          .as("__y"))
+          .as("__y"): _*)
       .select(col("*"),
         zip_with(typedlit(c2.toSeq), col("__y"), (a, y) => a - y * 2L).as("__d"))
       .select(col("*"),

@@ -429,4 +429,64 @@ class DedupSpec extends SparkSuite {
     assert(BagCos.ge(100L, 99L, 99L, 900000L, 1000000L))
     assert(!BagCos.ge(10L, 1000L, 1000L, 900000L, 1000000L))
   }
+
+  test("DenseVec.geSigned rejects negative dots the magnitude test would pass") {
+    import graft.functions.DenseVec
+    // |cos| = 1 but cos = -1: the unsigned magnitude test says ≥, the
+    // sign guard must say no (bag kernels never see this — tf ≥ 0)
+    assert(!DenseVec.geSigned(-10000L, 10000L, 10000L, 1L, 2L))
+    assert(DenseVec.geSigned(10000L, 10000L, 10000L, 1L, 2L))
+    assert(!DenseVec.geSigned(0L, 0L, 0L, 1L, 2L), "zero vectors never match")
+  }
+
+  test("semanticDedup ≡ within-cell brute force on random vectors") {
+    val rnd = new scala.util.Random(11)
+    def unit(): Array[Float] =
+      graft.functions.VectorFunctions.normalize(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val base = (0 until 80).map(i => (i.toLong, unit()))
+    // planted near-dups of the first 12 (higher ids ⇒ they get dropped)
+    val dups = (0 until 12).map { i =>
+      val v = base(i)._2.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f)
+      (200L + i, graft.functions.VectorFunctions.normalize(v))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val (p, q) = (19L, 20L) // cos ≥ 0.95
+    val got = Dedup.semanticDedup(df, "embedding", "vec_id",
+        k = 3, iterations = 2, thresholdP = p, thresholdQ = q)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+
+    // brute force against the same integer contract: e7 scaling, cells
+    // from the library fit, signed exact BigInt threshold
+    val model = graft.ops.KMeans.fit(df, "embedding", "vec_id", 3, 2)
+    val all = (base ++ dups).map { case (id, v) =>
+      (id, v.map(x => math.round(x.toDouble * 1e7)))
+    }
+    val cellOf = graft.ops.KMeans.assign(df, "embedding", "vec_id", model)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dot(a: Array[Long], b: Array[Long]): BigInt =
+      a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+    val expected = all.map { case (id, e) =>
+      val dup = all.exists { case (id2, e2) =>
+        id2 < id && cellOf(id2) == cellOf(id) && {
+          val d = dot(e, e2)
+          d > 0 && q * q * d * d >= p * p * dot(e, e) * dot(e2, e2)
+        }
+      }
+      id -> ((cellOf(id), !dup))
+    }.toMap
+    assert(got === expected)
+    assert(got.count(!_._2._2) >= 10, "planted dups must be dropped")
+  }
+
+  test("semanticDedup is salt-invariant (each pair meets exactly once)") {
+    val rnd = new scala.util.Random(23)
+    def unit(): Array[Float] =
+      graft.functions.VectorFunctions.normalize(Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    val df = (0 until 50).map(i => (i.toLong, unit())).toDF("vec_id", "embedding")
+    def run(salts: Int) = Dedup.semanticDedup(df, "embedding", "vec_id",
+        k = 2, iterations = 1, thresholdP = 1, thresholdQ = 2,
+        saltOverride = salts)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(run(1) === run(7))
+  }
 }

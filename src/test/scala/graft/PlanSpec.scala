@@ -93,6 +93,15 @@ class PlanSpec extends SparkSuite {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("semantic dedup: salted per-cell equi-join, exact kernel in the condition") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"within-cell pairs must come from a (cell, salt) equi-join:\n$p")
+    assert(p.contains("dense_cos_ge"),
+      s"the threshold decision must be the kernel predicate in the join:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
   test("split assignment is map-only — no shuffle, no sampling pass") {
     val p = plan("split_assign")
     assert(!p.contains("Exchange"), s"splits must be a pure projection:\n$p")
