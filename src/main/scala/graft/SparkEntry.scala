@@ -520,6 +520,15 @@ object SparkEntry {
       graft.ops.KMeans.fitAssign(
         t(s, dir, "embeddings"), "embedding", "vec_id", 4, 2)),
 
+    // ---- embeddings: exact covariance moments — ONE 128-bit Gram
+    // aggregate over the augmented vector (1, e7) carries n, all first
+    // moments, and all second moments in a count-class exchange; every
+    // value is an exact integer gated as a decimal-string (the
+    // profile_corr convention for >64-bit magnitudes) ----
+    "emb_covariance" -> ((s, dir) =>
+      graft.ops.Pca.gramMoments(t(s, dir, "embeddings"), "embedding", dim = 64)
+        .select(col("i"), col("j"), col("s").cast("string").as("s"))),
+
     // ---- embeddings: JL ±1 random projection 64→16. Signs are md5-hex
     // parity (no sampled state — the oracle recomputes them in SQL),
     // projections are exact integer sums, the whole op is map-only ----
@@ -2627,6 +2636,22 @@ object SparkEntry {
         |a3 AS (SELECT vec_id, cell FROM d3
         |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1)
         |SELECT vec_id, cell FROM a3""".stripMargin,
+
+    // Augmented-Gram replay: index 0 is the constant 1, index p >= 1 is
+    // e7_{p-1}; HUGEINT products and sums, rendered as VARCHAR to match
+    // the Spark side's decimal(38,0)->string (conversion-proof, the
+    // profile_corr convention).
+    "emb_covariance" ->
+      """WITH x AS (
+        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) + 1 AS pos,
+        |         round(unnest(embedding::DOUBLE[]) * 10000000)::BIGINT AS e7
+        |  FROM embeddings),
+        |aug AS (SELECT vec_id, pos, e7 FROM x
+        |        UNION ALL SELECT DISTINCT vec_id, 0 AS pos, 1::BIGINT FROM x)
+        |SELECT a.pos::BIGINT AS i, b.pos::BIGINT AS j,
+        |       sum(a.e7::HUGEINT * b.e7::HUGEINT)::VARCHAR AS s
+        |FROM aug a JOIN aug b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+        |GROUP BY 1, 2""".stripMargin,
 
     // Sign matrix recomputed in SQL from the shared md5-parity rule;
     // the projection sum is exact integer arithmetic.

@@ -93,6 +93,18 @@ class PlanSpec extends SparkSuite {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("covariance moments: ONE partial+final aggregate, no explode-join") {
+    val p = plan("emb_covariance")
+    assert(p.contains("gram_outer_sum128"), p)
+    // partial (map-side) + final ObjectHashAggregate — the only exchange
+    // carries the fixed gram buffer, never exploded (pos, value) rows
+    assert(countOccurrences(p, "ObjectHashAggregate") >= 2, p)
+    // the ONLY exchange is the aggregate's buffer merge (count-class
+    // volume); the row explode happens after it, on t = m(m+1)/2 rows
+    assert(countOccurrences(p, "Exchange") === 1, p)
+    assert(!p.contains("Join"), s"no join in the moments pass:\n$p")
+  }
+
   test("semantic dedup: salted per-cell equi-join, exact kernel in the condition") {
     val p = plan("dedup_semantic")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
