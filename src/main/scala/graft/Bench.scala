@@ -96,7 +96,8 @@ object Bench {
       "events_gapfill", "profile_topvalues", "profile_corr",
       "split_weighted", "split_token_budget",
       "join_fuzzy", "events_sessions", "events_zscore",
-      "graph_pagerank", "emb_kmeans", "emb_covariance", "emb_random_projection",
+      "graph_pagerank", "emb_kmeans", "emb_covariance", "emb_coreset",
+      "emb_random_projection",
       "q_maxsim_topk", "layout_zorder", "text_bpe_merges",
       "dedup_cross_corpus", "events_moving_avg", "events_trending",
       "text_group_keywords", "snapshot_diff",

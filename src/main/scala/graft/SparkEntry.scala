@@ -529,6 +529,17 @@ object SparkEntry {
       graft.ops.Pca.gramMoments(t(s, dir, "embeddings"), "embedding", dim = 64)
         .select(col("i"), col("j"), col("s").cast("string").as("s"))),
 
+    // ---- embeddings: k-center greedy coreset selection (farthest-point;
+    // Gonzalez 1985 / Sener & Savarese 2018) — diversity-maximizing
+    // subset pass. No SQL oracle BY CONTRACT: each greedy step's argmin
+    // is decided by pairwise cross-multiplied cosine comparisons, which
+    // form a total order but not a SQL-sortable KEY; CoresetSpec pins
+    // brute-force ≡ local tier ≡ distributed tier (partitioning-
+    // invariant), so the rows-only gate is backed by exact specs ----
+    "emb_coreset" -> ((s, dir) =>
+      graft.ops.Coreset.kCenterSelect(
+        t(s, dir, "embeddings"), "embedding", "vec_id", k = 25)),
+
     // ---- embeddings: JL ±1 random projection 64→16. Signs are md5-hex
     // parity (no sampled state — the oracle recomputes them in SQL),
     // projections are exact integer sums, the whole op is map-only ----

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Coreset
+
+class CoresetSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def randomDf(n: Int, d: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i =>
+      (i.toLong, Array.fill(d)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+  }
+
+  /** Independent reference greedy: BigInt-ONLY comparisons (no double
+    * fast path) — also validates the fast path's tolerance routing. */
+  private def bruteForce(rows: Seq[(Long, Array[Float])], k: Int): Seq[Long] = {
+    val e7 = rows.map { case (id, v) =>
+      id -> v.map(x => math.round(x.toDouble * 1e7))
+    }.sortBy(_._1)
+    def n2(a: Array[Long]) = a.map(x => BigInt(x) * BigInt(x)).sum
+    def dot(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map(p => BigInt(p._1) * BigInt(p._2)).sum
+    // cos = dot/√(na·nb) compared via sign + cross-multiplied squares
+    def cmp(d1: BigInt, p1: BigInt, d2: BigInt, p2: BigInt): Int = {
+      val v1 = if (p1 == 0) BigInt(0) else d1
+      val v2 = if (p2 == 0) BigInt(0) else d2
+      val s = v1.signum compare v2.signum
+      if (s != 0) s
+      else if (v1.signum == 0) 0
+      else {
+        val m = (v1 * v1 * p2) compare (v2 * v2 * p1)
+        if (v1.signum > 0) m else -m
+      }
+    }
+    val picked = scala.collection.mutable.ArrayBuffer(e7.head._1)
+    while (picked.length < math.min(k, e7.length)) {
+      val centers = picked.map(id => e7.find(_._1 == id).get._2)
+      val best = e7.filterNot(r => picked.contains(r._1)).map { case (id, v) =>
+        val nv = n2(v)
+        // distance-to-set = distance to the NEAREST member ⇒ max cosine
+        val maxW = centers.map { c =>
+          (dot(v, c), nv * n2(c))
+        }.reduceLeft((a, b) => if (cmp(a._1, a._2, b._1, b._2) >= 0) a else b)
+        (id, maxW)
+      }.reduceLeft { (a, b) =>
+        val c = cmp(a._2._1, a._2._2, b._2._1, b._2._2)
+        if (c < 0 || (c == 0 && a._1 < b._1)) a else b
+      }
+      picked += best._1
+    }
+    picked.toSeq
+  }
+
+  test("kCenterSelect ≡ BigInt-only brute force (local tier)") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val got = Coreset.kCenterSelect(rows.toDF("vec_id", "embedding"),
+        "embedding", "vec_id", k = 12)
+      .orderBy(col("rank")).collect().map(_.getLong(0)).toSeq
+    assert(got === bruteForce(rows, 12))
+  }
+
+  test("distributed tier ≡ local tier, partitioning-invariant") {
+    val df = randomDf(80, 6, seed = 17)
+    val local = Coreset.kCenterSelect(df, "embedding", "vec_id", k = 10)
+      .orderBy(col("rank")).collect().map(_.getLong(0)).toSeq
+    // localMaxElems = 0 forces the round-based distributed tier
+    val dist1 = Coreset.kCenterSelect(df.repartition(7), "embedding", "vec_id",
+        k = 10, localMaxElems = 0)
+      .orderBy(col("rank")).collect().map(_.getLong(0)).toSeq
+    val dist2 = Coreset.kCenterSelect(df.repartition(2), "embedding", "vec_id",
+        k = 10, localMaxElems = 0)
+      .orderBy(col("rank")).collect().map(_.getLong(0)).toSeq
+    assert(dist1 === local)
+    assert(dist2 === local)
+  }
+
+  test("k-center picks one representative per planted cluster") {
+    // three tight angular clusters around orthogonal axes
+    val rnd = new scala.util.Random(29)
+    def near(axis: Int): Array[Float] =
+      Array.tabulate(6)(i =>
+        (if (i == axis) 1f else 0f) + (rnd.nextFloat() - 0.5f) * 0.05f)
+    val rows = (0 until 30).map(i => (i.toLong, near(i % 3)))
+    val got = Coreset.kCenterSelect(rows.toDF("vec_id", "embedding"),
+        "embedding", "vec_id", k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.map(_ % 3) === Set(0L, 1L, 2L),
+      s"selected $got must cover all three clusters")
+  }
+
+  test("first pick is the lowest id; k clamps to row count") {
+    val df = randomDf(5, 4, seed = 41)
+    val got = Coreset.kCenterSelect(df, "embedding", "vec_id", k = 99)
+      .orderBy(col("rank")).collect().map(_.getLong(0)).toSeq
+    assert(got.length === 5)
+    assert(got.head === 0L)
+    assert(got.toSet.size === 5)
+  }
+}
