@@ -94,8 +94,8 @@ object Bench {
       "profile_quantiles", "profile_quantiles_approx",
       "profile_histogram", "events_pivot",
       "events_gapfill", "profile_topvalues", "profile_corr",
-      "split_weighted", "split_token_budget",
-      "join_fuzzy", "events_sessions", "events_zscore",
+      "split_weighted", "split_token_budget", "split_importance",
+      "join_fuzzy", "events_sessions", "events_zscore", "events_mad",
       "graph_pagerank", "emb_kmeans", "emb_covariance", "emb_coreset",
       "emb_random_projection",
       "q_maxsim_topk", "layout_zorder", "text_bpe_merges",

@@ -635,6 +635,18 @@ object SparkEntry {
         "doc_id", "lang", "n_tokens",
         Map("en" -> 8000L, "de" -> 2000L, "zh" -> 3000L))),
 
+    // ---- importance-directed selection toward a target corpus (DSIR
+    // spirit, integer-exact coverage score): target = every 10th doc,
+    // corpus = the rest, top-100 by 2-gram coverage score_e6 — the
+    // broadcast-target / probe-in-scan shape of benchmarkLeaks ----
+    "split_importance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Splits.importanceTake(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", n = 100, gramN = 2)
+    }),
+
     // ---- corpus vocabulary: top-100 tokens by frequency (tokenizer-
     // training / frequency-filter feed; bounded top-k, no full sort) ----
     "text_vocab" -> ((s, dir) =>
@@ -1215,6 +1227,12 @@ object SparkEntry {
     "events_zscore" -> ((s, dir) =>
       graft.ops.Profile.zscores(events(s, dir), "value", "user_id", "event_id")
         .select(col("event_id"), col("user_id"), round(col("z"), 4).as("z"))),
+
+    // ---- events: robust MAD outlier flags (|x − med| > 3·MAD decided
+    // on exact integers via the doubled-unit trick; the heavy-tail-safe
+    // twin of events_zscore) ----
+    "events_mad" -> ((s, dir) =>
+      graft.ops.Profile.madOutliers(events(s, dir), "value", "event_id")),
 
     // ---- streaming-shaped: gap sessionization via flatMapGroupsWithState ----
     "streaming_sessionize" -> ((s, dir) =>
@@ -1801,6 +1819,17 @@ object SparkEntry {
         |  ELSE NULL END AS z
         |FROM events e JOIN s USING (user_id)""".stripMargin,
 
+    // Doubled-unit MAD replay: quantile_cont of doubled integers is the
+    // exact integer lo+hi (interpolation at .5 over scaled longs), so
+    // med2/m2 round back exactly and the flag is an integer comparison.
+    "events_mad" ->
+      """WITH s AS (SELECT event_id, round(value * 100)::BIGINT AS s FROM events),
+        |m AS (SELECT round(quantile_cont(s * 2, 0.5))::BIGINT AS med2 FROM s),
+        |d AS (SELECT event_id, s, abs(s * 2 - med2) AS d FROM s, m),
+        |md AS (SELECT round(quantile_cont(d * 2, 0.5))::BIGINT AS m2 FROM d)
+        |SELECT event_id, s AS value_scaled, (d * 2 > 3 * m2) AS is_outlier
+        |FROM d, md""".stripMargin,
+
     "streaming_sessionize" ->
       """WITH m AS (
         |  SELECT user_id, ts, value,
@@ -1871,6 +1900,28 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens FROM c
         |WHERE cum <= CASE lang WHEN 'en' THEN 8000
         |                       WHEN 'de' THEN 2000 ELSE 3000 END""".stripMargin,
+
+    // Same 2-gram convention as dedup_contamination (lowered whitespace
+    // tokens, whole-text fallback under gramN, per-doc distinct);
+    // score_e6 is integer division — both engines truncate identically
+    // on non-negative operands.
+    "split_importance" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]
+        |    END AS grams
+        |  FROM t),
+        |tgt AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 10 = 0),
+        |cg AS (SELECT doc_id, unnest(list_distinct(grams)) AS g
+        |       FROM sh WHERE doc_id % 10 <> 0),
+        |sc AS (SELECT doc_id,
+        |         (1000000 * count(CASE WHEN g IN (SELECT g FROM tgt) THEN 1 END))
+        |           // count(*) AS score_e6
+        |       FROM cg GROUP BY 1)
+        |SELECT doc_id, score_e6 FROM sc
+        |ORDER BY score_e6 DESC, doc_id LIMIT 100""".stripMargin,
 
     "text_vocab" ->
       """SELECT tok AS token, count(*) AS freq

@@ -389,6 +389,44 @@ object Profile {
    * ~1e16 squares into ~1e32 per row — decimal(38) holds corpus sums to
    * ~1e38, i.e. trillions of rows at money-cents magnitudes.
    */
+  /**
+   * Robust per-row outlier flags: `|x − median| > k·MAD` (median
+   * absolute deviation), with every membership decision made on exact
+   * integers. Doubled-unit trick: the interpolated median of n scaled
+   * longs is half-integral, so `med2 = 2·median` and `m2 = 2·MAD` are
+   * exact integers and the flag is the integer comparison
+   * `2·|2s − med2| > k·(2·m2)`… reduced: `d = |2s − med2|` (units
+   * 1/(2·scale)), flag `2d > k·m2`. The only doubles are the
+   * `quantile_cont` interpolations, whose true values are integers ÷ 2
+   * — the round-back is exact because the double error (~4e-16
+   * relative) is orders of magnitude under the 0.5 rounding margin.
+   *
+   * Scale shape: two [[quantileProfile]] exact selections (each two
+   * scans, zero shuffles, driver bucket-bounded) + one map-only flag
+   * projection — 5 scans total, no exchange anywhere. The classic
+   * robust alternative to [[zscores]] when heavy tails poison the
+   * mean/stddev.
+   */
+  def madOutliers(
+      df: DataFrame,
+      valueCol: String,
+      idCol: String,
+      k: Long = 3L,
+      scale: Long = 100L): DataFrame = {
+    require(k > 0 && scale > 0, "k and scale must be > 0")
+    val medV = quantileProfile(df, Seq(valueCol), Seq(0.5), scale)
+      .select(col("v")).head().getDouble(0)
+    val med2 = math.round(medV * 2 * scale) // = lo + hi, exactly
+    val dev = df.select(col(idCol),
+        round(col(valueCol) * scale).cast("long").as("__s"))
+      .withColumn("__d", abs(col("__s") * lit(2L) - lit(med2)))
+    val madV = quantileProfile(dev, Seq("__d"), Seq(0.5), 1L)
+      .select(col("v")).head().getDouble(0)
+    val m2 = math.round(madV * 2) // = d_lo + d_hi, exactly
+    dev.select(col(idCol), col("__s").as(s"${valueCol}_scaled"),
+      (col("__d") * lit(2L) > lit(k * m2)).as("is_outlier"))
+  }
+
   def corrExact(
       df: DataFrame,
       pairs: Seq[(String, String)],

@@ -302,4 +302,50 @@ object Splits {
     wholeRows.union(cutoffRows)
       .select(col(idCol), col("__g").as(groupCol), col("__w").as(weightCol))
   }
+
+  /**
+   * Importance-directed selection toward a TARGET corpus — the
+   * data-selection move of DSIR (Xie et al. 2023, arXiv:2302.03169)
+   * with an integer-exact score instead of a float likelihood ratio:
+   * `score_e6 = ⌊10⁶ · |distinct doc n-grams ∩ target grams| /
+   * |distinct doc n-grams|⌋`, top-`n` docs by (score desc, id). Every
+   * quantity is an integer (the floor is integer division), so the
+   * kept set is a pure function of the data and SQL-replayable — no
+   * log-space doubles deciding membership near a cut line.
+   *
+   * Scale shape (the benchmarkLeaks asymmetry): the target/reference
+   * corpus is tiny next to the 100 TB candidate pool, so its distinct
+   * gram-hash set BROADCASTS and the big side probes it inside the
+   * scan stage — corpus grams never shuffle (they exist only as
+   * per-row `shingle_hashes` output); the one exchange carries per-doc
+   * (n_grams, n_hits) count rows, and the head is a bounded
+   * TakeOrderedAndProject. For budget-sized selections (n beyond
+   * driver head sizes) feed the scores to [[tokenBudgetTake]]'s
+   * two-pass bucket selection instead of the limit.
+   */
+  def importanceTake(
+      corpus: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      gramN: Int = 2): DataFrame = {
+    require(n > 0 && gramN >= 1, "need n > 0 and gramN >= 1")
+    import graft.functions.HashFunctions.shingle_hashes
+    val targetGrams = target
+      .select(explode(shingle_hashes(Dedup.tokens(col(textCol)), gramN)).as("g"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    val corpusGrams = corpus.select(col(idCol),
+      explode(shingle_hashes(Dedup.tokens(col(textCol)), gramN)).as("g"))
+    corpusGrams
+      .join(broadcast(targetGrams), Seq("g"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+      .select(col(idCol),
+        expr("(n_hits * 1000000) div n_grams").as("score_e6"))
+      .orderBy(col("score_e6").desc, col(idCol))
+      .limit(n)
+  }
 }

@@ -316,4 +316,46 @@ class ProfileCohortsSpec extends SparkSuite {
     val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(n <= 3, s"too many exchanges ($n):\n$p")
   }
+
+  test("madOutliers flags |x − med| > k·MAD exactly, brute-force check") {
+    // values in units of 0.01: median 5.0, MAD 1.0 ⇒ outliers at |d| > 3
+    val vals = Seq(2.0, 4.0, 4.5, 5.0, 5.5, 6.0, 50.0, 5.0, 4.0, 6.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("event_id", "value")
+    val got = graft.ops.Profile.madOutliers(df, "value", "event_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // brute force with exact rational medians (doubled units)
+    val s = vals.map(v => math.round(v * 100))
+    def med2(xs: Seq[Long]): Long = {
+      val sorted = xs.sorted
+      val n = sorted.length
+      if (n % 2 == 1) 2 * sorted(n / 2)
+      else sorted(n / 2 - 1) + sorted(n / 2)
+    }
+    val m2v = med2(s)
+    val d = s.map(x => math.abs(2 * x - m2v))
+    val mad2 = med2(d)
+    vals.indices.foreach { i =>
+      val (scaled, flag) = got(i.toLong)
+      assert(scaled === s(i))
+      assert(flag === (2 * d(i) > 3 * mad2), s"row $i d=${d(i)} mad2=$mad2")
+    }
+    // 2.0 sits EXACTLY on the boundary (2d = 1200 = 3·mad2) — strict >
+    // keeps it in, demonstrating why the comparison must be exact
+    assert(got.values.count(_._2) === 1, "only 50.0 exceeds 3·MAD strictly")
+  }
+
+  test("madOutliers: zero MAD flags any deviation; constant column flags none") {
+    val const = (0 until 8).map(i => (i.toLong, 5.0)).toDF("event_id", "value")
+    val gotConst = graft.ops.Profile.madOutliers(const, "value", "event_id")
+      .collect().map(_.getBoolean(2))
+    assert(gotConst.forall(_ == false))
+    // 7 identical + 1 different: MAD = 0, the single deviator is flagged
+    val spike = ((0 until 7).map(i => (i.toLong, 5.0)) :+ (7L, 9.0))
+      .toDF("event_id", "value")
+    val gotSpike = graft.ops.Profile.madOutliers(spike, "value", "event_id")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(gotSpike(7L) === true)
+    assert((0 until 7).forall(i => !gotSpike(i.toLong)))
+  }
 }

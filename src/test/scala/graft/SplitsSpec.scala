@@ -234,4 +234,59 @@ class SplitsSpec extends SparkSuite {
     assert(wins.nonEmpty && wins.forall(_.contains("__b")),
       s"window must partition by (group, bucket):\n$p")
   }
+
+  test("importanceTake ≡ brute-force distinct-2-gram coverage top-n") {
+    val target = Seq(
+      (100L, "the quick brown fox"),
+      (101L, "lazy dog sleeps here")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox again"),   // 4 of 5 grams hit
+      (2L, "lazy dog sleeps"),             // 2 of 2 hit => 100%
+      (3L, "completely unrelated words"),  // 0
+      (4L, "the quick dog"),               // "the quick" hits only
+      (5L, "x")).toDF("doc_id", "text")    // short-doc fallback, 0
+    val got = graft.ops.Splits.importanceTake(corpus, target,
+        "text", "doc_id", n = 3, gramN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def gramsOf(s: String): Set[String] = {
+      val t = s.toLowerCase.split(" ").toSeq
+      if (t.length < 2) Set(t.mkString(" "))
+      else t.sliding(2).map(_.mkString(" ")).toSet
+    }
+    val tgt = Set(100L -> "the quick brown fox", 101L -> "lazy dog sleeps here")
+      .flatMap(p => gramsOf(p._2))
+    val want = Seq(1L, 2L, 3L, 4L, 5L).map { id =>
+      val txt = Map(1L -> "the quick brown fox again", 2L -> "lazy dog sleeps",
+        3L -> "completely unrelated words", 4L -> "the quick dog", 5L -> "x")(id)
+      val g = gramsOf(txt)
+      id -> (g.count(tgt.contains).toLong * 1000000L / g.size)
+    }.sortBy { case (id, s) => (-s, id) }.take(3)
+    assert(got === want)
+    assert(got.head._1 === 2L && got.head._2 === 1000000L)
+  }
+
+  test("importanceTake is repartition-invariant") {
+    val docs = (0 until 200).map(i =>
+      (i.toLong, s"tok${i % 7} tok${i % 11} tok${i % 5} tok${(i * 3) % 13}"))
+      .toDF("doc_id", "text")
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val target = docs.filter($"doc_id" % 10 === 0)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Splits.importanceTake(df, target, "text", "doc_id", n = 40)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(run(corpus.repartition(17)) === run(corpus.repartition(2)))
+  }
+
+  test("importanceTake broadcasts the target grams; corpus text never shuffles") {
+    val docs = (0 until 50).map(i => (i.toLong, s"a b c tok$i")).toDF("doc_id", "text")
+    val p = withLogLevel {
+      graft.ops.Splits.importanceTake(
+        docs.filter($"doc_id" % 10 =!= 0), docs.filter($"doc_id" % 10 === 0),
+        "text", "doc_id", n = 10)
+        .queryExecution.executedPlan.toString
+    }
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
