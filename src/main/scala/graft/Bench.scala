@@ -86,6 +86,7 @@ object Bench {
       "agg_pricing_summary", "join_top_customers", "events_window_agg",
       "events_sliding_agg", "events_per_user",
       "text_bm25", "text_bm25_indexed", "search_hybrid", "q_quantized_topk",
+      "q_hamming_topk", "text_lexical",
       "q_pq_topk", "q_ivfpq_topk", "dedup_spans",
       "join_asof", "join_range", "emb_centroids", "events_retention",
       "agg_rollup", "profile_stats", "profile_stats_approx",

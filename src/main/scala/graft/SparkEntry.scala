@@ -652,6 +652,11 @@ object SparkEntry {
     "text_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(t(s, dir, "documents"), "text", 100)),
 
+    // ---- per-doc lexical diversity (type-token ratio, hapax count) —
+    // one per-row hash-count kernel, zero exchanges, integer ttr_e6 ----
+    "text_lexical" -> ((s, dir) =>
+      TextAnalysis.lexicalDiversity(t(s, dir, "documents"), "text", "doc_id")),
+
     // ---- phrase mining: top-20 collocations (adjacent word pairs) by
     // exact integer lift — the word2phrase vocabulary-induction step ----
     "text_collocations" -> ((s, dir) =>
@@ -1317,6 +1322,14 @@ object SparkEntry {
         .select(col("vec_id"), round(col("qsim"), 4).as("qsim"))
     }),
 
+    // ---- binary sign-quantized Hamming top-k: the coarsest scan tier
+    // (1 long/vector, 256× below float32). Signatures, popcount, and
+    // ties are all integer — no floats past the sign test. ----
+    "q_hamming_topk" -> ((s, dir) =>
+      graft.ops.Quantize.hammingTopK(
+        t(s, dir, "embeddings"), "embedding", vec(s, dir, 0), k = 10,
+        idCol = "vec_id")),
+
     // ---- substring-level duplication profile (Lee et al. 2022 signal):
     // per-doc count/fraction of distinct 8-gram spans shared with any
     // other document; grams travel as 64-bit hashes, text never shuffles. ----
@@ -1922,6 +1935,21 @@ object SparkEntry {
         |       FROM cg GROUP BY 1)
         |SELECT doc_id, score_e6 FROM sc
         |ORDER BY score_e6 DESC, doc_id LIMIT 100""".stripMargin,
+
+    // Same whitespace-token convention as text_vocab (not lowered);
+    // hapax via the O(n²) per-doc filter — the values, not the shape,
+    // are the contract here.
+    "text_lexical" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  len(toks)::BIGINT AS n_tokens,
+        |  len(list_distinct(toks))::BIGINT AS n_distinct,
+        |  len(list_filter(list_distinct(toks),
+        |      x -> len(list_filter(toks, y -> y = x)) = 1))::BIGINT AS n_hapax,
+        |  (CASE WHEN len(toks) = 0 THEN 0
+        |        ELSE (len(list_distinct(toks)) * 1000000) // len(toks)
+        |   END)::BIGINT AS ttr_e6
+        |FROM t""".stripMargin,
 
     "text_vocab" ->
       """SELECT tok AS token, count(*) AS freq
@@ -2893,6 +2921,18 @@ object SparkEntry {
         |  round(list_dot_product(qv, (SELECT qqv FROM q)) * sc * (SELECT qsc FROM q), 4) AS qsim
         |FROM qz
         |ORDER BY list_dot_product(qv, (SELECT qqv FROM q)) * sc * (SELECT qsc FROM q) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
+    // Per-bit sign disagreement count == popcount(sigA xor sigQ); the
+    // float sign test (x > 0) is exact in both engines.
+    "q_hamming_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  list_sum([CASE WHEN (e.embedding[i] > 0) <> (q.qe[i] > 0)
+        |                 THEN 1 ELSE 0 END
+        |            FOR i IN range(1, len(e.embedding) + 1)])::BIGINT AS hamming
+        |FROM embeddings e, q
+        |ORDER BY hamming, e.vec_id
         |LIMIT 10""".stripMargin,
 
     // IVF-PQ replayed with literal cell centroids + codebook: argmax

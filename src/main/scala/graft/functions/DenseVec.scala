@@ -34,6 +34,19 @@ object DenseVec {
       p: Long, q: Long): Column =
     column(DenseCosGe(toExpr(a), toExpr(b), toExpr(na2), toExpr(nb2), p, q))
 
+  /** Sign-bit binary signature of an `array<float>` (dim ≤ 64): bit i
+    * set iff v_i > 0 — the 64×-compression binary quantization whose
+    * Hamming distance approximates angular distance. */
+  def sign_bits64(v: Column): Column = column(SignBits64(toExpr(v)))
+
+  /** Driver-side twin of [[sign_bits64]] for query vectors. */
+  def signBitsLocal(v: Array[Float]): Long = {
+    require(v.length <= 64, s"sign_bits64 requires dim <= 64, got ${v.length}")
+    var sig = 0L; var i = 0
+    while (i < v.length) { if (v(i) > 0f) sig |= (1L << i); i += 1 }
+    sig
+  }
+
   private[functions] def isLongArray(dt: DataType): Boolean = dt match {
     case ArrayType(LongType, _) => true
     case _ => false
@@ -56,6 +69,46 @@ object DenseVec {
   /** Referenced from generated code: sign guard + exact magnitude test. */
   def geSigned(dotV: Long, na2: Long, nb2: Long, p: Long, q: Long): Boolean =
     dotV > 0 && BagCos.ge(dotV, na2, nb2, p, q)
+}
+
+case class SignBits64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> input, got ${other.sql}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n > 64) throw new IllegalArgumentException(
+      s"$prettyName requires dim <= 64, got $n")
+    var sig = 0L; var i = 0
+    while (i < n) { if (x.getFloat(i) > 0f) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n > 64) throw new IllegalArgumentException(
+         |  "sign_bits64 requires dim <= 64, got " + $n);
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.getFloat($i) > 0f) ${ev.value} |= (1L << $i);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "sign_bits64"
 }
 
 case class DenseLongDot(left: Expression, right: Expression)

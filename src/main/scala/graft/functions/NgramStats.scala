@@ -41,6 +41,12 @@ object NgramStats {
   def dup_ngram_stats(toks: Column, n: Column): Column =
     column(DupNgramStats(toExpr(toks), toExpr(n)))
 
+  /** Lexical diversity counters of one document:
+    * struct<n_tokens, n_distinct, n_hapax> — the type-token /
+    * hapax-legomenon signal, one hash-count pass per row. */
+  def lexical_stats(toks: Column): Column =
+    column(LexicalStats(toExpr(toks)))
+
   private def gram(toks: ArrayData, i: Int, n: Int): UTF8String = {
     if (n == 1) {
       val t = toks.getUTF8String(i)
@@ -122,6 +128,52 @@ object NgramStats {
     new GenericInternalRow(
       Array[Any](t.toLong, tokenChars, coveredTokens, coveredChars))
   }
+}
+
+/** Referenced from generated code — a distinct name from the
+  * LexicalStats expression class: a companion object method gets NO
+  * static forwarder when the class has a conflicting `eval`, so
+  * generated Java would resolve to the instance method and fail to
+  * compile (observed as a silent interpreted fallback). */
+object LexicalKernel {
+  def eval(toks: ArrayData): InternalRow = {
+    val n = toks.numElements()
+    val counts = new java.util.HashMap[UTF8String, Int](n * 2)
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      counts.merge(if (t == null) UTF8String.EMPTY_UTF8 else t, 1,
+        Integer.sum _)
+      i += 1
+    }
+    var hapax = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { if (it.next() == 1) hapax += 1 }
+    new GenericInternalRow(
+      Array[Any](n.toLong, counts.size.toLong, hapax))
+  }
+}
+
+case class LexicalStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${other.sql}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType), StructField("n_distinct", LongType),
+    StructField("n_hapax", LongType)))
+  override def nullSafeEval(toks: Any): Any =
+    LexicalKernel.eval(toks.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, toks =>
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)
+         |  graft.functions.LexicalKernel.eval($toks);
+       """.stripMargin)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "lexical_stats"
 }
 
 private[functions] trait NgramStatsExpr extends BinaryExpression {

@@ -101,4 +101,34 @@ object Quantize {
     VectorSearch.exactRerank(df, vecCol, idCol,
       quantizedTopK(df, queryVec, rerankK, idCol), queryVec, k)
   }
+
+  /**
+   * BINARY quantization tier: sign-bit signatures (dim ≤ 64 → ONE long
+   * per vector, 64× less than int8, 256× less than float32) ranked by
+   * Hamming distance to the query signature — `popcount(sig ⊕ qsig)`,
+   * the standard angular-distance surrogate (a sign bit is a fixed
+   * hyperplane; Hamming/d estimates θ/π). The whole scan reads 8 B per
+   * row and stays in whole-stage codegen; top-k is
+   * TakeOrderedAndProject. Exact and SQL-replayable: signatures are
+   * integer bit tests (v > 0), distance is an integer popcount, ties
+   * break by id — no floats anywhere past the sign test.
+   *
+   * The coarsest tier of the scan family (binary → int8 [[quantizedTopK]]
+   * → float [[VectorSearch.topK]]); compose with
+   * [[VectorSearch.exactRerank]] for a refine pass.
+   */
+  def hammingTopK(
+      df: DataFrame,
+      vecCol: String,
+      queryVec: Array[Float],
+      k: Int,
+      idCol: String): DataFrame = {
+    require(k > 0, "k must be > 0")
+    val qsig = graft.functions.DenseVec.signBitsLocal(queryVec)
+    df.select(col(idCol),
+        bit_count(graft.functions.DenseVec.sign_bits64(col(vecCol))
+          .bitwiseXOR(lit(qsig))).cast("long").as("hamming"))
+      .orderBy(asc("hamming"), asc(idCol))
+      .limit(k)
+  }
 }

@@ -756,4 +756,28 @@ object TextAnalysis {
   private val EnglishStopwords = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "for", "on", "with", "as", "by", "at", "it", "that", "this", "be")
+
+  /**
+   * Per-document lexical-diversity profile: token count, distinct
+   * (type) count, hapax-legomenon count, and the type-token ratio as
+   * `ttr_e6 = ⌊10⁶·distinct/tokens⌋` (integer division — no float
+   * decides the value). Low TTR / low hapax flag templated or
+   * machine-generated text; the counters aggregate cleanly per slice.
+   *
+   * Scale shape: ONE codegen projection calling the per-row
+   * [[graft.functions.NgramStats.lexical_stats]] hash-count kernel —
+   * zero exchanges, same envelope as the Gopher per-doc kernels
+   * (whitespace tokens, the text_vocab convention: not lowercased).
+   */
+  def lexicalDiversity(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.functions.NgramStats.lexical_stats(split(col(textCol), " "))
+          .as("__l"))
+      .select(col(idCol),
+        col("__l.n_tokens").as("n_tokens"),
+        col("__l.n_distinct").as("n_distinct"),
+        col("__l.n_hapax").as("n_hapax"),
+        when(col("__l.n_tokens") === 0L, 0L)
+          .otherwise(expr("(__l.n_distinct * 1000000) div __l.n_tokens"))
+          .as("ttr_e6"))
 }

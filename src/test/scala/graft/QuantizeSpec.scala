@@ -106,4 +106,36 @@ class QuantizeSpec extends SparkSuite {
       s"quantized scan must prune the float embedding column:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("hammingTopK ≡ per-bit sign disagreement count, id tie-break") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 40).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val q = rows(5)._2
+    val got = Quantize.hammingTopK(rows.toDF("vec_id", "embedding"),
+        "embedding", q, k = 7, idCol = "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = rows.map { case (id, v) =>
+      id -> v.zip(q).count { case (a, b) => (a > 0) != (b > 0) }.toLong
+    }.sortBy { case (id, h) => (h, id) }.take(7)
+    assert(got === want)
+    assert(got.head === ((5L, 0L)), "the query row itself is hamming 0")
+  }
+
+  test("hammingTopK: sign_bits64 raises above 64 dims") {
+    val df = Seq((1L, Array.fill(65)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Quantize.hammingTopK(df, "embedding", Array.fill(65)(1.0f),
+        k = 1, idCol = "vec_id").collect()
+    }
+    assert(e.getMessage.contains("64") || e.getCause != null)
+  }
+
+  test("hamming scan is a pure TakeOrderedAndProject — no exchange") {
+    val plan = Quantize.hammingTopK(vecs, "embedding",
+        Array(1.0f, 0.0f, 0.0f, 0.0f), k = 3, idCol = "vec_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"), s"no shuffle expected:\n$plan")
+  }
 }

@@ -468,4 +468,30 @@ class TextAnalysisSpec extends SparkSuite {
       TextAnalysis.lmScoreFast(df, "text", "id", maxVocab = 2)
     }
   }
+
+  test("lexicalDiversity counts tokens, types, hapax, and integer TTR") {
+    val df = Seq(
+      (1L, "a b a c a b"),    // 6 tokens, 3 types {a,b,c}, hapax {c}
+      (2L, "x"),              // 1 token, 1 type, 1 hapax, TTR 1.0
+      (3L, "t t t t")         // 4 tokens, 1 type, 0 hapax
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lexicalDiversity(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) === ((6L, 3L, 1L, 500000L)))
+    assert(got(2L) === ((1L, 1L, 1L, 1000000L)))
+    assert(got(3L) === ((4L, 1L, 0L, 250000L)))
+  }
+
+  test("lexicalDiversity is map-only (zero exchanges)") {
+    // parquet-backed input: a local Seq relation constant-folds into
+    // LocalTableScan and hides the projection
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = withLogLevel {
+      TextAnalysis.lexicalDiversity(df, "text", "doc_id")
+        .queryExecution.executedPlan.toString
+    }
+    assert(!p.contains("Exchange"), s"per-doc kernel must not shuffle:\n$p")
+    assert(p.contains("lexical_stats"), p)
+  }
 }
