@@ -283,6 +283,15 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), round(col("similarity"), 4).as("sim"))
     }),
 
+    // ---- cell-bucketed batch k-NN (big-query-side shape): shared
+    // integer k-means cells, nProbe=2 probes, exact e7-dot ranking ----
+    "q_knn_join_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      VectorSearch.knnJoinIVF(emb, "embedding", "vec_id",
+        emb.filter(col("vec_id") % 50 === 0), "embedding", "vec_id",
+        k = 5, cells = 4, iterations = 2, nProbe = 2)
+    }),
+
     // ---- windowed top-k per group ----
     "q_topk_per_label" -> ((s, dir) => {
       VectorSearch.topKPerGroup(t(s, dir, "embeddings"), "embedding",
@@ -1440,6 +1449,48 @@ object SparkEntry {
         |  ORDER BY list_dot_product(embedding::DOUBLE[],
         |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC,
         |    vec_id) <= 3""".stripMargin,
+
+    // Full IVF-join replay: the emb_kmeans Lloyd CTEs give corpus
+    // assignment a3 and final centroids c2; d3 already holds every
+    // vector's distance to c2, so the query probe set is its 2 smallest
+    // (dist, cell) rows; candidates join on cell; ranking is the exact
+    // integer e7 dot with (sim DESC, cid) ties.
+    "q_knn_join_ivf" ->
+      """WITH x AS (
+        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |         round(unnest(embedding::DOUBLE[]) * 10000000)::BIGINT AS e7
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id::BIGINT AS cell, pos, e7 AS c FROM x WHERE vec_id < 4),
+        |d1 AS (SELECT x.vec_id, c.cell,
+        |         sum((x.e7 - c.c) * (x.e7 - c.c))::BIGINT AS dist
+        |       FROM x JOIN c0 c USING (pos) GROUP BY x.vec_id, c.cell),
+        |a1 AS (SELECT vec_id, cell FROM d1
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+        |c1 AS (SELECT a.cell, x.pos, (sum(x.e7)::BIGINT // count(*)) AS c
+        |       FROM x JOIN a1 a USING (vec_id) GROUP BY a.cell, x.pos),
+        |d2 AS (SELECT x.vec_id, c.cell,
+        |         sum((x.e7 - c.c) * (x.e7 - c.c))::BIGINT AS dist
+        |       FROM x JOIN c1 c USING (pos) GROUP BY x.vec_id, c.cell),
+        |a2 AS (SELECT vec_id, cell FROM d2
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+        |c2 AS (SELECT a.cell, x.pos, (sum(x.e7)::BIGINT // count(*)) AS c
+        |       FROM x JOIN a2 a USING (vec_id) GROUP BY a.cell, x.pos),
+        |d3 AS (SELECT x.vec_id, c.cell,
+        |         sum((x.e7 - c.c) * (x.e7 - c.c))::BIGINT AS dist
+        |       FROM x JOIN c2 c USING (pos) GROUP BY x.vec_id, c.cell),
+        |a3 AS (SELECT vec_id, cell FROM d3
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+        |qp AS (SELECT vec_id AS qid, cell FROM d3 WHERE vec_id % 50 = 0
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) <= 2),
+        |cand AS (SELECT q.qid, a.vec_id AS cid
+        |         FROM qp q JOIN a3 a ON a.cell = q.cell),
+        |sim AS (SELECT c.qid, c.cid, sum(xq.e7 * xc.e7)::BIGINT AS sim_e14
+        |        FROM cand c
+        |        JOIN x xq ON xq.vec_id = c.qid
+        |        JOIN x xc ON xc.vec_id = c.cid AND xc.pos = xq.pos
+        |        GROUP BY 1, 2)
+        |SELECT qid AS query_id, cid AS corpus_id, sim_e14 FROM sim
+        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim_e14 DESC, cid) <= 5""".stripMargin,
 
     "q_count" -> "SELECT count(*) AS cnt FROM documents",
 

@@ -161,6 +161,68 @@ object VectorSearch {
   }
 
   /**
+   * Cell-bucketed batch kNN — the shape for a BIG query side, where
+   * [[knnJoin]]'s broadcast no longer fits: both sides are assigned to
+   * the same integer-exact k-means cells ([[KMeans]] fit on the
+   * corpus), each query probes its `nProbe` nearest cells, candidates
+   * meet in a (cell) equi-join, and per-query top-k is the
+   * bounded-heap aggregate. Exchanges: corpus rows shuffle ONCE by
+   * cell, query rows nProbe× by cell, and the aggregate carries
+   * partitions × |queries| × k — never |corpus| × |queries|.
+   * Similarity is the exact integer e7 dot (`sim_e14`), so ranking,
+   * reruns, and the SQL oracle replay are drift-free. The
+   * approximation is the cell prune alone (recall = P(true neighbor
+   * lands in a probed cell)); inside probed cells scoring is exact.
+   * At production scale cells ≈ √n ≫ cluster parallelism, so the cell
+   * key alone spreads the join — the miniature gate fit documents,
+   * not exercises, that spread.
+   */
+  def knnJoinIVF(
+      corpus: DataFrame,
+      corpusVecCol: String,
+      corpusIdCol: String,
+      queries: DataFrame,
+      queryVecCol: String,
+      queryIdCol: String,
+      k: Int,
+      cells: Int,
+      iterations: Int,
+      nProbe: Int,
+      scale: Long = 10000000L): DataFrame = {
+    require(k > 0 && cells >= 1 && nProbe >= 1 && nProbe <= cells,
+      "need k > 0 and 1 <= nProbe <= cells")
+    val model = KMeans.fit(corpus, corpusVecCol, corpusIdCol, cells, iterations, scale)
+    val corpusCells = KMeans.assignScaled(corpus, corpusVecCol, corpusIdCol, model)
+      .select(col(corpusIdCol).as("__cid"), col("cell"), col("e7").as("__ce"))
+    // probe cells: nProbe smallest (dist, cell) — the same c²−2y metric
+    // and first-min tie-break as the assignment itself (Σe7² is
+    // row-constant, so the ordering matches true distance order)
+    val c2 = model.centroids.map(_.map(c => c * c).sum).toSeq
+    val probes = transform(col("__y"), (y, i) =>
+      struct(
+        (element_at(typedlit(c2), (i + lit(1)).cast("int")) - y * lit(2L)).as("d"),
+        i.cast("long").as("cell")))
+    val qFrame = queries.filter(col(queryVecCol).isNotNull)
+      .select(col(queryIdCol).as("__qid"),
+        transform(col(queryVecCol),
+          e => round(e.cast("double") * scale).cast("long")).as("__qe"),
+        graft.functions.IntKernels
+          .scaled_matmul(col(queryVecCol), model.centroids, scale).as("__y"))
+      .select(col("__qid"), col("__qe"),
+        explode(slice(array_sort(probes), 1, nProbe)).as("__p"))
+      .select(col("__qid"), col("__qe"), col("__p.cell").as("cell"))
+    val payload = struct(col("__sim"), col("__cid"))
+    corpusCells.join(qFrame, Seq("cell"))
+      .withColumn("__sim",
+        graft.functions.DenseVec.dense_dot(col("__qe"), col("__ce")))
+      .groupBy(col("__qid"))
+      .agg(graft.functions.TopKAggregate.topk_rows(payload, k).as("__t"))
+      .select(col("__qid").as("query_id"), explode(col("__t")).as("__e"))
+      .select(col("query_id"), col("__e.__cid").as("corpus_id"),
+        col("__e.__sim").as("sim_e14"))
+  }
+
+  /**
    * LSH-bucketed ANN (random-hyperplane signatures, Charikar '02): the
    * scale path when brute force over the full corpus is too expensive.
    * Rows are bucketed by the sign-pattern of `numPlanes` fixed random

@@ -131,4 +131,61 @@ class VectorSearchSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
     assert(!plan.contains("Exchange"), s"top-k must not shuffle; plan was:\n$plan")
   }
+
+  test("knnJoinIVF with nProbe = cells ≡ exact integer-dot brute force") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 20 === 0) // 3 queries
+    val got = VectorSearch.knnJoinIVF(corpus, "embedding", "vec_id",
+        queries, "embedding", "vec_id", k = 4, cells = 3, iterations = 2,
+        nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force on the same e7 integers
+    val e7 = rows.map { case (id, v) =>
+      id -> v.map(x => math.round(x.toDouble * 1e7))
+    }
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map(p => p._1 * p._2).sum
+    val want = Seq(0L, 20L, 40L).flatMap { qid =>
+      val qe = e7.find(_._1 == qid).get._2
+      e7.map { case (cid, ce) => (qid, cid, dot(qe, ce)) }
+        .sortBy { case (_, cid, s) => (-s, cid) }.take(4)
+    }.toSet
+    assert(got === want, "probing every cell must equal brute force")
+  }
+
+  test("knnJoinIVF probes prune cells but keep exact in-cell ranking") {
+    // three tight orthogonal clusters: nProbe=1 must find the
+    // same-cluster neighbors exactly
+    val rnd = new scala.util.Random(37)
+    def near(axis: Int): Array[Float] =
+      Array.tabulate(6)(i =>
+        (if (i == axis) 1f else 0f) + (rnd.nextFloat() - 0.5f) * 0.02f)
+    val rows = (0 until 30).map(i => (i.toLong, near(i % 3)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 3)
+    val res = VectorSearch.knnJoinIVF(corpus, "embedding", "vec_id",
+        queries, "embedding", "vec_id", k = 5, cells = 3, iterations = 2,
+        nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(res.length === 15)
+    // every returned neighbor is in the query's own angular cluster
+    assert(res.forall { case (q, c) => c % 3 == q % 3 },
+      s"cross-cluster neighbor leaked: ${res.mkString(",")}")
+  }
+
+  test("knnJoinIVF plan: cell equi-join + partial bounded-heap, no window") {
+    val plan = withLogLevel {
+      VectorSearch.knnJoinIVF(emb, "embedding", "vec_id",
+        emb.filter($"vec_id" < 3), "embedding", "vec_id",
+        k = 3, cells = 2, iterations = 1, nProbe = 1)
+        .queryExecution.executedPlan.toString
+    }
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_topk_rows"),
+      s"map-side heap must bound the exchange:\n$plan")
+  }
 }
