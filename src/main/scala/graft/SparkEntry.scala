@@ -352,6 +352,13 @@ object SparkEntry {
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.wordJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 0.8)),
 
+    // ---- dedup: DIRECTED word-set containment |A∩B|/|A| >= 19/20 —
+    // the asymmetric signal (excerpts/supersets) Jaccard misses;
+    // exact integer threshold and floor score ----
+    "dedup_subsets" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "text", "doc_id",
+        thresholdP = 19, thresholdQ = 20)),
+
     // ---- dedup: exact all-pairs bag-of-words cosine (AllPairs prefix
     // filter, Bayardo et al. 2007) — integer dot/norms only, threshold
     // decided by cross-multiplication in decimal(38,0) ----
@@ -1531,6 +1538,21 @@ object SparkEntry {
         |JOIN sz sa ON sa.doc_id = id_a
         |JOIN sz sb ON sb.doc_id = id_b
         |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
+
+    // Directed containment over the same distinct-token sets as
+    // dedup_jaccard; integer threshold and integer-division score.
+    "dedup_subsets" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+        |  FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, (inter * 1000000) // sa.n AS containment_e6
+        |FROM pairs JOIN sz sa ON sa.doc_id = id_a
+        |WHERE inter * 20 >= 19 * sa.n""".stripMargin,
 
     // Paragraph dedup: duplicate = verbatim paragraph in >=2 distinct
     // docs; DuckDB groups by paragraph TEXT where Spark groups by md5

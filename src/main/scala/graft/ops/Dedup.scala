@@ -495,6 +495,61 @@ object Dedup {
   }
 
   /**
+   * DIRECTED containment pairs `C(A→B) = |A∩B|/|A| ≥ p/q` over distinct
+   * word sets — the asymmetric near-dup signal (quotes, excerpts,
+   * boilerplate supersets) that symmetric Jaccard misses: a short doc
+   * fully contained in a long one has low Jaccard but containment 1.
+   * The threshold is decided exactly (`inter·q ≥ p·|A|`, integers only)
+   * and the reported `containment_e6` is an integer floor — no float
+   * decides or renders anything.
+   *
+   * Scale shape — the asymmetric AllPairs bound: C ≥ t needs
+   * `|A∩B| ≥ t·|A|`, so one of A's `⌊(1−t)·|A|⌋+1` RAREST tokens
+   * (global ascending-df order, the [[wordJaccardPairs]] ranking) must
+   * occur in B; candidates = A-prefix ⋈ FULL token index (B is the
+   * containing side, so it cannot be prefix-pruned), exact
+   * intersection counts on candidates only, token strings never leave
+   * the tokenize scan (the join key is the token, the carried payload
+   * is ids).
+   */
+  def containmentPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      thresholdP: Long,
+      thresholdQ: Long): DataFrame = {
+    require(thresholdP > 0 && thresholdQ > 0 && thresholdP <= thresholdQ,
+      "threshold p/q must be in (0, 1]")
+    val t = df.select(col(idCol).as("doc"),
+      explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    val sizes = t.groupBy("doc").agg(count(lit(1)).as("n"))
+    val dfreq = t.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranked = t.join(dfreq, Seq("tok"))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc"))
+          .orderBy(col("df"), col("tok"))))
+      .join(sizes, Seq("doc"))
+    val prefix = ranked
+      .filter(col("rank") <=
+        col("n") - ceil(lit(thresholdP.toDouble / thresholdQ) * col("n")) + 1)
+      .select(col("doc"), col("tok"))
+    val cand = prefix.alias("a").join(t.alias("b"),
+        col("a.tok") === col("b.tok") && col("a.doc") =!= col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+    val pairs = cand
+      .join(t.select(col("doc").as("id_a"), col("tok")), Seq("id_a"))
+      .join(t.select(col("doc").as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .filter(col("inter") * lit(thresholdQ) >= lit(thresholdP) * col("na"))
+      .select(col("id_a"), col("id_b"),
+        expr("(inter * 1000000) div na").as("containment_e6"))
+  }
+
+  /**
    * EXACT all-pairs bag-of-words cosine similarity ≥ threshold — the
    * weighted sibling of [[wordJaccardPairs]] (term frequencies instead of
    * set membership), after the AllPairs algorithm of Bayardo, Ma &

@@ -478,6 +478,39 @@ class DedupSpec extends SparkSuite {
     assert(got.count(!_._2._2) >= 10, "planted dups must be dropped")
   }
 
+  test("containmentPairs finds directed subset relations, not Jaccard") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta"),
+      (4L, "unrelated words entirely")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "text", "doc_id", 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // 1 ⊂ 2 (5/5), 3 ⊂ 1 (2/2), 3 ⊂ 2 (2/2); the reverses are below 0.9
+    assert(got.keySet === Set((1L, 2L), (3L, 1L), (3L, 2L)))
+    assert(got.values.forall(_ == 1000000L))
+    // symmetric Jaccard would MISS 3⊂2: J = 2/10 = 0.2
+  }
+
+  test("containmentPairs ≡ brute force at a loose threshold") {
+    val rnd = new scala.util.Random(47)
+    val vocab = (0 until 12).map(i => s"w$i")
+    val docs = (0 until 40).map { i =>
+      val n = 3 + rnd.nextInt(6)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+        "text", "doc_id", 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sets = docs.map { case (id, s) => id -> s.split(" ").toSet }.toMap
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      inter = (sa & sb).size
+      if inter * 4 >= 3 * sa.size
+    } yield (a, b, inter.toLong * 1000000L / sa.size)).toSet
+    assert(got === want)
+  }
+
   test("semanticDedup is salt-invariant (each pair meets exactly once)") {
     val rnd = new scala.util.Random(23)
     def unit(): Array[Float] =
