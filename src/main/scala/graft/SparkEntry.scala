@@ -292,6 +292,19 @@ object SparkEntry {
         k = 5, cells = 4, iterations = 2, nProbe = 2)
     }),
 
+    // ---- hard-negative mining (DPR/SimCSE recipe): per query, the
+    // top-5 most-similar corpus rows that are neither the query nor
+    // its labeled positive (query_id + 1 here) ----
+    "train_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val positives = queries.select(col("vec_id").as("query_id"),
+        (col("vec_id") + 1).as("pos_id"))
+      VectorSearch.hardNegatives(emb, "embedding", "vec_id",
+        queries, "embedding", "vec_id", positives,
+        k = 5, maxPositives = 1, cells = 4, iterations = 2, nProbe = 2)
+    }),
+
     // ---- windowed top-k per group ----
     "q_topk_per_label" -> ((s, dir) => {
       VectorSearch.topKPerGroup(t(s, dir, "embeddings"), "embedding",
@@ -661,6 +674,21 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 =!= 0),
         docs.filter(col("doc_id") % 10 === 0),
         "text", "doc_id", n = 100, gramN = 2)
+    }),
+
+    // ---- JSONL sink → source round-trip: write the documents table as
+    // line-delimited JSON, read it back with an EXPLICIT schema (no
+    // inference pass — at 100 TB schema-on-read must not cost a scan),
+    // and gate hash-equality against the parquet original: the
+    // DocumentSource JSONL path is lossless end-to-end ----
+    "src_jsonl_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      t(s, dir, "documents").write.mode("overwrite").json(tmp)
+      s.read
+        .schema("doc_id long, text string, lang string, source string, n_chars long")
+        .json(tmp)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
     }),
 
     // ---- corpus vocabulary: top-100 tokens by frequency (tokenizer-
@@ -1499,6 +1527,49 @@ object SparkEntry {
         |SELECT qid AS query_id, cid AS corpus_id, sim_e14 FROM sim
         |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim_e14 DESC, cid) <= 5""".stripMargin,
 
+    // Same IVF-join replay over-fetched to 7 (k + maxPositives + 1),
+    // then self/positive exclusion and the final re-rank to 5 — the
+    // exact contract of the over-fetch bound.
+    "train_hard_negatives" ->
+      """WITH x AS (
+        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |         round(unnest(embedding::DOUBLE[]) * 10000000)::BIGINT AS e7
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id::BIGINT AS cell, pos, e7 AS c FROM x WHERE vec_id < 4),
+        |d1 AS (SELECT x.vec_id, c.cell,
+        |         sum((x.e7 - c.c) * (x.e7 - c.c))::BIGINT AS dist
+        |       FROM x JOIN c0 c USING (pos) GROUP BY x.vec_id, c.cell),
+        |a1 AS (SELECT vec_id, cell FROM d1
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+        |c1 AS (SELECT a.cell, x.pos, (sum(x.e7)::BIGINT // count(*)) AS c
+        |       FROM x JOIN a1 a USING (vec_id) GROUP BY a.cell, x.pos),
+        |d2 AS (SELECT x.vec_id, c.cell,
+        |         sum((x.e7 - c.c) * (x.e7 - c.c))::BIGINT AS dist
+        |       FROM x JOIN c1 c USING (pos) GROUP BY x.vec_id, c.cell),
+        |a2 AS (SELECT vec_id, cell FROM d2
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+        |c2 AS (SELECT a.cell, x.pos, (sum(x.e7)::BIGINT // count(*)) AS c
+        |       FROM x JOIN a2 a USING (vec_id) GROUP BY a.cell, x.pos),
+        |d3 AS (SELECT x.vec_id, c.cell,
+        |         sum((x.e7 - c.c) * (x.e7 - c.c))::BIGINT AS dist
+        |       FROM x JOIN c2 c USING (pos) GROUP BY x.vec_id, c.cell),
+        |a3 AS (SELECT vec_id, cell FROM d3
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+        |qp AS (SELECT vec_id AS qid, cell FROM d3 WHERE vec_id % 50 = 0
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) <= 2),
+        |cand AS (SELECT q.qid, a.vec_id AS cid
+        |         FROM qp q JOIN a3 a ON a.cell = q.cell),
+        |sim AS (SELECT c.qid, c.cid, sum(xq.e7 * xc.e7)::BIGINT AS sim_e14
+        |        FROM cand c
+        |        JOIN x xq ON xq.vec_id = c.qid
+        |        JOIN x xc ON xc.vec_id = c.cid AND xc.pos = xq.pos
+        |        GROUP BY 1, 2),
+        |top AS (SELECT qid, cid, sim_e14 FROM sim
+        |        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim_e14 DESC, cid) <= 7)
+        |SELECT qid AS query_id, cid AS negative_id, sim_e14
+        |FROM top WHERE cid <> qid AND cid <> qid + 1
+        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim_e14 DESC, cid) <= 5""".stripMargin,
+
     "q_count" -> "SELECT count(*) AS cnt FROM documents",
 
     "q_get_by_id" ->
@@ -2023,6 +2094,11 @@ object SparkEntry {
         |        ELSE (len(list_distinct(toks)) * 1000000) // len(toks)
         |   END)::BIGINT AS ttr_e6
         |FROM t""".stripMargin,
+
+    // The round-trip is lossless iff the reread JSONL hashes equal to
+    // the parquet original — the oracle IS the original table.
+    "src_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     "text_vocab" ->
       """SELECT tok AS token, count(*) AS freq

@@ -223,6 +223,51 @@ object VectorSearch {
   }
 
   /**
+   * Hard-negative mining for contrastive training (the DPR/SimCSE data
+   * recipe): for every query, the `k` MOST similar corpus rows that are
+   * neither the query itself nor one of its labeled positives — the
+   * negatives that actually move a contrastive loss. Built on
+   * [[knnJoinIVF]] (shared integer k-means cells, exact e7-dot
+   * ranking), over-fetching `k + maxPositives` per query so the
+   * anti-join against the positives table cannot starve the result,
+   * then re-truncating with the bounded-heap aggregate.
+   *
+   * Scale shape: inherits knnJoinIVF's exchanges; the positives
+   * anti-join keys on (query_id, corpus_id) id pairs — positives
+   * tables are label-sized, so Catalyst broadcasts them. Determinism:
+   * all ranking is exact integers with (sim DESC, id) ties.
+   */
+  def hardNegatives(
+      corpus: DataFrame,
+      corpusVecCol: String,
+      corpusIdCol: String,
+      queries: DataFrame,
+      queryVecCol: String,
+      queryIdCol: String,
+      positives: DataFrame, // (query_id, pos_id)
+      k: Int,
+      maxPositives: Int,
+      cells: Int,
+      iterations: Int,
+      nProbe: Int,
+      scale: Long = 10000000L): DataFrame = {
+    require(maxPositives >= 0, "maxPositives must be >= 0")
+    val cand = knnJoinIVF(corpus, corpusVecCol, corpusIdCol,
+      queries, queryVecCol, queryIdCol, k + maxPositives + 1,
+      cells, iterations, nProbe, scale)
+    val pos = positives.select(col("query_id"), col("pos_id").as("corpus_id"))
+    val payload = struct(col("sim_e14"), col("corpus_id"))
+    cand
+      .filter(col("corpus_id") =!= col("query_id"))
+      .join(pos, Seq("query_id", "corpus_id"), "left_anti")
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate.topk_rows(payload, k).as("__t"))
+      .select(col("query_id"), explode(col("__t")).as("__e"))
+      .select(col("query_id"), col("__e.corpus_id").as("negative_id"),
+        col("__e.sim_e14").as("sim_e14"))
+  }
+
+  /**
    * LSH-bucketed ANN (random-hyperplane signatures, Charikar '02): the
    * scale path when brute force over the full corpus is too expensive.
    * Rows are bucketed by the sign-pattern of `numPlanes` fixed random

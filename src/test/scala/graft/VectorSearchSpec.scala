@@ -176,6 +176,31 @@ class VectorSearchSpec extends SparkSuite {
       s"cross-cluster neighbor leaked: ${res.mkString(",")}")
   }
 
+  test("hardNegatives: top-k excluding self and positives ≡ brute force") {
+    val rnd = new scala.util.Random(53)
+    val rows = (0 until 50).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 20 === 0)
+    val positives = queries.select($"vec_id".as("query_id"),
+      ($"vec_id" + 2).as("pos_id"))
+    val got = VectorSearch.hardNegatives(corpus, "embedding", "vec_id",
+        queries, "embedding", "vec_id", positives,
+        k = 4, maxPositives = 1, cells = 3, iterations = 2, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val e7 = rows.map { case (id, v) =>
+      id -> v.map(x => math.round(x.toDouble * 1e7)) }
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map(p => p._1 * p._2).sum
+    val want = Seq(0L, 20L, 40L).flatMap { qid =>
+      val qe = e7.find(_._1 == qid).get._2
+      e7.filter { case (cid, _) => cid != qid && cid != qid + 2 }
+        .map { case (cid, ce) => (qid, cid, dot(qe, ce)) }
+        .sortBy { case (_, cid, s) => (-s, cid) }.take(4)
+    }.toSet
+    assert(got === want)
+  }
+
   test("knnJoinIVF plan: cell equi-join + partial bounded-heap, no window") {
     val plan = withLogLevel {
       VectorSearch.knnJoinIVF(emb, "embedding", "vec_id",
