@@ -93,7 +93,7 @@ object Bench {
       "text_lm_score", "emb_outliers",
       "split_temperature", "text_packing", "join_asof_fwd", "events_funnel",
       "profile_quantiles", "profile_quantiles_approx",
-      "profile_histogram", "events_pivot",
+      "profile_histogram", "profile_histogram_eqdepth", "events_pivot",
       "events_gapfill", "profile_topvalues", "profile_corr",
       "split_weighted", "split_token_budget", "split_importance",
       "join_fuzzy", "events_sessions", "events_zscore", "events_mad",

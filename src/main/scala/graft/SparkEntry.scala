@@ -1012,6 +1012,13 @@ object SparkEntry {
       graft.ops.Profile.histogram(t(s, dir, "lineitem"),
         "l_extendedprice", 5000.0)),
 
+    // ---- profiling: EQUI-DEPTH histogram — edges are exact order
+    // statistics (no interpolation, no doubles), the skew-honest
+    // companion of the fixed-width bins ----
+    "profile_histogram_eqdepth" -> ((s, dir) =>
+      graft.ops.Profile.equiDepthHistogram(t(s, dir, "lineitem"),
+        "l_extendedprice", buckets = 10)),
+
     // ---- relational: pivot with EXPLICIT values (no driver-side
     // distinct pass) — users × event-type count matrix ----
     "events_pivot" -> ((s, dir) =>
@@ -2675,6 +2682,26 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_extendedprice IS NOT NULL
         |GROUP BY 1""".stripMargin,
+
+    // Equi-depth edges = values at ranks floor(b*(n-1)/10) of the
+    // sorted scaled column (0-based row_number; ties share a value, so
+    // any rank inside a tie run reads the same edge); bucket 0 is
+    // [lo, hi], b>0 is (lo, hi] — empty skew bins count 0.
+    "profile_histogram_eqdepth" ->
+      """WITH s AS (SELECT round(l_extendedprice * 100)::BIGINT AS v
+        |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |nn AS (SELECT count(*) AS n FROM s),
+        |o AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS rk FROM s),
+        |b AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+        |e AS (SELECT b.bucket,
+        |        (SELECT o.v FROM o, nn WHERE o.rk = (b.bucket * (nn.n - 1)) // 10) AS lo,
+        |        (SELECT o.v FROM o, nn WHERE o.rk = ((b.bucket + 1) * (nn.n - 1)) // 10) AS hi
+        |      FROM b)
+        |SELECT e.bucket::BIGINT AS bucket, e.lo, e.hi,
+        |  (SELECT count(*) FROM s
+        |   WHERE (CASE WHEN e.bucket = 0 THEN s.v >= e.lo ELSE s.v > e.lo END)
+        |     AND s.v <= e.hi)::BIGINT AS n
+        |FROM e""".stripMargin,
 
     "events_pivot" ->
       """SELECT user_id,

@@ -390,6 +390,98 @@ object Profile {
    * ~1e38, i.e. trillions of rows at money-cents magnitudes.
    */
   /**
+   * Exact order statistics: the value (in `round(x·scale)` long units)
+   * at each 0-based rank of the sorted column — [[quantileProfile]]'s
+   * two-pass bucket selection WITHOUT interpolation, so every result
+   * is an actual data value and bit-exact across engines. Pass 1: one
+   * LongBucketCounts aggregate (driver state bounded by OCCUPIED
+   * buckets); a driver prefix-walk locates each rank's bucket. Pass 2:
+   * per-value counts restricted to the candidate buckets. Two scans,
+   * zero shuffles beyond the count-class aggregate merges.
+   */
+  def orderStatistics(
+      df: DataFrame,
+      valueCol: String,
+      ranks: Seq[Long],
+      scale: Long = 100L): Map[Long, Long] = {
+    require(ranks.nonEmpty && ranks.forall(_ >= 0), "ranks must be >= 0")
+    val W = 1024L
+    val scaled = df
+      .select(round(col(valueCol) * scale).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val hist1 = scaled
+      .agg(graft.functions.HistAgg.bucket_counts(col("v"), W).as("h"))
+      .head().getMap[Long, Long](0)
+    val buckets = hist1.toSeq.sortBy(_._1)
+    val n = buckets.iterator.map(_._2).sum
+    require(ranks.forall(_ < n), s"rank beyond row count $n")
+    var off = 0L
+    val candB = Map.newBuilder[Long, Long]
+    buckets.foreach { case (b, cnt) =>
+      if (ranks.exists(r => r >= off && r < off + cnt)) candB += b -> off
+      off += cnt
+    }
+    val cand = candB.result()
+    val hist2 = scaled
+      .select(when(floorDiv(col("v"), W).isin(cand.keys.toSeq: _*), col("v"))
+        .as("v"))
+      .agg(graft.functions.HistAgg.bucket_counts(col("v"), 1L).as("h"))
+      .head().getMap[Long, Long](0)
+    val values = hist2.toSeq.sortBy(_._1)
+    val out = Map.newBuilder[Long, Long]
+    var curBucket = Long.MinValue
+    var cum = 0L
+    values.foreach { case (v, cnt) =>
+      val b = Math.floorDiv(v, W)
+      if (b != curBucket) { curBucket = b; cum = cand(b) }
+      ranks.foreach { r => if (r >= cum && r < cum + cnt) out += r -> v }
+      cum += cnt
+    }
+    val result = out.result()
+    require(ranks.forall(result.contains),
+      "order-statistic scan inconsistency (non-deterministic input?)")
+    result
+  }
+
+  /**
+   * Equi-depth (equi-height) histogram: `buckets` bins whose edges are
+   * EXACT order statistics `c_b = value at rank ⌊b·(n−1)/buckets⌋` —
+   * the skew-honest profiler (a fixed-width [[histogram]] puts 99% of
+   * a heavy-tailed column in one bin; equal-count bins expose the
+   * distribution). Bucket 0 spans [c_0, c_1], bucket b>0 spans
+   * (c_b, c_{b+1}] — every row lands in exactly one bucket, including
+   * through duplicated edges on skewed data (empty bins come out as
+   * n = 0 rather than vanishing). All edges and counts are exact
+   * integers in scaled units. Three scans total (count + the two
+   * [[orderStatistics]] passes run inside one, + one counting pass),
+   * zero shuffles.
+   */
+  def equiDepthHistogram(
+      df: DataFrame,
+      valueCol: String,
+      buckets: Int = 10,
+      scale: Long = 100L): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val spark = df.sparkSession
+    val scaled = round(col(valueCol) * scale).cast("long")
+    val base = df.filter(col(valueCol).isNotNull)
+    val n = base.count()
+    require(n > 0, "equiDepthHistogram needs at least one row")
+    val rankOf = (0 to buckets).map(b => b.toLong * (n - 1) / buckets)
+    val stats = orderStatistics(df, valueCol, rankOf.distinct, scale)
+    val edges = rankOf.map(stats)
+    val conds = (0 until buckets).map { b =>
+      val lo = if (b == 0) scaled >= lit(edges(b)) else scaled > lit(edges(b))
+      sum(when(lo && scaled <= lit(edges(b + 1)), 1L).otherwise(0L)).as(s"b$b")
+    }
+    val row = base.agg(conds.head, conds.tail: _*).head()
+    import spark.implicits._
+    (0 until buckets).map { b =>
+      (b.toLong, edges(b), edges(b + 1), row.getLong(b))
+    }.toDF("bucket", "lo", "hi", "n")
+  }
+
+  /**
    * Robust per-row outlier flags: `|x − median| > k·MAD` (median
    * absolute deviation), with every membership decision made on exact
    * integers. Doubled-unit trick: the interpolated median of n scaled

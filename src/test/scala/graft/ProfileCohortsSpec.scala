@@ -317,6 +317,47 @@ class ProfileCohortsSpec extends SparkSuite {
     assert(n <= 3, s"too many exchanges ($n):\n$p")
   }
 
+  test("orderStatistics returns exact sorted values at requested ranks") {
+    val vals = Seq(5.0, 1.0, 9.0, 3.0, 7.0, 3.0, 1.0, 8.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "x")
+    val got = graft.ops.Profile.orderStatistics(df, "x", Seq(0L, 3L, 7L))
+    val sorted = vals.map(v => math.round(v * 100)).sorted
+    assert(got === Map(0L -> sorted(0), 3L -> sorted(3), 7L -> sorted(7)))
+  }
+
+  test("equiDepthHistogram: equal-count bins, exact edges, total preserved") {
+    val rnd = new scala.util.Random(61)
+    // heavy-tailed: most mass tiny, a few huge — fixed-width would
+    // collapse; equi-depth must keep counts balanced
+    val vals = (0 until 500).map(_ => math.pow(10, rnd.nextDouble() * 4) / 100)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+    val rows = graft.ops.Profile.equiDepthHistogram(df, "x", buckets = 10)
+      .orderBy($"bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 10)
+    assert(rows.map(_._4).sum === 500, "every row in exactly one bucket")
+    // brute-force edges
+    val s = vals.map(v => math.round(v * 100)).sorted
+    rows.foreach { case (b, lo, hi, n) =>
+      assert(lo === s((b * 499 / 10).toInt), s"bucket $b lo")
+      assert(hi === s(((b + 1) * 499 / 10).toInt), s"bucket $b hi")
+      val want = s.count(v =>
+        (if (b == 0) v >= lo else v > lo) && v <= hi).toLong
+      assert(n === want, s"bucket $b count")
+    }
+    // balance: no bucket more than ~2x the ideal 50 (ties can skew)
+    assert(rows.map(_._4).max <= 100)
+  }
+
+  test("equiDepthHistogram survives duplicated edges (constant runs)") {
+    val df = (Seq.fill(90)(5.0) ++ Seq(1.0, 9.0)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+    val rows = graft.ops.Profile.equiDepthHistogram(df, "x", buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(rows.map(_._2).sum === 92, "duplicated edges must not drop rows")
+  }
+
   test("madOutliers flags |x − med| > k·MAD exactly, brute-force check") {
     // values in units of 0.01: median 5.0, MAD 1.0 ⇒ outliers at |d| > 3
     val vals = Seq(2.0, 4.0, 4.5, 5.0, 5.5, 6.0, 50.0, 5.0, 4.0, 6.0)
