@@ -361,6 +361,20 @@ object SparkEntry {
       Dedup.paragraphDuplicates(d, "text", "doc_id")
     }),
 
+    // ---- dedup: boilerplate REMOVAL — the transform behind the
+    // dedup_paragraphs counters: rebuild each doc without the
+    // paragraphs that repeat across >= 2 distinct docs (same planted
+    // corpus as dedup_paragraphs) ----
+    "dedup_paragraph_clean" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("text",
+        concat(replace(col("text"), lit(" line "), lit("\n")),
+          when(col("doc_id") % 3 === 0, lit("\nsubscribe to our newsletter"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("\nall rights reserved"))
+            .otherwise(lit(""))))
+      Dedup.removeDuplicateParagraphs(d, "text", "doc_id")
+    }),
+
     // ---- dedup: exact pairwise word-set Jaccard (inverted-index join) ----
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.wordJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 0.8)),
@@ -1631,6 +1645,33 @@ object SparkEntry {
         |SELECT id_a, id_b, (inter * 1000000) // sa.n AS containment_e6
         |FROM pairs JOIN sz sa ON sa.doc_id = id_a
         |WHERE inter * 20 >= 19 * sa.n""".stripMargin,
+
+    // Boilerplate removal: same planted corpus and >=2-distinct-docs
+    // rule as dedup_paragraphs; DuckDB filters by paragraph TEXT where
+    // Spark drops by digest-matched positions — identical semantics.
+    "dedup_paragraph_clean" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    replace(text, ' line ', chr(10))
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN chr(10) || 'subscribe to our newsletter' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN chr(10) || 'all rights reserved' ELSE '' END AS text
+        |  FROM documents),
+        |dup AS (SELECT para FROM
+        |          (SELECT doc_id, unnest(string_split(text, chr(10))) AS para FROM d)
+        |        GROUP BY para HAVING count(DISTINCT doc_id) >= 2),
+        |dl AS (SELECT coalesce(list(para), []) AS l FROM dup)
+        |SELECT d.doc_id,
+        |  array_to_string(
+        |    list_filter(string_split(d.text, chr(10)),
+        |                x -> NOT list_contains(dl.l, x)), chr(10)) AS text,
+        |  len(list_filter(string_split(d.text, chr(10)),
+        |                  x -> NOT list_contains(dl.l, x)))::BIGINT AS n_kept,
+        |  (len(string_split(d.text, chr(10))) -
+        |   len(list_filter(string_split(d.text, chr(10)),
+        |                   x -> NOT list_contains(dl.l, x))))::BIGINT AS n_removed
+        |FROM d, dl""".stripMargin,
 
     // Paragraph dedup: duplicate = verbatim paragraph in >=2 distinct
     // docs; DuckDB groups by paragraph TEXT where Spark groups by md5

@@ -174,6 +174,48 @@ object Dedup {
   }
 
   /**
+   * Boilerplate REMOVAL — the transform behind [[paragraphDuplicates]]'
+   * counters (the C4 recipe: drop lines/paragraphs that repeat across
+   * documents — navigation chrome, footers, license blocks — from every
+   * document): returns (idCol, text, n_kept, n_removed) with the text
+   * rebuilt from only the paragraphs that do NOT occur in
+   * `minDocs`-or-more distinct documents, original order and newline
+   * joints preserved. Same-doc repeats are kept (only CROSS-document
+   * repetition marks boilerplate — matching the counters' contract).
+   *
+   * Scale shape: dup detection shuffles (doc, pos, md5 fp) — 16-byte
+   * digests, never paragraph bodies; the drop set comes back as
+   * (doc, pos) id pairs from a digest-keyed semi-join, and the single
+   * text-bearing exchange is the one doc-id-keyed join that re-attaches
+   * drop positions to the source rows (AQE broadcasts it when the
+   * affected-doc set is small, the common case).
+   */
+  def removeDuplicateParagraphs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2 (cross-document repetition)")
+    val paras = df.select(col(idCol).as("__doc"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__para")))
+      .select(col("__doc"), col("__pos"), md5(col("__para")).as("__fp"))
+    val dupKeys = paras.groupBy("__fp")
+      .agg(count_distinct(col("__doc")).as("__nd"))
+      .filter(col("__nd") >= minDocs).select(col("__fp"))
+    val dropped = paras.join(dupKeys, Seq("__fp"), "left_semi")
+      .groupBy(col("__doc"))
+      .agg(collect_set(col("__pos")).as("__drop"))
+    df.join(dropped, col(idCol) === col("__doc"), "left")
+      .select(col(idCol),
+        array_join(filter(split(col(textCol), "\n"),
+          (p, i) => coalesce(!array_contains(col("__drop"), i), lit(true))),
+          "\n").as("text"),
+        (size(split(col(textCol), "\n")) -
+          coalesce(size(col("__drop")), lit(0))).cast("long").as("n_kept"),
+        coalesce(size(col("__drop")), lit(0)).cast("long").as("n_removed"))
+  }
+
+  /**
    * MinHash + LSH candidate pairs. Signature: `numHashes` minima per row
    * (map-only). Banding: `bands` bands of numHashes/bands values; docs
    * agreeing on ANY band land in the same bucket. Bucket self-join emits

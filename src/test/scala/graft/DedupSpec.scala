@@ -478,6 +478,22 @@ class DedupSpec extends SparkSuite {
     assert(got.count(!_._2._2) >= 10, "planted dups must be dropped")
   }
 
+  test("removeDuplicateParagraphs drops cross-doc boilerplate, keeps same-doc repeats") {
+    val docs = Seq(
+      (1L, "keep one\nBOILER\nkeep two"),
+      (2L, "other text\nBOILER"),
+      (3L, "solo\nsolo"),            // same-doc repeat: NOT boilerplate
+      (4L, "BOILER\nBOILER\nmine")   // cross-doc dup: BOTH copies go
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateParagraphs(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === (("keep one\nkeep two", 2L, 1L)))
+    assert(got(2L) === (("other text", 1L, 1L)))
+    assert(got(3L) === (("solo\nsolo", 2L, 0L)))
+    assert(got(4L) === (("mine", 1L, 2L)))
+  }
+
   test("containmentPairs finds directed subset relations, not Jaccard") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),
