@@ -1282,6 +1282,26 @@ object SparkEntry {
         .select(col("asset_id"), size(col("embedding")).cast("long").as("dim"))
     }),
 
+    // ---- multimodal: perceptual-hash near-dup pairs (aHash 8×8
+    // luminance bits, pigeonhole-banded bucket join, exact popcount
+    // verify). Rows-only gate BY CONTRACT — no SQL image decode; the
+    // entry PLANTS byte-identical copies of every 20th asset (the
+    // dedup_embedding_lsh plant convention) so hamming-0 recall is
+    // guaranteed by construction, and MultimodalSpec pins real-PNG
+    // jitter/invert behavior ----
+    "multimodal_near_dup" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(
+        col("doc_id").cast("string").as("asset_id"),
+        lit("image").as("modality"),
+        col("text").cast("binary").as("bytes"),
+        map(lit("lang"), col("lang")).as("meta"))
+      val planted = base.unionByName(
+        base.filter(col("asset_id").cast("long") % 20 === 0)
+          .withColumn("asset_id",
+            concat(lit("dup_"), col("asset_id"))))
+      graft.ops.Multimodal.imageNearDupPairs(planted, maxDist = 2)
+    }),
+
     // ---- streaming-shaped: gap sessions via the NATIVE session_window
     // (declarative twin of the flatMapGroupsWithState sessionizer; same
     // island semantics, watermark-evictable state on a stream) ----

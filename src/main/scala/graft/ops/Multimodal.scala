@@ -228,6 +228,89 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Perceptual average-hash (aHash, 64-bit): decoded image → bilinear
+    * 8×8 luminance (Rec.601) → bit i set iff cell i is strictly above
+    * the 64-cell mean. The classic re-encode/resize/brightness-robust
+    * near-dup signature — small edits flip few bits. Real interleaved
+    * rasters hash the real resample; non-raster payloads (synthetic
+    * fixtures) inherit [[resizeImages]]' deterministic index-map
+    * fallback, so heterogeneous corpora keep flowing and equal bytes
+    * always hash equal. Returns (asset_id, phash). */
+  def imageHashes(decoded: DataFrame): DataFrame = {
+    val spark = decoded.sparkSession
+    val schema = StructType(Seq(
+      StructField("asset_id", StringType, nullable = false),
+      StructField("phash", LongType, nullable = false)))
+    def u(b: Byte): Double = java.lang.Byte.toUnsignedInt(b).toDouble
+    val rdd = decoded.select("asset_id", "width", "height", "channels", "pixels")
+      .rdd.mapPartitions { it =>
+        it.map { row =>
+          val w = row.getInt(1); val h = row.getInt(2); val c = row.getInt(3)
+          val px = row.getAs[Array[Byte]]("pixels")
+          val cells: Array[Double] =
+            if (px.length == w * h * c && w > 0 && h > 0) {
+              val small = bilinearResize(px, w, h, c, 8, 8)
+              Array.tabulate(64) { i =>
+                if (c >= 3)
+                  0.299 * u(small(i * c)) + 0.587 * u(small(i * c + 1)) +
+                    0.114 * u(small(i * c + 2))
+                else u(small(i * c))
+              }
+            } else {
+              Array.tabulate(64)(i =>
+                if (px.nonEmpty) u(px((i.toLong * px.length / 64).toInt)) else 0.0)
+            }
+          val mean = cells.sum / 64
+          var sig = 0L
+          var i = 0
+          while (i < 64) { if (cells(i) > mean) sig |= (1L << i); i += 1 }
+          Row(row.getString(0), sig)
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /**
+   * Near-dup image pairs by perceptual-hash Hamming distance ≤
+   * `maxDist`: Hamming pigeonhole banding — a 64-bit signature split
+   * into 4 bands of 16 bits; two signatures within distance ≤ 3 MUST
+   * agree on at least one whole band (4 bands, ≤ 3 flipped bits), so
+   * the banded bucket self-join has FULL recall and the exact popcount
+   * verify on candidates only sets precision. Returns
+   * (id_a, id_b, hamming).
+   *
+   * Scale shape: hashes are 8 B/image; the candidate join keys on
+   * (band, 16-bit bucket) and carries ids only — pixels never leave
+   * the decode stage; verification re-attaches two longs per pair.
+   */
+  def imageNearDupPairs(
+      assets: DataFrame,
+      maxDist: Int = 3,
+      batchSize: Int = DefaultBatchSize): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      "pigeonhole recall over 4 bands requires maxDist <= 3")
+    val hashes = imageHashes(decodeImages(assets, batchSize))
+      .localCheckpoint(true) // two consumers: banding + verify re-attach
+    val banded = hashes.select(col("asset_id"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bucket")))
+    val cand = banded.alias("a").join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"))
+      .distinct()
+    cand
+      .join(hashes.select(col("asset_id").as("id_a"), col("phash").as("__ha")),
+        Seq("id_a"))
+      .join(hashes.select(col("asset_id").as("id_b"), col("phash").as("__hb")),
+        Seq("id_b"))
+      .withColumn("hamming",
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Grid color moments: mean luminance (Rec.601 weights for RGB) per
     * cell of a gw×gh spatial grid with gw·gh ≥ dim; the first `dim` cell
     * means (row-major, scaled to [0,1]) form the descriptor. */

@@ -213,4 +213,49 @@ class MultimodalSpec extends SparkSuite {
     assert(math.abs(s.head.getDouble(2)) < 1e-9) // symmetric wave ⇒ mean 0
     assert(math.abs(s.head.getDouble(3) - 0.5) < 1e-3) // rms = 0.5 full scale
   }
+
+  /** A real 16×16 PNG: horizontal luminance gradient + seeded jitter. */
+  private def gradientPng(jitter: Int, invert: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rnd = new scala.util.Random(7)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val base = if (invert) 255 - x * 16 else x * 16
+      val v = (base + (rnd.nextInt(2 * jitter + 1) - jitter)).max(0).min(255)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("imageNearDupPairs: jittered re-render pairs up, inverted image does not") {
+    val rows = Seq(
+      Row("base", "image", gradientPng(0), Map.empty[String, String]),
+      Row("jit", "image", gradientPng(4), Map.empty[String, String]),
+      Row("inv", "image", gradientPng(0, invert = true), Map.empty[String, String]))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.assetSchema)
+    val pairs = Multimodal.imageNearDupPairs(df, maxDist = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(pairs.exists(p => Set(p._1, p._2) == Set("base", "jit")),
+      s"jittered gradient must pair with base: ${pairs.mkString(",")}")
+    assert(!pairs.exists(p => Set(p._1, p._2).contains("inv")),
+      s"inverted gradient is ~64 bits away: ${pairs.mkString(",")}")
+  }
+
+  test("imageNearDupPairs: identical bytes hash identical (hamming 0), fallback too") {
+    val rnd = new scala.util.Random(9)
+    val payload = Array.fill(300)(rnd.nextInt(256).toByte)
+    val rows = Seq(
+      Row("a", "image", Multimodal.encodeFake(10, 10, payload), Map.empty[String, String]),
+      Row("b", "image", Multimodal.encodeFake(10, 10, payload.clone()), Map.empty[String, String]),
+      Row("c", "image", Multimodal.encodeFake(10, 10,
+        Array.fill(300)(rnd.nextInt(256).toByte)), Map.empty[String, String]))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.assetSchema)
+    val pairs = Multimodal.imageNearDupPairs(df, maxDist = 0)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(pairs === Set(("a", "b", 0L)))
+  }
 }
