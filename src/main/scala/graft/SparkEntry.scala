@@ -1302,6 +1302,36 @@ object SparkEntry {
       graft.ops.Multimodal.imageNearDupPairs(planted, maxDist = 2)
     }),
 
+    // ---- multimodal: audio fingerprint near-dup (64 RMS-window bits,
+    // gain-invariant; same banded-Hamming machinery; planted copies
+    // guarantee recall — rows-only, no SQL PCM decode) ----
+    "multimodal_audio_dup" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(
+        col("doc_id").cast("string").as("asset_id"),
+        lit("audio").as("modality"),
+        col("text").cast("binary").as("bytes"),
+        map(lit("lang"), col("lang")).as("meta"))
+      val planted = base.unionByName(
+        base.filter(col("asset_id").cast("long") % 20 === 0)
+          .withColumn("asset_id", concat(lit("dup_"), col("asset_id"))))
+      graft.ops.Multimodal.audioNearDupPairs(planted, maxDist = 2)
+    }),
+
+    // ---- multimodal: video near-dup by shared keyframe hashes
+    // (sampleFrames → per-frame aHash → 8-byte-hash equi-join;
+    // planted copies guarantee recall — rows-only) ----
+    "multimodal_video_dup" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(
+        col("doc_id").cast("string").as("asset_id"),
+        lit("video").as("modality"),
+        col("text").cast("binary").as("bytes"),
+        map(lit("lang"), col("lang")).as("meta"))
+      val planted = base.unionByName(
+        base.filter(col("asset_id").cast("long") % 20 === 0)
+          .withColumn("asset_id", concat(lit("dup_"), col("asset_id"))))
+      graft.ops.Multimodal.videoNearDupPairs(planted, minShared = 1)
+    }),
+
     // ---- streaming-shaped: gap sessions via the NATIVE session_window
     // (declarative twin of the flatMapGroupsWithState sessionizer; same
     // island semantics, watermark-evictable state on a stream) ----

@@ -241,33 +241,157 @@ object Multimodal {
     val schema = StructType(Seq(
       StructField("asset_id", StringType, nullable = false),
       StructField("phash", LongType, nullable = false)))
-    def u(b: Byte): Double = java.lang.Byte.toUnsignedInt(b).toDouble
     val rdd = decoded.select("asset_id", "width", "height", "channels", "pixels")
       .rdd.mapPartitions { it =>
         it.map { row =>
-          val w = row.getInt(1); val h = row.getInt(2); val c = row.getInt(3)
-          val px = row.getAs[Array[Byte]]("pixels")
-          val cells: Array[Double] =
-            if (px.length == w * h * c && w > 0 && h > 0) {
-              val small = bilinearResize(px, w, h, c, 8, 8)
-              Array.tabulate(64) { i =>
-                if (c >= 3)
-                  0.299 * u(small(i * c)) + 0.587 * u(small(i * c + 1)) +
-                    0.114 * u(small(i * c + 2))
-                else u(small(i * c))
-              }
-            } else {
-              Array.tabulate(64)(i =>
-                if (px.nonEmpty) u(px((i.toLong * px.length / 64).toInt)) else 0.0)
-            }
-          val mean = cells.sum / 64
-          var sig = 0L
-          var i = 0
-          while (i < 64) { if (cells(i) > mean) sig |= (1L << i); i += 1 }
-          Row(row.getString(0), sig)
+          Row(row.getString(0), rasterHash(row.getInt(1), row.getInt(2),
+            row.getInt(3), row.getAs[Array[Byte]]("pixels")))
         }
       }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** Shared raster→64-bit aHash kernel (images and video frames). */
+  private def rasterHash(w: Int, h: Int, c: Int, px: Array[Byte]): Long = {
+    def u(b: Byte): Double = java.lang.Byte.toUnsignedInt(b).toDouble
+    val cells: Array[Double] =
+      if (px.length == w * h * c && w > 0 && h > 0) {
+        val small = bilinearResize(px, w, h, c, 8, 8)
+        Array.tabulate(64) { i =>
+          if (c >= 3)
+            0.299 * u(small(i * c)) + 0.587 * u(small(i * c + 1)) +
+              0.114 * u(small(i * c + 2))
+          else u(small(i * c))
+        }
+      } else {
+        Array.tabulate(64)(i =>
+          if (px.nonEmpty) u(px((i.toLong * px.length / 64).toInt)) else 0.0)
+      }
+    bitsAboveMean(cells)
+  }
+
+  /** 64 doubles → bit i set iff cells(i) strictly above the mean. */
+  private def bitsAboveMean(cells: Array[Double]): Long = {
+    val mean = cells.sum / cells.length
+    var sig = 0L
+    var i = 0
+    while (i < cells.length) { if (cells(i) > mean) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  /** Banded-Hamming near-dup pairs over ANY (id, 64-bit hash) frame:
+    * 4×16-bit pigeonhole bands (distance ≤ 3 ⇒ ≥ 1 band agrees — full
+    * recall), exact popcount verify on candidates only. Shared by the
+    * image and audio dedup surfaces. */
+  private def hammingPairs(
+      hashes: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      "pigeonhole recall over 4 bands requires maxDist <= 3")
+    val hs = hashes.select(col(idCol).as("__id"), col(hashCol).as("__h"))
+      .localCheckpoint(true) // two consumers: banding + verify re-attach
+    val banded = hs.select(col("__id"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("__h"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bucket")))
+    val cand = banded.alias("a").join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    cand
+      .join(hs.select(col("__id").as("id_a"), col("__h").as("__ha")), Seq("id_a"))
+      .join(hs.select(col("__id").as("id_b"), col("__h").as("__hb")), Seq("id_b"))
+      .withColumn("hamming",
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** 64-bit audio fingerprint: the PCM stream cut into 64 equal
+    * windows, bit i set iff window-i RMS energy is strictly above the
+    * mean window energy — gain-invariant by construction (a volume
+    * change scales every window equally). WAV payloads fingerprint the
+    * real PCM decode; others the i8 fallback (equal bytes ⇒ equal
+    * fingerprint either way). Returns (asset_id, afp). */
+  def audioFingerprints(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val schema = StructType(Seq(
+      StructField("asset_id", StringType, nullable = false),
+      StructField("afp", LongType, nullable = false)))
+    val rdd = assets.filter(col("modality") === "audio" && col("bytes").isNotNull)
+      .select("asset_id", "bytes").rdd.mapPartitions { it =>
+        it.map { row =>
+          val samples = decodePcm(row.getAs[Array[Byte]]("bytes"))
+          val n = samples.length
+          val cells = Array.tabulate(64) { wdw =>
+            val start = (wdw.toLong * n / 64).toInt
+            val end = math.max(start + 1, ((wdw + 1).toLong * n / 64).toInt)
+            var sq = 0.0
+            var i = start
+            while (i < math.min(end, n)) { sq += samples(i) * samples(i); i += 1 }
+            if (end > start && n > 0) math.sqrt(sq / (end - start)) else 0.0
+          }
+          Row(row.getString(0), bitsAboveMean(cells))
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Audio near-dup pairs by fingerprint Hamming distance ≤ maxDist —
+    * the acoustic twin of [[imageNearDupPairs]]. */
+  def audioNearDupPairs(assets: DataFrame, maxDist: Int = 3): DataFrame =
+    hammingPairs(audioFingerprints(assets), "asset_id", "afp", maxDist)
+
+  /** Per-keyframe perceptual hashes: [[sampleFrames]] → the shared
+    * raster aHash. Channels are inferred from the buffer length (real
+    * MJPEG decodes are interleaved RGB; fallback slices hash as
+    * payload bytes). Returns (asset_id, frame, phash). */
+  def frameHashes(
+      assets: DataFrame,
+      everyNth: Int = 2,
+      maxFrames: Int = 8): DataFrame = {
+    val spark = assets.sparkSession
+    val schema = StructType(Seq(
+      StructField("asset_id", StringType, nullable = false),
+      StructField("frame", IntegerType, nullable = false),
+      StructField("phash", LongType, nullable = false)))
+    val rdd = sampleFrames(assets, everyNth, maxFrames)
+      .select("asset_id", "frame_idx", "width", "height", "pixels")
+      .rdd.mapPartitions { it =>
+        it.map { row =>
+          val w = row.getInt(2); val h = row.getInt(3)
+          val px = row.getAs[Array[Byte]]("pixels")
+          val c = if (w > 0 && h > 0 && px.length % (w * h) == 0 &&
+            px.length / (w * h) > 0) px.length / (w * h) else 1
+          Row(row.getString(0), row.getInt(1), rasterHash(w, h, c, px))
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /**
+   * Video near-dup pairs: two videos match when ≥ `minShared` of their
+   * sampled keyframes hash IDENTICALLY — re-containerized or trimmed
+   * copies share most keyframe hashes, unrelated footage shares none.
+   * The join keys on the 8-byte hash (equi-join, candidates ∝ hash
+   * collisions), frames and pixels never leave the decode stage.
+   * Returns (id_a, id_b, n_shared).
+   */
+  def videoNearDupPairs(
+      assets: DataFrame,
+      everyNth: Int = 2,
+      maxFrames: Int = 8,
+      minShared: Int = 2): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val fh = frameHashes(assets, everyNth, maxFrames)
+      .select(col("asset_id"), col("phash")).distinct()
+    fh.alias("a").join(fh.alias("b"),
+        col("a.phash") === col("b.phash") &&
+        col("a.asset_id") < col("b.asset_id"))
+      .groupBy(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /**
@@ -286,30 +410,9 @@ object Multimodal {
   def imageNearDupPairs(
       assets: DataFrame,
       maxDist: Int = 3,
-      batchSize: Int = DefaultBatchSize): DataFrame = {
-    require(maxDist >= 0 && maxDist <= 3,
-      "pigeonhole recall over 4 bands requires maxDist <= 3")
-    val hashes = imageHashes(decodeImages(assets, batchSize))
-      .localCheckpoint(true) // two consumers: banding + verify re-attach
-    val banded = hashes.select(col("asset_id"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("band", "bucket")))
-    val cand = banded.alias("a").join(banded.alias("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a.asset_id") < col("b.asset_id"))
-      .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"))
-      .distinct()
-    cand
-      .join(hashes.select(col("asset_id").as("id_a"), col("phash").as("__ha")),
-        Seq("id_a"))
-      .join(hashes.select(col("asset_id").as("id_b"), col("phash").as("__hb")),
-        Seq("id_b"))
-      .withColumn("hamming",
-        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long"))
-      .filter(col("hamming") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("hamming"))
-  }
+      batchSize: Int = DefaultBatchSize): DataFrame =
+    hammingPairs(imageHashes(decodeImages(assets, batchSize)),
+      "asset_id", "phash", maxDist)
 
   /** Grid color moments: mean luminance (Rec.601 weights for RGB) per
     * cell of a gw×gh spatial grid with gw·gh ≥ dim; the first `dim` cell

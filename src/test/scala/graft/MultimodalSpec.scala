@@ -139,11 +139,16 @@ class MultimodalSpec extends SparkSuite {
 
   /** A real MJPEG-in-AVI: RIFF('AVI ', LIST('movi', 00dc JPEG chunks)),
     * each frame a solid-color 6×4 JPEG written by ImageIO. */
-  private def mjpegAvi(colors: Seq[Int]): Array[Byte] = {
-    def jpeg(rgb: Int): Array[Byte] = {
+  private def mjpegAvi(colors: Seq[Int]): Array[Byte] =
+    mjpegAviFrom(colors.map { rgb =>
       val img = new java.awt.image.BufferedImage(6, 4,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
       for (y <- 0 until 4; x <- 0 until 6) img.setRGB(x, y, rgb)
+      img
+    })
+
+  private def mjpegAviFrom(imgs: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    def jpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "jpg", bos)
       bos.toByteArray
@@ -153,7 +158,7 @@ class MultimodalSpec extends SparkSuite {
       ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
     val movi = new java.io.ByteArrayOutputStream()
     movi.write("movi".getBytes("US-ASCII"))
-    colors.map(jpeg).foreach { f =>
+    imgs.map(jpeg).foreach { f =>
       movi.write("00dc".getBytes("US-ASCII")); movi.write(le32(f.length))
       movi.write(f)
       if (f.length % 2 == 1) movi.write(0) // RIFF word alignment
@@ -242,6 +247,56 @@ class MultimodalSpec extends SparkSuite {
       s"jittered gradient must pair with base: ${pairs.mkString(",")}")
     assert(!pairs.exists(p => Set(p._1, p._2).contains("inv")),
       s"inverted gradient is ~64 bits away: ${pairs.mkString(",")}")
+  }
+
+  test("audioNearDupPairs: gain-scaled copy pairs at hamming 0, inverted envelope does not") {
+    // 64 windows of 100 samples; loud/quiet 10× contrast per window
+    def wave(loudEven: Boolean, amp: Double): Array[Short] =
+      Array.tabulate(6400) { i =>
+        val loud = ((i / 100) % 2 == 0) == loudEven
+        val a = if (loud) amp else amp * 0.1
+        (math.sin(i * 0.3) * a * 32767).toShort
+      }
+    val rows = Seq(
+      Row("a1", "audio", realWav(wave(loudEven = true, 0.8)), Map.empty[String, String]),
+      Row("a2", "audio", realWav(wave(loudEven = true, 0.4)), Map.empty[String, String]),
+      Row("a3", "audio", realWav(wave(loudEven = false, 0.8)), Map.empty[String, String]))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.assetSchema)
+    val pairs = Multimodal.audioNearDupPairs(df, maxDist = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(pairs.map(p => Set(p._1, p._2)).toSet === Set(Set("a1", "a2")),
+      s"only the gain-scaled copy may pair: ${pairs.mkString(",")}")
+    assert(pairs.head._3 === 0L, "RMS-envelope bits are gain-invariant")
+  }
+
+  test("videoNearDupPairs: shared real keyframes pair, disjoint footage does not") {
+    def pattern(vertical: Boolean, invert: Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(16, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 16) {
+        val dark = if (vertical) x < 8 else y < 4
+        val v = if (dark != invert) 30 else 220
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val A = pattern(vertical = true, invert = false)
+    val B = pattern(vertical = false, invert = false)
+    val C = pattern(vertical = true, invert = true)
+    val D = pattern(vertical = false, invert = true)
+    val rows = Seq(
+      Row("v1", "video", mjpegAviFrom(Seq(A, B, A, B)), Map.empty[String, String]),
+      Row("v2", "video", mjpegAviFrom(Seq(A, B)), Map.empty[String, String]), // trim
+      Row("v3", "video", mjpegAviFrom(Seq(C, D, C, D)), Map.empty[String, String]))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.assetSchema)
+    val pairs = Multimodal.videoNearDupPairs(df, everyNth = 1, maxFrames = 8,
+        minShared = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(pairs.map(p => Set(p._1, p._2)).toSet === Set(Set("v1", "v2")),
+      s"only the trimmed copy shares keyframes: ${pairs.mkString(",")}")
+    assert(pairs.head._3 === 2L, "two distinct shared keyframe hashes")
   }
 
   test("imageNearDupPairs: identical bytes hash identical (hamming 0), fallback too") {
