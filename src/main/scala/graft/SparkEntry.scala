@@ -690,6 +690,13 @@ object SparkEntry {
         "text", "doc_id", n = 100, gramN = 2)
     }),
 
+    // ---- curriculum tiers by LM-typicality quartile: integer mean
+    // milli-nats per trigram, exact order-statistic cutoffs, ties to
+    // the lower tier — a pure function of the corpus ----
+    "split_curriculum" -> ((s, dir) =>
+      graft.ops.Splits.curriculumAssign(
+        t(s, dir, "documents"), "text", "doc_id")),
+
     // ---- JSONL sink → source round-trip: write the documents table as
     // line-delimited JSON, read it back with an EXPLICIT schema (no
     // inference pass — at 100 TB schema-on-read must not cost a scan),
@@ -2197,6 +2204,33 @@ object SparkEntry {
     // the parquet original — the oracle IS the original table.
     "src_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // text_lm_score's trigram CTEs + integer mean score; cutoffs read
+    // at exact ranks via row_number (any rank inside a tie run reads
+    // the same value), tier = count of cutoffs strictly below.
+    "split_curriculum" ->
+      """WITH base AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents
+        |  WHERE length(text) >= 3),
+        |p AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS i
+        |  FROM base),
+        |g AS (SELECT doc_id, substr(t, i::INT, 3) AS g FROM p),
+        |c AS (SELECT g, count(*) AS cnt FROM g GROUP BY g),
+        |sc AS (SELECT doc_id,
+        |         sum(floor(ln(cnt) * 1000)::BIGINT)::BIGINT // count(*) AS score_e3
+        |       FROM g JOIN c USING (g) GROUP BY doc_id),
+        |o AS (SELECT score_e3, row_number() OVER (ORDER BY score_e3) - 1 AS rk FROM sc),
+        |nn AS (SELECT count(*) AS n FROM sc),
+        |cut AS (SELECT
+        |  (SELECT score_e3 FROM o, nn WHERE rk = (1 * (n - 1)) // 4) AS c1,
+        |  (SELECT score_e3 FROM o, nn WHERE rk = (2 * (n - 1)) // 4) AS c2,
+        |  (SELECT score_e3 FROM o, nn WHERE rk = (3 * (n - 1)) // 4) AS c3)
+        |SELECT sc.doc_id, sc.score_e3,
+        |  (CASE WHEN sc.score_e3 > cut.c1 THEN 1 ELSE 0 END +
+        |   CASE WHEN sc.score_e3 > cut.c2 THEN 1 ELSE 0 END +
+        |   CASE WHEN sc.score_e3 > cut.c3 THEN 1 ELSE 0 END)::BIGINT AS tier
+        |FROM sc, cut""".stripMargin,
 
     "text_vocab" ->
       """SELECT tok AS token, count(*) AS freq

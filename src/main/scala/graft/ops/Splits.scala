@@ -323,6 +323,42 @@ object Splits {
    * driver head sizes) feed the scores to [[tokenBudgetTake]]'s
    * two-pass bucket selection instead of the limit.
    */
+  /**
+   * Curriculum tiers by LM-typicality quantile (curriculum learning:
+   * schedule typical text first, rare/hard text later). Score is the
+   * integer mean milli-nats per char-trigram from
+   * [[TextAnalysis.lmScoreFast]] (`sum_millinats div n_grams` —
+   * integer division, order-independent); tier cutoffs are EXACT order
+   * statistics at ranks ⌊b·(n−1)/tiers⌋ ([[Profile.orderStatistics]] —
+   * no interpolation, no doubles), and `tier = #{cutoffs strictly
+   * below score}` with cutoff ties going to the LOWER tier — the
+   * assignment is a pure function of the corpus.
+   *
+   * Scale shape: the LM score is the existing one-aggregate + one
+   * kernel-scan pipeline; the score frame materializes once
+   * (localCheckpoint) and feeds the two bucket-selection scans plus
+   * the map-only tier projection. No per-group windows anywhere.
+   */
+  def curriculumAssign(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      tiers: Int = 4): DataFrame = {
+    require(tiers >= 2, "tiers must be >= 2")
+    val s = TextAnalysis.lmScoreFast(df, textCol, idCol)
+      .select(col(idCol),
+        expr("sum_millinats div n_grams").as("score_e3"))
+      .localCheckpoint(true) // feeds 3 passes; the LM pipeline runs once
+    val n = s.count()
+    require(n > 0, "curriculumAssign needs at least one scored row")
+    val ranks = (1 until tiers).map(b => b.toLong * (n - 1) / tiers)
+    val cuts = Profile.orderStatistics(s, "score_e3", ranks.distinct, scale = 1L)
+    val tier = ranks.map(cuts).foldLeft(lit(0L)) { (acc, c) =>
+      acc + when(col("score_e3") > lit(c), 1L).otherwise(0L)
+    }
+    s.select(col(idCol), col("score_e3"), tier.cast("long").as("tier"))
+  }
+
   def importanceTake(
       corpus: DataFrame,
       target: DataFrame,

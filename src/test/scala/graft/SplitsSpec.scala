@@ -235,6 +235,33 @@ class SplitsSpec extends SparkSuite {
       s"window must partition by (group, bucket):\n$p")
   }
 
+  test("curriculumAssign: quartile tiers, ties share a tier, repartition-invariant") {
+    val rnd = new scala.util.Random(71)
+    val words = (0 until 40).map(i => s"w$i")
+    val docs = (0 until 120).map { i =>
+      val n = 6 + rnd.nextInt(10)
+      (i.toLong, Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = graft.ops.Splits.curriculumAssign(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size === 120)
+    val byTier = got.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byTier.keySet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    assert(byTier.values.sum === 120)
+    // monotonic: every tier-0 score <= every tier-3 score
+    val t0max = got.values.filter(_._2 == 0L).map(_._1).max
+    val t3min = got.values.filter(_._2 == 3L).map(_._1).min
+    assert(t0max <= t3min)
+    // equal scores always land in the same tier
+    got.values.groupBy(_._1).foreach { case (_, vs) =>
+      assert(vs.map(_._2).toSet.size === 1, "ties must share a tier")
+    }
+    val again = graft.ops.Splits.curriculumAssign(
+        docs.repartition(13), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(again === got)
+  }
+
   test("importanceTake ≡ brute-force distinct-2-gram coverage top-n") {
     val target = Seq(
       (100L, "the quick brown fox"),
