@@ -47,6 +47,47 @@ object SparkEntry {
        |LIMIT 10""".stripMargin
   }
 
+  /** DuckDB oracle for eval_ann_recall: the same 12 hyperplane signs,
+    * hamming ≤ 3 candidate filter, exact e7-integer dots on BOTH the
+    * ground-truth and candidate rankings (sums ≤ 64·1e14 ≪ 2^63), and
+    * the integer recall quotient. */
+  private lazy val annRecallOracleSql: String = {
+    val planes = graft.ops.VectorSearch.randomPlanes(12, 64, 42L)
+    val bitTerms = planes.zipWithIndex.map { case (p, i) =>
+      val lit = p.map(x => x.toDouble.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $lit::DOUBLE[]) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH x AS (
+       |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS pos,
+       |         round(unnest(embedding::DOUBLE[]) * 10000000)::BIGINT AS e7
+       |  FROM embeddings),
+       |sig AS (SELECT vec_id, $bitTerms AS s FROM embeddings),
+       |dots AS (
+       |  SELECT xq.vec_id AS query_id, xc.vec_id AS cid,
+       |         sum(xq.e7 * xc.e7)::BIGINT AS sim
+       |  FROM x xq JOIN x xc USING (pos)
+       |  WHERE xq.vec_id < 16
+       |  GROUP BY xq.vec_id, xc.vec_id),
+       |exact AS (
+       |  SELECT query_id, cid FROM dots
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |                             ORDER BY sim DESC, cid) <= 10),
+       |approx AS (
+       |  SELECT d.query_id, d.cid FROM dots d
+       |  JOIN sig cs ON cs.vec_id = d.cid
+       |  JOIN sig qs ON qs.vec_id = d.query_id
+       |  WHERE bit_count(xor(cs.s, qs.s)) <= 3
+       |  QUALIFY row_number() OVER (PARTITION BY d.query_id
+       |                             ORDER BY d.sim DESC, d.cid) <= 10)
+       |SELECT e.query_id, count(*)::BIGINT AS n_exact,
+       |       count(a.cid)::BIGINT AS hits,
+       |       ((count(a.cid)::HUGEINT * 1000000) // count(*))::BIGINT AS recall_e6
+       |FROM exact e LEFT JOIN approx a
+       |  ON a.query_id = e.query_id AND a.cid = e.cid
+       |GROUP BY e.query_id
+       |ORDER BY e.query_id""".stripMargin
+  }
+
   /** DuckDB oracle for text_bpe_merges: 3 unrolled merge rounds over the
     * same canonical "two spaces between symbols" encoding, the same
     * (freq DESC, left, right) argmax, and replace()'s shared left-to-right
@@ -647,6 +688,15 @@ object SparkEntry {
     "text_bpe_merges" -> ((s, dir) =>
       graft.ops.Bpe.learnMergesDF(s, t(s, dir, "documents"), "text", 3)),
 
+    // ---- BPE tokenizer APPLY: per-doc token counts + md5 digest of the
+    // full subword stream under a fixed merge table; one map-only codegen
+    // projection, zero exchanges ----
+    "text_bpe_encode" -> ((s, dir) =>
+      graft.ops.Bpe.encodeDocs(t(s, dir, "documents"), "text", "doc_id",
+        Seq(graft.ops.Bpe.Merge(1, "t", "h", 0L),
+          graft.ops.Bpe.Merge(2, "th", "e", 0L),
+          graft.ops.Bpe.Merge(3, "i", "n", 0L)))),
+
     // ---- graph: integer-exact PageRank over the customer↔supplier trade
     // graph (3 rounds, damping 0.85). Rank mass is integer (scale units),
     // every step is DIV/sum arithmetic — bit-reproducible under any
@@ -733,6 +783,11 @@ object SparkEntry {
     "text_group_keywords" -> ((s, dir) =>
       TextAnalysis.groupKeywords(
         t(s, dir, "documents"), "text", "source", 5, minCount = 5L)),
+
+    // ---- per-document TF-IDF keywords: exact rational idf (N/df),
+    // bounded-heap top-3 per doc, integer score ----
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "text", "doc_id", 3)),
 
     // ---- vocabulary coverage curve (Zipf): cumulative corpus share of
     // the top-100 tokens; window cumsum over the k-row table only ----
@@ -986,6 +1041,14 @@ object SparkEntry {
     "profile_topvalues" -> ((s, dir) =>
       graft.ops.Profile.topValues(t(s, dir, "documents"),
         Seq("lang", "source"), 5)),
+
+    // ---- profiling: Misra–Gries heavy hitters (fixed-memory sketch
+    // tier of topValues). Gate corpus distinct (150–1.5k users) sits far
+    // under capacity, so every counter is exact and the output equals
+    // the exact top-10 — the documented deterministic regime.
+    "profile_heavy_hitters" -> ((s, dir) =>
+      graft.ops.Profile.heavyHitters(t(s, dir, "events"),
+        "user_id", capacity = 8192, topN = 10)),
 
     // ---- profiling: exact-moment Pearson correlation (order-independent
     // decimal sums; only the closed-form combine is floating point).
@@ -1374,6 +1437,14 @@ object SparkEntry {
           "vec_id", dim = 64, numPlanes = 12).materialize())
       idx.topK(vec(s, dir, 0), 10, maxHamming = 3).select(col("vec_id"))
     }),
+
+    // ---- ANN evaluation: per-query LSH recall@10 vs brute force, exact
+    // e7-integer ranking on both sides, integer recall — one Spark job,
+    // fully SQL-replayable ----
+    "eval_ann_recall" -> ((s, dir) =>
+      graft.ops.Evaluation.lshRecallReport(t(s, dir, "embeddings"),
+        "embedding", "vec_id", dim = 64, numQueries = 16, k = 10,
+        numPlanes = 12, maxHamming = 3)),
 
     // ---- ANN: IVF cluster-then-probe; probing ALL cells == exact, so
     // the brute-force top-k SQL is a valid oracle for the id set.
@@ -2015,6 +2086,8 @@ object SparkEntry {
     // rounding error of zero on this corpus (seed-fixed, so stable).
     "q_lsh_topk" -> lshTopKOracleSql,
 
+    "eval_ann_recall" -> annRecallOracleSql,
+
     // The lang-ID heuristic replicated in SQL: per-language marker-hit
     // ratios over non-empty tokens, CJK codepoint ratio, first-in-order
     // tie-break (the rule FastLangId and TextAnalysis.langId share).
@@ -2278,6 +2351,30 @@ object SparkEntry {
         |  token, lift, tf_g
         |FROM lifted
         |QUALIFY rank <= 5""".stripMargin,
+
+    // Same tokenization; tf per (doc, term), df over the tf pairs, doc
+    // count N; score = (tf·N·1e6) // df in HUGEINT → BIGINT; per-doc
+    // top-3 with (score DESC, term ASC) ties replays the bounded heap.
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok AS term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> ''),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        |       FROM toks GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    ((tf.tf::HUGEINT * n * 1000000) // dfreq.df)::BIGINT AS tfidf_e6
+        |  FROM tf JOIN dfreq USING (term), n)
+        |SELECT doc_id,
+        |  row_number() OVER (PARTITION BY doc_id
+        |                     ORDER BY tfidf_e6 DESC, term) AS rank,
+        |  term, tfidf_e6, tf, df
+        |FROM scored
+        |QUALIFY rank <= 3""".stripMargin,
 
     // Same top-100, then rank + cumulative share over the tiny table;
     // total token count divides once at the end.
@@ -2770,6 +2867,19 @@ object SparkEntry {
         |FROM c GROUP BY 1, 2
         |QUALIFY rank <= 5""".stripMargin,
 
+    // In the exact (distinct ≤ capacity) regime MG counters equal true
+    // counts, so the oracle is the exact top-10 with the same string
+    // tie-break the sketch uses.
+    "profile_heavy_hitters" ->
+      """SELECT row_number() OVER (ORDER BY count(*) DESC,
+        |         user_id::VARCHAR ASC) AS rank,
+        |       user_id::VARCHAR AS value, count(*) AS est_count
+        |FROM events
+        |WHERE user_id IS NOT NULL
+        |GROUP BY user_id
+        |ORDER BY rank
+        |LIMIT 10""".stripMargin,
+
     // Moments replayed as exact HUGEINT sums of scaled integers, then
     // rendered as VARCHAR. Only the six integer moments are gated — no
     // double-derived scalar (corr, round, floor·1e6) appears: decimal→
@@ -3085,6 +3195,29 @@ object SparkEntry {
     "layout_zorder" -> zorderOracleSql,
 
     "text_bpe_merges" -> bpeOracleSql,
+
+    // Same canonical two-space symbol encoding and replace() semantics as
+    // the training oracle; the three fixed merges replay as chained
+    // replaces; md5(space-joined subwords) is engine-portable.
+    "text_bpe_encode" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '),
+        |                w -> regexp_matches(w, '^[a-z]+$')) AS ws
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, ws,
+        |    flatten(list_transform(ws, w -> string_split(trim(
+        |      replace(replace(replace(
+        |        ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' ',
+        |        ' t  h ', ' th '),
+        |        ' th  e ', ' the '),
+        |        ' i  n ', ' in ')), '  '))) AS subs
+        |  FROM w)
+        |SELECT doc_id, len(ws)::BIGINT AS n_words,
+        |       len(subs)::BIGINT AS n_subwords,
+        |       md5(array_to_string(subs, ' ')) AS tokens_md5
+        |FROM e""".stripMargin,
 
     // The expected diff derives from the version-2 construction rule:
     // %17 rows removed, %10 survivors changed (iff uppercasing actually

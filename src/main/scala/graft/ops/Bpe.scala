@@ -198,4 +198,42 @@ object Bpe {
     }
     df.withColumn("subwords", split(trim(merged), "  "))
   }
+
+  /**
+   * Tokenize whole DOCUMENTS under a merge table — the "apply the
+   * tokenizer" pipeline stage that turns a cleaned corpus into token
+   * counts and a content fingerprint ahead of packing/budgeting.
+   * Vocabulary domain matches training ([[vocabulary]]): lowercase
+   * `[a-z]+` words; anything else is not a trainable symbol and is
+   * skipped. Each word is segmented exactly as [[segment]] does (merges
+   * in rank order, shared left-to-right non-overlapping `replace`
+   * semantics), and the per-doc output is (n_words, n_subwords,
+   * md5 over the space-joined subword sequence) — a deterministic,
+   * engine-portable digest of the full token stream.
+   *
+   * Scale shape: ONE codegen projection per document — the word split,
+   * per-word merge folds, and digest all run inside `transform`/
+   * `flatten` lambdas on the scan, ZERO exchanges (tokenizing 100 TB is
+   * embarrassingly parallel and must not shuffle). The merge table
+   * rides in the plan as literals (vocabulary-bounded by construction).
+   */
+  def encodeDocs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val words = filter(split(lower(col(textCol)), " "),
+      w => w.rlike("^[a-z]+$"))
+    val enc = (w: Column) => {
+      val init = concat(lit(" "), rtrim(regexp_replace(w, "(.)", "$1  ")), lit(" "))
+      val merged = merges.foldLeft(init) { case (acc, m) =>
+        replace(acc, lit(s" ${m.left}  ${m.right} "), lit(s" ${m.left}${m.right} "))
+      }
+      split(trim(merged), "  ")
+    }
+    df.select(col(idCol).as("doc_id"),
+      size(words).cast("long").as("n_words"),
+      size(flatten(transform(words, enc))).cast("long").as("n_subwords"),
+      md5(concat_ws(" ", flatten(transform(words, enc)))).as("tokens_md5"))
+  }
 }

@@ -29,6 +29,71 @@ object Evaluation {
     (precision, recall)
   }
 
+  /**
+   * Distributed, oracle-gatable LSH recall report: for each of the first
+   * `numQueries` vectors (by id), recall@k of hyperplane-LSH retrieval
+   * (signature hamming ≤ `maxHamming`, then exact re-rank) against
+   * brute-force ground truth — the "is this index good enough to serve"
+   * number, computed as ONE Spark job instead of a driver loop.
+   *
+   * Determinism: both rankings use the exact integer e7 dot
+   * ([[graft.functions.DenseVec.dense_dot]]) with (sim DESC, id ASC)
+   * ties — no float ordering anywhere past the (spec-green) signature
+   * signs — and recall is the integer `hits·1e6 quot k`, so the whole
+   * report replays exactly in SQL.
+   *
+   * Scale shape: the query set broadcasts (numQueries rows); the corpus
+   * is scanned TWICE (ground truth + candidates), each pass reducing
+   * map-side through the bounded-heap aggregate to partitions ×
+   * queries × k rows; hits meet in a broadcast-sized join. This is the
+   * measured-recall evaluation harness over a SAMPLED query set — the
+   * serving path stays the bucketed index probes.
+   *
+   * Output: (query_id, n_exact, hits, recall_e6) ordered by query_id.
+   */
+  def lshRecallReport(
+      emb: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      numQueries: Int,
+      k: Int,
+      numPlanes: Int = 12,
+      maxHamming: Int = 3,
+      seed: Long = 42L,
+      scale: Long = 10000000L): DataFrame = {
+    require(numQueries >= 1 && k >= 1, "need numQueries >= 1 and k >= 1")
+    val planes = VectorSearch.randomPlanes(numPlanes, dim, seed)
+    val sig = VectorSearch.hyperplaneSignature(col(vecCol), planes)
+    val e7 = transform(col(vecCol),
+      e => round(e.cast("double") * scale).cast("long"))
+    val corpus = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__cid"), e7.as("__ce"), sig.as("__csig"))
+    val queries = broadcast(emb.filter(col(idCol) < numQueries)
+      .select(col(idCol).as("query_id"), e7.as("__qe"), sig.as("__qsig")))
+    val payload = struct(col("__sim"), col("__cid"))
+    def topkOf(scoredCandidates: DataFrame): DataFrame = scoredCandidates
+      .withColumn("__sim",
+        graft.functions.DenseVec.dense_dot(col("__qe"), col("__ce")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate.topk_rows(payload, k).as("__t"))
+      .select(col("query_id"), explode(col("__t")).as("__e"))
+      .select(col("query_id"), col("__e.__cid").as("__cid"))
+    val exact = topkOf(corpus.crossJoin(queries))
+    val approx = topkOf(corpus.crossJoin(queries).filter(
+      graft.functions.HashFunctions.hamming64(col("__csig"), col("__qsig"))
+        <= lit(maxHamming)))
+    val hits = exact.join(approx, Seq("query_id", "__cid"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .select(col("query_id"), col("n_exact"), col("hits"),
+        expr("hits * 1000000 DIV n_exact").as("recall_e6"))
+      .orderBy("query_id")
+  }
+
   /** Mean recall@k of an ANN method over a batch of query rows, against
     * brute-force ground truth via knnJoin. `exact`/`approx` both carry
     * (query_id, vec_id) rows ranked within each query_id. */

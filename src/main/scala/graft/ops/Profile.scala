@@ -346,6 +346,38 @@ object Profile {
   }
 
   /**
+   * Heavy hitters by Misra–Gries sketch — the FIXED-MEMORY tier of
+   * [[topValues]] for unbounded-cardinality columns (user ids, URLs,
+   * session keys at 100 TB), in the same sketch-tier mold as
+   * `statsApprox`/`quantilesApprox`: the exact tier's group-by state
+   * grows with the domain; this tier's state is `capacity` counters per
+   * map task, period.
+   *
+   * Determinism/gate contract (see [[graft.functions.MisraGriesAgg]]):
+   * with distinct ≤ capacity every counter is exact and the output
+   * equals `topValues` — the oracle-gated regime. Above capacity every
+   * true heavy hitter with freq > n/(capacity+1) survives with its
+   * estimate within n/(capacity+1) of truth (spec-pinned).
+   *
+   * Output: (rank, value, est_count), rank by (count DESC, value ASC),
+   * topN rows.
+   */
+  def heavyHitters(
+      df: DataFrame,
+      valueCol: String,
+      capacity: Int,
+      topN: Int): DataFrame = {
+    require(topN >= 1 && topN <= capacity, "need 1 <= topN <= capacity")
+    df.agg(graft.functions.MisraGries.mg_sketch(
+        col(valueCol).cast("string"), capacity).as("__hh"))
+      .select(posexplode(col("__hh")).as(Seq("__r", "__e")))
+      .filter(col("__r") < topN)
+      .select((col("__r") + 1).cast("long").as("rank"),
+        col("__e").getField("value").as("value"),
+        col("__e").getField("count").as("est_count"))
+  }
+
+  /**
    * Per-group z-scores with EXACT moments — the anomaly-flagging staple
    * ("this event's value is 4σ off this user's norm"). Mean/variance come
    * from exact decimal sums of scaled integers, algebraically rearranged

@@ -554,6 +554,56 @@ object TextAnalysis {
    * then the bounded-heap top-k per group: the exchange after the counts
    * carries ≤ partitions × groups × k rows, never a full sort.
    */
+  /**
+   * Per-document characteristic terms by exact-integer TF-IDF: for each
+   * document, the k tokens ranked by tf · idf where idf is the RATIONAL
+   * inverse document frequency N/df (monotone in the usual log idf for
+   * fixed tf, and — unlike a floating log — exactly portable across
+   * engines). Score = (tf · N · 1e6) quot df, one truncating integral
+   * divide over DECIMAL(38) intermediates; ties (score DESC, term ASC).
+   * This is the per-doc keyword/salience signal behind snippet selection,
+   * sparse retrieval pruning, and topic tagging of training slices.
+   *
+   * Scale shape: tokens explode map-side into a (doc, term) hash
+   * aggregate (map-side combined — the only data-sized exchange); document
+   * frequencies are a vocabulary-bounded second aggregate OVER the tf
+   * pairs (no second pass over text); the doc count joins as a broadcast
+   * 1-row frame; the per-doc top-k is the bounded-heap aggregate, so the
+   * final exchange carries ≤ partitions × docs-per-partition × k rows —
+   * never a window sort over all (doc, term) pairs.
+   */
+  def tfidfTopTerms(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val toks = df
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n"))
+    val scored = tf
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        expr("CAST(tf AS DECIMAL(38,0)) * n * 1000000 DIV " +
+          "CAST(df AS DECIMAL(38,0))").as("tfidf_e6"))
+    scored
+      .groupBy("doc_id")
+      .agg(graft.functions.TopKAggregate.topk_rows(
+        struct(col("tfidf_e6"), col("term"), col("tf"), col("df")), k)
+        .as("__top"))
+      .select(col("doc_id"), posexplode(col("__top")).as(Seq("__r", "__e")))
+      .select(col("doc_id"), (col("__r") + 1).cast("long").as("rank"),
+        col("__e").getField("term").as("term"),
+        col("__e").getField("tfidf_e6").as("tfidf_e6"),
+        col("__e").getField("tf").as("tf"),
+        col("__e").getField("df").as("df"))
+  }
+
   def groupKeywords(
       df: DataFrame,
       textCol: String,

@@ -58,4 +58,52 @@ class BpeSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(v === Map("aaa" -> 2L))
   }
+
+  // driver-side reference of the shared encode semantics: canonical
+  // two-space symbol string, merges in rank order, String.replace's
+  // left-to-right non-overlapping scan
+  private def encRef(word: String, merges: Seq[Bpe.Merge]): Seq[String] = {
+    var s = " " + word.map(_.toString).mkString("  ") + " "
+    merges.foreach(m =>
+      s = s.replace(s" ${m.left}  ${m.right} ", s" ${m.left}${m.right} "))
+    s.trim.split("  ").toSeq
+  }
+
+  test("encodeDocs matches a driver-side reference and partitions each word") {
+    val merges = Seq(Bpe.Merge(1, "t", "h", 0L), Bpe.Merge(2, "th", "e", 0L),
+      Bpe.Merge(3, "i", "n", 0L))
+    val docs = withLogLevel(Seq(
+      (1L, "The thin thing in there"),
+      (2L, "nothing matches 123 a-b here"),
+      (3L, "")).toDF("doc_id", "text"))
+    val got = Bpe.encodeDocs(docs, "text", "doc_id", merges)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    Seq(1L -> "The thin thing in there", 2L -> "nothing matches 123 a-b here",
+        3L -> "").foreach { case (id, text) =>
+      val ws = text.toLowerCase.split(" ").filter(_.matches("^[a-z]+$")).toSeq
+      val subs = ws.flatMap(encRef(_, merges))
+      // every word's subwords concatenate back to the word (partition)
+      ws.foreach(w => assert(encRef(w, merges).mkString === w))
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(subs.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(got(id) === ((ws.size.toLong, subs.size.toLong, md5)),
+        s"doc $id: got ${got(id)}")
+    }
+  }
+
+  test("encodeDocs composes with learned merges and never shuffles") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Bpe.learnMerges(docs, "text", 3)
+    val out = Bpe.encodeDocs(docs, "text", "doc_id", merges)
+    val p = withLogLevel(out.queryExecution.executedPlan.toString)
+    assert(!p.contains("Exchange"), s"tokenizer apply must be map-only:\n$p")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // merges only ever REDUCE token count vs characters-per-word
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), "at least one subword per word")
+    }
+  }
 }

@@ -41,4 +41,48 @@ class EvaluationSpec extends SparkSuite {
     assert(r1 <= rAll)
     assert(r1 > 0.3, s"nprobe=1 recall suspiciously low: $r1")
   }
+
+  test("lshRecallReport: full hamming budget is exact (recall 1.0 everywhere)") {
+    val small = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Evaluation.lshRecallReport(small, "embedding", "vec_id",
+      dim = 64, numQueries = 6, k = 5, numPlanes = 12, maxHamming = 12)
+      .collect()
+    assert(got.length === 6)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_exact") === 5L)
+      assert(r.getAs[Long]("hits") === 5L)
+      assert(r.getAs[Long]("recall_e6") === 1000000L)
+    }
+  }
+
+  test("lshRecallReport equals a BigInt brute-force replica") {
+    val small = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = small.select("vec_id", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Float](1).toArray))
+    val planes = VectorSearch.randomPlanes(12, 64, 42L)
+    def e7(v: Array[Float]): Array[Long] =
+      v.map(x => math.round(x.toDouble * 10000000L))
+    def dot(a: Array[Long], b: Array[Long]): BigInt =
+      a.indices.foldLeft(BigInt(0))((s, i) => s + BigInt(a(i)) * b(i))
+    val sigs = rows.map { case (id, v) =>
+      id -> VectorSearch.signatureOf(v, planes) }.toMap
+    val vecs = rows.map { case (id, v) => id -> e7(v) }.toMap
+    val k = 5
+    val expected = rows.filter(_._1 < 6).sortBy(_._1).map { case (qid, _) =>
+      val q = vecs(qid)
+      def topk(cands: Seq[Long]): Set[Long] = cands
+        .map(cid => (dot(q, vecs(cid)), cid))
+        .sortBy { case (s, cid) => (-s, cid) }.take(k).map(_._2).toSet
+      val exact = topk(rows.map(_._1).toSeq)
+      val cands = rows.map(_._1).filter(cid =>
+        java.lang.Long.bitCount(sigs(cid) ^ sigs(qid)) <= 2).toSeq
+      val approx = topk(cands)
+      val hits = exact.intersect(approx).size.toLong
+      (qid, k.toLong, hits, hits * 1000000L / k)
+    }
+    val got = Evaluation.lshRecallReport(small, "embedding", "vec_id",
+      dim = 64, numQueries = 6, k = k, numPlanes = 12, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected.toSeq)
+  }
 }

@@ -399,4 +399,43 @@ class ProfileCohortsSpec extends SparkSuite {
     assert(gotSpike(7L) === true)
     assert((0 until 7).forall(i => !gotSpike(i.toLong)))
   }
+
+  test("heavyHitters: exact regime equals topValues counts, any partitioning") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val expected = ev.filter($"user_id".isNotNull)
+      .groupBy($"user_id".cast("string").as("value"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .orderBy($"n".desc, $"value").limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Profile.heavyHitters(d, "user_id", capacity = 4096, topN = 10)
+        .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(run(ev) === expected)
+    assert(run(ev.repartition(13)) === expected)
+  }
+
+  test("heavyHitters: sketch regime keeps every true heavy hitter within the MG bound") {
+    // 1000 rows, 302 distinct, capacity 16 ⇒ error bound n/(c+1) ≈ 58.8
+    val rows = Seq.fill(500)("hot") ++ Seq.fill(200)("warm") ++
+      (0 until 300).map(i => s"u$i")
+    val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "value").repartition(7)
+    val cap = 16
+    val bound = rows.size / (cap + 1.0)
+    val got = graft.ops.Profile.heavyHitters(df, "value", cap, topN = cap)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    // true heavy hitters (freq > bound) must be present, estimates in
+    // [true - bound, true]
+    for ((v, t) <- Seq("hot" -> 500L, "warm" -> 200L)) {
+      assert(got.contains(v), s"$v lost by the sketch")
+      assert(got(v) <= t && got(v) >= t - bound.ceil.toLong,
+        s"$v estimate ${got(v)} outside [${t - bound.ceil.toLong}, $t]")
+    }
+    // no estimate may EXCEED its true count (MG only undercounts)
+    got.foreach { case (v, c) =>
+      val t = rows.count(_ == v).toLong
+      assert(c <= t, s"$v overcounted: $c > $t")
+    }
+  }
 }

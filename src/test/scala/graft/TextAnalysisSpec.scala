@@ -483,6 +483,35 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got(3L) === ((4L, 1L, 0L, 250000L)))
   }
 
+  test("tfidfTopTerms ranks by exact rational tf-idf with term tie-break") {
+    val df = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana cherry common"),
+      (3L, "cherry cherry cherry common")
+    ).toDF("doc_id", "text")
+    // N=3; df: apple 1, banana 2, cherry 2, common 3
+    val got = TextAnalysis.tfidfTopTerms(df, "text", "doc_id", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    // doc1: apple tf2 score 2*3e6/1=6e6; banana tf1 1.5e6; common tf1 1e6
+    assert(got((1L, 1L)) === (("apple", 6000000L)))
+    assert(got((1L, 2L)) === (("banana", 1500000L)))
+    // doc3: cherry tf3 score 3*3e6/2=4.5e6; common 1e6
+    assert(got((3L, 1L)) === (("cherry", 4500000L)))
+    assert(got((3L, 2L)) === (("common", 1000000L)))
+    // doc2: banana and cherry tie at 1.5e6 — term ASC puts banana first
+    assert(got((2L, 1L)) === (("banana", 1500000L)))
+    assert(got((2L, 2L)) === (("cherry", 1500000L)))
+  }
+
+  test("tfidfTopTerms is partitioning-invariant") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.tfidfTopTerms(d, "text", "doc_id", 3)
+        .orderBy("doc_id", "rank").collect().toSeq
+    assert(run(df) === run(df.repartition(7)))
+  }
+
   test("lexicalDiversity is map-only (zero exchanges)") {
     // parquet-backed input: a local Seq relation constant-folds into
     // LocalTableScan and hides the projection
