@@ -78,7 +78,8 @@ object Bench {
 
     // ---- headline testdata queries ------------------------------------
     val headline = Seq(
-      "q_similarity_topk", "q_similarity_range", "q_negative_filter",
+      "q_similarity_topk", "q_similarity_range", "q_filtered_topk",
+      "q_negative_filter",
       "q_knn_join", "q_knn_join_ivf", "q_topk_per_label", "q_lsh_topk", "q_ivf_topk",
       "dedup_exact", "dedup_minhash",
       "dedup_simhash", "dedup_embedding_lsh", "text_quality", "text_tokens",

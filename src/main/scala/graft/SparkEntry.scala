@@ -276,6 +276,17 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), round(col("similarity"), 4).as("sim"))
     }),
 
+    // ---- attribute-filtered vector search: metadata predicate composes
+    // with the scan top-k; the filter pushes to the parquet reader, so
+    // the ranking only ever scores surviving rows (plan-pinned) ----
+    "q_filtered_topk" -> ((s, dir) => {
+      VectorSearch.topK(t(s, dir, "embeddings").filter(col("label") % 3 === 0),
+          "embedding", vec(s, dir, 0), k = 10, idCol = "vec_id",
+          precision = "f64")
+        .select(col("vec_id"), col("label"),
+          round(col("similarity"), 4).as("sim"))
+    }),
+
     // ---- Q5: negative-filter query (drop rows similar to negative) ----
     "q_negative_filter" -> ((s, dir) => {
       VectorSearch.negativeFilterTopK(t(s, dir, "embeddings"), "embedding",
@@ -1574,6 +1585,16 @@ object SparkEntry {
         |  round(list_dot_product(embedding::DOUBLE[],
         |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS sim
         |FROM embeddings
+        |ORDER BY list_dot_product(embedding::DOUBLE[],
+        |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
+    "q_filtered_topk" ->
+      """SELECT vec_id, label,
+        |  round(list_dot_product(embedding::DOUBLE[],
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS sim
+        |FROM embeddings
+        |WHERE label % 3 = 0
         |ORDER BY list_dot_product(embedding::DOUBLE[],
         |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id
         |LIMIT 10""".stripMargin,

@@ -45,6 +45,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange"), s"no shuffle expected:\n$p")
   }
 
+  test("filtered top-k keeps the bounded-sort shape and scores only survivors") {
+    val p = plan("q_filtered_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), s"no shuffle expected:\n$p")
+    // the label predicate must sit below the scoring projection: the
+    // parquet reader surfaces it as a pushed IsNotNull + the filter
+    // evaluates before the dot product in the same codegen stage
+    assert(p.contains("IsNotNull(label)"),
+      s"label predicate must reach the scan:\n$p")
+  }
+
   test("customer join broadcasts the small dimension side") {
     val p = plan("join_top_customers")
     assert(p.contains("BroadcastHashJoin"), p)
