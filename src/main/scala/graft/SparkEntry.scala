@@ -758,6 +758,13 @@ object SparkEntry {
       graft.ops.Splits.curriculumAssign(
         t(s, dir, "documents"), "text", "doc_id")),
 
+    // ---- deterministic round-robin training order across sources:
+    // two-pass bucket ranks, md5 within-source shuffle, integer
+    // positions rank·S + source_idx ----
+    "split_interleave" -> ((s, dir) =>
+      graft.ops.Splits.interleaveBySource(
+        t(s, dir, "documents"), "doc_id", "source")),
+
     // ---- JSONL sink → source round-trip: write the documents table as
     // line-delimited JSON, read it back with an EXPLICIT schema (no
     // inference pass — at 100 TB schema-on-read must not cost a scan),
@@ -2298,6 +2305,22 @@ object SparkEntry {
     // the parquet original — the oracle IS the original table.
     "src_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // Round-robin replay: per-source md5 rank (the bucket decomposition
+    // is an implementation detail — offset + in-bucket rank ≡ the
+    // whole-source window), alphabetical source index, pos = rk·S+idx.
+    "split_interleave" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) - 1 AS rk
+        |  FROM documents),
+        |s AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS sidx
+        |      FROM (SELECT DISTINCT source FROM documents)),
+        |n AS (SELECT count(*)::BIGINT AS ns FROM s)
+        |SELECT r.doc_id, r.source,
+        |       (r.rk * ns + s.sidx)::BIGINT AS train_pos
+        |FROM r JOIN s USING (source), n""".stripMargin,
 
     // text_lm_score's trigram CTEs + integer mean score; cutoffs read
     // at exact ranks via row_number (any rank inside a tie run reads

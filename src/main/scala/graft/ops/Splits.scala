@@ -339,6 +339,63 @@ object Splits {
    * (localCheckpoint) and feeds the two bucket-selection scans plus
    * the map-only tier projection. No per-group windows anywhere.
    */
+  /**
+   * Deterministic source-interleaved TRAINING ORDER: each document gets
+   * a global position `train_pos = rank_within_source · S + source_idx`
+   * where sources index alphabetically and the within-source order is
+   * the md5-of-id shuffle (ties by id) — strict round-robin across
+   * corpora ("web, code, books, web, code, books, …"), the
+   * order-materialization step after mixing decides WHAT to train on.
+   * Positions are unique; when sources exhaust at different times their
+   * slots go unused (gaps are harmless — consumers sort by position).
+   * Pure function of the data: reruns, partitionings, and the SQL
+   * oracle agree bit-for-bit.
+   *
+   * Scale shape: NOT a per-source global window (partitionBy(source)
+   * would sort 60 TB of web on one reducer). Same two-pass bucket
+   * selection as [[tokenBudgetTake]]: pass 1 counts per (source,
+   * first-`bucketHex`-hex md5 bucket) — ≤ sources × 16^bucketHex
+   * driver rows — and a driver walk turns counts into per-bucket rank
+   * OFFSETS; pass 2 windows only within (source, bucket) (~1/256 of a
+   * source at the default), adds the offset, and maps to the global
+   * position. Shuffled tuples are (source, bucket, id, hash) — never
+   * text. Raise `bucketHex` to 3–4 at cluster scale for more window
+   * parallelism (driver table stays ≤ sources × 65536).
+   */
+  def interleaveBySource(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      bucketHex: Int = 2): DataFrame = {
+    require(bucketHex >= 1 && bucketHex <= 8, "bucketHex in [1,8]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val proj = df.select(col(groupCol).as("__g"), col(idCol),
+        md5(col(idCol).cast("string")).as("__h"))
+      .withColumn("__b", substring(col("__h"), 1, bucketHex))
+    val counts = proj.groupBy("__g", "__b").agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val sources = counts.map(_._1).distinct.sorted.toSeq
+    val nS = sources.length.toLong
+    val offsets = counts.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).map { case (g, b, n) =>
+        val o = (g, b, acc); acc += n; o
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g"), col("__b"))
+      .orderBy(col("__h"), col(idCol))
+    proj
+      .join(broadcast(offsets.toDF("__g", "__b", "__o")), Seq("__g", "__b"))
+      .join(broadcast(sources.zipWithIndex
+        .map { case (g, i) => (g, i.toLong) }.toDF("__g", "__sidx")),
+        Seq("__g"))
+      .withColumn("__rk", col("__o") + row_number().over(w).cast("long") - 1L)
+      .select(col(idCol), col("__g").as(groupCol),
+        (col("__rk") * nS + col("__sidx")).cast("long").as("train_pos"))
+  }
+
   def curriculumAssign(
       df: DataFrame,
       textCol: String,

@@ -316,4 +316,44 @@ class SplitsSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("interleaveBySource equals the whole-source window brute force") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    val sources = docs.select("source").distinct()
+      .collect().map(_.getString(0)).sorted
+    val sidx = sources.zipWithIndex.map { case (s, i) => (s, i.toLong) }
+      .toSeq.toDF("source", "sidx")
+    val expected = docs
+      .withColumn("rk", row_number().over(w).cast("long") - 1L)
+      .join(sidx, Seq("source"))
+      .select($"doc_id", $"source",
+        ($"rk" * sources.length + $"sidx").as("train_pos"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Splits.interleaveBySource(d, "doc_id", "source")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(run(docs) === expected)
+    assert(run(docs.repartition(11)) === expected)
+  }
+
+  test("interleaveBySource: unique positions, round-robin residues") {
+    val df = (0 until 90).map(i =>
+      (i.toLong, Seq("web", "code", "books")(i % 3))).toDF("doc_id", "source")
+    val got = graft.ops.Splits.interleaveBySource(df, "doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.map(_._3).distinct.length === got.length, "positions must be unique")
+    // alphabetical: books=0, code=1, web=2 — position mod 3 encodes source
+    val bySrc = got.groupBy(_._2)
+    assert(bySrc("books").forall(_._3 % 3 === 0L))
+    assert(bySrc("code").forall(_._3 % 3 === 1L))
+    assert(bySrc("web").forall(_._3 % 3 === 2L))
+    // within a source, consecutive ranks: positions are 0-dense in rank
+    bySrc.foreach { case (_, rows) =>
+      val ranks = rows.map(_._3 / 3).sorted.toSeq
+      assert(ranks === (0L until ranks.length.toLong).toSeq,
+        "ranks must be 0..n-1 dense")
+    }
+  }
 }
