@@ -276,6 +276,16 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), round(col("similarity"), 4).as("sim"))
     }),
 
+    // ---- MMR diversity re-rank over a first-pass top-30 (rows-only
+    // gate: the greedy λ-tradeoff is driver-local over the bounded
+    // candidate list by design; semantics pinned in VectorSearchSpec) ----
+    "q_mmr_rerank" -> ((s, dir) => {
+      val cands = VectorSearch.topK(t(s, dir, "embeddings"), "embedding",
+        vec(s, dir, 0), k = 30, idCol = "vec_id")
+      VectorSearch.mmrRerank(cands, "embedding", "vec_id", "similarity",
+        k = 10, lambda = 0.5)
+    }),
+
     // ---- attribute-filtered vector search: metadata predicate composes
     // with the scan top-k; the filter pushes to the parquet reader, so
     // the ranking only ever scores surviving rows (plan-pinned) ----
@@ -972,6 +982,17 @@ object SparkEntry {
       TextAnalysis.lmScoreFast(t(s, dir, "documents"), "text", "doc_id")
         .select(col("doc_id"), col("sum_millinats"), col("n_rare"),
           col("n_grams"))),
+
+    // ---- cross-corpus LM scoring (CCNet shape): trigram stats trained
+    // on doc_id % 5 != 0, the held-out fifth scored against them with
+    // OOV mass; broadcast counts, integer scores ----
+    "text_lm_cross" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.lmScoreCrossFast(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "text", "doc_id")
+    }),
 
     // ---- text analysis: language-ID heuristic (no oracle — heuristic;
     // single-pass custom expression, see functions.FastLangId) ----
@@ -2774,6 +2795,31 @@ object SparkEntry {
         |  count(*) AS n_grams
         |FROM g JOIN c USING (g)
         |GROUP BY doc_id""".stripMargin,
+
+    // Same trigram replay split train/eval at doc_id % 5; unseen grams
+    // coalesce to count 1 (0 milli-nats) and count as OOV.
+    "text_lm_cross" ->
+      """WITH tr AS (
+        |  SELECT lower(text) AS t FROM documents
+        |  WHERE doc_id % 5 <> 0 AND length(text) >= 3),
+        |trp AS (
+        |  SELECT t, unnest(generate_series(1, length(t) - 2)) AS i FROM tr),
+        |c AS (SELECT substr(t, i::INT, 3) AS g, count(*) AS cnt
+        |      FROM trp GROUP BY g),
+        |ev AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents
+        |  WHERE doc_id % 5 = 0 AND length(text) >= 3),
+        |evp AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS i
+        |  FROM ev),
+        |eg AS (SELECT doc_id, substr(t, i::INT, 3) AS g FROM evp)
+        |SELECT eg.doc_id, count(*)::BIGINT AS n_grams,
+        |  sum(floor(ln(coalesce(c.cnt, 1)) * 1000)::BIGINT)::BIGINT AS sum_millinats,
+        |  sum(CASE WHEN c.cnt IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+        |  ((sum(CASE WHEN c.cnt IS NULL THEN 1 ELSE 0 END)::HUGEINT * 1000000)
+        |    // count(*))::BIGINT AS oov_e6
+        |FROM eg LEFT JOIN c USING (g)
+        |GROUP BY eg.doc_id""".stripMargin,
 
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -29,6 +29,13 @@ object LmFunctions {
     * `packed(i)` = (millinats << 1) | rareBit for keys(i). */
   def lm_doc_score(text: Column, keys: Array[Long], packed: Array[Long]): Column =
     column(LmDocScore(expr(text), keys, packed))
+
+  /** OOV-tolerant variant for CROSS-corpus scoring: vocabulary misses
+    * contribute ln(1)=0 milli-nats and count as OOV instead of
+    * throwing. struct(sum_millinats, n_oov, n_grams). */
+  def lm_doc_cross_score(text: Column, keys: Array[Long],
+      millinats: Array[Long]): Column =
+    column(LmDocCrossScore(expr(text), keys, millinats))
 }
 
 /** Static kernels shared by interpreted eval and generated code. */
@@ -80,6 +87,52 @@ object LmKernels {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](sum, rare, n.toLong))
   }
+}
+
+object LmCrossKernels {
+  /** Like [[LmKernels.score]] but a vocabulary miss is DATA, not a bug:
+    * unseen grams score ln(1)=0 and count as OOV — the cross-corpus
+    * contract (the vocab comes from a DIFFERENT corpus). */
+  def score(s: UTF8String, keys: Array[Long], millinats: Array[Long]): Any = {
+    val grams = LmKernels.trigramKeys(s)
+    val n = grams.numElements()
+    if (n == 0) return null // mirrors the length >= 3 filter
+    var sum = 0L
+    var oov = 0L
+    var j = 0
+    while (j < n) {
+      val idx = java.util.Arrays.binarySearch(keys, grams.getLong(j))
+      if (idx < 0) oov += 1L
+      else sum += millinats(idx)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](sum, oov, n.toLong))
+  }
+}
+
+case class LmDocCrossScore(child: Expression, keys: Array[Long],
+    millinats: Array[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("sum_millinats", LongType, nullable = false),
+    StructField("n_oov", LongType, nullable = false),
+    StructField("n_grams", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any): Any =
+    LmCrossKernels.score(a.asInstanceOf[UTF8String], keys, millinats)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ks = ctx.addReferenceObj("lmXVocabKeys", keys, "long[]")
+    val ms = ctx.addReferenceObj("lmXVocabMillinats", millinats, "long[]")
+    val resultType = "org.apache.spark.sql.catalyst.expressions.GenericInternalRow"
+    nullSafeCodeGen(ctx, ev, x =>
+      s"""Object r = graft.functions.LmCrossKernels.score($x, $ks, $ms);
+         |if (r == null) { ${ev.isNull} = true; } else {
+         |  ${ev.value} = ($resultType) r;
+         |}""".stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "lm_doc_cross_score"
 }
 
 case class TrigramKeys(child: Expression) extends UnaryExpression {

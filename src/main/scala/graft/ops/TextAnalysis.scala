@@ -743,6 +743,91 @@ object TextAnalysis {
   }
 
   /**
+   * CROSS-corpus LM scoring — the CCNet deployment shape (Wenzek et
+   * al. 2020): train character-n-gram statistics on a REFERENCE corpus
+   * (Wikipedia, curated text) and score a candidate corpus against
+   * them, instead of [[lmScore]]'s self-scoring. Per evaluated
+   * document: gram count, exact integer milli-nat sum under the
+   * training counts (unseen grams score ln(1)=0 and are counted as
+   * OOV), and `oov_e6 = ⌊10⁶·n_oov/n_grams⌋` — the two quality axes
+   * (typicality under the reference, out-of-vocabulary mass) as pure
+   * integers, SQL-replayable.
+   *
+   * Scale shape: training counts are a vocabulary-bounded aggregate
+   * (≤ charset^n rows regardless of corpus size) and BROADCAST; the
+   * candidate side explodes grams map-side, probes the broadcast, and
+   * collapses back to one row per doc in the partial aggregate — the
+   * only exchange carries per-doc count rows. The 100 TB candidate
+   * corpus never shuffles text.
+   */
+  def lmScoreCross(
+      train: DataFrame,
+      evalDf: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    def grams(df: DataFrame) = df
+      .select(col(idCol), lower(col(textCol)).as("__t"))
+      .filter(length(col("__t")) >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), length(col("__t")) - (n - 1)),
+        i => col("__t").substr(i, lit(n)))).as("__g"))
+    val counts = grams(train).groupBy(col("__g"))
+      .agg(count(lit(1)).as("__cnt"))
+    grams(evalDf).join(broadcast(counts), Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(floor(log(coalesce(col("__cnt"), lit(1L))) * 1000).cast("long"))
+          .as("sum_millinats"),
+        sum(when(col("__cnt").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(idCol), col("n_grams"), col("sum_millinats"), col("n_oov"),
+        expr("n_oov * 1000000 DIV n_grams").as("oov_e6"))
+  }
+
+  /**
+   * Kernel tier of [[lmScoreCross]] for the trigram case — bit-identical
+   * output, same two-pass shape as [[lmScoreFast]]: the TRAIN corpus's
+   * packed-long trigram counts aggregate (8-byte shuffle keys,
+   * vocabulary-bounded output), the vocabulary collects to the driver
+   * (`maxVocab` guard) and ships inside ONE codegen expression that
+   * scores each candidate document in a single call — binary-search
+   * probes, no explode, no join. Unlike `lm_doc_score`, a vocabulary
+   * miss here is DATA (the vocab came from a different corpus): it
+   * scores 0 milli-nats and increments the OOV counter.
+   */
+  def lmScoreCrossFast(
+      train: DataFrame,
+      evalDf: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxVocab: Int = 8 * 1000 * 1000): DataFrame = {
+    import graft.functions.LmFunctions
+    def lowered(df: DataFrame) = df
+      .select(col(idCol), lower(col(textCol)).as("__t"))
+      .filter(length(col("__t")) >= 3)
+    val vocab = lowered(train)
+      .select(explode(LmFunctions.trigram_keys(col("__t"))).as("__k"))
+      .groupBy(col("__k")).agg(count(lit(1)).as("__cnt"))
+      .collect()
+    require(vocab.length <= maxVocab,
+      s"trigram vocabulary ${vocab.length} exceeds maxVocab=$maxVocab — " +
+        "use the declarative lmScoreCross for unbounded alphabets")
+    val sorted = vocab.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val keys = sorted.map(_._1)
+    val millinats = sorted.map { case (_, cnt) =>
+      math.floor(math.log(cnt.toDouble) * 1000).toLong }
+    lowered(evalDf)
+      .select(col(idCol),
+        LmFunctions.lm_doc_cross_score(col("__t"), keys, millinats).as("__s"))
+      .select(col(idCol),
+        col("__s.n_grams").as("n_grams"),
+        col("__s.sum_millinats").as("sum_millinats"),
+        col("__s.n_oov").as("n_oov"))
+      .withColumn("oov_e6", expr("n_oov * 1000000 DIV n_grams"))
+  }
+
+  /**
    * Kernel tier of [[lmScore]] for the trigram case — bit-identical
    * output, two corpus passes instead of three logical ones, and neither
    * pass shuffles anything document-sized:

@@ -512,6 +512,34 @@ class TextAnalysisSpec extends SparkSuite {
     assert(run(df) === run(df.repartition(7)))
   }
 
+  test("lmScoreCross scores eval docs under TRAIN counts with OOV mass") {
+    val train = Seq((1L, "aaab"), (2L, "aaa")).toDF("doc_id", "text")
+    // train trigrams: aaa×2 (one per doc), aab×1
+    val eval_ = Seq((10L, "aaab"), (11L, "xyz")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScoreCross(train, eval_, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val m2 = math.floor(math.log(2.0) * 1000).toLong // aaa count 2
+    // doc 10: grams aaa (693), aab (ln(1)=0, seen once → 0 millinats)
+    assert(got(10L) === ((2L, m2, 0L, 0L)))
+    // doc 11: xyz unseen → OOV, 0 millinats, oov_e6 = 1e6
+    assert(got(11L) === ((1L, 0L, 1L, 1000000L)))
+  }
+
+  test("lmScoreCrossFast is bit-identical to the declarative cross tier") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = docs.filter($"doc_id" % 5 =!= 0)
+    val eval_ = docs.filter($"doc_id" % 5 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_grams", "sum_millinats", "n_oov", "oov_e6")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val slow = key(TextAnalysis.lmScoreCross(train, eval_, "text", "doc_id"))
+    val fast = key(TextAnalysis.lmScoreCrossFast(train, eval_, "text", "doc_id"))
+    assert(fast === slow)
+    assert(fast.nonEmpty)
+  }
+
   test("lexicalDiversity is map-only (zero exchanges)") {
     // parquet-backed input: a local Seq relation constant-folds into
     // LocalTableScan and hides the projection
