@@ -100,7 +100,7 @@ object Bench {
       "split_interleave",
       "join_fuzzy", "events_sessions", "events_zscore", "events_mad",
       "graph_pagerank", "emb_kmeans", "emb_covariance", "emb_coreset",
-      "emb_random_projection",
+      "emb_random_projection", "emb_whitened",
       "q_maxsim_topk", "layout_zorder", "text_bpe_merges",
       "dedup_cross_corpus", "events_moving_avg", "events_trending",
       "text_group_keywords", "snapshot_diff",

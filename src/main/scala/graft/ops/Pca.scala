@@ -113,6 +113,31 @@ object Pca {
     array(terms: _*)
   }
 
+  /**
+   * PCA WHITENING apply: project onto the model's components and scale
+   * each coordinate by 1/√(λᵢ+eps) so the transformed corpus has unit
+   * variance along every kept axis — the standard embedding
+   * preprocessing before cosine dedup / retrieval (decorrelates
+   * dimensions, stops dominant axes swamping the metric). Map-only
+   * column over the scan, same envelope as [[project]]; the model is
+   * driver-fit ([[fit]]) and rides as literals.
+   */
+  def whiten(df: DataFrame, vecCol: String, model: Model,
+      eps: Double = 1e-12): Column = {
+    val scales = model.eigenvalues.map(l =>
+      1.0 / math.sqrt(math.max(l, 0.0) + eps))
+    val comps = model.components
+    val means = model.mean
+    val terms = comps.zip(scales).map { case (axis, s) =>
+      aggregate(
+        zip_with(col(vecCol),
+          typedlit(axis.zip(means).map { case (a, mu) => Seq(a, mu) }.toSeq),
+          (x, am) => (x.cast("double") - am.getItem(1)) * am.getItem(0)),
+        lit(0.0), (acc, v) => acc + v) * lit(s)
+    }
+    array(terms.toIndexedSeq: _*)
+  }
+
   /** Deterministic sign: first nonzero coordinate positive. */
   private def orient(v: Array[Double]): Array[Double] = {
     val k = v.indexWhere(x => math.abs(x) > 1e-12)

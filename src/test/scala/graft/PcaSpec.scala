@@ -101,4 +101,20 @@ class PcaSpec extends SparkSuite {
     val vals = rows.map { case (id, _) => proj(id)(0) }
     assert(math.abs(vals.max - 7.5) < 1e-3 && math.abs(vals.min + 7.5) < 1e-3)
   }
+
+  test("whiten yields unit variance and zero correlation on the fit corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val k = 4
+    val model = Pca.fit(emb, "embedding", dim = 64, topK = k)
+    val w = emb.select(Pca.whiten(emb, "embedding", model).as("w"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val n = w.length.toDouble
+    val mean = Array.tabulate(k)(i => w.map(_(i)).sum / n)
+    // covariance (1/n convention, matching fit) must be ≈ identity
+    for (i <- 0 until k; j <- i until k) {
+      val c = w.map(r => (r(i) - mean(i)) * (r(j) - mean(j))).sum / n
+      if (i == j) assert(math.abs(c - 1.0) < 0.01, s"var axis $i = $c")
+      else assert(math.abs(c) < 0.01, s"cov($i,$j) = $c")
+    }
+  }
 }
