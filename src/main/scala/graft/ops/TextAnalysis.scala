@@ -565,12 +565,16 @@ object TextAnalysis {
    * sparse retrieval pruning, and topic tagging of training slices.
    *
    * Scale shape: tokens explode map-side into a (doc, term) hash
-   * aggregate (map-side combined — the only data-sized exchange); document
-   * frequencies are a vocabulary-bounded second aggregate OVER the tf
-   * pairs (no second pass over text); the doc count joins as a broadcast
-   * 1-row frame; the per-doc top-k is the bounded-heap aggregate, so the
-   * final exchange carries ≤ partitions × docs-per-partition × k rows —
-   * never a window sort over all (doc, term) pairs.
+   * aggregate (map-side combined — the only data-sized exchange), which
+   * materializes ONCE (eager localCheckpoint) so the two consumers —
+   * the vocabulary-bounded df aggregate and the scoring join — share
+   * one corpus pass instead of Catalyst re-deriving the explode+agg per
+   * branch (a second full text scan at 100 TB; locally the checkpoint
+   * costs ~0.2 s at sf0.1, the price of scan-once semantics). The doc
+   * count joins as a broadcast 1-row frame; the per-doc top-k is the
+   * bounded-heap aggregate, so the final exchange carries ≤ partitions
+   * × docs-per-partition × k rows — never a window sort over all
+   * (doc, term) pairs.
    */
   def tfidfTopTerms(
       df: DataFrame,
@@ -582,7 +586,12 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("term"))
       .filter(col("term") =!= "")
+    // materialize tf ONCE (eager, ContextCleaner-owned like Dedup's
+    // signature caches): both the df aggregate and the scoring join
+    // consume it — without this Catalyst re-derives the whole
+    // explode+aggregate from the scan on each branch (two corpus passes)
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.agg(count(lit(1)).as("n"))
     val scored = tf

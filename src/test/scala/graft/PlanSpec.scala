@@ -45,6 +45,15 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange"), s"no shuffle expected:\n$p")
   }
 
+  test("tfidf reuses the materialized tf pairs — text scans once") {
+    val p = plan("text_tfidf")
+    // both the df aggregate and the scoring join must read the
+    // checkpointed tf RDD; the only parquet scan left is the doc COUNT
+    assert(p.contains("ExistingRDD"), s"tf must be checkpointed:\n$p")
+    assert(countOccurrences(p, "Scan parquet") <= 1,
+      s"text must scan at most once (the doc-count):\n$p")
+  }
+
   test("filtered top-k keeps the bounded-sort shape and scores only survivors") {
     val p = plan("q_filtered_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
