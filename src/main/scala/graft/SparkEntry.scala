@@ -1483,6 +1483,12 @@ object SparkEntry {
         .toDF().select(col("user_id"), col("n_events"),
           round(col("total_value"), 4).as("total_value"))),
 
+    // ---- streaming heavy hitters (batch-mode single-epoch semantics,
+    // like the other streaming gates; exact regime ⇒ SQL-replayable) ----
+    "streaming_heavy_hitters" -> ((s, dir) =>
+      graft.streaming.EventsStream.heavyHittersStream(events(s, dir),
+        "user_id", capacity = 8192, topN = 5, windowDuration = "1 hour")),
+
     // ---- ANN: LSH-bucketed approximate top-k (deterministic planes) ----
     "q_lsh_topk" -> ((s, dir) => {
       val idx = lshCache.computeIfAbsent(dir, d =>
@@ -2889,6 +2895,18 @@ object SparkEntry {
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 10""".stripMargin,
+
+    // Exact regime ⇒ per-hour exact top-5 with the sketch's string
+    // tie-break; epoch-aligned tumbling hour = date_trunc.
+    "streaming_heavy_hitters" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+        |  row_number() OVER (PARTITION BY date_trunc('hour', ts)
+        |    ORDER BY count(*) DESC, user_id::VARCHAR) AS rank,
+        |  user_id::VARCHAR AS value, count(*) AS est_count
+        |FROM events
+        |WHERE user_id IS NOT NULL
+        |GROUP BY 1, user_id
+        |QUALIFY rank <= 5""".stripMargin,
 
     "events_window_agg" ->
       """SELECT date_trunc('minute', ts) AS w, event_type,

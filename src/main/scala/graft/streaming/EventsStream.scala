@@ -212,6 +212,40 @@ object EventsStream {
    * as pinned stream-vs-batch-equal in StreamingSpec.
    * Deterministic ties: (count DESC, type ASC).
    */
+  /**
+   * Streaming heavy hitters — the Misra–Gries sketch
+   * ([[graft.functions.MisraGries]]) as a per-window STREAMING
+   * aggregate: top values of an unbounded-cardinality column (user
+   * ids, URLs) with state bounded at `capacity` counters per open
+   * window regardless of stream volume — the sketch contract carries
+   * over verbatim because the aggregate is mergeable (micro-batch
+   * partials merge exactly like map-side partials). In the exact
+   * regime (distinct ≤ capacity) the streamed result is bit-equal to
+   * the batch [[graft.ops.Profile.heavyHitters]] per window
+   * (spec-pinned); above it, every true heavy hitter with frequency
+   * > n/(capacity+1) survives with bounded undercount.
+   */
+  def heavyHittersStream(
+      events: DataFrame,
+      valueCol: String,
+      capacity: Int,
+      topN: Int,
+      windowDuration: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    require(topN >= 1 && topN <= capacity, "need 1 <= topN <= capacity")
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDuration))
+      .agg(graft.functions.MisraGries.mg_sketch(
+        col(valueCol).cast("string"), capacity).as("__hh"))
+      .select(col("window"), posexplode(col("__hh")).as(Seq("__r", "__e")))
+      .filter(col("__r") < topN)
+      .select(col("window").getField("start").as("window_start"),
+        (col("__r") + 1).cast("long").as("rank"),
+        col("__e").getField("value").as("value"),
+        col("__e").getField("count").as("est_count"))
+  }
+
   def trendingTypes(
       events: DataFrame,
       k: Int,

@@ -332,6 +332,22 @@ class StreamingSpec extends SparkSuite {
     assert(ids(store.readLatest(spark)) === Set(1L, 10L))
   }
 
+  test("streaming heavy hitters match the batch sketch per window (exact regime)") {
+    val streamed = runToMemory(
+      EventsStream.heavyHittersStream(
+        EventsStream.readStream(spark, streamDir), "user_id",
+        capacity = 4096, topN = 5),
+      "hh_stream", mode = "complete")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    val batch = EventsStream.heavyHittersStream(
+        spark.read.parquet(streamDir), "user_id", capacity = 4096, topN = 5)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming trending top-k matches the batch computation") {
     // Two stacked stateful aggregates. Spark's global-watermark checker
     // flags ANY chained stateful pair conservatively; in COMPLETE mode no
