@@ -86,14 +86,31 @@ object TrainingPipeline {
     println(s"train-packed:   ${packed.count()} docs in " +
       s"${packed.agg(countDistinct(col("shard"), col("pack_first"))).head.getLong(0)} packs")
 
-    // 5. learn a starter BPE merge table on the train split (vocabulary-
-    //    bounded rounds — the corpus is scanned once)
-    val merges = Bpe.learnMerges(
-      split.filter(col("split") === "train"), "text", 5)
+    // 5. training ORDER for the train split: curriculum tiers by
+    //    LM-typicality quantile (typical text first), then the
+    //    deterministic round-robin source interleave — both pure
+    //    functions of the data, so the order is re-derivable
+    val train = split.filter(col("split") === "train").localCheckpoint(true)
+    val tiers = Splits.curriculumAssign(train, "text", "doc_id")
+      .groupBy(col("tier")).agg(count(lit(1)).as("n"))
+      .orderBy(col("tier"))
+      .collect().map(r => s"t${r.getLong(0)}:${r.getLong(1)}").mkString(" ")
+    println(s"curriculum:     $tiers")
+    val order = Splits.interleaveBySource(train, "doc_id", "source")
+    println(s"train order:    ${order.count()} positions " +
+      s"(max ${order.agg(max(col("train_pos"))).head.getLong(0)})")
+
+    // 6. learn a starter BPE merge table on the train split (vocabulary-
+    //    bounded rounds — the corpus is scanned once), then APPLY it:
+    //    per-doc token counts + a deterministic token-stream digest
+    val merges = Bpe.learnMerges(train, "text", 5)
     println("bpe merges:     " +
       merges.map(m => s"${m.left}+${m.right}(${m.freq})").mkString(", "))
+    val encoded = Bpe.encodeDocs(train, "text", "doc_id", merges)
+    println(s"tokenized:      ${encoded.agg(sum(col("n_subwords"))).head.getLong(0)} " +
+      "subword tokens")
 
-    // 6. publish the dataset card: exact per-source counters of what
+    // 7. publish the dataset card: exact per-source counters of what
     //    survived the pipeline
     TextAnalysis.corpusDatasheet(mixed, "text", Seq("source"))
       .orderBy(col("source")).show(5, false)
