@@ -45,6 +45,24 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange"), s"no shuffle expected:\n$p")
   }
 
+  test("heavy hitters is ONE partial+final sketch aggregate") {
+    val p = plan("profile_heavy_hitters")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("mg_sketch"), p)
+    assert(countOccurrences(p, "Exchange") == 1,
+      s"the only exchange must carry capacity-bounded buffers:\n$p")
+  }
+
+  test("interleave joins its driver verdicts by broadcast; no sort-merge") {
+    val p = plan("split_interleave")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"bucket offsets and source indexes must broadcast:\n$p")
+    assert(p.contains("Window"), p)
+    // the projection never touches text: only ids, source, md5 hashes
+    assert(!p.contains("text#"), s"text must not enter the plan:\n$p")
+  }
+
   test("tfidf reuses the materialized tf pairs — text scans once") {
     val p = plan("text_tfidf")
     // both the df aggregate and the scoring join must read the
