@@ -107,7 +107,7 @@ object Bench {
       "text_group_keywords", "snapshot_diff",
       "dedup_cosine_pairs", "dedup_semantic", "text_gopher_rules", "text_c4_rules",
       "text_top_ngram", "dedup_paragraphs", "text_datasheet", "text_dup_ngrams",
-      "text_tfidf", "profile_heavy_hitters", "eval_ann_recall",
+      "text_tfidf", "profile_heavy_hitters", "eval_ann_recall", "eval_ann_mrr",
       "text_bpe_encode",
       "q_partition_pruned")
     // Ambient-load control: a FIXED Spark job (range-sum over 2e9 longs,

@@ -88,6 +88,49 @@ object SparkEntry {
        |ORDER BY e.query_id""".stripMargin
   }
 
+  /** DuckDB oracle for eval_ann_mrr: same signatures/dots as the recall
+    * oracle; rank replayed as 1 + count of strictly-better candidates
+    * under (sim DESC, cid ASC). */
+  private lazy val annMrrOracleSql: String = {
+    val planes = graft.ops.VectorSearch.randomPlanes(12, 64, 42L)
+    val bitTerms = planes.zipWithIndex.map { case (p, i) =>
+      val lit = p.map(x => x.toDouble.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $lit::DOUBLE[]) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH x AS (
+       |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS pos,
+       |         round(unnest(embedding::DOUBLE[]) * 10000000)::BIGINT AS e7
+       |  FROM embeddings),
+       |sig AS (SELECT vec_id, $bitTerms AS s FROM embeddings),
+       |dots AS (
+       |  SELECT xq.vec_id AS query_id, xc.vec_id AS cid,
+       |         sum(xq.e7 * xc.e7)::BIGINT AS sim
+       |  FROM x xq JOIN x xc USING (pos)
+       |  WHERE xq.vec_id < 16
+       |  GROUP BY xq.vec_id, xc.vec_id),
+       |top1 AS (
+       |  SELECT query_id, cid AS c1, sim AS s1 FROM dots
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |                             ORDER BY sim DESC, cid) = 1),
+       |cand AS (
+       |  SELECT d.* FROM dots d
+       |  JOIN sig cs ON cs.vec_id = d.cid
+       |  JOIN sig qs ON qs.vec_id = d.query_id
+       |  WHERE bit_count(xor(cs.s, qs.s)) <= 3),
+       |r AS (
+       |  SELECT c.query_id,
+       |    sum(CASE WHEN c.sim > t.s1 OR (c.sim = t.s1 AND c.cid < t.c1)
+       |             THEN 1 ELSE 0 END)::BIGINT AS better,
+       |    max(CASE WHEN c.cid = t.c1 THEN 1 ELSE 0 END)::BIGINT AS found
+       |  FROM cand c JOIN top1 t USING (query_id)
+       |  GROUP BY c.query_id)
+       |SELECT query_id, found,
+       |  (CASE WHEN found = 1 THEN better + 1 ELSE 0 END)::BIGINT AS rank,
+       |  (CASE WHEN found = 1 THEN 1000000 // (better + 1) ELSE 0 END)::BIGINT AS rr_e6
+       |FROM r
+       |ORDER BY query_id""".stripMargin
+  }
+
   /** DuckDB oracle for text_bpe_merges: 3 unrolled merge rounds over the
     * same canonical "two spaces between symbols" encoding, the same
     * (freq DESC, left, right) argmax, and replace()'s shared left-to-right
@@ -1505,6 +1548,13 @@ object SparkEntry {
         "embedding", "vec_id", dim = 64, numQueries = 16, k = 10,
         numPlanes = 12, maxHamming = 3)),
 
+    // ---- ANN evaluation: MRR of the true nearest neighbor inside the
+    // LSH candidate ranking; rank = 1 + count-of-better, exact integers ----
+    "eval_ann_mrr" -> ((s, dir) =>
+      graft.ops.Evaluation.lshMrrReport(t(s, dir, "embeddings"),
+        "embedding", "vec_id", dim = 64, numQueries = 16,
+        numPlanes = 12, maxHamming = 3)),
+
     // ---- ANN: IVF cluster-then-probe; probing ALL cells == exact, so
     // the brute-force top-k SQL is a valid oracle for the id set.
     // The index goes through the DURABLE path — built, written as the
@@ -2156,6 +2206,8 @@ object SparkEntry {
     "q_lsh_topk" -> lshTopKOracleSql,
 
     "eval_ann_recall" -> annRecallOracleSql,
+
+    "eval_ann_mrr" -> annMrrOracleSql,
 
     // The lang-ID heuristic replicated in SQL: per-language marker-hit
     // ratios over non-empty tokens, CJK codepoint ratio, first-in-order

@@ -94,6 +94,65 @@ object Evaluation {
       .orderBy("query_id")
   }
 
+  /**
+   * Distributed MRR report for LSH retrieval: per query, the rank of
+   * the TRUE nearest neighbor (exact e7-integer top-1, ties id-asc)
+   * inside the LSH-candidate ranking, and its reciprocal rank as the
+   * integer `1e6 quot rank` (0 when the filter lost it) — the
+   * first-relevant-result metric that recall@k hides. Rank is computed
+   * WITHOUT materializing an ordered list: it is 1 + the count of
+   * candidates strictly better under (sim DESC, id ASC) — one
+   * aggregate per query, exact integers end-to-end, SQL-replayable.
+   * Self-candidacy (hamming(sig,sig)=0) guarantees every query has a
+   * candidate set. Same scan envelope as [[lshRecallReport]].
+   *
+   * Output: (query_id, found, rank, rr_e6) ordered by query_id.
+   */
+  def lshMrrReport(
+      emb: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      numQueries: Int,
+      numPlanes: Int = 12,
+      maxHamming: Int = 3,
+      seed: Long = 42L,
+      scale: Long = 10000000L): DataFrame = {
+    require(numQueries >= 1, "numQueries >= 1")
+    val planes = VectorSearch.randomPlanes(numPlanes, dim, seed)
+    val sig = VectorSearch.hyperplaneSignature(col(vecCol), planes)
+    val e7 = transform(col(vecCol),
+      e => round(e.cast("double") * scale).cast("long"))
+    val corpus = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__cid"), e7.as("__ce"), sig.as("__csig"))
+    val queries = broadcast(emb.filter(col(idCol) < numQueries)
+      .select(col(idCol).as("query_id"), e7.as("__qe"), sig.as("__qsig")))
+    val scoredAll = corpus.crossJoin(queries)
+      .withColumn("__sim",
+        graft.functions.DenseVec.dense_dot(col("__qe"), col("__ce")))
+    val top1 = scoredAll.groupBy(col("query_id"))
+      .agg(max(struct(col("__sim"), (-col("__cid")).as("__n"))).as("__m"))
+      .select(col("query_id"), col("__m.__sim").as("__s1"),
+        (-col("__m.__n")).as("__c1"))
+    val cands = scoredAll.filter(
+      graft.functions.HashFunctions.hamming64(col("__csig"), col("__qsig"))
+        <= lit(maxHamming))
+    cands.join(broadcast(top1), Seq("query_id"))
+      .groupBy(col("query_id"))
+      .agg(
+        sum(when(col("__sim") > col("__s1") ||
+            (col("__sim") === col("__s1") && col("__cid") < col("__c1")),
+          1L).otherwise(0L)).as("__better"),
+        max(when(col("__cid") === col("__c1"), 1L).otherwise(0L))
+          .as("found"))
+      .select(col("query_id"), col("found"),
+        when(col("found") === 1L, col("__better") + 1L).otherwise(0L)
+          .as("rank"),
+        when(col("found") === 1L,
+          expr("1000000 DIV (__better + 1)")).otherwise(0L).as("rr_e6"))
+      .orderBy("query_id")
+  }
+
   /** Mean recall@k of an ANN method over a batch of query rows, against
     * brute-force ground truth via knnJoin. `exact`/`approx` both carry
     * (query_id, vec_id) rows ranked within each query_id. */

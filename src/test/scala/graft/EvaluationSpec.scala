@@ -55,6 +55,52 @@ class EvaluationSpec extends SparkSuite {
     }
   }
 
+  test("lshMrrReport: full hamming budget ranks the true NN first everywhere") {
+    val small = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Evaluation.lshMrrReport(small, "embedding", "vec_id",
+      dim = 64, numQueries = 6, numPlanes = 12, maxHamming = 12).collect()
+    assert(got.length === 6)
+    got.foreach { r =>
+      assert(r.getAs[Long]("found") === 1L)
+      assert(r.getAs[Long]("rank") === 1L)
+      assert(r.getAs[Long]("rr_e6") === 1000000L)
+    }
+  }
+
+  test("lshMrrReport equals a BigInt brute-force replica") {
+    val small = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = small.select("vec_id", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Float](1).toArray))
+    val planes = VectorSearch.randomPlanes(12, 64, 42L)
+    def e7(v: Array[Float]): Array[Long] =
+      v.map(x => math.round(x.toDouble * 10000000L))
+    def dot(a: Array[Long], b: Array[Long]): BigInt =
+      a.indices.foldLeft(BigInt(0))((s, i) => s + BigInt(a(i)) * b(i))
+    val sigs = rows.map { case (id, v) =>
+      id -> VectorSearch.signatureOf(v, planes) }.toMap
+    val vecs = rows.map { case (id, v) => id -> e7(v) }.toMap
+    val expected = rows.filter(_._1 < 6).sortBy(_._1).map { case (qid, _) =>
+      val q = vecs(qid)
+      val ranked = rows.map(_._1)
+        .map(cid => (dot(q, vecs(cid)), cid))
+        .sortBy { case (s, cid) => (-s, cid) }
+      val (s1, c1) = ranked.head
+      val cands = rows.map(_._1).filter(cid =>
+        java.lang.Long.bitCount(sigs(cid) ^ sigs(qid)) <= 2)
+        .map(cid => (dot(q, vecs(cid)), cid))
+      val found = cands.exists(_._2 == c1)
+      val better = cands.count { case (s, cid) =>
+        s > s1 || (s == s1 && cid < c1) }
+      val rank = if (found) better + 1L else 0L
+      (qid, if (found) 1L else 0L, rank,
+        if (found) 1000000L / (better + 1) else 0L)
+    }
+    val got = Evaluation.lshMrrReport(small, "embedding", "vec_id",
+      dim = 64, numQueries = 6, numPlanes = 12, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("lshRecallReport equals a BigInt brute-force replica") {
     val small = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val rows = small.select("vec_id", "embedding").collect()
