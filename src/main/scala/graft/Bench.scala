@@ -81,7 +81,7 @@ object Bench {
       "q_similarity_topk", "q_similarity_range", "q_filtered_topk",
       "q_negative_filter",
       "q_knn_join", "q_knn_join_ivf", "q_topk_per_label", "q_lsh_topk", "q_ivf_topk",
-      "dedup_exact", "dedup_minhash",
+      "dedup_exact", "dedup_bloom_new", "dedup_minhash",
       "dedup_simhash", "dedup_embedding_lsh", "text_quality", "text_tokens",
       "text_fingerprint", "text_lang_id", "q_upsert",
       "agg_pricing_summary", "join_top_customers", "events_window_agg",

@@ -455,6 +455,18 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
 
+    // ---- Bloom-prefiltered exact "what's new vs the corpus": the
+    // filter only routes rows to verification, so the output is exactly
+    // the anti-join's — oracle-green by construction ----
+    "dedup_bloom_new" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.newTextsBloom(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        "text", "doc_id")
+        .select(col("doc_id"))
+    }),
+
     // ---- dedup: cross-document paragraph boilerplate counters (Dolma
     // shape) — corpus is single-line, so the entry splits paragraphs on
     // ' line ' and plants id-keyed boilerplate, mirrored in the oracle ----
@@ -1861,6 +1873,15 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY text""".stripMargin,
+
+    // The Bloom stage is invisible to semantics: result = exact
+    // anti-join of the batch's texts against the corpus's.
+    "dedup_bloom_new" ->
+      """SELECT b.doc_id FROM documents b
+        |WHERE b.doc_id % 10 = 0
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM documents c
+        |    WHERE c.doc_id % 10 <> 0 AND c.text = b.text)""".stripMargin,
 
     "dedup_jaccard" ->
       """WITH t AS (

@@ -538,4 +538,27 @@ class DedupSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
     assert(run(1) === run(7))
   }
+
+  test("newTextsBloom equals the plain anti-join at any fpp (no false negatives)") {
+    val corpus = ((0 until 40).map(i => (i.toLong, s"corpus document number $i"))
+      :+ (98L, "shared text one") :+ (99L, "shared text two"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "shared text one"),        // exact dup of corpus
+      (101L, "shared text two"),        // exact dup of corpus
+      (102L, "a genuinely new document"),
+      (103L, "another brand new document"),
+      (104L, "corpus document number 7") // dup of a generated corpus row
+    ).toDF("doc_id", "text").repartition(5)
+    val expected = batch.join(corpus.select($"text"), Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(expected === Set(102L, 103L))
+    // tiny fpp (clean prune) and absurd fpp=0.5 (FPs flood the verify
+    // join) must both return exactly the anti-join result
+    for (fpp <- Seq(0.01, 0.5)) {
+      val got = graft.ops.Dedup.newTextsBloom(batch, corpus, "text", "doc_id",
+        fpp = fpp).select("doc_id").as[Long].collect().toSet
+      assert(got === expected, s"fpp=$fpp")
+    }
+  }
 }
