@@ -140,26 +140,49 @@ object Dedup {
    * 10⁹ corpus docs at fpp=0.01 — executor-broadcast-friendly far
    * beyond any driver-local alternative.
    */
+  /** Build the corpus text-hash Bloom filter ONCE (one corpus pass) for
+    * reuse across every batch of an ingest loop — the amortization that
+    * makes [[newTextsBloom]] win: per batch only the probe scan and a
+    * broadcast-pruned verify remain. */
+  def buildTextBloom(
+      corpus: DataFrame,
+      textCol: String,
+      fpp: Double = 0.01,
+      expectedItems: Long = 0L): org.apache.spark.util.sketch.BloomFilter = {
+    require(fpp > 0 && fpp < 1, "fpp in (0,1)")
+    val n = if (expectedItems > 0) expectedItems
+      else math.max(corpus.count(), 1L)
+    corpus.select(xxhash64(col(textCol)).as("__h"))
+      .stat.bloomFilter("__h", n, fpp)
+  }
+
   def newTextsBloom(
       batch: DataFrame,
       corpus: DataFrame,
       textCol: String,
       idCol: String,
       fpp: Double = 0.01,
-      expectedItems: Long = 0L): DataFrame = {
-    require(fpp > 0 && fpp < 1, "fpp in (0,1)")
-    val n = if (expectedItems > 0) expectedItems
-      else math.max(corpus.count(), 1L)
-    val bf = corpus.select(xxhash64(col(textCol)).as("__h"))
-      .stat.bloomFilter("__h", n, fpp)
+      expectedItems: Long = 0L,
+      prebuilt: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
+    val bf = prebuilt.getOrElse(
+      buildTextBloom(corpus, textCol, fpp, expectedItems))
     val probed = batch.withColumn("__maybe",
       graft.functions.BloomFunctions.might_contain_long(
         xxhash64(col(textCol)), bf))
     val definitelyNew = probed.filter(!col("__maybe")).drop("__maybe")
-    val corpusDigests = corpus.select(md5(col(textCol)).as("__d")).distinct()
-    val confirmedNew = probed.filter(col("__maybe")).drop("__maybe")
+    // verify WITHOUT a corpus-sized shuffle: the maybe-set is small by
+    // the filter's contract (~fpp·new + true dups), so its digests
+    // broadcast DOWN to the corpus scan as a semi-join filter, and the
+    // surviving corpus digests (≤ maybe-sized) broadcast back up for
+    // the anti-join — the corpus is scanned (digest column only) but
+    // never shuffled, aggregated, or distinct-ed per batch
+    val maybes = probed.filter(col("__maybe")).drop("__maybe")
       .withColumn("__bd", md5(col(textCol)))
-      .join(corpusDigests, col("__bd") === col("__d"), "left_anti")
+    val corpusHits = corpus.select(md5(col(textCol)).as("__bd"))
+      .join(broadcast(maybes.select(col("__bd")).distinct()),
+        Seq("__bd"), "left_semi")
+    val confirmedNew = maybes
+      .join(broadcast(corpusHits), Seq("__bd"), "left_anti")
       .drop("__bd")
     definitelyNew.unionByName(confirmedNew)
   }
