@@ -87,12 +87,22 @@ object CorpusIngest {
           // suppress exact-text matches explicitly. coalesce: a null
           // text must equal itself across replays (null ≠ null in a
           // join key would leak every replayed null-text doc through).
-          import org.apache.spark.sql.functions.{coalesce, col, lit, xxhash64}
-          val fresh = nearNew.join(
-            corpus.select(
-              xxhash64(coalesce(col(textCol), lit(""))).as("__text_h")).distinct(),
-            xxhash64(coalesce(nearNew(textCol), lit(""))) === col("__text_h"),
-            "left_anti")
+          // Shape: the batch side is small, so its hashes broadcast
+          // DOWN into the corpus scan as a semi-join filter and the
+          // survivors broadcast back for the anti-join — the corpus is
+          // scanned but never shuffled/distinct-ed per micro-batch
+          // (the newTextsBloom verify shape; the old corpus-wide
+          // distinct paid a corpus-sized exchange every batch).
+          import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, xxhash64}
+          val batchHashed = nearNew.withColumn("__text_h",
+            xxhash64(coalesce(col(textCol), lit(""))))
+          val corpusHits = corpus
+            .select(xxhash64(coalesce(col(textCol), lit(""))).as("__text_h"))
+            .join(broadcast(batchHashed.select(col("__text_h")).distinct()),
+              Seq("__text_h"), "left_semi")
+          val fresh = batchHashed
+            .join(broadcast(corpusHits), Seq("__text_h"), "left_anti")
+            .drop("__text_h")
           // persist: the emptiness probe and the commit otherwise each
           // re-run the banded batch×corpus join
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
