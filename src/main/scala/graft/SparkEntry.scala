@@ -1284,6 +1284,11 @@ object SparkEntry {
           sum(round(col("value") * 100).cast("long")).cast("double")
             .divide(100.0).as("sum_value"))),
 
+    // ---- exact windowed distinct (two-level aggregate; the shape
+    // count(DISTINCT) should lower to — see TimeSeries.windowDistinct) ----
+    "events_window_distinct" -> ((s, dir) =>
+      graft.ops.TimeSeries.windowDistinct(events(s, dir), "ts", "user_id")),
+
     // ---- events: SLIDING (hopping) windows — 2-minute windows every
     // minute, so each event lands in exactly two epoch-aligned windows;
     // the overlap factor is bounded by width/slide, not corpus size ----
@@ -2980,6 +2985,14 @@ object SparkEntry {
         |WHERE user_id IS NOT NULL
         |GROUP BY 1, user_id
         |QUALIFY rank <= 5""".stripMargin,
+
+    "events_window_distinct" ->
+      """SELECT date_trunc('hour', ts) AS w,
+        |  count(DISTINCT user_id) AS n_distinct,
+        |  count(*) AS n_events
+        |FROM events
+        |WHERE user_id IS NOT NULL
+        |GROUP BY 1""".stripMargin,
 
     "events_window_agg" ->
       """SELECT date_trunc('minute', ts) AS w, event_type,

@@ -59,6 +59,31 @@ object TimeSeries {
    * bounded running frame — the canonical window op; state per task is
    * the frame buffer, never the corpus.
    */
+  /**
+   * Windowed EXACT distinct counts (active users per hour) as the
+   * two-level aggregate: dedup (window, key) first — a hash aggregate
+   * whose map side collapses each key's repeats before the exchange —
+   * then count rows per window. This is the shape `count(DISTINCT x)`
+   * should lower to at scale: the alternative single-level distinct
+   * aggregate shuffles every EVENT to its window's reducer (or pays an
+   * Expand), while this shuffles at most one row per (window, key) —
+   * and it is exactly the dropDuplicates→count shape Structured
+   * Streaming can run incrementally. The sketch tier for unbounded key
+   * domains is `approx_count_distinct` (see `Profile.numericProfile`'s
+   * HLL tier); this is the exact tier.
+   */
+  def windowDistinct(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      truncUnit: String = "hour"): DataFrame =
+    events
+      .filter(col(keyCol).isNotNull)
+      .select(date_trunc(truncUnit, col(tsCol)).as("w"), col(keyCol).as("k"))
+      .groupBy(col("w"), col("k")).agg(count(lit(1)).as("__n"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("__n")).as("n_events"))
+
   def movingAverage(
       events: DataFrame,
       keyCol: String,
