@@ -348,6 +348,24 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming windowed distinct matches the batch computation") {
+    // two stacked stateful aggs (dedup level + count level) — same
+    // complete-mode escape as trending (no eviction ⇒ no late-discard)
+    val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    spark.conf.set(key, "false")
+    val streamed = try runToMemory(
+      graft.ops.TimeSeries.windowDistinct(
+        EventsStream.readStream(spark, streamDir), "ts", "user_id"),
+      "win_distinct", mode = "complete")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    finally spark.conf.set(key, "true")
+    val batch = graft.ops.TimeSeries.windowDistinct(
+        spark.read.parquet(streamDir), "ts", "user_id")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming trending top-k matches the batch computation") {
     // Two stacked stateful aggregates. Spark's global-watermark checker
     // flags ANY chained stateful pair conservatively; in COMPLETE mode no
