@@ -859,6 +859,20 @@ object SparkEntry {
           col("n_chars"))
     }),
 
+    // ---- CSV sink → explicit-schema source round-trip (quoting/escape
+    // surface: documents carry free text) — oracle is the original ----
+    "src_csv_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      t(s, dir, "documents").write.mode("overwrite")
+        .option("header", "true").csv(tmp)
+      s.read
+        .schema("doc_id long, text string, lang string, source string, n_chars long")
+        .option("header", "true")
+        .csv(tmp)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+    }),
+
     // ---- corpus vocabulary: top-100 tokens by frequency (tokenizer-
     // training / frequency-filter feed; bounded top-k, no full sort) ----
     "text_vocab" -> ((s, dir) =>
@@ -2423,6 +2437,10 @@ object SparkEntry {
     // The round-trip is lossless iff the reread JSONL hashes equal to
     // the parquet original — the oracle IS the original table.
     "src_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // CSV round-trip must also be lossless against the parquet original.
+    "src_csv_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     // Round-robin replay: per-source md5 rank (the bucket decomposition
