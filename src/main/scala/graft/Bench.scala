@@ -84,7 +84,7 @@ object Bench {
       "dedup_exact", "dedup_bloom_new", "dedup_minhash",
       "dedup_simhash", "dedup_embedding_lsh", "text_quality", "text_tokens",
       "text_fingerprint", "text_lang_id", "q_upsert",
-      "agg_pricing_summary", "join_top_customers", "events_window_agg",
+      "agg_pricing_summary", "join_top_customers", "join_q5_shape", "events_window_agg",
       "events_sliding_agg", "events_per_user", "events_window_distinct",
       "text_bm25", "text_bm25_indexed", "search_hybrid", "q_quantized_topk",
       "q_hamming_topk", "text_lexical",
@@ -108,7 +108,7 @@ object Bench {
       "dedup_cosine_pairs", "dedup_semantic", "text_gopher_rules", "text_c4_rules",
       "text_top_ngram", "dedup_paragraphs", "text_datasheet", "text_dup_ngrams",
       "text_tfidf", "profile_heavy_hitters", "eval_ann_recall", "eval_ann_mrr",
-      "text_bpe_encode",
+      "text_bpe_encode", "src_csv_roundtrip",
       "q_partition_pruned")
     // Ambient-load control: a FIXED Spark job (range-sum over 2e9 longs,
     // all cores, codegen'd) timed before and after the headline sweep.

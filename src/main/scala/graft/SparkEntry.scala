@@ -1392,6 +1392,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sup"))
     }),
 
+    // ---- relational: the TPC-H Q5 plan shape — local-supplier revenue
+    // by nation inside one region/year. Two fact-fact shuffle joins
+    // (orders⋈customer, lineitem⋈supplier on key+nation), every
+    // dimension BROADCAST, date + region filters pushed below the
+    // joins, cents-exact revenue (the agg_pricing convention) ----
+    "join_q5_shape" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+        .join(li, ord("o_orderkey") === li("l_orderkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey") &&
+          cust("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          / 10000.0).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
     // ---- relational: co-bucketed join through the persisted bucketed
     // layout (shuffle paid once at write, zero Exchange at join time —
     // plan property pinned in BucketedCorpusSpec) ----
@@ -3231,6 +3258,23 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
+
+    // TPC-H Q5 replay with the cents-exact revenue convention.
+    "join_q5_shape" ->
+      """SELECT n_name,
+        |  sum(round(l_extendedprice * 100)::BIGINT *
+        |      (100 - round(l_discount * 100)::BIGINT)) / 10000.0 AS revenue,
+        |  count(*) AS n
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
 
     // The partitioned layout changes WHERE rows live, never what they
     // are — the oracle is the plain logical slice.

@@ -45,6 +45,15 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange"), s"no shuffle expected:\n$p")
   }
 
+  test("Q5 shape: dims broadcast, date filter pushed to the orders scan") {
+    val p = plan("join_q5_shape")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"no unkeyed join allowed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date range must reach the parquet scan:\n$p")
+  }
+
   test("heavy hitters is ONE partial+final sketch aggregate") {
     val p = plan("profile_heavy_hitters")
     assert(p.contains("ObjectHashAggregate"), p)
