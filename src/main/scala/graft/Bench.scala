@@ -90,7 +90,7 @@ object Bench {
       "q_hamming_topk", "text_lexical",
       "q_pq_topk", "q_ivfpq_topk", "dedup_spans",
       "join_asof", "join_range", "emb_centroids", "events_retention",
-      "agg_rollup", "profile_stats", "profile_stats_approx",
+      "agg_rollup", "agg_promo_share", "profile_stats", "profile_stats_approx",
       "text_lm_score", "text_lm_cross", "q_mmr_rerank", "emb_outliers",
       "split_temperature", "text_packing", "join_asof_fwd", "events_funnel",
       "profile_quantiles", "profile_quantiles_approx",

@@ -1392,6 +1392,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sup"))
     }),
 
+    // ---- relational: TPC-H Q14 shape — monthly promo revenue share.
+    // The part dimension broadcasts into the lineitem scan; share is an
+    // exact integer quotient over DECIMAL(38) revenue sums ----
+    "agg_promo_share" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val part = t(s, dir, "part")
+      val rev = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+        .agg(sum(when(col("p_type") === "PROMO", rev).otherwise(0L))
+            .as("promo_rev_e4"),
+          sum(rev).as("total_rev_e4"))
+        .withColumn("promo_share_e6",
+          expr("CAST(promo_rev_e4 AS DECIMAL(38,0)) * 1000000 DIV total_rev_e4"))
+    }),
+
     // ---- relational: the TPC-H Q5 plan shape — local-supplier revenue
     // by nation inside one region/year. Two fact-fact shuffle joins
     // (orders⋈customer, lineitem⋈supplier on key+nation), every
@@ -3258,6 +3275,24 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
+
+    // Q14 replay: same scaled-integer revenue, HUGEINT share quotient.
+    "agg_promo_share" ->
+      """SELECT date_trunc('month', l_shipdate)::TIMESTAMP AS month,
+        |  sum(CASE WHEN p_type = 'PROMO'
+        |      THEN round(l_extendedprice * 100)::BIGINT *
+        |           (100 - round(l_discount * 100)::BIGINT)
+        |      ELSE 0 END)::BIGINT AS promo_rev_e4,
+        |  sum(round(l_extendedprice * 100)::BIGINT *
+        |      (100 - round(l_discount * 100)::BIGINT))::BIGINT AS total_rev_e4,
+        |  (sum(CASE WHEN p_type = 'PROMO'
+        |       THEN round(l_extendedprice * 100)::BIGINT *
+        |            (100 - round(l_discount * 100)::BIGINT)
+        |       ELSE 0 END)::HUGEINT * 1000000 //
+        |   sum(round(l_extendedprice * 100)::BIGINT *
+        |       (100 - round(l_discount * 100)::BIGINT)))::BIGINT AS promo_share_e6
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
 
     // TPC-H Q5 replay with the cents-exact revenue convention.
     "join_q5_shape" ->
