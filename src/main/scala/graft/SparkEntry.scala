@@ -1298,6 +1298,19 @@ object SparkEntry {
           sum(round(col("value") * 100).cast("long")).cast("double")
             .divide(100.0).as("sum_value"))),
 
+    // ---- semi-structured: JSON props parsed IN-SCAN (codegen
+    // get_json_object — no UDF, no pre-materialization) and aggregated
+    // per event_type with exact integer stats ----
+    "events_json_props" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      events(s, dir)
+        .select(col("event_type"), k.as("__k"))
+        .filter(col("__k").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("__k")).as("sum_k"),
+          min(col("__k")).as("min_k"), max(col("__k")).as("max_k"))
+    }),
+
     // ---- exact windowed distinct (two-level aggregate; the shape
     // count(DISTINCT) should lower to — see TimeSeries.windowDistinct) ----
     "events_window_distinct" -> ((s, dir) =>
@@ -3047,6 +3060,15 @@ object SparkEntry {
         |WHERE user_id IS NOT NULL
         |GROUP BY 1, user_id
         |QUALIFY rank <= 5""".stripMargin,
+
+    "events_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+        |  min(json_extract(props, '$.k')::BIGINT) AS min_k,
+        |  max(json_extract(props, '$.k')::BIGINT) AS max_k
+        |FROM events
+        |WHERE json_extract(props, '$.k') IS NOT NULL
+        |GROUP BY event_type""".stripMargin,
 
     "events_window_distinct" ->
       """SELECT date_trunc('hour', ts) AS w,
