@@ -1298,6 +1298,12 @@ object SparkEntry {
           sum(round(col("value") * 100).cast("long")).cast("double")
             .divide(100.0).as("sum_value"))),
 
+    // ---- sequence mining: first-order event-type transition counts
+    // (one per-user window pass + vocabulary-bounded aggregate) ----
+    "events_transitions" -> ((s, dir) =>
+      graft.ops.TimeSeries.transitionCounts(events(s, dir),
+        "ts", "user_id", "event_type", "event_id")),
+
     // ---- semi-structured: JSON props parsed IN-SCAN (codegen
     // get_json_object — no UDF, no pre-materialization) and aggregated
     // per event_type with exact integer stats ----
@@ -3060,6 +3066,17 @@ object SparkEntry {
         |WHERE user_id IS NOT NULL
         |GROUP BY 1, user_id
         |QUALIFY rank <= 5""".stripMargin,
+
+    // Same lag-over-(user, ts, id) replay; counts are type²-bounded.
+    "events_transitions" ->
+      """WITH m AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+        |FROM m WHERE prev IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
 
     "events_json_props" ->
       """SELECT event_type, count(*) AS n,

@@ -60,6 +60,34 @@ object TimeSeries {
    * the frame buffer, never the corpus.
    */
   /**
+   * Event-type TRANSITION counts — the first-order Markov statistics
+   * behind next-event prediction and funnel discovery: for each user's
+   * time-ordered event sequence, count every adjacent (from → to) pair
+   * corpus-wide. Ties at identical timestamps order by event id, so
+   * the sequence (and the counts) are a pure function of the data.
+   *
+   * Scale shape: ONE window pass partitioned by user (millions of
+   * small partitions — the parallelism-friendly direction) computing
+   * `lag`, then a hash aggregate whose output is ≤ |event types|² —
+   * vocabulary-bounded, map-side combined. No self-join of events.
+   */
+  def transitionCounts(
+      events: DataFrame,
+      tsCol: String,
+      userCol: String,
+      typeCol: String,
+      idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /**
    * Windowed EXACT distinct counts (active users per hour) as the
    * two-level aggregate: dedup (window, key) first — a hash aggregate
    * whose map side collapses each key's repeats before the exchange —
