@@ -1298,6 +1298,13 @@ object SparkEntry {
           sum(round(col("value") * 100).cast("long")).cast("double")
             .divide(100.0).as("sum_value"))),
 
+    // ---- leakage-safe temporal split: train on the past, test on the
+    // future; cutoff = exact order statistic at the 80% rank ----
+    "split_time_holdout" -> ((s, dir) =>
+      graft.ops.Splits.timeHoldout(events(s, dir), "ts",
+          testNum = 1L, testDen = 5L)
+        .select(col("event_id"), col("split"))),
+
     // ---- sequence mining: first-order event-type transition counts
     // (one per-user window pass + vocabulary-bounded aggregate) ----
     "events_transitions" -> ((s, dir) =>
@@ -3066,6 +3073,18 @@ object SparkEntry {
         |WHERE user_id IS NOT NULL
         |GROUP BY 1, user_id
         |QUALIFY rank <= 5""".stripMargin,
+
+    // Rank replay: cutoff ts at row_number rank (n-1)*4//5; ties on
+    // the cutoff value land train-side in both engines.
+    "split_time_holdout" ->
+      """WITH o AS (
+        |  SELECT ts, row_number() OVER (ORDER BY ts) - 1 AS rk
+        |  FROM events WHERE ts IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM o),
+        |cut AS (SELECT ts AS c FROM o, n WHERE rk = ((n - 1) * 4) // 5)
+        |SELECT event_id,
+        |  CASE WHEN ts <= (SELECT c FROM cut) THEN 'train' ELSE 'test' END AS split
+        |FROM events""".stripMargin,
 
     // Same lag-over-(user, ts, id) replay; counts are type²-bounded.
     "events_transitions" ->

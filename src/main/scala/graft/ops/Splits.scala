@@ -362,6 +362,39 @@ object Splits {
    * text. Raise `bucketHex` to 3–4 at cluster scale for more window
    * parallelism (driver table stays ≤ sources × 65536).
    */
+  /**
+   * Time-based holdout — "train on the past, test on the future", the
+   * leakage-safe split for anything with temporal drift (events,
+   * logs, crawls): the cutoff timestamp is the EXACT order statistic
+   * of the time column at rank ⌊(n−1)·(den−num)/den⌋ (test fraction
+   * num/den as a RATIONAL — a float fraction could round the rank
+   * differently across engines), rows at or before the cutoff are
+   * `train`, strictly after are `test`; timestamp ties all land on
+   * the train side, so the assignment is a pure function of the data.
+   *
+   * Scale shape: the cutoff comes from [[Profile.orderStatistics]]'s
+   * two bucket-count scans (zero shuffles, driver gets 1024-bucket
+   * histograms), and the assignment itself is a map-only projection
+   * against the broadcast cutoff literal.
+   */
+  def timeHoldout(
+      df: DataFrame,
+      tsCol: String,
+      testNum: Long,
+      testDen: Long): DataFrame = {
+    require(testNum > 0 && testNum < testDen, "need 0 < testNum/testDen < 1")
+    val micros = df
+      .select(unix_micros(col(tsCol).cast("timestamp")).as("__us"))
+      .filter(col("__us").isNotNull)
+    val n = micros.count()
+    require(n > 0, "timeHoldout needs at least one row")
+    val r = (n - 1) * (testDen - testNum) / testDen
+    val cut = Profile.orderStatistics(micros, "__us", Seq(r), scale = 1L)(r)
+    df.withColumn("split",
+      when(unix_micros(col(tsCol).cast("timestamp")) <= lit(cut), "train")
+        .otherwise("test"))
+  }
+
   def interleaveBySource(
       df: DataFrame,
       idCol: String,

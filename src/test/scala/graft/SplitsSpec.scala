@@ -317,6 +317,27 @@ class SplitsSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("timeHoldout: strict past/future partition at the exact rank cutoff") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Splits.timeHoldout(d, "ts", testNum = 1L, testDen = 5L)
+    val out = run(ev).select($"ts".cast("long").as("t"), $"split").collect()
+    val train = out.filter(_.getString(1) == "train").map(_.getLong(0))
+    val test_ = out.filter(_.getString(1) == "test").map(_.getLong(0))
+    assert(train.nonEmpty && test_.nonEmpty)
+    assert(train.max < test_.min, "every train ts must precede every test ts")
+    // rank contract: train holds the first ⌊(n−1)·4/5⌋+1 rows (± ties)
+    val n = out.length.toLong
+    val r = (n - 1) * 4 / 5
+    assert(train.length >= r + 1, "cutoff row itself is train")
+    // partitioning invariance
+    val a = run(ev).select("event_id", "split").collect().map(_.toString).sorted.toSeq
+    val b = run(ev.repartition(13)).select("event_id", "split")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+
   test("interleaveBySource equals the whole-source window brute force") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val w = org.apache.spark.sql.expressions.Window
