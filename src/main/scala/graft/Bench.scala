@@ -97,7 +97,7 @@ object Bench {
       "profile_histogram", "profile_histogram_eqdepth", "events_pivot",
       "events_gapfill", "profile_topvalues", "profile_corr",
       "split_weighted", "split_token_budget", "split_importance",
-      "split_interleave", "split_time_holdout",
+      "split_interleave", "split_time_holdout", "split_epochs",
       "join_fuzzy", "events_sessions", "events_zscore", "events_mad",
       "graph_pagerank", "emb_kmeans", "emb_covariance", "emb_coreset",
       "emb_random_projection", "emb_whitened",

@@ -1298,6 +1298,14 @@ object SparkEntry {
           sum(round(col("value") * 100).cast("long")).cast("double")
             .divide(100.0).as("sum_value"))),
 
+    // ---- fractional epoch expansion (the up-sampling half of a mix
+    // recipe): src0 ×2.5, src1 dropped, src2 ×0.5, rest ×1 ----
+    "split_epochs" -> ((s, dir) =>
+      graft.ops.Splits.epochExpand(t(s, dir, "documents"),
+          "doc_id", "source",
+          Map("src0" -> 2.5, "src1" -> 0.0, "src2" -> 0.5))
+        .select(col("doc_id"), col("source"), col("epoch"))),
+
     // ---- leakage-safe temporal split: train on the past, test on the
     // future; cutoff = exact order statistic at the 80% rank ----
     "split_time_holdout" -> ((s, dir) =>
@@ -3073,6 +3081,23 @@ object SparkEntry {
         |WHERE user_id IS NOT NULL
         |GROUP BY 1, user_id
         |QUALIFY rank <= 5""".stripMargin,
+
+    // Same md5 4-hex remainder rule ('8000' = rateHex(0.5)); copies
+    // replay as generate_series.
+    "split_epochs" ->
+      """SELECT doc_id, source,
+        |  unnest(generate_series(0, copies - 1))::BIGINT AS epoch
+        |FROM (
+        |  SELECT doc_id, source,
+        |    CASE source
+        |      WHEN 'src0' THEN 2 + (CASE WHEN substr(md5(doc_id::VARCHAR), 1, 4)
+        |                                 < '8000' THEN 1 ELSE 0 END)
+        |      WHEN 'src1' THEN 0
+        |      WHEN 'src2' THEN (CASE WHEN substr(md5(doc_id::VARCHAR), 1, 4)
+        |                             < '8000' THEN 1 ELSE 0 END)
+        |      ELSE 1 END AS copies
+        |  FROM documents)
+        |WHERE copies > 0""".stripMargin,
 
     // Rank replay: cutoff ts at row_number rank (n-1)*4//5; ties on
     // the cutoff value land train-side in both engines.

@@ -83,6 +83,47 @@ object Splits {
     f"${math.min(65535L, math.round(rate * 65536.0))}%04x"
 
   /**
+   * Fractional EPOCH expansion — the up-sampling half of a pretraining
+   * mix recipe ("2.3 epochs of wikipedia, 0.8 of books"): every doc of
+   * group g appears ⌊e_g⌋ times, plus one more when its md5 bucket
+   * falls under the fractional remainder — the same 4-hex rule as
+   * [[downsample]], so which docs get the extra epoch is a pure
+   * function of (id, group) and the output composition is exactly
+   * n_g·e_g ± 1 per group in expectation with deterministic membership.
+   * Emits an `epoch` index (0-based) so downstream shuffling/packing
+   * can keep copies apart. Groups absent from the map default to 1.0;
+   * e_g = 0 drops the group.
+   *
+   * Scale shape: map-only — the copy count is a per-row expression and
+   * the expansion is one `explode(sequence(...))`; no shuffle, no
+   * join, SQL-replayable via generate_series.
+   */
+  def epochExpand(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      epochs: Map[String, Double],
+      defaultEpochs: Double = 1.0): DataFrame = {
+    require((epochs.values.toSeq :+ defaultEpochs).forall(e => e >= 0.0 && e <= 100.0),
+      "epochs must be in [0, 100]")
+    val bucket = substring(md5(col(idCol).cast("string")), 1, 4)
+    def copies(e: Double): Column = {
+      val whole = math.floor(e).toLong
+      val frac = e - whole
+      if (frac == 0.0) lit(whole)
+      else lit(whole) + when(bucket < lit(rateHex(frac)), 1L).otherwise(0L)
+    }
+    val cnt = epochs.toSeq.sortBy(_._1).foldLeft(copies(defaultEpochs)) {
+      case (acc, (g, e)) => when(col(groupCol) === g, copies(e)).otherwise(acc)
+    }
+    df.withColumn("__copies", cnt)
+      .filter(col("__copies") > 0L)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("__copies") - 1L)))
+      .drop("__copies")
+  }
+
+  /**
    * Temperature-based source rebalancing — the multilingual-LM sampling
    * rule (size of group g in the output ∝ n_g^alpha): alpha = 1 keeps
    * the natural distribution, alpha → 0 equalizes all groups down to the

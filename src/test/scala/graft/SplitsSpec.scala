@@ -317,6 +317,27 @@ class SplitsSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("epochExpand: whole copies exact, fractional copies by md5 rule, drops at 0") {
+    val df = (0 until 400).map(i =>
+      (i.toLong, Seq("a", "b", "c", "d")(i % 4))).toDF("doc_id", "source")
+    val got = graft.ops.Splits.epochExpand(df, "doc_id", "source",
+      Map("a" -> 3.0, "b" -> 0.0, "c" -> 1.5))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("a") === 300L, "3 epochs = exactly 3 copies each")
+    assert(!got.contains("b"), "0 epochs drops the group")
+    assert(got("d") === 100L, "default 1.0 keeps one copy")
+    // c: 100 + the ~half under the md5 threshold — binomial, wide bound
+    assert(got("c") > 120L && got("c") < 180L, s"c=${got("c")}")
+    // epoch indexes are dense per doc and membership is deterministic
+    val byDoc = graft.ops.Splits.epochExpand(df, "doc_id", "source",
+      Map("a" -> 2.5)).filter($"source" === "a")
+      .groupBy("doc_id").agg(max("epoch").as("m"), count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(byDoc.forall { case (m, c) => m === c - 1 })
+    assert(byDoc.map(_._2).toSet === Set(2L, 3L))
+  }
+
   test("timeHoldout: strict past/future partition at the exact rank cutoff") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("ts", $"ts".cast("timestamp"))
