@@ -435,8 +435,26 @@ object Profile {
       df: DataFrame,
       valueCol: String,
       ranks: Seq[Long],
-      scale: Long = 100L): Map[Long, Long] = {
-    require(ranks.nonEmpty && ranks.forall(_ >= 0), "ranks must be >= 0")
+      scale: Long = 100L): Map[Long, Long] =
+    orderStatisticsCore(df, valueCol, _ => ranks, scale)
+
+  /** [[orderStatistics]] with ranks derived from the row count the
+    * FIRST bucket pass already establishes — callers that would
+    * otherwise pay a separate `count()` scan just to compute a
+    * fraction-of-n rank (e.g. [[graft.ops.Splits.timeHoldout]]) save
+    * that whole pass. `ranksOfN` receives the exact non-null count. */
+  def orderStatisticsByN(
+      df: DataFrame,
+      valueCol: String,
+      ranksOfN: Long => Seq[Long],
+      scale: Long = 100L): Map[Long, Long] =
+    orderStatisticsCore(df, valueCol, ranksOfN, scale)
+
+  private def orderStatisticsCore(
+      df: DataFrame,
+      valueCol: String,
+      ranksOfN: Long => Seq[Long],
+      scale: Long): Map[Long, Long] = {
     val W = 1024L
     val scaled = df
       .select(round(col(valueCol) * scale).cast("long").as("v"))
@@ -446,6 +464,8 @@ object Profile {
       .head().getMap[Long, Long](0)
     val buckets = hist1.toSeq.sortBy(_._1)
     val n = buckets.iterator.map(_._2).sum
+    val ranks = ranksOfN(n)
+    require(ranks.nonEmpty && ranks.forall(_ >= 0), "ranks must be >= 0")
     require(ranks.forall(_ < n), s"rank beyond row count $n")
     var off = 0L
     val candB = Map.newBuilder[Long, Long]

@@ -427,10 +427,13 @@ object Splits {
     val micros = df
       .select(unix_micros(col(tsCol).cast("timestamp")).as("__us"))
       .filter(col("__us").isNotNull)
-    val n = micros.count()
-    require(n > 0, "timeHoldout needs at least one row")
-    val r = (n - 1) * (testDen - testNum) / testDen
-    val cut = Profile.orderStatistics(micros, "__us", Seq(r), scale = 1L)(r)
+    // rank derives from the count the first bucket pass establishes —
+    // no separate count() scan
+    val cut = Profile.orderStatisticsByN(micros, "__us",
+      n => {
+        require(n > 0, "timeHoldout needs at least one row")
+        Seq((n - 1) * (testDen - testNum) / testDen)
+      }, scale = 1L).values.head
     df.withColumn("split",
       when(unix_micros(col(tsCol).cast("timestamp")) <= lit(cut), "train")
         .otherwise("test"))
