@@ -66,7 +66,7 @@ object SparkEntry {
        |  SELECT xq.vec_id AS query_id, xc.vec_id AS cid,
        |         sum(xq.e7 * xc.e7)::BIGINT AS sim
        |  FROM x xq JOIN x xc USING (pos)
-       |  WHERE xq.vec_id < 16
+       |  WHERE xq.vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
        |  GROUP BY xq.vec_id, xc.vec_id),
        |exact AS (
        |  SELECT query_id, cid FROM dots
@@ -106,7 +106,7 @@ object SparkEntry {
        |  SELECT xq.vec_id AS query_id, xc.vec_id AS cid,
        |         sum(xq.e7 * xc.e7)::BIGINT AS sim
        |  FROM x xq JOIN x xc USING (pos)
-       |  WHERE xq.vec_id < 16
+       |  WHERE xq.vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
        |  GROUP BY xq.vec_id, xc.vec_id),
        |top1 AS (
        |  SELECT query_id, cid AS c1, sim AS s1 FROM dots
@@ -129,6 +129,49 @@ object SparkEntry {
        |  (CASE WHEN found = 1 THEN 1000000 // (better + 1) ELSE 0 END)::BIGINT AS rr_e6
        |FROM r
        |ORDER BY query_id""".stripMargin
+  }
+
+  /** DuckDB oracle for q_mmr_rerank: top-30 candidates by exact e7 dot,
+    * 30×30 pairwise integer dots, then the k=10 greedy MMR selection
+    * UNROLLED as 10 CTE stages — stage i picks the argmax of
+    * `7·rel − 3·maxDivToSelected` (λ = 7/10 as integers; ties by id
+    * ascending), s_i accumulates the selection. Every CTE is
+    * MATERIALIZED: p_i references s_{i−1} twice (exclusion + the
+    * correlated max-div subquery), so un-materialized CTEs would inline
+    * the chain exponentially (2^10 scans of the parquet). */
+  private lazy val mmrOracleSql: String = {
+    val stages = (2 to 10).map { i =>
+      val prev = s"s${i - 1}"
+      s"""p$i AS MATERIALIZED (
+         |  SELECT c.vec_id, c.rel, $i AS r FROM cand c
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev)
+         |  ORDER BY (7 * c.rel - 3 * (SELECT max(p.s) FROM pair p
+         |    JOIN $prev s ON p.ib = s.vec_id WHERE p.ia = c.vec_id))
+         |    DESC, c.vec_id
+         |  LIMIT 1),
+         |s$i AS MATERIALIZED (SELECT * FROM $prev UNION ALL SELECT * FROM p$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS MATERIALIZED (
+       |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS pos,
+       |         round(unnest(embedding::DOUBLE[]) * 10000000)::BIGINT AS e7
+       |  FROM embeddings),
+       |rel AS MATERIALIZED (
+       |  SELECT xe.vec_id, sum(xe.e7 * xq.e7)::BIGINT AS rel
+       |  FROM x xe JOIN x xq ON xq.vec_id = 0 AND xq.pos = xe.pos
+       |  GROUP BY 1),
+       |cand AS MATERIALIZED (
+       |  SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 30),
+       |pair AS MATERIALIZED (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib, sum(xa.e7 * xb.e7)::BIGINT AS s
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+       |  JOIN x xa ON xa.vec_id = a.vec_id
+       |  JOIN x xb ON xb.vec_id = b.vec_id AND xb.pos = xa.pos
+       |  GROUP BY 1, 2),
+       |p1 AS MATERIALIZED (
+       |  SELECT vec_id, rel, 1 AS r FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+       |s1 AS MATERIALIZED (SELECT * FROM p1),
+       |$stages
+       |SELECT vec_id, rel AS rel_e14, r::BIGINT AS mmr_rank FROM s10""".stripMargin
   }
 
   /** DuckDB oracle for text_bpe_merges: 3 unrolled merge rounds over the
@@ -321,15 +364,18 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), round(col("similarity"), 4).as("sim"))
     }),
 
-    // ---- MMR diversity re-rank over a first-pass top-30 (rows-only
-    // gate: the greedy λ-tradeoff is driver-local over the bounded
-    // candidate list by design; semantics pinned in VectorSearchSpec) ----
-    "q_mmr_rerank" -> ((s, dir) => {
-      val cands = VectorSearch.topK(t(s, dir, "embeddings"), "embedding",
-        vec(s, dir, 0), k = 30, idCol = "vec_id")
-      VectorSearch.mmrRerank(cands, "embedding", "vec_id", "similarity",
-        k = 10, lambda = 0.5)
-    }),
+    // ---- MMR diversity re-rank over a first-pass top-30: the
+    // integer-exact tier (e7 dots, rational λ=7/10, id tie-breaks) so
+    // the greedy selection replays EXACTLY in SQL as 10 unrolled CTE
+    // stages — the graph_pagerank unrolled-rounds convention. The
+    // greedy loop itself is driver-local over the bounded candidate
+    // list by design (the corpus is only touched by the zero-shuffle
+    // first pass); the float-λ mmrRerank API stays for serving and is
+    // pinned in VectorSearchSpec ----
+    "q_mmr_rerank" -> ((s, dir) =>
+      VectorSearch.mmrRerankExactE7(t(s, dir, "embeddings"), "embedding",
+        "vec_id", vec(s, dir, 0), numCandidates = 30, k = 10,
+        lambdaNum = 7L, lambdaDen = 10L)),
 
     // ---- attribute-filtered vector search: metadata predicate composes
     // with the scan top-k; the filter pushes to the parquet reader, so
@@ -693,14 +739,21 @@ object SparkEntry {
 
     // ---- embeddings: PCA whitening apply (rows-only gate: components/
     // eigenvalues are driver-side doubles by contract; unit-variance and
-    // decorrelation pinned in PcaSpec) ----
+    // decorrelation pinned in PcaSpec). GATE PROJECTION RULE: scalar
+    // columns ONLY — the r6 run emitted the raw array<double> and the
+    // driver comparator crashed sorting it (pandas can't hash ndarrays),
+    // so the whitened vector is pos-exploded to (vec_id, pos, value)
+    // rows with a rounded scalar value ----
     "emb_whitened" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val model = pcaCache.computeIfAbsent(dir, d =>
         graft.ops.Pca.fit(t(s, d, "embeddings"), "embedding",
           dim = 64, topK = 8))
       emb.select(col("vec_id"),
-        graft.ops.Pca.whiten(emb, "embedding", model).as("whitened"))
+          posexplode(graft.ops.Pca.whiten(emb, "embedding", model))
+            .as(Seq("pos", "value")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          round(col("value"), 6).as("value"))
     }),
 
     // ---- embeddings: k-center greedy coreset selection (farthest-point;
@@ -1559,11 +1612,16 @@ object SparkEntry {
 
     // ---- multimodal: perceptual-hash near-dup pairs (aHash 8×8
     // luminance bits, pigeonhole-banded bucket join, exact popcount
-    // verify). Rows-only gate BY CONTRACT — no SQL image decode; the
-    // entry PLANTS byte-identical copies of every 20th asset (the
+    // verify). The DECODE half can't be oracled in SQL, so the aHash
+    // int64s are STAGED as a parquet intermediate (GateStage) and the
+    // PAIRING half — banded-Hamming candidates + popcount verify — runs
+    // from the staged frame on the Spark side while DuckDB replays it
+    // as a brute-force popcount join over the same bytes (banding has
+    // FULL recall at maxDist ≤ 3, so the two are equivalent). The entry
+    // PLANTS byte-identical copies of every 20th asset (the
     // dedup_embedding_lsh plant convention) so hamming-0 recall is
-    // guaranteed by construction, and MultimodalSpec pins real-PNG
-    // jitter/invert behavior ----
+    // guaranteed by construction; MultimodalSpec pins real-PNG
+    // jitter/invert decode behavior ----
     "multimodal_near_dup" -> ((s, dir) => {
       val base = t(s, dir, "documents").select(
         col("doc_id").cast("string").as("asset_id"),
@@ -1574,12 +1632,17 @@ object SparkEntry {
         base.filter(col("asset_id").cast("long") % 20 === 0)
           .withColumn("asset_id",
             concat(lit("dup_"), col("asset_id"))))
-      graft.ops.Multimodal.imageNearDupPairs(planted, maxDist = 2)
+      val fp = graft.ops.Multimodal.imageHashes(
+        graft.ops.Multimodal.decodeImages(planted))
+      graft.ops.Multimodal.hashNearDupPairs(
+        GateStage.stage(s, "multimodal_fp_image", fp),
+        "asset_id", "phash", maxDist = 2)
     }),
 
     // ---- multimodal: audio fingerprint near-dup (64 RMS-window bits,
-    // gain-invariant; same banded-Hamming machinery; planted copies
-    // guarantee recall — rows-only, no SQL PCM decode) ----
+    // gain-invariant; same staged-fingerprint + banded-Hamming
+    // machinery as multimodal_near_dup; planted copies guarantee
+    // recall; DuckDB replays the pairing from the staged int64s) ----
     "multimodal_audio_dup" -> ((s, dir) => {
       val base = t(s, dir, "documents").select(
         col("doc_id").cast("string").as("asset_id"),
@@ -1589,12 +1652,16 @@ object SparkEntry {
       val planted = base.unionByName(
         base.filter(col("asset_id").cast("long") % 20 === 0)
           .withColumn("asset_id", concat(lit("dup_"), col("asset_id"))))
-      graft.ops.Multimodal.audioNearDupPairs(planted, maxDist = 2)
+      val fp = graft.ops.Multimodal.audioFingerprints(planted)
+      graft.ops.Multimodal.hashNearDupPairs(
+        GateStage.stage(s, "multimodal_fp_audio", fp),
+        "asset_id", "afp", maxDist = 2)
     }),
 
     // ---- multimodal: video near-dup by shared keyframe hashes
-    // (sampleFrames → per-frame aHash → 8-byte-hash equi-join;
-    // planted copies guarantee recall — rows-only) ----
+    // (sampleFrames → per-frame aHash → staged (asset_id, phash) →
+    // 8-byte-hash equi-join; planted copies guarantee recall; DuckDB
+    // replays the shared-hash join from the staged frame) ----
     "multimodal_video_dup" -> ((s, dir) => {
       val base = t(s, dir, "documents").select(
         col("doc_id").cast("string").as("asset_id"),
@@ -1604,7 +1671,11 @@ object SparkEntry {
       val planted = base.unionByName(
         base.filter(col("asset_id").cast("long") % 20 === 0)
           .withColumn("asset_id", concat(lit("dup_"), col("asset_id"))))
-      graft.ops.Multimodal.videoNearDupPairs(planted, minShared = 1)
+      val fh = graft.ops.Multimodal.frameHashes(planted)
+        .select(col("asset_id"), col("phash"))
+      graft.ops.Multimodal.sharedHashPairs(
+        GateStage.stage(s, "multimodal_fp_video", fh),
+        "asset_id", "phash", minShared = 1)
     }),
 
     // ---- streaming-shaped: gap sessions via the NATIVE session_window
@@ -2322,6 +2393,8 @@ object SparkEntry {
     // and DuckDB's double dot holds because no |dot| sits inside f32
     // rounding error of zero on this corpus (seed-fixed, so stable).
     "q_lsh_topk" -> lshTopKOracleSql,
+
+    "q_mmr_rerank" -> mmrOracleSql,
 
     "eval_ann_recall" -> annRecallOracleSql,
 
@@ -3108,7 +3181,9 @@ object SparkEntry {
         |n AS (SELECT count(*) AS n FROM o),
         |cut AS (SELECT ts AS c FROM o, n WHERE rk = ((n - 1) * 4) // 5)
         |SELECT event_id,
-        |  CASE WHEN ts <= (SELECT c FROM cut) THEN 'train' ELSE 'test' END AS split
+        |  CASE WHEN ts IS NULL THEN NULL
+        |       WHEN ts <= (SELECT c FROM cut) THEN 'train'
+        |       ELSE 'test' END AS split
         |FROM events""".stripMargin,
 
     // Same lag-over-(user, ts, id) replay; counts are type²-bounded.
@@ -3680,6 +3755,37 @@ object SparkEntry {
     // deterministic even though the kernel itself has no SQL analog.
     "multimodal_features" ->
       "SELECT doc_id::VARCHAR AS asset_id, 16::BIGINT AS dim FROM documents",
+
+    // Near-dup pairing replayed from the GateStage fingerprint parquet
+    // (the decode half is spec-tested; the staged int64s make the
+    // banded-Hamming + popcount pairing SQL-checkable). DuckDB's
+    // bit_count(xor(BIGINT)) matches java.lang.Long.bitCount(a ^ b);
+    // the brute-force popcount join equals the Spark side's banded join
+    // because 4×16-bit pigeonhole banding has full recall at dist ≤ 3.
+    "multimodal_near_dup" ->
+      s"""WITH fp AS (SELECT asset_id, phash
+         |            FROM '${GateStage.oracleGlob("multimodal_fp_image")}')
+         |SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+         |       bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+         |FROM fp a JOIN fp b ON a.asset_id < b.asset_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 2""".stripMargin,
+
+    "multimodal_audio_dup" ->
+      s"""WITH fp AS (SELECT asset_id, afp
+         |            FROM '${GateStage.oracleGlob("multimodal_fp_audio")}')
+         |SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+         |       bit_count(xor(a.afp, b.afp))::BIGINT AS hamming
+         |FROM fp a JOIN fp b ON a.asset_id < b.asset_id
+         |WHERE bit_count(xor(a.afp, b.afp)) <= 2""".stripMargin,
+
+    "multimodal_video_dup" ->
+      s"""WITH fh AS (SELECT DISTINCT asset_id, phash
+         |            FROM '${GateStage.oracleGlob("multimodal_fp_video")}')
+         |SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+         |       count(*)::BIGINT AS n_shared
+         |FROM fh a JOIN fh b ON a.phash = b.phash AND a.asset_id < b.asset_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 1""".stripMargin,
 
     "q_ivf_topk" ->
       """SELECT vec_id FROM embeddings

@@ -31,7 +31,9 @@ object Evaluation {
 
   /**
    * Distributed, oracle-gatable LSH recall report: for each of the first
-   * `numQueries` vectors (by id), recall@k of hyperplane-LSH retrieval
+   * `numQueries` vectors (the `numQueries` SMALLEST ids, selected by a
+   * bounded top-k on id ascending — any id domain works, dense 0-based
+   * ids are not assumed), recall@k of hyperplane-LSH retrieval
    * (signature hamming ≤ `maxHamming`, then exact re-rank) against
    * brute-force ground truth — the "is this index good enough to serve"
    * number, computed as ONE Spark job instead of a driver loop.
@@ -69,8 +71,11 @@ object Evaluation {
       e => round(e.cast("double") * scale).cast("long"))
     val corpus = emb.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("__cid"), e7.as("__ce"), sig.as("__csig"))
-    val queries = broadcast(emb.filter(col(idCol) < numQueries)
-      .select(col(idCol).as("query_id"), e7.as("__qe"), sig.as("__qsig")))
+    // bounded top-k by id ascending (TakeOrderedAndProject) — works on
+    // any id domain, not just dense 0-based ids
+    val queries = broadcast(emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), e7.as("__qe"), sig.as("__qsig"))
+      .orderBy(col("query_id")).limit(numQueries))
     val payload = struct(col("__sim"), col("__cid"))
     def topkOf(scoredCandidates: DataFrame): DataFrame = scoredCandidates
       .withColumn("__sim",
@@ -104,7 +109,8 @@ object Evaluation {
    * candidates strictly better under (sim DESC, id ASC) — one
    * aggregate per query, exact integers end-to-end, SQL-replayable.
    * Self-candidacy (hamming(sig,sig)=0) guarantees every query has a
-   * candidate set. Same scan envelope as [[lshRecallReport]].
+   * candidate set. Query selection and scan envelope match
+   * [[lshRecallReport]] (bounded top-`numQueries` by id ascending).
    *
    * Output: (query_id, found, rank, rr_e6) ordered by query_id.
    */
@@ -125,8 +131,10 @@ object Evaluation {
       e => round(e.cast("double") * scale).cast("long"))
     val corpus = emb.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("__cid"), e7.as("__ce"), sig.as("__csig"))
-    val queries = broadcast(emb.filter(col(idCol) < numQueries)
-      .select(col(idCol).as("query_id"), e7.as("__qe"), sig.as("__qsig")))
+    // same bounded-top-k query selection as lshRecallReport
+    val queries = broadcast(emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), e7.as("__qe"), sig.as("__qsig"))
+      .orderBy(col("query_id")).limit(numQueries))
     val scoredAll = corpus.crossJoin(queries)
       .withColumn("__sim",
         graft.functions.DenseVec.dense_dot(col("__qe"), col("__ce")))

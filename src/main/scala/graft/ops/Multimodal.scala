@@ -282,8 +282,12 @@ object Multimodal {
   /** Banded-Hamming near-dup pairs over ANY (id, 64-bit hash) frame:
     * 4×16-bit pigeonhole bands (distance ≤ 3 ⇒ ≥ 1 band agrees — full
     * recall), exact popcount verify on candidates only. Shared by the
-    * image and audio dedup surfaces. */
-  private def hammingPairs(
+    * image and audio dedup surfaces; public so gate queries can pair
+    * from a staged fingerprint frame (the banding + verify algebra is
+    * exactly what the DuckDB oracle replays as a brute-force popcount
+    * join — full recall makes the two equivalent). Returns
+    * (id_a, id_b, hamming). */
+  def hashNearDupPairs(
       hashes: DataFrame, idCol: String, hashCol: String,
       maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
@@ -341,7 +345,7 @@ object Multimodal {
   /** Audio near-dup pairs by fingerprint Hamming distance ≤ maxDist —
     * the acoustic twin of [[imageNearDupPairs]]. */
   def audioNearDupPairs(assets: DataFrame, maxDist: Int = 3): DataFrame =
-    hammingPairs(audioFingerprints(assets), "asset_id", "afp", maxDist)
+    hashNearDupPairs(audioFingerprints(assets), "asset_id", "afp", maxDist)
 
   /** Per-keyframe perceptual hashes: [[sampleFrames]] → the shared
     * raster aHash. Channels are inferred from the buffer length (real
@@ -382,14 +386,25 @@ object Multimodal {
       assets: DataFrame,
       everyNth: Int = 2,
       maxFrames: Int = 8,
-      minShared: Int = 2): DataFrame = {
+      minShared: Int = 2): DataFrame =
+    sharedHashPairs(frameHashes(assets, everyNth, maxFrames),
+      "asset_id", "phash", minShared)
+
+  /** Shared-hash near-dup pairs over ANY (id, hash) frame: ids sharing
+    * ≥ `minShared` DISTINCT hash values pair up (the keyframe-overlap
+    * join of [[videoNearDupPairs]], factored out so gate queries can
+    * pair from a staged per-frame fingerprint frame). Equi-join on the
+    * hash — candidates ∝ hash collisions. Returns (id_a, id_b,
+    * n_shared). */
+  def sharedHashPairs(
+      hashes: DataFrame, idCol: String, hashCol: String,
+      minShared: Int): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
-    val fh = frameHashes(assets, everyNth, maxFrames)
-      .select(col("asset_id"), col("phash")).distinct()
+    val fh = hashes.select(col(idCol).as("__id"), col(hashCol).as("__h"))
+      .distinct()
     fh.alias("a").join(fh.alias("b"),
-        col("a.phash") === col("b.phash") &&
-        col("a.asset_id") < col("b.asset_id"))
-      .groupBy(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"))
+        col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
@@ -411,7 +426,7 @@ object Multimodal {
       assets: DataFrame,
       maxDist: Int = 3,
       batchSize: Int = DefaultBatchSize): DataFrame =
-    hammingPairs(imageHashes(decodeImages(assets, batchSize)),
+    hashNearDupPairs(imageHashes(decodeImages(assets, batchSize)),
       "asset_id", "phash", maxDist)
 
   /** Grid color moments: mean luminance (Rec.601 weights for RGB) per

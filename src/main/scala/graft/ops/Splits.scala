@@ -379,6 +379,12 @@ object Splits {
    * kernel-scan pipeline; the score frame materializes once
    * (localCheckpoint) and feeds the two bucket-selection scans plus
    * the map-only tier projection. No per-group windows anywhere.
+   *
+   * NOTE: documents shorter than 3 characters have no char-trigrams,
+   * so [[TextAnalysis.lmScoreFast]] emits no score row for them and
+   * they get NO tier row here — callers joining tiers back onto the
+   * corpus should left-join and default unscorable docs explicitly
+   * (tier 0 to schedule them first, or drop them as noise).
    */
   /**
    * Deterministic source-interleaved TRAINING ORDER: each document gets
@@ -390,7 +396,9 @@ object Splits {
    * Positions are unique; when sources exhaust at different times their
    * slots go unused (gaps are harmless — consumers sort by position).
    * Pure function of the data: reruns, partitionings, and the SQL
-   * oracle agree bit-for-bit.
+   * oracle agree bit-for-bit. The source column is cast to string for
+   * the round-robin key (and returned as string); null sources are
+   * rejected — a null has no slot in the rotation.
    *
    * Scale shape: NOT a per-source global window (partitionBy(source)
    * would sort 60 TB of web on one reducer). Same two-pass bucket
@@ -413,6 +421,12 @@ object Splits {
    * `train`, strictly after are `test`; timestamp ties all land on
    * the train side, so the assignment is a pure function of the data.
    *
+   * Rows whose timestamp is null (or casts to null) are excluded from
+   * the cutoff computation AND get a null `split` — an undated row has
+   * no position on the timeline, so silently calling it "future" would
+   * contaminate the test side (callers that want them trained on can
+   * `coalesce(split, 'train')`).
+   *
    * Scale shape: the cutoff comes from [[Profile.orderStatistics]]'s
    * two bucket-count scans (zero shuffles, driver gets 1024-bucket
    * histograms), and the assignment itself is a map-only projection
@@ -434,8 +448,10 @@ object Splits {
         require(n > 0, "timeHoldout needs at least one row")
         Seq((n - 1) * (testDen - testNum) / testDen)
       }, scale = 1L).values.head
+    val us = unix_micros(col(tsCol).cast("timestamp"))
     df.withColumn("split",
-      when(unix_micros(col(tsCol).cast("timestamp")) <= lit(cut), "train")
+      when(us.isNull, lit(null).cast("string"))
+        .when(us <= lit(cut), "train")
         .otherwise("test"))
   }
 
@@ -447,30 +463,52 @@ object Splits {
     require(bucketHex >= 1 && bucketHex <= 8, "bucketHex in [1,8]")
     val spark = df.sparkSession
     import spark.implicits._
-    val proj = df.select(col(groupCol).as("__g"), col(idCol),
+    // group key is cast to string (any atomic group type works); null
+    // groups are rejected up front — a null source has no round-robin
+    // slot and would silently collapse into one bucket otherwise
+    val proj = df.select(col(groupCol).cast("string").as("__g"), col(idCol),
         md5(col(idCol).cast("string")).as("__h"))
       .withColumn("__b", substring(col("__h"), 1, bucketHex))
     val counts = proj.groupBy("__g", "__b").agg(count(lit(1)).as("__n"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(!counts.exists(_._1 == null),
+      s"interleaveBySource: null $groupCol values — every row needs a source")
     val sources = counts.map(_._1).distinct.sorted.toSeq
     val nS = sources.length.toLong
     val offsets = counts.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
       var acc = 0L
       rows.sortBy(_._2).map { case (g, b, n) =>
-        val o = (g, b, acc); acc += n; o
+        val o = (g, b, acc, n); acc += n; o
       }
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__g"), col("__b"))
       .orderBy(col("__h"), col(idCol))
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g"), col("__b"))
+    // scan-consistency guard (the orderStatisticsCore convention): the
+    // pass-2 window re-scans the source after pass-1's driver-collected
+    // counts, so a non-deterministic input would yield overlapping or
+    // duplicate train_pos — compare each bucket's pass-2 row count
+    // against its pass-1 count and fail loudly instead. __chk is 0L on
+    // the happy path and folds into train_pos so pruning can't drop it.
+    val chk = when(
+      max(col("__rn")).over(wBucket) =!= col("__n"),
+      raise_error(concat(
+        lit("interleaveBySource: pass-2 bucket count diverged from "),
+        lit("pass-1 for (source,bucket)=("), col("__g"), lit(","),
+        col("__b"), lit(") — non-deterministic input")))
+      .cast("long")).otherwise(lit(0L))
     proj
-      .join(broadcast(offsets.toDF("__g", "__b", "__o")), Seq("__g", "__b"))
+      .join(broadcast(offsets.toDF("__g", "__b", "__o", "__n")),
+        Seq("__g", "__b"))
       .join(broadcast(sources.zipWithIndex
         .map { case (g, i) => (g, i.toLong) }.toDF("__g", "__sidx")),
         Seq("__g"))
-      .withColumn("__rk", col("__o") + row_number().over(w).cast("long") - 1L)
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__rk", col("__o") + col("__rn") - 1L)
       .select(col(idCol), col("__g").as(groupCol),
-        (col("__rk") * nS + col("__sidx")).cast("long").as("train_pos"))
+        (col("__rk") * nS + col("__sidx") + chk).cast("long").as("train_pos"))
   }
 
   def curriculumAssign(

@@ -374,6 +374,92 @@ object VectorSearch {
           org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
+  /**
+   * Integer-exact MMR — the oracle-gatable twin of [[mmrRerank]]: the
+   * first-pass top-`numCandidates` retrieval ranks by the EXACT
+   * e7-integer dot (vectors scaled to `round(x·1e7)` longs; per-term
+   * products ≤ 1e14, 64-dim sums ≤ 6.4e15 — well inside Long), the
+   * greedy λ-tradeoff is the integer score
+   * `num·rel − (den−num)·maxDivToPicked` with λ = num/den as a RATIONAL
+   * (a float λ could tie-break differently across engines), and ties
+   * break by id ascending. For normalized embeddings the dot IS cosine,
+   * so selection matches [[mmrRerank]]'s semantics with drift-free
+   * arithmetic — every greedy stage replays exactly in SQL as an
+   * unrolled CTE (the graph_pagerank unrolled-rounds convention).
+   *
+   * Scale shape: the first pass is the zero-shuffle bounded scan
+   * (TakeOrderedAndProject on the integer rel); the greedy loop is
+   * driver-local over that bounded candidate list BY DESIGN — the same
+   * envelope as the reference's in-process result stage; the corpus is
+   * touched only by the first pass.
+   *
+   * `idCol` must be long-castable. Returns (idCol, rel_e14, mmr_rank).
+   */
+  def mmrRerankExactE7(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryVec: Array[Float],
+      numCandidates: Int,
+      k: Int,
+      lambdaNum: Long = 7L,
+      lambdaDen: Long = 10L,
+      scale: Long = 10000000L): DataFrame = {
+    require(k > 0 && numCandidates >= k, "need 0 < k <= numCandidates")
+    require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      "lambda = num/den must be in [0,1]")
+    val spark = df.sparkSession
+    val qe = queryVec.map(v => math.round(v.toDouble * scale))
+    val cands = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"),
+        transform(col(vecCol),
+          e => round(e.cast("double") * scale).cast("long")).as("__e7"))
+      .withColumn("__rel", graft.functions.DenseVec.dense_dot(
+        col("__e7"), typedLit(qe.toIndexedSeq)))
+      .orderBy(desc("__rel"), asc("__id"))
+      .limit(numCandidates)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    def pairDot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      cands.sortBy { case (id, _, rel) => (-rel, id) }
+        .map(c => c._1 -> c).toIndexedSeq: _*)
+    val maxDiv = scala.collection.mutable.HashMap.empty[Long, Long]
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    while (picked.length < math.min(k, cands.length)) {
+      var bestId = 0L
+      var bestScore = 0L
+      var first = true
+      for ((id, (_, _, rel)) <- remaining) {
+        // first pick is pure relevance (λ-scaled — within-round compares
+        // only need a monotone transform); later picks trade off the max
+        // integer dot to the already-selected set
+        val s = if (picked.isEmpty) lambdaDen * rel
+                else lambdaNum * rel - (lambdaDen - lambdaNum) * maxDiv(id)
+        // exact-integer scores tie only on true equality; break by id
+        // ascending — the same (score DESC, id ASC) order the SQL
+        // replay's ORDER BY uses, independent of iteration order
+        if (first || s > bestScore || (s == bestScore && id < bestId)) {
+          bestId = id; bestScore = s; first = false
+        }
+      }
+      val (_, bestVec, bestRel) = remaining.remove(bestId).get
+      picked += ((bestId, bestRel))
+      for ((id, (_, v, _)) <- remaining) {
+        val d = pairDot(v, bestVec)
+        if (!maxDiv.contains(id) || d > maxDiv(id)) maxDiv(id) = d
+      }
+    }
+    import spark.implicits._
+    picked.zipWithIndex
+      .map { case ((id, rel), i) => (id, rel, (i + 1).toLong) }
+      .toSeq.toDF(idCol, "rel_e14", "mmr_rank")
+  }
+
   private def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) {

@@ -31,7 +31,14 @@ object ExportImport {
 
   // ------------------------------ export ------------------------------
 
-  /** Export selected (or all) collections — reference db.go:384-433. */
+  /** Export selected (or all) collections — reference db.go:384-433.
+    *
+    * Scale note: the single-file ZIP snapshot serializes each collection
+    * through ONE task (`coalesce(1)`) BY DESIGN — it replicates the
+    * reference's one-file backup contract for portability. For
+    * collections beyond a few GB, use [[SnapshotStore]] instead: it keeps
+    * the parquet parallel (many part files, full cluster write bandwidth)
+    * and adds versioned time travel. */
   def exportToFile(
       db: DB,
       filePath: String,

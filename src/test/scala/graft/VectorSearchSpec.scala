@@ -125,6 +125,56 @@ class VectorSearchSpec extends SparkSuite {
     assert(all.count() === 3)
   }
 
+  test("mmrRerankExactE7 matches a brute-force integer greedy replica") {
+    // independent local replica of the contract: top-N candidates by
+    // exact e7 dot (ties id asc), then greedy num·rel − (den−num)·maxdiv
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qe = q0.map(v => math.round(v.toDouble * 1e7))
+    def e7(v: Array[Float]): Array[Long] = v.map(x => math.round(x.toDouble * 1e7))
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val rel = rows.map { case (id, v) => (id, e7(v), dot(e7(v), qe)) }
+    val cand = rel.sortBy { case (id, _, r) => (-r, id) }.take(12)
+    var remaining = cand.toList
+    val maxDiv = scala.collection.mutable.HashMap.empty[Long, Long]
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    while (expect.length < 5) {
+      val scoredCands = remaining.map { case (id, _, r) =>
+        val s = if (expect.isEmpty) 10L * r else 7L * r - 3L * maxDiv(id)
+        (id, s)
+      }
+      val bestId = scoredCands.minBy { case (id, s) => (-s, id) }._1
+      val best = remaining.find(_._1 == bestId).get
+      expect += ((best._1, best._3))
+      remaining = remaining.filterNot(_._1 == bestId)
+      remaining.foreach { case (id, v, _) =>
+        val d = dot(v, best._2)
+        if (!maxDiv.contains(id) || d > maxDiv(id)) maxDiv(id) = d
+      }
+    }
+    val got = VectorSearch.mmrRerankExactE7(emb, "embedding", "vec_id", q0,
+        numCandidates = 12, k = 5, lambdaNum = 7L, lambdaDen = 10L)
+      .collect().sortBy(_.getLong(2))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === expect.toSeq)
+  }
+
+  test("mmrRerankExactE7 skips exact-duplicate of the first pick") {
+    // b is a BYTE-identical copy of a (maximal diversity penalty: its
+    // max-div to the selected set is a·a = 1); the query must differ
+    // from a, else rel ≡ div for every candidate and λ=1/2 cancels
+    // them all into an exact tie. With this geometry c's lower div
+    // (0.6) beats its lower rel (0.8) at λ=1/2.
+    val q = Array(1f, 0f)
+    val a = Array(0.96f, 0.28f); val c = Array(0.8f, -0.6f)
+    val cands = Seq((1L, a), (2L, a), (3L, c)).toDF("vec_id", "embedding")
+    val picked = VectorSearch.mmrRerankExactE7(cands, "embedding", "vec_id",
+        q, numCandidates = 3, k = 2, lambdaNum = 1L, lambdaDen = 2L)
+      .collect().sortBy(_.getLong(2)).map(_.getLong(0)).toSeq
+    assert(picked === Seq(1L, 3L))
+  }
+
   test("topK plan is TakeOrderedAndProject with no shuffle") {
     val plan = VectorSearch.topK(emb, "embedding", q0, 5, "vec_id")
       .queryExecution.executedPlan.toString
