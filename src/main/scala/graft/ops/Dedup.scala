@@ -615,10 +615,21 @@ object Dedup {
    * `|A∩B| ≥ t·|A|`, so one of A's `⌊(1−t)·|A|⌋+1` RAREST tokens
    * (global ascending-df order, the [[wordJaccardPairs]] ranking) must
    * occur in B; candidates = A-prefix ⋈ FULL token index (B is the
-   * containing side, so it cannot be prefix-pruned), exact
-   * intersection counts on candidates only, token strings never leave
-   * the tokenize scan (the join key is the token, the carried payload
-   * is ids).
+   * containing side, so it cannot be prefix-pruned). Verification is
+   * the [[cosineCountPairs]] bag discipline, NOT a token re-explode:
+   * each doc's distinct term ids travel as ONE sorted packed array, the
+   * candidate→bag joins broadcast when the bag frame is small, and
+   * |A∩B| is one sorted-merge kernel ([[graft.functions.BagCos]], tf≡1
+   * so the packed dot IS the intersection size) per candidate — the
+   * earlier candidate⋈index⋈index formulation materialized
+   * |candidates|·|A| rows into a hash aggregate and OOM'd a 24 GB heap
+   * at 50k docs / 25M candidates, where this shape streams. Token
+   * strings never leave the tokenize scan (the join keys are 8-byte
+   * term ids). Small vocabularies cap the candidate join's parallelism
+   * at |vocab|, so the probe side salts exactly as the cosine tier
+   * does; degenerate-vocab corpora stay correct (candidates ≈ all
+   * pairs is the true output complexity there, as for any exact
+   * all-pairs operator).
    */
   def containmentPairs(
       df: DataFrame,
@@ -628,30 +639,76 @@ object Dedup {
       thresholdQ: Long): DataFrame = {
     require(thresholdP > 0 && thresholdQ > 0 && thresholdP <= thresholdQ,
       "threshold p/q must be in (0, 1]")
+    val spark = df.sparkSession
+    // distinct (doc, tok) feeds dict + ranked — materialize once
     val t = df.select(col(idCol).as("doc"),
-      explode(array_distinct(tokens(col(textCol)))).as("tok"))
-    val sizes = t.groupBy("doc").agg(count(lit(1)).as("n"))
-    val dfreq = t.groupBy("tok").agg(count(lit(1)).as("df"))
-    val ranked = t.join(dfreq, Seq("tok"))
-      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc"))
-          .orderBy(col("df"), col("tok"))))
-      .join(sizes, Seq("doc"))
+        explode(array_distinct(tokens(col(textCol)))).as("tok"))
+      .localCheckpoint(true)
+    // exact term dictionary: distinct LONG ids (monotonic snapshot, not
+    // a hash — collisions would silently merge terms), the
+    // cosineCountPairs convention
+    val dict = t.groupBy("tok").agg(count(lit(1)).as("df"))
+      .withColumn("tid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val vocab = math.max(1L, dict.count())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("df"), col("tok"))
+    // n (distinct-set size) via an unbounded frame over the same window
+    // spec — one exchange + sort serve both rank and n, no sizes join
+    val ranked = t.join(dict, Seq("tok"))
+      .withColumn("n", count(lit(1)).over(
+        w.rowsBetween(Long.MinValue, Long.MaxValue)))
+      .withColumn("rank", row_number().over(w))
+      .select(col("doc"), col("tid"), col("n"), col("rank"))
+      .localCheckpoint(true)
+    // prefix bound decided in integers: rank ≤ n − ⌈p/q·n⌉ + 1, with
+    // ⌈p·n/q⌉ = (p·n + q − 1) div q — no double touches the cutoff
     val prefix = ranked
-      .filter(col("rank") <=
-        col("n") - ceil(lit(thresholdP.toDouble / thresholdQ) * col("n")) + 1)
-      .select(col("doc"), col("tok"))
-    val cand = prefix.alias("a").join(t.alias("b"),
-        col("a.tok") === col("b.tok") && col("a.doc") =!= col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .filter(col("rank") * lit(thresholdQ) <=
+        col("n") * lit(thresholdQ) -
+          (col("n") * lit(thresholdP) + lit(thresholdQ - 1) -
+            pmod(col("n") * lit(thresholdP) + lit(thresholdQ - 1),
+              lit(thresholdQ))) + lit(thresholdQ))
+      .select(col("doc"), col("tid"))
+      .localCheckpoint(true)
+    // candidate join parallelism is capped at |vocab| (tid is the key):
+    // salt the probe side when the vocabulary is degenerate, mirror of
+    // the cosine tier's guard — every pair still produced exactly once
+    val par = spark.sparkContext.defaultParallelism.toLong
+    val nSalt =
+      if (vocab >= 4L * par) 1
+      else math.min(64L, math.max(1L, (4L * par) / vocab)).toInt
+    val probe = prefix
+      .withColumn("__s", pmod(xxhash64(col("doc")), lit(nSalt.toLong)))
+    val build = ranked.select(col("doc").as("bdoc"), col("tid"))
+      .withColumn("__s",
+        explode(array((0 until nSalt).map(s => lit(s.toLong)): _*)))
+    val cand = probe.alias("a").join(build.alias("b"),
+        col("a.tid") === col("b.tid") && col("a.__s") === col("b.__s") &&
+        col("a.doc") =!= col("b.bdoc"))
+      .select(col("a.doc").as("id_a"), col("b.bdoc").as("id_b"))
       .distinct()
-    val pairs = cand
-      .join(t.select(col("doc").as("id_a"), col("tok")), Seq("id_a"))
-      .join(t.select(col("doc").as("id_b"), col("tok")), Seq("id_b", "tok"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.select(col("doc").as("id_a"), col("n").as("na")), Seq("id_a"))
+    // one sorted packed [tid, 1, …] bag per doc: with tf ≡ 1 the
+    // packed-bag dot is EXACTLY |A∩B|
+    val bags = ranked.groupBy("doc").agg(
+        sort_array(collect_list(col("tid"))).as("__st"),
+        count(lit(1)).as("n"))
+      .withColumn("bag", flatten(transform(col("__st"), x => array(x, lit(1L)))))
+      .select(col("doc"), col("bag"), col("n"))
+      .localCheckpoint(true)
+    // broadcast the bag side under the cosine tier's measured bound so
+    // candidates stream map-side through both probes (checkpointed-RDD
+    // stats inherit inflated estimates — the hint is load-bearing)
+    val bagStats = bags.agg(count(lit(1)), sum(size(col("bag")))).head()
+    val bagBytes = bagStats.getLong(0) * 32L + bagStats.getLong(1) * 16L
+    val bagsJ = if (bagBytes <= (256L << 20)) broadcast(bags) else bags
+    cand
+      .join(bagsJ.select(col("doc").as("id_a"), col("bag").as("__ba"),
+        col("n").as("na")), Seq("id_a"))
+      .join(bagsJ.select(col("doc").as("id_b"), col("bag").as("__bb")),
+        Seq("id_b"))
+      .withColumn("inter",
+        graft.functions.BagCos.packed_bag_dot(col("__ba"), col("__bb")))
       .filter(col("inter") * lit(thresholdQ) >= lit(thresholdP) * col("na"))
       .select(col("id_a"), col("id_b"),
         expr("(inter * 1000000) div na").as("containment_e6"))
