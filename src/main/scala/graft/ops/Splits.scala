@@ -308,7 +308,9 @@ object Splits {
     // driver walk in hex-bucket order: whole-kept buckets, ONE cutoff
     // bucket per group carrying the budget remainder, rest dropped
     val keepWhole = Seq.newBuilder[(String, String)]
-    val cutoffs = Seq.newBuilder[(String, String, Long)]
+    // cutoff rows carry (group, bucket, remainder, pass-1 bucket total)
+    // — the total feeds the pass-2 consistency guard below
+    val cutoffs = Seq.newBuilder[(String, String, Long, Long)]
     totals.foreach { case (g, rows) =>
       val budget = budgets(g)
       var acc = 0L
@@ -316,7 +318,7 @@ object Splits {
       rows.sortBy(_._2).foreach { case (_, b, s) =>
         if (!cut) {
           if (acc + s <= budget) { keepWhole += ((g, b)); acc += s }
-          else { cutoffs += ((g, b, budget - acc)); cut = true }
+          else { cutoffs += ((g, b, budget - acc, s)); cut = true }
         }
       }
     }
@@ -327,15 +329,35 @@ object Splits {
         .select(col("__g"), col(idCol), col("__w"))
     }
     val cutoffRows = {
-      val cf = cutoffs.result()
-      if (cf.isEmpty) proj.limit(0).select(col("__g"), col(idCol), col("__w"))
+      val cutTotals = cutoffs.result()
+      if (cutTotals.isEmpty)
+        proj.limit(0).select(col("__g"), col(idCol), col("__w"))
       else {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("__g"), col("__b"))
           .orderBy(col("__h"), col(idCol))
-        proj.join(broadcast(cf.toDF("__g", "__b", "__r")), Seq("__g", "__b"))
+        // scan-consistency guard (the interleaveBySource convention):
+        // pass 2 re-scans the source after pass 1's driver walk, so a
+        // non-deterministic input would silently break the budget
+        // contract — compare the cutoff bucket's pass-2 total (an
+        // unbounded frame over the SAME window spec: free) against its
+        // pass-1 total and fail loudly instead. Folded into __w so
+        // column pruning can't drop the check.
+        proj.join(broadcast(cutTotals.toDF("__g", "__b", "__r", "__t")),
+            Seq("__g", "__b"))
           .withColumn("__cum", sum(col("__w")).over(
             w.rowsBetween(Long.MinValue, 0)))
+          // the guard total must be computed HERE, before the remainder
+          // filter drops rows — same window spec as __cum, so it rides
+          // the exchange + sort the selection already pays
+          .withColumn("__tot", sum(col("__w")).over(
+            w.rowsBetween(Long.MinValue, Long.MaxValue)))
+          .withColumn("__w", when(col("__tot") =!= col("__t"),
+            raise_error(concat(
+              lit("tokenBudgetTake: pass-2 bucket total diverged from "),
+              lit("pass-1 for (group,bucket)=("), col("__g"), lit(","),
+              col("__b"), lit(") — non-deterministic input")))
+            .cast("long")).otherwise(col("__w")))
           .filter(col("__cum") <= col("__r"))
           .select(col("__g"), col(idCol), col("__w"))
       }

@@ -380,6 +380,28 @@ class SplitsSpec extends SparkSuite {
     assert(run(docs.repartition(11)) === expected)
   }
 
+  test("tokenBudgetTake guard fires on a scan-inconsistent source") {
+    // a weight column that flips value between the pass-1 count scan and
+    // the pass-2 selection scan: the first 60 evaluations (pass 1 sees
+    // 60 rows) return 100, later ones return 1 — pass-2 totals can't
+    // match pass-1's, the cutoff-bucket guard must fail the job loudly
+    // instead of silently breaking the budget contract
+    SplitsSpec.scanCounter.set(0L)
+    val flip = udf(() =>
+      if (SplitsSpec.scanCounter.incrementAndGet() <= 60L) 100L else 1L)
+      .asNondeterministic()
+    val df = spark.range(60).select(col("id"), lit("en").as("g"),
+      flip().as("w"))
+    val e = intercept[Exception] {
+      Splits.tokenBudgetTake(df, "id", "g", "w", Map("en" -> 250L)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("diverged")),
+      s"expected the scan-consistency guard, got: ${msgs(e).mkString(" | ")}")
+  }
+
   test("interleaveBySource: unique positions, round-robin residues") {
     val df = (0 until 90).map(i =>
       (i.toLong, Seq("web", "code", "books")(i % 3))).toDF("doc_id", "source")
@@ -398,4 +420,12 @@ class SplitsSpec extends SparkSuite {
         "ranks must be 0..n-1 dense")
     }
   }
+}
+
+/** Shared mutable state for the scan-inconsistency test: a companion
+  * static so local-mode executor threads (same JVM) see one counter —
+  * a closure-captured AtomicLong would be serialized per task and
+  * reset, making the source deterministic again. */
+object SplitsSpec {
+  val scanCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 }
