@@ -22,17 +22,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object GateStage {
 
-  /** Absolute staging root — referenced verbatim by oracle SQL. */
+  /** Absolute staging root — the oracle runs as a separate DuckDB
+    * process with its own cwd, so the path cannot be relative. */
   val Root = "/root/repo/target/gate_stage"
 
-  /** Write `df` to the named stage (overwrite) and read it back, so the
-    * caller's downstream plan consumes exactly the staged bytes. */
-  def stage(spark: SparkSession, name: String, df: DataFrame): DataFrame = {
-    val path = s"$Root/$name"
+  // stage name → path of the LAST bytes written for it. Both Verify
+  // mains run every query BEFORE dumping oracle_sql.json, so the glob
+  // the oracle receives always points at the bytes of the run that
+  // just produced the Spark-side parquet — even when runs at different
+  // scale factors interleave (each sf suffixes its own directory,
+  // nothing clobbers).
+  private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write `df` to the named stage (overwrite; keyed by `scope`, e.g.
+    * the sf dir, so concurrent/interleaved runs don't clobber each
+    * other's bytes) and read it back, so the caller's downstream plan
+    * consumes exactly the staged bytes. */
+  def stage(spark: SparkSession, name: String, scope: String,
+      df: DataFrame): DataFrame = {
+    val suffix = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(scope).toLong & 0xFFFFFFFFL)
+    val path = s"$Root/${name}_$suffix"
     df.write.mode("overwrite").parquet(path)
+    staged.put(name, path)
     spark.read.parquet(path)
   }
 
-  /** The glob the DuckDB oracle uses to read a stage. */
-  def oracleGlob(name: String): String = s"$Root/$name/*.parquet"
+  /** The glob the DuckDB oracle uses to read a stage — resolved against
+    * the most recent write in this JVM (the Verify contract: queries
+    * run first, oracle SQL is dumped after). */
+  def oracleGlob(name: String): String =
+    s"${staged.getOrDefault(name, s"$Root/$name")}/*.parquet"
 }

@@ -66,7 +66,8 @@ object SparkEntry {
        |  SELECT xq.vec_id AS query_id, xc.vec_id AS cid,
        |         sum(xq.e7 * xc.e7)::BIGINT AS sim
        |  FROM x xq JOIN x xc USING (pos)
-       |  WHERE xq.vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+       |  WHERE xq.vec_id IN (SELECT vec_id FROM embeddings
+       |                      WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)
        |  GROUP BY xq.vec_id, xc.vec_id),
        |exact AS (
        |  SELECT query_id, cid FROM dots
@@ -106,7 +107,8 @@ object SparkEntry {
        |  SELECT xq.vec_id AS query_id, xc.vec_id AS cid,
        |         sum(xq.e7 * xc.e7)::BIGINT AS sim
        |  FROM x xq JOIN x xc USING (pos)
-       |  WHERE xq.vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+       |  WHERE xq.vec_id IN (SELECT vec_id FROM embeddings
+       |                      WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)
        |  GROUP BY xq.vec_id, xc.vec_id),
        |top1 AS (
        |  SELECT query_id, cid AS c1, sim AS s1 FROM dots
@@ -1635,7 +1637,7 @@ object SparkEntry {
       val fp = graft.ops.Multimodal.imageHashes(
         graft.ops.Multimodal.decodeImages(planted))
       graft.ops.Multimodal.hashNearDupPairs(
-        GateStage.stage(s, "multimodal_fp_image", fp),
+        GateStage.stage(s, "multimodal_fp_image", dir, fp),
         "asset_id", "phash", maxDist = 2)
     }),
 
@@ -1654,7 +1656,7 @@ object SparkEntry {
           .withColumn("asset_id", concat(lit("dup_"), col("asset_id"))))
       val fp = graft.ops.Multimodal.audioFingerprints(planted)
       graft.ops.Multimodal.hashNearDupPairs(
-        GateStage.stage(s, "multimodal_fp_audio", fp),
+        GateStage.stage(s, "multimodal_fp_audio", dir, fp),
         "asset_id", "afp", maxDist = 2)
     }),
 
@@ -1674,7 +1676,7 @@ object SparkEntry {
       val fh = graft.ops.Multimodal.frameHashes(planted)
         .select(col("asset_id"), col("phash"))
       graft.ops.Multimodal.sharedHashPairs(
-        GateStage.stage(s, "multimodal_fp_video", fh),
+        GateStage.stage(s, "multimodal_fp_video", dir, fh),
         "asset_id", "phash", minShared = 1)
     }),
 

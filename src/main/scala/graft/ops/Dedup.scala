@@ -52,6 +52,29 @@ object Dedup {
   val DenseAllPairsMaxVocab = 64L
   val DenseAllPairsMaxDocs = 50000L
 
+  /** Salt factor for tid-keyed candidate self-joins: a small vocabulary
+    * caps the join's parallelism at |vocab| (tid is the key), so salt
+    * up to 4× the cluster parallelism; realistic vocabularies skip
+    * salting entirely — there the build-side replication would BE the
+    * cost. Shared by the cosine and containment exact tiers. */
+  private[ops] def saltFactor(vocab: Long, parallelism: Long): Int =
+    if (vocab >= 4L * parallelism) 1
+    else math.min(64L, math.max(1L, (4L * parallelism) / vocab)).toInt
+
+  /** Broadcast-hint a packed-bag frame when its true measured size fits
+    * the 256 MB bound (checkpointed-RDD stats inherit inflated
+    * estimates, so the planner can't decide this itself — see the
+    * cosineCountPairs Scaladoc for the measured 5 GB shuffle the hint
+    * prevents). Null-safe: an EMPTY bag frame (no tokens anywhere)
+    * aggregates sum(size) to null and must not NPE — it broadcasts
+    * trivially. Shared by the cosine and containment exact tiers. */
+  private[ops] def maybeBroadcastBags(bags: DataFrame): DataFrame = {
+    val s = bags.agg(count(lit(1)), sum(size(col("bag")))).head()
+    val bagBytes =
+      if (s.isNullAt(1)) 0L else s.getLong(0) * 32L + s.getLong(1) * 16L
+    if (bagBytes <= (256L << 20)) broadcast(bags) else bags
+  }
+
   /**
    * Bucket-skew guard for banded LSH self-joins. `banded` must carry
    * `band` and `bucket` columns (other columns pass through). Buckets with
@@ -624,8 +647,10 @@ object Dedup {
    * earlier candidate⋈index⋈index formulation materialized
    * |candidates|·|A| rows into a hash aggregate and OOM'd a 24 GB heap
    * at 50k docs / 25M candidates, where this shape streams. Token
-   * strings never leave the tokenize scan (the join keys are 8-byte
-   * term ids). Small vocabularies cap the candidate join's parallelism
+   * strings shuffle only through the dictionary build (one distinct
+   * (doc, tok) aggregate + the df-rank window); everything downstream
+   * — candidates, bags, verify — runs on 8-byte term ids. Small
+   * vocabularies cap the candidate join's parallelism
    * at |vocab|, so the probe side salts exactly as the cosine tier
    * does; degenerate-vocab corpora stay correct (candidates ≈ all
    * pairs is the true output complexity there, as for any exact
@@ -674,10 +699,7 @@ object Dedup {
     // candidate join parallelism is capped at |vocab| (tid is the key):
     // salt the probe side when the vocabulary is degenerate, mirror of
     // the cosine tier's guard — every pair still produced exactly once
-    val par = spark.sparkContext.defaultParallelism.toLong
-    val nSalt =
-      if (vocab >= 4L * par) 1
-      else math.min(64L, math.max(1L, (4L * par) / vocab)).toInt
+    val nSalt = saltFactor(vocab, spark.sparkContext.defaultParallelism.toLong)
     val probe = prefix
       .withColumn("__s", pmod(xxhash64(col("doc")), lit(nSalt.toLong)))
     val build = ranked.select(col("doc").as("bdoc"), col("tid"))
@@ -699,9 +721,7 @@ object Dedup {
     // broadcast the bag side under the cosine tier's measured bound so
     // candidates stream map-side through both probes (checkpointed-RDD
     // stats inherit inflated estimates — the hint is load-bearing)
-    val bagStats = bags.agg(count(lit(1)), sum(size(col("bag")))).head()
-    val bagBytes = bagStats.getLong(0) * 32L + bagStats.getLong(1) * 16L
-    val bagsJ = if (bagBytes <= (256L << 20)) broadcast(bags) else bags
+    val bagsJ = maybeBroadcastBags(bags)
     cand
       .join(bagsJ.select(col("doc").as("id_a"), col("bag").as("__ba"),
         col("n").as("na")), Seq("id_a"))
@@ -894,10 +914,8 @@ object Dedup {
     // replicated frame is (doc, tid) pairs on a corpus whose vocabulary
     // is by definition tiny. Large-vocab corpora (the normal case) skip
     // salting entirely — there the replication would be the cost.
-    val par = df.sparkSession.sparkContext.defaultParallelism.toLong
-    val nSalt =
-      if (vocab >= 4L * par) 1
-      else math.min(64L, math.max(1L, (4L * par) / vocab)).toInt
+    val nSalt = saltFactor(vocab,
+      df.sparkSession.sparkContext.defaultParallelism.toLong)
     // emit-once guard: each prefix row carries its doc's SORTED prefix
     // token-id array (attached by a window over the doc partitioning the
     // prefix filter already has — no join), and the self-join accepts a
@@ -944,14 +962,12 @@ object Dedup {
     // ever shuffling a bag. Above that bound (≫10⁷ docs) the hint is
     // skipped — at that scale this exact-oracle operator is the wrong
     // tool anyway (see Scaladoc: the sketch tiers are the recall path).
-    val bagStats = bags.agg(count(lit(1)), sum(size(col("bag")))).head()
     // packed long arrays: 8 B per element + ~row overhead; the hashed
     // relation roughly doubles that. 256 MB of bags (~10⁶ docs of ~100
     // distinct terms) is comfortably broadcastable on any executor
     // sized for shuffle-heavy work; beyond it the candidate side is
     // astronomically large and this exact tier is the wrong tool.
-    val bagBytes = bagStats.getLong(0) * 32L + bagStats.getLong(1) * 16L
-    val bagsJ = if (bagBytes <= (256L << 20)) broadcast(bags) else bags
+    val bagsJ = maybeBroadcastBags(bags)
     // exact verification in ONE kernel per candidate: the predicate
     // computes the sorted-merge dot once and decides q²·dot² ≥ p²·na2·nb2
     // with a double fast-path + BigInteger fallback (BagCos Scaladoc).

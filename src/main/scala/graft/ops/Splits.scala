@@ -349,16 +349,24 @@ object Splits {
             w.rowsBetween(Long.MinValue, 0)))
           // the guard total must be computed HERE, before the remainder
           // filter drops rows — same window spec as __cum, so it rides
-          // the exchange + sort the selection already pays
+          // the exchange + sort the selection already pays. The check
+          // lives in the FILTER condition (not a projected column):
+          // filters survive any downstream column pruning, so a caller
+          // that keeps only idCol still gets the guard. Residual
+          // assumption: whole-kept buckets are not re-validated — a
+          // guard there would cost a shuffle the happy path never needs;
+          // divergence large enough to matter also shifts the cutoff
+          // bucket, which IS checked.
           .withColumn("__tot", sum(col("__w")).over(
             w.rowsBetween(Long.MinValue, Long.MaxValue)))
-          .withColumn("__w", when(col("__tot") =!= col("__t"),
-            raise_error(concat(
-              lit("tokenBudgetTake: pass-2 bucket total diverged from "),
-              lit("pass-1 for (group,bucket)=("), col("__g"), lit(","),
-              col("__b"), lit(") — non-deterministic input")))
-            .cast("long")).otherwise(col("__w")))
-          .filter(col("__cum") <= col("__r"))
+          .filter(
+            when(col("__tot") =!= col("__t"),
+              raise_error(concat(
+                lit("tokenBudgetTake: pass-2 bucket total diverged from "),
+                lit("pass-1 for (group,bucket)=("), col("__g"), lit(","),
+                col("__b"), lit(") — non-deterministic input")))
+              .cast("boolean"))
+            .otherwise(col("__cum") <= col("__r")))
           .select(col("__g"), col(idCol), col("__w"))
       }
     }

@@ -409,7 +409,14 @@ object VectorSearch {
     require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
       "lambda = num/den must be in [0,1]")
     val spark = df.sparkSession
-    val qe = queryVec.map(v => math.round(v.toDouble * scale))
+    // HALF_UP on the decimal rendering — the exact convention Spark's
+    // round() applies to the corpus side (and DuckDB's round() to the
+    // oracle side). Scala math.round is half-toward-positive-infinity,
+    // which differs on negative half-boundaries (round(-0.5): 0 vs -1)
+    // and would break the drift-free contract.
+    val qe = queryVec.map(v =>
+      java.math.BigDecimal.valueOf(v.toDouble * scale)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
     val cands = df.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("__id"),
         transform(col(vecCol),

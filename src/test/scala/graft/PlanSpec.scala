@@ -378,4 +378,25 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("first_common_long"),
       s"emit-once candidate guard must be in the join condition:\n$p")
   }
+
+  test("containment verify: broadcast bag probes + merge kernel, no token re-explode") {
+    val p = plan("dedup_subsets")
+    // the bag side broadcasts (the frame is doc-sized), so candidates
+    // stream map-side through both probes — the pre-rewrite
+    // candidate ⋈ index ⋈ index shape materialized |cand|·|A| rows
+    // into a hash aggregate and OOM'd at 50k docs
+    assert(p.contains("BroadcastHashJoin"),
+      s"bag probes must broadcast:\n$p")
+    assert(p.contains("packed_bag_dot"),
+      s"intersection must be the sorted-merge kernel:\n$p")
+    // the pre-rewrite shape counted intersections by re-joining the
+    // token INDEX per candidate — a |cand|·|A|-row aggregate. The
+    // kernel verify needs no post-candidate aggregate at all: the only
+    // aggregate below the result projection is the candidate distinct.
+    // (Upstream tok-keyed exchanges sit behind localCheckpoint
+    // barriers, so this inspects the post-checkpoint plan — exactly
+    // the stages the rewrite changed.)
+    assert(countOccurrences(p, "HashAggregate") <= 4, // partial+final distinct
+      s"verify must not aggregate per-candidate token rows:\n$p")
+  }
 }

@@ -130,8 +130,10 @@ class VectorSearchSpec extends SparkSuite {
     // exact e7 dot (ties id asc), then greedy num·rel − (den−num)·maxdiv
     val rows = emb.select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val qe = q0.map(v => math.round(v.toDouble * 1e7))
-    def e7(v: Array[Float]): Array[Long] = v.map(x => math.round(x.toDouble * 1e7))
+    def half(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val qe = q0.map(v => half(v.toDouble * 1e7))
+    def e7(v: Array[Float]): Array[Long] = v.map(x => half(x.toDouble * 1e7))
     def dot(a: Array[Long], b: Array[Long]): Long =
       a.zip(b).map { case (x, y) => x * y }.sum
     val rel = rows.map { case (id, v) => (id, e7(v), dot(e7(v), qe)) }
