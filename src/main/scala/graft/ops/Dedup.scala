@@ -695,7 +695,9 @@ object Dedup {
             pmod(col("n") * lit(thresholdP) + lit(thresholdQ - 1),
               lit(thresholdQ))) + lit(thresholdQ))
       .select(col("doc"), col("tid"))
-      .localCheckpoint(true)
+    // (no checkpoint: unlike the cosine tier — where the prefix frame
+    // feeds BOTH sides of its self-join — this prefix has exactly one
+    // consumer, and lineage is already cut at the checkpointed `ranked`)
     // candidate join parallelism is capped at |vocab| (tid is the key):
     // salt the probe side when the vocabulary is degenerate, mirror of
     // the cosine tier's guard — every pair still produced exactly once
@@ -957,7 +959,8 @@ object Dedup {
     // sort-merge joins and shuffles every candidate with its ~doc-length
     // bag attached (measured: 5 GB shuffled, 7× the whole operator's
     // budget). One cheap agg over the checkpointed frame measures the
-    // true size; under 64 MB the bag side broadcasts and candidates
+    // true size; under the maybeBroadcastBags bound the bag side
+    // broadcasts and candidates
     // stream map-side through both probes + the verify predicate without
     // ever shuffling a bag. Above that bound (≫10⁷ docs) the hint is
     // skipped — at that scale this exact-oracle operator is the wrong

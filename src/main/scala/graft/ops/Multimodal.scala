@@ -285,14 +285,21 @@ object Multimodal {
     * image and audio dedup surfaces; public so gate queries can pair
     * from a staged fingerprint frame (the banding + verify algebra is
     * exactly what the DuckDB oracle replays as a brute-force popcount
-    * join — full recall makes the two equivalent). Returns
+    * join — full recall makes the two equivalent). Each id must carry
+    * ONE hash (duplicate rows are deduped; an id with several distinct
+    * hashes would inflate its pairs — use [[sharedHashPairs]] for
+    * multi-hash-per-id frames like per-frame fingerprints). Returns
     * (id_a, id_b, hamming). */
   def hashNearDupPairs(
       hashes: DataFrame, idCol: String, hashCol: String,
       maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       "pigeonhole recall over 4 bands requires maxDist <= 3")
+    // distinct (the sharedHashPairs convention): an id appearing more
+    // than once would re-join in the verify stage and inflate each pair
+    // into n_a×n_b rows with divergent hamming values
     val hs = hashes.select(col(idCol).as("__id"), col(hashCol).as("__h"))
+      .distinct()
       .localCheckpoint(true) // two consumers: banding + verify re-attach
     val banded = hs.select(col("__id"),
       posexplode(array((0 until 4).map(b =>

@@ -455,7 +455,8 @@ object Splits {
    * the cutoff computation AND get a null `split` — an undated row has
    * no position on the timeline, so silently calling it "future" would
    * contaminate the test side (callers that want them trained on can
-   * `coalesce(split, 'train')`).
+   * `coalesce(split, 'train')`). A corpus with NO datable row at all is
+   * rejected (there is no timeline to place the cutoff on).
    *
    * Scale shape: the cutoff comes from [[Profile.orderStatistics]]'s
    * two bucket-count scans (zero shuffles, driver gets 1024-bucket
@@ -475,7 +476,9 @@ object Splits {
     // no separate count() scan
     val cut = Profile.orderStatisticsByN(micros, "__us",
       n => {
-        require(n > 0, "timeHoldout needs at least one row")
+        require(n > 0, "timeHoldout needs at least one non-null, " +
+          "timestamp-castable row to place the cutoff — an entirely " +
+          "undated corpus has no timeline to split on")
         Seq((n - 1) * (testDen - testNum) / testDen)
       }, scale = 1L).values.head
     val us = unix_micros(col(tsCol).cast("timestamp"))
@@ -520,25 +523,31 @@ object Splits {
     // pass-2 window re-scans the source after pass-1's driver-collected
     // counts, so a non-deterministic input would yield overlapping or
     // duplicate train_pos — compare each bucket's pass-2 row count
-    // against its pass-1 count and fail loudly instead. __chk is 0L on
-    // the happy path and folds into train_pos so pruning can't drop it.
+    // against its pass-1 count and fail loudly instead. The offsets
+    // join is LEFT (not inner): a pass-2 row whose bucket pass 1 never
+    // saw would be silently dropped by an inner join, which is exactly
+    // the corruption being guarded — a null offset raises too. __chk is
+    // 0L on the happy path and folds into train_pos so pruning can't
+    // drop it.
     val chk = when(
-      max(col("__rn")).over(wBucket) =!= col("__n"),
+      col("__o").isNull ||
+        max(col("__rn")).over(wBucket) =!= col("__n"),
       raise_error(concat(
-        lit("interleaveBySource: pass-2 bucket count diverged from "),
-        lit("pass-1 for (source,bucket)=("), col("__g"), lit(","),
+        lit("interleaveBySource: pass-2 bucket diverged from pass-1 "),
+        lit("for (source,bucket)=("), col("__g"), lit(","),
         col("__b"), lit(") — non-deterministic input")))
       .cast("long")).otherwise(lit(0L))
     proj
       .join(broadcast(offsets.toDF("__g", "__b", "__o", "__n")),
-        Seq("__g", "__b"))
+        Seq("__g", "__b"), "left")
       .join(broadcast(sources.zipWithIndex
         .map { case (g, i) => (g, i.toLong) }.toDF("__g", "__sidx")),
-        Seq("__g"))
+        Seq("__g"), "left")
       .withColumn("__rn", row_number().over(w).cast("long"))
       .withColumn("__rk", col("__o") + col("__rn") - 1L)
       .select(col(idCol), col("__g").as(groupCol),
-        (col("__rk") * nS + col("__sidx") + chk).cast("long").as("train_pos"))
+        (col("__rk") * nS + coalesce(col("__sidx"), lit(0L)) + chk)
+          .cast("long").as("train_pos"))
   }
 
   def curriculumAssign(

@@ -408,6 +408,16 @@ object VectorSearch {
     require(k > 0 && numCandidates >= k, "need 0 < k <= numCandidates")
     require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
       "lambda = num/den must be in [0,1]")
+    // overflow bound for the Long greedy arithmetic: every score term is
+    // ≤ lambdaDen · |rel| ≤ lambdaDen · dim · scale² (normalized inputs;
+    // each |e7 component| ≤ scale). Checked in BigInt so the CHECK can't
+    // itself wrap — a silent wrap would invert greedy comparisons while
+    // the doc promises exactness.
+    require(BigInt(lambdaDen) * queryVec.length * BigInt(scale) * scale <=
+      BigInt(Long.MaxValue),
+      s"lambdaDen·dim·scale² exceeds Long range (den=$lambdaDen, " +
+        s"dim=${queryVec.length}, scale=$scale) — shrink scale or lambda " +
+        "denominator to keep the greedy arithmetic exact")
     val spark = df.sparkSession
     // HALF_UP on the decimal rendering — the exact convention Spark's
     // round() applies to the corpus side (and DuckDB's round() to the
@@ -426,7 +436,14 @@ object VectorSearch {
       .orderBy(desc("__rel"), asc("__id"))
       .limit(numCandidates)
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .map { r =>
+        require(!r.isNullAt(0),
+          s"$idCol must cast to a non-null long (got a null-cast id)")
+        (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2))
+      }
+    require(cands.map(_._1).distinct.length == cands.length,
+      s"$idCol values must be unique after the long cast — duplicates " +
+        "would silently collapse candidates and crash the greedy loop")
     def pairDot(a: Array[Long], b: Array[Long]): Long = {
       var s = 0L; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }
