@@ -67,7 +67,16 @@ class Collection private[core] (
     c
   }
 
-  /** Current collection contents as a DataFrame (immutable snapshot). */
+  /** Current collection contents as a DataFrame. In-memory collections
+    * return a checkpointed snapshot — immutable under later mutations.
+    * PERSISTENT collections return a live view over the collection's
+    * parquet files BY DESIGN (pinning a 100 TB corpus into executor
+    * blocks per mutation would defeat the persistent tier): the next
+    * mutation replaces those files, after which frames returned EARLIER
+    * fail on access (Spark's "underlying files have been updated").
+    * Callers needing a mutation-stable snapshot of a persistent
+    * collection should `.localCheckpoint()` the returned frame, or keep
+    * real versions via [[graft.persist.SnapshotStore]]. */
   def df: DataFrame = state._1
 
   /** Row count — reference collection.go:391-395, served from driver state. */
@@ -172,7 +181,13 @@ class Collection private[core] (
       .withColumn("embedding",
         when(is_normalized(col("embedding")), col("embedding"))
           .otherwise(normalize_f32(col("embedding"))))
-    // last occurrence per id within the batch wins (SURVEY §7.4)
+    // last occurrence per id within the batch wins (SURVEY §7.4).
+    // "Last" means PARTITION order: monotonically_increasing_id ranks by
+    // (partition index, position), which is deterministic for a given
+    // partitioning but is NOT an arrival order — a distributed batch has
+    // none. Callers that need a specific winner among same-id rows must
+    // pre-dedup (addDocuments does, driver-side) or carry an explicit
+    // sequence column and dedup on it before addDF.
     val deduped = embedded
       .withColumn("__seq", monotonically_increasing_id())
       .withColumn("__rn", row_number().over(

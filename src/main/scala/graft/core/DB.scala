@@ -42,13 +42,24 @@ class DB private (
 
   /** Lookup; re-attaches the embedding func when provided (functions
     * don't persist, db.go:536-537, 552-558). Returns null when absent —
-    * Go-style, db.go:543-560. */
+    * Go-style, db.go:543-560. Synchronized like every other registry
+    * MUTATION: the re-attach path writes to the registry, and an
+    * unsynchronized put could race deleteCollection and resurrect a
+    * just-deleted collection over its removed directory. */
   def getCollection(name: String, embeddingFunc: EmbeddingFunc = null): Collection =
     collections.get(name) match {
       case Some(c) if embeddingFunc != null && (c.embedFunc ne embeddingFunc) =>
-        val reattached = c.withEmbeddingFunc(embeddingFunc)
-        collections.put(name, reattached)
-        reattached
+        synchronized {
+          // re-check under the lock — the entry may have been deleted
+          // (or already re-attached by a racing caller) since the read
+          collections.get(name) match {
+            case Some(cur) if cur.embedFunc ne embeddingFunc =>
+              val reattached = cur.withEmbeddingFunc(embeddingFunc)
+              collections.put(name, reattached)
+              reattached
+            case other => other.orNull
+          }
+        }
       case other => other.orNull
     }
 
@@ -88,11 +99,9 @@ class DB private (
     }
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
+  // the shared helper closes the Files.walk stream — the previous local
+  // copy leaked one directory handle per deleteCollection/reset call
+  private def deleteRecursively(p: Path): Unit = Persistence.deleteTree(p)
 
   /** Snapshot export — reference db.go:384-433 (see persist.ExportImport). */
   def exportToFile(

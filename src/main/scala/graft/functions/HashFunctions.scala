@@ -107,9 +107,14 @@ object HashKernels {
 
   /** Distinct sorted 64-bit shingle hashes; EXACTLY the same rolling
     * shingle hash as [[minhash]] (token XXH64 once, polynomial combine),
-    * and the same windowing: one shingle when n < w (the whole doc), so
+    * and the same windowing: one shingle when 0 < n < w (the whole doc),
+    * ZERO shingles when n == 0 — matching minhash's empty-doc rule, so
     * hash-set Jaccard equals shingle-string Jaccard up to 64-bit
-    * collisions (~2^-64 per pair — ignorable and deterministic). */
+    * collisions (~2^-64 per pair — ignorable and deterministic). (The
+    * previous max(1, …) emitted a zero-hash shingle for EMPTY docs,
+    * making any two empty docs Jaccard-1.0 here while their minhash
+    * bands never paired them — verify and candidate stages disagreed
+    * exactly on the degenerate case.) */
   def shingleHashes(toks: ArrayData, shingleSize: Int): ArrayData = {
     val n = toks.numElements()
     val w = math.max(1, shingleSize)
@@ -120,7 +125,7 @@ object HashKernels {
         else XXH64.hashUTF8String(toks.getUTF8String(i), 0L)
       i += 1
     }
-    val nShingles = math.max(1, n - w + 1)
+    val nShingles = if (n == 0) 0 else math.max(1, n - w + 1)
     val out = new Array[Long](nShingles)
     var s = 0
     while (s < nShingles) {

@@ -84,11 +84,25 @@ object LangIdExpression {
 case class FastLangId(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = false
-  override def nullSafeEval(a: Any): Any =
-    LangIdExpression.classify(a.asInstanceOf[UTF8String])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      x => s"graft.functions.LangIdExpression.classify($x)")
+  // eval/doGenCode are written out (NOT nullSafeEval/defineCodeGen):
+  // the UnaryExpression defaults null-PROPAGATE before the kernel runs,
+  // which with nullable=false hands generated consumers a null they
+  // were told cannot happen (UnsafeRowWriter NPEs; constraint inference
+  // folds IsNotNull to true). classify() owns the null case: ⇒ "und".
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    LangIdExpression.classify(
+      child.eval(input).asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    ev.copy(
+      code = code"""
+        ${c.code}
+        UTF8String ${ev.value} = graft.functions.LangIdExpression.classify(
+          ${c.isNull} ? null : ${c.value});""",
+      isNull = FalseLiteral)
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "fast_lang_id"
 }

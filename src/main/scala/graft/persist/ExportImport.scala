@@ -156,7 +156,13 @@ object ExportImport {
     finally in.close()
   }
 
-  /** Stream variant — reference db.go:297-355. */
+  /** Stream variant — reference db.go:297-355. The input is unwrapped
+    * through CHAINED streams (the read mirror of [[exportToWriter]]'s
+    * chained writers): nonce read, CipherInputStream, gzip magic-byte
+    * peek, GZIPInputStream, ZipInputStream-to-temp-files — driver memory
+    * stays O(copy buffer), never O(snapshot). (The previous
+    * readAll→doFinal→gunzip pipeline held up to three full snapshot
+    * copies on the driver at once.) The caller's stream is NOT closed. */
   def importFromReader(
       db: DB,
       spark: SparkSession,
@@ -164,15 +170,41 @@ object ExportImport {
       encryptionKey: String = "",
       collections: Seq[String] = Seq.empty): Unit = {
     validateKey(encryptionKey)
-    var bytes = readAll(in)
-    if (encryptionKey.nonEmpty) bytes = decrypt(bytes, encryptionKey)
-    // gzip auto-detect by magic bytes (persistence.go:227-246)
-    if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1f && (bytes(1) & 0xFF) == 0x8b)
-      bytes = gunzipBytes(bytes)
     val tmp = Files.createTempDirectory("graft-import")
     try {
-      // unpack zip
-      val zis = new ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+      var src: InputStream = in
+      if (encryptionKey.nonEmpty) {
+        // 12-byte nonce prefix, then the GCM stream (persistence.go:136-142)
+        val nonce = new Array[Byte](12)
+        var off = 0
+        while (off < 12) {
+          val n = src.read(nonce, off, 12 - off)
+          if (n < 0)
+            throw new IllegalArgumentException("encrypted data too short")
+          off += n
+        }
+        val cipher = Cipher.getInstance("AES/GCM/NoPadding")
+        cipher.init(Cipher.DECRYPT_MODE,
+          new SecretKeySpec(encryptionKey.getBytes("UTF-8"), "AES"),
+          new GCMParameterSpec(128, nonce))
+        src = new javax.crypto.CipherInputStream(src, cipher)
+      }
+      // gzip auto-detect by magic bytes (persistence.go:227-246) —
+      // peek two bytes, push them back
+      val pb = new java.io.PushbackInputStream(src, 2)
+      val magic = new Array[Byte](2)
+      var got = 0
+      var eof = false
+      while (got < 2 && !eof) {
+        val n = pb.read(magic, got, 2 - got)
+        if (n < 0) eof = true else got += n
+      }
+      if (got > 0) pb.unread(magic, 0, got)
+      val gz = got == 2 &&
+        (magic(0) & 0xFF) == 0x1f && (magic(1) & 0xFF) == 0x8b
+      src = if (gz) new GZIPInputStream(pb) else pb
+      // unpack zip entries straight to temp files
+      val zis = new ZipInputStream(src)
       var entry = zis.getNextEntry
       while (entry != null) {
         if (!entry.isDirectory) {
@@ -184,7 +216,12 @@ object ExportImport {
         }
         entry = zis.getNextEntry
       }
-      zis.close()
+      // AUTHENTICATION drain: ZipInputStream stops at the central
+      // directory, which can leave the GCM tag unread — the tag only
+      // verifies at stream EOF, so drain the chain (cheap: trailing
+      // bytes) to surface tampering as an error instead of ignoring it.
+      val drainBuf = new Array[Byte](8192)
+      while (src.read(drainBuf) >= 0) {}
       val manifest = Json.parse(Files.readString(tmp.resolve("manifest.json")))
         .asInstanceOf[Map[String, Any]]
       val names = manifest("collections").asInstanceOf[List[Any]].map(_.asInstanceOf[String])
@@ -264,10 +301,5 @@ object ExportImport {
     bos.toByteArray
   }
 
-  private def deleteTree(p: Path): Unit =
-    if (Files.exists(p)) {
-      val w = Files.walk(p)
-      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally w.close()
-    }
+  private def deleteTree(p: Path): Unit = Persistence.deleteTree(p)
 }

@@ -64,6 +64,16 @@ object Persistence {
       finally s.close()
     }
   }
+
+  /** Recursive delete with the walk stream CLOSED (Files.walk leaks a
+    * directory handle otherwise) — the ONE shared copy; DB, the parquet
+    * layout, the snapshot store, and export/import all delegate here. */
+  private[graft] def deleteTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      val w = Files.walk(p)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally w.close()
+    }
 }
 
 /** Parquet-backed persistence for one collection.
@@ -93,12 +103,7 @@ class ParquetPersistence(dir: Path, compression: Option[String] = None)
   override def read(spark: SparkSession): DataFrame =
     if (Files.exists(dataDir)) spark.read.schema(Document.schema).parquet(dataDir.toString)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Document.schema)
-  private def deleteTree(p: Path): Unit =
-    if (Files.exists(p)) {
-      val w = Files.walk(p)
-      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally w.close()
-    }
+  private def deleteTree(p: Path): Unit = Persistence.deleteTree(p)
 }
 
 /** Minimal JSON encode/parse for sidecars & provider payloads (no third-

@@ -130,10 +130,5 @@ class SnapshotStore(rootDir: String) {
       .filter(col("change").isNotNull)
   }
 
-  private def deleteTree(p: Path): Unit =
-    if (Files.exists(p)) {
-      val w = Files.walk(p)
-      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally w.close()
-    }
+  private def deleteTree(p: Path): Unit = Persistence.deleteTree(p)
 }

@@ -23,10 +23,16 @@ import graft.persist.SnapshotStore
  * everything batch N admitted, with no unbounded in-memory state and no
  * growing plan lineage (every version is plain parquet).
  *
- * Scale shape: per micro-batch cost is one corpus-side signature pass +
- * the banded join — the same envelope as the nightly batch job; prior
- * corpus versions stay readable for time-travel diffing of what any
- * batch admitted.
+ * Scale shape: per micro-batch the DEDUP cost is one corpus-side
+ * signature pass + the banded join — the same envelope as the nightly
+ * batch job. The COMMIT, however, rewrites the full corpus∪fresh into
+ * the next snapshot version (immutable whole-corpus versions are what
+ * make time-travel diffing trivial), so per-batch write cost is
+ * O(corpus): right for the bounded ingest runs this targets
+ * (AvailableNow over a landing zone, nightly tails), wrong for a
+ * high-frequency trigger over a huge corpus — there, commit only
+ * `fresh` per batch into an append-log layout and compact on a cadence;
+ * the dedup side of this operator is unchanged by that choice.
  *
  * Delivery contract: foreachBatch is AT-LEAST-once (a crash between
  * `store.commit` and the checkpoint advancing replays the batch), so
@@ -73,7 +79,14 @@ object CorpusIngest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val selfClean = Dedup.exactSurvivors(qualityGate(batch), textCol, idCol)
-        if (store.versions.isEmpty) {
+        // seed/read decided by the latest POINTER, not the version
+        // directory listing: a crash inside commit's rename→pointer
+        // window leaves a renamed version dir with no pointer, and the
+        // pointer is the read source of truth (SnapshotStore contract) —
+        // checking `versions` there would send every replay into
+        // readLatest's 'no committed snapshot' failure loop, while the
+        // pointer check correctly re-seeds over the orphaned dir's slot
+        if (store.latestVersion.isEmpty) {
           if (!selfClean.isEmpty) { store.commit(selfClean); () }
         } else {
           val corpus = store.readLatest(spark)

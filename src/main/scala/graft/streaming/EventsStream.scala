@@ -41,10 +41,16 @@ object EventsStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
   /** Streaming exact-dedup by event_id within the watermark horizon —
-    * the streaming tier of the dedup family (state is bounded by the
-    * watermark; identical events arriving twice emit once). */
+    * the streaming tier of the dedup family (identical events arriving
+    * twice emit once). `dropDuplicatesWithinWatermark` is load-bearing:
+    * plain `dropDuplicates("event_id")` only evicts state when the
+    * event-time column is part of the KEY, so with id-only keys its
+    * state grows one entry per distinct id FOREVER despite the
+    * watermark — the WithinWatermark variant is the one that actually
+    * expires state at the horizon. */
   def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
 
   case class Session(
       user_id: Long,
@@ -131,7 +137,9 @@ object EventsStream {
       .withColumn("__sig", graft.functions.HashFunctions.simhash64(
         split(lower(col(textCol)), " ")))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("__sig")
+      // WithinWatermark, for the same state-eviction reason as
+      // [[dedupStream]]: signature-only keys never expire otherwise
+      .dropDuplicatesWithinWatermark("__sig")
       .drop("__sig")
 
   /**

@@ -227,6 +227,24 @@ class TextAnalysisSpec extends SparkSuite {
     assert(r.find(_._1 == 8).get._2 === "en")
   }
 
+  test("fast_lang_id honors nullable=false: null text classifies as 'und'") {
+    // the UnaryExpression nullSafeEval default would null-PROPAGATE and
+    // hand downstream generated code a null it was told can't happen
+    // (groupBy on the result then NPEs in UnsafeRowWriter)
+    val df = Seq((1, "the cat and the dog"), (2, null: String))
+      .toDF("id", "text")
+    val vals = df.select($"id",
+        graft.functions.LangIdExpression.fast_lang_id($"text").as("f"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(vals(1) === "en")
+    assert(vals(2) === "und")
+    // grouping on the expression must survive null inputs
+    val counts = df.groupBy(
+        graft.functions.LangIdExpression.fast_lang_id($"text").as("f"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("en" -> 1L, "und" -> 1L))
+  }
+
   test("fast_lang_id agrees with the Catalyst version over the documents corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val disagree = docs.select(
