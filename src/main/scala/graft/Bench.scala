@@ -140,9 +140,13 @@ object Bench {
       }.sorted
       ts(1)
     }
-    results("ambient_control_pre") = sparkControl()
+    // the controls calibrate the headline sweep they bracket — skip them
+    // (8 full-machine 2e9-row aggregations) when a BENCH_ONLY filter
+    // empties the sweep
+    val sweep = headline.filter(n => only.forall(_.contains(n)))
+    if (sweep.nonEmpty) results("ambient_control_pre") = sparkControl()
 
-    headline.filter(n => only.forall(_.contains(n))).foreach { name =>
+    sweep.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try {
           // warmup: codegen compile, parquet footers, JIT — not the query
@@ -173,15 +177,20 @@ object Bench {
       }
     }
 
-    results("ambient_control_post") = sparkControl()
+    if (sweep.nonEmpty) results("ambient_control_post") = sparkControl()
 
     // The driver artifact keeps only the LAST 2000 chars of the bench
     // output (r6 lost every chromem-parity point to that window), so:
     // (a) the main JSON line serializes the chromem headline entries
     // LAST, and (b) a second, compact headline-only JSON line follows —
     // short enough to always survive the tail whole.
+    // Locale.ROOT is load-bearing: the f"" interpolator uses the JVM
+    // default locale, and a comma-decimal locale (de_DE, fr_FR) would
+    // render 0,1234 and silently break the driver's JSON parse.
     def fmt(entries: Iterable[(String, Double)]): String = entries
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .map { case (k, v) =>
+        "\"" + k + "\":" +
+          String.format(java.util.Locale.ROOT, "%.4f", Double.box(v)) }
       .mkString("{", ",", "}")
     val (headlineEntries, sweepEntries) = results.partition { case (k, _) =>
       k.startsWith("chromem") || k.startsWith("ambient_control")

@@ -34,19 +34,16 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // JSON string escape = the ONE shared implementation
+    // (graft.persist.Json.str escapes backslash, quote, and all control
+    // chars <0x20 — a tab or CR in builder-authored SQL would otherwise
+    // make the driver's json.load fail and silently zero the round).
+    // Under an `only` subset the dump is filtered to the queries that
+    // actually ran: a full dump would hand the oracle stale GateStage
+    // globs for staged queries this run never wrote.
+    def q(s: String): String = graft.persist.Json.str(s)
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -1,37 +1,11 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
-/** Dev tool: dump a subset of SparkEntry.queries + their oracle SQL for a
-  * targeted DuckDB compare at a non-gate scale factor. */
+/** Dev alias: `runMain graft.VerifySubset <sfDir> <outDir> <q1> <q2> …`.
+  * Delegates to [[Verify]], which accepts the same extra-args subset —
+  * the earlier standalone implementation duplicated Verify's dump logic
+  * (with a third copy of the JSON escaper) and used `coalesce(1)`, the
+  * exact single-task collapse Verify's repartition(1) comment warns
+  * about. One implementation now serves both entry points. */
 object VerifySubset {
-  def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val outDir = args(1)
-    val names = args.drop(2).toSeq
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    names.foreach { name =>
-      SparkEntry.queries(name)(spark, sfDir)
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-    }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case '\r' => "\\r"; case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
-  }
+  def main(args: Array[String]): Unit = Verify.main(args)
 }

@@ -69,6 +69,11 @@ abstract class HttpEmbeddingFunc extends EmbeddingFunc {
           if (vs.length != chunk.length)
             throw new RuntimeException(
               s"embedding API returned ${vs.length} embeddings for ${chunk.length} inputs")
+          // same empty-vector guard as embed(): an empty entry stored now
+          // would crash far from the cause (length-mismatch in the dot
+          // kernel) and could poison the normalized-once decision
+          if (vs.exists(_.isEmpty))
+            throw new RuntimeException("no embeddings found in the response")
           vs.map(maybeNormalize)
       }
     }
@@ -84,6 +89,10 @@ abstract class HttpEmbeddingFunc extends EmbeddingFunc {
 
   protected def post(url: String, body: String, headers: (String, String)*): HttpRequest = {
     val b = HttpRequest.newBuilder(URI.create(url))
+      // request timeout, not just connect: a stalled response body would
+      // otherwise block the executor task forever (connectTimeout only
+      // covers the TCP handshake)
+      .timeout(Duration.ofSeconds(120))
       .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
     headers.foreach { case (k, v) => b.header(k, v) }
     b.build()
@@ -108,18 +117,21 @@ class OpenAICompatEmbeddingFunc(
 
   override protected def normalizedHint: Option[Boolean] = normalized
 
-  override protected def request(text: String): HttpRequest = {
-    val qs = if (queryParams.isEmpty) ""
-      else "?" + queryParams.map { case (k, v) =>
-        java.net.URLEncoder.encode(k, "UTF-8") + "=" +
-        java.net.URLEncoder.encode(v, "UTF-8") }.mkString("&")
-    val headers = Seq(
-      "Content-Type" -> "application/json",
-      "Authorization" -> s"Bearer $apiKey") ++ extraHeaders.toSeq
+  // shared by the single and batch wire paths — one place to change the
+  // encoding or headers keeps the two paths identical
+  @transient private lazy val qs: String =
+    if (queryParams.isEmpty) ""
+    else "?" + queryParams.map { case (k, v) =>
+      java.net.URLEncoder.encode(k, "UTF-8") + "=" +
+      java.net.URLEncoder.encode(v, "UTF-8") }.mkString("&")
+  @transient private lazy val requestHeaders: Seq[(String, String)] = Seq(
+    "Content-Type" -> "application/json",
+    "Authorization" -> s"Bearer $apiKey") ++ extraHeaders.toSeq
+
+  override protected def request(text: String): HttpRequest =
     post(s"$baseURL/embeddings$qs",
       Json.obj("input" -> Json.str(text), "model" -> Json.str(model)),
-      headers: _*)
-  }
+      requestHeaders: _*)
 
   override protected def parseResponse(body: String): Array[Float] = {
     val data = Json.parse(body).asInstanceOf[Map[String, Any]]
@@ -129,18 +141,10 @@ class OpenAICompatEmbeddingFunc(
   }
 
   /** OpenAI `input` accepts an array — one request embeds the batch. */
-  override protected def batchRequest(texts: Seq[String]): Option[HttpRequest] = {
-    val qs = if (queryParams.isEmpty) ""
-      else "?" + queryParams.map { case (k, v) =>
-        java.net.URLEncoder.encode(k, "UTF-8") + "=" +
-        java.net.URLEncoder.encode(v, "UTF-8") }.mkString("&")
-    val headers = Seq(
-      "Content-Type" -> "application/json",
-      "Authorization" -> s"Bearer $apiKey") ++ extraHeaders.toSeq
+  override protected def batchRequest(texts: Seq[String]): Option[HttpRequest] =
     Some(post(s"$baseURL/embeddings$qs",
       Json.obj("input" -> Json.arr(texts.map(Json.str)), "model" -> Json.str(model)),
-      headers: _*))
-  }
+      requestHeaders: _*))
 
   /** data[] ordered by `index` (the API may reorder entries). */
   override protected def parseBatchResponse(body: String): Seq[Array[Float]] = {

@@ -67,8 +67,12 @@ object TrainingPipeline {
     println(s"post-dedup:     ${survivors.count()}")
 
     // 3. decontaminate against a fake "benchmark" slice (2% of docs):
-    //    drop corpus docs sharing >50% of their 8-grams with it
-    val benchmark = raw.filter(pmod(col("doc_id"), lit(50)) === 0)
+    //    drop corpus docs sharing >50% of their 8-grams with it.
+    //    The slice comes from `normed`, NOT `raw`: the corpus side was
+    //    normalized in step 1, and n-gram matching is exact — comparing
+    //    normalized corpus grams against un-normalized benchmark grams
+    //    would under-count overlap and let contaminated docs through.
+    val benchmark = normed.filter(pmod(col("doc_id"), lit(50)) === 0)
     val overlap = Dedup.ngramContamination(
       benchmark, survivors, "text", "doc_id", n = 8)
     val clean = survivors.join(

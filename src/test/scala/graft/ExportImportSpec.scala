@@ -95,6 +95,23 @@ class ExportImportSpec extends SparkSuite {
     }
   }
 
+  test("tampered ciphertext tail is rejected (GCM tag verified via drain)") {
+    // the streamed import unwraps zip entries BEFORE the stream ends; the
+    // GCM tag only authenticates at EOF, so the import drains the chain —
+    // flipping a bit in the trailing tag bytes must fail the import, not
+    // silently succeed with unauthenticated data
+    val f = Files.createTempDirectory("graft-exp").resolve("db.snap")
+    populated.exportToFile(f.toString, compress = false, key32)
+    val bytes = Files.readAllBytes(f)
+    bytes(bytes.length - 1) = (bytes(bytes.length - 1) ^ 0x01).toByte
+    val g = f.resolveSibling("tampered.snap")
+    Files.write(g, bytes)
+    intercept[Exception] {
+      DB.inMemory(spark, ConstEmbeddingFunc.stub())
+        .importFromFile(g.toString, key32)
+    }
+  }
+
   test("import into a persistent DB re-persists (db.go:261-275)") {
     val f = Files.createTempDirectory("graft-exp").resolve("db.snap").toString
     populated.exportToFile(f)
