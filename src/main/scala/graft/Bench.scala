@@ -102,7 +102,7 @@ object Bench {
       "events_sliding_agg", "events_per_user", "events_window_distinct", "events_json_props", "events_transitions",
       "text_bm25", "text_bm25_indexed", "search_hybrid", "q_quantized_topk",
       "q_hamming_topk", "text_lexical",
-      "q_pq_topk", "q_ivfpq_topk", "dedup_spans",
+      "q_pq_topk", "q_ivfpq_topk", "dedup_spans", "dedup_subsets",
       "join_asof", "join_range", "emb_centroids", "events_retention",
       "agg_rollup", "agg_promo_share", "profile_stats", "profile_stats_approx",
       "text_lm_score", "text_lm_cross", "q_mmr_rerank", "emb_outliers",

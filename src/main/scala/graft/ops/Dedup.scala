@@ -650,18 +650,35 @@ object Dedup {
    * strings shuffle only through the dictionary build (one distinct
    * (doc, tok) aggregate + the df-rank window); everything downstream
    * — candidates, bags, verify — runs on 8-byte term ids. Small
-   * vocabularies cap the candidate join's parallelism
-   * at |vocab|, so the probe side salts exactly as the cosine tier
-   * does; degenerate-vocab corpora stay correct (candidates ≈ all
-   * pairs is the true output complexity there, as for any exact
-   * all-pairs operator).
+   * vocabularies cap the candidate join's parallelism at |vocab|, so
+   * the probe side salts exactly as the cosine tier does; DEGENERATE
+   * vocabularies (≤ [[DenseAllPairsMaxVocab]], where the prefix filter
+   * provably cannot prune) skip candidate materialization entirely and
+   * stream packed set-bags through a broadcast nested-loop join whose
+   * condition is the exact integer containment test — the
+   * [[cosineCountPairs]] dense-tier guard, directed (all ordered
+   * pairs).
    */
   def containmentPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
       thresholdP: Long,
-      thresholdQ: Long): DataFrame = {
+      thresholdQ: Long): DataFrame =
+    containmentPairs(df, textCol, idCol, thresholdP, thresholdQ,
+      DenseAllPairsMaxVocab, DenseAllPairsMaxDocs)
+
+  /** Path-forcing variant for tests (the cosineCountPairs convention):
+    * `denseMaxVocab = 0` pins the prefix-join tier, oversized bounds pin
+    * the dense tier — both must produce identical output. */
+  private[graft] def containmentPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      thresholdP: Long,
+      thresholdQ: Long,
+      denseMaxVocab: Long,
+      denseMaxDocs: Long): DataFrame = {
     require(thresholdP > 0 && thresholdQ > 0 && thresholdP <= thresholdQ,
       "threshold p/q must be in (0, 1]")
     val spark = df.sparkSession
@@ -676,6 +693,39 @@ object Dedup {
       .withColumn("tid", monotonically_increasing_id())
       .localCheckpoint(true)
     val vocab = math.max(1L, dict.count())
+    // Degenerate-vocabulary fast path, the cosineCountPairs guard: on a
+    // handful-of-terms corpus the prefix filter provably cannot prune
+    // (every term is a hub), candidates ≈ ALL ordered pairs, and
+    // materializing them through the index join + distinct + bag probes
+    // is pure overhead (measured 16.4 s at sf0.1's 31-word corpus).
+    // Stream the packed set-bags through a broadcast nested-loop join
+    // whose condition IS the exact integer containment test — zero
+    // shuffles, zero candidate materialization (same corpus: ~2 s).
+    // Containment is DIRECTED, so all ordered pairs evaluate (a ≠ b),
+    // not the id_a < id_b half the symmetric kernels use.
+    if (vocab <= denseMaxVocab && df.count() <= denseMaxDocs) {
+      val bags = t.join(dict.select(col("tok"), col("tid")), Seq("tok"))
+        .groupBy("doc").agg(
+          sort_array(collect_list(col("tid"))).as("__st"),
+          count(lit(1)).as("n"))
+        .withColumn("bag",
+          flatten(transform(col("__st"), x => array(x, lit(1L)))))
+        .select(col("doc"), col("bag"), col("n"))
+        // explicit partition count: AQE would coalesce the tiny frame to
+        // one task and serialize the whole nested-loop pass
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(true)
+      return bags.alias("a").join(broadcast(bags.alias("b")),
+          col("a.doc") =!= col("b.doc") &&
+          graft.functions.BagCos.packed_bag_dot(col("a.bag"), col("b.bag"))
+            * lit(thresholdQ) >= lit(thresholdP) * col("a.n"))
+        .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+          graft.functions.BagCos.packed_bag_dot(col("a.bag"), col("b.bag"))
+            .as("inter"),
+          col("a.n").as("na"))
+        .select(col("id_a"), col("id_b"),
+          expr("(inter * 1000000) div na").as("containment_e6"))
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc")).orderBy(col("df"), col("tok"))
     // n (distinct-set size) via an unbounded frame over the same window

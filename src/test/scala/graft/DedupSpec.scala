@@ -527,6 +527,24 @@ class DedupSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("containmentPairs dense tier ≡ prefix tier (path-forced, both corpora)") {
+    val rnd = new scala.util.Random(53)
+    // degenerate vocab (dense tier's home turf) AND a wider one — the
+    // two PATHS must agree bit-for-bit on both
+    for (v <- Seq(8, 200)) {
+      val vocab = (0 until v).map(i => s"w$i")
+      val docs = (0 until 60).map { i =>
+        val n = 4 + rnd.nextInt(8)
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      def run(denseMaxVocab: Long) = Dedup.containmentPairs(
+          docs, "text", "doc_id", 3, 4, denseMaxVocab, 100000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(run(denseMaxVocab = 0L) === run(denseMaxVocab = 100000L),
+        s"tiers diverged at vocab=$v")
+    }
+  }
+
   test("semanticDedup is salt-invariant (each pair meets exactly once)") {
     val rnd = new scala.util.Random(23)
     def unit(): Array[Float] =

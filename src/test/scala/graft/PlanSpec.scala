@@ -379,24 +379,40 @@ class PlanSpec extends SparkSuite {
       s"emit-once candidate guard must be in the join condition:\n$p")
   }
 
-  test("containment verify: broadcast bag probes + merge kernel, no token re-explode") {
+  test("containment, degenerate vocab: dense nested-loop tier, kernel in the condition") {
+    // the gate corpus has the 31-word vocabulary, so dedup_subsets takes
+    // the dense tier: zero candidate materialization, the exact integer
+    // containment test INSIDE the broadcast nested-loop condition
     val p = plan("dedup_subsets")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"degenerate vocab must take the dense tier:\n$p")
+    assert(p.contains("packed_bag_dot"),
+      s"intersection must be the sorted-merge kernel:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"dense tier must not materialize candidates:\n$p")
+  }
+
+  test("containment, prefix tier: broadcast bag probes + merge kernel, no token re-explode") {
+    // path-forced prefix tier (denseMaxVocab = 0) on the same corpus:
     // the bag side broadcasts (the frame is doc-sized), so candidates
     // stream map-side through both probes — the pre-rewrite
     // candidate ⋈ index ⋈ index shape materialized |cand|·|A| rows
     // into a hash aggregate and OOM'd at 50k docs
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = withLogLevel {
+      graft.ops.Dedup.containmentPairs(docs, "text", "doc_id", 9L, 10L,
+          denseMaxVocab = 0L, denseMaxDocs = 0L)
+        .queryExecution.executedPlan.toString
+    }
     assert(p.contains("BroadcastHashJoin"),
       s"bag probes must broadcast:\n$p")
     assert(p.contains("packed_bag_dot"),
       s"intersection must be the sorted-merge kernel:\n$p")
-    // the pre-rewrite shape counted intersections by re-joining the
-    // token INDEX per candidate — a |cand|·|A|-row aggregate. The
-    // kernel verify needs no post-candidate aggregate at all: the only
-    // aggregate below the result projection is the candidate distinct.
-    // (Upstream tok-keyed exchanges sit behind localCheckpoint
-    // barriers, so this inspects the post-checkpoint plan — exactly
-    // the stages the rewrite changed.)
-    assert(countOccurrences(p, "HashAggregate") <= 4, // partial+final distinct
+    // the only aggregate below the result projection is the candidate
+    // distinct (partial+final) — no per-candidate token-row aggregate.
+    // (Upstream tok-keyed exchanges sit behind localCheckpoint barriers,
+    // so this inspects the post-checkpoint plan — the rewritten stages.)
+    assert(countOccurrences(p, "HashAggregate") <= 4,
       s"verify must not aggregate per-candidate token rows:\n$p")
   }
 }
