@@ -272,8 +272,9 @@ object Bench {
 
     // ≥ ~6k rows per block: below that, task scheduling dominates the scan
     val nBlocks = math.max(1, math.min(parts, n / 6144))
-    val idx = VectorIndex.build[Long](corpus, "id", "embedding", d, nBlocks)
-      .persist().materialize()
+    val idx: VectorIndex[Long] =
+      VectorIndex.build[Long](corpus, "id", "embedding", d, nBlocks)
+        .persist().materialize()
     (1 to 5).foreach(_ => idx.topK(qvec(), 10))
     System.gc() // drop corpus-build garbage before the timed window
     var t0 = System.nanoTime()
@@ -288,8 +289,9 @@ object Bench {
       // the source projection
       val withContent = corpus.withColumn("content",
         concat_ws("", (0 until 59).map(_ => md5(col("id").cast("string"))): _*))
-      val idxC = VectorIndex.build[Long](withContent, "id", "embedding", d, nBlocks)
-        .persist().materialize()
+      val idxC: VectorIndex[Long] =
+        VectorIndex.build[Long](withContent, "id", "embedding", d, nBlocks)
+          .persist().materialize()
       (1 to 3).foreach(_ => idxC.topK(qvec(), 10))
       System.gc()
       t0 = System.nanoTime()
