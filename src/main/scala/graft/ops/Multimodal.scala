@@ -59,7 +59,7 @@ object Multimodal {
   //  3. Anything else — deterministic hash-derived dims (FAKE, keeps
   //     heterogeneous corpora flowing instead of failing the task).
   // ---------------------------------------------------------------
-  private[ops] def decodeBytes(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+  private[graft] def decodeBytes(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
     if (bytes.length >= 12 && bytes(0) == 'G' && bytes(1) == 'R' &&
         bytes(2) == 'F' && bytes(3) == 'T') {
       val bb = java.nio.ByteBuffer.wrap(bytes, 4, 8)

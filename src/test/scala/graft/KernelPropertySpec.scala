@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.HashKernels
+import graft.ops.{Multimodal, Pca, VectorSearch}
+
+/**
+ * Seeded property sweeps over the PURE kernels (no SparkSession — these
+ * run in milliseconds): each test drives a few hundred random cases
+ * through an algebraic property the operators' correctness arguments
+ * depend on. Deterministic seeds so a failure is reproducible verbatim.
+ */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private def toks(ws: Seq[String]): ArrayData =
+    new GenericArrayData(ws.map(w => UTF8String.fromString(w)).toArray[Any])
+
+  test("pigeonhole: hamming(a,b) <= 3 implies >= 1 equal 16-bit band (500 cases)") {
+    // the FULL-RECALL argument behind every banded-Hamming candidate
+    // join (Multimodal.hashNearDupPairs): 4 bands, <= 3 flipped bits
+    // leave at least one band untouched
+    val rnd = new scala.util.Random(101)
+    (1 to 500).foreach { _ =>
+      val a = rnd.nextLong()
+      var b = a
+      val flips = rnd.nextInt(4) // 0..3
+      (1 to flips).foreach(_ => b ^= (1L << rnd.nextInt(64)))
+      val shares = (0 until 4).exists { band =>
+        ((a >>> (band * 16)) & 0xFFFFL) == ((b >>> (band * 16)) & 0xFFFFL)
+      }
+      assert(shares, s"pigeonhole violated: a=$a b=$b flips=$flips")
+    }
+  }
+
+  test("minhash containment: equal shingle sets give equal signatures (200 cases)") {
+    // minhash signatures are a pure function of the shingle SET — token
+    // order/duplication of whole docs must not matter at w=1
+    val rnd = new scala.util.Random(202)
+    val vocab = (0 until 30).map(i => s"w$i")
+    (1 to 200).foreach { _ =>
+      val set = rnd.shuffle(vocab).take(1 + rnd.nextInt(10))
+      val a = set ++ set.take(rnd.nextInt(set.size)) // duplicated suffix
+      val b = rnd.shuffle(a)
+      val sigA = HashKernels.minhash(toks(a), 16, 1).toLongArray.toSeq
+      val sigB = HashKernels.minhash(toks(b), 16, 1).toLongArray.toSeq
+      assert(sigA === sigB)
+    }
+  }
+
+  test("shingle/minhash agree on emptiness; jaccard in [0,1] and symmetric (200 cases)") {
+    assert(HashKernels.shingleHashes(toks(Seq.empty), 3).numElements() === 0)
+    val rnd = new scala.util.Random(303)
+    val vocab = (0 until 20).map(i => s"w$i")
+    (1 to 200).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+      val b = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+      val sa = HashKernels.shingleHashes(toks(a), 3)
+      val sb = HashKernels.shingleHashes(toks(b), 3)
+      val jab = HashKernels.jaccardSorted(sa, sb)
+      val jba = HashKernels.jaccardSorted(sb, sa)
+      assert(jab === jba)
+      assert(jab >= 0.0 && jab <= 1.0)
+      if (a.nonEmpty) assert(HashKernels.jaccardSorted(sa, sa) === 1.0)
+    }
+  }
+
+  test("jacobi eigendecomposition: A·v = λ·v residuals (50 random symmetric 6x6)") {
+    val rnd = new scala.util.Random(404)
+    (1 to 50).foreach { _ =>
+      val d = 6
+      val m = Array.tabulate(d, d)((_, _) => rnd.nextDouble() * 2 - 1)
+      val sym = Array.tabulate(d, d)((i, j) => (m(i)(j) + m(j)(i)) / 2)
+      val (evals, evecs) = Pca.jacobi(sym)
+      // residual ‖A·v − λ·v‖∞ per eigenpair (vectors are COLUMNS)
+      (0 until d).foreach { k =>
+        (0 until d).foreach { i =>
+          val av = (0 until d).map(j => sym(i)(j) * evecs(j)(k)).sum
+          assert(math.abs(av - evals(k) * evecs(i)(k)) < 1e-9,
+            s"eigenpair $k residual at row $i")
+        }
+      }
+      // trace preserved
+      val trace = (0 until d).map(i => sym(i)(i)).sum
+      assert(math.abs(evals.sum - trace) < 1e-9)
+    }
+  }
+
+  test("GRFT fake-image encode/decode roundtrip (100 cases)") {
+    val rnd = new scala.util.Random(505)
+    (1 to 100).foreach { _ =>
+      val w = 1 + rnd.nextInt(16); val h = 1 + rnd.nextInt(16)
+      val px = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val (dw, dh, dc, dpx) =
+        Multimodal.decodeBytes(Multimodal.encodeFake(w, h, px))
+      assert((dw, dh, dc) === ((w, h, 3)))
+      assert(dpx.toSeq === px.toSeq)
+    }
+  }
+
+  test("bilinearResize: exact size, identity resize is the input (100 cases)") {
+    val rnd = new scala.util.Random(606)
+    (1 to 100).foreach { _ =>
+      val w = 2 + rnd.nextInt(12); val h = 2 + rnd.nextInt(12); val c = 1 + rnd.nextInt(3)
+      val px = Array.fill(w * h * c)(rnd.nextInt(256).toByte)
+      val same = Multimodal.bilinearResize(px, w, h, c, w, h)
+      assert(same.toSeq === px.toSeq, "identity resize must reproduce the raster")
+      val nw = 1 + rnd.nextInt(20); val nh = 1 + rnd.nextInt(20)
+      assert(Multimodal.bilinearResize(px, w, h, c, nw, nh).length === nw * nh * c)
+    }
+  }
+
+  test("classify is total over {en,de,es,fr,zh,und} incl. null/garbage (300 cases)") {
+    val langs = Set("en", "de", "es", "fr", "zh", "und")
+    assert(graft.functions.LangIdExpression.classify(null).toString === "und")
+    val rnd = new scala.util.Random(707)
+    (1 to 300).foreach { _ =>
+      val s = (1 to rnd.nextInt(30)).map(_ =>
+        rnd.nextInt(3) match {
+          case 0 => ('a' + rnd.nextInt(26)).toChar.toString
+          case 1 => " "
+          case _ => new String(Character.toChars(0x4e00 + rnd.nextInt(100)))
+        }).mkString
+      val out = graft.functions.LangIdExpression
+        .classify(UTF8String.fromString(s)).toString
+      assert(langs.contains(out), s"classify('$s') = $out")
+    }
+  }
+
+  test("LSH signature: local kernel equals per-plane sign definition (100 cases)") {
+    val rnd = new scala.util.Random(808)
+    val planes = VectorSearch.randomPlanes(12, 8, seed = 42L)
+    (1 to 100).foreach { _ =>
+      val v = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+      val sig = VectorSearch.signatureOf(v, planes)
+      (0 until 12).foreach { p =>
+        val dot = (0 until 8).map(i => v(i) * planes(p)(i)).sum
+        assert((((sig >> p) & 1L) == 1L) === (dot >= 0),
+          s"plane $p sign mismatch")
+      }
+    }
+  }
+}
