@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import scala.jdk.CollectionConverters._
+
 /**
  * Parquet staging for correctness-gate intermediates.
  *
@@ -26,13 +28,15 @@ object GateStage {
     * process with its own cwd, so the path cannot be relative. */
   val Root = "/root/repo/target/gate_stage"
 
-  // stage name → path of the LAST bytes written for it. Both Verify
-  // mains run every query BEFORE dumping oracle_sql.json, so the glob
-  // the oracle receives always points at the bytes of the run that
-  // just produced the Spark-side parquet — even when runs at different
-  // scale factors interleave (each sf suffixes its own directory,
-  // nothing clobbers).
-  private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // (stage name, scope) → path of the bytes written for it in this JVM.
+  // Both Verify mains run every query BEFORE dumping oracle_sql.json, so
+  // the glob the oracle receives always points at the bytes of the run
+  // that just produced the Spark-side parquet — even when runs at
+  // different scale factors interleave (each scope suffixes its own
+  // directory, nothing clobbers, and the map keeps every scope instead
+  // of only the last one written).
+  private val staged =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
   /** Write `df` to the named stage (overwrite; keyed by `scope`, e.g.
     * the sf dir, so concurrent/interleaved runs don't clobber each
@@ -44,13 +48,33 @@ object GateStage {
       scala.util.hashing.MurmurHash3.stringHash(scope).toLong & 0xFFFFFFFFL)
     val path = s"$Root/${name}_$suffix"
     df.write.mode("overwrite").parquet(path)
-    staged.put(name, path)
+    staged.put((name, scope), path)
     spark.read.parquet(path)
   }
 
   /** The glob the DuckDB oracle uses to read a stage — resolved against
-    * the most recent write in this JVM (the Verify contract: queries
-    * run first, oracle SQL is dumped after). */
-  def oracleGlob(name: String): String =
-    s"${staged.getOrDefault(name, s"$Root/$name")}/*.parquet"
+    * this JVM's writes (the Verify contract: queries run first, oracle
+    * SQL is dumped after). A stage that was NEVER written in this JVM
+    * (e.g. its gate query failed upstream of `stage()`) resolves to a
+    * sentinel path under `__MISSING_STAGE__` — the oracle then fails
+    * with that unambiguous token in its read error instead of a
+    * plausible-looking but never-created directory. If one JVM staged
+    * the same name under several scopes, the dump cannot know which run
+    * it belongs to, so that too is a loud sentinel (`__AMBIGUOUS_STAGE__`)
+    * rather than a silent last-write-wins. */
+  def oracleGlob(name: String): String = {
+    val paths = new java.util.ArrayList[String]()
+    staged.forEach((k, v) => if (k._1 == name) paths.add(v))
+    paths.size match {
+      case 1 => s"${paths.get(0)}/*.parquet"
+      case 0 => s"$Root/__MISSING_STAGE__/$name/*.parquet"
+      case _ => s"$Root/__AMBIGUOUS_STAGE__/$name/*.parquet"
+    }
+  }
+
+  /** Scope-explicit resolution for JVMs that legitimately stage one name
+    * under several scopes (e.g. a spec driving two sf dirs). */
+  def oracleGlob(name: String, scope: String): String =
+    staged.asScala.getOrElse((name, scope),
+      s"$Root/__MISSING_STAGE__/$name") + "/*.parquet"
 }

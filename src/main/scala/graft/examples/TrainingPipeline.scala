@@ -88,7 +88,7 @@ object TrainingPipeline {
       split.filter(col("split") === "train"), "doc_id", "text",
       budgetTokens = 2048, shards = 4)
     println(s"train-packed:   ${packed.count()} docs in " +
-      s"${packed.agg(countDistinct(col("shard"), col("pack_first"))).head.getLong(0)} packs")
+      s"${packed.agg(countDistinct(col("shard"), col("pack_first"))).head().getLong(0)} packs")
 
     // 5. training ORDER for the train split: curriculum tiers by
     //    LM-typicality quantile (typical text first), then the
@@ -102,7 +102,7 @@ object TrainingPipeline {
     println(s"curriculum:     $tiers")
     val order = Splits.interleaveBySource(train, "doc_id", "source")
     println(s"train order:    ${order.count()} positions " +
-      s"(max ${order.agg(max(col("train_pos"))).head.getLong(0)})")
+      s"(max ${order.agg(max(col("train_pos"))).head().getLong(0)})")
 
     // 6. learn a starter BPE merge table on the train split (vocabulary-
     //    bounded rounds — the corpus is scanned once), then APPLY it:
@@ -111,7 +111,7 @@ object TrainingPipeline {
     println("bpe merges:     " +
       merges.map(m => s"${m.left}+${m.right}(${m.freq})").mkString(", "))
     val encoded = Bpe.encodeDocs(train, "text", "doc_id", merges)
-    println(s"tokenized:      ${encoded.agg(sum(col("n_subwords"))).head.getLong(0)} " +
+    println(s"tokenized:      ${encoded.agg(sum(col("n_subwords"))).head().getLong(0)} " +
       "subword tokens")
 
     // 7. publish the dataset card: exact per-source counters of what

@@ -30,6 +30,41 @@ object Evaluation {
   }
 
   /**
+   * Derives the bounded LSH evaluation query set ONCE: the `numQueries`
+   * smallest-id vectors with their e7-integer embedding and hyperplane
+   * signature, computed by a single bounded top-k corpus pass
+   * (TakeOrderedAndProject), COLLECTED (numQueries rows — a k-row
+   * driver collect, not data-sized) and rebuilt as a local relation.
+   * Downstream reports broadcast the local relation for free instead of
+   * each paying their own corpus scan to re-derive it — share one query
+   * set across [[lshRecallReport]] and [[lshMrrReport]] (they must be
+   * called with the SAME dim/numPlanes/seed/scale used here).
+   *
+   * Output columns: (query_id, __qe: array&lt;long&gt;, __qsig: long).
+   */
+  def lshQuerySet(
+      emb: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      numQueries: Int,
+      numPlanes: Int = 12,
+      seed: Long = 42L,
+      scale: Long = 10000000L): DataFrame = {
+    require(numQueries >= 1, "numQueries >= 1")
+    val planes = VectorSearch.randomPlanes(numPlanes, dim, seed)
+    val sig = VectorSearch.hyperplaneSignature(col(vecCol), planes)
+    val e7 = transform(col(vecCol),
+      e => round(e.cast("double") * scale).cast("long"))
+    val derived = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), e7.as("__qe"), sig.as("__qsig"))
+      .orderBy(col("query_id")).limit(numQueries)
+    val rows = derived.collect()
+    emb.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), derived.schema)
+  }
+
+  /**
    * Distributed, oracle-gatable LSH recall report: for each of the first
    * `numQueries` vectors (the `numQueries` SMALLEST ids, selected by a
    * bounded top-k on id ascending — any id domain works, dense 0-based
@@ -44,12 +79,15 @@ object Evaluation {
    * signs — and recall is the integer `hits·1e6 quot k`, so the whole
    * report replays exactly in SQL.
    *
-   * Scale shape: the query set broadcasts (numQueries rows); the corpus
-   * is scanned TWICE (ground truth + candidates), each pass reducing
-   * map-side through the bounded-heap aggregate to partitions ×
-   * queries × k rows; hits meet in a broadcast-sized join. This is the
-   * measured-recall evaluation harness over a SAMPLED query set — the
-   * serving path stays the bucketed index probes.
+   * Scale shape: the query set broadcasts (numQueries rows — pass a
+   * [[lshQuerySet]] local relation to avoid re-deriving it with a
+   * corpus pass); the corpus is scanned TWICE (ground truth +
+   * candidates), each pass reducing map-side through the bounded-heap
+   * aggregate to partitions × queries × k rows; hits and totals meet in
+   * ONE left join over the k-bounded exact set (the exact plan is
+   * referenced once, so the corpus is not re-scanned for totals). This
+   * is the measured-recall evaluation harness over a SAMPLED query
+   * set — the serving path stays the bucketed index probes.
    *
    * Output: (query_id, n_exact, hits, recall_e6) ordered by query_id.
    */
@@ -63,7 +101,8 @@ object Evaluation {
       numPlanes: Int = 12,
       maxHamming: Int = 3,
       seed: Long = 42L,
-      scale: Long = 10000000L): DataFrame = {
+      scale: Long = 10000000L,
+      precomputedQueries: Option[DataFrame] = None): DataFrame = {
     require(numQueries >= 1 && k >= 1, "need numQueries >= 1 and k >= 1")
     val planes = VectorSearch.randomPlanes(numPlanes, dim, seed)
     val sig = VectorSearch.hyperplaneSignature(col(vecCol), planes)
@@ -71,11 +110,9 @@ object Evaluation {
       e => round(e.cast("double") * scale).cast("long"))
     val corpus = emb.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("__cid"), e7.as("__ce"), sig.as("__csig"))
-    // bounded top-k by id ascending (TakeOrderedAndProject) — works on
-    // any id domain, not just dense 0-based ids
-    val queries = broadcast(emb.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("query_id"), e7.as("__qe"), sig.as("__qsig"))
-      .orderBy(col("query_id")).limit(numQueries))
+    val queries = broadcast(precomputedQueries.getOrElse(
+      lshQuerySet(emb, vecCol, idCol, dim, numQueries, numPlanes, seed,
+        scale)))
     val payload = struct(col("__sim"), col("__cid"))
     def topkOf(scoredCandidates: DataFrame): DataFrame = scoredCandidates
       .withColumn("__sim",
@@ -88,12 +125,13 @@ object Evaluation {
     val approx = topkOf(corpus.crossJoin(queries).filter(
       graft.functions.HashFunctions.hamming64(col("__csig"), col("__qsig"))
         <= lit(maxHamming)))
-    val hits = exact.join(approx, Seq("query_id", "__cid"), "left_semi")
-      .groupBy("query_id").agg(count(lit(1)).as("hits"))
-    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
-      .join(hits, Seq("query_id"), "left")
-      .select(col("query_id"), col("n_exact"),
-        coalesce(col("hits"), lit(0L)).as("hits"))
+    // one reference to `exact`: hits and totals from the same left join
+    // (a second `exact.groupBy` would replay the whole ground-truth scan)
+    exact.join(approx.withColumn("__hit", lit(1L)),
+        Seq("query_id", "__cid"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
       .select(col("query_id"), col("n_exact"), col("hits"),
         expr("hits * 1000000 DIV n_exact").as("recall_e6"))
       .orderBy("query_id")
@@ -123,7 +161,8 @@ object Evaluation {
       numPlanes: Int = 12,
       maxHamming: Int = 3,
       seed: Long = 42L,
-      scale: Long = 10000000L): DataFrame = {
+      scale: Long = 10000000L,
+      precomputedQueries: Option[DataFrame] = None): DataFrame = {
     require(numQueries >= 1, "numQueries >= 1")
     val planes = VectorSearch.randomPlanes(numPlanes, dim, seed)
     val sig = VectorSearch.hyperplaneSignature(col(vecCol), planes)
@@ -131,10 +170,11 @@ object Evaluation {
       e => round(e.cast("double") * scale).cast("long"))
     val corpus = emb.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("__cid"), e7.as("__ce"), sig.as("__csig"))
-    // same bounded-top-k query selection as lshRecallReport
-    val queries = broadcast(emb.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("query_id"), e7.as("__qe"), sig.as("__qsig"))
-      .orderBy(col("query_id")).limit(numQueries))
+    // same bounded-top-k query selection as lshRecallReport; a
+    // lshQuerySet local relation skips the derivation pass entirely
+    val queries = broadcast(precomputedQueries.getOrElse(
+      lshQuerySet(emb, vecCol, idCol, dim, numQueries, numPlanes, seed,
+        scale)))
     val scoredAll = corpus.crossJoin(queries)
       .withColumn("__sim",
         graft.functions.DenseVec.dense_dot(col("__qe"), col("__ce")))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /**
@@ -795,6 +795,25 @@ object TextAnalysis {
   }
 
   /**
+   * Collects a vocabulary-bounded aggregate SAFELY: the row count is
+   * checked with a fully-distributed `count()` job BEFORE the collect
+   * (the driver receives one long, not the vocabulary), so a
+   * pathological alphabet raises the `maxVocab` require cleanly instead
+   * of OOMing the driver mid-collect. Costs one extra vocab-aggregate
+   * job in the happy path — the price of the guard actually guarding
+   * (same probe-before-collect discipline as [[Bpe]]'s
+   * `limit(maxLocalVocab + 1)` vocabulary probe).
+   */
+  private def collectBoundedVocab(
+      vocabAgg: DataFrame, maxVocab: Int, caller: String): Array[Row] = {
+    val n = vocabAgg.count()
+    require(n <= maxVocab,
+      s"trigram vocabulary $n exceeds maxVocab=$maxVocab — " +
+        s"use the declarative $caller for unbounded alphabets")
+    vocabAgg.collect()
+  }
+
+  /**
    * Kernel tier of [[lmScoreCross]] for the trigram case — bit-identical
    * output, same two-pass shape as [[lmScoreFast]]: the TRAIN corpus's
    * packed-long trigram counts aggregate (8-byte shuffle keys,
@@ -815,13 +834,11 @@ object TextAnalysis {
     def lowered(df: DataFrame) = df
       .select(col(idCol), lower(col(textCol)).as("__t"))
       .filter(length(col("__t")) >= 3)
-    val vocab = lowered(train)
-      .select(explode(LmFunctions.trigram_keys(col("__t"))).as("__k"))
-      .groupBy(col("__k")).agg(count(lit(1)).as("__cnt"))
-      .collect()
-    require(vocab.length <= maxVocab,
-      s"trigram vocabulary ${vocab.length} exceeds maxVocab=$maxVocab — " +
-        "use the declarative lmScoreCross for unbounded alphabets")
+    val vocab = collectBoundedVocab(
+      lowered(train)
+        .select(explode(LmFunctions.trigram_keys(col("__t"))).as("__k"))
+        .groupBy(col("__k")).agg(count(lit(1)).as("__cnt")),
+      maxVocab, "lmScoreCross")
     val sorted = vocab.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val keys = sorted.map(_._1)
     val millinats = sorted.map { case (_, cnt) =>
@@ -872,13 +889,11 @@ object TextAnalysis {
     val lowered = df
       .select(col(idCol), lower(col(textCol)).as("__t"))
       .filter(length(col("__t")) >= 3)
-    val vocab = lowered
-      .select(explode(LmFunctions.trigram_keys(col("__t"))).as("__k"))
-      .groupBy(col("__k")).agg(count(lit(1)).as("__cnt"))
-      .collect()
-    require(vocab.length <= maxVocab,
-      s"trigram vocabulary ${vocab.length} exceeds maxVocab=$maxVocab — " +
-        "use the declarative lmScore for unbounded alphabets")
+    val vocab = collectBoundedVocab(
+      lowered
+        .select(explode(LmFunctions.trigram_keys(col("__t"))).as("__k"))
+        .groupBy(col("__k")).agg(count(lit(1)).as("__cnt")),
+      maxVocab, "lmScore")
     val sorted = vocab.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val keys = sorted.map(_._1)
     val packed = sorted.map { case (_, cnt) =>

@@ -487,6 +487,24 @@ class TextAnalysisSpec extends SparkSuite {
     }
   }
 
+  test("LM vocab guards raise via the pre-collect count, with the true size") {
+    // The guard must fire from a distributed count BEFORE any driver
+    // collect (an over-vocab corpus must raise, never OOM the driver);
+    // the message carries the exact vocabulary size as evidence the
+    // count ran. 26 distinct trigrams: a 26-letter pangram-ish string.
+    val train = Seq((1, "abcdefghijklmnopqrstuvwxyzab")).toDF("id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      TextAnalysis.lmScoreFast(train, "text", "id", maxVocab = 5)
+    }
+    assert(e1.getMessage.contains("vocabulary 26"), e1.getMessage)
+    assert(e1.getMessage.contains("maxVocab=5"))
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.lmScoreCrossFast(train, train, "text", "id", maxVocab = 5)
+    }
+    assert(e2.getMessage.contains("vocabulary 26"), e2.getMessage)
+    assert(e2.getMessage.contains("lmScoreCross"))
+  }
+
   test("lexicalDiversity counts tokens, types, hapax, and integer TTR") {
     val df = Seq(
       (1L, "a b a c a b"),    // 6 tokens, 3 types {a,b,c}, hapax {c}
