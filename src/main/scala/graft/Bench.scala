@@ -43,7 +43,11 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     // local-iteration aid: bench only these comma-separated queries
-    // (the driver never sets this — full run is the default)
+    // (the driver never sets this — full run is the default). Sweep
+    // entries match by exact name; the chromem-parity family runs when
+    // any entry starts with "chromem"; the 250k committed tier
+    // additionally requires that chromem-prefixed entry to contain
+    // "250000" (so a cheap micro-entry filter skips the 28 s build).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
@@ -136,6 +140,19 @@ object Bench {
 
     if (sweep.nonEmpty) results("ambient_control_post") = sparkControl()
 
+    // The sweep leaves persisted state behind — the SparkEntry index
+    // caches (IVF/LSH/term-index/graph) plus any cached plans — and the
+    // parity family is graded against a hard 2× bar. r8's dataframe
+    // point recorded 816 ms with its interleaved packed control at
+    // 236 ms (20× the 11.4 ms headline measured moments earlier): GC
+    // thrash against ~1 GB of sweep leftovers, not a plan cost. Start
+    // the family from a clean cache state so its window is attributable.
+    if (sweep.nonEmpty) {
+      SparkEntry.releaseCaches()
+      spark.catalog.clearCache()
+      System.gc()
+    }
+
     // ---- chromem-parity microbenchmark --------------------------------
     // Runs AFTER the headline sweep, in the calm end of the process: the
     // r7 artifact showed 3× elevated ambient load at process start
@@ -162,8 +179,12 @@ object Bench {
     // float blocks; fits the default 8g heap with headroom. Gated on
     // its OWN key appearing in the filter (not just any chromem entry),
     // so a targeted BENCH_ONLY run of a cheap micro-entry skips the
-    // multi-second 250k build. ----------------------------------------
-    if (only.forall(_.exists(_.contains("250000"))))
+    // multi-second 250k build. Matching convention is the family's
+    // prefix rule PLUS the size token: a BENCH_ONLY entry must start
+    // with "chromem" AND contain "250000" ("chromem_query_25000..."
+    // still skips this tier, and a non-chromem name containing 250000
+    // doesn't accidentally trigger a 28 s build). ----------------------
+    if (only.forall(_.exists(k => k.startsWith("chromem") && k.contains("250000"))))
       try results ++= bigCorpus(spark, 250000, queries = 5)
       catch {
         case e: Throwable =>
@@ -202,7 +223,7 @@ object Bench {
     // r7 mrr were all exactly this ambiguity). Only entries visible in
     // the prior artifact's 2000-char tail can be compared — the
     // chromem/parity family has its own interleaved controls instead.
-    val prev = readPrevBench()
+    val prev = readPrevBench(sfDir)
     val flagged = sweep.filter { name =>
       results.get(name).exists(_ >= 0) &&
         prev.get(name).exists(p => p > 0 && results(name) > p * 1.3)
@@ -251,16 +272,50 @@ object Bench {
     val prevOfFlagged = retimed.keys.map(k => k -> prev.getOrElse(k, -1.0))
     println(s"""{"metric":"retimed","threshold":1.3,"queries":${fmt(retimed)},"orig":${fmt(origOfFlagged)},"prev":${fmt(prevOfFlagged)},"sf":"$sfDir"}""")
     println(s"""{"metric":"headline","value":$total,"unit":"sec","queries":${fmt(headlineEntries)},"sf":"$sfDir"}""")
+    // Full-results side file — next round's retime baseline (see
+    // readPrevBench). Only an UNFILTERED run writes it: a BENCH_ONLY
+    // subset would replace the 103-entry map with a fragment. The file
+    // lives in the repo so the driver's end-of-round commit carries it.
+    if (only.isEmpty) try {
+      val dir = java.nio.file.Paths.get("/root/repo/bench_local")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("last_full.json"),
+        s"""{"metric":"full","queries":${fmt(results)},"sf":"$sfDir"}""" + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] full-results write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 
-  /** Name→seconds pairs parsed from the newest committed BENCH_r*.json
-    * (the driver's artifact wraps the bench stdout tail, so this regex
-    * harvest recovers every "name":value pair the 2000-char window
-    * kept — entries the window truncated simply can't be compared).
-    * Total/robust: any failure yields an empty map and the retime pass
-    * no-ops. */
-  private def readPrevBench(): Map[String, Double] = try {
+  /** Prior-round name→seconds baselines for the retime pass. Preferred
+    * source: `bench_local/last_full.json`, the full-results file this
+    * main writes at the end of every unfiltered run (the driver commits
+    * it with the round) — it carries EVERY sweep entry, where the
+    * committed BENCH_r*.json artifact keeps only the stdout's last
+    * 2000 chars (≈30 of 103 entries). The file is used only when its
+    * recorded sf dir matches this run's (a local sf0.01 iteration run
+    * must not become the baseline for the driver's sf0.1 run); otherwise
+    * fall back to harvesting the newest artifact's tail. Total/robust:
+    * any failure yields an empty map and the retime pass no-ops. */
+  private def readPrevBench(sfDir: String): Map[String, Double] = try {
+    val full = java.nio.file.Paths.get("/root/repo/bench_local/last_full.json")
+    val fromFile =
+      if (java.nio.file.Files.exists(full)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(full),
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (txt.contains("\"sf\":\"" + sfDir + "\"")) {
+          val pair = "\"([A-Za-z0-9_]+)\":(-?\\d+(?:\\.\\d+)?)".r
+          pair.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        } else Map.empty[String, Double]
+      } else Map.empty[String, Double]
+    if (fromFile.nonEmpty) fromFile else readPrevBenchArtifact()
+  } catch { case _: Throwable => Map.empty }
+
+  /** Fallback harvest from the newest committed BENCH_r*.json (the
+    * driver's artifact wraps the bench stdout tail, so only pairs inside
+    * the 2000-char window can be recovered). */
+  private def readPrevBenchArtifact(): Map[String, Double] = try {
     val re = "BENCH_r(\\d+)\\.json".r
     val files = Option(new java.io.File("/root/repo").listFiles())
       .getOrElse(Array.empty[java.io.File])
@@ -270,11 +325,24 @@ object Bench {
       })
     if (files.isEmpty) Map.empty
     else {
-      val txt = new String(
+      val raw = new String(
         java.nio.file.Files.readAllBytes(files.maxBy(_._1)._2.toPath),
         java.nio.charset.StandardCharsets.UTF_8)
+      // The artifact stores the bench stdout tail as an ESCAPED JSON
+      // string — every pair reads \"name\":0.88, which the plain
+      // "name":value regex never matches (the pass was a silent no-op
+      // until r9). Unescape first, then harvest FIRST-occurrence-wins:
+      // the tail's main line precedes the retimed line, whose "prev" map
+      // repeats names with round-older values that a last-wins toMap
+      // would take as the baseline.
+      val txt = raw.replace("\\\"", "\"")
       val pair = "\"([A-Za-z0-9_]+)\":(-?\\d+(?:\\.\\d+)?)".r
-      pair.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val first = scala.collection.mutable.LinkedHashMap[String, Double]()
+      pair.findAllMatchIn(txt).foreach { m =>
+        if (!first.contains(m.group(1)))
+          first(m.group(1)) = m.group(2).toDouble
+      }
+      first.toMap
     }
   } catch { case _: Throwable => Map.empty }
 
@@ -395,21 +463,34 @@ object Bench {
         .persist().materialize(forceDistributed = true)
       (1 to 3).foreach(_ => idxDist.topK(qvec(), 10))
       val distBatch = 3
-      val distSamples = scala.collection.mutable.ArrayBuffer[Double]()
-      val ctrlSamples = scala.collection.mutable.ArrayBuffer[Double]()
-      (1 to 5).foreach { _ =>
-        System.gc()
-        var t = System.nanoTime()
-        (1 to distBatch).foreach(_ => idxDist.topK(qvec(), 10))
-        distSamples += (System.nanoTime() - t) / 1e9 / distBatch
-        t = System.nanoTime()
-        (1 to distBatch).foreach(_ => idx.topK(qvec(), 10))
-        ctrlSamples += (System.nanoTime() - t) / 1e9 / distBatch
+      def measureDist(): (Double, Double) = {
+        val distSamples = scala.collection.mutable.ArrayBuffer[Double]()
+        val ctrlSamples = scala.collection.mutable.ArrayBuffer[Double]()
+        (1 to 5).foreach { _ =>
+          System.gc()
+          var t = System.nanoTime()
+          (1 to distBatch).foreach(_ => idxDist.topK(qvec(), 10))
+          distSamples += (System.nanoTime() - t) / 1e9 / distBatch
+          t = System.nanoTime()
+          (1 to distBatch).foreach(_ => idx.topK(qvec(), 10))
+          ctrlSamples += (System.nanoTime() - t) / 1e9 / distBatch
+        }
+        (distSamples.sorted.apply(2), ctrlSamples.sorted.apply(2))
       }
-      out(s"chromem_query_${n}_d1536_k10_distributed") =
-        distSamples.sorted.apply(2)
-      out(s"chromem_query_${n}_d1536_k10_distributed_ctrl_packed") =
-        ctrlSamples.sorted.apply(2)
+      // In-family self-adjudication (same rule as the sweep's retime
+      // pass): the interleaved packed control running >1.3× the headline
+      // packed median means the WINDOW drifted — re-measure once and
+      // keep the first attempt under *_firstpass so the artifact shows
+      // both numbers and the adjudication that happened.
+      var (distV, distCtrlV) = measureDist()
+      if (distCtrlV > out(s"chromem_query_${n}_d1536_k10") * 1.3) {
+        out(s"chromem_query_${n}_d1536_k10_distributed_firstpass") = distV
+        out(s"chromem_query_${n}_d1536_k10_distributed_ctrl_firstpass") = distCtrlV
+        System.gc()
+        val r = measureDist(); distV = r._1; distCtrlV = r._2
+      }
+      out(s"chromem_query_${n}_d1536_k10_distributed") = distV
+      out(s"chromem_query_${n}_d1536_k10_distributed_ctrl_packed") = distCtrlV
       idxDist.unpersist()
 
       // -- declarative-path comparison point, with two controls that make
@@ -434,26 +515,39 @@ object Bench {
         VectorSearch.topK(cached, "embedding", qvec(), 10, "id").collect()
       }
       cached.agg(sum(element_at(col("embedding"), 1))).collect()
-      System.gc()
-      var dfSec = 0.0
-      var packedSec = 0.0
-      (1 to dfQueries).foreach { _ =>
-        var t = System.nanoTime()
-        VectorSearch.topK(cached, "embedding", qvec(), 10, "id").collect()
-        dfSec += (System.nanoTime() - t) / 1e9
-        t = System.nanoTime()
-        idx.topK(qvec(), 10)
-        packedSec += (System.nanoTime() - t) / 1e9
+      def measureDfFamily(): (Double, Double, Double) = {
+        System.gc()
+        var dfSec = 0.0
+        var packedSec = 0.0
+        (1 to dfQueries).foreach { _ =>
+          var t = System.nanoTime()
+          VectorSearch.topK(cached, "embedding", qvec(), 10, "id").collect()
+          dfSec += (System.nanoTime() - t) / 1e9
+          t = System.nanoTime()
+          idx.topK(qvec(), 10)
+          packedSec += (System.nanoTime() - t) / 1e9
+        }
+        val t0f = System.nanoTime()
+        (1 to dfQueries).foreach { _ =>
+          cached.agg(sum(element_at(col("embedding"), 1))).collect()
+        }
+        (dfSec / dfQueries, packedSec / dfQueries,
+          (System.nanoTime() - t0f) / 1e9 / dfQueries)
       }
-      out(s"chromem_query_${n}_d1536_k10_dataframe") = dfSec / dfQueries
-      out(s"chromem_query_${n}_d1536_k10_packed_interleaved") =
-        packedSec / dfQueries
-      t0 = System.nanoTime()
-      (1 to dfQueries).foreach { _ =>
-        cached.agg(sum(element_at(col("embedding"), 1))).collect()
+      // Same in-family adjudication as the distributed tier above: a
+      // packed_interleaved control >1.3× the headline packed median is a
+      // drifted window (r8: 236 ms control vs 11.4 ms headline poisoned
+      // all three points of this family) — re-measure once, keep the
+      // first attempt visible under *_firstpass.
+      var (dfV, dfCtrlV, floorV) = measureDfFamily()
+      if (dfCtrlV > out(s"chromem_query_${n}_d1536_k10") * 1.3) {
+        out(s"chromem_query_${n}_d1536_k10_dataframe_firstpass") = dfV
+        out(s"chromem_query_${n}_d1536_k10_interleaved_firstpass") = dfCtrlV
+        val r = measureDfFamily(); dfV = r._1; dfCtrlV = r._2; floorV = r._3
       }
-      out(s"chromem_query_${n}_d1536_k10_scan_floor") =
-        (System.nanoTime() - t0) / 1e9 / dfQueries
+      out(s"chromem_query_${n}_d1536_k10_dataframe") = dfV
+      out(s"chromem_query_${n}_d1536_k10_packed_interleaved") = dfCtrlV
+      out(s"chromem_query_${n}_d1536_k10_scan_floor") = floorV
       cached.unpersist()
     }
     idx.unpersist()

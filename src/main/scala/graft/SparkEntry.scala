@@ -236,13 +236,22 @@ object SparkEntry {
   // ANN-evaluation query set: the 16-row bounded top-k-by-id selection is
   // derived with ONE corpus pass and collected to a local relation, then
   // shared by the recall and MRR reports (each previously paid its own
-  // derivation pass on top of its scoring scans).
-  private val evalQueryCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
-  private def evalQueries(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    evalQueryCache.computeIfAbsent(dir, d =>
-      graft.ops.Evaluation.lshQuerySet(t(s, d, "embeddings"),
-        "embedding", "vec_id", dim = 64, numQueries = 16, numPlanes = 12))
+  // derivation pass on top of its scoring scans). The cache holds the
+  // COLLECTED rows + schema, not a DataFrame: a cached frame is bound to
+  // the session active at fill time, and a later session in the same JVM
+  // (test suites stop/recreate sessions) would receive a plan referencing
+  // a stopped session. Rebuilding the 16-row local relation per call is
+  // free; the corpus pass is what the cache saves.
+  private val evalQueryCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Row], StructType)]()
+  private def evalQueries(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val (rows, schema) = evalQueryCache.computeIfAbsent(dir, { d =>
+      val df = graft.ops.Evaluation.lshQuerySet(t(s, d, "embeddings"),
+        "embedding", "vec_id", dim = 64, numQueries = 16, numPlanes = 12)
+      (df.collect(), df.schema)
+    })
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
   // BM25 corpus stats are index metadata — computed once per corpus+terms,
   // like the ANN index caches above; the per-query cost is then one scan.
   private val bm25StatsCache = new java.util.concurrent.ConcurrentHashMap[
@@ -266,6 +275,27 @@ object SparkEntry {
         graft.ops.Graph.tradeGraphIds(t(s, d, "orders"), t(s, d, "lineitem")),
         "src", "dst")
     })
+
+  /** Release every session-bound cached state this registry built:
+    * unpersist the LSH/IVF cache-manager entries and drop the maps whose
+    * values hold DataFrames/RDD blocks (term index, prepared graph, eval
+    * rows are session-free but cheap to redo). A long-lived JVM that
+    * interleaves the gate sweep with other measured work (Bench's
+    * chromem-parity family) calls this so leftover persisted state can't
+    * poison a later timing window — r8's dataframe-family point measured
+    * 816 ms against an 11.4 ms control exactly because ~1 GB of sweep
+    * leftovers were still resident. Caches refill on next use. */
+  def releaseCaches(): Unit = {
+    lshCache.forEach((_, idx) => try idx.unpersist() catch { case _: Throwable => () })
+    lshCache.clear()
+    ivfCache.forEach((_, st) => try st.unpersist() catch { case _: Throwable => () })
+    ivfCache.clear()
+    termIndexCache.clear()
+    preparedGraphCache.clear()
+    evalQueryCache.clear()
+    bm25StatsCache.clear()
+    pcaCache.clear()
+  }
 
   // Snapshot store for the snapshot_diff gate op: the two versions are
   // committed once per data dir (writing them is ingest, not the timed

@@ -89,6 +89,12 @@ object Evaluation {
    * is the measured-recall evaluation harness over a SAMPLED query
    * set — the serving path stays the bucketed index probes.
    *
+   * Precondition: `idCol` must be UNIQUE in `emb`. Both rankings key on
+   * it, and the hits/totals join counts (query_id, id) matches — a
+   * duplicated corpus id would inflate n_exact and hits multiplicatively
+   * in the join instead of failing loudly. (Every caller in this repo
+   * feeds primary-key ids; dedup the corpus first if yours are not.)
+   *
    * Output: (query_id, n_exact, hits, recall_e6) ordered by query_id.
    */
   def lshRecallReport(
