@@ -24,329 +24,7 @@ import graft.ops.{Dedup, TextAnalysis, VectorSearch}
  */
 object SparkEntry {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
-
-  /** DuckDB oracle for q_lsh_topk, generated from the same deterministic
-    * hyperplanes the Spark side uses (numPlanes=12, dim=64, seed=42). */
-  private lazy val lshTopKOracleSql: String = {
-    val planes = graft.ops.VectorSearch.randomPlanes(12, 64, 42L)
-    val bitTerms = planes.zipWithIndex.map { case (p, i) =>
-      val lit = p.map(x => x.toDouble.toString).mkString("[", ", ", "]")
-      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $lit::DOUBLE[]) >= 0 THEN ${1L << i} ELSE 0 END)"
-    }.mkString("\n      + ")
-    s"""WITH sig AS (
-       |  SELECT vec_id, $bitTerms AS s
-       |  FROM embeddings),
-       |q AS (SELECT s AS qs FROM sig WHERE vec_id = 0)
-       |SELECT e.vec_id
-       |FROM embeddings e JOIN sig USING (vec_id), q
-       |WHERE bit_count(xor(sig.s, q.qs)) <= 3
-       |ORDER BY list_dot_product(e.embedding::DOUBLE[],
-       |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, e.vec_id
-       |LIMIT 10""".stripMargin
-  }
-
-  /** DuckDB oracle for eval_ann_recall: the same 12 hyperplane signs,
-    * hamming ≤ 3 candidate filter, exact e7-integer dots on BOTH the
-    * ground-truth and candidate rankings (sums ≤ 64·1e14 ≪ 2^63), and
-    * the integer recall quotient. */
-  private lazy val annRecallOracleSql: String = {
-    val planes = graft.ops.VectorSearch.randomPlanes(12, 64, 42L)
-    val bitTerms = planes.zipWithIndex.map { case (p, i) =>
-      val lit = p.map(x => x.toDouble.toString).mkString("[", ", ", "]")
-      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $lit::DOUBLE[]) >= 0 THEN ${1L << i} ELSE 0 END)"
-    }.mkString("\n      + ")
-    s"""WITH x AS (
-       |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS pos,
-       |         round(unnest(embedding::DOUBLE[]) * 10000000)::BIGINT AS e7
-       |  FROM embeddings),
-       |sig AS (SELECT vec_id, $bitTerms AS s FROM embeddings),
-       |dots AS (
-       |  SELECT xq.vec_id AS query_id, xc.vec_id AS cid,
-       |         sum(xq.e7 * xc.e7)::BIGINT AS sim
-       |  FROM x xq JOIN x xc USING (pos)
-       |  WHERE xq.vec_id IN (SELECT vec_id FROM embeddings
-       |                      WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)
-       |  GROUP BY xq.vec_id, xc.vec_id),
-       |exact AS (
-       |  SELECT query_id, cid FROM dots
-       |  QUALIFY row_number() OVER (PARTITION BY query_id
-       |                             ORDER BY sim DESC, cid) <= 10),
-       |approx AS (
-       |  SELECT d.query_id, d.cid FROM dots d
-       |  JOIN sig cs ON cs.vec_id = d.cid
-       |  JOIN sig qs ON qs.vec_id = d.query_id
-       |  WHERE bit_count(xor(cs.s, qs.s)) <= 3
-       |  QUALIFY row_number() OVER (PARTITION BY d.query_id
-       |                             ORDER BY d.sim DESC, d.cid) <= 10)
-       |SELECT e.query_id, count(*)::BIGINT AS n_exact,
-       |       count(a.cid)::BIGINT AS hits,
-       |       ((count(a.cid)::HUGEINT * 1000000) // count(*))::BIGINT AS recall_e6
-       |FROM exact e LEFT JOIN approx a
-       |  ON a.query_id = e.query_id AND a.cid = e.cid
-       |GROUP BY e.query_id
-       |ORDER BY e.query_id""".stripMargin
-  }
-
-  /** DuckDB oracle for eval_ann_mrr: same signatures/dots as the recall
-    * oracle; rank replayed as 1 + count of strictly-better candidates
-    * under (sim DESC, cid ASC). */
-  private lazy val annMrrOracleSql: String = {
-    val planes = graft.ops.VectorSearch.randomPlanes(12, 64, 42L)
-    val bitTerms = planes.zipWithIndex.map { case (p, i) =>
-      val lit = p.map(x => x.toDouble.toString).mkString("[", ", ", "]")
-      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $lit::DOUBLE[]) >= 0 THEN ${1L << i} ELSE 0 END)"
-    }.mkString("\n      + ")
-    s"""WITH x AS (
-       |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS pos,
-       |         round(unnest(embedding::DOUBLE[]) * 10000000)::BIGINT AS e7
-       |  FROM embeddings),
-       |sig AS (SELECT vec_id, $bitTerms AS s FROM embeddings),
-       |dots AS (
-       |  SELECT xq.vec_id AS query_id, xc.vec_id AS cid,
-       |         sum(xq.e7 * xc.e7)::BIGINT AS sim
-       |  FROM x xq JOIN x xc USING (pos)
-       |  WHERE xq.vec_id IN (SELECT vec_id FROM embeddings
-       |                      WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)
-       |  GROUP BY xq.vec_id, xc.vec_id),
-       |top1 AS (
-       |  SELECT query_id, cid AS c1, sim AS s1 FROM dots
-       |  QUALIFY row_number() OVER (PARTITION BY query_id
-       |                             ORDER BY sim DESC, cid) = 1),
-       |cand AS (
-       |  SELECT d.* FROM dots d
-       |  JOIN sig cs ON cs.vec_id = d.cid
-       |  JOIN sig qs ON qs.vec_id = d.query_id
-       |  WHERE bit_count(xor(cs.s, qs.s)) <= 3),
-       |r AS (
-       |  SELECT c.query_id,
-       |    sum(CASE WHEN c.sim > t.s1 OR (c.sim = t.s1 AND c.cid < t.c1)
-       |             THEN 1 ELSE 0 END)::BIGINT AS better,
-       |    max(CASE WHEN c.cid = t.c1 THEN 1 ELSE 0 END)::BIGINT AS found
-       |  FROM cand c JOIN top1 t USING (query_id)
-       |  GROUP BY c.query_id)
-       |SELECT query_id, found,
-       |  (CASE WHEN found = 1 THEN better + 1 ELSE 0 END)::BIGINT AS rank,
-       |  (CASE WHEN found = 1 THEN 1000000 // (better + 1) ELSE 0 END)::BIGINT AS rr_e6
-       |FROM r
-       |ORDER BY query_id""".stripMargin
-  }
-
-  /** DuckDB oracle for q_mmr_rerank: top-30 candidates by exact e7 dot,
-    * 30×30 pairwise integer dots, then the k=10 greedy MMR selection
-    * UNROLLED as 10 CTE stages — stage i picks the argmax of
-    * `7·rel − 3·maxDivToSelected` (λ = 7/10 as integers; ties by id
-    * ascending), s_i accumulates the selection. Every CTE is
-    * MATERIALIZED: p_i references s_{i−1} twice (exclusion + the
-    * correlated max-div subquery), so un-materialized CTEs would inline
-    * the chain exponentially (2^10 scans of the parquet). */
-  private lazy val mmrOracleSql: String = {
-    val stages = (2 to 10).map { i =>
-      val prev = s"s${i - 1}"
-      s"""p$i AS MATERIALIZED (
-         |  SELECT c.vec_id, c.rel, $i AS r FROM cand c
-         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev)
-         |  ORDER BY (7 * c.rel - 3 * (SELECT max(p.s) FROM pair p
-         |    JOIN $prev s ON p.ib = s.vec_id WHERE p.ia = c.vec_id))
-         |    DESC, c.vec_id
-         |  LIMIT 1),
-         |s$i AS MATERIALIZED (SELECT * FROM $prev UNION ALL SELECT * FROM p$i)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH x AS MATERIALIZED (
-       |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS pos,
-       |         round(unnest(embedding::DOUBLE[]) * 10000000)::BIGINT AS e7
-       |  FROM embeddings),
-       |rel AS MATERIALIZED (
-       |  SELECT xe.vec_id, sum(xe.e7 * xq.e7)::BIGINT AS rel
-       |  FROM x xe JOIN x xq ON xq.vec_id = 0 AND xq.pos = xe.pos
-       |  GROUP BY 1),
-       |cand AS MATERIALIZED (
-       |  SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 30),
-       |pair AS MATERIALIZED (
-       |  SELECT a.vec_id AS ia, b.vec_id AS ib, sum(xa.e7 * xb.e7)::BIGINT AS s
-       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
-       |  JOIN x xa ON xa.vec_id = a.vec_id
-       |  JOIN x xb ON xb.vec_id = b.vec_id AND xb.pos = xa.pos
-       |  GROUP BY 1, 2),
-       |p1 AS MATERIALIZED (
-       |  SELECT vec_id, rel, 1 AS r FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
-       |s1 AS MATERIALIZED (SELECT * FROM p1),
-       |$stages
-       |SELECT vec_id, rel AS rel_e14, r::BIGINT AS mmr_rank FROM s10""".stripMargin
-  }
-
-  /** DuckDB oracle for text_bpe_merges: 3 unrolled merge rounds over the
-    * same canonical "two spaces between symbols" encoding, the same
-    * (freq DESC, left, right) argmax, and replace()'s shared left-to-right
-    * non-overlapping semantics. */
-  private lazy val bpeOracleSql: String = {
-    def round(si: String, i: Int): String =
-      s"""p$i AS (
-         |  SELECT y[i] AS l, y[i+1] AS r, sum(f)::BIGINT AS freq FROM (
-         |    SELECT string_split(trim(s), '  ') AS y, f,
-         |           unnest(generate_series(1, len(string_split(trim(s), '  ')) - 1)) AS i
-         |    FROM $si)
-         |  GROUP BY l, r),
-         |t$i AS (SELECT l, r, freq FROM p$i
-         |        QUALIFY row_number() OVER (ORDER BY freq DESC, l, r) = 1),
-         |s$i AS (SELECT replace(s, ' ' || t.l || '  ' || t.r || ' ',
-         |                       ' ' || t.l || t.r || ' ') AS s, f
-         |        FROM $si, t$i t)""".stripMargin
-    s"""WITH w AS (
-       |  SELECT t AS word, count(*)::BIGINT AS f FROM (
-       |    SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
-       |  WHERE regexp_matches(t, '^[a-z]+$$')
-       |  GROUP BY t),
-       |s0 AS (SELECT ' ' || rtrim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' ' AS s, f FROM w),
-       |${round("s0", 1)},
-       |${round("s1", 2)},
-       |${round("s2", 3)}
-       |SELECT 1::BIGINT AS rank, l AS "left", r AS "right", freq FROM t1
-       |UNION ALL SELECT 2, l, r, freq FROM t2
-       |UNION ALL SELECT 3, l, r, freq FROM t3""".stripMargin
-  }
-
-  /** DuckDB oracle for layout_zorder: the same 16-term unrolled Morton
-    * interleave the Spark expression computes, generated from one place. */
-  private lazy val zorderOracleSql: String = {
-    val terms = (0 until 16).map(b =>
-      s"(((x >> $b) & 1) << ${2 * b}) + (((y >> $b) & 1) << ${2 * b + 1})")
-      .mkString("\n      + ")
-    s"""WITH t AS (
-       |  SELECT event_id,
-       |    user_id & 65535 AS x,
-       |    round(value * 100)::BIGINT & 65535 AS y
-       |  FROM events)
-       |SELECT event_id, ($terms)::BIGINT AS zkey FROM t""".stripMargin
-  }
-
-  // ANN indexes built once per data dir: the whole point of an index is
-  // that the signature / centroid-assignment pass is paid once and probes
-  // reuse it — the bench's timed pass (after warmup) measures the probe,
-  // which is what a repeated-query user experiences.
-  private val pcaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.Pca.Model]()
-  private val lshCache =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.LshIndex]()
-  private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.IvfState]()
-  private val termIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.TermIndexState]()
-  // ANN-evaluation query set: the 16-row bounded top-k-by-id selection is
-  // derived with ONE corpus pass and collected to a local relation, then
-  // shared by the recall and MRR reports (each previously paid its own
-  // derivation pass on top of its scoring scans). The cache holds the
-  // COLLECTED rows + schema, not a DataFrame: a cached frame is bound to
-  // the session active at fill time, and a later session in the same JVM
-  // (test suites stop/recreate sessions) would receive a plan referencing
-  // a stopped session. Rebuilding the 16-row local relation per call is
-  // free; the corpus pass is what the cache saves.
-  private val evalQueryCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Array[Row], StructType)]()
-  private def evalQueries(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val (rows, schema) = evalQueryCache.computeIfAbsent(dir, { d =>
-      val df = graft.ops.Evaluation.lshQuerySet(t(s, d, "embeddings"),
-        "embedding", "vec_id", dim = 64, numQueries = 16, numPlanes = 12)
-      (df.collect(), df.schema)
-    })
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-  }
-  // BM25 corpus stats are index metadata — computed once per corpus+terms,
-  // like the ANN index caches above; the per-query cost is then one scan.
-  private val bm25StatsCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Seq[String]), graft.ops.KeywordSearch.Bm25Stats]()
-  private def bm25Stats(s: SparkSession, dir: String,
-      terms: Seq[String]): graft.ops.KeywordSearch.Bm25Stats =
-    bm25StatsCache.computeIfAbsent((dir, terms), { case (d, ts) =>
-      graft.ops.KeywordSearch.corpusStats(t(s, d, "documents"), "text", ts)
-    })
-  // The prepared trade graph (snapshotted out-degreed edges + node set)
-  // is graph-index build, like the ANN caches above: built once per data
-  // dir, iterated many times. Snapshot blocks are RDD-level
-  // (localCheckpoint), so they free on GC rather than holding
-  // CacheManager entries for the session.
-  private val preparedGraphCache = new java.util.concurrent.ConcurrentHashMap[
-    String, graft.ops.Graph.PreparedGraph]()
-  private def preparedTradeGraph(s: SparkSession,
-      dir: String): graft.ops.Graph.PreparedGraph =
-    preparedGraphCache.computeIfAbsent(dir, { d =>
-      graft.ops.Graph.PreparedGraph.build(
-        graft.ops.Graph.tradeGraphIds(t(s, d, "orders"), t(s, d, "lineitem")),
-        "src", "dst")
-    })
-
-  /** Release every session-bound cached state this registry built:
-    * unpersist the LSH/IVF cache-manager entries and drop the maps whose
-    * values hold DataFrames/RDD blocks (term index, prepared graph, eval
-    * rows are session-free but cheap to redo). A long-lived JVM that
-    * interleaves the gate sweep with other measured work (Bench's
-    * chromem-parity family) calls this so leftover persisted state can't
-    * poison a later timing window — r8's dataframe-family point measured
-    * 816 ms against an 11.4 ms control exactly because ~1 GB of sweep
-    * leftovers were still resident. Caches refill on next use. */
-  def releaseCaches(): Unit = {
-    lshCache.forEach((_, idx) => try idx.unpersist() catch { case _: Throwable => () })
-    lshCache.clear()
-    ivfCache.forEach((_, st) => try st.unpersist() catch { case _: Throwable => () })
-    ivfCache.clear()
-    termIndexCache.clear()
-    preparedGraphCache.clear()
-    evalQueryCache.clear()
-    bm25StatsCache.clear()
-    pcaCache.clear()
-  }
-
-  // Snapshot store for the snapshot_diff gate op: the two versions are
-  // committed once per data dir (writing them is ingest, not the timed
-  // query), and the temp root is deleted on JVM exit instead of leaking
-  // one directory per invocation across bench warmup + repeats.
-  private val snapshotCache =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.persist.SnapshotStore]()
-  private def deleteRecursivelyOnExit(root: java.nio.file.Path): Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
-      if (Files.exists(root)) {
-        val walk = Files.walk(root)
-        try walk.sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-        finally walk.close()
-      }
-    }))
-
-  /** events.ts is TIMESTAMP(NANOS) in the source parquet; with
-    * spark.sql.legacy.parquet.nanosAsLong=true it surfaces as long nanos —
-    * convert to a proper timestamp (microsecond precision). */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "events")
-    e.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        // integer DIV, not `/`: double division on ~1.7e18 ns values loses
-        // sub-µs bits (53-bit mantissa) and shifts some rows by ±1 µs
-        e.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        // some sf dirs write isAdjustedToUTC=false micros → Spark reads
-        // TIMESTAMP_NTZ, which unix_micros/window reject; session tz is
-        // pinned UTC in every entrypoint, so this cast is the identity
-        // on the underlying micros value
-        e.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => e
-    }
-  }
-
-  /** First embedding with the given vec_id (the driver-side query vector,
-    * like the reference's driver-side query embedding). Cached per
-    * (dir, id): the lookup is a driver-side point-read job, and paying it
-    * once per corpus rather than once per query call mirrors a real
-    * client holding its query embedding. */
-  private val vecCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Array[Float]]()
-  private def vec(spark: SparkSession, dir: String, vecId: Long): Array[Float] =
-    vecCache.computeIfAbsent((dir, vecId), { case (d, id) =>
-      t(spark, d, "embeddings").filter(col("vec_id") === id)
-        .select("embedding").head().getSeq[Float](0).toArray
-    })
+  import graft.GateSupport.{t, vec}
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Exercises the full parity API: documents+embeddings become a
@@ -368,3681 +46,33 @@ object SparkEntry {
     c.queryDF(vec(spark, dir, 0), 10, where = Map("lang" -> "en"))
   }
 
-  // 21 English stopwords shared with the oracle SQL below.
-  private val Stopwords = Seq(
-    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
-    "for", "on", "with", "as", "by", "at", "it", "that", "this", "be")
-  private val StopwordsSqlList = Stopwords.map(w => s"'$w'").mkString(", ")
-
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- Q1/Q3: full scan + $contains/$not_contains content predicates ----
-    "q_filter_contains" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .filter(col("lang") === "en" &&
-          col("text").contains("filter") && !col("text").contains("slow"))
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-    }),
-
-    // ---- Q2: metadata-map equality with missing-key ⇒ "" semantics ----
-    "q_metadata_where" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .withColumn("metadata",
-          map(lit("lang"), col("lang"), lit("source"), col("source")))
-        .filter(Filters.metadataPredicate(Map("lang" -> "de", "missing" -> "")))
-        .select(col("doc_id"), col("source"))
-    }),
-
-    // ---- Q4+Q6: similarity scoring + top-k (TakeOrderedAndProject) ----
-    "q_similarity_topk" -> ((s, dir) => {
-      VectorSearch.topK(t(s, dir, "embeddings"), "embedding", vec(s, dir, 0),
-          k = 10, idCol = "vec_id", precision = "f64")
-        .select(col("vec_id"), round(col("similarity"), 4).as("sim"))
-    }),
-
-    // ---- range search: all rows above a similarity threshold ----
-    "q_similarity_range" -> ((s, dir) => {
-      VectorSearch.thresholdSearch(t(s, dir, "embeddings"), "embedding",
-          vec(s, dir, 0), threshold = 0.25, precision = "f64")
-        .select(col("vec_id"), col("label"), round(col("similarity"), 4).as("sim"))
-    }),
-
-    // ---- MMR diversity re-rank over a first-pass top-30: the
-    // integer-exact tier (e7 dots, rational λ=7/10, id tie-breaks) so
-    // the greedy selection replays EXACTLY in SQL as 10 unrolled CTE
-    // stages — the graph_pagerank unrolled-rounds convention. The
-    // greedy loop itself is driver-local over the bounded candidate
-    // list by design (the corpus is only touched by the zero-shuffle
-    // first pass); the float-λ mmrRerank API stays for serving and is
-    // pinned in VectorSearchSpec ----
-    "q_mmr_rerank" -> ((s, dir) =>
-      VectorSearch.mmrRerankExactE7(t(s, dir, "embeddings"), "embedding",
-        "vec_id", vec(s, dir, 0), numCandidates = 30, k = 10,
-        lambdaNum = 7L, lambdaDen = 10L)),
-
-    // ---- attribute-filtered vector search: metadata predicate composes
-    // with the scan top-k; the filter pushes to the parquet reader, so
-    // the ranking only ever scores surviving rows (plan-pinned) ----
-    "q_filtered_topk" -> ((s, dir) => {
-      VectorSearch.topK(t(s, dir, "embeddings").filter(col("label") % 3 === 0),
-          "embedding", vec(s, dir, 0), k = 10, idCol = "vec_id",
-          precision = "f64")
-        .select(col("vec_id"), col("label"),
-          round(col("similarity"), 4).as("sim"))
-    }),
-
-    // ---- Q5: negative-filter query (drop rows similar to negative) ----
-    "q_negative_filter" -> ((s, dir) => {
-      VectorSearch.negativeFilterTopK(t(s, dir, "embeddings"), "embedding",
-          vec(s, dir, 0), vec(s, dir, 1), negThreshold = 0.1, k = 10,
-          idCol = "vec_id", precision = "f64")
-        .select(col("vec_id"), round(col("similarity"), 4).as("sim"))
-    }),
-
-    // ---- $and/$or filter combinators (reference roadmap extension) ----
-    "q_filter_combinators" -> ((s, dir) => {
-      import graft.core.Filters._
-      t(s, dir, "documents")
-        .withColumn("metadata",
-          map(lit("lang"), col("lang"), lit("source"), col("source")))
-        .withColumn("content", col("text"))
-        .filter(compile(And(Seq(
-          Or(Seq(MetaEq("lang", "en"), MetaEq("lang", "de"))),
-          ContentNotContains("slow")))))
-        .select(col("doc_id"), col("lang"))
-    }),
-
-    // ---- Q5 subtract mode: query := normalize(query - negative), then
-    // the standard pipeline (reference collection.go:462-464). Double
-    // arithmetic end-to-end for oracle parity; the float32 reference
-    // semantics are pinned by NegativeQuerySpec. ----
-    "q_negative_subtract" -> ((s, dir) => {
-      val q = vec(s, dir, 0).map(_.toDouble)
-      val n = vec(s, dir, 1).map(_.toDouble)
-      val sub = q.indices.map(i => q(i) - n(i)).toArray
-      val nrm = math.sqrt(sub.map(x => x * x).sum)
-      val subNorm = sub.map(_ / nrm)
-      t(s, dir, "embeddings")
-        .withColumn("similarity",
-          graft.functions.VectorFunctions.dot_const_f64(col("embedding"), subNorm))
-        .orderBy(desc("similarity"), asc("vec_id"))
-        .limit(10)
-        .select(col("vec_id"), round(col("similarity"), 4).as("sim"))
-    }),
-
-    // ---- batch k-NN join: top-3 corpus rows per query row ----
-    "q_knn_join" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      VectorSearch.knnJoin(emb, "embedding", "vec_id",
-          emb.filter(col("vec_id") < 5), "embedding", "vec_id",
-          k = 3, precision = "f64")
-        .select(col("query_id"), col("vec_id"), round(col("similarity"), 4).as("sim"))
-    }),
-
-    // ---- cell-bucketed batch k-NN (big-query-side shape): shared
-    // integer k-means cells, nProbe=2 probes, exact e7-dot ranking ----
-    "q_knn_join_ivf" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      VectorSearch.knnJoinIVF(emb, "embedding", "vec_id",
-        emb.filter(col("vec_id") % 50 === 0), "embedding", "vec_id",
-        k = 5, cells = 4, iterations = 2, nProbe = 2)
-    }),
-
-    // ---- hard-negative mining (DPR/SimCSE recipe): per query, the
-    // top-5 most-similar corpus rows that are neither the query nor
-    // its labeled positive (query_id + 1 here) ----
-    "train_hard_negatives" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") % 50 === 0)
-      val positives = queries.select(col("vec_id").as("query_id"),
-        (col("vec_id") + 1).as("pos_id"))
-      VectorSearch.hardNegatives(emb, "embedding", "vec_id",
-        queries, "embedding", "vec_id", positives,
-        k = 5, maxPositives = 1, cells = 4, iterations = 2, nProbe = 2)
-    }),
-
-    // ---- windowed top-k per group ----
-    "q_topk_per_label" -> ((s, dir) => {
-      VectorSearch.topKPerGroup(t(s, dir, "embeddings"), "embedding",
-          vec(s, dir, 0), k = 3, groupCol = "label", idCol = "vec_id",
-          precision = "f64")
-        .select(col("label"), col("vec_id"), round(col("similarity"), 4).as("sim"))
-    }),
-
-    // ---- Count (reference collection.go:391-395) ----
-    "q_count" -> ((s, dir) =>
-      t(s, dir, "documents").agg(count(lit(1)).as("cnt"))),
-
-    // ---- GetByID point lookup (reference collection.go:311-331) ----
-    "q_get_by_id" -> ((s, dir) =>
-      t(s, dir, "documents").filter(col("doc_id") === 42)
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
-
-    // ---- ListIDs (reference collection.go:296-306) ----
-    "q_list_ids" -> ((s, dir) => t(s, dir, "documents").select(col("doc_id"))),
-
-    // ---- Delete-by-filter = anti-filter new state (collection.go:338-388) ----
-    "q_delete_where" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .filter(!(col("lang") === "fr" || col("text").contains("slow")))
-        .select(col("doc_id"))),
-
-    // ---- Upsert-by-id: within-batch last-wins merge (collection.go:280) ----
-    "q_upsert" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val old = docs.withColumn("__seq", lit(0))
-      val batch = docs.filter(col("doc_id") < 10)
-        .withColumn("text", upper(col("text"))).withColumn("__seq", lit(1))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("__seq").desc)
-      old.unionByName(batch)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("doc_id"), col("text"))
-    }),
-
-    // ---- dedup: exact (hash-groupBy on content digest) ----
-    "dedup_exact" -> ((s, dir) =>
-      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
-
-    // ---- Bloom-prefiltered exact "what's new vs the corpus": the
-    // filter only routes rows to verification, so the output is exactly
-    // the anti-join's — oracle-green by construction ----
-    "dedup_bloom_new" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.newTextsBloom(
-        docs.filter(col("doc_id") % 10 === 0),
-        docs.filter(col("doc_id") % 10 =!= 0),
-        "text", "doc_id")
-        .select(col("doc_id"))
-    }),
-
-    // ---- dedup: cross-document paragraph boilerplate counters (Dolma
-    // shape) — corpus is single-line, so the entry splits paragraphs on
-    // ' line ' and plants id-keyed boilerplate, mirrored in the oracle ----
-    "dedup_paragraphs" -> ((s, dir) => {
-      val d = t(s, dir, "documents").withColumn("text",
-        concat(replace(col("text"), lit(" line "), lit("\n")),
-          when(col("doc_id") % 3 === 0, lit("\nsubscribe to our newsletter"))
-            .otherwise(lit("")),
-          when(col("doc_id") % 5 === 0, lit("\nall rights reserved"))
-            .otherwise(lit(""))))
-      Dedup.paragraphDuplicates(d, "text", "doc_id")
-    }),
-
-    // ---- dedup: boilerplate REMOVAL — the transform behind the
-    // dedup_paragraphs counters: rebuild each doc without the
-    // paragraphs that repeat across >= 2 distinct docs (same planted
-    // corpus as dedup_paragraphs) ----
-    "dedup_paragraph_clean" -> ((s, dir) => {
-      val d = t(s, dir, "documents").withColumn("text",
-        concat(replace(col("text"), lit(" line "), lit("\n")),
-          when(col("doc_id") % 3 === 0, lit("\nsubscribe to our newsletter"))
-            .otherwise(lit("")),
-          when(col("doc_id") % 5 === 0, lit("\nall rights reserved"))
-            .otherwise(lit(""))))
-      Dedup.removeDuplicateParagraphs(d, "text", "doc_id")
-    }),
-
-    // ---- dedup: exact pairwise word-set Jaccard (inverted-index join) ----
-    "dedup_jaccard" -> ((s, dir) =>
-      Dedup.wordJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 0.8)),
-
-    // ---- dedup: DIRECTED word-set containment |A∩B|/|A| >= 19/20 —
-    // the asymmetric signal (excerpts/supersets) Jaccard misses;
-    // exact integer threshold and floor score ----
-    "dedup_subsets" -> ((s, dir) =>
-      Dedup.containmentPairs(t(s, dir, "documents"), "text", "doc_id",
-        thresholdP = 19, thresholdQ = 20)),
-
-    // ---- dedup: exact all-pairs bag-of-words cosine (AllPairs prefix
-    // filter, Bayardo et al. 2007) — integer dot/norms only, threshold
-    // decided by cross-multiplication in decimal(38,0) ----
-    "dedup_cosine_pairs" -> ((s, dir) =>
-      Dedup.cosineCountPairs(t(s, dir, "documents"), "text", "doc_id", 0.9)),
-
-    // ---- dedup: MinHash+LSH candidates verified by exact Jaccard ----
-    // (probabilistic recall ⇒ no SQL oracle; rows-only check + unit tests)
-    "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashDuplicates(t(s, dir, "documents"), "text", "doc_id", 0.8)),
-
-    // ---- dedup: cross-corpus MinHash (new batch vs existing corpus —
-    // the incremental-ingest primitive). Sides split by doc_id % 5; all
-    // qualifying cross pairs sit at J >= 0.9 where banded detection is
-    // deterministic-in-practice (1 - 3e-8 per pair), and the exact-
-    // Jaccard verify makes the output the exact cross-side pair set ----
-    "dedup_cross_corpus" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      Dedup.minhashCrossCorpus(
-        d.filter(col("doc_id") % 5 === 0), d.filter(col("doc_id") % 5 =!= 0),
-        "text", "doc_id", 0.8)
-    }),
-
-    // ---- dedup: SimHash-prefiltered exact dups (banded 64-bit
-    // signatures at hamming 0, digest-verified). Determinism: identical
-    // planted texts ⇒ identical signatures ⇒ guaranteed candidates; the
-    // digest check removes accidental 64-bit collisions between DIFFERENT
-    // texts (the corpus has some!), so the result is exactly the
-    // lowered-text dup pair set — DuckDB-expressible. The hamming>0
-    // near-dup tier is pinned by DedupSpec recall tests instead. ----
-    "dedup_simhash" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val planted = d.unionByName(d.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      Dedup.simhashExactDuplicates(planted, "text", "doc_id")
-    }),
-
-    // ---- dedup: connected components over the exact-Jaccard pair graph
-    // (cluster mutual near-dups so survivorship keeps one per cluster) ----
-    "dedup_components" -> ((s, dir) =>
-      Dedup.connectedComponents(
-        Dedup.wordJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 0.8))),
-
-    // ---- decontamination: n-gram overlap of a held-out slice against
-    // the rest of the corpus (train/test split simulated by doc_id) ----
-    "dedup_contamination" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.ngramContamination(
-        docs.filter(col("doc_id") % 10 =!= 0),
-        docs.filter(col("doc_id") % 10 === 0),
-        "text", "doc_id", n = 8)
-    }),
-
-    // ---- dedup: benchmark leaks flagged on the TRAIN side (broadcast
-    // test grams — the 100 TB-corpus direction of decontamination) ----
-    "dedup_leaks" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.benchmarkLeaks(
-        docs.filter(col("doc_id") % 10 =!= 0),
-        docs.filter(col("doc_id") % 10 === 0),
-        "text", "doc_id", n = 8)
-    }),
-
-    // ---- dedup: embedding-cosine near-dup pairs ----
-    "dedup_embedding" -> ((s, dir) =>
-      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "embedding", "vec_id", 0.4)),
-
-    // ---- dedup: embedding near-dups via hyperplane LSH (the O(n) path) ----
-    // The synthetic corpus has no true near-dups (max pairwise cos ≈ 0.51),
-    // so the query plants them: every vector unioned with a 1.5×-scaled
-    // copy (id + 1e6). Scaling is cosine-invariant, so each (x, x+1e6)
-    // pair sits at cos = 1.0, and sign-hash signatures of v and 1.5v are
-    // identical ⇒ LSH recall is exact BY CONSTRUCTION at threshold 0.8
-    // (everything below ~0.51 is filtered either way). That determinism is
-    // what makes a hash-match oracle — the brute-force pair scan in
-    // DuckDB — attainable for a probabilistic operator.
-    "dedup_embedding_lsh" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val planted = e.unionByName(e.select(
-        (col("vec_id") + 1000000L).as("vec_id"),
-        transform(col("embedding"), x => x * lit(1.5f)).as("embedding")))
-      Dedup.embeddingNearDupPairsLSH(
-        planted, "embedding", "vec_id", threshold = 0.8, dim = 64)
-    }),
-
-    // ---- dedup: cross-corpus embedding near-dup (batch = 1.5×-scaled
-    // copies of every 5th vector ⇒ planted cos=1.0 cross pairs with
-    // identical sign signatures — deterministic recall, brute-force
-    // cross-scan oracle; same plant argument as dedup_embedding_lsh) ----
-    "dedup_embedding_cross" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val batch = e.filter(col("vec_id") % 5 === 0).select(
-        (col("vec_id") + 1000000L).as("vec_id"),
-        transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
-      Dedup.embeddingCrossCorpusLSH(batch, e, "embedding", "vec_id",
-        threshold = 0.8, dim = 64)
-    }),
-
-    // ---- dedup: SemDeDup semantic dedup (Abbas et al. 2023) — the
-    // emb_kmeans fit (4 cells, 2 Lloyd rounds) buckets the space, then
-    // within-cell exact-integer cosine >= 2/5 marks any doc with a
-    // tau-similar LOWER-id cell-mate as a duplicate. Clustering is the
-    // candidate prune; the keep set is a pure function of the data ----
-    "dedup_semantic" -> ((s, dir) =>
-      Dedup.semanticDedup(t(s, dir, "embeddings"), "embedding", "vec_id",
-        k = 4, iterations = 2, thresholdP = 2, thresholdQ = 5)),
-
-    // ---- text analysis: token counting (whitespace + BPE-ish regex) ----
-    "text_tokens" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))),
-
-    // ---- deterministic train/val/test split (portable md5-hex buckets:
-    // a pure function of the id — no sampling pass, no shuffle, stable
-    // across engines and re-runs) ----
-    "split_assign" -> ((s, dir) =>
-      graft.ops.Splits.assign(t(s, dir, "documents"), "doc_id",
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .select(col("doc_id"), col("split"))),
-
-    // ---- leakage-safe split: near-dup clusters (exact Jaccard >= 0.8
-    // pair graph, same source as dedup_components) never straddle
-    // train/test — the split key is the connected component ----
-    "split_leakage_safe" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      graft.ops.Splits.leakageSafeAssign(d, "doc_id",
-          Dedup.wordJaccardPairs(d, "text", "doc_id", 0.8),
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .select(col("doc_id"), col("split"))
-    }),
-
-    // ---- deterministic per-group downsampling (rebalance the corpus:
-    // keep 50% of en, 25% of de, everything else whole — a pure function
-    // of (id, lang): map-only, reproducible, engine-portable) ----
-    "split_downsample" -> ((s, dir) =>
-      graft.ops.Splits.downsample(t(s, dir, "documents"), "doc_id", "lang",
-          Map("en" -> 0.5, "de" -> 0.25))
-        .select(col("doc_id"), col("lang"))),
-
-    // ---- exact-N deterministic global sample via bounded top-k heap
-    // (eval-subset carve-out: one pass, no count job, no global sort) ----
-    "split_take" -> ((s, dir) =>
-      graft.ops.Splits.deterministicTake(t(s, dir, "documents"), "doc_id", 100)
-        .select(col("doc_id"), col("lang"))),
-
-    // ---- temperature rebalance: output group sizes ∝ n^alpha (the
-    // multilingual-LM mixing rule), as deterministic md5 keep rates
-    // anchored at the smallest source ----
-    "split_temperature" -> ((s, dir) =>
-      graft.ops.Splits.temperatureSample(
-          t(s, dir, "documents"), "doc_id", "lang", 0.5)
-        .select(col("doc_id"), col("lang"))),
-
-    // ---- sequence packing: concat-and-chunk token offsets, md5-sharded,
-    // one window cumsum per shard ----
-    "text_packing" -> ((s, dir) =>
-      graft.ops.Packing.contiguousOffsets(
-        t(s, dir, "documents"), "doc_id", "text", 512, 8)),
-
-    // ---- embeddings: distance-to-own-centroid outlier scores (exact
-    // integer numerator — see Pooling.outlierScores) ----
-    "emb_outliers" -> ((s, dir) =>
-      graft.ops.Pooling.outlierScores(
-          t(s, dir, "embeddings"), "embedding", "label", "vec_id")
-        .select(col("vec_id"), col("label"), round(col("dist"), 4).as("dist"))),
-
-    // ---- embeddings: distributed Lloyd k-means (4 cells, 2 rounds,
-    // id-ordered seeds). Integer-exact distances, first-min tie-break,
-    // and truncated-mean centroid updates make the whole fit
-    // SQL-replayable; each round pays one codegen'd scan + one k×dim
-    // aggregate (map-side combined — same exchange volume as a count) ----
-    "emb_kmeans" -> ((s, dir) =>
-      graft.ops.KMeans.fitAssign(
-        t(s, dir, "embeddings"), "embedding", "vec_id", 4, 2)),
-
-    // ---- embeddings: exact covariance moments — ONE 128-bit Gram
-    // aggregate over the augmented vector (1, e7) carries n, all first
-    // moments, and all second moments in a count-class exchange; every
-    // value is an exact integer gated as a decimal-string (the
-    // profile_corr convention for >64-bit magnitudes) ----
-    "emb_covariance" -> ((s, dir) =>
-      graft.ops.Pca.gramMoments(t(s, dir, "embeddings"), "embedding", dim = 64)
-        .select(col("i"), col("j"), col("s").cast("string").as("s"))),
-
-    // ---- embeddings: PCA whitening apply (rows-only gate: components/
-    // eigenvalues are driver-side doubles by contract; unit-variance and
-    // decorrelation pinned in PcaSpec). GATE PROJECTION RULE: scalar
-    // columns ONLY — the r6 run emitted the raw array<double> and the
-    // driver comparator crashed sorting it (pandas can't hash ndarrays),
-    // so the whitened vector is pos-exploded to (vec_id, pos, value)
-    // rows with a rounded scalar value ----
-    "emb_whitened" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val model = pcaCache.computeIfAbsent(dir, d =>
-        graft.ops.Pca.fit(t(s, d, "embeddings"), "embedding",
-          dim = 64, topK = 8))
-      emb.select(col("vec_id"),
-          posexplode(graft.ops.Pca.whiten(emb, "embedding", model))
-            .as(Seq("pos", "value")))
-        .select(col("vec_id"), col("pos").cast("long").as("pos"),
-          round(col("value"), 6).as("value"))
-    }),
-
-    // ---- embeddings: k-center greedy coreset selection (farthest-point;
-    // Gonzalez 1985 / Sener & Savarese 2018) — diversity-maximizing
-    // subset pass. No SQL oracle BY CONTRACT: each greedy step's argmin
-    // is decided by pairwise cross-multiplied cosine comparisons, which
-    // form a total order but not a SQL-sortable KEY; CoresetSpec pins
-    // brute-force ≡ local tier ≡ distributed tier (partitioning-
-    // invariant), so the rows-only gate is backed by exact specs ----
-    "emb_coreset" -> ((s, dir) =>
-      graft.ops.Coreset.kCenterSelect(
-        t(s, dir, "embeddings"), "embedding", "vec_id", k = 25)),
-
-    // ---- embeddings: JL ±1 random projection 64→16. Signs are md5-hex
-    // parity (no sampled state — the oracle recomputes them in SQL),
-    // projections are exact integer sums, the whole op is map-only ----
-    "emb_random_projection" -> ((s, dir) =>
-      graft.ops.Projection.randomProject(
-        t(s, dir, "embeddings"), "embedding", "vec_id", 16, 64)),
-
-    // ---- late-interaction retrieval: ColBERT MaxSim with the embedding
-    // reshaped as 8 sub-vectors of 8 dims, query = vec 0. Exact integer
-    // sub-dots, max/sum over integers, bounded top-k — same zero-shuffle
-    // envelope as the flat similarity scan ----
-    "q_maxsim_topk" -> ((s, dir) =>
-      graft.ops.LateInteraction.maxSimTopK(
-        t(s, dir, "embeddings"), "embedding", "vec_id",
-        vec(s, dir, 0), 8, 10)),
-
-    // ---- layout: z-order (Morton) clustering key over (user_id, cents)
-    // — multi-dimension data-skipping sort key; unrolled bit interleave,
-    // map-only, codegen'd ----
-    "layout_zorder" -> ((s, dir) =>
-      t(s, dir, "events").select(col("event_id"),
-        graft.ops.Layout.zorderKey(
-          col("user_id"), round(col("value") * 100).cast("long")).as("zkey"))),
-
-    // ---- trending: top-3 event types per 5-minute tumbling window via
-    // the bounded-heap aggregate over the (window, type) count table —
-    // no rank() window sort; per-window state is k rows ----
-    "events_trending" -> ((s, dir) =>
-      graft.streaming.EventsStream.trendingTypes(events(s, dir), 3)),
-
-    // ---- time series: trailing 5-event moving average per user (cents-
-    // exact window sums, one shuffle by key, bounded frame) ----
-    "events_moving_avg" -> ((s, dir) =>
-      graft.ops.TimeSeries.movingAverage(
-        events(s, dir), "user_id", "ts", "event_id", "value", 5)),
-
-    // ---- versioned snapshots: commit two corpus versions to a fresh
-    // SnapshotStore, then time-travel diff them (added/removed/changed
-    // by id; the join carries (id, 8-byte row hash), never payloads) ----
-    "snapshot_diff" -> ((s, dir) => {
-      val st = snapshotCache.computeIfAbsent(dir, { _ =>
-        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        val rootPath = java.nio.file.Files.createTempDirectory("graft_snap")
-        deleteRecursivelyOnExit(rootPath)
-        val store = new graft.persist.SnapshotStore(rootPath.toString)
-        store.commit(d)
-        store.commit(d.filter(col("doc_id") % 17 =!= 0)
-          .withColumn("text", when(col("doc_id") % 10 === 0,
-            upper(col("text"))).otherwise(col("text")))
-          .unionByName(d.filter(col("doc_id") % 50 === 0)
-            .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))))
-        store
-      })
-      st.diff(s, 1L, 2L, "doc_id")
-    }),
-
-    // ---- tokenizer training: the first 3 BPE merges over the corpus
-    // vocabulary (Sennrich et al. 2016). ONE corpus scan builds the
-    // (word, freq) vocab; every merge round is a vocabulary-bounded pair
-    // count + a map-only rewrite — the corpus text is never re-read, and
-    // the driver receives exactly one row per round ----
-    "text_bpe_merges" -> ((s, dir) =>
-      graft.ops.Bpe.learnMergesDF(s, t(s, dir, "documents"), "text", 3)),
-
-    // ---- BPE tokenizer APPLY: per-doc token counts + md5 digest of the
-    // full subword stream under a fixed merge table; one map-only codegen
-    // projection, zero exchanges ----
-    "text_bpe_encode" -> ((s, dir) =>
-      graft.ops.Bpe.encodeDocs(t(s, dir, "documents"), "text", "doc_id",
-        Seq(graft.ops.Bpe.Merge(1, "t", "h", 0L),
-          graft.ops.Bpe.Merge(2, "th", "e", 0L),
-          graft.ops.Bpe.Merge(3, "i", "n", 0L)))),
-
-    // ---- graph: integer-exact PageRank over the customer↔supplier trade
-    // graph (3 rounds, damping 0.85). Rank mass is integer (scale units),
-    // every step is DIV/sum arithmetic — bit-reproducible under any
-    // partitioning and exactly replayable in SQL. Each round is one
-    // src-join + one dst-aggregate, the minimal edge-partitioned shape.
-    // Node ids are BIGINT through every round (8-byte shuffle keys,
-    // constant-time hashing) and decode to "c<k>"/"s<k>" only in the
-    // final small projection; the prepared graph is built once per dir ----
-    "graph_pagerank" -> ((s, dir) => {
-      val r = preparedTradeGraph(s, dir).pageRank(3)
-      r.select(graft.ops.Graph.decodeTradeNode(col("node")).as("node"),
-        col("rank"))
-    }),
-
-    // ---- exact-size per-group cap: at most 50 docs per lang, kept by
-    // deterministic md5 rank via the bounded-heap aggregate (exchange
-    // carries ≤ partitions × groups × 50 rows, no window sort) ----
-    "split_cap_per_group" -> ((s, dir) =>
-      graft.ops.Splits.capPerGroup(t(s, dir, "documents"), "doc_id", "lang", 50)
-        .select(col("doc_id"), col("lang"))),
-
-    // ---- pretraining mix: per-language TOKEN budgets, md5-prioritized
-    // take-while (two-pass bucket selection — no full-group window
-    // sort; fr/es absent from the budget map ⇒ dropped by contract) ----
-    "split_token_budget" -> ((s, dir) =>
-      graft.ops.Splits.tokenBudgetTake(
-        t(s, dir, "documents").select(col("doc_id"), col("lang"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
-        "doc_id", "lang", "n_tokens",
-        Map("en" -> 8000L, "de" -> 2000L, "zh" -> 3000L))),
-
-    // ---- importance-directed selection toward a target corpus (DSIR
-    // spirit, integer-exact coverage score): target = every 10th doc,
-    // corpus = the rest, top-100 by 2-gram coverage score_e6 — the
-    // broadcast-target / probe-in-scan shape of benchmarkLeaks ----
-    "split_importance" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      graft.ops.Splits.importanceTake(
-        docs.filter(col("doc_id") % 10 =!= 0),
-        docs.filter(col("doc_id") % 10 === 0),
-        "text", "doc_id", n = 100, gramN = 2)
-    }),
-
-    // ---- curriculum tiers by LM-typicality quartile: integer mean
-    // milli-nats per trigram, exact order-statistic cutoffs, ties to
-    // the lower tier — a pure function of the corpus ----
-    "split_curriculum" -> ((s, dir) =>
-      graft.ops.Splits.curriculumAssign(
-        t(s, dir, "documents"), "text", "doc_id")),
-
-    // ---- deterministic round-robin training order across sources:
-    // two-pass bucket ranks, md5 within-source shuffle, integer
-    // positions rank·S + source_idx ----
-    "split_interleave" -> ((s, dir) =>
-      graft.ops.Splits.interleaveBySource(
-        t(s, dir, "documents"), "doc_id", "source")),
-
-    // ---- JSONL sink → source round-trip: write the documents table as
-    // line-delimited JSON, read it back with an EXPLICIT schema (no
-    // inference pass — at 100 TB schema-on-read must not cost a scan),
-    // and gate hash-equality against the parquet original: the
-    // DocumentSource JSONL path is lossless end-to-end ----
-    "src_jsonl_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
-      t(s, dir, "documents").write.mode("overwrite").json(tmp)
-      s.read
-        .schema("doc_id long, text string, lang string, source string, n_chars long")
-        .json(tmp)
-        .select(col("doc_id"), col("text"), col("lang"), col("source"),
-          col("n_chars"))
-    }),
-
-    // ---- CSV sink → explicit-schema source round-trip (quoting/escape
-    // surface: documents carry free text) — oracle is the original ----
-    "src_csv_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
-      t(s, dir, "documents").write.mode("overwrite")
-        .option("header", "true").csv(tmp)
-      s.read
-        .schema("doc_id long, text string, lang string, source string, n_chars long")
-        .option("header", "true")
-        .csv(tmp)
-        .select(col("doc_id"), col("text"), col("lang"), col("source"),
-          col("n_chars"))
-    }),
-
-    // ---- corpus vocabulary: top-100 tokens by frequency (tokenizer-
-    // training / frequency-filter feed; bounded top-k, no full sort) ----
-    "text_vocab" -> ((s, dir) =>
-      TextAnalysis.vocabulary(t(s, dir, "documents"), "text", 100)),
-
-    // ---- per-doc lexical diversity (type-token ratio, hapax count) —
-    // one per-row hash-count kernel, zero exchanges, integer ttr_e6 ----
-    "text_lexical" -> ((s, dir) =>
-      TextAnalysis.lexicalDiversity(t(s, dir, "documents"), "text", "doc_id")),
-
-    // ---- phrase mining: top-20 collocations (adjacent word pairs) by
-    // exact integer lift — the word2phrase vocabulary-induction step ----
-    "text_collocations" -> ((s, dir) =>
-      TextAnalysis.collocations(t(s, dir, "documents"), "text", 20,
-        minCount = 10L)),
-
-    // ---- per-source characteristic terms: top-5 tokens by exact integer
-    // frequency lift (P(tok|source)/P(tok) ×1e6), bounded-heap per group ----
-    "text_group_keywords" -> ((s, dir) =>
-      TextAnalysis.groupKeywords(
-        t(s, dir, "documents"), "text", "source", 5, minCount = 5L)),
-
-    // ---- per-document TF-IDF keywords: exact rational idf (N/df),
-    // bounded-heap top-3 per doc, integer score ----
-    "text_tfidf" -> ((s, dir) =>
-      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "text", "doc_id", 3)),
-
-    // ---- vocabulary coverage curve (Zipf): cumulative corpus share of
-    // the top-100 tokens; window cumsum over the k-row table only ----
-    "text_vocab_coverage" -> ((s, dir) =>
-      TextAnalysis.vocabularyCoverage(t(s, dir, "documents"), "text", 100)),
-
-    // ---- text analysis: token-window chunking with overlap (the RAG /
-    // training ingest step before embedding) ----
-    "text_chunks" -> ((s, dir) =>
-      TextAnalysis.explodeChunks(t(s, dir, "documents"), "text", "doc_id",
-          chunkTokens = 30, overlap = 5)
-        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-          col("chunk"))),
-
-    // ---- text normalization: Unicode NFC + control-char strip (planted
-    // decomposed accents and control bytes — the corpus is plain ASCII) ----
-    "text_normalize" -> ((s, dir) => {
-      val planted = t(s, dir, "documents").withColumn("text",
-        concat(col("text"), when(col("doc_id") % 5 === 0,
-          lit(" cafe\u0301 fac\u0327ade \u0007x\u001f ko\u0304an"))
-          .otherwise(lit(""))))
-      planted.select(col("doc_id"),
-        TextAnalysis.normalizeText(col("text")).as("clean"),
-        length(TextAnalysis.normalizeText(col("text"))).cast("long")
-          .as("n_chars_clean"))
-    }),
-
-    // ---- text analysis: URL host/domain extraction + per-domain corpus
-    // stats (URLs planted from source/doc_id — the curation group key
-    // for per-domain caps and mixing weights) ----
-    "text_url_domains" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .withColumn("url", concat(
-          lit("https://user:pw@www.CDN"), (col("doc_id") % 20).cast("string"),
-          lit("."), col("source"), lit(".org:8080/p/"),
-          col("doc_id").cast("string"), lit("?ref=x#frag")))
-        .select(TextAnalysis.urlHost(col("url")).as("host"),
-          TextAnalysis.registeredDomain(col("url")).as("domain"))
-        .groupBy(col("domain"))
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("host")).as("n_hosts"))),
-
-    // ---- text analysis: HTML -> text extraction (markup planted inside
-    // the query — the synthetic corpus is plain text — then stripped) ----
-    "text_strip_html" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .withColumn("html", concat(
-          lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;" +
-            "</script><style>p { color: red; }</style></head><body><p>"),
-          col("text"),
-          lit("</p><!-- footer --><div>&amp;lt; &nbsp;done&#39;</div></body></html>")))
-        .select(col("doc_id"),
-          TextAnalysis.stripHtml(col("html")).as("clean"))),
-
-    // ---- text analysis: PII redaction (emails/IPs/phones planted inside
-    // the query — the synthetic corpus has none — then scrubbed) ----
-    "text_redact_pii" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .withColumn("text", concat(col("text"),
-          when(col("doc_id") % 7 === 0,
-            lit(" contact bob@example.com or 10.1.2.3 or +1 555-867-5309 now"))
-            .otherwise(lit(""))))
-        .select(col("doc_id"),
-          TextAnalysis.redactPii(col("text")).as("clean"))),
-
-    // ---- text analysis: within-doc repetition (Gopher-style signals;
-    // duplicate lines planted for one doc in seven) ----
-    "text_repetition" -> ((s, dir) =>
-      TextAnalysis.repetitionFeatures(
-        t(s, dir, "documents")
-          .withColumn("text", concat(col("text"),
-            when(col("doc_id") % 7 === 0, lit("\nboiler plate\nboiler plate"))
-              .otherwise(lit("")))),
-        "text")
-        .select(col("doc_id"), col("dup_line_frac"), col("dup_char_frac"))),
-
-    // ---- text analysis: quality features ----
-    "text_quality" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        length(col("text")).cast("long").as("n_chars_q"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-        round(TextAnalysis.stopwordRatio(col("text"), Stopwords), 4).as("stopword_ratio"),
-        round((length(col("text")) - length(regexp_replace(col("text"), " ", "")))
-          .cast("double") / length(col("text")), 4).as("space_ratio"))),
-
-    // ---- text analysis: Gopher quality rules (Rae et al. 2021 §A1.1) —
-    // integer counters + cross-multiplied verdicts, no double decides a
-    // flag; one map-only codegen pass over the scan ----
-    "text_gopher_rules" -> ((s, dir) =>
-      TextAnalysis.gopherRules(t(s, dir, "documents"), "text", minWords = 50)
-        .select(col("doc_id"), col("n_words"), col("sum_word_chars"),
-          col("n_symbols"), col("n_alpha_words"), col("n_stopword_hits"),
-          col("pass_word_count"), col("pass_mean_word_len"),
-          col("pass_symbol_ratio"), col("pass_alpha"),
-          col("pass_stopwords"), col("pass_gopher"))),
-
-    // ---- text analysis: corpus datasheet — per-(source, lang) dataset-
-    // card counters; one combined aggregate, exchange bounded by slice
-    // cardinality ----
-    "text_datasheet" -> ((s, dir) =>
-      TextAnalysis.corpusDatasheet(
-        t(s, dir, "documents"), "text", Seq("source", "lang"))),
-
-    // ---- text analysis: Gopher repetition filter (Rae et al. 2021
-    // §A1.2) — top word-n-gram char fraction per doc for n=2,3,4; ties
-    // break to the lexicographically smallest gram, verdicts by integer
-    // cross-multiplication ----
-    "text_top_ngram" -> ((s, dir) =>
-      TextAnalysis.topNgramRepetition(
-        t(s, dir, "documents"), "text", "doc_id")),
-
-    // ---- text analysis: Gopher repetition coverage tier — fraction of
-    // chars inside word 5-grams repeating within the doc (span union);
-    // corpus lacks within-doc repeats, so an id-keyed repeated phrase is
-    // planted, mirrored in the oracle ----
-    "text_dup_ngrams" -> ((s, dir) =>
-      TextAnalysis.dupNgramCoverage(
-        t(s, dir, "documents").withColumn("text",
-          concat(col("text"),
-            when(col("doc_id") % 4 === 0,
-              lit(" p1 p2 p3 p4 p5 z p1 p2 p3 p4 p5")).otherwise(lit("")))),
-        "text", "doc_id", 5)),
-
-    // ---- text analysis: C4 cleaning rules (Raffel et al. 2020 §2.2) —
-    // line-level terminal-punctuation filter + page verdicts. The
-    // synthetic corpus has no punctuation, so the entry injects it
-    // deterministically (literal replaces + id-keyed pathologies,
-    // mirrored verbatim in the oracle) to exercise every rule ----
-    "text_c4_rules" -> ((s, dir) => {
-      val punctuated = t(s, dir, "documents").withColumn("text",
-        concat(
-          replace(replace(col("text"), lit(" value "), lit(". ")),
-            lit(" line "), lit("?\n")),
-          when(col("doc_id") % 31 === 0, lit("\nlorem ipsum dolor"))
-            .otherwise(lit("")),
-          when(col("doc_id") % 37 === 0, lit("\nfunction() { }"))
-            .otherwise(lit(""))))
-      TextAnalysis.c4Rules(punctuated, "text")
-        .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
-          length(col("kept_text")).cast("long").as("kept_chars"),
-          col("n_sentences"), col("has_lorem"), col("has_brace"),
-          col("pass_c4"))
-    }),
-
-    // ---- text analysis: content fingerprint (md5 — portable) ----
-    "text_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
-
-    // ---- text analysis: order-sensitive rolling hash (md5-Horner,
-    // engine-portable — exact SQL oracle via DuckDB list_reduce) ----
-    "text_rolling_fp" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rfp"))),
-
-    // ---- text analysis: corpus char-trigram LM quality score (CCNet-style
-    // typicality signal; integer milli-nat quantization keeps the mean
-    // order-independent → exact SQL oracle) ----
-    // (kernel tier: packed-long trigram counts + driver vocabulary inside
-    // a codegen'd per-doc scorer — bit-identical to TextAnalysis.lmScore,
-    // pinned in TextAnalysisSpec)
-    "text_lm_score" -> ((s, dir) =>
-      TextAnalysis.lmScoreFast(t(s, dir, "documents"), "text", "doc_id")
-        .select(col("doc_id"), col("sum_millinats"), col("n_rare"),
-          col("n_grams"))),
-
-    // ---- cross-corpus LM scoring (CCNet shape): trigram stats trained
-    // on doc_id % 5 != 0, the held-out fifth scored against them with
-    // OOV mass; broadcast counts, integer scores ----
-    "text_lm_cross" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      TextAnalysis.lmScoreCrossFast(
-        docs.filter(col("doc_id") % 5 =!= 0),
-        docs.filter(col("doc_id") % 5 === 0),
-        "text", "doc_id")
-    }),
-
-    // ---- text analysis: language-ID heuristic (no oracle — heuristic;
-    // single-pass custom expression, see functions.FastLangId) ----
-    "text_lang_id" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        graft.functions.LangIdExpression.fast_lang_id(col("text")).as("lang_pred"))),
-
-    // ---- relational: aggregation pipeline (TPC-H Q1 shape) ----
-    // Exact-cents integer arithmetic: round to cents once, sum longs
-    // (order-independent + exact in both engines, ~2x faster than
-    // DECIMAL(38) accumulation), divide back out at the end.
-    "agg_pricing_summary" -> ((s, dir) => {
-      val priceCents = round(col("l_extendedprice") * 100).cast("long")
-      val discCents = round(col("l_discount") * 100).cast("long")
-      val qtyCenti = round(col("l_quantity") * 100).cast("long")
-      t(s, dir, "lineitem")
-        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          (sum(qtyCenti) / 100.0).as("sum_qty"),
-          (sum(priceCents) / 100.0).as("sum_base"),
-          (sum(priceCents * (lit(100L) - discCents)) / 10000.0).as("sum_disc"),
-          count(lit(1)).as("n"))
-    }),
-
-    // ---- salted skew join: output is salt-INVARIANT (each left row
-    // joins the replicated right side whatever its salt), so the plain
-    // join is an exact oracle — the salting only changes the shuffle
-    // key space from `okey` to (okey, salt), spreading hot keys over
-    // saltFactor reducers ----
-    "join_salted" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("okey"),
-          round(col("l_quantity") * 100).cast("long").as("qty_centi"))
-      val ord = t(s, dir, "orders")
-        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
-      graft.ops.SkewJoin.saltedJoin(li, ord, "okey", saltFactor = 8)
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), (sum(col("qty_centi")) / 100.0).as("sum_qty"))
-    }),
-
-    // ---- relational: grouping sets (ROLLUP) with null-free projection ----
-    "agg_rollup" -> ((s, dir) => {
-      val qtyCenti = round(col("l_quantity") * 100).cast("long")
-      t(s, dir, "lineitem")
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), (sum(qtyCenti) / 100.0).as("sum_qty"))
-        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
-          col("n"), col("sum_qty"))
-    }),
-
-    // ---- profiling: per-column stats in one scan (Profile op) ----
-    "profile_stats" -> ((s, dir) =>
-      graft.ops.Profile.numericProfile(t(s, dir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
-
-    // ---- profiling, sketch tier: HyperLogLog distinct counts — no
-    // EXPAND, one pass, ~2% error; the 100 TB default for unbounded
-    // domains (rows-only gate: approximate by contract, error bounds
-    // pinned in ProfileCohortsSpec) ----
-    "profile_stats_approx" -> ((s, dir) =>
-      graft.ops.Profile.numericProfile(t(s, dir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
-        exact = false)),
-
-    // ---- profiling: exact interpolated quartiles, one agg pass,
-    // integer-cents scaling keeps the interpolation bit-exact ----
-    "profile_quantiles" -> ((s, dir) =>
-      graft.ops.Profile.quantileProfile(t(s, dir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
-        scale = 100L)),
-
-    // ---- profiling, sketch tier: Greenwald-Khanna quartiles
-    // (percentile_approx) — state bounded by `accuracy` regardless of
-    // domain; the 100 TB default for unbounded high-cardinality doubles
-    // (rows-only gate, bounds in spec) ----
-    "profile_quantiles_approx" -> ((s, dir) =>
-      graft.ops.Profile.quantileProfile(t(s, dir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
-        scale = 100L, exact = false)),
-
-    // ---- profiling: top-5 most frequent values per categorical column ----
-    "profile_topvalues" -> ((s, dir) =>
-      graft.ops.Profile.topValues(t(s, dir, "documents"),
-        Seq("lang", "source"), 5)),
-
-    // ---- profiling: Misra–Gries heavy hitters (fixed-memory sketch
-    // tier of topValues). Gate corpus distinct (150–1.5k users) sits far
-    // under capacity, so every counter is exact and the output equals
-    // the exact top-10 — the documented deterministic regime.
-    "profile_heavy_hitters" -> ((s, dir) =>
-      graft.ops.Profile.heavyHitters(t(s, dir, "events"),
-        "user_id", capacity = 8192, topN = 10)),
-
-    // ---- profiling: exact-moment Pearson correlation (order-independent
-    // decimal sums; only the closed-form combine is floating point).
-    // The gate hashes ONLY the six exact integer moments — they fully
-    // determine the correlation. Any double-derived scalar (corr,
-    // round(corr,6), floor(corr·1e6)) is excluded: decimal(38)→double
-    // rounding differs across engines once n·sxy exceeds 2^53, and any
-    // 1-ulp drift survives both round and floor. The double `corr` is
-    // tolerance-checked in ProfileCohortsSpec instead.
-    // The five >64-bit moments travel as STRINGS: r5 hashed them as
-    // decimal(38,0) vs DuckDB HUGEINT and still hash-failed with equal
-    // values — a compare layer that widens int128-ish types to float64
-    // on one side only (pandas has no int128) explains exactly that.
-    // Decimal-string vs HUGEINT-string is conversion-proof.
-    "profile_corr" -> ((s, dir) =>
-      graft.ops.Profile.corrExact(t(s, dir, "lineitem"),
-        Seq(("l_quantity", "l_extendedprice"),
-          ("l_extendedprice", "l_discount")))
-        .select(col("x_col"), col("y_col"), col("n"),
-          col("sx").cast("string").as("sx"),
-          col("sy").cast("string").as("sy"),
-          col("sxy").cast("string").as("sxy"),
-          col("sxx").cast("string").as("sxx"),
-          col("syy").cast("string").as("syy"))),
-
-    // ---- quality-weighted sampling: keep probability = min(1, chars/1k) ----
-    "split_weighted" -> ((s, dir) =>
-      graft.ops.Splits.weightedSample(t(s, dir, "documents"), "doc_id",
-          least(lit(1.0), col("n_chars").cast("double") / 1000.0))
-        .select(col("doc_id"), col("n_chars"))),
-
-    // ---- entity resolution: fuzzy best-match against a broadcast
-    // canonical dimension (Levenshtein, deterministic argmin) ----
-    "join_fuzzy" -> ((s, dir) => {
-      val canon = s.createDataFrame(
-        s.sparkContext.parallelize((0 to 9).map(i => Row(s"src$i"))),
-        StructType(Seq(StructField("name", StringType))))
-      graft.ops.FuzzyJoin.bestMatch(
-        t(s, dir, "documents").select(col("doc_id"), col("source")),
-        canon, "source", "name", maxDist = 1)
-    }),
-
-    // ---- profiling: fixed-width histogram, exact integer binning ----
-    "profile_histogram" -> ((s, dir) =>
-      graft.ops.Profile.histogram(t(s, dir, "lineitem"),
-        "l_extendedprice", 5000.0)),
-
-    // ---- profiling: EQUI-DEPTH histogram — edges are exact order
-    // statistics (no interpolation, no doubles), the skew-honest
-    // companion of the fixed-width bins ----
-    "profile_histogram_eqdepth" -> ((s, dir) =>
-      graft.ops.Profile.equiDepthHistogram(t(s, dir, "lineitem"),
-        "l_extendedprice", buckets = 10)),
-
-    // ---- relational: pivot with EXPLICIT values (no driver-side
-    // distinct pass) — users × event-type count matrix ----
-    "events_pivot" -> ((s, dir) =>
-      events(s, dir).groupBy(col("user_id"))
-        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
-        .agg(count(lit(1))).na.fill(0L)),
-
-    // ---- events: per-user daily counts with zero-filled gaps ----
-    "events_gapfill" -> ((s, dir) =>
-      graft.ops.TimeSeries.gapFillCounts(events(s, dir), "user_id", "ts")),
-
-    // ---- events: ordered funnel with first-match semantics ----
-    "events_funnel" -> ((s, dir) =>
-      graft.ops.Funnel.funnel(events(s, dir), "user_id", "ts", "event_type",
-        Seq("signup", "view", "click", "purchase"))),
-
-    // ---- events: FORWARD as-of — next click at/after each purchase
-    // (time-to-next-action enrichment; same single-shuffle union+window
-    // plan as the backward direction) ----
-    "join_asof_fwd" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"),
-          round(col("value") * 100).cast("long").as("value_cents"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts").as("click_ts"),
-          col("event_id").as("click_id"))
-      graft.ops.AsofJoin.asofJoin(
-          purchases, clicks, key = "user_id", leftTime = "ts",
-          rightTime = "click_ts", rightCols = Seq("click_id", "click_ts"),
-          tieBreak = Some("click_id"), joinType = "inner",
-          direction = "forward")
-        .select(col("event_id"), col("user_id"), col("value_cents"),
-          col("click_id"), col("click_ts"))
-    }),
-
-    // ---- events: cohort retention (first-active-day cohorts) ----
-    "events_retention" -> ((s, dir) =>
-      graft.ops.Cohorts.retention(events(s, dir), "user_id", "ts")
-        .withColumnRenamed("offset", "day_offset")),
-
-    // ---- relational: broadcast join + top-k by revenue ----
-    // Aggregation pushed BELOW the join: lineitem pre-aggregates exact
-    // integer-cents revenue per order (map-side partial combine shrinks
-    // the shuffle ~4×), the order join reuses that hash partitioning
-    // (no extra Exchange on the aggregated side), and only order-level
-    // rows reach the customer rollup. Same exact sums — integer cents
-    // are associative — so the oracle is unchanged.
-    "join_top_customers" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val o = t(s, dir, "orders")
-      val c = t(s, dir, "customer")
-      val priceCents = round(col("l_extendedprice") * 100).cast("long")
-      val discCents = round(col("l_discount") * 100).cast("long")
-      val revPerOrder = li
-        .groupBy(col("l_orderkey"))
-        .agg(sum(priceCents * (lit(100L) - discCents)).as("__rev"))
-      revPerOrder.join(o, col("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .groupBy(col("c_custkey"), col("c_name"))
-        .agg((sum(col("__rev")) / 10000.0).as("revenue"))
-        .orderBy(desc("revenue"), asc("c_custkey"))
-        .limit(10)
-    }),
-
-    // ---- events: tumbling-window aggregation (streaming-shaped, batch) ----
-    "events_window_agg" -> ((s, dir) =>
-      events(s, dir)
-        .groupBy(date_trunc("minute", col("ts")).as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(round(col("value") * 100).cast("long")).cast("double")
-            .divide(100.0).as("sum_value"))),
-
-    // ---- fractional epoch expansion (the up-sampling half of a mix
-    // recipe): src0 ×2.5, src1 dropped, src2 ×0.5, rest ×1 ----
-    "split_epochs" -> ((s, dir) =>
-      graft.ops.Splits.epochExpand(t(s, dir, "documents"),
-          "doc_id", "source",
-          Map("src0" -> 2.5, "src1" -> 0.0, "src2" -> 0.5))
-        .select(col("doc_id"), col("source"), col("epoch"))),
-
-    // ---- leakage-safe temporal split: train on the past, test on the
-    // future; cutoff = exact order statistic at the 80% rank ----
-    "split_time_holdout" -> ((s, dir) =>
-      graft.ops.Splits.timeHoldout(events(s, dir), "ts",
-          testNum = 1L, testDen = 5L)
-        .select(col("event_id"), col("split"))),
-
-    // ---- sequence mining: first-order event-type transition counts
-    // (one per-user window pass + vocabulary-bounded aggregate) ----
-    "events_transitions" -> ((s, dir) =>
-      graft.ops.TimeSeries.transitionCounts(events(s, dir),
-        "ts", "user_id", "event_type", "event_id")),
-
-    // ---- semi-structured: JSON props parsed IN-SCAN (codegen
-    // get_json_object — no UDF, no pre-materialization) and aggregated
-    // per event_type with exact integer stats ----
-    "events_json_props" -> ((s, dir) => {
-      val k = get_json_object(col("props"), "$.k").cast("long")
-      events(s, dir)
-        .select(col("event_type"), k.as("__k"))
-        .filter(col("__k").isNotNull)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("__k")).as("sum_k"),
-          min(col("__k")).as("min_k"), max(col("__k")).as("max_k"))
-    }),
-
-    // ---- exact windowed distinct (two-level aggregate; the shape
-    // count(DISTINCT) should lower to — see TimeSeries.windowDistinct) ----
-    "events_window_distinct" -> ((s, dir) =>
-      graft.ops.TimeSeries.windowDistinct(events(s, dir), "ts", "user_id")),
-
-    // ---- events: SLIDING (hopping) windows — 2-minute windows every
-    // minute, so each event lands in exactly two epoch-aligned windows;
-    // the overlap factor is bounded by width/slide, not corpus size ----
-    "events_sliding_agg" -> ((s, dir) =>
-      events(s, dir)
-        .groupBy(window(col("ts"), "2 minutes", "1 minute"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(round(col("value") * 100).cast("long")).cast("double")
-            .divide(100.0).as("sum_value"))
-        .select(col("window.start").as("w_start"), col("event_type"),
-          col("n"), col("sum_value"))),
-
-    // ---- events: sessionization-lite — per-user event counts + value ----
-    "events_per_user" -> ((s, dir) =>
-      events(s, dir)
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_events"),
-          countDistinct(col("event_type")).as("n_types"),
-          sum(round(col("value") * 100).cast("long")).cast("double")
-            .divide(100.0).as("sum_value"))),
-
-    // ---- events: stream-static broadcast enrichment (batch twin of the
-    // streaming path — stream-vs-batch equality pinned in StreamingSpec;
-    // the dimension broadcasts, the event stream never shuffles) ----
-    "events_enrich" -> ((s, dir) =>
-      graft.streaming.EventsStream.enrich(
-          events(s, dir), t(s, dir, "customer")
-            .select(col("c_custkey").as("user_id"), col("c_mktsegment")),
-          "user_id", "inner")
-        .groupBy(col("c_mktsegment"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(round(col("value") * 100).cast("long")).cast("double")
-            .divide(100.0).as("sum_value"))),
-
-    // ---- events: point-in-time (as-of) join — each purchase picks the
-    // user's most recent click at-or-before it. Plan is union + ONE hash
-    // exchange + sort + running last() window (no join operator at all);
-    // AsofJoinSpec pins that shape ----
-    "join_asof" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"),
-          round(col("value") * 100).cast("long").as("value_cents"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts").as("click_ts"),
-          col("event_id").as("click_id"))
-      graft.ops.AsofJoin.asofJoin(
-          purchases, clicks, key = "user_id", leftTime = "ts",
-          rightTime = "click_ts", rightCols = Seq("click_id", "click_ts"),
-          tieBreak = Some("click_id"), joinType = "inner")
-        .select(col("event_id"), col("user_id"), col("value_cents"),
-          col("click_id"), col("click_ts"))
-    }),
-
-    // ---- events: binned range join — attribute each click to the error
-    // bursts ([error_ts, +6h)) it falls inside, per user. A bare
-    // inequality join would plan BroadcastNestedLoop (O(|errors|·|clicks|)
-    // comparisons); binning by the window width turns it into a plain
-    // equi-join on (user, bin) with ≤2 replicas per interval —
-    // RangeJoinSpec pins the no-nested-loop plan ----
-    "join_range" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val sixHoursUs = 6L * 3600 * 1000000
-      val errors = ev.filter(col("event_type") === "error")
-        .select(col("user_id"), col("event_id").as("err_id"),
-          unix_micros(col("ts")).as("err_us"),
-          (unix_micros(col("ts")) + sixHoursUs).as("err_end_us"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_id").as("click_id"),
-          unix_micros(col("ts")).as("click_us"))
-      graft.ops.RangeJoin.binnedRangeJoin(
-          clicks, errors, key = "user_id", pointCol = "click_us",
-          startCol = "err_us", endCol = "err_end_us",
-          binWidth = sixHoursUs)
-        .select(col("err_id"), col("click_id"), col("user_id"),
-          (col("click_us") - col("err_us")).as("delta_us"))
-    }),
-
-    // ---- relational: multiway broadcast join over the dim hierarchy ----
-    "join_multiway" -> ((s, dir) => {
-      val sup = t(s, dir, "supplier")
-      val nat = t(s, dir, "nation")
-      val reg = t(s, dir, "region")
-      sup.join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
-        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
-        .groupBy(col("r_name"))
-        .agg(count(lit(1)).as("n_sup"))
-    }),
-
-    // ---- relational: TPC-H Q14 shape — monthly promo revenue share.
-    // The part dimension broadcasts into the lineitem scan; share is an
-    // exact integer quotient over DECIMAL(38) revenue sums ----
-    "agg_promo_share" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val part = t(s, dir, "part")
-      val rev = round(col("l_extendedprice") * 100).cast("long") *
-        (lit(100L) - round(col("l_discount") * 100).cast("long"))
-      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
-        .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
-        .agg(sum(when(col("p_type") === "PROMO", rev).otherwise(0L))
-            .as("promo_rev_e4"),
-          sum(rev).as("total_rev_e4"))
-        .withColumn("promo_share_e6",
-          expr("CAST(promo_rev_e4 AS DECIMAL(38,0)) * 1000000 DIV total_rev_e4"))
-    }),
-
-    // ---- relational: the TPC-H Q5 plan shape — local-supplier revenue
-    // by nation inside one region/year. Two fact-fact shuffle joins
-    // (orders⋈customer, lineitem⋈supplier on key+nation), every
-    // dimension BROADCAST, date + region filters pushed below the
-    // joins, cents-exact revenue (the agg_pricing convention) ----
-    "join_q5_shape" -> ((s, dir) => {
-      val cust = t(s, dir, "customer")
-      val ord = t(s, dir, "orders")
-        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
-      val li = t(s, dir, "lineitem")
-      val sup = t(s, dir, "supplier")
-      val nat = t(s, dir, "nation")
-      val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
-      cust.join(ord, cust("c_custkey") === ord("o_custkey"))
-        .join(li, ord("o_orderkey") === li("l_orderkey"))
-        .join(sup, li("l_suppkey") === sup("s_suppkey") &&
-          cust("c_nationkey") === sup("s_nationkey"))
-        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
-        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
-        .groupBy(col("n_name"))
-        .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
-            (lit(100L) - round(col("l_discount") * 100).cast("long")))
-          / 10000.0).as("revenue"),
-          count(lit(1)).as("n"))
-    }),
-
-    // ---- relational: co-bucketed join through the persisted bucketed
-    // layout (shuffle paid once at write, zero Exchange at join time —
-    // plan property pinned in BucketedCorpusSpec) ----
-    "join_bucketed" -> ((s, dir) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_gate_bucketed"
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      graft.sources.BucketedCorpus.save(
-        docs, "gate_bc_corpus", s"$tmp/corpus", buckets = 8, key = "doc_id")
-      graft.sources.BucketedCorpus.save(
-        docs.select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens")),
-        "gate_bc_stats", s"$tmp/stats", buckets = 8, key = "doc_id")
-      s.table("gate_bc_corpus").join(s.table("gate_bc_stats"), "doc_id")
-        .select(col("doc_id"), col("n_tokens"))
-    }),
-
-    // ---- sources: partition-pruned slice read through the Hive-
-    // partitioned layout (slice predicate resolves at file listing —
-    // PartitionFilters pinned in PartitionedCorpusSpec) ----
-    "q_partition_pruned" -> ((s, dir) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_gate_partitioned"
-      graft.sources.PartitionedCorpus.save(
-        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
-        tmp, Seq("lang"))
-      graft.sources.PartitionedCorpus.load(s, tmp)
-        .filter(col("lang") === "en")
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-    }),
-
-    // ---- relational: window rank (top-2 orders per customer) ----
-    "window_order_rank" -> ((s, dir) => {
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
-      t(s, dir, "orders")
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 2)
-        .select(col("o_custkey"), col("o_orderkey"), col("rnk"))
-    }),
-
-    // ---- relational: set ops — customers without orders (EXCEPT) ----
-    "set_except" -> ((s, dir) =>
-      t(s, dir, "customer").select(col("c_custkey").as("k"))
-        .except(t(s, dir, "orders").select(col("o_custkey").as("k")))),
-
-    // ---- relational: distinct projection ----
-    "q_distinct_types" -> ((s, dir) =>
-      events(s, dir).select(col("event_type")).distinct()),
-
-    // ---- vector kernels: L2 norm + normalized-invariant check ----
-    "q_vector_norms" -> ((s, dir) =>
-      t(s, dir, "embeddings").select(
-        col("vec_id"),
-        round(graft.functions.VectorFunctions.l2_norm(col("embedding")), 4).as("nrm"),
-        graft.functions.VectorFunctions.is_normalized(col("embedding")).as("is_norm"))),
-
-    // ---- vector kernels: normalization semantics (element/norm, f64) ----
-    "q_normalize_elem" -> ((s, dir) =>
-      t(s, dir, "embeddings").select(
-        col("vec_id"),
-        round(col("embedding").getItem(0).cast("double") /
-          graft.functions.VectorFunctions.l2_norm(col("embedding")), 4).as("e0"))),
-
-    // ---- embedding pooling: per-label mean vectors (class prototypes).
-    // Elements scale to exact longs in-scan, the vector_sum_long aggregate
-    // carries ONE fixed-size array per (partition, label) over the
-    // exchange (no posexplode row blow-up), and the division back happens
-    // once per output cell — deterministic under any partitioning
-    // (PoolingSpec pins both the plan and the partitioning invariance) ----
-    "emb_centroids" -> ((s, dir) =>
-      graft.ops.Pooling.centroids(
-        t(s, dir, "embeddings"), "embedding", "label")),
-
-    // ---- multimodal: binary decode -> feature-extract pipeline (real
-    // grid-moment kernel for rasters, histogram fallback otherwise; the
-    // gate pins the pipeline shape — every asset must come out the far
-    // end with a d-dim embedding — via the constant-dim SQL oracle) ----
-    "multimodal_features" -> ((s, dir) => {
-      val assets = t(s, dir, "documents").select(
-        col("doc_id").cast("string").as("asset_id"),
-        lit("image").as("modality"),
-        col("text").cast("binary").as("bytes"),
-        map(lit("lang"), col("lang")).as("meta"))
-      graft.ops.Multimodal.imageFeatures(
-        graft.ops.Multimodal.decodeImages(assets), dim = 16)
-        .select(col("asset_id"), size(col("embedding")).cast("long").as("dim"))
-    }),
-
-    // ---- multimodal: perceptual-hash near-dup pairs (aHash 8×8
-    // luminance bits, pigeonhole-banded bucket join, exact popcount
-    // verify). The DECODE half can't be oracled in SQL, so the aHash
-    // int64s are STAGED as a parquet intermediate (GateStage) and the
-    // PAIRING half — banded-Hamming candidates + popcount verify — runs
-    // from the staged frame on the Spark side while DuckDB replays it
-    // as a brute-force popcount join over the same bytes (banding has
-    // FULL recall at maxDist ≤ 3, so the two are equivalent). The entry
-    // PLANTS byte-identical copies of every 20th asset (the
-    // dedup_embedding_lsh plant convention) so hamming-0 recall is
-    // guaranteed by construction; MultimodalSpec pins real-PNG
-    // jitter/invert decode behavior ----
-    "multimodal_near_dup" -> ((s, dir) => {
-      val base = t(s, dir, "documents").select(
-        col("doc_id").cast("string").as("asset_id"),
-        lit("image").as("modality"),
-        col("text").cast("binary").as("bytes"),
-        map(lit("lang"), col("lang")).as("meta"))
-      val planted = base.unionByName(
-        base.filter(col("asset_id").cast("long") % 20 === 0)
-          .withColumn("asset_id",
-            concat(lit("dup_"), col("asset_id"))))
-      val fp = graft.ops.Multimodal.imageHashes(
-        graft.ops.Multimodal.decodeImages(planted))
-      graft.ops.Multimodal.hashNearDupPairs(
-        GateStage.stage(s, "multimodal_fp_image", dir, fp),
-        "asset_id", "phash", maxDist = 2)
-    }),
-
-    // ---- multimodal: audio fingerprint near-dup (64 RMS-window bits,
-    // gain-invariant; same staged-fingerprint + banded-Hamming
-    // machinery as multimodal_near_dup; planted copies guarantee
-    // recall; DuckDB replays the pairing from the staged int64s) ----
-    "multimodal_audio_dup" -> ((s, dir) => {
-      val base = t(s, dir, "documents").select(
-        col("doc_id").cast("string").as("asset_id"),
-        lit("audio").as("modality"),
-        col("text").cast("binary").as("bytes"),
-        map(lit("lang"), col("lang")).as("meta"))
-      val planted = base.unionByName(
-        base.filter(col("asset_id").cast("long") % 20 === 0)
-          .withColumn("asset_id", concat(lit("dup_"), col("asset_id"))))
-      val fp = graft.ops.Multimodal.audioFingerprints(planted)
-      graft.ops.Multimodal.hashNearDupPairs(
-        GateStage.stage(s, "multimodal_fp_audio", dir, fp),
-        "asset_id", "afp", maxDist = 2)
-    }),
-
-    // ---- multimodal: video near-dup by shared keyframe hashes
-    // (sampleFrames → per-frame aHash → staged (asset_id, phash) →
-    // 8-byte-hash equi-join; planted copies guarantee recall; DuckDB
-    // replays the shared-hash join from the staged frame) ----
-    "multimodal_video_dup" -> ((s, dir) => {
-      val base = t(s, dir, "documents").select(
-        col("doc_id").cast("string").as("asset_id"),
-        lit("video").as("modality"),
-        col("text").cast("binary").as("bytes"),
-        map(lit("lang"), col("lang")).as("meta"))
-      val planted = base.unionByName(
-        base.filter(col("asset_id").cast("long") % 20 === 0)
-          .withColumn("asset_id", concat(lit("dup_"), col("asset_id"))))
-      val fh = graft.ops.Multimodal.frameHashes(planted)
-        .select(col("asset_id"), col("phash"))
-      graft.ops.Multimodal.sharedHashPairs(
-        GateStage.stage(s, "multimodal_fp_video", dir, fh),
-        "asset_id", "phash", minShared = 1)
-    }),
-
-    // ---- streaming-shaped: gap sessions via the NATIVE session_window
-    // (declarative twin of the flatMapGroupsWithState sessionizer; same
-    // island semantics, watermark-evictable state on a stream) ----
-    "events_sessions" -> ((s, dir) =>
-      events(s, dir)
-        .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("w"))
-        .agg(count(lit(1)).as("n_events"),
-          (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
-        .select(col("user_id"), col("w.start").as("session_start"),
-          col("n_events"), col("total_value"))),
-
-    // ---- events: per-user z-score anomaly signal (exact moments) ----
-    "events_zscore" -> ((s, dir) =>
-      graft.ops.Profile.zscores(events(s, dir), "value", "user_id", "event_id")
-        .select(col("event_id"), col("user_id"), round(col("z"), 4).as("z"))),
-
-    // ---- events: robust MAD outlier flags (|x − med| > 3·MAD decided
-    // on exact integers via the doubled-unit trick; the heavy-tail-safe
-    // twin of events_zscore) ----
-    "events_mad" -> ((s, dir) =>
-      graft.ops.Profile.madOutliers(events(s, dir), "value", "event_id")),
-
-    // ---- streaming-shaped: gap sessionization via flatMapGroupsWithState ----
-    "streaming_sessionize" -> ((s, dir) =>
-      graft.streaming.EventsStream.sessionize(events(s, dir), gapMs = 6 * 3600 * 1000L)
-        .toDF().select(col("user_id"), col("n_events"),
-          round(col("total_value"), 4).as("total_value"))),
-
-    // ---- streaming heavy hitters (batch-mode single-epoch semantics,
-    // like the other streaming gates; exact regime ⇒ SQL-replayable) ----
-    "streaming_heavy_hitters" -> ((s, dir) =>
-      graft.streaming.EventsStream.heavyHittersStream(events(s, dir),
-        "user_id", capacity = 8192, topN = 5, windowDuration = "1 hour")),
-
-    // ---- ANN: LSH-bucketed approximate top-k (deterministic planes) ----
-    "q_lsh_topk" -> ((s, dir) => {
-      val idx = lshCache.computeIfAbsent(dir, d =>
-        graft.ops.AnnIndex.buildLsh(t(s, d, "embeddings"), "embedding",
-          "vec_id", dim = 64, numPlanes = 12).materialize())
-      idx.topK(vec(s, dir, 0), 10, maxHamming = 3).select(col("vec_id"))
-    }),
-
-    // ---- ANN evaluation: per-query LSH recall@10 vs brute force, exact
-    // e7-integer ranking on both sides, integer recall — one Spark job,
-    // fully SQL-replayable ----
-    "eval_ann_recall" -> ((s, dir) =>
-      graft.ops.Evaluation.lshRecallReport(t(s, dir, "embeddings"),
-        "embedding", "vec_id", dim = 64, numQueries = 16, k = 10,
-        numPlanes = 12, maxHamming = 3,
-        precomputedQueries = Some(evalQueries(s, dir)))),
-
-    // ---- ANN evaluation: MRR of the true nearest neighbor inside the
-    // LSH candidate ranking; rank = 1 + count-of-better, exact integers ----
-    "eval_ann_mrr" -> ((s, dir) =>
-      graft.ops.Evaluation.lshMrrReport(t(s, dir, "embeddings"),
-        "embedding", "vec_id", dim = 64, numQueries = 16,
-        numPlanes = 12, maxHamming = 3,
-        precomputedQueries = Some(evalQueries(s, dir)))),
-
-    // ---- ANN: IVF cluster-then-probe; probing ALL cells == exact, so
-    // the brute-force top-k SQL is a valid oracle for the id set.
-    // The index goes through the DURABLE path — built, written as the
-    // partitionBy(__cell) parquet layout, re-opened with IvfState.load —
-    // so the gate covers the on-disk form a persistent deployment probes,
-    // not just the session cache. ----
-    "q_ivf_topk" -> ((s, dir) => {
-      val idx = ivfCache.computeIfAbsent(dir, d => {
-        val path = "/root/repo/target/ivf_gate/" +
-          java.lang.Integer.toHexString(d.hashCode)
-        val built = graft.ops.AnnIndex.buildIvf(t(s, d, "embeddings"),
-          "embedding", "vec_id", nlist = 4, sampleSize = 500)
-        built.save(path)
-        built.unpersist()
-        val reopened = graft.ops.IvfState.load(s, path)
-        reopened.assigned.persist()
-        reopened.materialize() // populates the cache FROM the disk layout
-      })
-      idx.topK(vec(s, dir, 0), 10, nprobe = 4).select(col("vec_id"))
-    }),
-
-    // ---- keyword retrieval: BM25 top-k (lexical tier). Per-term tf is
-    // computed IN-SCAN against the literal term list (no token explode,
-    // no shuffle); corpus stats (N, avgdl, df) reduce in one map-side-
-    // combined aggregate; top-k is TakeOrderedAndProject. k1 = 1.5 in the
-    // gate so every derived constant (k1+1 = 2.5, 1−b = 0.25) is an exact
-    // double — the oracle replays the arithmetic bit-for-bit. ----
-    "text_bm25" -> ((s, dir) =>
-      graft.ops.KeywordSearch.bm25TopK(t(s, dir, "documents"), "text",
-          "doc_id", Seq("vector", "query", "spark"), k = 20, k1 = 1.5,
-          precomputedStats =
-            Some(bm25Stats(s, dir, Seq("vector", "query", "spark"))))
-        .select(col("doc_id"), round(col("score"), 4).as("score"))),
-
-    // ---- keyword retrieval over the DURABLE inverted index: bucket-
-    // partition-pruned posting scan, probe cost ∝ Σ df(term) instead of a
-    // corpus pass. Bit-identical to text_bm25 ⇒ same oracle. ----
-    "text_bm25_indexed" -> ((s, dir) => {
-      val idx = termIndexCache.computeIfAbsent(dir, d => {
-        val path = "/root/repo/target/term_index_gate/" +
-          java.lang.Integer.toHexString(d.hashCode)
-        graft.ops.TermIndex.build(t(s, d, "documents"), "text", "doc_id", path)
-      })
-      idx.topK(Seq("vector", "query", "spark"), k = 20, k1 = 1.5)
-        .select(col("doc_id"), round(col("score"), 4).as("score"))
-    }),
-
-    // ---- hybrid retrieval: RRF fusion (1/(60+rank)) of the BM25 top-30
-    // and the cosine top-30 — the standard lexical+semantic merge. ----
-    "search_hybrid" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
-      graft.ops.KeywordSearch.hybridTopK(
-          t(s, dir, "documents"), "text", emb, "embedding", "doc_id",
-          Seq("vector", "query", "spark"), vec(s, dir, 0),
-          k = 15, fetchK = 30, rrfK = 60, k1 = 1.5,
-          precomputedStats =
-            Some(bm25Stats(s, dir, Seq("vector", "query", "spark"))))
-        .select(col("doc_id"), round(col("rrf"), 4).as("rrf"))
-    }),
-
-    // ---- int8 scalar-quantized top-k: the 4×-less-IO first-pass scan
-    // tier. Integer dot products are EXACT, so unlike the float kernels
-    // this oracle needs no accumulation-order care at all. ----
-    "q_quantized_topk" -> ((s, dir) => {
-      val q = graft.ops.Quantize.quantize(t(s, dir, "embeddings"), "embedding")
-      graft.ops.Quantize.quantizedTopK(q, vec(s, dir, 0), k = 10, idCol = "vec_id")
-        .select(col("vec_id"), round(col("qsim"), 4).as("qsim"))
-    }),
-
-    // ---- binary sign-quantized Hamming top-k: the coarsest scan tier
-    // (1 long/vector, 256× below float32). Signatures, popcount, and
-    // ties are all integer — no floats past the sign test. ----
-    "q_hamming_topk" -> ((s, dir) =>
-      graft.ops.Quantize.hammingTopK(
-        t(s, dir, "embeddings"), "embedding", vec(s, dir, 0), k = 10,
-        idCol = "vec_id")),
-
-    // ---- substring-level duplication profile (Lee et al. 2022 signal):
-    // per-doc count/fraction of distinct 8-gram spans shared with any
-    // other document; grams travel as 64-bit hashes, text never shuffles. ----
-    "dedup_spans" -> ((s, dir) =>
-      Dedup.duplicatedSpans(t(s, dir, "documents"), "text", "doc_id", n = 8)),
-
-    // ---- product-quantized ADC top-k: the 64×-compression scan tier
-    // (m=8 nibble codes per d=64 vector). Deterministic seeded codebook
-    // ⇒ the oracle replays encode + table lookups with literal centroids,
-    // like the LSH hyperplane oracle. ----
-    "q_pq_topk" -> ((s, dir) => {
-      val cb = graft.ops.Pq.randomCodebook(dim = 64, m = 8, k = 16, seed = 7L)
-      val enc = graft.ops.Pq.encode(t(s, dir, "embeddings"), "embedding", cb)
-      graft.ops.Pq.adcTopK(enc, cb, vec(s, dir, 0), k = 10, idCol = "vec_id")
-        .select(col("vec_id"), round(col("qsim"), 4).as("qsim"))
-    }),
-
-    // ---- IVF-PQ ADC top-k (FAISS IVFPQ shape): coarse cell + residual
-    // codes, one fused encode kernel; probing ALL cells makes the full
-    // ADC ordering the oracle-checkable result. Seeded cells + codebook
-    // ⇒ literal replay. ----
-    "q_ivfpq_topk" -> ((s, dir) => {
-      val cb = graft.ops.Pq.randomCodebook(dim = 64, m = 8, k = 16, seed = 7L)
-      val idx = graft.ops.IvfPq.fromParams(t(s, dir, "embeddings"),
-        "embedding", "vec_id", gateIvfPqCells, cb)
-      idx.topK(vec(s, dir, 0), k = 10, nprobe = gateIvfPqCells.length)
-        .select(col("vec_id"), round(col("qsim"), 4).as("qsim"))
-    })
-  )
-
-  /** Deterministic cell centroids for the q_ivfpq_topk gate (seed 11,
-    * nlist=4, d=64) — shared by the Spark side and the generated oracle. */
-  private lazy val gateIvfPqCells: Array[Array[Double]] = {
-    val rnd = new java.util.Random(11L)
-    Array.fill(4)(Array.fill(64)(rnd.nextDouble() * 2 - 1))
-  }
-
-  def oracleSql: Map[String, String] = Map(
-    "q_filter_contains" ->
-      """SELECT doc_id, lang, n_chars FROM documents
-        |WHERE lang = 'en' AND contains(text, 'filter')
-        |  AND NOT contains(text, 'slow')""".stripMargin,
-
-    "q_metadata_where" ->
-      "SELECT doc_id, source FROM documents WHERE lang = 'de'",
-
-    "q_similarity_topk" ->
-      """SELECT vec_id,
-        |  round(list_dot_product(embedding::DOUBLE[],
-        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS sim
-        |FROM embeddings
-        |ORDER BY list_dot_product(embedding::DOUBLE[],
-        |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id
-        |LIMIT 10""".stripMargin,
-
-    "q_filtered_topk" ->
-      """SELECT vec_id, label,
-        |  round(list_dot_product(embedding::DOUBLE[],
-        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS sim
-        |FROM embeddings
-        |WHERE label % 3 = 0
-        |ORDER BY list_dot_product(embedding::DOUBLE[],
-        |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id
-        |LIMIT 10""".stripMargin,
-
-    "q_similarity_range" ->
-      """SELECT vec_id, label,
-        |  round(list_dot_product(embedding::DOUBLE[],
-        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS sim
-        |FROM embeddings
-        |WHERE list_dot_product(embedding::DOUBLE[],
-        |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) >= 0.25""".stripMargin,
-
-    "q_negative_filter" ->
-      """SELECT vec_id,
-        |  round(list_dot_product(embedding::DOUBLE[],
-        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS sim
-        |FROM embeddings
-        |WHERE list_dot_product(embedding::DOUBLE[],
-        |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 1)) <= 0.1
-        |ORDER BY list_dot_product(embedding::DOUBLE[],
-        |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id
-        |LIMIT 10""".stripMargin,
-
-    "q_filter_combinators" ->
-      """SELECT doc_id, lang FROM documents
-        |WHERE (lang = 'en' OR lang = 'de') AND NOT contains(text, 'slow')""".stripMargin,
-
-    "q_negative_subtract" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
-        |     n AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 1),
-        |     sub AS (SELECT list_transform(list_zip(q.e, n.e), p -> p[1] - p[2]) AS v
-        |             FROM q, n),
-        |     nrm AS (SELECT list_transform(v,
-        |               x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
-        |             FROM sub)
-        |SELECT e.vec_id,
-        |  round(list_dot_product(e.embedding::DOUBLE[], (SELECT v FROM nrm)), 4) AS sim
-        |FROM embeddings e
-        |ORDER BY list_dot_product(e.embedding::DOUBLE[], (SELECT v FROM nrm)) DESC,
-        |  e.vec_id
-        |LIMIT 10""".stripMargin,
-
-    "q_knn_join" ->
-      """SELECT q.vec_id AS query_id, e.vec_id,
-        |  round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS sim
-        |FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
-        |QUALIFY row_number() OVER (PARTITION BY q.vec_id
-        |  ORDER BY list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
-        |           e.vec_id) <= 3""".stripMargin,
-
-    "q_topk_per_label" ->
-      """SELECT label, vec_id,
-        |  round(list_dot_product(embedding::DOUBLE[],
-        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS sim
-        |FROM embeddings
-        |QUALIFY row_number() OVER (PARTITION BY label
-        |  ORDER BY list_dot_product(embedding::DOUBLE[],
-        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC,
-        |    vec_id) <= 3""".stripMargin,
-
-    // Full IVF-join replay: the emb_kmeans Lloyd CTEs give corpus
-    // assignment a3 and final centroids c2; d3 already holds every
-    // vector's distance to c2, so the query probe set is its 2 smallest
-    // (dist, cell) rows; candidates join on cell; ranking is the exact
-    // integer e7 dot with (sim DESC, cid) ties.
-    "q_knn_join_ivf" ->
-      """WITH x AS (
-        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS pos,
-        |         round(unnest(embedding::DOUBLE[]) * 10000000)::BIGINT AS e7
-        |  FROM embeddings),
-        |c0 AS (SELECT vec_id::BIGINT AS cell, pos, e7 AS c FROM x WHERE vec_id < 4),
-        |d1 AS (SELECT x.vec_id, c.cell,
-        |         sum((x.e7 - c.c) * (x.e7 - c.c))::BIGINT AS dist
-        |       FROM x JOIN c0 c USING (pos) GROUP BY x.vec_id, c.cell),
-        |a1 AS (SELECT vec_id, cell FROM d1
-        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
-        |c1 AS (SELECT a.cell, x.pos, (sum(x.e7)::BIGINT // count(*)) AS c
-        |       FROM x JOIN a1 a USING (vec_id) GROUP BY a.cell, x.pos),
-        |d2 AS (SELECT x.vec_id, c.cell,
-        |         sum((x.e7 - c.c) * (x.e7 - c.c))::BIGINT AS dist
-        |       FROM x JOIN c1 c USING (pos) GROUP BY x.vec_id, c.cell),
-        |a2 AS (SELECT vec_id, cell FROM d2
-        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
-        |c2 AS (SELECT a.cell, x.pos, (sum(x.e7)::BIGINT // count(*)) AS c
-        |       FROM x JOIN a2 a USING (vec_id) GROUP BY a.cell, x.pos),
-        |d3 AS (SELECT x.vec_id, c.cell,
-        |         sum((x.e7 - c.c) * (x.e7 - c.c))::BIGINT AS dist
-        |       FROM x JOIN c2 c USING (pos) GROUP BY x.vec_id, c.cell),
-        |a3 AS (SELECT vec_id, cell FROM d3
-        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
-        |qp AS (SELECT vec_id AS qid, cell FROM d3 WHERE vec_id % 50 = 0
-        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) <= 2),
-        |cand AS (SELECT q.qid, a.vec_id AS cid
-        |         FROM qp q JOIN a3 a ON a.cell = q.cell),
-        |sim AS (SELECT c.qid, c.cid, sum(xq.e7 * xc.e7)::BIGINT AS sim_e14
-        |        FROM cand c
-        |        JOIN x xq ON xq.vec_id = c.qid
-        |        JOIN x xc ON xc.vec_id = c.cid AND xc.pos = xq.pos
-        |        GROUP BY 1, 2)
-        |SELECT qid AS query_id, cid AS corpus_id, sim_e14 FROM sim
-        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim_e14 DESC, cid) <= 5""".stripMargin,
-
-    // Same IVF-join replay over-fetched to 7 (k + maxPositives + 1),
-    // then self/positive exclusion and the final re-rank to 5 — the
-    // exact contract of the over-fetch bound.
-    "train_hard_negatives" ->
-      """WITH x AS (
-        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS pos,
-        |         round(unnest(embedding::DOUBLE[]) * 10000000)::BIGINT AS e7
-        |  FROM embeddings),
-        |c0 AS (SELECT vec_id::BIGINT AS cell, pos, e7 AS c FROM x WHERE vec_id < 4),
-        |d1 AS (SELECT x.vec_id, c.cell,
-        |         sum((x.e7 - c.c) * (x.e7 - c.c))::BIGINT AS dist
-        |       FROM x JOIN c0 c USING (pos) GROUP BY x.vec_id, c.cell),
-        |a1 AS (SELECT vec_id, cell FROM d1
-        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
-        |c1 AS (SELECT a.cell, x.pos, (sum(x.e7)::BIGINT // count(*)) AS c
-        |       FROM x JOIN a1 a USING (vec_id) GROUP BY a.cell, x.pos),
-        |d2 AS (SELECT x.vec_id, c.cell,
-        |         sum((x.e7 - c.c) * (x.e7 - c.c))::BIGINT AS dist
-        |       FROM x JOIN c1 c USING (pos) GROUP BY x.vec_id, c.cell),
-        |a2 AS (SELECT vec_id, cell FROM d2
-        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
-        |c2 AS (SELECT a.cell, x.pos, (sum(x.e7)::BIGINT // count(*)) AS c
-        |       FROM x JOIN a2 a USING (vec_id) GROUP BY a.cell, x.pos),
-        |d3 AS (SELECT x.vec_id, c.cell,
-        |         sum((x.e7 - c.c) * (x.e7 - c.c))::BIGINT AS dist
-        |       FROM x JOIN c2 c USING (pos) GROUP BY x.vec_id, c.cell),
-        |a3 AS (SELECT vec_id, cell FROM d3
-        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
-        |qp AS (SELECT vec_id AS qid, cell FROM d3 WHERE vec_id % 50 = 0
-        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) <= 2),
-        |cand AS (SELECT q.qid, a.vec_id AS cid
-        |         FROM qp q JOIN a3 a ON a.cell = q.cell),
-        |sim AS (SELECT c.qid, c.cid, sum(xq.e7 * xc.e7)::BIGINT AS sim_e14
-        |        FROM cand c
-        |        JOIN x xq ON xq.vec_id = c.qid
-        |        JOIN x xc ON xc.vec_id = c.cid AND xc.pos = xq.pos
-        |        GROUP BY 1, 2),
-        |top AS (SELECT qid, cid, sim_e14 FROM sim
-        |        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim_e14 DESC, cid) <= 7)
-        |SELECT qid AS query_id, cid AS negative_id, sim_e14
-        |FROM top WHERE cid <> qid AND cid <> qid + 1
-        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim_e14 DESC, cid) <= 5""".stripMargin,
-
-    "q_count" -> "SELECT count(*) AS cnt FROM documents",
-
-    "q_get_by_id" ->
-      "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
-
-    "q_list_ids" -> "SELECT doc_id FROM documents",
-
-    "q_delete_where" ->
-      """SELECT doc_id FROM documents
-        |WHERE NOT (lang = 'fr' OR contains(text, 'slow'))""".stripMargin,
-
-    "q_upsert" ->
-      """WITH batch AS (
-        |  SELECT doc_id, upper(text) AS text FROM documents WHERE doc_id < 10),
-        |unioned AS (
-        |  SELECT doc_id, text, 0 AS seq FROM documents
-        |  UNION ALL SELECT doc_id, text, 1 AS seq FROM batch)
-        |SELECT doc_id, text FROM unioned
-        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1""".stripMargin,
-
-    "dedup_exact" ->
-      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
-        |FROM documents GROUP BY text""".stripMargin,
-
-    // The Bloom stage is invisible to semantics: result = exact
-    // anti-join of the batch's texts against the corpus's.
-    "dedup_bloom_new" ->
-      """SELECT b.doc_id FROM documents b
-        |WHERE b.doc_id % 10 = 0
-        |  AND NOT EXISTS (
-        |    SELECT 1 FROM documents c
-        |    WHERE c.doc_id % 10 <> 0 AND c.text = b.text)""".stripMargin,
-
-    "dedup_jaccard" ->
-      """WITH t AS (
-        |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
-        |  FROM documents),
-        |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b,
-        |  round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
-        |FROM pairs
-        |JOIN sz sa ON sa.doc_id = id_a
-        |JOIN sz sb ON sb.doc_id = id_b
-        |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
-
-    // Directed containment over the same distinct-token sets as
-    // dedup_jaccard; integer threshold and integer-division score.
-    "dedup_subsets" ->
-      """WITH t AS (
-        |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
-        |  FROM documents),
-        |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id <> b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b, (inter * 1000000) // sa.n AS containment_e6
-        |FROM pairs JOIN sz sa ON sa.doc_id = id_a
-        |WHERE inter * 20 >= 19 * sa.n""".stripMargin,
-
-    // Boilerplate removal: same planted corpus and >=2-distinct-docs
-    // rule as dedup_paragraphs; DuckDB filters by paragraph TEXT where
-    // Spark drops by digest-matched positions — identical semantics.
-    "dedup_paragraph_clean" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    replace(text, ' line ', chr(10))
-        |    || CASE WHEN doc_id % 3 = 0
-        |         THEN chr(10) || 'subscribe to our newsletter' ELSE '' END
-        |    || CASE WHEN doc_id % 5 = 0
-        |         THEN chr(10) || 'all rights reserved' ELSE '' END AS text
-        |  FROM documents),
-        |dup AS (SELECT para FROM
-        |          (SELECT doc_id, unnest(string_split(text, chr(10))) AS para FROM d)
-        |        GROUP BY para HAVING count(DISTINCT doc_id) >= 2),
-        |dl AS (SELECT coalesce(list(para), []) AS l FROM dup)
-        |SELECT d.doc_id,
-        |  array_to_string(
-        |    list_filter(string_split(d.text, chr(10)),
-        |                x -> NOT list_contains(dl.l, x)), chr(10)) AS text,
-        |  len(list_filter(string_split(d.text, chr(10)),
-        |                  x -> NOT list_contains(dl.l, x)))::BIGINT AS n_kept,
-        |  (len(string_split(d.text, chr(10))) -
-        |   len(list_filter(string_split(d.text, chr(10)),
-        |                   x -> NOT list_contains(dl.l, x))))::BIGINT AS n_removed
-        |FROM d, dl""".stripMargin,
-
-    // Paragraph dedup: duplicate = verbatim paragraph in >=2 distinct
-    // docs; DuckDB groups by paragraph TEXT where Spark groups by md5
-    // digest — identical partition of the key space.
-    "dedup_paragraphs" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    replace(text, ' line ', chr(10))
-        |    || CASE WHEN doc_id % 3 = 0
-        |         THEN chr(10) || 'subscribe to our newsletter' ELSE '' END
-        |    || CASE WHEN doc_id % 5 = 0
-        |         THEN chr(10) || 'all rights reserved' ELSE '' END AS text
-        |  FROM documents),
-        |p AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS para FROM d),
-        |dup AS (SELECT para FROM p GROUP BY para
-        |        HAVING count(DISTINCT doc_id) >= 2)
-        |SELECT p.doc_id,
-        |  count(*)::BIGINT AS n_paragraphs,
-        |  sum(CASE WHEN dup.para IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
-        |    AS n_dup_paragraphs,
-        |  sum(CASE WHEN dup.para IS NOT NULL THEN length(p.para) ELSE 0 END)::BIGINT
-        |    AS dup_chars,
-        |  sum(length(p.para))::BIGINT AS paragraph_chars
-        |FROM p LEFT JOIN dup ON dup.para = p.para
-        |GROUP BY p.doc_id""".stripMargin,
-
-    // Brute-force ground truth for the AllPairs prefix-filtered join:
-    // the filter is provably lossless (Cauchy–Schwarz suffix bound), so
-    // the outputs must be identical. Threshold 0.9 = 900000/1e6 exact
-    // rational, decided in HUGEINT — mirrors Spark's decimal(38,0).
-    "dedup_cosine_pairs" ->
-      """WITH tf AS (
-        |  SELECT doc, tok, count(*)::BIGINT AS tf FROM (
-        |    SELECT doc_id AS doc, unnest(string_split(lower(text), ' ')) AS tok
-        |    FROM documents) GROUP BY doc, tok),
-        |norm AS (SELECT doc, sum(tf * tf)::BIGINT AS n2 FROM tf GROUP BY doc),
-        |dot AS (
-        |  SELECT a.doc AS id_a, b.doc AS id_b, sum(a.tf * b.tf)::BIGINT AS dot
-        |  FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc < b.doc
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b, dot, na.n2 AS na2, nb.n2 AS nb2
-        |FROM dot
-        |JOIN norm na ON na.doc = id_a
-        |JOIN norm nb ON nb.doc = id_b
-        |WHERE 1000000::HUGEINT * 1000000 * dot * dot
-        |      >= 900000::HUGEINT * 900000 * na.n2 * nb.n2""".stripMargin,
-
-    "dedup_embedding" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin,
-
-    // Full SemDeDup replay: the emb_kmeans Lloyd CTEs produce the final
-    // assignment a3, then within-cell pairs are decided by the exact
-    // integer test dot > 0 AND q^2*dot^2 >= p^2*na2*nb2 in HUGEINT
-    // (q=5, p=2 - the same sign-aware comparison the dense_cos_ge
-    // kernel makes; no doubles anywhere in the hashed projection).
-    "dedup_semantic" ->
-      """WITH x AS (
-        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS pos,
-        |         round(unnest(embedding::DOUBLE[]) * 10000000)::BIGINT AS e7
-        |  FROM embeddings),
-        |c0 AS (SELECT vec_id::BIGINT AS cell, pos, e7 AS c FROM x WHERE vec_id < 4),
-        |d1 AS (SELECT x.vec_id, c.cell,
-        |         sum((x.e7 - c.c) * (x.e7 - c.c))::BIGINT AS dist
-        |       FROM x JOIN c0 c USING (pos) GROUP BY x.vec_id, c.cell),
-        |a1 AS (SELECT vec_id, cell FROM d1
-        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
-        |c1 AS (SELECT a.cell, x.pos, (sum(x.e7)::BIGINT // count(*)) AS c
-        |       FROM x JOIN a1 a USING (vec_id) GROUP BY a.cell, x.pos),
-        |d2 AS (SELECT x.vec_id, c.cell,
-        |         sum((x.e7 - c.c) * (x.e7 - c.c))::BIGINT AS dist
-        |       FROM x JOIN c1 c USING (pos) GROUP BY x.vec_id, c.cell),
-        |a2 AS (SELECT vec_id, cell FROM d2
-        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
-        |c2 AS (SELECT a.cell, x.pos, (sum(x.e7)::BIGINT // count(*)) AS c
-        |       FROM x JOIN a2 a USING (vec_id) GROUP BY a.cell, x.pos),
-        |d3 AS (SELECT x.vec_id, c.cell,
-        |         sum((x.e7 - c.c) * (x.e7 - c.c))::BIGINT AS dist
-        |       FROM x JOIN c2 c USING (pos) GROUP BY x.vec_id, c.cell),
-        |a3 AS (SELECT vec_id, cell FROM d3
-        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
-        |n2 AS (SELECT vec_id, sum(e7 * e7)::BIGINT AS n2 FROM x GROUP BY vec_id),
-        |pd AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
-        |         sum(xa.e7 * xb.e7)::BIGINT AS dot
-        |       FROM a3 a JOIN a3 b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |       JOIN x xa ON xa.vec_id = a.vec_id
-        |       JOIN x xb ON xb.vec_id = b.vec_id AND xb.pos = xa.pos
-        |       GROUP BY 1, 2),
-        |dup AS (SELECT DISTINCT pd.ib AS vec_id
-        |        FROM pd
-        |        JOIN n2 na ON na.vec_id = pd.ia
-        |        JOIN n2 nb ON nb.vec_id = pd.ib
-        |        WHERE pd.dot > 0
-        |          AND 25::HUGEINT * pd.dot * pd.dot >= 4::HUGEINT * na.n2 * nb.n2)
-        |SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
-        |FROM a3 a LEFT JOIN dup d USING (vec_id)""".stripMargin,
-
-    "dedup_contamination" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
-        |         ELSE [array_to_string(toks[i:i+7], ' ') FOR i IN range(1, len(toks) - 6)]
-        |    END AS grams
-        |  FROM t),
-        |train AS (
-        |  SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 10 <> 0),
-        |test_g AS (
-        |  SELECT doc_id AS test_id, unnest(list_distinct(grams)) AS g
-        |  FROM sh WHERE doc_id % 10 = 0),
-        |tot AS (SELECT test_id, count(*) AS n_grams FROM test_g GROUP BY 1),
-        |hit AS (SELECT test_id, count(*) AS n_hits
-        |        FROM test_g WHERE g IN (SELECT g FROM train) GROUP BY 1)
-        |SELECT test_id, n_grams,
-        |  round(coalesce(n_hits, 0) * 1.0 / n_grams, 4) AS contamination
-        |FROM tot LEFT JOIN hit USING (test_id)""".stripMargin,
-
-    // Mirror of dedup_contamination with the per-doc score on the TRAIN
-    // side (benchmark-leak direction); same 8-token gram convention.
-    "dedup_leaks" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
-        |         ELSE [array_to_string(toks[i:i+7], ' ') FOR i IN range(1, len(toks) - 6)]
-        |    END AS grams
-        |  FROM t),
-        |test_g AS (
-        |  SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 10 = 0),
-        |train_g AS (
-        |  SELECT doc_id AS train_id, unnest(list_distinct(grams)) AS g
-        |  FROM sh WHERE doc_id % 10 <> 0),
-        |tot AS (SELECT train_id, count(*) AS n_grams FROM train_g GROUP BY 1),
-        |hit AS (SELECT train_id, count(*) AS n_hits
-        |        FROM train_g WHERE g IN (SELECT g FROM test_g) GROUP BY 1)
-        |SELECT train_id, n_grams, coalesce(n_hits, 0) AS n_hits,
-        |  round(coalesce(n_hits, 0) * 1.0 / n_grams, 4) AS leak_frac
-        |FROM tot LEFT JOIN hit USING (train_id)""".stripMargin,
-
-    // Connected components via recursive min-label propagation — the CTE
-    // walks labels along (symmetric) edges; min per vertex = component
-    // representative, exactly the DataFrame fixpoint's result.
-    "dedup_components" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tk FROM t),
-        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
-        |pr AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT id_a, id_b FROM pr
-        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-        |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
-        |edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |walk(id, label) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id)
-        |SELECT id, min(label) AS component FROM walk GROUP BY id""".stripMargin,
-
-    // Same recursive components as dedup_components, then the standard
-    // md5 split rule applied to coalesce(component, doc_id) — whole
-    // clusters land on one side.
-    "split_leakage_safe" -> {
-      val th = graft.ops.Splits.hexThresholds(
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-      s"""WITH RECURSIVE t AS (
-         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-         |tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tk FROM t),
-         |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
-         |pr AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-         |  FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT id_a, id_b FROM pr
-         |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-         |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |walk(id, label) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
-         |comp AS (SELECT id, min(label) AS component FROM walk GROUP BY id),
-         |keyed AS (
-         |  SELECT d.doc_id, coalesce(c.component, d.doc_id)::VARCHAR AS k
-         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
-         |SELECT doc_id,
-         |  CASE WHEN substr(md5(k), 1, 4) < '${th(0)._2}' THEN 'train'
-         |       WHEN substr(md5(k), 1, 4) < '${th(1)._2}' THEN 'val'
-         |       ELSE 'test' END AS split
-         |FROM keyed""".stripMargin
-    },
-
-    // MinHash+LSH verified by exact shingle Jaccard: all qualifying pairs
-    // in this corpus sit at J >= 0.9, where 16-band/4-row detection
-    // probability is 1 - 3e-8 per pair and signatures are seed-fixed, so
-    // the probabilistic op is deterministically exact here and the
-    // ground-truth inverted-index Jaccard is a valid hash-match oracle.
-    "dedup_minhash" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |         ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
-        |    END AS shingles
-        |  FROM t),
-        |ds AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    len(list_intersect(a.s, b.s)) * 1.0 /
-        |      len(list_distinct(list_concat(a.s, b.s))) AS j
-        |  FROM ds a JOIN ds b ON a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.8""".stripMargin,
-
-    // Cross-side exact Jaccard ≥ 0.8 (all qualifying pairs in this corpus
-    // are at J ≥ 0.9 — deterministic banded recall, same argument as
-    // dedup_minhash above).
-    "dedup_cross_corpus" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |         ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
-        |    END AS shingles
-        |  FROM t),
-        |ds AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
-        |pairs AS (
-        |  SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
-        |    len(list_intersect(a.s, b.s)) * 1.0 /
-        |      len(list_distinct(list_concat(a.s, b.s))) AS j
-        |  FROM ds a JOIN ds b ON a.doc_id % 5 = 0 AND b.doc_id % 5 != 0)
-        |SELECT batch_id, corpus_id, round(j, 4) AS jaccard
-        |FROM pairs WHERE j >= 0.8""".stripMargin,
-
-    // SimHash at hamming 0 + digest verify = exactly the pairs with equal
-    // lowered text over the planted union (recall guaranteed by identical
-    // signatures; precision by the digest check).
-    "dedup_simhash" ->
-      """WITH u AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |FROM u a JOIN u b ON a.doc_id < b.doc_id AND lower(a.text) = lower(b.text)""".stripMargin,
-
-    "dedup_embedding_lsh" ->
-      """WITH u AS (
-        |  SELECT vec_id, embedding FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 1000000, list_transform(embedding, x -> x * 1.5::FLOAT)
-        |  FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
-        |FROM u a JOIN u b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8""".stripMargin,
-
-    // Brute-force cross-side cosine scan over the planted batch.
-    "dedup_embedding_cross" ->
-      """WITH b AS (
-        |  SELECT vec_id + 1000000 AS batch_id,
-        |         list_transform(embedding, x -> x * 1.5::FLOAT) AS v
-        |  FROM embeddings WHERE vec_id % 5 = 0)
-        |SELECT b.batch_id, e.vec_id AS corpus_id,
-        |  round(list_cosine_similarity(b.v::DOUBLE[], e.embedding::DOUBLE[]), 4) AS cos
-        |FROM b, embeddings e
-        |WHERE list_cosine_similarity(b.v::DOUBLE[], e.embedding::DOUBLE[]) >= 0.8""".stripMargin,
-
-    // LSH top-k replicated in SQL: the hyperplanes are seed-deterministic,
-    // so they are emitted as literals; signatures are the same sign
-    // pattern, candidates the same hamming<=3 filter, ranking the same
-    // (similarity desc, vec_id). Sign parity between the f32 Spark dot
-    // and DuckDB's double dot holds because no |dot| sits inside f32
-    // rounding error of zero on this corpus (seed-fixed, so stable).
-    "q_lsh_topk" -> lshTopKOracleSql,
-
-    "q_mmr_rerank" -> mmrOracleSql,
-
-    "eval_ann_recall" -> annRecallOracleSql,
-
-    "eval_ann_mrr" -> annMrrOracleSql,
-
-    // The lang-ID heuristic replicated in SQL: per-language marker-hit
-    // ratios over non-empty tokens, CJK codepoint ratio, first-in-order
-    // tie-break (the rule FastLangId and TextAnalysis.langId share).
-    "text_lang_id" ->
-      """WITH b AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
-        |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
-        |    greatest(length(text), 1) AS nchars
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id,
-        |    len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','for','with','was'))) * 1.0 / greatest(len(toks), 1) AS s_en,
-        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','für','von'))) * 1.0 / greatest(len(toks), 1) AS s_de,
-        |    len(list_filter(toks, x -> x IN ('el','la','los','las','es','y','de','que','en','por'))) * 1.0 / greatest(len(toks), 1) AS s_es,
-        |    len(list_filter(toks, x -> x IN ('le','la','les','et','est','que','des','une','dans','pour'))) * 1.0 / greatest(len(toks), 1) AS s_fr,
-        |    cjk * 1.0 / nchars AS s_zh
-        |  FROM b)
-        |SELECT doc_id,
-        |  CASE
-        |    WHEN s_zh > greatest(s_en, s_de, s_es, s_fr) AND s_zh > 0 THEN 'zh'
-        |    WHEN greatest(s_en, s_de, s_es, s_fr) > 0 THEN
-        |      CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
-        |           WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
-        |           WHEN s_es >= s_fr THEN 'es'
-        |           ELSE 'fr' END
-        |    ELSE 'und'
-        |  END AS lang_pred
-        |FROM s""".stripMargin,
-
-    // Gap sessionization is deterministic relational logic: lag-gap flag,
-    // running-sum session id, per-session aggregate — an exact SQL oracle
-    // for the flatMapGroupsWithState operator (single-epoch semantics).
-    // Same island detection; session_start = the island's first event.
-    "events_sessions" ->
-      """WITH m AS (
-        |  SELECT user_id, ts, value,
-        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |              > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
-        |  FROM events),
-        |g AS (
-        |  SELECT user_id, ts, value,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |                   ROWS UNBOUNDED PRECEDING) AS sess
-        |  FROM m)
-        |SELECT user_id, min(ts) AS session_start,
-        |  count(*)::BIGINT AS n_events,
-        |  sum(round(value * 100)::BIGINT) / 100.0 AS total_value
-        |FROM g GROUP BY user_id, sess""".stripMargin,
-
-    // z rearranged to one integer numerator over one integer-rooted
-    // denominator — exact HUGEINT moments, zero-variance guard.
-    "events_zscore" ->
-      """WITH s AS (
-        |  SELECT user_id, count(*)::HUGEINT AS n,
-        |    sum(round(value * 100)::BIGINT)::HUGEINT AS sv,
-        |    sum(round(value * 100)::BIGINT::HUGEINT
-        |      * round(value * 100)::BIGINT::HUGEINT) AS ss
-        |  FROM events GROUP BY user_id)
-        |SELECT e.event_id, e.user_id,
-        |  CASE WHEN (s.n * s.ss - s.sv * s.sv) > 0 THEN
-        |    round((s.n * round(e.value * 100)::BIGINT - s.sv)::DOUBLE /
-        |      sqrt((s.n * s.ss - s.sv * s.sv)::DOUBLE), 4)
-        |  ELSE NULL END AS z
-        |FROM events e JOIN s USING (user_id)""".stripMargin,
-
-    // Doubled-unit MAD replay: quantile_cont of doubled integers is the
-    // exact integer lo+hi (interpolation at .5 over scaled longs), so
-    // med2/m2 round back exactly and the flag is an integer comparison.
-    "events_mad" ->
-      """WITH s AS (SELECT event_id, round(value * 100)::BIGINT AS s FROM events),
-        |m AS (SELECT round(quantile_cont(s * 2, 0.5))::BIGINT AS med2 FROM s),
-        |d AS (SELECT event_id, s, abs(s * 2 - med2) AS d FROM s, m),
-        |md AS (SELECT round(quantile_cont(d * 2, 0.5))::BIGINT AS m2 FROM d)
-        |SELECT event_id, s AS value_scaled, (d * 2 > 3 * m2) AS is_outlier
-        |FROM d, md""".stripMargin,
-
-    "streaming_sessionize" ->
-      """WITH m AS (
-        |  SELECT user_id, ts, value,
-        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |              > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
-        |  FROM events),
-        |g AS (
-        |  SELECT user_id, value,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |                   ROWS UNBOUNDED PRECEDING) AS sess
-        |  FROM m)
-        |SELECT user_id, count(*)::BIGINT AS n_events,
-        |  round(sum(value), 4) AS total_value
-        |FROM g GROUP BY user_id, sess""".stripMargin,
-
-    "text_tokens" ->
-      """SELECT doc_id,
-        |  len(string_split(text, ' '))::BIGINT AS n_tokens,
-        |  len(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT AS n_bpeish
-        |FROM documents""".stripMargin,
-
-    "split_assign" -> {
-      val th = graft.ops.Splits.hexThresholds(
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-      s"""SELECT doc_id,
-         |  CASE WHEN substr(md5(doc_id::VARCHAR), 1, 4) < '${th(0)._2}' THEN 'train'
-         |       WHEN substr(md5(doc_id::VARCHAR), 1, 4) < '${th(1)._2}' THEN 'val'
-         |       ELSE 'test' END AS split
-         |FROM documents""".stripMargin
-    },
-
-    "split_downsample" -> {
-      val en = graft.ops.Splits.rateHex(0.5)
-      val de = graft.ops.Splits.rateHex(0.25)
-      s"""SELECT doc_id, lang FROM documents
-         |WHERE CASE WHEN lang = 'en' THEN substr(md5(doc_id::VARCHAR), 1, 4) < '$en'
-         |           WHEN lang = 'de' THEN substr(md5(doc_id::VARCHAR), 1, 4) < '$de'
-         |           ELSE TRUE END""".stripMargin
-    },
-
-    // Winner SET is order-insensitive (the gate sorts rows), so LIMIT
-    // over the same md5 order is an exact oracle.
-    "split_take" ->
-      """SELECT doc_id, lang FROM documents
-        |ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 100""".stripMargin,
-
-    // Same deterministic md5 ranking as capPerGroup: the 15-hex-prefix
-    // numeric order IS the lexicographic prefix order (lowercase hex in
-    // both engines), prefix ties break by id.
-    "split_cap_per_group" ->
-      """SELECT doc_id, lang FROM documents
-        |QUALIFY row_number() OVER (PARTITION BY lang
-        |  ORDER BY substr(md5(doc_id::VARCHAR), 1, 15), doc_id) <= 50""".stripMargin,
-
-    "split_token_budget" ->
-      """WITH w AS (
-        |  SELECT doc_id, lang,
-        |         len(string_split(text, ' '))::BIGINT AS n_tokens,
-        |         md5(doc_id::VARCHAR) AS h
-        |  FROM documents
-        |  WHERE lang IN ('en', 'de', 'zh')
-        |), c AS (
-        |  SELECT doc_id, lang, n_tokens,
-        |         sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
-        |           ROWS UNBOUNDED PRECEDING) AS cum
-        |  FROM w
-        |)
-        |SELECT doc_id, lang, n_tokens FROM c
-        |WHERE cum <= CASE lang WHEN 'en' THEN 8000
-        |                       WHEN 'de' THEN 2000 ELSE 3000 END""".stripMargin,
-
-    // Same 2-gram convention as dedup_contamination (lowered whitespace
-    // tokens, whole-text fallback under gramN, per-doc distinct);
-    // score_e6 is integer division — both engines truncate identically
-    // on non-negative operands.
-    "split_importance" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
-        |         ELSE [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]
-        |    END AS grams
-        |  FROM t),
-        |tgt AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 10 = 0),
-        |cg AS (SELECT doc_id, unnest(list_distinct(grams)) AS g
-        |       FROM sh WHERE doc_id % 10 <> 0),
-        |sc AS (SELECT doc_id,
-        |         (1000000 * count(CASE WHEN g IN (SELECT g FROM tgt) THEN 1 END))
-        |           // count(*) AS score_e6
-        |       FROM cg GROUP BY 1)
-        |SELECT doc_id, score_e6 FROM sc
-        |ORDER BY score_e6 DESC, doc_id LIMIT 100""".stripMargin,
-
-    // Same whitespace-token convention as text_vocab (not lowered);
-    // hapax via the O(n²) per-doc filter — the values, not the shape,
-    // are the contract here.
-    "text_lexical" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-        |SELECT doc_id,
-        |  len(toks)::BIGINT AS n_tokens,
-        |  len(list_distinct(toks))::BIGINT AS n_distinct,
-        |  len(list_filter(list_distinct(toks),
-        |      x -> len(list_filter(toks, y -> y = x)) = 1))::BIGINT AS n_hapax,
-        |  (CASE WHEN len(toks) = 0 THEN 0
-        |        ELSE (len(list_distinct(toks)) * 1000000) // len(toks)
-        |   END)::BIGINT AS ttr_e6
-        |FROM t""".stripMargin,
-
-    // The round-trip is lossless iff the reread JSONL hashes equal to
-    // the parquet original — the oracle IS the original table.
-    "src_jsonl_roundtrip" ->
-      "SELECT doc_id, text, lang, source, n_chars FROM documents",
-
-    // CSV round-trip must also be lossless against the parquet original.
-    "src_csv_roundtrip" ->
-      "SELECT doc_id, text, lang, source, n_chars FROM documents",
-
-    // Round-robin replay: per-source md5 rank (the bucket decomposition
-    // is an implementation detail — offset + in-bucket rank ≡ the
-    // whole-source window), alphabetical source index, pos = rk·S+idx.
-    "split_interleave" ->
-      """WITH r AS (
-        |  SELECT doc_id, source,
-        |    row_number() OVER (PARTITION BY source
-        |      ORDER BY md5(doc_id::VARCHAR), doc_id) - 1 AS rk
-        |  FROM documents),
-        |s AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS sidx
-        |      FROM (SELECT DISTINCT source FROM documents)),
-        |n AS (SELECT count(*)::BIGINT AS ns FROM s)
-        |SELECT r.doc_id, r.source,
-        |       (r.rk * ns + s.sidx)::BIGINT AS train_pos
-        |FROM r JOIN s USING (source), n""".stripMargin,
-
-    // text_lm_score's trigram CTEs + integer mean score; cutoffs read
-    // at exact ranks via row_number (any rank inside a tie run reads
-    // the same value), tier = count of cutoffs strictly below.
-    "split_curriculum" ->
-      """WITH base AS (
-        |  SELECT doc_id, lower(text) AS t FROM documents
-        |  WHERE length(text) >= 3),
-        |p AS (
-        |  SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS i
-        |  FROM base),
-        |g AS (SELECT doc_id, substr(t, i::INT, 3) AS g FROM p),
-        |c AS (SELECT g, count(*) AS cnt FROM g GROUP BY g),
-        |sc AS (SELECT doc_id,
-        |         sum(floor(ln(cnt) * 1000)::BIGINT)::BIGINT // count(*) AS score_e3
-        |       FROM g JOIN c USING (g) GROUP BY doc_id),
-        |o AS (SELECT score_e3, row_number() OVER (ORDER BY score_e3) - 1 AS rk FROM sc),
-        |nn AS (SELECT count(*) AS n FROM sc),
-        |cut AS (SELECT
-        |  (SELECT score_e3 FROM o, nn WHERE rk = (1 * (n - 1)) // 4) AS c1,
-        |  (SELECT score_e3 FROM o, nn WHERE rk = (2 * (n - 1)) // 4) AS c2,
-        |  (SELECT score_e3 FROM o, nn WHERE rk = (3 * (n - 1)) // 4) AS c3)
-        |SELECT sc.doc_id, sc.score_e3,
-        |  (CASE WHEN sc.score_e3 > cut.c1 THEN 1 ELSE 0 END +
-        |   CASE WHEN sc.score_e3 > cut.c2 THEN 1 ELSE 0 END +
-        |   CASE WHEN sc.score_e3 > cut.c3 THEN 1 ELSE 0 END)::BIGINT AS tier
-        |FROM sc, cut""".stripMargin,
-
-    "text_vocab" ->
-      """SELECT tok AS token, count(*) AS freq
-        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-        |GROUP BY tok
-        |ORDER BY freq DESC, token
-        |LIMIT 100""".stripMargin,
-
-    // Bigram/unigram counts + the same HUGEINT lift; ORDER BY
-    // (lift DESC, "w1 w2" ASC) LIMIT 20 replays the bounded top-k and
-    // its string tie-break.
-    "text_collocations" ->
-      """WITH t AS (SELECT string_split(text, ' ') AS y FROM documents),
-        |bg AS (
-        |  SELECT y[i] AS w1, y[i+1] AS w2, count(*)::BIGINT AS c_ab FROM (
-        |    SELECT y, unnest(generate_series(1, len(y) - 1)) AS i FROM t)
-        |  GROUP BY 1, 2),
-        |ug AS (SELECT w, count(*)::BIGINT AS c FROM (
-        |    SELECT unnest(y) AS w FROM t) GROUP BY w),
-        |tot AS (SELECT sum(c)::BIGINT AS t FROM ug)
-        |SELECT bg.w1, bg.w2, bg.c_ab,
-        |  ((bg.c_ab::HUGEINT * t * 1000000) // (a.c::HUGEINT * b.c))::BIGINT AS lift
-        |FROM bg JOIN ug a ON a.w = bg.w1 JOIN ug b ON b.w = bg.w2, tot
-        |WHERE bg.c_ab >= 10
-        |ORDER BY lift DESC, bg.w1 || ' ' || bg.w2
-        |LIMIT 20""".stripMargin,
-
-    // Exact HUGEINT lift replay with the same truncating integral divide
-    // and the same (lift DESC, token ASC) bounded top-5 per source.
-    "text_group_keywords" ->
-      """WITH toks AS (
-        |  SELECT source AS g, unnest(string_split(text, ' ')) AS token
-        |  FROM documents),
-        |pg AS (SELECT g, token, count(*)::BIGINT AS tf_g FROM toks GROUP BY g, token),
-        |gl AS (SELECT token, count(*)::BIGINT AS tf FROM toks GROUP BY token),
-        |gt AS (SELECT g, sum(tf_g)::BIGINT AS tg FROM pg GROUP BY g),
-        |tot AS (SELECT sum(tf)::BIGINT AS t FROM gl),
-        |lifted AS (
-        |  SELECT pg.g, pg.token, pg.tf_g,
-        |    ((pg.tf_g::HUGEINT * t * 1000000) // (gl.tf::HUGEINT * gt.tg))::BIGINT AS lift
-        |  FROM pg JOIN gl USING (token) JOIN gt USING (g), tot
-        |  WHERE pg.tf_g >= 5)
-        |SELECT g AS source,
-        |  row_number() OVER (PARTITION BY g ORDER BY lift DESC, token) AS rank,
-        |  token, lift, tf_g
-        |FROM lifted
-        |QUALIFY rank <= 5""".stripMargin,
-
-    // Same tokenization; tf per (doc, term), df over the tf pairs, doc
-    // count N; score = (tf·N·1e6) // df in HUGEINT → BIGINT; per-doc
-    // top-3 with (score DESC, term ASC) ties replays the bounded heap.
-    "text_tfidf" ->
-      """WITH toks AS (
-        |  SELECT doc_id, tok AS term FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |    FROM documents)
-        |  WHERE tok <> ''),
-        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
-        |       FROM toks GROUP BY doc_id, term),
-        |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
-        |n AS (SELECT count(*)::BIGINT AS n FROM documents),
-        |scored AS (
-        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-        |    ((tf.tf::HUGEINT * n * 1000000) // dfreq.df)::BIGINT AS tfidf_e6
-        |  FROM tf JOIN dfreq USING (term), n)
-        |SELECT doc_id,
-        |  row_number() OVER (PARTITION BY doc_id
-        |                     ORDER BY tfidf_e6 DESC, term) AS rank,
-        |  term, tfidf_e6, tf, df
-        |FROM scored
-        |QUALIFY rank <= 3""".stripMargin,
-
-    // Same top-100, then rank + cumulative share over the tiny table;
-    // total token count divides once at the end.
-    "text_vocab_coverage" ->
-      """WITH tok AS (
-        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
-        |v AS (
-        |  SELECT tok AS token, count(*) AS freq FROM tok
-        |  GROUP BY tok ORDER BY freq DESC, token LIMIT 100),
-        |tot AS (SELECT count(*) AS total FROM tok)
-        |SELECT row_number() OVER (ORDER BY freq DESC, token) AS rank,
-        |  token, freq,
-        |  round(sum(freq) OVER (ORDER BY freq DESC, token
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / total::DOUBLE,
-        |    6) AS coverage
-        |FROM v, tot""".stripMargin,
-
-    "text_chunks" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |c AS (SELECT doc_id, toks,
-        |  greatest(ceil((len(toks) - 5) * 1.0 / 25)::INT, 1) AS n_chunks FROM t),
-        |u AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS i FROM c)
-        |SELECT doc_id, i AS chunk_idx,
-        |  array_to_string(toks[i * 25 + 1 : i * 25 + 30], ' ') AS chunk
-        |FROM u""".stripMargin,
-
-    // NFC (both engines implement Unicode canonical composition) + the
-    // same control-strip regex; chr() rebuilds the planted combining
-    // marks (769 = U+0301, 807 = U+0327, 772 = U+0304) and controls.
-    "text_normalize" ->
-      """WITH d AS (
-        |  SELECT doc_id, text || CASE WHEN doc_id % 5 = 0
-        |    THEN ' cafe' || chr(769) || ' fac' || chr(807) || 'ade ' ||
-        |         chr(7) || 'x' || chr(31) || ' ko' || chr(772) || 'an'
-        |    ELSE '' END AS text
-        |  FROM documents)
-        |SELECT doc_id,
-        |  regexp_replace(nfc_normalize(text),
-        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS clean,
-        |  length(regexp_replace(nfc_normalize(text),
-        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS n_chars_clean
-        |FROM d""".stripMargin,
-
-    // Exact replay of urlHost/registeredDomain — same RE2-safe patterns.
-    "text_url_domains" ->
-      """WITH u AS (
-        |  SELECT 'https://user:pw@www.CDN' || (doc_id % 20)::VARCHAR || '.' ||
-        |         source || '.org:8080/p/' || doc_id::VARCHAR || '?ref=x#frag' AS url
-        |  FROM documents),
-        |h AS (
-        |  SELECT regexp_replace(
-        |    lower(regexp_extract(url,
-        |      '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/:?#]+)', 1)),
-        |    '^www\.', '') AS host
-        |  FROM u),
-        |d AS (SELECT host, regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain FROM h)
-        |SELECT domain, count(*) AS n_docs, count(DISTINCT host) AS n_hosts
-        |FROM d GROUP BY 1""".stripMargin,
-
-    // Exact replay of the stripHtml chain — patterns are RE2-safe by
-    // construction (no backreferences, no \s), entities decode in the
-    // same order with &amp; last.
-    "text_strip_html" ->
-      ("""WITH d AS (
-        |  SELECT doc_id,
-        |    '<html><head><script type="text/javascript">var x = 1 < 2;' ||
-        |    '</script><style>p { color: red; }</style></head><body><p>' ||
-        |    text ||
-        |    '</p><!-- footer --><div>&amp;lt; &nbsp;done&#39;</div></body></html>' AS html
-        |  FROM documents)
-        |SELECT doc_id, trim(regexp_replace(
-        |  replace(replace(replace(replace(replace(replace(
-        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
-        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-        |      '(?s)<!--.*?-->', ' ', 'g'),
-        |      '<[^>]+>', ' ', 'g'),
-        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-        |    '&quot;', '"'), '&#39;', CHR(39)), '&amp;', '&'),
-        |  '[ """ + "\\t\\n\\r\\f" + """]+', ' ', 'g')) AS clean
-        |FROM d""").stripMargin,
-
-    "text_redact_pii" ->
-      """WITH d AS (
-        |  SELECT doc_id, text || CASE WHEN doc_id % 7 = 0
-        |    THEN ' contact bob@example.com or 10.1.2.3 or +1 555-867-5309 now'
-        |    ELSE '' END AS text
-        |  FROM documents)
-        |SELECT doc_id,
-        |  regexp_replace(
-        |    regexp_replace(
-        |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-        |    '\+?\d[\d\-. ]{7,}\d', '<PHONE>', 'g') AS clean
-        |FROM d""".stripMargin,
-
-    "text_repetition" ->
-      """WITH d AS (
-        |  SELECT doc_id, text || CASE WHEN doc_id % 7 = 0
-        |    THEN e'\nboiler plate\nboiler plate' ELSE '' END AS text
-        |  FROM documents),
-        |l AS (SELECT doc_id, string_split(text, e'\n') AS ls FROM d)
-        |SELECT doc_id,
-        |  round((len(ls) - len(list_distinct(ls))) * 1.0 / greatest(len(ls), 1), 4) AS dup_line_frac,
-        |  round((list_sum(list_transform(ls, x -> length(x))) -
-        |         list_sum(list_transform(list_distinct(ls), x -> length(x)))) * 1.0 /
-        |        greatest(list_sum(list_transform(ls, x -> length(x))), 1), 4) AS dup_char_frac
-        |FROM l""".stripMargin,
-
-    "text_quality" ->
-      s"""SELECT doc_id,
-         |  length(text)::BIGINT AS n_chars_q,
-         |  len(string_split(text, ' '))::BIGINT AS n_tokens,
-         |  round(len(list_filter(string_split(lower(text), ' '),
-         |    x -> x IN ($StopwordsSqlList))) * 1.0
-         |    / len(string_split(text, ' ')), 4) AS stopword_ratio,
-         |  round((length(text) - length(replace(text, ' ', ''))) * 1.0
-         |    / length(text), 4) AS space_ratio
-         |FROM documents""".stripMargin,
-
-    // Gopher rules: counters and verdicts mirror the Spark kernels
-    // exactly — integer cross-multiplication everywhere, `[ \t]` not
-    // `\s` (Java/RE2 parity), replace() for non-overlapping occurrence
-    // counts. Line rules (bullet/ellipsis) participate in pass_gopher.
-    "text_gopher_rules" ->
-      """WITH g AS (
-        |  SELECT doc_id,
-        |    len(string_split(text, ' '))::BIGINT AS n_words,
-        |    length(replace(text, ' ', ''))::BIGINT AS sum_word_chars,
-        |    ((length(text) - length(replace(text, '#', '')))
-        |     + (length(text) - length(replace(text, '...', ''))) // 3
-        |     + (length(text) - length(replace(text, '…', ''))))::BIGINT AS n_symbols,
-        |    len(string_split(text, chr(10)))::BIGINT AS n_lines,
-        |    len(list_filter(string_split(text, chr(10)),
-        |      l -> regexp_matches(l, '^[ \t]*[-*•]')))::BIGINT AS n_bullet_lines,
-        |    len(list_filter(string_split(text, chr(10)),
-        |      l -> regexp_matches(l, '(\.\.\.|…)[ \t]*$')))::BIGINT AS n_ellipsis_lines,
-        |    len(list_filter(string_split(text, ' '),
-        |      w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS n_alpha_words,
-        |    (list_contains(string_split(lower(text), ' '), 'the')::INT
-        |     + list_contains(string_split(lower(text), ' '), 'be')::INT
-        |     + list_contains(string_split(lower(text), ' '), 'to')::INT
-        |     + list_contains(string_split(lower(text), ' '), 'of')::INT
-        |     + list_contains(string_split(lower(text), ' '), 'and')::INT
-        |     + list_contains(string_split(lower(text), ' '), 'that')::INT
-        |     + list_contains(string_split(lower(text), ' '), 'have')::INT
-        |     + list_contains(string_split(lower(text), ' '), 'with')::INT
-        |    )::BIGINT AS n_stopword_hits
-        |  FROM documents)
-        |SELECT doc_id, n_words, sum_word_chars, n_symbols, n_alpha_words,
-        |  n_stopword_hits,
-        |  (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
-        |  (sum_word_chars >= 3 * n_words AND sum_word_chars <= 10 * n_words)
-        |    AS pass_mean_word_len,
-        |  (10 * n_symbols <= n_words) AS pass_symbol_ratio,
-        |  (10 * n_alpha_words >= 8 * n_words) AS pass_alpha,
-        |  (n_stopword_hits >= 2) AS pass_stopwords,
-        |  (n_words >= 50 AND n_words <= 100000
-        |   AND sum_word_chars >= 3 * n_words AND sum_word_chars <= 10 * n_words
-        |   AND 10 * n_symbols <= n_words
-        |   AND 10 * n_bullet_lines <= n_lines
-        |   AND 10 * n_ellipsis_lines <= 3 * n_lines
-        |   AND 10 * n_alpha_words >= 8 * n_words
-        |   AND n_stopword_hits >= 2) AS pass_gopher
-        |FROM g""".stripMargin,
-
-    // Corpus datasheet: the gopher per-doc counters (same expressions as
-    // text_gopher_rules) aggregated per (source, lang) slice.
-    "text_datasheet" ->
-      """WITH g AS (
-        |  SELECT source, lang,
-        |    len(string_split(text, ' '))::BIGINT AS n_words,
-        |    length(text)::BIGINT AS n_chars,
-        |    length(replace(text, ' ', ''))::BIGINT AS sum_word_chars,
-        |    ((length(text) - length(replace(text, '#', '')))
-        |     + (length(text) - length(replace(text, '...', ''))) // 3
-        |     + (length(text) - length(replace(text, '…', ''))))::BIGINT AS n_symbols,
-        |    len(string_split(text, chr(10)))::BIGINT AS n_lines,
-        |    len(list_filter(string_split(text, chr(10)),
-        |      l -> regexp_matches(l, '^[ \t]*[-*•]')))::BIGINT AS n_bullet_lines,
-        |    len(list_filter(string_split(text, chr(10)),
-        |      l -> regexp_matches(l, '(\.\.\.|…)[ \t]*$')))::BIGINT AS n_ellipsis_lines,
-        |    len(list_filter(string_split(text, ' '),
-        |      w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS n_alpha_words,
-        |    (list_contains(string_split(lower(text), ' '), 'the')::INT
-        |     + list_contains(string_split(lower(text), ' '), 'be')::INT
-        |     + list_contains(string_split(lower(text), ' '), 'to')::INT
-        |     + list_contains(string_split(lower(text), ' '), 'of')::INT
-        |     + list_contains(string_split(lower(text), ' '), 'and')::INT
-        |     + list_contains(string_split(lower(text), ' '), 'that')::INT
-        |     + list_contains(string_split(lower(text), ' '), 'have')::INT
-        |     + list_contains(string_split(lower(text), ' '), 'with')::INT
-        |    )::BIGINT AS n_stopword_hits
-        |  FROM documents)
-        |SELECT source, lang,
-        |  count(*)::BIGINT AS n_docs,
-        |  sum(n_words)::BIGINT AS total_words,
-        |  sum(n_chars)::BIGINT AS total_chars,
-        |  sum(n_alpha_words)::BIGINT AS total_alpha_words,
-        |  sum(CASE WHEN n_words >= 50 AND n_words <= 100000
-        |        AND sum_word_chars >= 3 * n_words
-        |        AND sum_word_chars <= 10 * n_words
-        |        AND 10 * n_symbols <= n_words
-        |        AND 10 * n_bullet_lines <= n_lines
-        |        AND 10 * n_ellipsis_lines <= 3 * n_lines
-        |        AND 10 * n_alpha_words >= 8 * n_words
-        |        AND n_stopword_hits >= 2 THEN 1 ELSE 0 END)::BIGINT
-        |    AS n_pass_gopher
-        |FROM g GROUP BY source, lang""".stripMargin,
-
-    // Top n-gram repetition: same gram construction (1-based slices
-    // joined by one space), same tie-break (count desc, gram asc —
-    // binary collation both engines), same integer verdicts; LEFT JOIN
-    // from the doc×n universe reinstates rows for docs shorter than n.
-    "text_top_ngram" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tk,
-        |         length(text)::BIGINT AS total_chars
-        |  FROM documents),
-        |nn AS (SELECT unnest([2, 3, 4]) AS n),
-        |g AS (
-        |  SELECT t.doc_id, nn.n, t.total_chars,
-        |    unnest(list_transform(range(1, len(tk) - nn.n + 2),
-        |      i -> array_to_string(tk[i:i+nn.n-1], ' '))) AS gram
-        |  FROM toks t, nn),
-        |c AS (SELECT doc_id, n, gram, count(*)::BIGINT AS cnt,
-        |        any_value(total_chars) AS total_chars
-        |      FROM g GROUP BY doc_id, n, gram),
-        |r AS (SELECT doc_id, n, gram, cnt, total_chars,
-        |        row_number() OVER (PARTITION BY doc_id, n
-        |                           ORDER BY cnt DESC, gram ASC) AS rn
-        |      FROM c),
-        |u AS (SELECT t.doc_id, nn.n, t.total_chars FROM toks t, nn)
-        |SELECT u.doc_id, u.n, r.gram AS top_gram,
-        |  coalesce(r.cnt, 0)::BIGINT AS top_count,
-        |  coalesce(r.cnt * length(r.gram), 0)::BIGINT AS gram_chars,
-        |  u.total_chars,
-        |  (100 * coalesce(r.cnt * length(r.gram), 0)
-        |     <= (CASE u.n WHEN 2 THEN 20 WHEN 3 THEN 18 ELSE 16 END)
-        |        * u.total_chars) AS pass_top_ngram
-        |FROM u LEFT JOIN (SELECT * FROM r WHERE rn = 1) r
-        |  ON r.doc_id = u.doc_id AND r.n = u.n""".stripMargin,
-
-    // Duplicate-n-gram coverage: 1-based list indexing mirrors Spark's
-    // 0-based posexplode internally; only counters surface. range() is
-    // end-exclusive, tk[i:i+4] is the 5-token inclusive slice.
-    "text_dup_ngrams" ->
-      """WITH d AS (SELECT doc_id, text || CASE WHEN doc_id % 4 = 0
-        |             THEN ' p1 p2 p3 p4 p5 z p1 p2 p3 p4 p5' ELSE '' END AS text
-        |           FROM documents),
-        |t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM d),
-        |p AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)+1),
-        |        i -> {'i': i, 'tok': tk[i]})) AS e FROM t),
-        |pos AS (SELECT doc_id, e.i AS i, e.tok AS tok FROM p),
-        |g0 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-5+2),
-        |        i -> {'gi': i, 'gram': array_to_string(tk[i:i+4], ' ')})) AS e
-        |       FROM t),
-        |g AS (SELECT doc_id, e.gi AS gi, e.gram AS gram FROM g0),
-        |dup AS (SELECT doc_id, gram FROM g GROUP BY doc_id, gram
-        |        HAVING count(*) >= 2),
-        |cov0 AS (SELECT g.doc_id, unnest(range(g.gi, g.gi + 5)) AS j
-        |         FROM g JOIN dup USING (doc_id, gram)),
-        |cov AS (SELECT DISTINCT doc_id, j FROM cov0),
-        |ts AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
-        |         sum(length(tok))::BIGINT AS token_chars
-        |       FROM pos GROUP BY doc_id),
-        |cs AS (SELECT p.doc_id, count(*)::BIGINT AS covered_tokens,
-        |         sum(length(p.tok))::BIGINT AS covered_chars
-        |       FROM pos p JOIN cov c ON c.doc_id = p.doc_id AND c.j = p.i
-        |       GROUP BY p.doc_id)
-        |SELECT ts.doc_id, 5 AS n, ts.n_tokens,
-        |  coalesce(cs.covered_tokens, 0)::BIGINT AS covered_tokens,
-        |  coalesce(cs.covered_chars, 0)::BIGINT AS covered_chars,
-        |  ts.token_chars,
-        |  (100 * coalesce(cs.covered_chars, 0) <= 15 * ts.token_chars)
-        |    AS pass_dup_ngram
-        |FROM ts LEFT JOIN cs ON cs.doc_id = ts.doc_id""".stripMargin,
-
-    // C4 rules: the punctuation-injection transform is replayed with the
-    // same literal replaces; list lambdas mirror the Spark filters and
-    // sentence counting is the same length-delta occurrence trick.
-    "text_c4_rules" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    replace(replace(text, ' value ', '. '), ' line ', '?' || chr(10))
-        |    || CASE WHEN doc_id % 31 = 0
-        |         THEN chr(10) || 'lorem ipsum dolor' ELSE '' END
-        |    || CASE WHEN doc_id % 37 = 0
-        |         THEN chr(10) || 'function() { }' ELSE '' END AS text
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, text,
-        |    len(string_split(text, chr(10)))::BIGINT AS n_lines,
-        |    list_filter(string_split(text, chr(10)), l ->
-        |      regexp_matches(l, '[.!?]["”'']?[ \t]*$')
-        |      AND len(list_filter(string_split(l, ' '), w -> w != '')) >= 3
-        |      AND NOT contains(lower(l), 'javascript')) AS kept
-        |  FROM d),
-        |k AS (
-        |  SELECT doc_id, text, n_lines,
-        |    len(kept)::BIGINT AS n_kept_lines,
-        |    -- array_to_string([]) is NULL in DuckDB, '' in Spark's concat_ws
-        |    coalesce(array_to_string(kept, chr(10)), '') AS kt
-        |  FROM g)
-        |SELECT doc_id, n_lines, n_kept_lines,
-        |  length(kt)::BIGINT AS kept_chars,
-        |  ((length(kt) - length(replace(kt, '.', '')))
-        |   + (length(kt) - length(replace(kt, '!', '')))
-        |   + (length(kt) - length(replace(kt, '?', ''))))::BIGINT AS n_sentences,
-        |  contains(lower(text), 'lorem ipsum') AS has_lorem,
-        |  contains(text, '{') AS has_brace,
-        |  (((length(kt) - length(replace(kt, '.', '')))
-        |    + (length(kt) - length(replace(kt, '!', '')))
-        |    + (length(kt) - length(replace(kt, '?', '')))) >= 5
-        |   AND NOT contains(lower(text), 'lorem ipsum')
-        |   AND NOT contains(text, '{')) AS pass_c4
-        |FROM k""".stripMargin,
-
-    "text_fingerprint" ->
-      "SELECT doc_id, md5(text) AS fp FROM documents",
-
-    // Same double-modulus Horner chain over 60-bit md5-derived token
-    // hashes the Spark side computes — exact integer arithmetic in both
-    // engines, order-sensitive by construction.
-    "text_rolling_fp" ->
-      """WITH h AS (
-        |  SELECT doc_id, list_transform(string_split(text, ' '),
-        |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
-        |  FROM documents)
-        |SELECT doc_id,
-        |  list_reduce(list_prepend(0::BIGINT, list_transform(hs, x -> x % 1000000007)),
-        |    (a, x) -> (a * 31 + x) % 1000000007) * 998244353
-        |  + list_reduce(list_prepend(0::BIGINT, list_transform(hs, x -> x % 998244353)),
-        |    (a, x) -> (a * 131 + x) % 998244353) AS rfp
-        |FROM h""".stripMargin,
-
-    // Same trigram statistics computed relationally: lateral
-    // generate_series explodes positions, counts join back, and the
-    // floor(ln·1000) milli-nat quantization makes the sum integer-exact
-    // in both engines.
-    "text_lm_score" ->
-      """WITH base AS (
-        |  SELECT doc_id, lower(text) AS t FROM documents
-        |  WHERE length(text) >= 3),
-        |p AS (
-        |  SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS i
-        |  FROM base),
-        |g AS (SELECT doc_id, substr(t, i::INT, 3) AS g FROM p),
-        |c AS (SELECT g, count(*) AS cnt FROM g GROUP BY g)
-        |SELECT doc_id,
-        |  sum(floor(ln(cnt) * 1000)::BIGINT)::BIGINT AS sum_millinats,
-        |  sum(CASE WHEN cnt < 5 THEN 1 ELSE 0 END)::BIGINT AS n_rare,
-        |  count(*) AS n_grams
-        |FROM g JOIN c USING (g)
-        |GROUP BY doc_id""".stripMargin,
-
-    // Same trigram replay split train/eval at doc_id % 5; unseen grams
-    // coalesce to count 1 (0 milli-nats) and count as OOV.
-    "text_lm_cross" ->
-      """WITH tr AS (
-        |  SELECT lower(text) AS t FROM documents
-        |  WHERE doc_id % 5 <> 0 AND length(text) >= 3),
-        |trp AS (
-        |  SELECT t, unnest(generate_series(1, length(t) - 2)) AS i FROM tr),
-        |c AS (SELECT substr(t, i::INT, 3) AS g, count(*) AS cnt
-        |      FROM trp GROUP BY g),
-        |ev AS (
-        |  SELECT doc_id, lower(text) AS t FROM documents
-        |  WHERE doc_id % 5 = 0 AND length(text) >= 3),
-        |evp AS (
-        |  SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS i
-        |  FROM ev),
-        |eg AS (SELECT doc_id, substr(t, i::INT, 3) AS g FROM evp)
-        |SELECT eg.doc_id, count(*)::BIGINT AS n_grams,
-        |  sum(floor(ln(coalesce(c.cnt, 1)) * 1000)::BIGINT)::BIGINT AS sum_millinats,
-        |  sum(CASE WHEN c.cnt IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
-        |  ((sum(CASE WHEN c.cnt IS NULL THEN 1 ELSE 0 END)::HUGEINT * 1000000)
-        |    // count(*))::BIGINT AS oov_e6
-        |FROM eg LEFT JOIN c USING (g)
-        |GROUP BY eg.doc_id""".stripMargin,
-
-    "agg_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  sum(round(l_quantity * 100)::BIGINT) / 100.0 AS sum_qty,
-        |  sum(round(l_extendedprice * 100)::BIGINT) / 100.0 AS sum_base,
-        |  sum(round(l_extendedprice * 100)::BIGINT *
-        |      (100 - round(l_discount * 100)::BIGINT)) / 10000.0 AS sum_disc,
-        |  count(*) AS n
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
-
-    "join_salted" ->
-      """SELECT o_orderpriority, count(*) AS n,
-        |  sum(round(l_quantity * 100)::BIGINT) / 100.0 AS sum_qty
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1""".stripMargin,
-
-    "agg_rollup" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
-        |  coalesce(l_linestatus, 'ALL') AS ls,
-        |  count(*) AS n,
-        |  sum(round(l_quantity * 100)::BIGINT) / 100.0 AS sum_qty
-        |FROM lineitem
-        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
-
-    "profile_stats" ->
-      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
-        s"""SELECT '$c' AS "column", count(*) AS n,
-           |  count(*) - count($c) AS n_null,
-           |  count(DISTINCT $c) AS n_distinct,
-           |  min($c)::DOUBLE AS mn, max($c)::DOUBLE AS mx
-           |FROM lineitem""".stripMargin
-      }.mkString("\nUNION ALL\n"),
-
-    "events_retention" ->
-      """WITH active AS (
-        |  SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS p
-        |  FROM events),
-        |f AS (SELECT user_id, min(p) AS p0 FROM active GROUP BY user_id)
-        |SELECT p0 AS cohort, datediff('day', p0, p) AS day_offset,
-        |  count(*) AS n_users
-        |FROM active JOIN f USING (user_id)
-        |GROUP BY 1, 2""".stripMargin,
-
-    "join_top_customers" ->
-      """SELECT c_custkey, c_name,
-        |  sum(round(l_extendedprice * 100)::BIGINT *
-        |      (100 - round(l_discount * 100)::BIGINT)) / 10000.0 AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_custkey, c_name
-        |ORDER BY revenue DESC, c_custkey
-        |LIMIT 10""".stripMargin,
-
-    // Exact regime ⇒ per-hour exact top-5 with the sketch's string
-    // tie-break; epoch-aligned tumbling hour = date_trunc.
-    "streaming_heavy_hitters" ->
-      """SELECT date_trunc('hour', ts) AS window_start,
-        |  row_number() OVER (PARTITION BY date_trunc('hour', ts)
-        |    ORDER BY count(*) DESC, user_id::VARCHAR) AS rank,
-        |  user_id::VARCHAR AS value, count(*) AS est_count
-        |FROM events
-        |WHERE user_id IS NOT NULL
-        |GROUP BY 1, user_id
-        |QUALIFY rank <= 5""".stripMargin,
-
-    // Same md5 4-hex remainder rule ('8000' = rateHex(0.5)); copies
-    // replay as generate_series.
-    "split_epochs" ->
-      """SELECT doc_id, source,
-        |  unnest(generate_series(0, copies - 1))::BIGINT AS epoch
-        |FROM (
-        |  SELECT doc_id, source,
-        |    CASE source
-        |      WHEN 'src0' THEN 2 + (CASE WHEN substr(md5(doc_id::VARCHAR), 1, 4)
-        |                                 < '8000' THEN 1 ELSE 0 END)
-        |      WHEN 'src1' THEN 0
-        |      WHEN 'src2' THEN (CASE WHEN substr(md5(doc_id::VARCHAR), 1, 4)
-        |                             < '8000' THEN 1 ELSE 0 END)
-        |      ELSE 1 END AS copies
-        |  FROM documents)
-        |WHERE copies > 0""".stripMargin,
-
-    // Rank replay: cutoff ts at row_number rank (n-1)*4//5; ties on
-    // the cutoff value land train-side in both engines.
-    "split_time_holdout" ->
-      """WITH o AS (
-        |  SELECT ts, row_number() OVER (ORDER BY ts) - 1 AS rk
-        |  FROM events WHERE ts IS NOT NULL),
-        |n AS (SELECT count(*) AS n FROM o),
-        |cut AS (SELECT ts AS c FROM o, n WHERE rk = ((n - 1) * 4) // 5)
-        |SELECT event_id,
-        |  CASE WHEN ts IS NULL THEN NULL
-        |       WHEN ts <= (SELECT c FROM cut) THEN 'train'
-        |       ELSE 'test' END AS split
-        |FROM events""".stripMargin,
-
-    // Same lag-over-(user, ts, id) replay; counts are type²-bounded.
-    "events_transitions" ->
-      """WITH m AS (
-        |  SELECT user_id, event_type,
-        |    lag(event_type) OVER (PARTITION BY user_id
-        |                          ORDER BY ts, event_id) AS prev
-        |  FROM events)
-        |SELECT prev AS from_type, event_type AS to_type, count(*) AS n
-        |FROM m WHERE prev IS NOT NULL
-        |GROUP BY 1, 2""".stripMargin,
-
-    "events_json_props" ->
-      """SELECT event_type, count(*) AS n,
-        |  sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
-        |  min(json_extract(props, '$.k')::BIGINT) AS min_k,
-        |  max(json_extract(props, '$.k')::BIGINT) AS max_k
-        |FROM events
-        |WHERE json_extract(props, '$.k') IS NOT NULL
-        |GROUP BY event_type""".stripMargin,
-
-    "events_window_distinct" ->
-      """SELECT date_trunc('hour', ts) AS w,
-        |  count(DISTINCT user_id) AS n_distinct,
-        |  count(*) AS n_events
-        |FROM events
-        |WHERE user_id IS NOT NULL
-        |GROUP BY 1""".stripMargin,
-
-    "events_window_agg" ->
-      """SELECT date_trunc('minute', ts) AS w, event_type,
-        |  count(*) AS n,
-        |  sum(round(value * 100)::BIGINT) / 100.0 AS sum_value
-        |FROM events
-        |GROUP BY 1, 2""".stripMargin,
-
-    // A 2-min/1-min hop assigns each event to its truncated minute and
-    // the minute before — epoch alignment matches Spark's window().
-    "events_sliding_agg" ->
-      """WITH w AS (
-        |  SELECT unnest([date_trunc('minute', ts),
-        |                 date_trunc('minute', ts) - INTERVAL 1 MINUTE]) AS w_start,
-        |    event_type, value
-        |  FROM events)
-        |SELECT w_start, event_type, count(*) AS n,
-        |  sum(round(value * 100)::BIGINT) / 100.0 AS sum_value
-        |FROM w GROUP BY 1, 2""".stripMargin,
-
-    "events_per_user" ->
-      """SELECT user_id, count(*) AS n_events,
-        |  count(DISTINCT event_type) AS n_types,
-        |  sum(round(value * 100)::BIGINT) / 100.0 AS sum_value
-        |FROM events
-        |GROUP BY user_id""".stripMargin,
-
-    "events_enrich" ->
-      """SELECT c_mktsegment, event_type, count(*) AS n,
-        |  sum(round(value * 100)::BIGINT) / 100.0 AS sum_value
-        |FROM events JOIN customer ON user_id = c_custkey
-        |GROUP BY 1, 2""".stripMargin,
-
-    // DuckDB's native ASOF JOIN replays the operator exactly: the events
-    // table has no (user_id, ts) collisions at any SF, so the
-    // greatest-click-at-or-before pick is unique on both engines. The gate
-    // runs the inner variant (null-free output — the driver compare hashes
-    // values); left-join null semantics are pinned in AsofJoinSpec.
-    "join_asof" ->
-      """SELECT p.event_id, p.user_id,
-        |  round(p.value * 100)::BIGINT AS value_cents,
-        |  c.event_id AS click_id, c.ts AS click_ts
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
-
-    // DuckDB's ASOF with the inequality flipped = nearest following row.
-    "join_asof_fwd" ->
-      """SELECT p.event_id, p.user_id,
-        |  round(p.value * 100)::BIGINT AS value_cents,
-        |  c.event_id AS click_id, c.ts AS click_ts
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id AND p.ts <= c.ts""".stripMargin,
-
-    // Same broadcast-candidate set as VALUES; QUALIFY replays the
-    // deterministic (dist, candidate) argmin.
-    "join_fuzzy" ->
-      """WITH r(name) AS (VALUES ('src0'), ('src1'), ('src2'), ('src3'),
-        |  ('src4'), ('src5'), ('src6'), ('src7'), ('src8'), ('src9')),
-        |cand AS (
-        |  SELECT d.doc_id, d.source, r.name,
-        |    levenshtein(d.source, r.name) AS dist
-        |  FROM documents d CROSS JOIN r
-        |  WHERE levenshtein(d.source, r.name) <= 1)
-        |SELECT doc_id, source, name AS match, dist FROM cand
-        |QUALIFY row_number() OVER (PARTITION BY doc_id
-        |  ORDER BY dist, name) = 1""".stripMargin,
-
-    "profile_topvalues" ->
-      """WITH c AS (
-        |  SELECT * FROM (
-        |    SELECT 'lang' AS "column", lang AS value FROM documents
-        |    UNION ALL
-        |    SELECT 'source', source FROM documents)
-        |  WHERE value IS NOT NULL)
-        |SELECT "column", value, count(*) AS n,
-        |  row_number() OVER (PARTITION BY "column"
-        |    ORDER BY count(*) DESC, value ASC) AS rank
-        |FROM c GROUP BY 1, 2
-        |QUALIFY rank <= 5""".stripMargin,
-
-    // In the exact (distinct ≤ capacity) regime MG counters equal true
-    // counts, so the oracle is the exact top-10 with the same string
-    // tie-break the sketch uses.
-    "profile_heavy_hitters" ->
-      """SELECT row_number() OVER (ORDER BY count(*) DESC,
-        |         user_id::VARCHAR ASC) AS rank,
-        |       user_id::VARCHAR AS value, count(*) AS est_count
-        |FROM events
-        |WHERE user_id IS NOT NULL
-        |GROUP BY user_id
-        |ORDER BY rank
-        |LIMIT 10""".stripMargin,
-
-    // Moments replayed as exact HUGEINT sums of scaled integers, then
-    // rendered as VARCHAR. Only the six integer moments are gated — no
-    // double-derived scalar (corr, round, floor·1e6) appears: decimal→
-    // double casts of >2^53 magnitudes round differently across engines.
-    // VARCHAR (not HUGEINT) because the compare layer itself widens
-    // 128-bit integers to float64 where the host type system lacks
-    // int128 — r5's equal-valued decimal(38,0)-vs-HUGEINT row still
-    // hash-failed; strings survive every conversion identically.
-    "profile_corr" ->
-      Seq(("l_quantity", "l_extendedprice"), ("l_extendedprice", "l_discount"))
-        .map { case (x, y) =>
-          s"""SELECT '$x' AS x_col, '$y' AS y_col, count(*) AS n,
-             |  sum(round($x * 100)::BIGINT)::HUGEINT::VARCHAR AS sx,
-             |  sum(round($y * 100)::BIGINT)::HUGEINT::VARCHAR AS sy,
-             |  sum(round($x * 100)::BIGINT::HUGEINT
-             |    * round($y * 100)::BIGINT::HUGEINT)::VARCHAR AS sxy,
-             |  sum(round($x * 100)::BIGINT::HUGEINT
-             |    * round($x * 100)::BIGINT::HUGEINT)::VARCHAR AS sxx,
-             |  sum(round($y * 100)::BIGINT::HUGEINT
-             |    * round($y * 100)::BIGINT::HUGEINT)::VARCHAR AS syy
-             |FROM lineitem""".stripMargin
-        }.mkString("\nUNION ALL\n"),
-
-    "split_weighted" ->
-      """SELECT doc_id, n_chars FROM documents
-        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT
-        |  < round(least(1.0, n_chars::DOUBLE / 1000.0) * 65536)::BIGINT""".stripMargin,
-
-    // Integer floor-division binning replayed exactly; prices are
-    // positive so // and floor agree.
-    "profile_histogram" ->
-      """SELECT round(l_extendedprice * 100)::BIGINT // 500000 AS bin,
-        |  round(l_extendedprice * 100)::BIGINT // 500000 * 500000 / 100.0 AS lo,
-        |  count(*) AS n
-        |FROM lineitem
-        |WHERE l_extendedprice IS NOT NULL
-        |GROUP BY 1""".stripMargin,
-
-    // Equi-depth edges = values at ranks floor(b*(n-1)/10) of the
-    // sorted scaled column (0-based row_number; ties share a value, so
-    // any rank inside a tie run reads the same edge); bucket 0 is
-    // [lo, hi], b>0 is (lo, hi] — empty skew bins count 0.
-    "profile_histogram_eqdepth" ->
-      """WITH s AS (SELECT round(l_extendedprice * 100)::BIGINT AS v
-        |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
-        |nn AS (SELECT count(*) AS n FROM s),
-        |o AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS rk FROM s),
-        |b AS (SELECT unnest(generate_series(0, 9)) AS bucket),
-        |e AS (SELECT b.bucket,
-        |        (SELECT o.v FROM o, nn WHERE o.rk = (b.bucket * (nn.n - 1)) // 10) AS lo,
-        |        (SELECT o.v FROM o, nn WHERE o.rk = ((b.bucket + 1) * (nn.n - 1)) // 10) AS hi
-        |      FROM b)
-        |SELECT e.bucket::BIGINT AS bucket, e.lo, e.hi,
-        |  (SELECT count(*) FROM s
-        |   WHERE (CASE WHEN e.bucket = 0 THEN s.v >= e.lo ELSE s.v > e.lo END)
-        |     AND s.v <= e.hi)::BIGINT AS n
-        |FROM e""".stripMargin,
-
-    "events_pivot" ->
-      """SELECT user_id,
-        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
-        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view,
-        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
-        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
-        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error
-        |FROM events GROUP BY user_id""".stripMargin,
-
-    // Same calendar expansion: per-key span -> generate_series -> left
-    // join fills silent days with explicit zeros.
-    "events_gapfill" ->
-      """WITH d AS (
-        |  SELECT user_id, date_trunc('day', ts)::DATE AS p, count(*) AS n
-        |  FROM events GROUP BY 1, 2),
-        |s AS (SELECT user_id, min(p) AS lo, max(p) AS hi FROM d GROUP BY 1),
-        |cal AS (
-        |  SELECT user_id,
-        |    unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
-        |      INTERVAL 1 DAY))::DATE AS p
-        |  FROM s)
-        |SELECT cal.user_id, cal.p AS period, coalesce(d.n, 0)::BIGINT AS n
-        |FROM cal LEFT JOIN d ON cal.user_id = d.user_id AND cal.p = d.p""".stripMargin,
-
-    // Stage-by-stage conditional-min replay of the first-match funnel.
-    "events_funnel" ->
-      """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
-        |            WHERE event_type = 'signup' GROUP BY 1),
-        |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-        |       JOIN s0 USING (user_id)
-        |       WHERE e.event_type = 'view' AND e.ts > s0.t GROUP BY 1),
-        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-        |       JOIN s1 USING (user_id)
-        |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
-        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-        |       JOIN s2 USING (user_id)
-        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
-        |SELECT 0 AS stage, 'signup' AS step, count(*) AS n_users FROM s0
-        |UNION ALL SELECT 1, 'view', count(*) FROM s1
-        |UNION ALL SELECT 2, 'click', count(*) FROM s2
-        |UNION ALL SELECT 3, 'purchase', count(*) FROM s3""".stripMargin,
-
-    // quantile_cont shares Spark percentile's rank-(n-1)·q linear
-    // interpolation; integer-cents endpoints make it bit-exact.
-    "profile_quantiles" ->
-      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").flatMap { c =>
-        Seq(0.25, 0.5, 0.75).map { q =>
-          s"""SELECT '$c' AS "column", ${q}::DOUBLE AS q,
-             |  quantile_cont(round($c * 100), $q) / 100.0 AS v
-             |FROM lineitem""".stripMargin
-        }
-      }.mkString("\nUNION ALL\n"),
-
-    "join_range" ->
-      """SELECT e.event_id AS err_id, c.event_id AS click_id, e.user_id,
-        |  epoch_us(c.ts) - epoch_us(e.ts) AS delta_us
-        |FROM (SELECT * FROM events WHERE event_type = 'error') e
-        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON e.user_id = c.user_id
-        |  AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 6 HOUR""".stripMargin,
-
-    "join_multiway" ->
-      """SELECT r_name, count(*) AS n_sup
-        |FROM supplier
-        |JOIN nation ON s_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name""".stripMargin,
-
-    // Q14 replay: same scaled-integer revenue, HUGEINT share quotient.
-    "agg_promo_share" ->
-      """SELECT date_trunc('month', l_shipdate)::TIMESTAMP AS month,
-        |  sum(CASE WHEN p_type = 'PROMO'
-        |      THEN round(l_extendedprice * 100)::BIGINT *
-        |           (100 - round(l_discount * 100)::BIGINT)
-        |      ELSE 0 END)::BIGINT AS promo_rev_e4,
-        |  sum(round(l_extendedprice * 100)::BIGINT *
-        |      (100 - round(l_discount * 100)::BIGINT))::BIGINT AS total_rev_e4,
-        |  (sum(CASE WHEN p_type = 'PROMO'
-        |       THEN round(l_extendedprice * 100)::BIGINT *
-        |            (100 - round(l_discount * 100)::BIGINT)
-        |       ELSE 0 END)::HUGEINT * 1000000 //
-        |   sum(round(l_extendedprice * 100)::BIGINT *
-        |       (100 - round(l_discount * 100)::BIGINT)))::BIGINT AS promo_share_e6
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |GROUP BY 1""".stripMargin,
-
-    // TPC-H Q5 replay with the cents-exact revenue convention.
-    "join_q5_shape" ->
-      """SELECT n_name,
-        |  sum(round(l_extendedprice * 100)::BIGINT *
-        |      (100 - round(l_discount * 100)::BIGINT)) / 10000.0 AS revenue,
-        |  count(*) AS n
-        |FROM customer
-        |JOIN orders ON c_custkey = o_custkey
-        |JOIN lineitem ON o_orderkey = l_orderkey
-        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |WHERE r_name = 'ASIA'
-        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-        |GROUP BY n_name""".stripMargin,
-
-    // The partitioned layout changes WHERE rows live, never what they
-    // are — the oracle is the plain logical slice.
-    "q_partition_pruned" ->
-      "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'",
-
-    // The bucketed layout changes WHERE rows live, never what they are —
-    // the oracle is the plain logical join the layout co-locates.
-    "join_bucketed" ->
-      """SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
-        |FROM documents""".stripMargin,
-
-    "window_order_rank" ->
-      """SELECT o_custkey, o_orderkey,
-        |  row_number() OVER (PARTITION BY o_custkey
-        |    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
-        |FROM orders
-        |QUALIFY rnk <= 2""".stripMargin,
-
-    "set_except" ->
-      """SELECT c_custkey AS k FROM customer
-        |EXCEPT
-        |SELECT o_custkey AS k FROM orders""".stripMargin,
-
-    "q_distinct_types" ->
-      "SELECT DISTINCT event_type FROM events",
-
-    "q_vector_norms" ->
-      """SELECT vec_id,
-        |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS nrm,
-        |  abs(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) - 1.0) < 1e-6
-        |    AS is_norm
-        |FROM embeddings""".stripMargin,
-
-    "q_normalize_elem" ->
-      """SELECT vec_id,
-        |  round(embedding[1]::DOUBLE /
-        |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS e0
-        |FROM embeddings""".stripMargin,
-
-    // Rates replayed from the same counts + pow expression; the md5
-    // bucket compare is integer on both sides.
-    "split_temperature" ->
-      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-        |m AS (SELECT min(n) AS nmin FROM c)
-        |SELECT d.doc_id, d.lang
-        |FROM documents d JOIN c USING (lang) CROSS JOIN m
-        |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 4))::BIGINT
-        |      < round(pow(m.nmin::DOUBLE / c.n, 0.5) * 65536)::BIGINT""".stripMargin,
-
-    // Same md5 shard, same whitespace token count, same window cumsum —
-    // integer division (`//`) mirrors Spark's `div`.
-    "text_packing" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 8 AS shard,
-        |    len(string_split(text, ' '))::BIGINT AS n_tokens
-        |  FROM documents),
-        |o AS (
-        |  SELECT doc_id, shard, n_tokens,
-        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
-        |      AS start_offset
-        |  FROM t)
-        |SELECT doc_id, shard, n_tokens, start_offset,
-        |  start_offset // 512 AS pack_first,
-        |  (start_offset + n_tokens - 1) // 512 AS pack_last
-        |FROM o""".stripMargin,
-
-    // Full integer replay of the scaled-long distance numerator
-    // (HUGEINT squares), then one sqrt + divide at the end.
-    "emb_outliers" ->
-      """WITH x AS (
-        |  SELECT vec_id, label,
-        |    unnest(generate_series(0, len(embedding) - 1)) AS pos,
-        |    round(unnest(embedding::DOUBLE[]) * 10000000)::BIGINT AS e7
-        |  FROM embeddings),
-        |s AS (SELECT label, pos, sum(e7)::BIGINT AS sm, count(*) AS n
-        |      FROM x GROUP BY label, pos),
-        |d AS (
-        |  SELECT x.vec_id, x.label,
-        |    sum((x.e7 * s.n - s.sm)::HUGEINT * (x.e7 * s.n - s.sm)::HUGEINT)
-        |      AS num,
-        |    max(s.n) AS n
-        |  FROM x JOIN s USING (label, pos)
-        |  GROUP BY x.vec_id, x.label)
-        |SELECT vec_id, label,
-        |  round(sqrt(num::DOUBLE) / (10000000.0 * n), 4) AS dist
-        |FROM d""".stripMargin,
-
-    // Parallel unnests zip values with 0-based positions; the scaled-long
-    // sum replays the exact integer arithmetic of the Spark aggregate.
-    "emb_centroids" ->
-      """SELECT label, pos,
-        |  sum(round(e * 10000000)::BIGINT) / (10000000 * count(*)) AS c
-        |FROM (
-        |  SELECT label,
-        |    unnest(generate_series(0, len(embedding) - 1)) AS pos,
-        |    unnest(embedding::DOUBLE[]) AS e
-        |  FROM embeddings)
-        |GROUP BY label, pos""".stripMargin,
-
-    // Full replay of 2 Lloyd rounds: integer distances, QUALIFY first-min
-    // assignment (dist, cell) = the Spark first-minimum tie-break, and
-    // truncated-mean updates (DuckDB // truncates toward zero exactly
-    // like the driver's long division). Seeds = vec_ids 0..3.
-    "emb_kmeans" ->
-      """WITH x AS (
-        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS pos,
-        |         round(unnest(embedding::DOUBLE[]) * 10000000)::BIGINT AS e7
-        |  FROM embeddings),
-        |c0 AS (SELECT vec_id::BIGINT AS cell, pos, e7 AS c FROM x WHERE vec_id < 4),
-        |d1 AS (SELECT x.vec_id, c.cell,
-        |         sum((x.e7 - c.c) * (x.e7 - c.c))::BIGINT AS dist
-        |       FROM x JOIN c0 c USING (pos) GROUP BY x.vec_id, c.cell),
-        |a1 AS (SELECT vec_id, cell FROM d1
-        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
-        |c1 AS (SELECT a.cell, x.pos, (sum(x.e7)::BIGINT // count(*)) AS c
-        |       FROM x JOIN a1 a USING (vec_id) GROUP BY a.cell, x.pos),
-        |d2 AS (SELECT x.vec_id, c.cell,
-        |         sum((x.e7 - c.c) * (x.e7 - c.c))::BIGINT AS dist
-        |       FROM x JOIN c1 c USING (pos) GROUP BY x.vec_id, c.cell),
-        |a2 AS (SELECT vec_id, cell FROM d2
-        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
-        |c2 AS (SELECT a.cell, x.pos, (sum(x.e7)::BIGINT // count(*)) AS c
-        |       FROM x JOIN a2 a USING (vec_id) GROUP BY a.cell, x.pos),
-        |d3 AS (SELECT x.vec_id, c.cell,
-        |         sum((x.e7 - c.c) * (x.e7 - c.c))::BIGINT AS dist
-        |       FROM x JOIN c2 c USING (pos) GROUP BY x.vec_id, c.cell),
-        |a3 AS (SELECT vec_id, cell FROM d3
-        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1)
-        |SELECT vec_id, cell FROM a3""".stripMargin,
-
-    // Augmented-Gram replay: index 0 is the constant 1, index p >= 1 is
-    // e7_{p-1}; HUGEINT products and sums, rendered as VARCHAR to match
-    // the Spark side's decimal(38,0)->string (conversion-proof, the
-    // profile_corr convention).
-    "emb_covariance" ->
-      """WITH x AS (
-        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) + 1 AS pos,
-        |         round(unnest(embedding::DOUBLE[]) * 10000000)::BIGINT AS e7
-        |  FROM embeddings),
-        |aug AS (SELECT vec_id, pos, e7 FROM x
-        |        UNION ALL SELECT DISTINCT vec_id, 0 AS pos, 1::BIGINT FROM x)
-        |SELECT a.pos::BIGINT AS i, b.pos::BIGINT AS j,
-        |       sum(a.e7::HUGEINT * b.e7::HUGEINT)::VARCHAR AS s
-        |FROM aug a JOIN aug b ON a.vec_id = b.vec_id AND a.pos <= b.pos
-        |GROUP BY 1, 2""".stripMargin,
-
-    // Sign matrix recomputed in SQL from the shared md5-parity rule;
-    // the projection sum is exact integer arithmetic.
-    "emb_random_projection" ->
-      """WITH x AS (
-        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS pos,
-        |         round(unnest(embedding::DOUBLE[]) * 10000000)::BIGINT AS e7
-        |  FROM embeddings),
-        |s AS (
-        |  SELECT j.j, p.pos,
-        |    CASE WHEN substring(md5(p.pos || '_' || j.j), 1, 1)
-        |         IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS sgn
-        |  FROM (SELECT unnest(generate_series(0, 15)) AS j) j,
-        |       (SELECT unnest(generate_series(0, 63)) AS pos) p)
-        |SELECT x.vec_id, s.j::BIGINT AS j, sum(x.e7 * s.sgn)::BIGINT AS proj
-        |FROM x JOIN s USING (pos)
-        |GROUP BY x.vec_id, s.j""".stripMargin,
-
-    // MaxSim replayed term by term: 8×8 sub-dot products as exact
-    // integer sums, max per query part, sum of maxima, same (score
-    // desc, vec_id) tie-break.
-    "q_maxsim_topk" ->
-      """WITH e AS (
-        |  SELECT vec_id,
-        |    [round(x * 10000000)::BIGINT FOR x IN embedding::DOUBLE[]] AS e7
-        |  FROM embeddings),
-        |q AS (SELECT e7 AS q7 FROM e WHERE vec_id = 0),
-        |g AS (SELECT unnest(generate_series(0, 7)) AS v),
-        |dots AS (
-        |  SELECT e.vec_id, i.v AS i, j.v AS j,
-        |    sum(q.q7[i.v * 8 + w.v + 1] * e.e7[j.v * 8 + w.v + 1])::BIGINT AS dp
-        |  FROM e, q, g i, g j, g w
-        |  GROUP BY e.vec_id, i.v, j.v),
-        |mx AS (SELECT vec_id, i, max(dp) AS m FROM dots GROUP BY vec_id, i),
-        |sc AS (SELECT vec_id, sum(m)::BIGINT AS score FROM mx GROUP BY vec_id)
-        |SELECT vec_id, score FROM sc
-        |ORDER BY score DESC, vec_id
-        |LIMIT 10""".stripMargin,
-
-    "layout_zorder" -> zorderOracleSql,
-
-    "text_bpe_merges" -> bpeOracleSql,
-
-    // Same canonical two-space symbol encoding and replace() semantics as
-    // the training oracle; the three fixed merges replay as chained
-    // replaces; md5(space-joined subwords) is engine-portable.
-    "text_bpe_encode" ->
-      """WITH w AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(lower(text), ' '),
-        |                w -> regexp_matches(w, '^[a-z]+$')) AS ws
-        |  FROM documents),
-        |e AS (
-        |  SELECT doc_id, ws,
-        |    flatten(list_transform(ws, w -> string_split(trim(
-        |      replace(replace(replace(
-        |        ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' ',
-        |        ' t  h ', ' th '),
-        |        ' th  e ', ' the '),
-        |        ' i  n ', ' in ')), '  '))) AS subs
-        |  FROM w)
-        |SELECT doc_id, len(ws)::BIGINT AS n_words,
-        |       len(subs)::BIGINT AS n_subwords,
-        |       md5(array_to_string(subs, ' ')) AS tokens_md5
-        |FROM e""".stripMargin,
-
-    // The expected diff derives from the version-2 construction rule:
-    // %17 rows removed, %10 survivors changed (iff uppercasing actually
-    // alters the text), %50 rows re-added under id+1e6.
-    "snapshot_diff" ->
-      """SELECT doc_id, 'removed' AS change FROM documents WHERE doc_id % 17 = 0
-        |UNION ALL
-        |SELECT doc_id, 'changed' FROM documents
-        |WHERE doc_id % 17 != 0 AND doc_id % 10 = 0 AND upper(text) != text
-        |UNION ALL
-        |SELECT doc_id + 1000000, 'added' FROM documents WHERE doc_id % 50 = 0""".stripMargin,
-
-    // time_bucket shares Spark window()'s epoch alignment; QUALIFY
-    // replays the (n DESC, type ASC) bounded top-3.
-    "events_trending" ->
-      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
-        |  row_number() OVER (PARTITION BY time_bucket(INTERVAL '5 minutes', ts)
-        |    ORDER BY count(*) DESC, event_type) AS rank,
-        |  event_type, count(*) AS n
-        |FROM events
-        |GROUP BY 1, event_type
-        |QUALIFY rank <= 3""".stripMargin,
-
-    // Same cents-integer window sum, same (ts, event_id) frame order,
-    // one division at the end.
-    "events_moving_avg" ->
-      """SELECT user_id, event_id,
-        |  round(sum(round(value * 100)::BIGINT) OVER w / (100.0 *
-        |    count(*) OVER w), 4) AS mavg
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
-
-    // Full integer replay of 3 PageRank rounds: rank mass in 1e9 units,
-    // contrib = rank // outdeg, rank' = 0.15*scale + (85*Σin) // 100.
-    // DuckDB `//` and Spark `DIV` both truncate toward zero, and every
-    // intermediate is cast back to BIGINT (DuckDB sums widen to HUGEINT).
-    "graph_pagerank" ->
-      """WITH p AS (
-        |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
-        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-        |e AS (SELECT a AS src, b AS dst FROM p
-        |      UNION ALL SELECT b, a FROM p),
-        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        |deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
-        |r0 AS (SELECT node, 1000000000::BIGINT AS rank FROM n),
-        |r1 AS (
-        |  SELECT n.node,
-        |    (150000000 + (85 * coalesce(s.s, 0)) // 100)::BIGINT AS rank
-        |  FROM n LEFT JOIN (
-        |    SELECT e.dst AS node, sum(r.rank // d.deg)::BIGINT AS s
-        |    FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
-        |    GROUP BY e.dst) s ON n.node = s.node),
-        |r2 AS (
-        |  SELECT n.node,
-        |    (150000000 + (85 * coalesce(s.s, 0)) // 100)::BIGINT AS rank
-        |  FROM n LEFT JOIN (
-        |    SELECT e.dst AS node, sum(r.rank // d.deg)::BIGINT AS s
-        |    FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
-        |    GROUP BY e.dst) s ON n.node = s.node),
-        |r3 AS (
-        |  SELECT n.node,
-        |    (150000000 + (85 * coalesce(s.s, 0)) // 100)::BIGINT AS rank
-        |  FROM n LEFT JOIN (
-        |    SELECT e.dst AS node, sum(r.rank // d.deg)::BIGINT AS s
-        |    FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
-        |    GROUP BY e.dst) s ON n.node = s.node)
-        |SELECT node, rank FROM r3""".stripMargin,
-
-    // Every image asset must survive decode → feature-extract with a
-    // dim-16 embedding: asset ids and the size of each output vector are
-    // deterministic even though the kernel itself has no SQL analog.
-    "multimodal_features" ->
-      "SELECT doc_id::VARCHAR AS asset_id, 16::BIGINT AS dim FROM documents",
-
-    // Near-dup pairing replayed from the GateStage fingerprint parquet
-    // (the decode half is spec-tested; the staged int64s make the
-    // banded-Hamming + popcount pairing SQL-checkable). DuckDB's
-    // bit_count(xor(BIGINT)) matches java.lang.Long.bitCount(a ^ b);
-    // the brute-force popcount join equals the Spark side's banded join
-    // because 4×16-bit pigeonhole banding has full recall at dist ≤ 3.
-    // DISTINCT mirrors the Spark side's (id, hash) dedup in
-    // hashNearDupPairs — a repeated staged asset_id must not duplicate
-    // oracle pairs (the video oracle below does the same).
-    "multimodal_near_dup" ->
-      s"""WITH fp AS (SELECT DISTINCT asset_id, phash
-         |            FROM '${GateStage.oracleGlob("multimodal_fp_image")}')
-         |SELECT a.asset_id AS id_a, b.asset_id AS id_b,
-         |       bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
-         |FROM fp a JOIN fp b ON a.asset_id < b.asset_id
-         |WHERE bit_count(xor(a.phash, b.phash)) <= 2""".stripMargin,
-
-    "multimodal_audio_dup" ->
-      s"""WITH fp AS (SELECT DISTINCT asset_id, afp
-         |            FROM '${GateStage.oracleGlob("multimodal_fp_audio")}')
-         |SELECT a.asset_id AS id_a, b.asset_id AS id_b,
-         |       bit_count(xor(a.afp, b.afp))::BIGINT AS hamming
-         |FROM fp a JOIN fp b ON a.asset_id < b.asset_id
-         |WHERE bit_count(xor(a.afp, b.afp)) <= 2""".stripMargin,
-
-    "multimodal_video_dup" ->
-      s"""WITH fh AS (SELECT DISTINCT asset_id, phash
-         |            FROM '${GateStage.oracleGlob("multimodal_fp_video")}')
-         |SELECT a.asset_id AS id_a, b.asset_id AS id_b,
-         |       count(*)::BIGINT AS n_shared
-         |FROM fh a JOIN fh b ON a.phash = b.phash AND a.asset_id < b.asset_id
-         |GROUP BY 1, 2
-         |HAVING count(*) >= 1""".stripMargin,
-
-    "q_ivf_topk" ->
-      """SELECT vec_id FROM embeddings
-        |ORDER BY list_dot_product(embedding::DOUBLE[],
-        |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id
-        |LIMIT 10""".stripMargin,
-
-    // BM25 replayed exactly: same tokenization, same Okapi idf with the
-    // +1 floor, same parenthesization (k1 = 1.5, b = 0.75 ⇒ every derived
-    // constant is written as the exact literal Spark computes), terms
-    // added in the same fixed order.
-    // WHERE/ORDER BY qualify sc.score: a bare `score` would bind to the
-    // SELECT alias (the ROUNDED copy) in DuckDB, flipping rows at the
-    // cutoff whenever two scores round equal — Spark filters/orders on
-    // the unrounded value.
-    "text_bm25" -> (bm25ScoredSql +
-      """
-        |SELECT doc_id, round(sc.score, 4) AS score FROM sc
-        |WHERE sc.score > 0 ORDER BY sc.score DESC, doc_id LIMIT 20""".stripMargin),
-
-    // The indexed probe is bit-identical to the scan-based text_bm25
-    // (TermIndexSpec pins the equality), so it shares the oracle.
-    "text_bm25_indexed" -> (bm25ScoredSql +
-      """
-        |SELECT doc_id, round(sc.score, 4) AS score FROM sc
-        |WHERE sc.score > 0 ORDER BY sc.score DESC, doc_id LIMIT 20""".stripMargin),
-
-    "search_hybrid" -> (bm25ScoredSql +
-      """,
-        |bm AS (SELECT doc_id, score FROM sc WHERE score > 0
-        |       ORDER BY score DESC, doc_id LIMIT 30),
-        |bmr AS (SELECT doc_id,
-        |          row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm),
-        |vs AS (SELECT vec_id AS doc_id,
-        |         list_dot_product(embedding::DOUBLE[],
-        |           (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) AS sim
-        |       FROM embeddings ORDER BY sim DESC, doc_id LIMIT 30),
-        |vsr AS (SELECT doc_id,
-        |          row_number() OVER (ORDER BY sim DESC, doc_id) AS r FROM vs),
-        |f AS (SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
-        |        coalesce(1.0 / (60.0 + b.r), 0) + coalesce(1.0 / (60.0 + v.r), 0) AS rrf
-        |      FROM bmr b FULL OUTER JOIN vsr v ON b.doc_id = v.doc_id)
-        |SELECT doc_id, round(f.rrf, 4) AS rrf FROM f
-        |ORDER BY f.rrf DESC, doc_id LIMIT 15""".stripMargin),
-
-    // Int8 quantization is exact integer arithmetic after a shared
-    // rounding convention (HALF_UP == round-away-from-zero in both
-    // engines), so the replay is bit-exact with no accumulation-order
-    // caveats: scale = max|x|/127, q = round(x/scale), score =
-    // (Σ qa·qb)·scale_a·scale_q.
-    "q_quantized_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |s AS (SELECT vec_id, v,
-        |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc FROM e),
-        |qz AS (SELECT vec_id, sc,
-        |         CASE WHEN sc = 0 THEN list_transform(v, x -> 0.0)
-        |              ELSE list_transform(v, x -> round(x / sc)) END AS qv
-        |       FROM s),
-        |q AS (SELECT sc AS qsc, qv AS qqv FROM qz WHERE vec_id = 0)
-        |SELECT vec_id,
-        |  round(list_dot_product(qv, (SELECT qqv FROM q)) * sc * (SELECT qsc FROM q), 4) AS qsim
-        |FROM qz
-        |ORDER BY list_dot_product(qv, (SELECT qqv FROM q)) * sc * (SELECT qsc FROM q) DESC, vec_id
-        |LIMIT 10""".stripMargin,
-
-    // Per-bit sign disagreement count == popcount(sigA xor sigQ); the
-    // float sign test (x > 0) is exact in both engines.
-    "q_hamming_topk" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
-        |SELECT e.vec_id,
-        |  list_sum([CASE WHEN (e.embedding[i] > 0) <> (q.qe[i] > 0)
-        |                 THEN 1 ELSE 0 END
-        |            FOR i IN range(1, len(e.embedding) + 1)])::BIGINT AS hamming
-        |FROM embeddings e, q
-        |ORDER BY hamming, e.vec_id
-        |LIMIT 10""".stripMargin,
-
-    // IVF-PQ replayed with literal cell centroids + codebook: argmax
-    // cell dot (list_position of list_max == the kernel's strict-> scan),
-    // double residual, PQ encode of the residual, score = q·cell + ADC.
-    "q_ivfpq_topk" -> ivfPqTopKOracleSql,
-
-    // PQ replayed with literal centroids (cf. the LSH hyperplane oracle):
-    // same double squared-L2 encode with first-minimum tie-break
-    // (list_position of list_min == the kernel's strict-< scan), same
-    // per-subspace dot-product terms added in subspace order.
-    "q_pq_topk" -> pqTopKOracleSql,
-
-    // Same gram convention as dedup_contamination: 8-token windows,
-    // whole-token-stream gram for short docs, DISTINCT grams per doc.
-    "dedup_spans" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
-        |         ELSE [array_to_string(toks[i:i+7], ' ') FOR i IN range(1, len(toks) - 6)]
-        |    END AS grams
-        |  FROM t),
-        |dg AS (SELECT doc_id, unnest(list_distinct(grams)) AS g FROM sh),
-        |shared AS (SELECT g FROM dg GROUP BY g HAVING count(*) >= 2),
-        |tot AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY 1),
-        |hit AS (SELECT doc_id, count(*) AS n_shared
-        |        FROM dg WHERE g IN (SELECT g FROM shared) GROUP BY 1)
-        |SELECT doc_id, n_grams, coalesce(n_shared, 0) AS n_shared,
-        |  round(coalesce(n_shared, 0) * 1.0 / n_grams, 4) AS shared_frac
-        |FROM tot LEFT JOIN hit USING (doc_id)""".stripMargin
-  )
-
-  /** DuckDB oracle for q_pq_topk, generated from the same deterministic
-    * codebook the Spark side uses (dim=64, m=8, k=16, seed=7). */
-  private lazy val pqTopKOracleSql: String = {
-    val cb = graft.ops.Pq.randomCodebook(dim = 64, m = 8, k = 16, seed = 7L)
-    def cbLit(j: Int): String = (0 until cb.k).map { c =>
-      cb.centroid(j, c).mkString("[", ", ", "]")
-    }.mkString("[", ", ", "]")
-    def dists(j: Int): String = {
-      val o = j * cb.subDim
-      s"[ list_sum([ (v[$o+i]-c[i])*(v[$o+i]-c[i]) " +
-        s"FOR i IN range(1,${cb.subDim + 1}) ]) FOR c IN ${cbLit(j)} ]"
-    }
-    val codeCols = (0 until cb.m).map(j =>
-      s"list_position(${dists(j)}, list_min(${dists(j)})) AS c$j").mkString(",\n    ")
-    val terms = (0 until cb.m).map { j =>
-      val o = j * cb.subDim
-      s"list_dot_product(qv[${o + 1}:${o + cb.subDim}], (${cbLit(j)})[c$j])"
-    }.mkString("\n    + ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-       |enc AS (
-       |  SELECT vec_id,
-       |    $codeCols
-       |  FROM e),
-       |sc AS (SELECT vec_id, $terms AS qsim FROM enc, q)
-       |SELECT vec_id, round(sc.qsim, 4) AS qsim FROM sc
-       |ORDER BY sc.qsim DESC, sc.vec_id LIMIT 10""".stripMargin
-  }
-
-  /** DuckDB oracle for q_ivfpq_topk: same seeded cells/codebook as the
-    * Spark side, encode and scoring replayed with literal parameters. */
-  private lazy val ivfPqTopKOracleSql: String = {
-    val cb = graft.ops.Pq.randomCodebook(dim = 64, m = 8, k = 16, seed = 7L)
-    val cellsLit = gateIvfPqCells.map(_.mkString("[", ", ", "]"))
-      .mkString("[", ", ", "]")
-    val cellDots = gateIvfPqCells.indices.map(c =>
-      s"list_dot_product(v, ($cellsLit)[${c + 1}])").mkString("[", ",\n      ", "]")
-    def cbLit(j: Int): String = (0 until cb.k).map { c =>
-      cb.centroid(j, c).mkString("[", ", ", "]")
-    }.mkString("[", ", ", "]")
-    def dists(j: Int): String = {
-      val o = j * cb.subDim
-      s"[ list_sum([ (r[$o+i]-c[i])*(r[$o+i]-c[i]) " +
-        s"FOR i IN range(1,${cb.subDim + 1}) ]) FOR c IN ${cbLit(j)} ]"
-    }
-    val codeCols = (0 until cb.m).map(j =>
-      s"list_position(${dists(j)}, list_min(${dists(j)})) AS c$j").mkString(",\n    ")
-    val terms = (0 until cb.m).map { j =>
-      val o = j * cb.subDim
-      s"list_dot_product(qv[${o + 1}:${o + cb.subDim}], (${cbLit(j)})[c$j])"
-    }.mkString("\n    + ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-       |asg AS (
-       |  SELECT vec_id, v,
-       |    list_position($cellDots,
-       |      list_max($cellDots)) AS cell
-       |  FROM e),
-       |res AS (
-       |  SELECT vec_id, cell,
-       |    [ v[i] - (($cellsLit)[cell])[i] FOR i IN range(1, ${cb.dim + 1}) ] AS r
-       |  FROM asg),
-       |enc AS (
-       |  SELECT vec_id, cell,
-       |    $codeCols
-       |  FROM res),
-       |sc AS (
-       |  SELECT vec_id,
-       |    list_dot_product(qv, ($cellsLit)[cell])
-       |    + $terms AS qsim
-       |  FROM enc, q)
-       |SELECT vec_id, round(sc.qsim, 4) AS qsim FROM sc
-       |ORDER BY sc.qsim DESC, sc.vec_id LIMIT 10""".stripMargin
-  }
-
-  /** Shared BM25 scoring CTE chain (ends at `sc(doc_id, score)`) for the
-    * text_bm25 / search_hybrid oracles — k1 = 1.5, b = 0.75, terms
-    * (vector, query, spark) in fixed order, arithmetic parenthesized
-    * exactly like `KeywordSearch.bm25Score`. */
-  private val bm25ScoredSql: String =
-    """WITH tf AS (
-      |  SELECT doc_id,
-      |    len(string_split(lower(text), ' '))::DOUBLE AS dl,
-      |    len(list_filter(string_split(lower(text), ' '), t -> t = 'vector'))::DOUBLE AS tf1,
-      |    len(list_filter(string_split(lower(text), ' '), t -> t = 'query'))::DOUBLE AS tf2,
-      |    len(list_filter(string_split(lower(text), ' '), t -> t = 'spark'))::DOUBLE AS tf3
-      |  FROM documents),
-      |st AS (
-      |  SELECT count(*)::BIGINT AS n,
-      |    sum(len(string_split(lower(text), ' ')))::DOUBLE / count(*) AS avgdl,
-      |    sum(CASE WHEN list_contains(string_split(lower(text), ' '), 'vector')
-      |             THEN 1 ELSE 0 END)::BIGINT AS df1,
-      |    sum(CASE WHEN list_contains(string_split(lower(text), ' '), 'query')
-      |             THEN 1 ELSE 0 END)::BIGINT AS df2,
-      |    sum(CASE WHEN list_contains(string_split(lower(text), ' '), 'spark')
-      |             THEN 1 ELSE 0 END)::BIGINT AS df3
-      |  FROM documents),
-      |sc AS (
-      |  SELECT doc_id,
-      |    ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.5) / (tf1 + 1.5 * (0.25 + 0.75 * dl / avgdl))
-      |    + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.5) / (tf2 + 1.5 * (0.25 + 0.75 * dl / avgdl))
-      |    + ln(1 + (n - df3 + 0.5) / (df3 + 0.5)) * (tf3 * 2.5) / (tf3 + 1.5 * (0.25 + 0.75 * dl / avgdl))
-      |    AS score
-      |  FROM tf, st)""".stripMargin
+  /** Gate registry — assembled from the per-domain files
+    * (SparkEntryCore/Dedup/Text/Rel/Events/Emb/Multimodal), one entry
+    * per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    SparkEntryCore.queries ++ SparkEntryDedup.queries ++
+    SparkEntryText.queries ++ SparkEntryRel.queries ++
+    SparkEntryEvents.queries ++ SparkEntryEmb.queries ++
+    SparkEntryMultimodal.queries
+
+  /** Driver-contract oracle dump (scope-less GateStage resolution:
+    * correct in the single-scope JVMs the driver runs; a multi-scope
+    * JVM gets a loud `__AMBIGUOUS_STAGE__` sentinel). Prefer
+    * [[oracleSqlScoped]] when the dump's sf dir is known. */
+  def oracleSql: Map[String, String] = assembleOracle(None)
+
+  /** Oracle dump with GateStage globs resolved for the given Verify
+    * scope (the sf dir) — safe even when one JVM staged several scopes. */
+  def oracleSqlScoped(scope: String): Map[String, String] =
+    assembleOracle(Some(scope))
+
+  private def assembleOracle(scope: Option[String]): Map[String, String] =
+    SparkEntryCore.oracleSql ++ SparkEntryDedup.oracleSql ++
+    SparkEntryText.oracleSql ++ SparkEntryRel.oracleSql ++
+    SparkEntryEvents.oracleSql ++ SparkEntryEmb.oracleSql ++
+    SparkEntryMultimodal.oracleSql(scope)
+
+  /** See [[GateSupport.releaseCaches]] — re-exported because callers
+    * (Bench) reach the registry, not its plumbing. */
+  def releaseCaches(): Unit = GateSupport.releaseCaches()
 }

@@ -1,0 +1,844 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Filters
+import graft.ops.{Dedup, TextAnalysis, VectorSearch}
+import graft.GateSupport._
+
+/**
+ * Text-analysis gates: tokenization, quality (Gopher/C4), LM scoring,
+ * TF-IDF/keywords, BPE, fingerprints, normalization, PII, chunking.
+ *
+ * One gate domain of [[SparkEntry]] (assembled there); every entry
+ * keeps a matching oracle in this file so a query and its DuckDB
+ * replay are reviewed together.
+ */
+private[graft] object SparkEntryText {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text analysis: token counting (whitespace + BPE-ish regex) ----
+    "text_tokens" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))),
+
+    // ---- sequence packing: concat-and-chunk token offsets, md5-sharded,
+    // one window cumsum per shard ----
+    "text_packing" -> ((s, dir) =>
+      graft.ops.Packing.contiguousOffsets(
+        t(s, dir, "documents"), "doc_id", "text", 512, 8)),
+
+    // ---- tokenizer training: the first 3 BPE merges over the corpus
+    // vocabulary (Sennrich et al. 2016). ONE corpus scan builds the
+    // (word, freq) vocab; every merge round is a vocabulary-bounded pair
+    // count + a map-only rewrite — the corpus text is never re-read, and
+    // the driver receives exactly one row per round ----
+    "text_bpe_merges" -> ((s, dir) =>
+      graft.ops.Bpe.learnMergesDF(s, t(s, dir, "documents"), "text", 3)),
+
+    // ---- BPE tokenizer APPLY: per-doc token counts + md5 digest of the
+    // full subword stream under a fixed merge table; one map-only codegen
+    // projection, zero exchanges ----
+    "text_bpe_encode" -> ((s, dir) =>
+      graft.ops.Bpe.encodeDocs(t(s, dir, "documents"), "text", "doc_id",
+        Seq(graft.ops.Bpe.Merge(1, "t", "h", 0L),
+          graft.ops.Bpe.Merge(2, "th", "e", 0L),
+          graft.ops.Bpe.Merge(3, "i", "n", 0L)))),
+
+    // ---- corpus vocabulary: top-100 tokens by frequency (tokenizer-
+    // training / frequency-filter feed; bounded top-k, no full sort) ----
+    "text_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabulary(t(s, dir, "documents"), "text", 100)),
+
+    // ---- per-doc lexical diversity (type-token ratio, hapax count) —
+    // one per-row hash-count kernel, zero exchanges, integer ttr_e6 ----
+    "text_lexical" -> ((s, dir) =>
+      TextAnalysis.lexicalDiversity(t(s, dir, "documents"), "text", "doc_id")),
+
+    // ---- phrase mining: top-20 collocations (adjacent word pairs) by
+    // exact integer lift — the word2phrase vocabulary-induction step ----
+    "text_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(t(s, dir, "documents"), "text", 20,
+        minCount = 10L)),
+
+    // ---- per-source characteristic terms: top-5 tokens by exact integer
+    // frequency lift (P(tok|source)/P(tok) ×1e6), bounded-heap per group ----
+    "text_group_keywords" -> ((s, dir) =>
+      TextAnalysis.groupKeywords(
+        t(s, dir, "documents"), "text", "source", 5, minCount = 5L)),
+
+    // ---- per-document TF-IDF keywords: exact rational idf (N/df),
+    // bounded-heap top-3 per doc, integer score ----
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "text", "doc_id", 3)),
+
+    // ---- vocabulary coverage curve (Zipf): cumulative corpus share of
+    // the top-100 tokens; window cumsum over the k-row table only ----
+    "text_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabularyCoverage(t(s, dir, "documents"), "text", 100)),
+
+    // ---- text analysis: token-window chunking with overlap (the RAG /
+    // training ingest step before embedding) ----
+    "text_chunks" -> ((s, dir) =>
+      TextAnalysis.explodeChunks(t(s, dir, "documents"), "text", "doc_id",
+          chunkTokens = 30, overlap = 5)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk"))),
+
+    // ---- text normalization: Unicode NFC + control-char strip (planted
+    // decomposed accents and control bytes — the corpus is plain ASCII) ----
+    "text_normalize" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text",
+        concat(col("text"), when(col("doc_id") % 5 === 0,
+          lit(" cafe\u0301 fac\u0327ade \u0007x\u001f ko\u0304an"))
+          .otherwise(lit(""))))
+      planted.select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("clean"),
+        length(TextAnalysis.normalizeText(col("text"))).cast("long")
+          .as("n_chars_clean"))
+    }),
+
+    // ---- text analysis: URL host/domain extraction + per-domain corpus
+    // stats (URLs planted from source/doc_id — the curation group key
+    // for per-domain caps and mixing weights) ----
+    "text_url_domains" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("url", concat(
+          lit("https://user:pw@www.CDN"), (col("doc_id") % 20).cast("string"),
+          lit("."), col("source"), lit(".org:8080/p/"),
+          col("doc_id").cast("string"), lit("?ref=x#frag")))
+        .select(TextAnalysis.urlHost(col("url")).as("host"),
+          TextAnalysis.registeredDomain(col("url")).as("domain"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"))),
+
+    // ---- text analysis: HTML -> text extraction (markup planted inside
+    // the query — the synthetic corpus is plain text — then stripped) ----
+    "text_strip_html" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("html", concat(
+          lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;" +
+            "</script><style>p { color: red; }</style></head><body><p>"),
+          col("text"),
+          lit("</p><!-- footer --><div>&amp;lt; &nbsp;done&#39;</div></body></html>")))
+        .select(col("doc_id"),
+          TextAnalysis.stripHtml(col("html")).as("clean"))),
+
+    // ---- text analysis: PII redaction (emails/IPs/phones planted inside
+    // the query — the synthetic corpus has none — then scrubbed) ----
+    "text_redact_pii" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit(" contact bob@example.com or 10.1.2.3 or +1 555-867-5309 now"))
+            .otherwise(lit(""))))
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(col("text")).as("clean"))),
+
+    // ---- text analysis: within-doc repetition (Gopher-style signals;
+    // duplicate lines planted for one doc in seven) ----
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionFeatures(
+        t(s, dir, "documents")
+          .withColumn("text", concat(col("text"),
+            when(col("doc_id") % 7 === 0, lit("\nboiler plate\nboiler plate"))
+              .otherwise(lit("")))),
+        "text")
+        .select(col("doc_id"), col("dup_line_frac"), col("dup_char_frac"))),
+
+    // ---- text analysis: quality features ----
+    "text_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_q"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        round(TextAnalysis.stopwordRatio(col("text"), Stopwords), 4).as("stopword_ratio"),
+        round((length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+          .cast("double") / length(col("text")), 4).as("space_ratio"))),
+
+    // ---- text analysis: Gopher quality rules (Rae et al. 2021 §A1.1) —
+    // integer counters + cross-multiplied verdicts, no double decides a
+    // flag; one map-only codegen pass over the scan ----
+    "text_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents"), "text", minWords = 50)
+        .select(col("doc_id"), col("n_words"), col("sum_word_chars"),
+          col("n_symbols"), col("n_alpha_words"), col("n_stopword_hits"),
+          col("pass_word_count"), col("pass_mean_word_len"),
+          col("pass_symbol_ratio"), col("pass_alpha"),
+          col("pass_stopwords"), col("pass_gopher"))),
+
+    // ---- text analysis: corpus datasheet — per-(source, lang) dataset-
+    // card counters; one combined aggregate, exchange bounded by slice
+    // cardinality ----
+    "text_datasheet" -> ((s, dir) =>
+      TextAnalysis.corpusDatasheet(
+        t(s, dir, "documents"), "text", Seq("source", "lang"))),
+
+    // ---- text analysis: Gopher repetition filter (Rae et al. 2021
+    // §A1.2) — top word-n-gram char fraction per doc for n=2,3,4; ties
+    // break to the lexicographically smallest gram, verdicts by integer
+    // cross-multiplication ----
+    "text_top_ngram" -> ((s, dir) =>
+      TextAnalysis.topNgramRepetition(
+        t(s, dir, "documents"), "text", "doc_id")),
+
+    // ---- text analysis: Gopher repetition coverage tier — fraction of
+    // chars inside word 5-grams repeating within the doc (span union);
+    // corpus lacks within-doc repeats, so an id-keyed repeated phrase is
+    // planted, mirrored in the oracle ----
+    "text_dup_ngrams" -> ((s, dir) =>
+      TextAnalysis.dupNgramCoverage(
+        t(s, dir, "documents").withColumn("text",
+          concat(col("text"),
+            when(col("doc_id") % 4 === 0,
+              lit(" p1 p2 p3 p4 p5 z p1 p2 p3 p4 p5")).otherwise(lit("")))),
+        "text", "doc_id", 5)),
+
+    // ---- text analysis: C4 cleaning rules (Raffel et al. 2020 §2.2) —
+    // line-level terminal-punctuation filter + page verdicts. The
+    // synthetic corpus has no punctuation, so the entry injects it
+    // deterministically (literal replaces + id-keyed pathologies,
+    // mirrored verbatim in the oracle) to exercise every rule ----
+    "text_c4_rules" -> ((s, dir) => {
+      val punctuated = t(s, dir, "documents").withColumn("text",
+        concat(
+          replace(replace(col("text"), lit(" value "), lit(". ")),
+            lit(" line "), lit("?\n")),
+          when(col("doc_id") % 31 === 0, lit("\nlorem ipsum dolor"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 37 === 0, lit("\nfunction() { }"))
+            .otherwise(lit(""))))
+      TextAnalysis.c4Rules(punctuated, "text")
+        .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+          length(col("kept_text")).cast("long").as("kept_chars"),
+          col("n_sentences"), col("has_lorem"), col("has_brace"),
+          col("pass_c4"))
+    }),
+
+    // ---- text analysis: content fingerprint (md5 — portable) ----
+    "text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // ---- text analysis: order-sensitive rolling hash (md5-Horner,
+    // engine-portable — exact SQL oracle via DuckDB list_reduce) ----
+    "text_rolling_fp" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rfp"))),
+
+    // ---- text analysis: corpus char-trigram LM quality score (CCNet-style
+    // typicality signal; integer milli-nat quantization keeps the mean
+    // order-independent → exact SQL oracle) ----
+    // (kernel tier: packed-long trigram counts + driver vocabulary inside
+    // a codegen'd per-doc scorer — bit-identical to TextAnalysis.lmScore,
+    // pinned in TextAnalysisSpec)
+    "text_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScoreFast(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("sum_millinats"), col("n_rare"),
+          col("n_grams"))),
+
+    // ---- cross-corpus LM scoring (CCNet shape): trigram stats trained
+    // on doc_id % 5 != 0, the held-out fifth scored against them with
+    // OOV mass; broadcast counts, integer scores ----
+    "text_lm_cross" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.lmScoreCrossFast(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "text", "doc_id")
+    }),
+
+    // ---- text analysis: language-ID heuristic (no oracle — heuristic;
+    // single-pass custom expression, see functions.FastLangId) ----
+    "text_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.functions.LangIdExpression.fast_lang_id(col("text")).as("lang_pred")))
+
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // The lang-ID heuristic replicated in SQL: per-language marker-hit
+    // ratios over non-empty tokens, CJK codepoint ratio, first-in-order
+    // tie-break (the rule FastLangId and TextAnalysis.langId share).
+    "text_lang_id" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+        |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+        |    greatest(length(text), 1) AS nchars
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','for','with','was'))) * 1.0 / greatest(len(toks), 1) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','für','von'))) * 1.0 / greatest(len(toks), 1) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('el','la','los','las','es','y','de','que','en','por'))) * 1.0 / greatest(len(toks), 1) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','et','est','que','des','une','dans','pour'))) * 1.0 / greatest(len(toks), 1) AS s_fr,
+        |    cjk * 1.0 / nchars AS s_zh
+        |  FROM b)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN s_zh > greatest(s_en, s_de, s_es, s_fr) AND s_zh > 0 THEN 'zh'
+        |    WHEN greatest(s_en, s_de, s_es, s_fr) > 0 THEN
+        |      CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |           WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |           WHEN s_es >= s_fr THEN 'es'
+        |           ELSE 'fr' END
+        |    ELSE 'und'
+        |  END AS lang_pred
+        |FROM s""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |  len(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT AS n_bpeish
+        |FROM documents""".stripMargin,
+
+    // Same whitespace-token convention as text_vocab (not lowered);
+    // hapax via the O(n²) per-doc filter — the values, not the shape,
+    // are the contract here.
+    "text_lexical" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  len(toks)::BIGINT AS n_tokens,
+        |  len(list_distinct(toks))::BIGINT AS n_distinct,
+        |  len(list_filter(list_distinct(toks),
+        |      x -> len(list_filter(toks, y -> y = x)) = 1))::BIGINT AS n_hapax,
+        |  (CASE WHEN len(toks) = 0 THEN 0
+        |        ELSE (len(list_distinct(toks)) * 1000000) // len(toks)
+        |   END)::BIGINT AS ttr_e6
+        |FROM t""".stripMargin,
+
+    "text_vocab" ->
+      """SELECT tok AS token, count(*) AS freq
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok
+        |ORDER BY freq DESC, token
+        |LIMIT 100""".stripMargin,
+
+    // Bigram/unigram counts + the same HUGEINT lift; ORDER BY
+    // (lift DESC, "w1 w2" ASC) LIMIT 20 replays the bounded top-k and
+    // its string tie-break.
+    "text_collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS y FROM documents),
+        |bg AS (
+        |  SELECT y[i] AS w1, y[i+1] AS w2, count(*)::BIGINT AS c_ab FROM (
+        |    SELECT y, unnest(generate_series(1, len(y) - 1)) AS i FROM t)
+        |  GROUP BY 1, 2),
+        |ug AS (SELECT w, count(*)::BIGINT AS c FROM (
+        |    SELECT unnest(y) AS w FROM t) GROUP BY w),
+        |tot AS (SELECT sum(c)::BIGINT AS t FROM ug)
+        |SELECT bg.w1, bg.w2, bg.c_ab,
+        |  ((bg.c_ab::HUGEINT * t * 1000000) // (a.c::HUGEINT * b.c))::BIGINT AS lift
+        |FROM bg JOIN ug a ON a.w = bg.w1 JOIN ug b ON b.w = bg.w2, tot
+        |WHERE bg.c_ab >= 10
+        |ORDER BY lift DESC, bg.w1 || ' ' || bg.w2
+        |LIMIT 20""".stripMargin,
+
+    // Exact HUGEINT lift replay with the same truncating integral divide
+    // and the same (lift DESC, token ASC) bounded top-5 per source.
+    "text_group_keywords" ->
+      """WITH toks AS (
+        |  SELECT source AS g, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |pg AS (SELECT g, token, count(*)::BIGINT AS tf_g FROM toks GROUP BY g, token),
+        |gl AS (SELECT token, count(*)::BIGINT AS tf FROM toks GROUP BY token),
+        |gt AS (SELECT g, sum(tf_g)::BIGINT AS tg FROM pg GROUP BY g),
+        |tot AS (SELECT sum(tf)::BIGINT AS t FROM gl),
+        |lifted AS (
+        |  SELECT pg.g, pg.token, pg.tf_g,
+        |    ((pg.tf_g::HUGEINT * t * 1000000) // (gl.tf::HUGEINT * gt.tg))::BIGINT AS lift
+        |  FROM pg JOIN gl USING (token) JOIN gt USING (g), tot
+        |  WHERE pg.tf_g >= 5)
+        |SELECT g AS source,
+        |  row_number() OVER (PARTITION BY g ORDER BY lift DESC, token) AS rank,
+        |  token, lift, tf_g
+        |FROM lifted
+        |QUALIFY rank <= 5""".stripMargin,
+
+    // Same tokenization; tf per (doc, term), df over the tf pairs, doc
+    // count N; score = (tf·N·1e6) // df in HUGEINT → BIGINT; per-doc
+    // top-3 with (score DESC, term ASC) ties replays the bounded heap.
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok AS term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> ''),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        |       FROM toks GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    ((tf.tf::HUGEINT * n * 1000000) // dfreq.df)::BIGINT AS tfidf_e6
+        |  FROM tf JOIN dfreq USING (term), n)
+        |SELECT doc_id,
+        |  row_number() OVER (PARTITION BY doc_id
+        |                     ORDER BY tfidf_e6 DESC, term) AS rank,
+        |  term, tfidf_e6, tf, df
+        |FROM scored
+        |QUALIFY rank <= 3""".stripMargin,
+
+    // Same top-100, then rank + cumulative share over the tiny table;
+    // total token count divides once at the end.
+    "text_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |v AS (
+        |  SELECT tok AS token, count(*) AS freq FROM tok
+        |  GROUP BY tok ORDER BY freq DESC, token LIMIT 100),
+        |tot AS (SELECT count(*) AS total FROM tok)
+        |SELECT row_number() OVER (ORDER BY freq DESC, token) AS rank,
+        |  token, freq,
+        |  round(sum(freq) OVER (ORDER BY freq DESC, token
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / total::DOUBLE,
+        |    6) AS coverage
+        |FROM v, tot""".stripMargin,
+
+    "text_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |  greatest(ceil((len(toks) - 5) * 1.0 / 25)::INT, 1) AS n_chunks FROM t),
+        |u AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS i FROM c)
+        |SELECT doc_id, i AS chunk_idx,
+        |  array_to_string(toks[i * 25 + 1 : i * 25 + 30], ' ') AS chunk
+        |FROM u""".stripMargin,
+
+    // NFC (both engines implement Unicode canonical composition) + the
+    // same control-strip regex; chr() rebuilds the planted combining
+    // marks (769 = U+0301, 807 = U+0327, 772 = U+0304) and controls.
+    "text_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 5 = 0
+        |    THEN ' cafe' || chr(769) || ' fac' || chr(807) || 'ade ' ||
+        |         chr(7) || 'x' || chr(31) || ' ko' || chr(772) || 'an'
+        |    ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(nfc_normalize(text),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS clean,
+        |  length(regexp_replace(nfc_normalize(text),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS n_chars_clean
+        |FROM d""".stripMargin,
+
+    // Exact replay of urlHost/registeredDomain — same RE2-safe patterns.
+    "text_url_domains" ->
+      """WITH u AS (
+        |  SELECT 'https://user:pw@www.CDN' || (doc_id % 20)::VARCHAR || '.' ||
+        |         source || '.org:8080/p/' || doc_id::VARCHAR || '?ref=x#frag' AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT regexp_replace(
+        |    lower(regexp_extract(url,
+        |      '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/:?#]+)', 1)),
+        |    '^www\.', '') AS host
+        |  FROM u),
+        |d AS (SELECT host, regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain FROM h)
+        |SELECT domain, count(*) AS n_docs, count(DISTINCT host) AS n_hosts
+        |FROM d GROUP BY 1""".stripMargin,
+
+    // Exact replay of the stripHtml chain — patterns are RE2-safe by
+    // construction (no backreferences, no \s), entities decode in the
+    // same order with &amp; last.
+    "text_strip_html" ->
+      ("""WITH d AS (
+        |  SELECT doc_id,
+        |    '<html><head><script type="text/javascript">var x = 1 < 2;' ||
+        |    '</script><style>p { color: red; }</style></head><body><p>' ||
+        |    text ||
+        |    '</p><!-- footer --><div>&amp;lt; &nbsp;done&#39;</div></body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '<[^>]+>', ' ', 'g'),
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |    '&quot;', '"'), '&#39;', CHR(39)), '&amp;', '&'),
+        |  '[ """ + "\\t\\n\\r\\f" + """]+', ' ', 'g')) AS clean
+        |FROM d""").stripMargin,
+
+    "text_redact_pii" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 7 = 0
+        |    THEN ' contact bob@example.com or 10.1.2.3 or +1 555-867-5309 now'
+        |    ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d\-. ]{7,}\d', '<PHONE>', 'g') AS clean
+        |FROM d""".stripMargin,
+
+    "text_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 7 = 0
+        |    THEN e'\nboiler plate\nboiler plate' ELSE '' END AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, string_split(text, e'\n') AS ls FROM d)
+        |SELECT doc_id,
+        |  round((len(ls) - len(list_distinct(ls))) * 1.0 / greatest(len(ls), 1), 4) AS dup_line_frac,
+        |  round((list_sum(list_transform(ls, x -> length(x))) -
+        |         list_sum(list_transform(list_distinct(ls), x -> length(x)))) * 1.0 /
+        |        greatest(list_sum(list_transform(ls, x -> length(x))), 1), 4) AS dup_char_frac
+        |FROM l""".stripMargin,
+
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  length(text)::BIGINT AS n_chars_q,
+         |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+         |  round(len(list_filter(string_split(lower(text), ' '),
+         |    x -> x IN ($StopwordsSqlList))) * 1.0
+         |    / len(string_split(text, ' ')), 4) AS stopword_ratio,
+         |  round((length(text) - length(replace(text, ' ', ''))) * 1.0
+         |    / length(text), 4) AS space_ratio
+         |FROM documents""".stripMargin,
+
+    // Gopher rules: counters and verdicts mirror the Spark kernels
+    // exactly — integer cross-multiplication everywhere, `[ \t]` not
+    // `\s` (Java/RE2 parity), replace() for non-overlapping occurrence
+    // counts. Line rules (bullet/ellipsis) participate in pass_gopher.
+    "text_gopher_rules" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS n_words,
+        |    length(replace(text, ' ', ''))::BIGINT AS sum_word_chars,
+        |    ((length(text) - length(replace(text, '#', '')))
+        |     + (length(text) - length(replace(text, '...', ''))) // 3
+        |     + (length(text) - length(replace(text, '…', ''))))::BIGINT AS n_symbols,
+        |    len(string_split(text, chr(10)))::BIGINT AS n_lines,
+        |    len(list_filter(string_split(text, chr(10)),
+        |      l -> regexp_matches(l, '^[ \t]*[-*•]')))::BIGINT AS n_bullet_lines,
+        |    len(list_filter(string_split(text, chr(10)),
+        |      l -> regexp_matches(l, '(\.\.\.|…)[ \t]*$')))::BIGINT AS n_ellipsis_lines,
+        |    len(list_filter(string_split(text, ' '),
+        |      w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS n_alpha_words,
+        |    (list_contains(string_split(lower(text), ' '), 'the')::INT
+        |     + list_contains(string_split(lower(text), ' '), 'be')::INT
+        |     + list_contains(string_split(lower(text), ' '), 'to')::INT
+        |     + list_contains(string_split(lower(text), ' '), 'of')::INT
+        |     + list_contains(string_split(lower(text), ' '), 'and')::INT
+        |     + list_contains(string_split(lower(text), ' '), 'that')::INT
+        |     + list_contains(string_split(lower(text), ' '), 'have')::INT
+        |     + list_contains(string_split(lower(text), ' '), 'with')::INT
+        |    )::BIGINT AS n_stopword_hits
+        |  FROM documents)
+        |SELECT doc_id, n_words, sum_word_chars, n_symbols, n_alpha_words,
+        |  n_stopword_hits,
+        |  (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+        |  (sum_word_chars >= 3 * n_words AND sum_word_chars <= 10 * n_words)
+        |    AS pass_mean_word_len,
+        |  (10 * n_symbols <= n_words) AS pass_symbol_ratio,
+        |  (10 * n_alpha_words >= 8 * n_words) AS pass_alpha,
+        |  (n_stopword_hits >= 2) AS pass_stopwords,
+        |  (n_words >= 50 AND n_words <= 100000
+        |   AND sum_word_chars >= 3 * n_words AND sum_word_chars <= 10 * n_words
+        |   AND 10 * n_symbols <= n_words
+        |   AND 10 * n_bullet_lines <= n_lines
+        |   AND 10 * n_ellipsis_lines <= 3 * n_lines
+        |   AND 10 * n_alpha_words >= 8 * n_words
+        |   AND n_stopword_hits >= 2) AS pass_gopher
+        |FROM g""".stripMargin,
+
+    // Corpus datasheet: the gopher per-doc counters (same expressions as
+    // text_gopher_rules) aggregated per (source, lang) slice.
+    "text_datasheet" ->
+      """WITH g AS (
+        |  SELECT source, lang,
+        |    len(string_split(text, ' '))::BIGINT AS n_words,
+        |    length(text)::BIGINT AS n_chars,
+        |    length(replace(text, ' ', ''))::BIGINT AS sum_word_chars,
+        |    ((length(text) - length(replace(text, '#', '')))
+        |     + (length(text) - length(replace(text, '...', ''))) // 3
+        |     + (length(text) - length(replace(text, '…', ''))))::BIGINT AS n_symbols,
+        |    len(string_split(text, chr(10)))::BIGINT AS n_lines,
+        |    len(list_filter(string_split(text, chr(10)),
+        |      l -> regexp_matches(l, '^[ \t]*[-*•]')))::BIGINT AS n_bullet_lines,
+        |    len(list_filter(string_split(text, chr(10)),
+        |      l -> regexp_matches(l, '(\.\.\.|…)[ \t]*$')))::BIGINT AS n_ellipsis_lines,
+        |    len(list_filter(string_split(text, ' '),
+        |      w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS n_alpha_words,
+        |    (list_contains(string_split(lower(text), ' '), 'the')::INT
+        |     + list_contains(string_split(lower(text), ' '), 'be')::INT
+        |     + list_contains(string_split(lower(text), ' '), 'to')::INT
+        |     + list_contains(string_split(lower(text), ' '), 'of')::INT
+        |     + list_contains(string_split(lower(text), ' '), 'and')::INT
+        |     + list_contains(string_split(lower(text), ' '), 'that')::INT
+        |     + list_contains(string_split(lower(text), ' '), 'have')::INT
+        |     + list_contains(string_split(lower(text), ' '), 'with')::INT
+        |    )::BIGINT AS n_stopword_hits
+        |  FROM documents)
+        |SELECT source, lang,
+        |  count(*)::BIGINT AS n_docs,
+        |  sum(n_words)::BIGINT AS total_words,
+        |  sum(n_chars)::BIGINT AS total_chars,
+        |  sum(n_alpha_words)::BIGINT AS total_alpha_words,
+        |  sum(CASE WHEN n_words >= 50 AND n_words <= 100000
+        |        AND sum_word_chars >= 3 * n_words
+        |        AND sum_word_chars <= 10 * n_words
+        |        AND 10 * n_symbols <= n_words
+        |        AND 10 * n_bullet_lines <= n_lines
+        |        AND 10 * n_ellipsis_lines <= 3 * n_lines
+        |        AND 10 * n_alpha_words >= 8 * n_words
+        |        AND n_stopword_hits >= 2 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_pass_gopher
+        |FROM g GROUP BY source, lang""".stripMargin,
+
+    // Top n-gram repetition: same gram construction (1-based slices
+    // joined by one space), same tie-break (count desc, gram asc —
+    // binary collation both engines), same integer verdicts; LEFT JOIN
+    // from the doc×n universe reinstates rows for docs shorter than n.
+    "text_top_ngram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |         length(text)::BIGINT AS total_chars
+        |  FROM documents),
+        |nn AS (SELECT unnest([2, 3, 4]) AS n),
+        |g AS (
+        |  SELECT t.doc_id, nn.n, t.total_chars,
+        |    unnest(list_transform(range(1, len(tk) - nn.n + 2),
+        |      i -> array_to_string(tk[i:i+nn.n-1], ' '))) AS gram
+        |  FROM toks t, nn),
+        |c AS (SELECT doc_id, n, gram, count(*)::BIGINT AS cnt,
+        |        any_value(total_chars) AS total_chars
+        |      FROM g GROUP BY doc_id, n, gram),
+        |r AS (SELECT doc_id, n, gram, cnt, total_chars,
+        |        row_number() OVER (PARTITION BY doc_id, n
+        |                           ORDER BY cnt DESC, gram ASC) AS rn
+        |      FROM c),
+        |u AS (SELECT t.doc_id, nn.n, t.total_chars FROM toks t, nn)
+        |SELECT u.doc_id, u.n, r.gram AS top_gram,
+        |  coalesce(r.cnt, 0)::BIGINT AS top_count,
+        |  coalesce(r.cnt * length(r.gram), 0)::BIGINT AS gram_chars,
+        |  u.total_chars,
+        |  (100 * coalesce(r.cnt * length(r.gram), 0)
+        |     <= (CASE u.n WHEN 2 THEN 20 WHEN 3 THEN 18 ELSE 16 END)
+        |        * u.total_chars) AS pass_top_ngram
+        |FROM u LEFT JOIN (SELECT * FROM r WHERE rn = 1) r
+        |  ON r.doc_id = u.doc_id AND r.n = u.n""".stripMargin,
+
+    // Duplicate-n-gram coverage: 1-based list indexing mirrors Spark's
+    // 0-based posexplode internally; only counters surface. range() is
+    // end-exclusive, tk[i:i+4] is the 5-token inclusive slice.
+    "text_dup_ngrams" ->
+      """WITH d AS (SELECT doc_id, text || CASE WHEN doc_id % 4 = 0
+        |             THEN ' p1 p2 p3 p4 p5 z p1 p2 p3 p4 p5' ELSE '' END AS text
+        |           FROM documents),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM d),
+        |p AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)+1),
+        |        i -> {'i': i, 'tok': tk[i]})) AS e FROM t),
+        |pos AS (SELECT doc_id, e.i AS i, e.tok AS tok FROM p),
+        |g0 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-5+2),
+        |        i -> {'gi': i, 'gram': array_to_string(tk[i:i+4], ' ')})) AS e
+        |       FROM t),
+        |g AS (SELECT doc_id, e.gi AS gi, e.gram AS gram FROM g0),
+        |dup AS (SELECT doc_id, gram FROM g GROUP BY doc_id, gram
+        |        HAVING count(*) >= 2),
+        |cov0 AS (SELECT g.doc_id, unnest(range(g.gi, g.gi + 5)) AS j
+        |         FROM g JOIN dup USING (doc_id, gram)),
+        |cov AS (SELECT DISTINCT doc_id, j FROM cov0),
+        |ts AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |         sum(length(tok))::BIGINT AS token_chars
+        |       FROM pos GROUP BY doc_id),
+        |cs AS (SELECT p.doc_id, count(*)::BIGINT AS covered_tokens,
+        |         sum(length(p.tok))::BIGINT AS covered_chars
+        |       FROM pos p JOIN cov c ON c.doc_id = p.doc_id AND c.j = p.i
+        |       GROUP BY p.doc_id)
+        |SELECT ts.doc_id, 5 AS n, ts.n_tokens,
+        |  coalesce(cs.covered_tokens, 0)::BIGINT AS covered_tokens,
+        |  coalesce(cs.covered_chars, 0)::BIGINT AS covered_chars,
+        |  ts.token_chars,
+        |  (100 * coalesce(cs.covered_chars, 0) <= 15 * ts.token_chars)
+        |    AS pass_dup_ngram
+        |FROM ts LEFT JOIN cs ON cs.doc_id = ts.doc_id""".stripMargin,
+
+    // C4 rules: the punctuation-injection transform is replayed with the
+    // same literal replaces; list lambdas mirror the Spark filters and
+    // sentence counting is the same length-delta occurrence trick.
+    "text_c4_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    replace(replace(text, ' value ', '. '), ' line ', '?' || chr(10))
+        |    || CASE WHEN doc_id % 31 = 0
+        |         THEN chr(10) || 'lorem ipsum dolor' ELSE '' END
+        |    || CASE WHEN doc_id % 37 = 0
+        |         THEN chr(10) || 'function() { }' ELSE '' END AS text
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, text,
+        |    len(string_split(text, chr(10)))::BIGINT AS n_lines,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      regexp_matches(l, '[.!?]["”'']?[ \t]*$')
+        |      AND len(list_filter(string_split(l, ' '), w -> w != '')) >= 3
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM d),
+        |k AS (
+        |  SELECT doc_id, text, n_lines,
+        |    len(kept)::BIGINT AS n_kept_lines,
+        |    -- array_to_string([]) is NULL in DuckDB, '' in Spark's concat_ws
+        |    coalesce(array_to_string(kept, chr(10)), '') AS kt
+        |  FROM g)
+        |SELECT doc_id, n_lines, n_kept_lines,
+        |  length(kt)::BIGINT AS kept_chars,
+        |  ((length(kt) - length(replace(kt, '.', '')))
+        |   + (length(kt) - length(replace(kt, '!', '')))
+        |   + (length(kt) - length(replace(kt, '?', ''))))::BIGINT AS n_sentences,
+        |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |  contains(text, '{') AS has_brace,
+        |  (((length(kt) - length(replace(kt, '.', '')))
+        |    + (length(kt) - length(replace(kt, '!', '')))
+        |    + (length(kt) - length(replace(kt, '?', '')))) >= 5
+        |   AND NOT contains(lower(text), 'lorem ipsum')
+        |   AND NOT contains(text, '{')) AS pass_c4
+        |FROM k""".stripMargin,
+
+    "text_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents",
+
+    // Same double-modulus Horner chain over 60-bit md5-derived token
+    // hashes the Spark side computes — exact integer arithmetic in both
+    // engines, order-sensitive by construction.
+    "text_rolling_fp" ->
+      """WITH h AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '),
+        |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(hs, x -> x % 1000000007)),
+        |    (a, x) -> (a * 31 + x) % 1000000007) * 998244353
+        |  + list_reduce(list_prepend(0::BIGINT, list_transform(hs, x -> x % 998244353)),
+        |    (a, x) -> (a * 131 + x) % 998244353) AS rfp
+        |FROM h""".stripMargin,
+
+    // Same trigram statistics computed relationally: lateral
+    // generate_series explodes positions, counts join back, and the
+    // floor(ln·1000) milli-nat quantization makes the sum integer-exact
+    // in both engines.
+    "text_lm_score" ->
+      """WITH base AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents
+        |  WHERE length(text) >= 3),
+        |p AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS i
+        |  FROM base),
+        |g AS (SELECT doc_id, substr(t, i::INT, 3) AS g FROM p),
+        |c AS (SELECT g, count(*) AS cnt FROM g GROUP BY g)
+        |SELECT doc_id,
+        |  sum(floor(ln(cnt) * 1000)::BIGINT)::BIGINT AS sum_millinats,
+        |  sum(CASE WHEN cnt < 5 THEN 1 ELSE 0 END)::BIGINT AS n_rare,
+        |  count(*) AS n_grams
+        |FROM g JOIN c USING (g)
+        |GROUP BY doc_id""".stripMargin,
+
+    // Same trigram replay split train/eval at doc_id % 5; unseen grams
+    // coalesce to count 1 (0 milli-nats) and count as OOV.
+    "text_lm_cross" ->
+      """WITH tr AS (
+        |  SELECT lower(text) AS t FROM documents
+        |  WHERE doc_id % 5 <> 0 AND length(text) >= 3),
+        |trp AS (
+        |  SELECT t, unnest(generate_series(1, length(t) - 2)) AS i FROM tr),
+        |c AS (SELECT substr(t, i::INT, 3) AS g, count(*) AS cnt
+        |      FROM trp GROUP BY g),
+        |ev AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents
+        |  WHERE doc_id % 5 = 0 AND length(text) >= 3),
+        |evp AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS i
+        |  FROM ev),
+        |eg AS (SELECT doc_id, substr(t, i::INT, 3) AS g FROM evp)
+        |SELECT eg.doc_id, count(*)::BIGINT AS n_grams,
+        |  sum(floor(ln(coalesce(c.cnt, 1)) * 1000)::BIGINT)::BIGINT AS sum_millinats,
+        |  sum(CASE WHEN c.cnt IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+        |  ((sum(CASE WHEN c.cnt IS NULL THEN 1 ELSE 0 END)::HUGEINT * 1000000)
+        |    // count(*))::BIGINT AS oov_e6
+        |FROM eg LEFT JOIN c USING (g)
+        |GROUP BY eg.doc_id""".stripMargin,
+
+    // Same md5 shard, same whitespace token count, same window cumsum —
+    // integer division (`//`) mirrors Spark's `div`.
+    "text_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 8 AS shard,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS start_offset
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens, start_offset,
+        |  start_offset // 512 AS pack_first,
+        |  (start_offset + n_tokens - 1) // 512 AS pack_last
+        |FROM o""".stripMargin,
+
+    "text_bpe_merges" -> bpeOracleSql,
+
+    // Same canonical two-space symbol encoding and replace() semantics as
+    // the training oracle; the three fixed merges replay as chained
+    // replaces; md5(space-joined subwords) is engine-portable.
+    "text_bpe_encode" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '),
+        |                w -> regexp_matches(w, '^[a-z]+$')) AS ws
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, ws,
+        |    flatten(list_transform(ws, w -> string_split(trim(
+        |      replace(replace(replace(
+        |        ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' ',
+        |        ' t  h ', ' th '),
+        |        ' th  e ', ' the '),
+        |        ' i  n ', ' in ')), '  '))) AS subs
+        |  FROM w)
+        |SELECT doc_id, len(ws)::BIGINT AS n_words,
+        |       len(subs)::BIGINT AS n_subwords,
+        |       md5(array_to_string(subs, ' ')) AS tokens_md5
+        |FROM e""".stripMargin
+
+  )
+
+  /** DuckDB oracle for text_bpe_merges: 3 unrolled merge rounds over the
+    * same canonical "two spaces between symbols" encoding, the same
+    * (freq DESC, left, right) argmax, and replace()'s shared left-to-right
+    * non-overlapping semantics. */
+  private lazy val bpeOracleSql: String = {
+    def round(si: String, i: Int): String =
+      s"""p$i AS (
+         |  SELECT y[i] AS l, y[i+1] AS r, sum(f)::BIGINT AS freq FROM (
+         |    SELECT string_split(trim(s), '  ') AS y, f,
+         |           unnest(generate_series(1, len(string_split(trim(s), '  ')) - 1)) AS i
+         |    FROM $si)
+         |  GROUP BY l, r),
+         |t$i AS (SELECT l, r, freq FROM p$i
+         |        QUALIFY row_number() OVER (ORDER BY freq DESC, l, r) = 1),
+         |s$i AS (SELECT replace(s, ' ' || t.l || '  ' || t.r || ' ',
+         |                       ' ' || t.l || t.r || ' ') AS s, f
+         |        FROM $si, t$i t)""".stripMargin
+    s"""WITH w AS (
+       |  SELECT t AS word, count(*)::BIGINT AS f FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+       |  WHERE regexp_matches(t, '^[a-z]+$$')
+       |  GROUP BY t),
+       |s0 AS (SELECT ' ' || rtrim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' ' AS s, f FROM w),
+       |${round("s0", 1)},
+       |${round("s1", 2)},
+       |${round("s2", 3)}
+       |SELECT 1::BIGINT AS rank, l AS "left", r AS "right", freq FROM t1
+       |UNION ALL SELECT 2, l, r, freq FROM t2
+       |UNION ALL SELECT 3, l, r, freq FROM t3""".stripMargin
+  }
+}

@@ -42,7 +42,10 @@ object Verify {
     // actually ran: a full dump would hand the oracle stale GateStage
     // globs for staged queries this run never wrote.
     def q(s: String): String = graft.persist.Json.str(s)
-    val json = SparkEntry.oracleSql
+    // Scope-explicit dump: this run's sf dir resolves the GateStage
+    // globs, so a JVM that staged several scopes (two-sf spec runs)
+    // still dumps readable oracle SQL instead of the ambiguity sentinel.
+    val json = SparkEntry.oracleSqlScoped(sfDir)
       .filter { case (k, _) => only.isEmpty || only.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
