@@ -232,6 +232,10 @@ object Bench {
     flagged.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try {
+          // untimed warmup: the chromem family's cache reset dropped the
+          // per-dir index caches, so a flagged entry's first run would
+          // otherwise pay an index rebuild inside its timed window
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           System.gc()
           val ts = (1 to 3).map { _ =>
             val t0 = System.nanoTime()

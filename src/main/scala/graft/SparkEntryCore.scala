@@ -569,10 +569,13 @@ private[graft] object SparkEntryCore {
         |    AS is_norm
         |FROM embeddings""".stripMargin,
 
+    // `+ 0.0` normalizes IEEE -0.0 (DuckDB's round keeps the sign of a
+    // tiny negative element; Spark's HALF_UP round returns +0.0 — the
+    // divergence only materializes at sf0.1, r9 census).
     "q_normalize_elem" ->
       """SELECT vec_id,
         |  round(embedding[1]::DOUBLE /
-        |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS e0
+        |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) + 0.0 AS e0
         |FROM embeddings""".stripMargin,
 
     // MaxSim replayed term by term: 8×8 sub-dot products as exact

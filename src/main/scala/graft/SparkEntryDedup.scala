@@ -236,6 +236,11 @@ private[graft] object SparkEntryDedup {
     // Boilerplate removal: same planted corpus and >=2-distinct-docs
     // rule as dedup_paragraphs; DuckDB filters by paragraph TEXT where
     // Spark drops by digest-matched positions — identical semantics.
+    // coalesce('') on the rebuilt text: a doc whose EVERY paragraph is
+    // boilerplate keeps an empty text (the doc survives the transform;
+    // dropping rows is the caller's policy) — Spark's array_join of an
+    // empty array is '', but DuckDB's array_to_string of an empty list
+    // is NULL. First materialized at sf0.1 (r9 census).
     "dedup_paragraph_clean" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -250,9 +255,9 @@ private[graft] object SparkEntryDedup {
         |        GROUP BY para HAVING count(DISTINCT doc_id) >= 2),
         |dl AS (SELECT coalesce(list(para), []) AS l FROM dup)
         |SELECT d.doc_id,
-        |  array_to_string(
+        |  coalesce(array_to_string(
         |    list_filter(string_split(d.text, chr(10)),
-        |                x -> NOT list_contains(dl.l, x)), chr(10)) AS text,
+        |                x -> NOT list_contains(dl.l, x)), chr(10)), '') AS text,
         |  len(list_filter(string_split(d.text, chr(10)),
         |                  x -> NOT list_contains(dl.l, x)))::BIGINT AS n_kept,
         |  (len(string_split(d.text, chr(10))) -

@@ -177,6 +177,10 @@ private[graft] object SparkEntryEvents {
 
     // z rearranged to one integer numerator over one integer-rooted
     // denominator — exact HUGEINT moments, zero-variance guard.
+    // `+ 0.0` normalizes IEEE -0.0: DuckDB's round keeps the sign of a
+    // tiny negative quotient (round(-1e-6::DOUBLE, 4) = -0.0) while
+    // Spark's BigDecimal HALF_UP round returns +0.0 — first observed at
+    // sf0.1, where one user's z lands exactly there (r9 census).
     "events_zscore" ->
       """WITH s AS (
         |  SELECT user_id, count(*)::HUGEINT AS n,
@@ -187,7 +191,7 @@ private[graft] object SparkEntryEvents {
         |SELECT e.event_id, e.user_id,
         |  CASE WHEN (s.n * s.ss - s.sv * s.sv) > 0 THEN
         |    round((s.n * round(e.value * 100)::BIGINT - s.sv)::DOUBLE /
-        |      sqrt((s.n * s.ss - s.sv * s.sv)::DOUBLE), 4)
+        |      sqrt((s.n * s.ss - s.sv * s.sv)::DOUBLE), 4) + 0.0
         |  ELSE NULL END AS z
         |FROM events e JOIN s USING (user_id)""".stripMargin,
 

@@ -1,0 +1,49 @@
+package graft
+
+/**
+ * The gate registry's shared plumbing: cache release must be safe
+ * mid-session (Bench calls it between the sweep and the parity family)
+ * and the rebuilt state must answer identically — a released cache that
+ * changed answers would silently corrupt every entry measured after the
+ * reset.
+ */
+class GateSupportSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("releaseCaches drops index state and queries rebuild identically") {
+    withLogLevel {
+      def run(name: String): Seq[String] =
+        SparkEntry.queries(name)(spark, dir).collect()
+          .map(_.toString).sorted.toSeq
+
+      // fill every cache family: LSH + IVF probes, term index, eval
+      // query set, BM25 stats, prepared graph
+      val names = Seq("q_lsh_topk", "q_ivf_topk", "text_bm25_indexed",
+        "eval_ann_recall", "text_bm25", "graph_pagerank")
+      val before = names.map(n => n -> run(n)).toMap
+      assert(GateSupport.lshCache.size() + GateSupport.ivfCache.size() > 0,
+        "expected index caches to be filled by the probe queries")
+
+      SparkEntry.releaseCaches()
+      assert(GateSupport.lshCache.isEmpty && GateSupport.ivfCache.isEmpty &&
+        GateSupport.termIndexCache.isEmpty &&
+        GateSupport.evalQueryCache.isEmpty &&
+        GateSupport.preparedGraphCache.isEmpty)
+
+      names.foreach { n =>
+        assert(run(n) == before(n), s"$n changed answers after releaseCaches")
+      }
+    }
+  }
+
+  test("evalQueries survives a cache release and returns the same 16 rows") {
+    withLogLevel {
+      val a = GateSupport.evalQueries(spark, dir).collect().map(_.toString).sorted
+      SparkEntry.releaseCaches()
+      val b = GateSupport.evalQueries(spark, dir).collect().map(_.toString).sorted
+      assert(a.sameElements(b))
+      assert(a.length == 16)
+    }
+  }
+}
