@@ -142,6 +142,29 @@ private[graft] object GateSupport {
         .select("embedding").head().getSeq[Float](0).toArray
     })
 
+  /** Unrolled min-label-propagation rounds for the connected-components
+    * oracles (dedup_components, split_leakage_safe). DuckDB 1.0's
+    * recursive CTE accumulates EVERY (node, reachable-label) pair under
+    * UNION semantics — on the near-clique dup clusters at sf0.1 (~3M
+    * edges over 3.9k nodes) that walk exceeded 900 s. These rounds
+    * instead iterate `label := min(label, min over in-neighbors)`,
+    * keeping ONE row per node per round (each round: one edge join +
+    * two aggregates over `edges`/`s{i-1}` CTEs the caller defines;
+    * MATERIALIZED because every stage is referenced twice — the
+    * DuckDB-inlining house rule). Convergence to the true component
+    * minimum needs `rounds >= graph diameter`; callers append a poison
+    * row when s{n} <> s{n-1} so an unconverged replay FAILS the hash
+    * compare loudly instead of under-merging silently. */
+  private[graft] def minLabelRounds(n: Int): String = (1 to n).map { i =>
+    val p = s"s${i - 1}"
+    s"""s$i AS MATERIALIZED (
+       |  SELECT p.id, least(p.label, coalesce(n.m, p.label)) AS label
+       |  FROM $p p LEFT JOIN (
+       |    SELECT e.dst AS id, min(q.label) AS m
+       |    FROM edges e JOIN $p q ON q.id = e.src
+       |    GROUP BY e.dst) n ON n.id = p.id)""".stripMargin
+  }.mkString(",\n")
+
   // 21 English stopwords shared with the oracle SQL below.
   private[graft] val Stopwords = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",

@@ -405,36 +405,48 @@ private[graft] object SparkEntryDedup {
         |  round(coalesce(n_hits, 0) * 1.0 / n_grams, 4) AS leak_frac
         |FROM tot LEFT JOIN hit USING (train_id)""".stripMargin,
 
-    // Connected components via recursive min-label propagation — the CTE
-    // walks labels along (symmetric) edges; min per vertex = component
-    // representative, exactly the DataFrame fixpoint's result.
+    // Connected components via UNROLLED min-label propagation (8 rounds,
+    // see GateSupport.minLabelRounds): min per vertex over its component
+    // = the DataFrame fixpoint's result. The earlier recursive-CTE walk
+    // accumulated every (node, reachable-label) pair — quadratic on the
+    // near-clique dup clusters and >900 s at sf0.1; the unrolled rounds
+    // keep one row per node and replay in ~40 s. The final UNION ALL
+    // poison row fires iff round 8 still changed labels (diameter > 8),
+    // turning non-convergence into a loud hash mismatch.
     "dedup_components" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tk FROM t),
-        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
-        |pr AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT id_a, id_b FROM pr
-        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-        |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
-        |edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |walk(id, label) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id)
-        |SELECT id, min(label) AS component FROM walk GROUP BY id""".stripMargin,
+      s"""WITH t AS MATERIALIZED (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tk FROM t),
+         |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         |pr AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM pr
+         |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
+         |edges AS MATERIALIZED (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |s0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges),
+         |${minLabelRounds(8)}
+         |SELECT id, label AS component FROM s8
+         |UNION ALL
+         |SELECT -1, -1 WHERE EXISTS (
+         |  SELECT 1 FROM s8 JOIN s7 USING (id) WHERE s8.label <> s7.label)""".stripMargin,
 
     // MinHash+LSH verified by exact shingle Jaccard: all qualifying pairs
     // in this corpus sit at J >= 0.9, where 16-band/4-row detection
     // probability is 1 - 3e-8 per pair and signatures are seed-fixed, so
     // the probabilistic op is deterministically exact here and the
     // ground-truth inverted-index Jaccard is a valid hash-match oracle.
+    // Inverted-index join (docs paired only through a SHARED shingle,
+    // like dedup_jaccard's token shape), not all-pairs list_intersect:
+    // 12.5M pairwise list intersects exceeded 900 s at sf0.1; this
+    // replay is ~2 s and algebraically identical (a pair with zero
+    // shared shingles cannot reach J >= 0.8, and
+    // union = n_a + n_b - inter over the same distinct shingle sets).
     "dedup_minhash" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
@@ -444,17 +456,22 @@ private[graft] object SparkEntryDedup {
         |         ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
         |    END AS shingles
         |  FROM t),
-        |ds AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+        |ds AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
+        |sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
         |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    len(list_intersect(a.s, b.s)) * 1.0 /
-        |      len(list_distinct(list_concat(a.s, b.s))) AS j
-        |  FROM ds a JOIN ds b ON a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.8""".stripMargin,
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+        |FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
 
     // Cross-side exact Jaccard ≥ 0.8 (all qualifying pairs in this corpus
     // are at J ≥ 0.9 — deterministic banded recall, same argument as
     // dedup_minhash above).
+    // Same inverted-index shape as dedup_minhash above (the batch/corpus
+    // partition predicates move onto the shingle join unchanged).
     "dedup_cross_corpus" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
@@ -464,14 +481,16 @@ private[graft] object SparkEntryDedup {
         |         ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
         |    END AS shingles
         |  FROM t),
-        |ds AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+        |ds AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
+        |sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
         |pairs AS (
-        |  SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
-        |    len(list_intersect(a.s, b.s)) * 1.0 /
-        |      len(list_distinct(list_concat(a.s, b.s))) AS j
-        |  FROM ds a JOIN ds b ON a.doc_id % 5 = 0 AND b.doc_id % 5 != 0)
-        |SELECT batch_id, corpus_id, round(j, 4) AS jaccard
-        |FROM pairs WHERE j >= 0.8""".stripMargin,
+        |  SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id, count(*) AS inter
+        |  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+        |  GROUP BY 1, 2)
+        |SELECT batch_id, corpus_id,
+        |  round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+        |FROM pairs JOIN sz sa ON sa.doc_id = batch_id JOIN sz sb ON sb.doc_id = corpus_id
+        |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
 
     // SimHash at hamming 0 + digest verify = exactly the pairs with equal
     // lowered text over the planted union (recall guaranteed by identical

@@ -202,10 +202,13 @@ private[graft] object SparkEntryEmb {
     // Same recursive components as dedup_components, then the standard
     // md5 split rule applied to coalesce(component, doc_id) — whole
     // clusters land on one side.
+    // Same unrolled min-label propagation + convergence poison as
+    // dedup_components (the recursive walk was >900 s at sf0.1; see
+    // GateSupport.minLabelRounds).
     "split_leakage_safe" -> {
       val th = graft.ops.Splits.hexThresholds(
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-      s"""WITH RECURSIVE t AS (
+      s"""WITH t AS MATERIALIZED (
          |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
          |tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tk FROM t),
          |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
@@ -217,14 +220,12 @@ private[graft] object SparkEntryEmb {
          |  SELECT id_a, id_b FROM pr
          |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
          |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT id_a AS src, id_b AS dst FROM pairs
          |  UNION SELECT id_b, id_a FROM pairs),
-         |walk(id, label) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
-         |comp AS (SELECT id, min(label) AS component FROM walk GROUP BY id),
+         |s0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges),
+         |${minLabelRounds(8)},
+         |comp AS (SELECT id, label AS component FROM s8),
          |keyed AS (
          |  SELECT d.doc_id, coalesce(c.component, d.doc_id)::VARCHAR AS k
          |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
@@ -232,7 +233,10 @@ private[graft] object SparkEntryEmb {
          |  CASE WHEN substr(md5(k), 1, 4) < '${th(0)._2}' THEN 'train'
          |       WHEN substr(md5(k), 1, 4) < '${th(1)._2}' THEN 'val'
          |       ELSE 'test' END AS split
-         |FROM keyed""".stripMargin
+         |FROM keyed
+         |UNION ALL
+         |SELECT -1, 'UNCONVERGED' WHERE EXISTS (
+         |  SELECT 1 FROM s8 JOIN s7 USING (id) WHERE s8.label <> s7.label)""".stripMargin
     },
 
     "split_assign" -> {
