@@ -220,9 +220,11 @@ object Bench {
     // are emitted ("retimed" line below). This answers "plan regression
     // or ambient noise?" inside the artifact instead of costing the
     // judge a round-trip (r3 q_upsert, r4 dataframe, r5 pagerank,
-    // r7 mrr were all exactly this ambiguity). Only entries visible in
-    // the prior artifact's 2000-char tail can be compared — the
-    // chromem/parity family has its own interleaved controls instead.
+    // r7 mrr were all exactly this ambiguity). Baselines come from the
+    // bench_local/last_full.json side file (every sweep entry) with the
+    // prior artifact's 2000-char tail as the fallback — the
+    // chromem/parity family instead self-adjudicates in-family against
+    // its interleaved packed controls.
     val prev = readPrevBench(sfDir)
     val flagged = sweep.filter { name =>
       results.get(name).exists(_ >= 0) &&
@@ -269,12 +271,19 @@ object Bench {
     }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // compact retimed line (always emitted, possibly empty) between the
-    // big line and the headline line so it survives the driver's
-    // 2000-char tail; "orig"/"prev" carry the in-sweep and prior-round
-    // values the retime adjudicates.
-    val origOfFlagged = retimed.keys.map(k => k -> results(k))
-    val prevOfFlagged = retimed.keys.map(k => k -> prev.getOrElse(k, -1.0))
-    println(s"""{"metric":"retimed","threshold":1.3,"queries":${fmt(retimed)},"orig":${fmt(origOfFlagged)},"prev":${fmt(prevOfFlagged)},"sf":"$sfDir"}""")
+    // big line and the headline line. Each flagged entry carries its
+    // three adjudication numbers as ONE [retimed, orig, prev] triple
+    // (~45 chars/entry): with the full-map baseline file many entries
+    // can be flagged in an ambient-hot round, and the old three-map
+    // format at 12 entries (~1.3k chars) plus the ~1.2k-char headline
+    // line would overflow the driver's 2000-char tail and truncate this
+    // line's head.
+    val retLine = retimed.map { case (k, v) =>
+      "\"" + k + "\":[" + Seq(v, results(k), prev.getOrElse(k, -1.0))
+        .map(d => String.format(java.util.Locale.ROOT, "%.4f", Double.box(d)))
+        .mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"retimed","threshold":1.3,"format":"[retimed,orig,prev]","queries":$retLine,"sf":"$sfDir"}""")
     println(s"""{"metric":"headline","value":$total,"unit":"sec","queries":${fmt(headlineEntries)},"sf":"$sfDir"}""")
     // Full-results side file — next round's retime baseline (see
     // readPrevBench). Only an UNFILTERED run writes it: a BENCH_ONLY
