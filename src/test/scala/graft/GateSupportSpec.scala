@@ -37,6 +37,24 @@ class GateSupportSpec extends SparkSuite {
     }
   }
 
+  test("census contract: every query is oracle-gated or documented rows-only") {
+    // The 4 rows-only entries are approximate/greedy BY CONTRACT
+    // (sketch tiers, farthest-point argmin, driver-side
+    // eigencomponents) — each carries contract docs at its gate entry.
+    // Anything else missing an oracle is census drift: the driver would
+    // silently downgrade it to a weaker rows-only check.
+    val documentedRowsOnly = Set(
+      "profile_stats_approx", "profile_quantiles_approx",
+      "emb_coreset", "emb_whitened")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing == documentedRowsOnly,
+      s"oracle coverage drifted: undocumented rows-only = ${missing -- documentedRowsOnly}, " +
+        s"stale contract entries = ${documentedRowsOnly -- missing}")
+    // and no orphan oracles for queries that don't exist
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
   test("evalQueries survives a cache release and returns the same 16 rows") {
     withLogLevel {
       val a = GateSupport.evalQueries(spark, dir).collect().map(_.toString).sorted
