@@ -287,13 +287,20 @@ object Bench {
     println(s"""{"metric":"headline","value":$total,"unit":"sec","queries":${fmt(headlineEntries)},"sf":"$sfDir"}""")
     // Full-results side file — next round's retime baseline (see
     // readPrevBench). Only an UNFILTERED run writes it: a BENCH_ONLY
-    // subset would replace the 103-entry map with a fragment. The file
-    // lives in the repo so the driver's end-of-round commit carries it.
+    // subset would replace the 103-entry map with a fragment. Flagged
+    // entries store min(sweep median, retimed): keeping the ambient-hot
+    // sweep value would inflate the next round's 1.3× baseline and let
+    // a real regression hide under it — the retime just proved the
+    // lower number is achievable. The file lives in the repo so the
+    // driver's end-of-round commit carries it.
     if (only.isEmpty) try {
+      val baseline = results.map { case (k, v) =>
+        k -> retimed.get(k).filter(r => r >= 0 && r < v).getOrElse(v)
+      }
       val dir = java.nio.file.Paths.get("/root/repo/bench_local")
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.writeString(dir.resolve("last_full.json"),
-        s"""{"metric":"full","queries":${fmt(results)},"sf":"$sfDir"}""" + "\n")
+        s"""{"metric":"full","queries":${fmt(baseline)},"sf":"$sfDir"}""" + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] full-results write failed: ${e.getMessage}")
     }
@@ -498,7 +505,7 @@ object Bench {
       var (distV, distCtrlV) = measureDist()
       if (distCtrlV > out(s"chromem_query_${n}_d1536_k10") * 1.3) {
         out(s"chromem_query_${n}_d1536_k10_distributed_firstpass") = distV
-        out(s"chromem_query_${n}_d1536_k10_distributed_ctrl_firstpass") = distCtrlV
+        out(s"chromem_query_${n}_d1536_k10_distributed_ctrl_packed_firstpass") = distCtrlV
         System.gc()
         val r = measureDist(); distV = r._1; distCtrlV = r._2
       }
@@ -555,7 +562,7 @@ object Bench {
       var (dfV, dfCtrlV, floorV) = measureDfFamily()
       if (dfCtrlV > out(s"chromem_query_${n}_d1536_k10") * 1.3) {
         out(s"chromem_query_${n}_d1536_k10_dataframe_firstpass") = dfV
-        out(s"chromem_query_${n}_d1536_k10_interleaved_firstpass") = dfCtrlV
+        out(s"chromem_query_${n}_d1536_k10_packed_interleaved_firstpass") = dfCtrlV
         val r = measureDfFamily(); dfV = r._1; dfCtrlV = r._2; floorV = r._3
       }
       out(s"chromem_query_${n}_d1536_k10_dataframe") = dfV

@@ -15,18 +15,37 @@ private[graft] object GateSupport {
   private[graft] def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Per-data-dir cache for index state whose value holds SESSION-BOUND
+    * plans — persisted DataFrames, checkpointed RDD blocks. Keyed by dir
+    * but validated against the calling session: a value built under a
+    * session that was later stopped and replaced (test suites
+    * stop/recreate sessions within one JVM) is a plan referencing dead
+    * state, so `get` rebuilds and replaces it instead of handing it out.
+    * The stale value's blocks died with its session — no unpersist owed.
+    * Session-FREE values (collected rows, plain arrays, paths) keep
+    * using dir-keyed maps directly. */
+  private[graft] final class SessionCache[V] {
+    private val m =
+      new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, V)]()
+    def get(s: SparkSession, dir: String)(build: => V): V =
+      m.compute(dir, (_, old) =>
+        if (old != null && (old._1 eq s)) old else (s, build))._2
+    def foreachValue(f: V => Unit): Unit = m.forEach((_, v) => f(v._2))
+    def clear(): Unit = m.clear()
+    def size(): Int = m.size()
+    def isEmpty: Boolean = m.isEmpty
+  }
+
   // ANN indexes built once per data dir: the whole point of an index is
   // that the signature / centroid-assignment pass is paid once and probes
   // reuse it — the bench's timed pass (after warmup) measures the probe,
-  // which is what a repeated-query user experiences.
+  // which is what a repeated-query user experiences. The LSH/IVF/term/
+  // graph values hold session-bound frames → SessionCache.
   private[graft] val pcaCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.ops.Pca.Model]()
-  private[graft] val lshCache =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.LshIndex]()
-  private[graft] val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.IvfState]()
-  private[graft] val termIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.TermIndexState]()
+  private[graft] val lshCache = new SessionCache[graft.ops.LshIndex]()
+  private[graft] val ivfCache = new SessionCache[graft.ops.IvfState]()
+  private[graft] val termIndexCache = new SessionCache[graft.ops.TermIndexState]()
   // ANN-evaluation query set: the 16-row bounded top-k-by-id selection is
   // derived with ONE corpus pass and collected to a local relation, then
   // shared by the recall and MRR reports (each previously paid its own
@@ -60,15 +79,15 @@ private[graft] object GateSupport {
   // dir, iterated many times. Snapshot blocks are RDD-level
   // (localCheckpoint), so they free on GC rather than holding
   // CacheManager entries for the session.
-  private[graft] val preparedGraphCache = new java.util.concurrent.ConcurrentHashMap[
-    String, graft.ops.Graph.PreparedGraph]()
+  private[graft] val preparedGraphCache =
+    new SessionCache[graft.ops.Graph.PreparedGraph]()
   private[graft] def preparedTradeGraph(s: SparkSession,
       dir: String): graft.ops.Graph.PreparedGraph =
-    preparedGraphCache.computeIfAbsent(dir, { d =>
+    preparedGraphCache.get(s, dir) {
       graft.ops.Graph.PreparedGraph.build(
-        graft.ops.Graph.tradeGraphIds(t(s, d, "orders"), t(s, d, "lineitem")),
+        graft.ops.Graph.tradeGraphIds(t(s, dir, "orders"), t(s, dir, "lineitem")),
         "src", "dst")
-    })
+    }
 
   /** Release every session-bound cached state this registry built:
     * unpersist the LSH/IVF cache-manager entries and drop the maps whose
@@ -80,9 +99,9 @@ private[graft] object GateSupport {
     * 816 ms against an 11.4 ms control exactly because ~1 GB of sweep
     * leftovers were still resident. Caches refill on next use. */
   def releaseCaches(): Unit = {
-    lshCache.forEach((_, idx) => try idx.unpersist() catch { case _: Throwable => () })
+    lshCache.foreachValue(idx => try idx.unpersist() catch { case _: Throwable => () })
     lshCache.clear()
-    ivfCache.forEach((_, st) => try st.unpersist() catch { case _: Throwable => () })
+    ivfCache.foreachValue(st => try st.unpersist() catch { case _: Throwable => () })
     ivfCache.clear()
     termIndexCache.clear()
     preparedGraphCache.clear()
@@ -154,7 +173,11 @@ private[graft] object GateSupport {
     * DuckDB-inlining house rule). Convergence to the true component
     * minimum needs `rounds >= graph diameter`; callers append a poison
     * row when s{n} <> s{n-1} so an unconverged replay FAILS the hash
-    * compare loudly instead of under-merging silently. */
+    * compare loudly instead of under-merging silently. NOTE the poison
+    * makes the final round a pure CONFIRMATION round: a graph of
+    * diameter exactly n converges at round n yet still fires the
+    * s{n} <> s{n-1} check, so callers must unroll `diameter bound + 1`
+    * rounds — the clean-pass condition is `diameter <= n-1`. */
   private[graft] def minLabelRounds(n: Int): String = (1 to n).map { i =>
     val p = s"s${i - 1}"
     s"""s$i AS MATERIALIZED (

@@ -227,9 +227,10 @@ private[graft] object SparkEntryCore {
 
     // ---- ANN: LSH-bucketed approximate top-k (deterministic planes) ----
     "q_lsh_topk" -> ((s, dir) => {
-      val idx = lshCache.computeIfAbsent(dir, d =>
-        graft.ops.AnnIndex.buildLsh(t(s, d, "embeddings"), "embedding",
-          "vec_id", dim = 64, numPlanes = 12).materialize())
+      val idx = lshCache.get(s, dir) {
+        graft.ops.AnnIndex.buildLsh(t(s, dir, "embeddings"), "embedding",
+          "vec_id", dim = 64, numPlanes = 12).materialize()
+      }
       idx.topK(vec(s, dir, 0), 10, maxHamming = 3).select(col("vec_id"))
     }),
 
@@ -257,17 +258,17 @@ private[graft] object SparkEntryCore {
     // so the gate covers the on-disk form a persistent deployment probes,
     // not just the session cache. ----
     "q_ivf_topk" -> ((s, dir) => {
-      val idx = ivfCache.computeIfAbsent(dir, d => {
+      val idx = ivfCache.get(s, dir) {
         val path = "/root/repo/target/ivf_gate/" +
-          java.lang.Integer.toHexString(d.hashCode)
-        val built = graft.ops.AnnIndex.buildIvf(t(s, d, "embeddings"),
+          java.lang.Integer.toHexString(dir.hashCode)
+        val built = graft.ops.AnnIndex.buildIvf(t(s, dir, "embeddings"),
           "embedding", "vec_id", nlist = 4, sampleSize = 500)
         built.save(path)
         built.unpersist()
         val reopened = graft.ops.IvfState.load(s, path)
         reopened.assigned.persist()
         reopened.materialize() // populates the cache FROM the disk layout
-      })
+      }
       idx.topK(vec(s, dir, 0), 10, nprobe = 4).select(col("vec_id"))
     }),
 
@@ -288,11 +289,11 @@ private[graft] object SparkEntryCore {
     // partition-pruned posting scan, probe cost ∝ Σ df(term) instead of a
     // corpus pass. Bit-identical to text_bm25 ⇒ same oracle. ----
     "text_bm25_indexed" -> ((s, dir) => {
-      val idx = termIndexCache.computeIfAbsent(dir, d => {
+      val idx = termIndexCache.get(s, dir) {
         val path = "/root/repo/target/term_index_gate/" +
-          java.lang.Integer.toHexString(d.hashCode)
-        graft.ops.TermIndex.build(t(s, d, "documents"), "text", "doc_id", path)
-      })
+          java.lang.Integer.toHexString(dir.hashCode)
+        graft.ops.TermIndex.build(t(s, dir, "documents"), "text", "doc_id", path)
+      }
       idx.topK(Seq("vector", "query", "spark"), k = 20, k1 = 1.5)
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),

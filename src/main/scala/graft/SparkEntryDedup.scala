@@ -405,18 +405,20 @@ private[graft] object SparkEntryDedup {
         |  round(coalesce(n_hits, 0) * 1.0 / n_grams, 4) AS leak_frac
         |FROM tot LEFT JOIN hit USING (train_id)""".stripMargin,
 
-    // Connected components via UNROLLED min-label propagation (8 rounds,
-    // see GateSupport.minLabelRounds): min per vertex over its component
+    // Connected components via UNROLLED min-label propagation (9 rounds
+    // = diameter bound 8 + one confirmation round, see
+    // GateSupport.minLabelRounds): min per vertex over its component
     // = the DataFrame fixpoint's result. The earlier recursive-CTE walk
     // accumulated every (node, reachable-label) pair — quadratic on the
     // near-clique dup clusters and >900 s at sf0.1; the unrolled rounds
     // keep one row per node and replay in ~40 s. The final UNION ALL
-    // poison row fires iff round 8 still changed labels (diameter > 8),
+    // poison row fires iff round 9 still changed labels (diameter > 8),
     // turning non-convergence into a loud hash mismatch.
     "dedup_components" ->
       s"""WITH t AS MATERIALIZED (
          |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-         |tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tk FROM t),
+         |tok AS MATERIALIZED (
+         |  SELECT doc_id, unnest(list_distinct(toks)) AS tk FROM t),
          |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
          |pr AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -430,11 +432,11 @@ private[graft] object SparkEntryDedup {
          |  SELECT id_a AS src, id_b AS dst FROM pairs
          |  UNION SELECT id_b, id_a FROM pairs),
          |s0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges),
-         |${minLabelRounds(8)}
-         |SELECT id, label AS component FROM s8
+         |${minLabelRounds(9)}
+         |SELECT id, label AS component FROM s9
          |UNION ALL
          |SELECT -1, -1 WHERE EXISTS (
-         |  SELECT 1 FROM s8 JOIN s7 USING (id) WHERE s8.label <> s7.label)""".stripMargin,
+         |  SELECT 1 FROM s9 JOIN s8 USING (id) WHERE s9.label <> s8.label)""".stripMargin,
 
     // MinHash+LSH verified by exact shingle Jaccard: all qualifying pairs
     // in this corpus sit at J >= 0.9, where 16-band/4-row detection
@@ -456,7 +458,8 @@ private[graft] object SparkEntryDedup {
         |         ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
         |    END AS shingles
         |  FROM t),
-        |ds AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
+        |ds AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
         |sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -481,7 +484,8 @@ private[graft] object SparkEntryDedup {
         |         ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
         |    END AS shingles
         |  FROM t),
-        |ds AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
+        |ds AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
         |sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id, count(*) AS inter

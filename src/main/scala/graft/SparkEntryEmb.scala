@@ -210,7 +210,8 @@ private[graft] object SparkEntryEmb {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       s"""WITH t AS MATERIALIZED (
          |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-         |tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tk FROM t),
+         |tok AS MATERIALIZED (
+         |  SELECT doc_id, unnest(list_distinct(toks)) AS tk FROM t),
          |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
          |pr AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -224,8 +225,8 @@ private[graft] object SparkEntryEmb {
          |  SELECT id_a AS src, id_b AS dst FROM pairs
          |  UNION SELECT id_b, id_a FROM pairs),
          |s0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges),
-         |${minLabelRounds(8)},
-         |comp AS (SELECT id, label AS component FROM s8),
+         |${minLabelRounds(9)},
+         |comp AS (SELECT id, label AS component FROM s9),
          |keyed AS (
          |  SELECT d.doc_id, coalesce(c.component, d.doc_id)::VARCHAR AS k
          |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
@@ -236,7 +237,7 @@ private[graft] object SparkEntryEmb {
          |FROM keyed
          |UNION ALL
          |SELECT -1, 'UNCONVERGED' WHERE EXISTS (
-         |  SELECT 1 FROM s8 JOIN s7 USING (id) WHERE s8.label <> s7.label)""".stripMargin
+         |  SELECT 1 FROM s9 JOIN s8 USING (id) WHERE s9.label <> s8.label)""".stripMargin
     },
 
     "split_assign" -> {

@@ -24,11 +24,16 @@ sf_dir, out_dir = sys.argv[1], sys.argv[2]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-con = duckdb.connect()
-for t in TABLES:
-    p = f"{sf_dir}/{t}.parquet"
-    if os.path.exists(p):
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+def connect():
+    c = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return c
+
+
+con = connect()
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
@@ -55,8 +60,17 @@ for name in sorted(os.listdir(out_dir)):
     if name not in oracle:
         print(f"  {name:24s} rows-only: {tbl.num_rows} rows OK")
         continue
+    # `fired` is the ONLY signal that classifies an exception as a
+    # timeout: matching on the exception text would misfile a genuine
+    # error mentioning INTERRUPT (or a Ctrl-C) as a non-failing timeout.
+    fired = []
+
+    def _interrupt():
+        fired.append(1)
+        con.interrupt()
+
     try:
-        timer = threading.Timer(TIMEOUT, con.interrupt) if TIMEOUT else None
+        timer = threading.Timer(TIMEOUT, _interrupt) if TIMEOUT else None
         if timer:
             timer.start()
         try:
@@ -66,12 +80,19 @@ for name in sorted(os.listdir(out_dir)):
         finally:
             if timer:
                 timer.cancel()
+        if fired:
+            # the timer fired in the window between the query completing
+            # and cancel(): a pending interrupt may be latched on the
+            # shared connection and would abort the NEXT query — drop
+            # the connection rather than misrecord a healthy oracle
+            con = connect()
     except Exception as e:
-        if "Interrupt" in type(e).__name__ or "INTERRUPT" in str(e):
+        if fired:
             print(f"T {name:24s} ORACLE TIMEOUT after {TIMEOUT:.0f}s "
                   f"(DuckDB-prohibitive at this sf; Spark side produced "
                   f"{tbl.num_rows} rows)")
             timeouts += 1
+            con = connect()  # clear any residual interrupt state
             continue
         print(f"X {name:24s} ORACLE SQL ERROR: {e}")
         fails += 1
