@@ -22,14 +22,23 @@ private[graft] object GateSupport {
     * stop/recreate sessions within one JVM) is a plan referencing dead
     * state, so `get` rebuilds and replaces it instead of handing it out.
     * The stale value's blocks died with its session — no unpersist owed.
+    * If the displaced value's session is somehow still ACTIVE (two live
+    * sessions in one JVM alternating over a dir), its blocks would leak,
+    * so `dispose` best-effort-releases it before the replacement.
     * Session-FREE values (collected rows, plain arrays, paths) keep
     * using dir-keyed maps directly. */
-  private[graft] final class SessionCache[V] {
+  private[graft] final class SessionCache[V](dispose: V => Unit = (_: V) => ()) {
     private val m =
       new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, V)]()
     def get(s: SparkSession, dir: String)(build: => V): V =
-      m.compute(dir, (_, old) =>
-        if (old != null && (old._1 eq s)) old else (s, build))._2
+      m.compute(dir, (_, old) => {
+        if (old != null && (old._1 eq s)) old
+        else {
+          if (old != null && !old._1.sparkContext.isStopped)
+            try dispose(old._2) catch { case _: Throwable => () }
+          (s, build)
+        }
+      })._2
     def foreachValue(f: V => Unit): Unit = m.forEach((_, v) => f(v._2))
     def clear(): Unit = m.clear()
     def size(): Int = m.size()
@@ -43,8 +52,8 @@ private[graft] object GateSupport {
   // graph values hold session-bound frames → SessionCache.
   private[graft] val pcaCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.ops.Pca.Model]()
-  private[graft] val lshCache = new SessionCache[graft.ops.LshIndex]()
-  private[graft] val ivfCache = new SessionCache[graft.ops.IvfState]()
+  private[graft] val lshCache = new SessionCache[graft.ops.LshIndex](_.unpersist())
+  private[graft] val ivfCache = new SessionCache[graft.ops.IvfState](_.unpersist())
   private[graft] val termIndexCache = new SessionCache[graft.ops.TermIndexState]()
   // ANN-evaluation query set: the 16-row bounded top-k-by-id selection is
   // derived with ONE corpus pass and collected to a local relation, then
@@ -187,6 +196,110 @@ private[graft] object GateSupport {
        |    FROM edges e JOIN $p q ON q.id = e.src
        |    GROUP BY e.dst) n ON n.id = p.id)""".stripMargin
   }.mkString(",\n")
+
+  /** Unrolled k-center-greedy replay for the emb_coreset oracle: the
+    * same technique as [[minLabelRounds]] (sequential algorithm → k
+    * MATERIALIZED stages), replaying Coreset.kCenterSelect EXACTLY.
+    *
+    * Exactness: every comparison the Scala side decides (sign-aware
+    * cross-multiplied cosine compare on scaled-integer vectors, BigInt
+    * fallback) is decided here on HUGEINT. That caps the usable scale:
+    * the cross-row compare multiplies four factors (dot² · norm² pairs),
+    * so with unit-norm embeddings the products are ~scale⁸ — at
+    * scale=1e4 that is ~1e32, inside HUGEINT's 1.7e38; the operator's
+    * default 1e7 would need 1e56 (VARINT, absent in DuckDB 1.0.0).
+    * The gate entry therefore pins scale=1e4 on BOTH sides; the
+    * operator's exactness contract is scale-independent (CoresetSpec).
+    *
+    * Per round r (selected set grows by one):
+    *  - g_r: the not-yet-picked rows with a DOUBLE sort key
+    *    sign(bd)·bd²/(n2·bn) — monotone in the true cosine with ≤ ~4e-16
+    *    relative error;
+    *  - sl_r: the slice within 1e-9 relative of the minimum key — far
+    *    wider than the double error, so the EXACT argmin is provably
+    *    inside;
+    *  - w_r: the exact winner, adjudicated pairwise inside the tiny
+    *    slice with the HUGEINT comparator (ties → lowest id — the Scala
+    *    fartherThan convention);
+    *  - d_r/s_r: incremental witness update — each row keeps its
+    *    nearest-center (dot, centerNorm²) pair, replaced only when the
+    *    NEW center is STRICTLY closer, which replicates maxWitness's
+    *    first-wins iteration in selection order. Rows with zero norm
+    *    (either side) carry dot=0, the compareCos convention.
+    * The last round emits only its winner (no dead witness update). */
+  private[graft] def coresetOracle(k: Int, scale: Long): String = {
+    require(k >= 2, "coresetOracle unrolls k >= 2 rounds")
+    // beats(x, w): x is STRICTLY farther than w, or exactly tied with a
+    // smaller id — the NOT EXISTS predicate that makes w the unique winner
+    val beats: String = {
+      val (xv, wv) = (s"(x.bd::HUGEINT * x.bd * w.n2 * w.bn)",
+        s"(w.bd::HUGEINT * w.bd * x.n2 * x.bn)")
+      s"""CASE WHEN sign(x.bd) <> sign(w.bd) THEN sign(x.bd) < sign(w.bd)
+         |           WHEN x.bd = 0 THEN x.id < w.id
+         |           WHEN x.bd > 0 THEN $xv < $wv OR ($xv = $wv AND x.id < w.id)
+         |           ELSE $xv > $wv OR ($xv = $wv AND x.id < w.id) END""".stripMargin
+    }
+    def winner(r: Int): String = {
+      val p = s"s${r - 1}"
+      s"""g$r AS MATERIALIZED (
+         |  SELECT id, n2, bd, bn,
+         |    CASE WHEN bd = 0 THEN 0.0
+         |         ELSE sign(bd) * ((bd::DOUBLE) * (bd::DOUBLE) / ((n2::DOUBLE) * (bn::DOUBLE)))
+         |    END AS kd
+         |  FROM $p WHERE NOT done),
+         |sl$r AS MATERIALIZED (
+         |  SELECT g.* FROM g$r g
+         |  WHERE g.kd <= (SELECT min(kd) + 1e-9 * abs(min(kd)) + 1e-18 FROM g$r)),
+         |w$r AS MATERIALIZED (
+         |  SELECT w.id FROM sl$r w WHERE NOT EXISTS (
+         |    SELECT 1 FROM sl$r x WHERE x.id <> w.id AND (
+         |      $beats)))""".stripMargin
+    }
+    def update(r: Int): String = {
+      val p = s"s${r - 1}"
+      s"""d$r AS MATERIALIZED (
+         |  SELECT s.id, s.e, s.n2, s.bd, s.bn,
+         |    s.done OR s.id = (SELECT id FROM w$r) AS done,
+         |    CASE WHEN s.n2 = 0 OR c.n2 = 0 THEN 0
+         |         ELSE list_sum(list_transform(range(1, len(s.e) + 1),
+         |                i -> s.e[i] * c.e[i]))::BIGINT END AS nd,
+         |    c.n2 AS cn
+         |  FROM $p s, (SELECT b.e, b.n2 FROM base b JOIN w$r w ON b.id = w.id) c),
+         |s$r AS MATERIALIZED (
+         |  SELECT id, e, n2,
+         |    CASE WHEN repl THEN nd ELSE bd END AS bd,
+         |    CASE WHEN repl THEN cn ELSE bn END AS bn, done
+         |  FROM (SELECT *,
+         |    CASE WHEN sign(nd) <> sign(bd) THEN sign(nd) > sign(bd)
+         |         WHEN nd = 0 THEN FALSE
+         |         WHEN nd > 0 THEN (nd::HUGEINT * nd * bn) > (bd::HUGEINT * bd * cn)
+         |         ELSE (nd::HUGEINT * nd * bn) < (bd::HUGEINT * bd * cn) END AS repl
+         |    FROM d$r))""".stripMargin
+    }
+    val rounds = (1 until k).map { r =>
+      if (r < k - 1) winner(r) + ",\n" + update(r) else winner(r)
+    }.mkString(",\n")
+    val picks = (1 until k)
+      .map(r => s"UNION ALL SELECT id, ${r + 1}::BIGINT FROM w$r")
+      .mkString("\n")
+    s"""WITH raw AS MATERIALIZED (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding, x -> round(x::DOUBLE * $scale)::BIGINT) AS e
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |base AS MATERIALIZED (
+       |  SELECT id, e, list_sum(list_transform(e, x -> x * x))::BIGINT AS n2 FROM raw),
+       |w0 AS MATERIALIZED (SELECT min(id) AS id FROM base),
+       |s0 AS MATERIALIZED (
+       |  SELECT s.id, s.e, s.n2,
+       |    CASE WHEN s.n2 = 0 OR c.n2 = 0 THEN 0
+       |         ELSE list_sum(list_transform(range(1, len(s.e) + 1),
+       |                i -> s.e[i] * c.e[i]))::BIGINT END AS bd,
+       |    c.n2 AS bn, s.id = c.id AS done
+       |  FROM base s, (SELECT b.id, b.e, b.n2 FROM base b JOIN w0 w ON b.id = w.id) c),
+       |$rounds
+       |SELECT id AS vec_id, 1::BIGINT AS rank FROM w0
+       |$picks""".stripMargin
+  }
 
   // 21 English stopwords shared with the oracle SQL below.
   private[graft] val Stopwords = Seq(

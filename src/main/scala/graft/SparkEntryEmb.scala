@@ -106,14 +106,16 @@ private[graft] object SparkEntryEmb {
 
     // ---- embeddings: k-center greedy coreset selection (farthest-point;
     // Gonzalez 1985 / Sener & Savarese 2018) — diversity-maximizing
-    // subset pass. No SQL oracle BY CONTRACT: each greedy step's argmin
-    // is decided by pairwise cross-multiplied cosine comparisons, which
-    // form a total order but not a SQL-sortable KEY; CoresetSpec pins
-    // brute-force ≡ local tier ≡ distributed tier (partitioning-
-    // invariant), so the rows-only gate is backed by exact specs ----
+    // subset pass. STRICT oracle since r10: the greedy is replayed as 25
+    // unrolled MATERIALIZED argmin stages (GateSupport.coresetOracle, the
+    // minLabelRounds convention). The gate pins scale=1e4 on both sides
+    // so the cross-multiplied cosine compares fit DuckDB's HUGEINT —
+    // exactness is scale-independent (CoresetSpec pins brute-force ≡
+    // local tier ≡ distributed tier at the operator's default 1e7) ----
     "emb_coreset" -> ((s, dir) =>
       graft.ops.Coreset.kCenterSelect(
-        t(s, dir, "embeddings"), "embedding", "vec_id", k = 25)),
+        t(s, dir, "embeddings"), "embedding", "vec_id", k = 25,
+        scale = 10000L)),
 
     // ---- embeddings: JL ±1 random projection 64→16. Signs are md5-hex
     // parity (no sampled state — the oracle recomputes them in SQL),
@@ -199,6 +201,11 @@ private[graft] object SparkEntryEmb {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Exact unrolled replay of the k-center greedy (see the gate entry's
+    // comment and GateSupport.coresetOracle's scaladoc for the HUGEINT
+    // scale bound).
+    "emb_coreset" -> coresetOracle(k = 25, scale = 10000L),
+
     // Same recursive components as dedup_components, then the standard
     // md5 split rule applied to coalesce(component, doc_id) — whole
     // clusters land on one side.

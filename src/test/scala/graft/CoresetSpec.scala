@@ -15,9 +15,10 @@ class CoresetSpec extends SparkSuite {
 
   /** Independent reference greedy: BigInt-ONLY comparisons (no double
     * fast path) — also validates the fast path's tolerance routing. */
-  private def bruteForce(rows: Seq[(Long, Array[Float])], k: Int): Seq[Long] = {
+  private def bruteForce(rows: Seq[(Long, Array[Float])], k: Int,
+      scale: Double = 1e7): Seq[Long] = {
     val e7 = rows.map { case (id, v) =>
-      id -> v.map(x => math.round(x.toDouble * 1e7))
+      id -> v.map(x => math.round(x.toDouble * scale))
     }.sortBy(_._1)
     def n2(a: Array[Long]) = a.map(x => BigInt(x) * BigInt(x)).sum
     def dot(a: Array[Long], b: Array[Long]) =
@@ -61,6 +62,19 @@ class CoresetSpec extends SparkSuite {
         "embedding", "vec_id", k = 12)
       .orderBy(col("rank")).collect().map(_.getLong(0)).toSeq
     assert(got === bruteForce(rows, 12))
+  }
+
+  test("gate config (scale=1e4) ≡ BigInt-only brute force at 1e4") {
+    // the emb_coreset gate pins scale=1e4 so its DuckDB oracle's
+    // cross-multiplied compares fit HUGEINT; exactness must hold at
+    // that scale too (the contract is scale-independent)
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val got = Coreset.kCenterSelect(rows.toDF("vec_id", "embedding"),
+        "embedding", "vec_id", k = 12, scale = 10000L)
+      .orderBy(col("rank")).collect().map(_.getLong(0)).toSeq
+    assert(got === bruteForce(rows, 12, scale = 1e4))
   }
 
   test("distributed tier ≡ local tier, partitioning-invariant") {

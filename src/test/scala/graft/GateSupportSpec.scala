@@ -38,14 +38,15 @@ class GateSupportSpec extends SparkSuite {
   }
 
   test("census contract: every query is oracle-gated or documented rows-only") {
-    // The 4 rows-only entries are approximate/greedy BY CONTRACT
-    // (sketch tiers, farthest-point argmin, driver-side
-    // eigencomponents) — each carries contract docs at its gate entry.
+    // The 3 rows-only entries are approximate BY CONTRACT (the sketch
+    // tiers wrap Spark-internal HLL++/GK state; emb_whitened carries
+    // driver-side eigencomponents) — each carries contract docs at its
+    // gate entry. emb_coreset left this set in r10: its greedy replays
+    // exactly as unrolled argmin CTE stages (GateSupport.coresetOracle).
     // Anything else missing an oracle is census drift: the driver would
     // silently downgrade it to a weaker rows-only check.
     val documentedRowsOnly = Set(
-      "profile_stats_approx", "profile_quantiles_approx",
-      "emb_coreset", "emb_whitened")
+      "profile_stats_approx", "profile_quantiles_approx", "emb_whitened")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == documentedRowsOnly,
       s"oracle coverage drifted: undocumented rows-only = ${missing -- documentedRowsOnly}, " +

@@ -1,9 +1,22 @@
 #!/usr/bin/env bash
-# Full local replica of the driver's per-round checks:
-#   compile + tests + Verify@sf0.01 + DuckDB oracle compare + Bench@sf0.1
-# Usage: tools/run_gate.sh [--no-bench]
+# Full local replica of the driver's per-round checks, plus the sf0.1
+# strict-oracle census (10× the driver's gate scale — r9 proved it
+# catches scale-surfaced oracle divergences the sf0.01 gate can't):
+#   compile + tests + Verify@sf0.01 + DuckDB compare
+#   + Verify@sf0.1 + DuckDB compare (strict, timeouts fail)
+#   + Bench@sf0.1
+# Usage: tools/run_gate.sh [--no-bench] [--no-sf01]
 set -euo pipefail
 cd "$(dirname "$0")/.."
+
+RUN_BENCH=1 RUN_SF01=1
+for a in "$@"; do
+  case "$a" in
+    --no-bench) RUN_BENCH=0 ;;
+    --no-sf01)  RUN_SF01=0 ;;
+    *) echo "unknown flag: $a"; exit 2 ;;
+  esac
+done
 
 echo "== sbt test =="
 # run to a log and check the exit code explicitly — piping through grep
@@ -21,10 +34,25 @@ CE=$(grep -c CompileException /tmp/gate_verify.log || true)
 echo "codegen CompileExceptions: $CE (must be 0)"
 grep '\[verify\].*failed' /tmp/gate_verify.log || true
 
-echo "== DuckDB oracle compare =="
+echo "== DuckDB oracle compare @ sf0.01 =="
 python3 tools/oracle_check.py /root/testdata/sf0.01 /tmp/gate_out
 
-if [[ "${1:-}" != "--no-bench" ]]; then
+if [[ "$RUN_SF01" == 1 ]]; then
+  echo "== Verify @ sf0.1 (strict census) =="
+  rm -rf /tmp/gate_out_sf01
+  SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} \
+    sbt -batch "runMain graft.Verify /root/testdata/sf0.1 /tmp/gate_out_sf01" \
+    > /tmp/gate_verify_sf01.log 2>&1 \
+    || { tail -20 /tmp/gate_verify_sf01.log; exit 1; }
+  CE1=$(grep -c CompileException /tmp/gate_verify_sf01.log || true)
+  echo "codegen CompileExceptions: $CE1 (must be 0)"
+  grep '\[verify\].*failed' /tmp/gate_verify_sf01.log || true
+  echo "== DuckDB oracle compare @ sf0.1 (timeouts FAIL; census has zero exclusions) =="
+  ORACLE_QUERY_TIMEOUT=${ORACLE_QUERY_TIMEOUT:-900} \
+    python3 tools/oracle_check.py /root/testdata/sf0.1 /tmp/gate_out_sf01
+fi
+
+if [[ "$RUN_BENCH" == 1 ]]; then
   echo "== Bench @ sf0.1 =="
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
     sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"'
