@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the committed 1M×1536 bench tier holds ~6 GB of packed
+  // float blocks (the environment pledges 128 GiB; Xmx is a cap, not a
+  // commitment). Override with SPARK_DRIVER_MEM for tighter machines —
+  // Bench heap-guards the 1M tier and skips it below 18 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

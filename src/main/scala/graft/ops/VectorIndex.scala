@@ -167,7 +167,12 @@ class VectorIndex[K: ClassTag] private (
     this
   }
 
-  def unpersist(): this.type = { if (local == null) blocks.unpersist(); local = null; this }
+  /** `blocking = true` waits for the executor blocks to actually drop —
+    * benchmark teardown paths use it so a later timed window doesn't
+    * absorb this index's asynchronous eviction. */
+  def unpersist(blocking: Boolean = false): this.type = {
+    if (local == null) blocks.unpersist(blocking); local = null; this
+  }
 }
 
 object VectorIndex {
