@@ -170,15 +170,21 @@ object Bench {
       SparkEntry.queries.get(name).foreach { fn =>
         try {
           // untimed warmup (plan/JIT re-entry), then the sweep's own
-          // GC-barrier + median-of-3 protocol
+          // GC-barrier + adaptive-rep median protocol: 5 samples for
+          // sub-second entries (their noise band is the size of the
+          // signal — a median-of-3 retime would carry the very noise
+          // the pass exists to adjudicate), 3 for multi-second ones
+          val w0 = System.nanoTime()
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          val warmup = (System.nanoTime() - w0) / 1e9
           System.gc()
-          val ts = (1 to 3).map { _ =>
+          val reps = if (warmup < 1.0) 5 else 3
+          val ts = (1 to reps).map { _ =>
             val t0 = System.nanoTime()
             fn(spark, sfDir).write.mode("overwrite").format("noop").save()
             (System.nanoTime() - t0) / 1e9
           }.sorted
-          retimed(name) = ts(1)
+          retimed(name) = ts(reps / 2)
         } catch { case _: Throwable => retimed(name) = -1.0 }
       }
     }
@@ -276,9 +282,16 @@ object Bench {
         s"${Runtime.getRuntime.maxMemory() / (1L << 20)} MiB < 18 GiB")
 
     // ---- extra big-corpus tier (opt-in: SPARK_GRAFT_BIG=<n docs>) ----
+    // Same skip-loudly heap guard as the committed 1M tier: ~n·d·4
+    // bytes of packed blocks need ~3× headroom, and an OOM at the end
+    // of the run could kill the JVM before any JSON line prints.
     sys.env.get("SPARK_GRAFT_BIG").map(_.toInt)
       .filterNot(n => n == 1000000 && oneMRan).foreach { n =>
-      try results ++= bigCorpus(spark, n, batches = 5, bigCtrlBaseline)
+      if (n.toLong * 1536 * 4 * 3 > Runtime.getRuntime.maxMemory())
+        System.err.println(s"[bench] big_$n SKIPPED: needs ~${
+          n.toLong * 1536 * 4 * 3 / (1L << 30)} GiB heap, max is ${
+          Runtime.getRuntime.maxMemory() / (1L << 30)} GiB")
+      else try results ++= bigCorpus(spark, n, batches = 5, bigCtrlBaseline)
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] big_$n failed: ${e.getMessage}")

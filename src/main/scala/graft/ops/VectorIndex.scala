@@ -162,7 +162,10 @@ class VectorIndex[K: ClassTag] private (
     val rows = blocks.map(_.ids.length.toLong).sum().toLong
     if (!forceDistributed && rows * dim <= VectorIndex.LocalScanMaxFloats) {
       local = blocks.collect()
-      blocks.unpersist() // executor copy no longer needed
+      // blocking: callers time queries right after materialize(), and an
+      // asynchronous eviction of the executor copy would drain inside
+      // their first measured window
+      blocks.unpersist(blocking = true)
     }
     this
   }

@@ -53,10 +53,12 @@ def canon(v):
 
 
 fails = ok = timeouts = bad_timeouts = 0
+seen = set()
 for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)
     if not os.path.isdir(d):
         continue
+    seen.add(name)
     try:
         tbl = pq.read_table(d)
     except Exception as e:
@@ -91,6 +93,10 @@ for name in sorted(os.listdir(out_dir)):
         finally:
             if timer:
                 timer.cancel()
+                # join makes the fired-check below authoritative: without
+                # it a callback that passed the Timer's cancelled-check
+                # could still be pending and interrupt the NEXT query
+                timer.join()
         if fired:
             # the timer fired in the window between the query completing
             # and cancel(): a pending interrupt may be latched on the
@@ -135,6 +141,14 @@ for name in sorted(os.listdir(out_dir)):
     else:
         print(f"✓ {name:24s} {len(a)} rows")
         ok += 1
+# An oracle-gated entry with NO output dir means the Spark side never
+# produced it (Verify caught a per-query failure) — without this check
+# the census silently shrinks by one and the gate stays green. Verify
+# filters oracle_sql.json under query subsets, so subset runs don't
+# trip this.
+for name in sorted(set(oracle) - seen):
+    print(f"X {name:24s} MISSING SPARK OUTPUT (entry absent from dump)")
+    fails += 1
 suffix = f", {timeouts} oracle-timeout" if timeouts else ""
 if bad_timeouts:
     suffix += f" ({bad_timeouts} NOT allowlisted)"

@@ -32,7 +32,12 @@ SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} \
   > /tmp/gate_verify.log 2>&1 || { tail -20 /tmp/gate_verify.log; exit 1; }
 CE=$(grep -c CompileException /tmp/gate_verify.log || true)
 echo "codegen CompileExceptions: $CE (must be 0)"
-grep '\[verify\].*failed' /tmp/gate_verify.log || true
+[[ "$CE" -eq 0 ]] || { echo "codegen fell back to interpreted mode"; exit 1; }
+# Verify catches per-query failures and exits 0 — a '[verify] X failed'
+# line means the census silently shrank; make it fatal
+if grep '\[verify\].*failed' /tmp/gate_verify.log; then
+  echo "Verify dropped entries"; exit 1
+fi
 
 echo "== DuckDB oracle compare @ sf0.01 =="
 python3 tools/oracle_check.py /root/testdata/sf0.01 /tmp/gate_out
@@ -46,7 +51,10 @@ if [[ "$RUN_SF01" == 1 ]]; then
     || { tail -20 /tmp/gate_verify_sf01.log; exit 1; }
   CE1=$(grep -c CompileException /tmp/gate_verify_sf01.log || true)
   echo "codegen CompileExceptions: $CE1 (must be 0)"
-  grep '\[verify\].*failed' /tmp/gate_verify_sf01.log || true
+  [[ "$CE1" -eq 0 ]] || { echo "codegen fell back to interpreted mode"; exit 1; }
+  if grep '\[verify\].*failed' /tmp/gate_verify_sf01.log; then
+    echo "Verify dropped entries"; exit 1
+  fi
   echo "== DuckDB oracle compare @ sf0.1 (timeouts FAIL; census has zero exclusions) =="
   ORACLE_QUERY_TIMEOUT=${ORACLE_QUERY_TIMEOUT:-900} \
     python3 tools/oracle_check.py /root/testdata/sf0.1 /tmp/gate_out_sf01
