@@ -5,15 +5,16 @@
 #   compile + tests + Verify@sf0.01 + DuckDB compare
 #   + Verify@sf0.1 + DuckDB compare (strict, timeouts fail)
 #   + Bench@sf0.1
-# Usage: tools/run_gate.sh [--no-bench] [--no-sf01]
+# Usage: tools/run_gate.sh [--no-bench] [--no-sf01] [--no-invar]
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-RUN_BENCH=1 RUN_SF01=1
+RUN_BENCH=1 RUN_SF01=1 RUN_INVAR=1
 for a in "$@"; do
   case "$a" in
     --no-bench) RUN_BENCH=0 ;;
     --no-sf01)  RUN_SF01=0 ;;
+    --no-invar) RUN_INVAR=0 ;;
     *) echo "unknown flag: $a"; exit 2 ;;
   esac
 done
@@ -41,6 +42,18 @@ fi
 
 echo "== DuckDB oracle compare @ sf0.01 =="
 python3 tools/oracle_check.py /root/testdata/sf0.01 /tmp/gate_out
+
+if [[ "$RUN_INVAR" == 1 ]]; then
+  echo "== Partitioning-invariance sweep @ sf0.01 (CPUS=3 vs the gate dump) =="
+  # a different parallelism is exactly what a 1000-executor cluster
+  # changes — every census entry must be a pure function of the data
+  rm -rf /tmp/gate_out_p3
+  SPARK_GRAFT_CPUS=3 \
+    sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/gate_out_p3" \
+    > /tmp/gate_verify_p3.log 2>&1 \
+    || { tail -20 /tmp/gate_verify_p3.log; exit 1; }
+  python3 tools/compare_dumps.py /tmp/gate_out /tmp/gate_out_p3
+fi
 
 if [[ "$RUN_SF01" == 1 ]]; then
   echo "== Verify @ sf0.1 (strict census) =="
