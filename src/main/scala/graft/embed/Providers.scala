@@ -15,18 +15,22 @@ import graft.persist.Json
  * embed_vertex.go, embed_compat.go), on java.net.http.
  *
  * Executor integration: EmbeddingFunc is Serializable; the HttpClient is
- * built lazily per JVM (transient), so `mapPartitions` gets one pooled
- * client per executor rather than per row — the reference's one-client-
- * per-func design (embed_openai.go:77) mapped to Spark's process model.
+ * a JVM-wide shared singleton (companion object), so every deserialized
+ * copy of a func — closure capture hands each TASK its own instance, a
+ * per-instance transient would rebuild the pool per task — reuses one
+ * pooled client with live keep-alive connections per executor: the
+ * reference's one-client-per-func design (embed_openai.go:77) mapped to
+ * Spark's process model.
  *
  * Normalized-once caching: whether the provider returns normalized
  * vectors is decided on the first response and cached (sync.Once pattern,
- * embed_openai.go:79-80,148-158).
+ * embed_openai.go:79-80,148-158). The cache is per deserialized copy, so
+ * a fresh task re-decides once — one isNormalized pass over one vector,
+ * not an extra HTTP call.
  */
 abstract class HttpEmbeddingFunc extends EmbeddingFunc {
 
-  @transient private lazy val client: HttpClient =
-    HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(30)).build()
+  private def client: HttpClient = HttpEmbeddingFunc.sharedClient
 
   // null = undecided, TRUE/FALSE = cached decision
   private val checkedNormalized = new AtomicReference[java.lang.Boolean](null)
@@ -100,6 +104,14 @@ abstract class HttpEmbeddingFunc extends EmbeddingFunc {
 
   protected def floats(xs: Any): Array[Float] =
     xs.asInstanceOf[List[Any]].map(_.asInstanceOf[Double].toFloat).toArray
+}
+
+object HttpEmbeddingFunc {
+  /** One pooled client per JVM (see the class doc): HttpClient is
+    * thread-safe, and a static singleton is the only scope that
+    * survives per-task closure deserialization. */
+  private lazy val sharedClient: HttpClient =
+    HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(30)).build()
 }
 
 /**

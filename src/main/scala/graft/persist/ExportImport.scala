@@ -1,6 +1,6 @@
 package graft.persist
 
-import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, InputStream, OutputStream}
+import java.io.{BufferedInputStream, BufferedOutputStream, InputStream, OutputStream}
 import java.nio.file.{Files, Path, Paths}
 import java.security.SecureRandom
 import java.util.zip.{GZIPInputStream, GZIPOutputStream, ZipEntry, ZipInputStream, ZipOutputStream}
@@ -125,9 +125,14 @@ object ExportImport {
         // single-file parquet via temp dir
         val pqDir = tmp.resolve(s"$dirName-pq")
         coll.df.coalesce(1).write.mode("overwrite").parquet(pqDir.toString)
-        val part = Files.list(pqDir).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(s"no parquet written for $name"))
+        // Files.list leaks a directory handle unless closed (the
+        // Persistence.deleteTree convention)
+        val listing = Files.list(pqDir)
+        val part =
+          try listing.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(s"no parquet written for $name"))
+          finally listing.close()
         zos.putNextEntry(new ZipEntry(s"$dirName/documents.parquet"))
         Files.copy(part, zos)
         zos.closeEntry()
@@ -159,10 +164,17 @@ object ExportImport {
   /** Stream variant — reference db.go:297-355. The input is unwrapped
     * through CHAINED streams (the read mirror of [[exportToWriter]]'s
     * chained writers): nonce read, CipherInputStream, gzip magic-byte
-    * peek, GZIPInputStream, ZipInputStream-to-temp-files — driver memory
-    * stays O(copy buffer), never O(snapshot). (The previous
-    * readAll→doFinal→gunzip pipeline held up to three full snapshot
-    * copies on the driver at once.) The caller's stream is NOT closed. */
+    * peek, GZIPInputStream, ZipInputStream-to-temp-files. Plain and
+    * gzip imports stream at O(copy buffer) driver memory. ENCRYPTED
+    * imports buffer the ciphertext inside the JDK cipher: GCM refuses
+    * to release unauthenticated plaintext, so SunJCE accumulates until
+    * the tag verifies — O(snapshot) for that one wrapper, the same
+    * envelope as the reference's whole-buffer gcm.Open
+    * (persistence.go:216-224) and within the few-GB bound the
+    * single-file snapshot contract documents (beyond it, use
+    * [[SnapshotStore]]). Still far better than the previous
+    * readAll→doFinal→gunzip pipeline, which held up to three full
+    * copies at once. The caller's stream is NOT closed. */
   def importFromReader(
       db: DB,
       spark: SparkSession,
@@ -262,44 +274,6 @@ object ExportImport {
   private def validateKey(key: String): Unit =
     if (key.nonEmpty && key.getBytes("UTF-8").length != 32)
       throw new IllegalArgumentException("encryption key must be 32 bytes long")
-
-  private[persist] def gzipBytes(b: Array[Byte]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val gz = new GZIPOutputStream(bos)
-    gz.write(b); gz.close()
-    bos.toByteArray
-  }
-
-  private[persist] def gunzipBytes(b: Array[Byte]): Array[Byte] =
-    readAll(new GZIPInputStream(new java.io.ByteArrayInputStream(b)))
-
-  /** AES-256-GCM, random 12-byte nonce prepended (persistence.go:136-142). */
-  private[persist] def encrypt(plain: Array[Byte], key: String): Array[Byte] = {
-    val nonce = new Array[Byte](12)
-    new SecureRandom().nextBytes(nonce)
-    val cipher = Cipher.getInstance("AES/GCM/NoPadding")
-    cipher.init(Cipher.ENCRYPT_MODE,
-      new SecretKeySpec(key.getBytes("UTF-8"), "AES"),
-      new GCMParameterSpec(128, nonce))
-    nonce ++ cipher.doFinal(plain)
-  }
-
-  private[persist] def decrypt(cipherBytes: Array[Byte], key: String): Array[Byte] = {
-    require(cipherBytes.length > 12, "encrypted data too short")
-    val cipher = Cipher.getInstance("AES/GCM/NoPadding")
-    cipher.init(Cipher.DECRYPT_MODE,
-      new SecretKeySpec(key.getBytes("UTF-8"), "AES"),
-      new GCMParameterSpec(128, cipherBytes.take(12)))
-    cipher.doFinal(cipherBytes.drop(12))
-  }
-
-  private def readAll(in: InputStream): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val buf = new Array[Byte](64 * 1024)
-    var n = in.read(buf)
-    while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-    bos.toByteArray
-  }
 
   private def deleteTree(p: Path): Unit = Persistence.deleteTree(p)
 }

@@ -40,7 +40,10 @@ class SnapshotStore(rootDir: String) {
     val s = Files.list(root)
     try s.iterator().asScala
       .map(_.getFileName.toString)
-      .filter(_.matches("v\\d{8}"))
+      // {8,}: f"v$v%08d" zero-PADS to 8 digits but grows past them —
+      // an exactly-8 match would make version 1e8+ invisible and wedge
+      // the allocation counter on FileAlreadyExists forever
+      .filter(_.matches("v\\d{8,}"))
       .map(_.drop(1).toLong).toSeq.sorted
     finally s.close()
   }

@@ -57,7 +57,12 @@ object DocumentSource {
         lit(null).cast("array<float>").as("embedding"),
         col("value").as("content"))
 
-  /** Map any DataFrame onto the document schema. */
+  /** Map any DataFrame onto the document schema. Metadata sources, in
+    * precedence order: explicit `metadataFields` (top-level columns,
+    * missing values → ""); otherwise a `metadata` column passes through —
+    * as a map directly, or as the struct `spark.read.json` infers for a
+    * JSON object (keys whose value is absent on a row are dropped, so
+    * [[writeJsonl]] output round-trips to the original per-row maps). */
   def conform(
       df: DataFrame,
       contentField: String,
@@ -69,9 +74,21 @@ object DocumentSource {
       if (idField != null) col(idField).cast("string")
       else md5(col(contentField).cast("string"))
     val metadata: Column =
-      if (metadataFields.isEmpty) typedLit(Map.empty[String, String])
-      else map(metadataFields.flatMap(f =>
-        Seq(lit(f), coalesce(col(f).cast("string"), lit("")))): _*)
+      if (metadataFields.nonEmpty)
+        map(metadataFields.flatMap(f =>
+          Seq(lit(f), coalesce(col(f).cast("string"), lit("")))): _*)
+      else if (df.columns.contains("metadata"))
+        df.schema("metadata").dataType match {
+          case _: org.apache.spark.sql.types.MapType =>
+            coalesce(col("metadata").cast("map<string,string>"),
+              typedLit(Map.empty[String, String]))
+          case s: org.apache.spark.sql.types.StructType if s.fields.nonEmpty =>
+            map_filter(map(s.fields.toSeq.flatMap(f => Seq(lit(f.name),
+              col("metadata").getField(f.name).cast("string"))): _*),
+              (_, v) => v.isNotNull)
+          case _ => typedLit(Map.empty[String, String])
+        }
+      else typedLit(Map.empty[String, String])
     val embedding: Column =
       if (df.columns.contains("embedding")) col("embedding").cast("array<float>")
       else lit(null).cast("array<float>")
@@ -84,10 +101,13 @@ object DocumentSource {
 
   /**
    * JSONL corpus writer — the interchange format training stacks ingest
-   * (one JSON object per line: id, content, metadata keys inlined,
-   * embedding as a number array when present). Distributed `text` write,
-   * one file per partition; `repartition` first to control file count.
-   * Round-trips through `fromJsonl` (pinned in DocumentSourceSpec).
+   * (one JSON object per line: id, content, metadata as a nested
+   * object, embedding as a number array when present). Distributed
+   * `text` write, one file per partition; `repartition` first to
+   * control file count. Round-trips through `fromJsonl` including the
+   * per-row metadata maps (pinned in DocumentSourceSpec; `conform`
+   * rebuilds the maps from the inferred struct, dropping keys a row
+   * doesn't carry).
    */
   def writeJsonl(docs: DataFrame, path: String): Unit =
     docs.select(to_json(struct(

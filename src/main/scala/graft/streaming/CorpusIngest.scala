@@ -101,27 +101,40 @@ object CorpusIngest {
           // text must equal itself across replays (null ≠ null in a
           // join key would leak every replayed null-text doc through).
           // Shape: the batch side is small, so its hashes broadcast
-          // DOWN into the corpus scan as a semi-join filter and the
-          // survivors broadcast back for the anti-join — the corpus is
-          // scanned but never shuffled/distinct-ed per micro-batch
-          // (the newTextsBloom verify shape; the old corpus-wide
-          // distinct paid a corpus-sized exchange every batch).
+          // DOWN into the corpus scan as a semi-join filter, and the
+          // HASH-MATCHED corpus rows (≈ batch-sized) broadcast back
+          // carrying their text — the anti-join confirms FULL text
+          // equality, so a 64-bit xxhash64 collision with a different
+          // corpus text cannot silently drop a genuinely new doc
+          // (birthday-regime risk at multi-billion-row corpora). The
+          // corpus is scanned but never shuffled/distinct-ed per
+          // micro-batch, and corpus text travels only for hash matches.
           import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, xxhash64}
-          val batchHashed = nearNew.withColumn("__text_h",
-            xxhash64(coalesce(col(textCol), lit(""))))
+          val batchHashed = nearNew
+            .withColumn("__text_c", coalesce(col(textCol), lit("")))
+            .withColumn("__text_h", xxhash64(col("__text_c")))
+            // persist: the hash semi-join probe below and the anti-join
+            // left side are different subtrees of the same plan — without
+            // this the banded batch×corpus join runs twice PER ACTION,
+            // on top of once per action (emptiness probe, commit)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val corpusHits = corpus
-            .select(xxhash64(coalesce(col(textCol), lit(""))).as("__text_h"))
+            .select(xxhash64(coalesce(col(textCol), lit(""))).as("__text_h"),
+              coalesce(col(textCol), lit("")).as("__corpus_text"))
             .join(broadcast(batchHashed.select(col("__text_h")).distinct()),
               Seq("__text_h"), "left_semi")
           val fresh = batchHashed
-            .join(broadcast(corpusHits), Seq("__text_h"), "left_anti")
-            .drop("__text_h")
+            .join(broadcast(corpusHits),
+              batchHashed("__text_h") === corpusHits("__text_h") &&
+                batchHashed("__text_c") === corpusHits("__corpus_text"),
+              "left_anti")
+            .drop("__text_h", "__text_c")
           // persist: the emptiness probe and the commit otherwise each
-          // re-run the banded batch×corpus join
+          // re-run the corpus-side hash pass
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             if (!fresh.isEmpty) { store.commit(corpus.unionByName(fresh)); () }
-          } finally { fresh.unpersist(); () }
+          } finally { fresh.unpersist(); batchHashed.unpersist(); () }
         }
       }
       .start()

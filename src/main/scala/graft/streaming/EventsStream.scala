@@ -89,8 +89,13 @@ object EventsStream {
           // Times tracked in MICROSECONDS — Timestamp.getTime truncates to
           // ms, which would disagree with micro-precision engines (and the
           // native session_window operator) on borderline gaps.
+          // floorDiv, not `/`: getTime on a pre-epoch timestamp is
+          // negative with the sub-second part folded in (−500 ms for
+          // 1969-12-31T23:59:59.500), and truncating division would
+          // yield +500000 µs instead of −500000 — breaking ordering,
+          // gap math, and the fromUs round-trip for pre-1970 data
           def us(ts: Timestamp): Long =
-            ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+            Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
           def fromUs(u: Long): Timestamp = {
             val t = new Timestamp(Math.floorDiv(u, 1000000L) * 1000L)
             t.setNanos((Math.floorMod(u, 1000000L) * 1000L).toInt)
@@ -208,19 +213,6 @@ object EventsStream {
         approx_count_distinct(col("event_type")).as("n_types"))
 
   /**
-   * Trending: top-k event types per tumbling window, via the bounded-heap
-   * `topk_rows` aggregate OVER the (window, type) count table — the
-   * per-window state is k rows, never the type cardinality, and there is
-   * no rank() window function (which would sort every window's full type
-   * list). Works batch or streaming; streaming runs chain two stateful
-   * aggregates, which Spark's global-watermark checker flags
-   * conservatively — run in complete mode (no watermark eviction ⇒ the
-   * guarded late-row risk cannot occur) with
-   * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`,
-   * as pinned stream-vs-batch-equal in StreamingSpec.
-   * Deterministic ties: (count DESC, type ASC).
-   */
-  /**
    * Streaming heavy hitters — the Misra–Gries sketch
    * ([[graft.functions.MisraGries]]) as a per-window STREAMING
    * aggregate: top values of an unbounded-cardinality column (user
@@ -254,6 +246,17 @@ object EventsStream {
         col("__e").getField("count").as("est_count"))
   }
 
+  /**
+   * Trending: top-k event types per tumbling window, via the bounded-heap
+   * `topk_rows` aggregate OVER the (window, type) count table — the
+   * per-window state is k rows, never the type cardinality, and there is
+   * no rank() window function (which would sort every window's full type
+   * list). Works batch or streaming: the second stateful aggregate
+   * re-windows ON the first's window column — the chained-time-window
+   * pattern Spark's global-watermark checker accepts in append mode
+   * (3.4+), pinned stream-vs-batch-equal in StreamingSpec.
+   * Deterministic ties: (count DESC, type ASC).
+   */
   def trendingTypes(
       events: DataFrame,
       k: Int,

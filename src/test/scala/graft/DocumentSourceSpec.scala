@@ -76,4 +76,27 @@ class DocumentSourceSpec extends SparkSuite {
     assert(back("d1") === (("hello world", Some(Seq(0.5f, 0.25f)))))
     assert(back("d2") === (("zweite zeile", None)))
   }
+
+  test("writeJsonl round-trips per-row metadata maps") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("jsonl-md")
+      .resolve("out").toString
+    // varying key sets per row: the inferred struct carries the key
+    // UNION, and conform must drop the keys a row doesn't have rather
+    // than inventing empty-string entries
+    val docs = withLogLevel(Seq(
+      ("d1", Map("lang" -> "en", "src" -> "web"), "first"),
+      ("d2", Map("lang" -> "de"), "second"),
+      ("d3", Map.empty[String, String], "third"))
+      .toDF("id", "metadata", "content")
+      .withColumn("embedding",
+        org.apache.spark.sql.functions.lit(null).cast("array<float>")))
+    DocumentSource.writeJsonl(docs, dir)
+    val back = DocumentSource.fromJsonl(spark, dir, "content", "id")
+      .collect().map(r => r.getString(0) -> r.getMap[String, String](1).toMap)
+      .toMap
+    assert(back("d1") === Map("lang" -> "en", "src" -> "web"))
+    assert(back("d2") === Map("lang" -> "de"))
+    assert(back("d3") === Map.empty[String, String])
+  }
 }
