@@ -32,10 +32,18 @@ import graft.functions.VectorFunctions.{dot_const_f32, is_normalized, normalize_
 class Collection private[core] (
     val name: String,
     collMetadata: Map[String, String],
-    val embedFunc: EmbeddingFunc,
+    initialEmbedFunc: EmbeddingFunc,
     private val spark: SparkSession,
     initial: Option[DataFrame],
     persist: Option[CollectionPersistence]) {
+
+  // Mutable like the reference's collection.embed (db.go:552-558
+  // re-attaches on the SAME object): handing out a re-attached COPY
+  // would fork the collection — earlier handles and the registry entry
+  // would then mutate independent states over one parquet dir.
+  @volatile private var embedFuncRef: EmbeddingFunc = initialEmbedFunc
+  def embedFunc: EmbeddingFunc = embedFuncRef
+  private[core] def setEmbeddingFunc(ef: EmbeddingFunc): Unit = { embedFuncRef = ef }
 
   import spark.implicits._
 
@@ -58,14 +66,6 @@ class Collection private[core] (
   @volatile private var ivfIndex: Option[graft.ops.IvfState] = None
 
   def metadata: Map[String, String] = collMetadata
-
-  /** Same collection state with a different embedding function attached
-    * (functions aren't serializable to disk — reference db.go:536-537). */
-  private[core] def withEmbeddingFunc(ef: EmbeddingFunc): Collection = {
-    val c = new Collection(name, collMetadata, ef, spark, None, persist)
-    c.state = this.state
-    c
-  }
 
   /** Current collection contents as a DataFrame. In-memory collections
     * return a checkpointed snapshot — immutable under later mutations.
@@ -193,10 +193,18 @@ class Collection private[core] (
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("__seq").desc)))
       .filter(col("__rn") === 1).drop("__seq", "__rn")
-    val (old, _) = state
-    val next = old.join(deduped.select("id"), Seq("id"), "left_anti")
-      .unionByName(deduped.select(old.columns.map(col).toIndexedSeq: _*))
-    commit(next)
+      // persist: `next` references this subtree TWICE (anti-join id side
+      // and union payload side) and column pruning can't reach into the
+      // embed mapPartitions — without the cache every document would be
+      // EMBEDDED twice per upsert, doubling the provider API cost of
+      // the single most expensive ingest stage
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (old, _) = state
+      val next = old.join(deduped.select("id"), Seq("id"), "left_anti")
+        .unionByName(deduped.select(old.columns.map(col).toIndexedSeq: _*))
+      commit(next)
+    } finally { deduped.unpersist(); () }
   }
 
   /**
@@ -326,6 +334,10 @@ class Collection private[core] (
   def buildIndex(numBlocks: Int = 0): Unit = synchronized {
     val (df0, n) = state
     if (n > 0) {
+      // rebuild path: release the previous index's persisted blocks
+      // (the buildLshIndex/buildIvfIndex convention) instead of
+      // orphaning them until GC
+      flatIndex.foreach(_.unpersist())
       flatIndex = Some(graft.ops.VectorIndex
         .build[String](df0.filter(col("embedding").isNotNull), "id", "embedding",
           embeddingDim(df0), numBlocks)
@@ -569,7 +581,9 @@ class Collection private[core] (
         "nResults must be <= the number of documents in the collection")
     val q = if (VectorFunctions.isNormalized(queryEmbedding)) queryEmbedding
             else VectorFunctions.normalize(queryEmbedding)
-    df.filter(Filters.compile(clause))
+    // same embedding-null guard as queryDF (see the comment there)
+    df.filter(col("embedding").isNotNull)
+      .filter(Filters.compile(clause))
       .withColumn("similarity", dot_const_f32(col("embedding"), q))
       .orderBy(desc("similarity"), asc("id"))
       .limit(nResults)
@@ -586,7 +600,15 @@ class Collection private[core] (
       negThreshold: Float = 0f): DataFrame = {
     // normalize query vector if needed (collection.go:530-532)
     val q = if (VectorFunctions.isNormalized(qv)) qv else VectorFunctions.normalize(qv)
-    var plan = df.filter(Filters.predicate(where, whereDocument))
+    // Embedding-less rows (externally landed parquet read by
+    // DB.persistent can carry them — Document.schema allows it) must
+    // never reach the heap: their similarity is NULL, and once nResults
+    // exceeds the embedded-row count the limit would admit them and
+    // .as[QueryResult] would crash on the primitive similarity field.
+    // The negVector branch filtered them implicitly (null <= thr is
+    // never true); this keeps both paths agreeing explicitly.
+    var plan = df.filter(col("embedding").isNotNull)
+      .filter(Filters.predicate(where, whereDocument))
     if (negVector != null) {
       // NEGATIVE_MODE_FILTER: drop docs too similar to the negative
       // (query.go:221-231): keep negSim <= threshold.

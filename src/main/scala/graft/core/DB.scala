@@ -32,6 +32,13 @@ class DB private (
     val ef = Option(embeddingFunc).getOrElse(defaultEmbed)
     val persist = persistRoot.map { root =>
       val dir = Persistence.collectionDir(root, name)
+      // Overwrite means overwrite ON DISK too: the fresh collection's
+      // first mutation only rewrites documents/ lazily, so leftover
+      // parquet from a previous same-named collection would resurrect
+      // on the next DB.persistent() reload. (The reference shares this
+      // quirk — newCollection never clears the dir — but it contradicts
+      // the overwrite contract both document, so we delete.)
+      Persistence.deleteTree(dir)
       Persistence.writeMetadata(dir, name, metadata)
       new ParquetPersistence(dir, compression)
     }
@@ -42,25 +49,20 @@ class DB private (
 
   /** Lookup; re-attaches the embedding func when provided (functions
     * don't persist, db.go:536-537, 552-558). Returns null when absent —
-    * Go-style, db.go:543-560. Synchronized like every other registry
-    * MUTATION: the re-attach path writes to the registry, and an
-    * unsynchronized put could race deleteCollection and resurrect a
-    * just-deleted collection over its removed directory. */
+    * Go-style, db.go:543-560. The re-attach mutates the SAME collection
+    * object, exactly like the reference: replacing the registry entry
+    * with a copy (the previous implementation) forked the collection —
+    * handles returned earlier kept mutating a divergent state over the
+    * same parquet dir. No registry write happens, so no lock is needed;
+    * a racing re-attach is last-writer-wins on a volatile field, the
+    * reference's mutex'd-set semantics. */
   def getCollection(name: String, embeddingFunc: EmbeddingFunc = null): Collection =
     collections.get(name) match {
-      case Some(c) if embeddingFunc != null && (c.embedFunc ne embeddingFunc) =>
-        synchronized {
-          // re-check under the lock — the entry may have been deleted
-          // (or already re-attached by a racing caller) since the read
-          collections.get(name) match {
-            case Some(cur) if cur.embedFunc ne embeddingFunc =>
-              val reattached = cur.withEmbeddingFunc(embeddingFunc)
-              collections.put(name, reattached)
-              reattached
-            case other => other.orNull
-          }
-        }
-      case other => other.orNull
+      case Some(c) =>
+        if (embeddingFunc != null && (c.embedFunc ne embeddingFunc))
+          c.setEmbeddingFunc(embeddingFunc)
+        c
+      case None => null
     }
 
   /** Get-or-create — reference db.go:569-580. Routes through

@@ -36,7 +36,11 @@ object ConstEmbeddingFunc {
 class HashingEmbeddingFunc(dim: Int = 64) extends EmbeddingFunc {
   def embed(text: String): Array[Float] = {
     val v = new Array[Float](dim)
-    val t = " " + (if (text == null) "" else text.toLowerCase) + " "
+    // Locale.ROOT: embeddings must be identical on every executor JVM
+    // regardless of its default locale (tr-TR dotless-ı would shift
+    // every trigram hash of an uppercase-I text)
+    val t = " " + (if (text == null) "" else
+      text.toLowerCase(java.util.Locale.ROOT)) + " "
     var i = 0
     while (i + 3 <= t.length) {
       val h = t.substring(i, i + 3).hashCode

@@ -146,9 +146,9 @@ object GramOuterSum {
     val newLo = buf(off + 1) + lo
     val carry = if (java.lang.Long.compareUnsigned(newLo, buf(off + 1)) < 0) 1L else 0L
     val oldHi = buf(off)
-    val addHi = hi + carry
-    val newHi = oldHi + addHi
-    if (((oldHi ^ newHi) & (addHi ^ newHi)) < 0) {
+    val newHi = oldHi + hi + carry
+    // test against `hi`, not hi + carry — see Int128Sum.add128
+    if (((oldHi ^ newHi) & (hi ^ newHi)) < 0) {
       throw new ArithmeticException("gram_outer_sum128 overflowed 128 bits")
     }
     buf(off) = newHi

@@ -162,10 +162,14 @@ object Int128Sum {
     // unsigned carry-out of the low word
     val carry = if (java.lang.Long.compareUnsigned(newLo, buf(1)) < 0) 1L else 0L
     val oldHi = buf(0)
-    val addHi = hi + carry
-    val newHi = oldHi + addHi
-    // signed overflow of the high word = true 128-bit overflow
-    if (((oldHi ^ newHi) & (addHi ^ newHi)) < 0) {
+    val newHi = oldHi + hi + carry
+    // signed overflow of the high word = true 128-bit overflow. Test
+    // against `hi` (the addend's real high word), NOT hi + carry: that
+    // intermediate can itself wrap (hi = MaxValue, carry = 1) and the
+    // corrupted operand would mask a genuine overflow near ±2^127.
+    // A mixed-sign pair can never overflow even with the carry, so
+    // requiring newHi's sign to differ from BOTH operands is exact.
+    if (((oldHi ^ newHi) & (hi ^ newHi)) < 0) {
       throw new ArithmeticException(s"$name overflowed 128 bits")
     }
     buf(0) = newHi

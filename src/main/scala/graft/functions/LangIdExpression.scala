@@ -52,7 +52,10 @@ object LangIdExpression {
     def consume(from: Int, until: Int): Unit = {
       if (until > from) {
         nTokens += 1
-        val tok = s.substring(from, until).toLowerCase
+        // Locale.ROOT: the default-locale overload is executor-locale-
+        // dependent (tr-TR lowercases "IS" to dotless "ıs", so no en
+        // marker would ever match) — a determinism bug, not cosmetics
+        val tok = s.substring(from, until).toLowerCase(java.util.Locale.ROOT)
         var l = 0
         while (l < langs.length) {
           if (markerSets(l).contains(tok)) hits(l) += 1

@@ -60,7 +60,7 @@ object AsofJoin {
       joinType: String = "left",
       direction: String = "backward"): DataFrame = {
     require(rightCols.nonEmpty, "rightCols must be non-empty")
-    require(Seq("left", "inner").contains(joinType.toLowerCase),
+    require(Seq("left", "inner").contains(joinType.toLowerCase(java.util.Locale.ROOT)),
       s"asofJoin supports left/inner, not '$joinType'")
     require(Seq("backward", "forward").contains(direction),
       s"direction must be backward/forward, not '$direction'")
@@ -112,7 +112,7 @@ object AsofJoin {
       .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
 
-    val kept = if (joinType.toLowerCase == "inner")
+    val kept = if (joinType.toLowerCase(java.util.Locale.ROOT) == "inner")
       filled.filter(col("__match").isNotNull) else filled
 
     val outCols: Seq[Column] =

@@ -31,7 +31,7 @@ object SkewJoin {
       saltFactor: Int = 8,
       joinType: String = "inner"): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
-    require(SupportedJoinTypes.contains(joinType.toLowerCase),
+    require(SupportedJoinTypes.contains(joinType.toLowerCase(java.util.Locale.ROOT)),
       s"saltedJoin supports inner/cross/left joins only, not '$joinType': " +
       "replicated right rows would duplicate unmatched right-side output")
     val salted = left.withColumn("__salt",

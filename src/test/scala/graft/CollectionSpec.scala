@@ -144,7 +144,16 @@ class CollectionSpec extends SparkSuite {
     assert(re.count() === 1, "state must carry over")
     assert(db.getCollection("reattach").embedFunc eq newEf,
       "registry must hold the re-attached collection")
+    // identity parity (db.go:552-558 mutates the SAME object): a handle
+    // taken BEFORE the re-attach must see the new func and later
+    // mutations through either handle must be one shared state
+    assert(re eq c, "re-attach must not fork the collection object")
+    assert(c.embedFunc eq newEf)
+    c.addDocuments(Seq(Document("2", content = "world")))
+    assert(db.getCollection("reattach").count() === 2,
+      "mutation through the old handle must be visible via the registry")
   }
+
 
   test("Document.create embeds content when no vector given (document.go:28-53)") {
     val ef = new HashingEmbeddingFunc(16)

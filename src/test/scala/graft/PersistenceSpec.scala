@@ -34,6 +34,45 @@ class PersistenceSpec extends SparkSuite {
     assert(d.embedding.toSeq === ConstEmbeddingFunc.stub3.toSeq)
   }
 
+  test("createCollection overwrite clears the old documents on disk") {
+    val root = tempRoot
+    val db = withLogLevel(DB.persistent(spark, root, ConstEmbeddingFunc.stub()))
+    val c = db.createCollection("ow")
+    c.addDocuments(Seq(Document("1", content = "old row")))
+    // overwrite: in-memory count is 0 — disk must agree after a reload,
+    // not resurrect the previous collection's parquet
+    val c2 = db.createCollection("ow", Map("gen" -> "2"))
+    assert(c2.count() === 0)
+    val reopened = DB.persistent(spark, root, ConstEmbeddingFunc.stub())
+    val rc = reopened.getCollection("ow")
+    assert(rc.count() === 0, "overwritten collection must reload empty")
+    assert(rc.metadata === Map("gen" -> "2"))
+  }
+
+  test("exact query paths skip embedding-less rows from externally landed parquet") {
+    val root = tempRoot
+    val db0 = withLogLevel(DB.persistent(spark, root, ConstEmbeddingFunc.stub()))
+    val c0 = db0.createCollection("ext")
+    c0.addDocuments(Seq(Document("a", content = "first"),
+      Document("b", content = "second")))
+    // land an embedding-less row the way an external writer would:
+    // append document-schema parquet with embedding = null
+    val dir = graft.persist.Persistence.collectionDir(root, "ext")
+    val extra = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("c", Map.empty[String, String], null, "no vector")),
+      Document.schema)
+    extra.write.mode("append").parquet(dir.resolve("documents").toString)
+    val db = DB.persistent(spark, root, ConstEmbeddingFunc.stub())
+    val c = db.getCollection("ext")
+    assert(c.count() === 3, "null-embedding rows still count as documents")
+    // nResults = full count reaches past the embedded rows — the null
+    // similarity must be filtered, not crash .as[QueryResult]
+    val r = c.queryEmbedding(ConstEmbeddingFunc.stub3, 3)
+    assert(r.map(_.id).toSet === Set("a", "b"))
+    assert(c.queryDF(ConstEmbeddingFunc.stub3, 3).count() === 2)
+  }
+
   test("compress knob writes gzip parquet and round-trips (db.go:57-66)") {
     val root = tempRoot
     val db = withLogLevel(
