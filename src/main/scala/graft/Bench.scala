@@ -457,11 +457,12 @@ object Bench {
 
     val out = scala.collection.mutable.LinkedHashMap[String, Double]()
     var t0 = System.nanoTime()
-    val idx = VectorIndex.build[Long](corpus(n), "id", "embedding", d, parts)
-      .persist().materialize(forceDistributed = true)
+    val idx: VectorIndex[Long] =
+      VectorIndex.build[Long](corpus(n), "id", "embedding", d, parts)
+        .persist().materialize(forceDistributed = true)
     out(s"chromem_build_${n}_d1536_big") = (System.nanoTime() - t0) / 1e9
     // driver-local packed control (25k fits far under LocalScanMaxFloats)
-    val ctrlIdx = VectorIndex
+    val ctrlIdx: VectorIndex[Long] = VectorIndex
       .build[Long](corpus(25000), "id", "embedding", d,
         math.max(1, math.min(parts, 25000 / 6144)))
       .persist().materialize()

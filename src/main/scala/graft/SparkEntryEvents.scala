@@ -357,11 +357,12 @@ private[graft] object SparkEntryEvents {
         |QUALIFY rank <= 3""".stripMargin,
 
     // Same cents-integer window sum, same (ts, event_id) frame order,
-    // one division at the end.
+    // one division at the end. count over the measure (not *): avg
+    // semantics over possibly-null values, matching movingAverage.
     "events_moving_avg" ->
       """SELECT user_id, event_id,
         |  round(sum(round(value * 100)::BIGINT) OVER w / (100.0 *
-        |    count(*) OVER w), 4) AS mavg
+        |    count(round(value * 100)::BIGINT) OVER w), 4) AS mavg
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin

@@ -184,10 +184,15 @@ object Evaluation {
     val scoredAll = corpus.crossJoin(queries)
       .withColumn("__sim",
         graft.functions.DenseVec.dense_dot(col("__qe"), col("__ce")))
+    // min over (−sim, id): negate the SCORE (always numeric), not the
+    // id — −col(id) on a string id column implicit-casts to double and
+    // nulls out, which would zero every reciprocal rank silently; this
+    // form keeps the (sim desc, id asc) argmax for any id domain, the
+    // envelope lshRecallReport documents
     val top1 = scoredAll.groupBy(col("query_id"))
-      .agg(max(struct(col("__sim"), (-col("__cid")).as("__n"))).as("__m"))
-      .select(col("query_id"), col("__m.__sim").as("__s1"),
-        (-col("__m.__n")).as("__c1"))
+      .agg(min(struct((-col("__sim")).as("__ns"), col("__cid").as("__c"))).as("__m"))
+      .select(col("query_id"), (-col("__m.__ns")).as("__s1"),
+        col("__m.__c").as("__c1"))
     val cands = scoredAll.filter(
       graft.functions.HashFunctions.hamming64(col("__csig"), col("__qsig"))
         <= lit(maxHamming))

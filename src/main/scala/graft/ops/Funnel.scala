@@ -44,10 +44,13 @@ object Funnel {
         .groupBy(col("__u")).agg(min(col("__ts")).as("__t"))
     }
 
+    // one global count per stage (a row survives even when the stage
+    // frame is EMPTY — a groupBy over the union dropped unreached
+    // stages entirely, truncating the advertised per-stage monotone
+    // series; the DuckDB oracle's count(*) per CTE always had the 0 row)
     reached.zip(steps).zipWithIndex.map { case ((df, step), i) =>
-      df.select(lit(i).as("stage"), lit(step).as("step"), col("__u"))
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).as("stage"), lit(step).as("step"), col("n_users"))
     }.reduce(_.unionByName(_))
-      .groupBy(col("stage"), col("step"))
-      .agg(count(lit(1)).as("n_users"))
   }
 }

@@ -44,7 +44,12 @@ object Splits {
     var cum = 0.0
     fractions.map { case (name, f) =>
       cum += f
-      val t = math.min(65536L, math.round(cum * 65536.0))
+      // clamp to ffff (the rateHex convention): 65536 would format as
+      // 5-hex "10000", and a 4-char bucket compared lexicographically
+      // against it would route ~6% of rows instead of ~100% — any
+      // non-final cumulative fraction ≥ 1 − 1/131072 would silently
+      // invert the split sizes
+      val t = math.min(65535L, math.round(cum * 65536.0))
       (name, f"$t%04x")
     }
   }
@@ -144,7 +149,11 @@ object Splits {
       groupCol: String,
       alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
-    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    // null groups are excluded up front: counted, a junk null group
+    // would set n_min (over-thinning every real group) and its rows
+    // would then vanish anyway in the non-null-safe rates equi-join
+    val src = df.filter(col(groupCol).isNotNull)
+    val counts = src.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
     val rates = counts
       .crossJoin(broadcast(counts.agg(min(col("__n")).as("__nmin"))))
       .select(col(groupCol),
@@ -152,7 +161,7 @@ object Splits {
           .as("__rate"))
     val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
       .cast("long")
-    df.join(broadcast(rates), Seq(groupCol))
+    src.join(broadcast(rates), Seq(groupCol))
       .filter(bucket < round(col("__rate") * 65536).cast("long"))
       .drop("__rate")
       .select(df.columns.map(col): _*)
@@ -297,7 +306,14 @@ object Splits {
     val proj = df
       .filter(col(groupCol).isin(budgets.keys.toSeq.map(x => x: Any): _*))
       .select(col(groupCol).as("__g"), col(idCol),
-        col(weightCol).cast("long").as("__w"),
+        // the whole prefix-under-budget ≡ cumulative-filter equivalence
+        // rests on non-negative weights (doc above); a negative sentinel
+        // from a buggy upstream would break monotonicity SILENTLY, so
+        // fail loudly in-scan instead (folded into the selected value —
+        // a separate projected guard column would be pruned away)
+        when(col(weightCol) < 0, raise_error(concat(
+            lit(s"tokenBudgetTake: negative $weightCol for "), col(idCol))))
+          .otherwise(col(weightCol)).cast("long").as("__w"),
         md5(col(idCol).cast("string")).as("__h"))
       .withColumn("__b", substring(col("__h"), 1, 2))
     // pass 1: per-(group, bucket) weight totals — bounded at groups×256
@@ -479,7 +495,10 @@ object Splits {
         require(n > 0, "timeHoldout needs at least one non-null, " +
           "timestamp-castable row to place the cutoff — an entirely " +
           "undated corpus has no timeline to split on")
-        Seq((n - 1) * (testDen - testNum) / testDen)
+        // BigInt: (n−1)·(den−num) overflows Long for a billion-row
+        // corpus with a high-precision rational (den ~1e10), wrapping
+        // to a garbage negative rank
+        Seq((BigInt(n - 1) * BigInt(testDen - testNum) / BigInt(testDen)).toLong)
       }, scale = 1L).values.head
     val us = unix_micros(col(tsCol).cast("timestamp"))
     df.withColumn("split",
@@ -545,8 +564,12 @@ object Splits {
         Seq("__g"), "left")
       .withColumn("__rn", row_number().over(w).cast("long"))
       .withColumn("__rk", col("__o") + col("__rn") - 1L)
+      // chk is the FIRST operand: Add short-circuits on a null left
+      // child, so `rk*nS + ... + chk` with a null __o would return null
+      // WITHOUT ever evaluating chk's raise_error — the exact silent
+      // corruption the guard exists to catch
       .select(col(idCol), col("__g").as(groupCol),
-        (col("__rk") * nS + coalesce(col("__sidx"), lit(0L)) + chk)
+        (chk + col("__rk") * nS + coalesce(col("__sidx"), lit(0L)))
           .cast("long").as("train_pos"))
   }
 

@@ -64,9 +64,14 @@ object TermIndex {
       .select(bucketCol(col("token")).as("tbkt"),
         col("token"), col("doc"), col("tf"), col("dl"), col("df"))
     postings.write.mode("overwrite").partitionBy("tbkt").parquet(s"$path/postings")
+    // Dedup.tokens here too: today size(split(text," ")) happens to
+    // agree (lowering preserves token count), but avg_dl and the
+    // per-posting dl must stay bound to the ONE tokenization convention
+    // or any future tokens() change silently skews BM25 scores
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
-      sum(size(split(col(textCol), " "))).cast("long").as("total_tokens")).head()
+      sum(size(graft.ops.Dedup.tokens(col(textCol)))).cast("long")
+        .as("total_tokens")).head()
     val (n, tot) = (stats.getLong(0), stats.getLong(1))
     import spark.implicits._
     Seq((n, tot.toDouble / n, idCol))

@@ -28,7 +28,11 @@ object TimeSeries {
       tsCol: String,
       period: String = "day"): DataFrame = {
     require(Seq("day", "week").contains(period), s"bad period '$period'")
+    // null keys are excluded: they'd aggregate into `daily` but the
+    // calendar equi-join can't match null=null, so the null key's whole
+    // span would gap-fill to n=0 — asserting silence on active days
     val daily = events
+      .filter(col(keyCol).isNotNull)
       .select(col(keyCol).as("__k"),
         to_date(date_trunc(period, col(tsCol))).as("__p"))
       .groupBy(col("__k"), col("__p")).agg(count(lit(1)).as("__n"))
@@ -127,8 +131,11 @@ object TimeSeries {
       .select(col(keyCol), col(tsCol), col(idCol),
         round(col(valCol) * 100).cast("long").as("__cents"))
       .select(col(keyCol), col(idCol),
+        // count the NON-NULL measures (SQL avg semantics): count(1)
+        // would let a null-valued event contribute 0 to the sum while
+        // inflating the denominator, biasing the average toward zero
         (sum(col("__cents")).over(w).cast("double") /
-          (lit(100.0) * count(lit(1)).over(w))).as("mavg"))
+          (lit(100.0) * count(col("__cents")).over(w))).as("mavg"))
       .select(col(keyCol), col(idCol), round(col("mavg"), 4).as("mavg"))
   }
 }
