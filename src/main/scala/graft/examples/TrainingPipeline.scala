@@ -48,7 +48,7 @@ object TrainingPipeline {
     val gophered = TextAnalysis.gopherRules(normed, "text", minWords = 10)
       .filter(col("pass_word_count") && col("pass_symbol_ratio") &&
         col("pass_alpha"))
-      .select(normed.columns.map(col): _*)
+      .select(normed.columns.map(col).toIndexedSeq: _*)
       .localCheckpoint(true)
     val scored = gophered
       .join(TextAnalysis.lmScoreFast(gophered, "text", "doc_id")

@@ -74,7 +74,7 @@ object AsofJoin {
       s"attached right columns collide with left columns: $collisions — use suffix")
 
     val timeType = left.schema(leftTime).dataType
-    val lpayType = left.select(struct(left.columns.map(col): _*)).schema.head.dataType
+    val lpayType = left.select(struct(left.columns.map(col).toIndexedSeq: _*)).schema.head.dataType
     val rpayType = right.select(struct(rightCols.map(col): _*)).schema.head.dataType
     val tbType = tieBreak.map(c => right.schema(c).dataType)
       .getOrElse(org.apache.spark.sql.types.LongType)
@@ -89,7 +89,7 @@ object AsofJoin {
       col(leftTime).as("__t"),
       lit(1).as("__side"),
       lit(null).cast(tbType).as("__tb"),
-      struct(left.columns.map(col): _*).as("__lpay"),
+      struct(left.columns.map(col).toIndexedSeq: _*).as("__lpay"),
       lit(null).cast(rpayType).as("__rpay"))
     val rTagged = right.select(
       col(key).as("__k"),

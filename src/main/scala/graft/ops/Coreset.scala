@@ -59,7 +59,12 @@ object Coreset {
         while (i < e7.length) { n2 += e7(i) * e7(i); i += 1 }
         (id, e7, n2)
       }
-    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    // dim from a NON-NULL row: the unfiltered first row can carry a
+    // null embedding (base filters them out two lines up), which would
+    // NPE here — or, under legacy sizeOfNull, yield dim = −1 and
+    // silently route any corpus into the driver-local tier
+    val dim = df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).first().getInt(0)
     val n = base.count()
     val selected =
       if (n * dim <= localMaxElems) greedyLocal(base.collect(), k)

@@ -46,7 +46,7 @@ object FuzzyJoin {
         broadcast(right.select(col(rightCol).as("__cand")).distinct()),
         levenshtein(col(leftCol), col("__cand")) <= maxDist)
       .withColumn("__d", levenshtein(col(leftCol), col("__cand")))
-    cand.groupBy(left.columns.map(col): _*)
+    cand.groupBy(left.columns.map(col).toIndexedSeq: _*)
       .agg(min_by(col("__cand"), struct(col("__d"), col("__cand"))).as("match"),
         min(col("__d")).as("dist"))
   }

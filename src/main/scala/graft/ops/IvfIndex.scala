@@ -33,8 +33,18 @@ object IvfIndex {
       seed: Long = 42L): Array[Array[Float]] = {
     val frac = math.min(1.0, sampleSize.toDouble /
       math.max(1L, df.count()).toDouble * 1.2)
-    val sample = df.select(vecCol).sample(withReplacement = false, frac, seed)
-      .limit(sampleSize).collect().map(_.getSeq[Float](0).toArray)
+    // orderBy before limit (the Pq.train convention): a bare limit takes
+    // whichever partitions answer first, so the centroids — and the
+    // durable partitionBy(__cell) layout derived from them — would vary
+    // across file layouts. Ordered by a HASH of the vector, not the raw
+    // value: a lexicographic order would keep a biased prefix (smallest
+    // first components) of the Bernoulli sample and measurably degrade
+    // the trained cells. isNotNull: a null embedding in the sample
+    // NPE'd the collect with no context.
+    val sample = df.select(vecCol).filter(col(vecCol).isNotNull)
+      .sample(withReplacement = false, frac, seed)
+      .orderBy(xxhash64(col(vecCol)), col(vecCol)).limit(sampleSize)
+      .collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "cannot train IVF on an empty corpus")
     val dim = sample.head.length
     val rnd = new java.util.Random(seed)
@@ -72,10 +82,15 @@ object IvfIndex {
   /** Cell id as a Column: argmax over nlist codegen'd dot products —
     * pure expressions, runs inside whole-stage codegen. */
   def cellColumn(vecCol: Column, centroids: Array[Array[Float]]): Column = {
+    // the index is NEGATED so greatest's struct ordering breaks dot
+    // ties toward the FIRST cell — the same first-wins rule as
+    // nearestCentroid and the probe's stable sort; ties are real when
+    // with-replacement seeding duplicates a centroid, and a mismatched
+    // rule sends every tied row to a cell the probe ranks last
     val scored = centroids.zipWithIndex.map { case (cent, i) =>
-      struct(dot_const_f32(vecCol, cent).as("s"), lit(i).as("c"))
+      struct(dot_const_f32(vecCol, cent).as("s"), lit(-i).as("c"))
     }
-    greatest(scored.toIndexedSeq: _*).getField("c")
+    -greatest(scored.toIndexedSeq: _*).getField("c")
   }
 
   /** Assign each row to its cell and cluster the layout by cell, so a

@@ -98,20 +98,21 @@ object Pca {
       trace)
   }
 
+  /** One axis's centered projection term — the shared arithmetic of
+    * [[project]] and [[whiten]] (identical op order, so the whitened
+    * value is exactly the projected value times its scale). */
+  private def axisTerm(vecCol: String, axis: Array[Double],
+      means: Array[Double]): Column =
+    aggregate(
+      zip_with(col(vecCol),
+        typedlit(axis.zip(means).map { case (a, mu) => Seq(a, mu) }.toSeq),
+        (x, am) => (x.cast("double") - am.getItem(1)) * am.getItem(0)),
+      lit(0.0), (acc, v) => acc + v)
+
   /** Map-only projection onto a fitted model's top-k axes (doubles —
     * a serving transform, not a gate surface). */
-  def project(df: DataFrame, vecCol: String, model: Model): Column = {
-    val comps = model.components
-    val means = model.mean
-    val terms = comps.map { axis =>
-      aggregate(
-        zip_with(col(vecCol),
-          typedlit(axis.zip(means).map { case (a, mu) => Seq(a, mu) }.toSeq),
-          (x, am) => (x.cast("double") - am.getItem(1)) * am.getItem(0)),
-        lit(0.0), (acc, v) => acc + v)
-    }
-    array(terms: _*)
-  }
+  def project(df: DataFrame, vecCol: String, model: Model): Column =
+    array(model.components.map(axisTerm(vecCol, _, model.mean)).toIndexedSeq: _*)
 
   /**
    * PCA WHITENING apply: project onto the model's components and scale
@@ -126,14 +127,8 @@ object Pca {
       eps: Double = 1e-12): Column = {
     val scales = model.eigenvalues.map(l =>
       1.0 / math.sqrt(math.max(l, 0.0) + eps))
-    val comps = model.components
-    val means = model.mean
-    val terms = comps.zip(scales).map { case (axis, s) =>
-      aggregate(
-        zip_with(col(vecCol),
-          typedlit(axis.zip(means).map { case (a, mu) => Seq(a, mu) }.toSeq),
-          (x, am) => (x.cast("double") - am.getItem(1)) * am.getItem(0)),
-        lit(0.0), (acc, v) => acc + v) * lit(s)
+    val terms = model.components.zip(scales).map { case (axis, s) =>
+      axisTerm(vecCol, axis, model.mean) * lit(s)
     }
     array(terms.toIndexedSeq: _*)
   }

@@ -68,7 +68,7 @@ object Quantize {
       idCol: String): DataFrame = {
     require(k > 0, "k must be > 0")
     val (qq, qs) = quantizeQuery(queryVec)
-    val qlit = array(qq.map(v => lit(v)): _*)
+    val qlit = array(qq.map(v => lit(v)).toIndexedSeq: _*)
     // in-scan length check: zip_with would silently null-pad a mismatched
     // query and return k rows of null scores
     val score = when(size(col("qvec")) =!= lit(qq.length),
@@ -125,7 +125,12 @@ object Quantize {
       idCol: String): DataFrame = {
     require(k > 0, "k must be > 0")
     val qsig = graft.functions.DenseVec.signBitsLocal(queryVec)
-    df.select(col(idCol),
+    // isNotNull: an ASCENDING sort puts the null hamming of an
+    // un-embedded row FIRST, returning it as the best match — every
+    // similarity-descending tier in this module sorts nulls last by
+    // accident of direction; this one must filter explicitly
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol),
         bit_count(graft.functions.DenseVec.sign_bits64(col(vecCol))
           .bitwiseXOR(lit(qsig))).cast("long").as("hamming"))
       .orderBy(asc("hamming"), asc(idCol))

@@ -164,7 +164,7 @@ object Splits {
     src.join(broadcast(rates), Seq(groupCol))
       .filter(bucket < round(col("__rate") * 65536).cast("long"))
       .drop("__rate")
-      .select(df.columns.map(col): _*)
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   /**

@@ -222,6 +222,14 @@ object VectorIndex {
       val vecBuf = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
       it.foreach { row =>
         val v = row.getSeq[Float](1)
+        if (v == null) {
+          // diagnostic, not a bare NPE at v.length: the corpus schema
+          // allows embedding-less rows (embed-on-write), and callers
+          // are expected to filter them before indexing
+          throw new IllegalArgumentException(
+            s"cannot index a null vector (id=${row.get(0)}); " +
+              "filter embedding IS NOT NULL before VectorIndex.build")
+        }
         if (v.length != dim) {
           throw new IllegalArgumentException(
             s"vectors must have the same length: ${v.length} vs $dim")

@@ -87,8 +87,13 @@ object VectorSearch {
       k: Int,
       idCol: String = "id",
       precision: String = "f32"): DataFrame = {
+    // the negative filter must measure with the SAME metric as the main
+    // score: under precision="cosine" (unnormalized corpora) a raw dot
+    // would compare against negThreshold on a norm-scaled axis and
+    // silently drop rows whose true cosine is below the threshold
     val negSim = precision match {
       case "f64" => dot_f64(col(vecCol), typedLit(negativeVec.toIndexedSeq))
+      case "cosine" => cosine_sim(col(vecCol), typedLit(negativeVec.toIndexedSeq))
       case _ => dot_const_f32(col(vecCol), negativeVec)
     }
     scored(df, vecCol, queryVec, precision)
@@ -287,6 +292,10 @@ object VectorSearch {
       numPlanes: Int = 16,
       maxHamming: Int = 2,
       seed: Long = 42L): DataFrame = {
+    // 64-bit signature: a shift of p ≥ 64 wraps (mod 64) and silently
+    // ALIASES plane p with plane p−64 on both sides — the persisted
+    // twin AnnIndex.buildLsh already enforces the same bound
+    require(numPlanes >= 1 && numPlanes <= 64, "numPlanes must be in [1, 64]")
     val dim = queryVec.length
     val planes = randomPlanes(numPlanes, dim, seed)
     val sigCol = hyperplaneSignature(col(vecCol), planes)
@@ -328,7 +337,14 @@ object VectorSearch {
     require(lambda >= 0 && lambda <= 1, "lambda must be in [0,1]")
     val spark = candidates.sparkSession
     import org.apache.spark.sql.Row
+    // null ids/vectors/scores would NPE mid-greedy, and duplicate ids
+    // would share one maxSimToPicked slot (one row's diversity penalty
+    // computed from another's vector) — the exact twin
+    // (mmrRerankExactE7) documents the same preconditions; enforce them
+    // here at collect time (the frame is candidate-sized)
     val rows = candidates
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
+        col(scoreCol).isNotNull)
       .select(col(idCol).cast("string"), col(vecCol),
         col(scoreCol).cast("double"))
       .collect()
@@ -336,8 +352,10 @@ object VectorSearch {
         r.getSeq[Float](1).toArray,
         r.getDouble(2)))
       .sortBy { case (id, _, rel) => (-rel, id) }
+    require(rows.map(_._1).distinct.length == rows.length,
+      "mmrRerank requires distinct candidate ids")
     val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    val remaining = scala.collection.mutable.ArrayBuffer(rows: _*)
+    val remaining = scala.collection.mutable.ArrayBuffer(rows.toIndexedSeq: _*)
     val maxSimToPicked = scala.collection.mutable.HashMap.empty[String, Double]
     while (picked.length < math.min(k, rows.length)) {
       var best: (String, Array[Float], Double) = null
