@@ -183,7 +183,7 @@ private[graft] object SparkEntryEvents {
     // sf0.1, where one user's z lands exactly there (r9 census).
     "events_zscore" ->
       """WITH s AS (
-        |  SELECT user_id, count(*)::HUGEINT AS n,
+        |  SELECT user_id, count(value)::HUGEINT AS n,
         |    sum(round(value * 100)::BIGINT)::HUGEINT AS sv,
         |    sum(round(value * 100)::BIGINT::HUGEINT
         |      * round(value * 100)::BIGINT::HUGEINT) AS ss

@@ -81,10 +81,9 @@ object Dedup {
    * more than `maxBucketSize` rows are removed before the self-join and
    * the drop is logged (never silent). `maxBucketSize <= 0` disables the
    * guard. The occupancy count is a map-side-combined aggregate over the
-   * (band, bucket) keys; since `banded` derives from the caller's lazily
-   * persisted signature frame, this stats job doubles as the job that
-   * materializes the signature cache — the guard adds NO extra job over
-   * the unguarded eager-checkpoint design. The anti-join against the
+   * (band, bucket) keys — against the caller's already-checkpointed
+   * signature frame (`cached` is an EAGER localCheckpoint), so the stats
+   * job re-scans in-memory blocks, not the corpus. The anti-join against the
    * (small by construction) oversized-bucket set broadcasts, and is
    * skipped entirely when nothing is oversized, so the common-case plan
    * is unchanged.
@@ -337,7 +336,6 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket"),
       maxBucketSize, "minhashCandidates")
-    if (maxBucketSize <= 0) sig.count() // materialize without the guard job
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b,
@@ -380,7 +378,6 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket"),
       maxBucketSize, "minhashDuplicates")
-    if (maxBucketSize <= 0) sig.count() // materialize without the guard job
     val a = banded.alias("a")
     val b = banded.alias("b")
     val cand = a.join(b,
@@ -442,8 +439,7 @@ object Dedup {
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "bucket"),
         maxBucketSize, op)
-      if (maxBucketSize <= 0) sig.count() // materialize without the guard job
-      (sig, banded)
+        (sig, banded)
     }
     val (sigA, bandedA) = side(batch, "minhashCrossCorpus(batch)")
     val (sigB, bandedB) = side(corpus, "minhashCrossCorpus(corpus)")
@@ -487,10 +483,18 @@ object Dedup {
    * equality on `bands` signature chunks of 64/bands bits each (pigeonhole:
    * any pair within Hamming ≤ bands−1 shares at least one unchanged chunk
    * ⇒ full recall whenever `bands > maxHamming`). Chunks are re-hashed
-   * through xxhash64 into 64-bit bucket keys, so bucket CARDINALITY is not
-   * capped by the chunk width (a fixed 16-bit chunk space tops out at 65k
-   * buckets per band — occupancy then grows O(n) and the self-join O(n²)
-   * at billions of rows; hashed buckets spread with corpus size instead).
+   * through xxhash64 into 64-bit bucket keys so structured chunk values
+   * spread uniformly over the key space — but re-hashing cannot create
+   * cardinality: per band there are at most 2^(64/bands) buckets (65k at
+   * bands=4), a HARD ceiling of the banding scheme itself. Average
+   * occupancy is therefore n/2^(64/bands); once the corpus approaches
+   * maxBucketSize·2^(64/bands) rows (~650M at the defaults) the skew
+   * guard starts dropping genuinely dense buckets and recall degrades
+   * LOUDLY (guardBuckets logs every drop). The at-scale levers: fewer
+   * bands = wider chunks (bands=2 ⇒ 4.3e9 buckets, at the cost of
+   * maxHamming ≤ 1), a coarser pre-shard (length band / lang) so each
+   * shard stays under the ceiling, or the MinHash family, whose band
+   * keys hash full shingle sets and scale with content entropy.
    * An xxhash64 collision can only ADD a candidate, which the exact
    * Hamming filter removes — recall is unaffected.
    */
@@ -514,7 +518,6 @@ object Dedup {
           lit(q))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
       maxBucketSize, "simhashDuplicates")
-    if (maxBucketSize <= 0) sig.count() // materialize without the guard job
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b,
@@ -1322,8 +1325,7 @@ object Dedup {
           shiftrightunsigned(col("__sig"), b * rows).bitwiseAND(lit(mask))): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
         maxBucketSize, op)
-      if (maxBucketSize <= 0) sig.count() // materialize without the guard job
-      (sig, banded)
+        (sig, banded)
     }
     val (sigA, bandedA) = side(batch, "embeddingCrossCorpusLSH(batch)")
     val (sigB, bandedB) = side(corpus, "embeddingCrossCorpusLSH(corpus)")
@@ -1395,7 +1397,6 @@ object Dedup {
         shiftrightunsigned(col("__sig"), b * rows).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
       maxBucketSize, "embeddingNearDupPairsLSH")
-    if (maxBucketSize <= 0) sig.count() // materialize without the guard job
     val a = banded.alias("a")
     val b = banded.alias("b")
     val cand = a.join(b,

@@ -64,9 +64,23 @@ object Multimodal {
         bytes(2) == 'F' && bytes(3) == 'T') {
       val bb = java.nio.ByteBuffer.wrap(bytes, 4, 8)
       val w = bb.getInt; val h = bb.getInt
-      (w, h, 3, bytes.drop(12))
+      // dims must be positive and covered by the payload (≥ one byte
+      // per pixel), checked in LONG math: w·h·c overflows Int at
+      // 64k×64k, and the wrapped 0 turned downstream w*h divisors into
+      // div-by-zero / OOB reads on an adversarial header. The bound
+      // also caps w·h at the payload length, so no later Int product
+      // can wrap. Inconsistent headers fall back to the unknown-blob
+      // tier instead of failing the task.
+      if (w > 0 && h > 0 && w.toLong * h <= (bytes.length - 12).toLong)
+        (w, h, 3, bytes.drop(12))
+      else fakeDecode(bytes)
     } else if (looksLikeImage(bytes)) {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      // a TRUNCATED container (valid magic, bad stream) throws from
+      // ImageIO rather than returning null — the fall-back-never-fail
+      // contract covers it the same way
+      val img = try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
       if (img != null) realDecode(img) else fakeDecode(bytes)
     } else fakeDecode(bytes)
   }
@@ -502,8 +516,11 @@ object Multimodal {
             val frames = aviVideoChunks(bytes)
             val n = math.min(maxFrames, frames.length)
             (0 until n by everyNth).flatMap { f =>
-              val img = javax.imageio.ImageIO.read(
+              // corrupt chunks THROW from ImageIO (not null): skip, don't
+              // fail the task — same contract as the null branch
+              val img = try javax.imageio.ImageIO.read(
                 new java.io.ByteArrayInputStream(frames(f)))
+              catch { case _: Exception => null }
               if (img == null) None // non-JPEG codec chunk: skip, don't fail
               else {
                 val (w, h, _, px) = realDecode(img)

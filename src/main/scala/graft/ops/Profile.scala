@@ -28,6 +28,15 @@ object Profile {
    * (σ ≈ 1.04/√2¹¹ ≈ 2.3%; measured ≤2.6% at 583k cardinality) — the
    * next step up (p=12, rsd ≤ 0.023) costs 2.3× the scan time for
    * 1.6% σ. rsd is a per-call knob when that trade should flip. */
+
+  // stack()/percentile_approx expressions interpolate column names into
+  // SQL text; a quote or backtick in a name would mis-parse the
+  // expression (or escape its quoting), so such names are rejected
+  // loudly up front instead of failing with an opaque AnalysisException
+  private def requireSqlSafeNames(cols: Seq[String]): Unit =
+    cols.foreach(c => require(!c.contains("'") && !c.contains("`"),
+      s"column name <$c> contains a quote or backtick - unsupported in profiling ops"))
+
   def numericProfile(
       df: DataFrame,
       cols: Seq[String],
@@ -37,6 +46,7 @@ object Profile {
     require(rsd > 0, "rsd must be > 0")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in frame: $missing")
+    requireSqlSafeNames(cols)
 
     if (exact) {
       // (column, value, count) — nulls kept as a counted group so the
@@ -128,6 +138,7 @@ object Profile {
     require(scale > 0, "scale must be > 0")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in frame: $missing")
+    requireSqlSafeNames(cols)
 
     if (exact) {
       // Two-pass histogram SELECTION (the distributed exact-quantile
@@ -331,6 +342,7 @@ object Profile {
     require(k > 0, "k must be > 0")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in frame: $missing")
+    requireSqlSafeNames(cols)
     val stacked = cols.map(c => s"'$c', cast(`$c` AS string)").mkString(", ")
     df.select(expr(s"stack(${cols.size}, $stacked) AS (column, value)"))
       .filter(col("value").isNotNull)
@@ -400,7 +412,10 @@ object Profile {
     val dec = "decimal(38,0)"
     val v = round(col(valueCol).cast("double") * scale).cast("long").cast(dec)
     val stats = df.groupBy(col(groupCol)).agg(
-      count(lit(1)).cast(dec).as("__n"),
+      // count the non-null MEASURES: the sums skip nulls, so count(1)
+      // would mix moments over different row subsets and silently skew
+      // every z in a group containing a null value
+      count(v).cast(dec).as("__n"),
       sum(v).as("__s"), sum(v * v).as("__ss"))
     val num = (col("__n") * v - col("__s")).cast("double")
     val den = (col("__n") * col("__ss") - col("__s") * col("__s"))
@@ -558,8 +573,12 @@ object Profile {
       k: Long = 3L,
       scale: Long = 100L): DataFrame = {
     require(k > 0 && scale > 0, "k and scale must be > 0")
-    val medV = quantileProfile(df, Seq(valueCol), Seq(0.5), scale)
-      .select(col("v")).head().getDouble(0)
+    val medRow = quantileProfile(df, Seq(valueCol), Seq(0.5), scale)
+      .select(col("v")).head()
+    require(!medRow.isNullAt(0),
+      s"madOutliers needs at least one non-null $valueCol row " +
+        "(the median of an empty/all-null column is undefined)")
+    val medV = medRow.getDouble(0)
     val med2 = math.round(medV * 2 * scale) // = lo + hi, exactly
     val dev = df.select(col(idCol),
         round(col(valueCol) * scale).cast("long").as("__s"))
@@ -576,6 +595,7 @@ object Profile {
       pairs: Seq[(String, String)],
       scale: Long = 100L): DataFrame = {
     require(pairs.nonEmpty, "pairs must be non-empty")
+    requireSqlSafeNames(pairs.flatMap(p => Seq(p._1, p._2)))
     require(scale > 0, "scale must be > 0")
     val missing = pairs.flatMap(p => Seq(p._1, p._2))
       .filterNot(df.columns.contains).distinct
@@ -593,10 +613,15 @@ object Profile {
     val proj = df.select(usedCols.map(c =>
       round(col(c).cast("double") * scale).cast("long").as(s"s__$c")): _*)
     val aggs = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
-      val xs = col(s"s__$x")
-      val ys = col(s"s__$y")
+      // pairwise-complete moments: every one of the six sums (and n)
+      // must cover exactly the rows where BOTH columns are non-null —
+      // per-column null-skipping would mix subsets and can return
+      // |corr| > 1 on a column with missing values
+      val both = col(s"s__$x").isNotNull && col(s"s__$y").isNotNull
+      val xs = when(both, col(s"s__$x"))
+      val ys = when(both, col(s"s__$y"))
       Seq(
-        count(lit(1)).as(s"n__$i"),
+        count(when(both, lit(1))).as(s"n__$i"),
         graft.functions.Int128Sum.sum128(xs).as(s"sx__$i"),
         graft.functions.Int128Sum.sum128(ys).as(s"sy__$i"),
         graft.functions.Int128Sum.sumProduct128(xs, ys).as(s"sxy__$i"),

@@ -735,7 +735,7 @@ object TextAnalysis {
         sequence(lit(1), length(col("__t")) - (n - 1)),
         i => col("__t").substr(i, lit(n)))).as("__g"))
     val counts = grams.groupBy(col("__g")).agg(count(lit(1)).as("__cnt"))
-    grams.join(broadcast(counts), "__g")
+    grams.join(boundedBroadcast(counts, "lmScore"), Seq("__g"))
       .groupBy(col(idCol))
       .agg(
         (sum(floor(log(col("__cnt")) * 1000).cast("long")) /
@@ -749,6 +749,28 @@ object TextAnalysis {
         // land on a 5e-5 tie and round differently across engines
         sum(floor(log(col("__cnt")) * 1000).cast("long")).as("sum_millinats"),
         sum(when(col("__cnt") < rareBelow, 1L).otherwise(0L)).as("n_rare"))
+  }
+
+  /** Gram-count table prepared for the probe join: eagerly
+    * checkpointed (the guard count and the join then read the same
+    * materialized blocks — no recompute), and broadcast only while the
+    * vocabulary is small enough to ship. A FORCED broadcast hint
+    * overrides the planner's size check, and a large-charset corpus
+    * (CJK character trigrams) can push the table to multi-GB — an
+    * executor OOM with an opaque failure where lmScoreFast fails
+    * cleanly via its maxVocab bound. Over the bound, fall back to a
+    * shuffled join loudly. */
+  private def boundedBroadcast(counts: DataFrame, op: String,
+      maxRows: Long = 4000000L): DataFrame = {
+    val mat = counts.localCheckpoint(true)
+    val n = mat.count()
+    if (n <= maxRows) broadcast(mat)
+    else {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$op: gram vocabulary has $n rows (> $maxRows); using a " +
+          "shuffled join instead of a forced broadcast")
+      mat
+    }
   }
 
   /**
@@ -784,7 +806,7 @@ object TextAnalysis {
         i => col("__t").substr(i, lit(n)))).as("__g"))
     val counts = grams(train).groupBy(col("__g"))
       .agg(count(lit(1)).as("__cnt"))
-    grams(evalDf).join(broadcast(counts), Seq("__g"), "left")
+    grams(evalDf).join(boundedBroadcast(counts, "lmScoreCross"), Seq("__g"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(floor(log(coalesce(col("__cnt"), lit(1L))) * 1000).cast("long"))
