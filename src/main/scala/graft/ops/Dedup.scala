@@ -560,7 +560,6 @@ object Dedup {
     val banded = guardBuckets(
       base.select(col("doc"), lit(0).as("band"), col("sig").as("bucket")),
       maxBucketSize, "simhashExactDuplicates")
-    if (maxBucketSize <= 0) base.count() // materialize without the guard job
     val a = banded.alias("a")
     val b = banded.alias("b")
     val cand = a.join(b,
@@ -614,18 +613,26 @@ object Dedup {
         col("a.tok") === col("b.tok") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .distinct()
-    val pairs = cand
-      .join(t.select(col("doc").as("id_a"), col("tok")), Seq("id_a"))
-      .join(t.select(col("doc").as("id_b"), col("tok")), Seq("id_b", "tok"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    val j = col("inter").cast("double") /
-      (col("na") + col("nb") - col("inter")).cast("double")
-    pairs
-      .join(sizes.select(col("doc").as("id_a"), col("n").as("na")), Seq("id_a"))
-      .join(sizes.select(col("doc").as("id_b"), col("n").as("nb")), Seq("id_b"))
-      .filter(j >= lit(threshold))
-      .select(col("id_a"), col("id_b"), round(j, 4).as("jaccard"))
+    // Exact verify on candidates via the sorted-hash merge kernel (the
+    // minhashDuplicates discipline): each side joins ONE packed array
+    // per doc and the intersection is a linear merge — the previous
+    // re-explode formulation (candidates × per-doc tokens into a hash
+    // aggregate) is exactly the shape containmentPairs' doc records as
+    // OOMing a 24 GB heap on degenerate vocabularies. Arithmetic is
+    // identical: jaccard_sorted computes inter/(|A|+|B|−inter) over
+    // sorted distinct per-token hashes (shingle size 1 ⇒ one xxhash64
+    // per token; a 64-bit collision could only merge two tokens, the
+    // same accepted negligible as every hash-keyed dedup op here).
+    val toksArr = df.select(col(idCol).as("doc"),
+      graft.functions.HashFunctions.shingle_hashes(
+        tokens(col(textCol)), 1).as("__toks"))
+    cand
+      .join(toksArr.select(col("doc").as("id_a"), col("__toks").as("__ta")), Seq("id_a"))
+      .join(toksArr.select(col("doc").as("id_b"), col("__toks").as("__tb")), Seq("id_b"))
+      .withColumn("jaccard",
+        graft.functions.HashFunctions.jaccard_sorted(col("__ta"), col("__tb")))
+      .filter(col("jaccard") >= lit(threshold))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /**
