@@ -32,6 +32,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // drop any STALE dump from a previous run into the same outDir:
+        // a failure BEFORE the overwrite touches the directory would
+        // otherwise leave old bytes for the oracle to compare against
+        // this run's SQL — a plausible-looking result on stale data
+        // instead of a loud missing-output failure
+        try graft.persist.Persistence.deleteTree(Paths.get(s"$outDir/$name"))
+        catch { case _: Throwable => () }
       }
     }
     // JSON string escape = the ONE shared implementation

@@ -108,8 +108,15 @@ object AsofJoin {
       .orderBy(tOrder, col("__side").asc, col("__tb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = lTagged.unionByName(rTagged)
-      .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
+    // Null-time rows get SQL comparison semantics, not sort-order
+    // accidents: a right row with null time sorted FIRST under asc and
+    // became a universal fallback match; a left row with null time
+    // sorted LAST under forward's desc and picked up the key's minimum.
+    // Right nulls can never match (t <= / >= null is never true) so
+    // they are dropped; left nulls keep their row with a null match.
+    val filled = lTagged.unionByName(rTagged.filter(col("__t").isNotNull))
+      .withColumn("__match", when(col("__t").isNotNull,
+        last(col("__rpay"), ignoreNulls = true).over(w)))
       .filter(col("__side") === 1)
 
     val kept = if (joinType.toLowerCase(java.util.Locale.ROOT) == "inner")

@@ -35,12 +35,21 @@ object Cohorts {
     require(Seq("day", "week").contains(period), s"bad period '$period'")
     val perDays = if (period == "week") 7 else 1
 
-    val active = events
-      .select(col(userCol).as("__u"), to_date(date_trunc(period, col(tsCol))).as("__p"))
-      .distinct()
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__u"))
-    val withFirst = active.withColumn("__p0", min(col("__p")).over(w))
-    withFirst
+    // ONE user-keyed exchange: collect_set partially aggregates each
+    // user's distinct active periods map-side, and the first period is
+    // array_min of the set. The previous distinct() + window shape
+    // actually shuffled TWICE — distinct partitions by (__u, __p),
+    // which does not satisfy the window's clustering on __u alone, so
+    // Catalyst inserted a second full exchange despite the comment
+    // claiming reuse. Per-user state is the user's active-period count
+    // (calendar-bounded), never the event count. Null-ts rows drop
+    // (collect_set skips nulls) — they carried no usable offset anyway.
+    val out = events
+      .select(col(userCol).as("__u"),
+        to_date(date_trunc(period, col(tsCol))).as("__p"))
+      .groupBy(col("__u")).agg(collect_set(col("__p")).as("__ps"))
+      .select(array_min(col("__ps")).as("__p0"), explode(col("__ps")).as("__p"))
+    out
       .groupBy(col("__p0").as("cohort"),
         (datediff(col("__p"), col("__p0")) / perDays).cast("long").as("offset"))
       .agg(count(lit(1)).as("n_users"))

@@ -39,7 +39,15 @@ object Packing {
       budgetTokens: Int,
       shards: Int): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be > 0")
-    require(shards > 0, "shards must be > 0")
+    // the shard key is 16 bits of md5, so shards beyond 65536 would be
+    // silently EMPTY (pmod of a 16-bit value can't reach them) — and
+    // divisors of 65536 balance exactly; others skew by ≤ 1/65536·shards
+    require(shards > 0 && shards <= 65536,
+      "shards must be in [1, 65536] (the shard key is 16 bits of md5)")
+    // NOTE: offsets are a pure function of the data only when idCol is
+    // UNIQUE — the rows-frame cumulative sum resolves duplicate-id ties
+    // in partition-arrival order (callers dedup first; every gate corpus
+    // has unique ids by construction)
     val shard = pmod(
       conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
         .cast("long"), lit(shards.toLong))

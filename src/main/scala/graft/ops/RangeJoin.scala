@@ -63,15 +63,21 @@ object RangeJoin {
     val p = points.withColumn("__bin", floorDiv(col(pointCol), binWidth))
     val startBin = floorDiv(col(startCol), binWidth)
     val endBin = floorDiv(col(endCol), binWidth)
+    // Reversed intervals (end < start) are EMPTY under the residual, so
+    // they expand to zero bins (explode drops the row) — without the
+    // explicit branch, sequence(start, stop) DESCENDS when stop < start
+    // and a single corrupt row could fan out millions of bin rows,
+    // bypassing the span guard (a negative span always compared < max).
+    val span = endBin - startBin
     val i = intervals
-      .withColumn("__nbins", endBin - startBin + lit(1L))
-      .withColumn("__bin", explode(sequence(startBin,
-        when(endBin - startBin < lit(maxBinsPerInterval.toLong), endBin)
+      .withColumn("__bin", explode(
+        when(span < 0L, array().cast("array<long>"))
+          .when(span < lit(maxBinsPerInterval.toLong),
+            sequence(startBin, endBin))
           .otherwise(raise_error(concat(
             lit(s"binnedRangeJoin: interval spans more than " +
               s"$maxBinsPerInterval bins of width $binWidth ("),
-            col("__nbins"), lit(" bins) — widen binWidth")))))))
-      .drop("__nbins")
+            span + lit(1L), lit(" bins) — widen binWidth"))))))
 
     val residual = if (endInclusive)
       col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol)

@@ -34,6 +34,11 @@ object SkewJoin {
     require(SupportedJoinTypes.contains(joinType.toLowerCase(java.util.Locale.ROOT)),
       s"saltedJoin supports inner/cross/left joins only, not '$joinType': " +
       "replicated right rows would duplicate unmatched right-side output")
+    // the op family's collision convention (AsofJoin/FuzzyJoin/
+    // RangeJoin): fail loudly rather than silently overwrite a caller's
+    // column and then drop it from the output
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name")
     val salted = left.withColumn("__salt",
       (rand(42) * saltFactor).cast("int"))
     val replicated = right.withColumn("__salt",

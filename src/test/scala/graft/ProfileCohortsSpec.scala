@@ -310,11 +310,13 @@ class ProfileCohortsSpec extends SparkSuite {
     val ev = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("user_id", "t")
     val p = Cohorts.retention(ev, "user_id", "t")
       .queryExecution.executedPlan.toString
-    // distinct keys (u, p) then window by u then rollup by (cohort, offset):
-    // the u-window must reuse the distinct's partitioning when keyed
-    // compatibly; allow the final small rollup exchange
+    // ONE user-keyed exchange (collect_set dedups periods map-side and
+    // array_min reads the first period off the set) plus the final
+    // small (cohort, offset) rollup exchange — the old distinct+window
+    // shape shuffled a third time because hashpartitioning(u, p) does
+    // not satisfy the window's clustering on u alone
     val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(n <= 3, s"too many exchanges ($n):\n$p")
+    assert(n <= 2, s"too many exchanges ($n):\n$p")
   }
 
   test("orderStatistics returns exact sorted values at requested ranks") {
