@@ -313,11 +313,14 @@ private[graft] object SparkEntryEvents {
         |FROM events GROUP BY user_id""".stripMargin,
 
     // Same calendar expansion: per-key span -> generate_series -> left
-    // join fills silent days with explicit zeros.
+    // join fills silent days with explicit zeros. NULL keys are excluded
+    // like the operator does (gapFillCounts filters them: DuckDB would
+    // otherwise group the NULL key and emit a calendar the equi-join can
+    // never match, i.e. an all-zero phantom series).
     "events_gapfill" ->
       """WITH d AS (
         |  SELECT user_id, date_trunc('day', ts)::DATE AS p, count(*) AS n
-        |  FROM events GROUP BY 1, 2),
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
         |s AS (SELECT user_id, min(p) AS lo, max(p) AS hi FROM d GROUP BY 1),
         |cal AS (
         |  SELECT user_id,

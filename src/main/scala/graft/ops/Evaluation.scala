@@ -29,6 +29,38 @@ object Evaluation {
     (precision, recall)
   }
 
+  /** The ONE (signature, e7-integer embedding) derivation all three LSH
+    * evaluation entry points share. The determinism contract ("call the
+    * reports with the SAME dim/numPlanes/seed/scale as the query set")
+    * holds precisely because this projection has a single definition —
+    * do not inline copies of it. */
+  private def sigAndE7(
+      vecCol: String,
+      dim: Int,
+      numPlanes: Int,
+      seed: Long,
+      scale: Long): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val planes = VectorSearch.randomPlanes(numPlanes, dim, seed)
+    val sig = VectorSearch.hyperplaneSignature(col(vecCol), planes)
+    val e7 = transform(col(vecCol),
+      e => round(e.cast("double") * scale).cast("long"))
+    (sig, e7)
+  }
+
+  /** Corpus-side projection (__cid, __ce, __csig) used by both reports. */
+  private def corpusProjection(
+      emb: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      numPlanes: Int,
+      seed: Long,
+      scale: Long): DataFrame = {
+    val (sig, e7) = sigAndE7(vecCol, dim, numPlanes, seed, scale)
+    emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__cid"), e7.as("__ce"), sig.as("__csig"))
+  }
+
   /**
    * Derives the bounded LSH evaluation query set ONCE: the `numQueries`
    * smallest-id vectors with their e7-integer embedding and hyperplane
@@ -52,10 +84,7 @@ object Evaluation {
       seed: Long = 42L,
       scale: Long = 10000000L): DataFrame = {
     require(numQueries >= 1, "numQueries >= 1")
-    val planes = VectorSearch.randomPlanes(numPlanes, dim, seed)
-    val sig = VectorSearch.hyperplaneSignature(col(vecCol), planes)
-    val e7 = transform(col(vecCol),
-      e => round(e.cast("double") * scale).cast("long"))
+    val (sig, e7) = sigAndE7(vecCol, dim, numPlanes, seed, scale)
     val derived = emb.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), e7.as("__qe"), sig.as("__qsig"))
       .orderBy(col("query_id")).limit(numQueries)
@@ -110,12 +139,7 @@ object Evaluation {
       scale: Long = 10000000L,
       precomputedQueries: Option[DataFrame] = None): DataFrame = {
     require(numQueries >= 1 && k >= 1, "need numQueries >= 1 and k >= 1")
-    val planes = VectorSearch.randomPlanes(numPlanes, dim, seed)
-    val sig = VectorSearch.hyperplaneSignature(col(vecCol), planes)
-    val e7 = transform(col(vecCol),
-      e => round(e.cast("double") * scale).cast("long"))
-    val corpus = emb.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("__cid"), e7.as("__ce"), sig.as("__csig"))
+    val corpus = corpusProjection(emb, vecCol, idCol, dim, numPlanes, seed, scale)
     val queries = broadcast(precomputedQueries.getOrElse(
       lshQuerySet(emb, vecCol, idCol, dim, numQueries, numPlanes, seed,
         scale)))
@@ -170,12 +194,7 @@ object Evaluation {
       scale: Long = 10000000L,
       precomputedQueries: Option[DataFrame] = None): DataFrame = {
     require(numQueries >= 1, "numQueries >= 1")
-    val planes = VectorSearch.randomPlanes(numPlanes, dim, seed)
-    val sig = VectorSearch.hyperplaneSignature(col(vecCol), planes)
-    val e7 = transform(col(vecCol),
-      e => round(e.cast("double") * scale).cast("long"))
-    val corpus = emb.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("__cid"), e7.as("__ce"), sig.as("__csig"))
+    val corpus = corpusProjection(emb, vecCol, idCol, dim, numPlanes, seed, scale)
     // same bounded-top-k query selection as lshRecallReport; a
     // lshQuerySet local relation skips the derivation pass entirely
     val queries = broadcast(precomputedQueries.getOrElse(
@@ -221,6 +240,11 @@ object Evaluation {
     val totals = exact.groupBy("query_id").agg(count(lit(1)).as("total"))
     val per = totals.join(hits, Seq("query_id"), "left")
       .select((coalesce(col("hits"), lit(0L)).cast("double") / col("total")).as("r"))
-    per.agg(avg(col("r"))).head().getDouble(0)
+    val row = per.agg(avg(col("r"))).head()
+    // avg over zero rows is NULL — surface "the ground truth was empty"
+    // instead of an opaque NPE from getDouble
+    require(!row.isNullAt(0),
+      "meanRecallAtK: ground-truth frame has no queries")
+    row.getDouble(0)
   }
 }

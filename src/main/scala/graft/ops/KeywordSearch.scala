@@ -41,6 +41,9 @@ object KeywordSearch {
         }
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     val n = r.getLong(0)
+    // Over zero rows sum() is NULL (getLong would NPE) and avgdl is 0/0 —
+    // fail with the actual problem instead.
+    require(n > 0, "BM25 corpus stats are undefined on an empty corpus")
     Bm25Stats(
       nDocs = n,
       avgDl = r.getLong(1).toDouble / n,
@@ -48,9 +51,13 @@ object KeywordSearch {
   }
 
   /** Okapi idf with the standard +1 floor (never negative):
-    * ln(1 + (N − df + 0.5) / (df + 0.5)). */
+    * ln(1 + (N − df + 0.5) / (df + 0.5)). StrictMath.log, not Math.log:
+    * Spark's SQL `log()` lowers to StrictMath in both the interpreted and
+    * codegen paths, and TermIndexState.topK computes this same idf with
+    * SQL `log()` — the scan/index bit-identity contract needs the driver
+    * constant to come from the identical libm. */
   def idf(nDocs: Long, df: Long): Double =
-    math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+    StrictMath.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
 
   /**
    * BM25 score column for `terms`, given precomputed corpus stats. The

@@ -54,9 +54,13 @@ object TermIndex {
     val spark = docs.sparkSession
     // Dedup.tokens = the shared tokenization convention; the bit-identity
     // with KeywordSearch.bm25TopK depends on using the same function.
-    val toks = docs.select(col(idCol).as("doc"),
-      explode(Dedup.tokens(col(textCol))).as("token"),
-      size(Dedup.tokens(col(textCol))).cast("long").as("dl"))
+    // Tokenize ONCE into a column and derive explode+dl from it — inlining
+    // the call twice would pay the split/lower work twice per row on the
+    // expensive pass of the whole build.
+    val toks = docs
+      .select(col(idCol).as("doc"), Dedup.tokens(col(textCol)).as("__t"))
+      .select(col("doc"), explode(col("__t")).as("token"),
+        size(col("__t")).cast("long").as("dl"))
     val tf = toks.groupBy("token", "doc")
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
@@ -72,7 +76,12 @@ object TermIndex {
       count(lit(1)).as("n_docs"),
       sum(size(graft.ops.Dedup.tokens(col(textCol)))).cast("long")
         .as("total_tokens")).head()
-    val (n, tot) = (stats.getLong(0), stats.getLong(1))
+    val n = stats.getLong(0)
+    // Over zero rows sum() is NULL (getLong(1) would NPE) and a 0-doc
+    // meta row would persist avg_dl = NaN, poisoning every later topK —
+    // refuse to build instead.
+    require(n > 0, "cannot build a term index over an empty corpus")
+    val tot = stats.getLong(1)
     import spark.implicits._
     Seq((n, tot.toDouble / n, idCol))
       .toDF("n_docs", "avg_dl", "id_col")

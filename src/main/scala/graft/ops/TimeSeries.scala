@@ -49,21 +49,6 @@ object TimeSeries {
   }
 
   /**
-   * Trailing moving average of a measure over the last `windowRows`
-   * events per key (event-count frame, not time frame — the smoothing
-   * most monitoring/feature pipelines use).
-   *
-   * Exactness: the measure sums as ROUNDED INTEGER cents inside the
-   * window frame (order-independent, engine-exact); the single division
-   * back to currency happens once per output row, so results are
-   * bit-stable and SQL-replayable. Frame order is (ts, idCol) — the id
-   * tiebreak makes same-timestamp rows deterministic.
-   *
-   * Scale shape: ONE shuffle by key, one sort within partitions, a
-   * bounded running frame — the canonical window op; state per task is
-   * the frame buffer, never the corpus.
-   */
-  /**
    * Event-type TRANSITION counts — the first-order Markov statistics
    * behind next-event prediction and funnel discovery: for each user's
    * time-ordered event sequence, count every adjacent (from → to) pair
@@ -116,6 +101,22 @@ object TimeSeries {
       .groupBy(col("w"))
       .agg(count(lit(1)).as("n_distinct"), sum(col("__n")).as("n_events"))
 
+  /**
+   * Trailing moving average of a measure over the last `windowRows`
+   * events per key (event-count frame, not time frame — the smoothing
+   * most monitoring/feature pipelines use).
+   *
+   * Exactness: the measure sums as ROUNDED INTEGER cents inside the
+   * window frame (order-independent, engine-exact); the single division
+   * back to currency happens once per output row, so results are
+   * bit-stable and SQL-replayable. Frame order is (ts, idCol) — the id
+   * tiebreak makes same-timestamp rows deterministic. Null measures
+   * carry SQL avg semantics (excluded from both sum and denominator).
+   *
+   * Scale shape: ONE shuffle by key, one sort within partitions, a
+   * bounded running frame — the canonical window op; state per task is
+   * the frame buffer, never the corpus.
+   */
   def movingAverage(
       events: DataFrame,
       keyCol: String,

@@ -14,6 +14,18 @@ class EvaluationSpec extends SparkSuite {
     assert(Evaluation.recallAtK(Seq.empty[Int], Seq(1)) === 1.0)
   }
 
+  test("meanRecallAtK averages per-query recall; empty truth fails loudly") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "vec_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 99L))
+      .toDF("query_id", "vec_id")
+    assert(Evaluation.meanRecallAtK(exact, approx) === 0.75) // (1.0+0.5)/2
+    val e = intercept[IllegalArgumentException] {
+      Evaluation.meanRecallAtK(exact.filter($"query_id" < 0), approx)
+    }
+    assert(e.getMessage.contains("no queries"))
+  }
+
   test("minhash dedup achieves perfect pair metrics on identical-set dups") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val truth = Dedup.wordJaccardPairs(docs, "text", "doc_id", 0.999)

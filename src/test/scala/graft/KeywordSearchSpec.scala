@@ -25,6 +25,18 @@ class KeywordSearchSpec extends SparkSuite {
   test("idf: rarer terms score higher; +1 floor keeps it positive") {
     assert(KeywordSearch.idf(100, 1) > KeywordSearch.idf(100, 50))
     assert(KeywordSearch.idf(100, 100) > 0.0) // term in every doc still > 0
+    // the scan/index bit-identity contract: the driver constant must come
+    // from the same libm as Spark SQL's log() (StrictMath, not Math)
+    assert(KeywordSearch.idf(100, 3) ===
+      StrictMath.log(1.0 + (100 - 3 + 0.5) / (3 + 0.5)))
+  }
+
+  test("corpusStats fails loudly on an empty corpus") {
+    val e = intercept[IllegalArgumentException] {
+      KeywordSearch.corpusStats(docs.filter(col("doc_id") < 0), "text",
+        Seq("spark"))
+    }
+    assert(e.getMessage.contains("empty corpus"))
   }
 
   test("bm25TopK: docs without any query term are excluded") {

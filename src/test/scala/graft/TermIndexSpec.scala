@@ -28,6 +28,14 @@ class TermIndexSpec extends SparkSuite {
     terms.foreach(t => assert(TermIndex.bucketOf(t) === fromCol(t), t))
   }
 
+  test("build refuses an empty corpus instead of persisting NaN avg_dl") {
+    val dir = java.nio.file.Files.createTempDirectory("tix_empty").toString
+    val e = intercept[IllegalArgumentException] {
+      TermIndex.build(docs.filter(col("doc_id") < 0), "text", "doc_id", dir)
+    }
+    assert(e.getMessage.contains("empty corpus"))
+  }
+
   test("indexed BM25 returns bit-identical scores to the scan path") {
     val terms = Seq("spark", "query")
     val scan = KeywordSearch.bm25TopK(docs, "text", "doc_id", terms, k = 10,
