@@ -46,16 +46,25 @@ object BagCos {
       p: Long, q: Long): Column =
     column(PackedBagCosGe(toExpr(a), toExpr(b), toExpr(na2), toExpr(nb2), p, q))
 
+  // containsNull is accepted either way: Spark marks many derived arrays
+  // containsNull=true even when no element is ever null at runtime
+  // (transform/flatten outputs), so rejecting it would refuse legitimate
+  // plans. The packed-bag builders in this repo never emit null elements;
+  // a null slot read through getLong would surface as tid/tf 0.
   private[functions] def isPackedBag(dt: DataType): Boolean = dt match {
     case ArrayType(LongType, _) => true
     case _ => false
   }
 
-  /** Referenced from generated code. Allocation-free sorted merge. */
+  /** Referenced from generated code. Allocation-free sorted merge. The
+    * `i + 1 < na` bounds make a malformed ODD-length array drop its
+    * trailing half-pair instead of reading past the array end (getLong
+    * on UnsafeArrayData has no bounds check in release JVMs); for
+    * well-formed even-length bags the condition is identical to i < na. */
   def dot(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var s = 0L
-    while (i < na && j < nb) {
+    while (i + 1 < na && j + 1 < nb) {
       val ka = a.getLong(i); val kb = b.getLong(j)
       if (ka == kb) { s += a.getLong(i + 1) * b.getLong(j + 1); i += 2; j += 2 }
       else if (ka < kb) i += 2

@@ -1,10 +1,28 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+
+/** Shared analysis-time checks for the SQL-registered hash kernels: a
+  * wrong element type must fail analysis, not misread bytes at runtime
+  * (`getLong` over 4-byte int slots / `getUTF8String` over numerics
+  * yields garbage or a task-time ClassCastException). */
+private[functions] object HashTypeChecks {
+  def tokenArray(dt: DataType, fn: String): TypeCheckResult = dt match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fn requires array<string> input, got ${other.sql}")
+  }
+  def longArray(dt: DataType, fn: String): TypeCheckResult = dt match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fn requires array<bigint> input, got ${other.sql}")
+  }
+}
 
 /**
  * Per-row signature kernels for large-scale dedup.
@@ -90,10 +108,9 @@ object HashKernels {
     while (s < nShingles) {
       // rolling-polynomial shingle hash over the w token hashes
       var sh = 0L
-      var j = 0
       val end = math.min(n, s + w)
       var k = s
-      while (k < end) { sh = sh * 0x100000001B3L + base(k); k += 1; j += 1 }
+      while (k < end) { sh = sh * 0x100000001B3L + base(k); k += 1 }
       var h = 0
       while (h < numHashes) {
         val v = A(h) * sh + B(h)
@@ -112,9 +129,17 @@ object HashKernels {
     * hash-set Jaccard equals shingle-string Jaccard up to 64-bit
     * collisions (~2^-64 per pair — ignorable and deterministic). (The
     * previous max(1, …) emitted a zero-hash shingle for EMPTY docs,
-    * making any two empty docs Jaccard-1.0 here while their minhash
-    * bands never paired them — verify and candidate stages disagreed
-    * exactly on the degenerate case.) */
+    * making any two empty docs Jaccard-1.0 here — verify and candidate
+    * stages disagreed exactly on the degenerate case.)
+    *
+    * Empty-doc caveat: with zero shingles, [[minhash]] leaves the
+    * signature at all-Long.MaxValue, so every empty doc shares ONE
+    * signature and LSH banding pairs them all — an O(n²) candidate
+    * blowup on that degenerate class (the pairs are then rejected at
+    * verify, since two zero-shingle docs score Jaccard 0.0 here, so
+    * correctness holds). Filter empty token arrays before banding if
+    * your tokenizer can produce them; `Dedup.tokens` never does (a
+    * split always yields ≥ 1 element). */
   def shingleHashes(toks: ArrayData, shingleSize: Int): ArrayData = {
     val n = toks.numElements()
     val w = math.max(1, shingleSize)
@@ -185,6 +210,8 @@ object HashKernels {
 
 case class ShingleHashes(child: Expression, shingleSize: Int)
     extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashTypeChecks.tokenArray(child.dataType, prettyName)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(a: Any): Any =
     HashKernels.shingleHashes(a.asInstanceOf[ArrayData], shingleSize)
@@ -197,6 +224,11 @@ case class ShingleHashes(child: Expression, shingleSize: Int)
 
 case class JaccardSorted(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = HashTypeChecks.longArray(left.dataType, prettyName)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else HashTypeChecks.longArray(right.dataType, prettyName)
+  }
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     HashKernels.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -210,6 +242,8 @@ case class JaccardSorted(left: Expression, right: Expression)
 
 case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int = 1)
     extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashTypeChecks.tokenArray(child.dataType, prettyName)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(a: Any): Any =
     HashKernels.minhash(a.asInstanceOf[ArrayData], numHashes, shingleSize)
@@ -221,6 +255,8 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int 
 }
 
 case class SimHash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashTypeChecks.tokenArray(child.dataType, prettyName)
   override def dataType: DataType = LongType
   override def nullSafeEval(a: Any): Any =
     HashKernels.simhash64(a.asInstanceOf[ArrayData])

@@ -29,7 +29,11 @@ case class LongBucketCounts(
   extends TypedImperativeAggregate[scala.collection.mutable.LongMap[Long]] {
 
   require(div > 0, "div must be > 0")
-  require(maxEntries > 0, "maxEntries must be > 0")
+  // upper bound: serialize() writes 4 + size*16 bytes into one byte
+  // array — beyond (Int.MaxValue - 4)/16 entries the int length math
+  // would overflow negative and fail mid-shuffle, far from the cause
+  require(maxEntries > 0 && maxEntries <= (Int.MaxValue - 4) / 16,
+    s"maxEntries must be in (0, ${(Int.MaxValue - 4) / 16}]")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

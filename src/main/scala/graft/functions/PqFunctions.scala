@@ -1,11 +1,37 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression => expr}
 import org.apache.spark.sql.types._
+
+/** Analysis-time input checks: getFloat/getInt on differently-typed
+  * element storage silently misreads bytes (array<double> read as
+  * array<float> yields garbage codes with no exception) — the same
+  * hazard `ScaledIntMatMul` guards against. */
+private[functions] object PqTypeChecks {
+  def floatArray(dt: DataType, fn: String): TypeCheckResult = dt match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fn requires array<float> input, got ${other.sql}")
+  }
+  def intArray(dt: DataType, fn: String): TypeCheckResult = dt match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fn requires array<int> input, got ${other.sql}")
+  }
+  def encStruct(dt: DataType, fn: String): TypeCheckResult = dt match {
+    case StructType(Array(c, d))
+        if c.dataType == IntegerType &&
+          intArray(d.dataType, fn) == TypeCheckResult.TypeCheckSuccess =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fn requires struct<cell: int, code: array<int>> input, got ${other.sql}")
+  }
+}
 
 /**
  * Product-quantization kernels. A PQ code is `m` small integers (one
@@ -54,15 +80,15 @@ object PqFunctions {
 /** Static kernels shared by interpreted eval and generated code. */
 object PqKernels {
 
-  /** Nearest-centroid index per subspace; squared-L2 in double, ascending
-    * element order, strict `<` ⇒ first minimum wins (matches
+  /** THE nearest-centroid subspace argmin — the one copy both [[encode]]
+    * and [[ivfpqEncode]] run, so PQ and IVF-PQ codes can never
+    * desynchronize (the bit-for-bit external-replay guarantee depends on
+    * a single kernel). Squared-L2 in double, ascending element order,
+    * strict `<` ⇒ first minimum wins (matches
     * `list_position(dists, list_min(dists))` replay semantics). */
-  def encode(v: ArrayData, cb: Array[Double], m: Int, k: Int, subDim: Int): ArrayData = {
-    val n = v.numElements()
-    if (n != m * subDim) {
-      throw new IllegalArgumentException(
-        s"vector length $n does not match m*subDim = ${m * subDim}")
-    }
+  private def nearestCodes(
+      x: Array[Double], cb: Array[Double], m: Int, k: Int,
+      subDim: Int): Array[Int] = {
     val out = new Array[Int](m)
     var j = 0
     while (j < m) {
@@ -74,7 +100,7 @@ object PqKernels {
         var i = 0
         val off = (j * k + c) * subDim
         while (i < subDim) {
-          val diff = v.getFloat(j * subDim + i).toDouble - cb(off + i)
+          val diff = x(j * subDim + i) - cb(off + i)
           d += diff * diff
           i += 1
         }
@@ -84,7 +110,23 @@ object PqKernels {
       out(j) = best
       j += 1
     }
-    new GenericArrayData(out)
+    out
+  }
+
+  /** Nearest-centroid index per subspace (see [[nearestCodes]]). The
+    * float32 input is widened to double ONCE up front — the same values
+    * the inline `getFloat(...).toDouble` read produced, with k fewer
+    * virtual reads per element. */
+  def encode(v: ArrayData, cb: Array[Double], m: Int, k: Int, subDim: Int): ArrayData = {
+    val n = v.numElements()
+    if (n != m * subDim) {
+      throw new IllegalArgumentException(
+        s"vector length $n does not match m*subDim = ${m * subDim}")
+    }
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) { x(i) = v.getFloat(i).toDouble; i += 1 }
+    new GenericArrayData(nearestCodes(x, cb, m, k, subDim))
   }
 
   /** ADC lookup sum: per-subspace table entries added in subspace order. */
@@ -124,27 +166,7 @@ object PqKernels {
     val coff = cell * dim
     var i = 0
     while (i < dim) { res(i) = v.getFloat(i).toDouble - cells(coff + i); i += 1 }
-    val code = new Array[Int](m)
-    var j = 0
-    while (j < m) {
-      var best = 0
-      var bestD = Double.MaxValue
-      var cc = 0
-      while (cc < k) {
-        var d = 0.0
-        var ii = 0
-        val off = (j * k + cc) * subDim
-        while (ii < subDim) {
-          val diff = res(j * subDim + ii) - cb(off + ii)
-          d += diff * diff
-          ii += 1
-        }
-        if (d < bestD) { bestD = d; best = cc }
-        cc += 1
-      }
-      code(j) = best
-      j += 1
-    }
+    val code = nearestCodes(res, cb, m, k, subDim)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](cell, new GenericArrayData(code)))
   }
@@ -157,6 +179,8 @@ object PqKernels {
 
 case class PqEncode(child: Expression, codebook: Array[Double], m: Int, k: Int, subDim: Int)
     extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    PqTypeChecks.floatArray(child.dataType, prettyName)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullSafeEval(a: Any): Any =
     PqKernels.encode(a.asInstanceOf[ArrayData], codebook, m, k, subDim)
@@ -171,6 +195,8 @@ case class PqEncode(child: Expression, codebook: Array[Double], m: Int, k: Int, 
 
 case class PqAdc(child: Expression, table: Array[Double], m: Int, k: Int)
     extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    PqTypeChecks.intArray(child.dataType, prettyName)
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any): Any =
     PqKernels.adc(a.asInstanceOf[ArrayData], table, m, k)
@@ -185,6 +211,8 @@ case class PqAdc(child: Expression, table: Array[Double], m: Int, k: Int)
 case class IvfPqEncode(child: Expression, cells: Array[Double], nlist: Int,
     codebook: Array[Double], m: Int, k: Int, subDim: Int)
     extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    PqTypeChecks.floatArray(child.dataType, prettyName)
   override def dataType: DataType = StructType(Seq(
     StructField("cell", IntegerType, nullable = false),
     StructField("code", ArrayType(IntegerType, containsNull = false), nullable = false)))
@@ -203,6 +231,8 @@ case class IvfPqEncode(child: Expression, cells: Array[Double], nlist: Int,
 case class IvfPqAdc(child: Expression, cellDots: Array[Double],
     table: Array[Double], m: Int, k: Int)
     extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    PqTypeChecks.encStruct(child.dataType, prettyName)
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any): Any =
     PqKernels.ivfpqAdc(a.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow],

@@ -48,6 +48,21 @@ case class TopKRows(
 
   require(k > 0, "k must be > 0")
 
+  // a non-struct payload or a 1-field struct would otherwise surface as
+  // an opaque executor ClassCastException / IndexOutOfBounds from
+  // rankOrd after the job launches — fail analysis instead
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case s: StructType if s.length >= 2 &&
+          org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(s(0).dataType) &&
+          org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(s(1).dataType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a struct payload with >= 2 fields (rank " +
+            s"desc, tiebreak asc — both orderable), got ${other.sql}")
+    }
+
   private lazy val structType: StructType = child.dataType.asInstanceOf[StructType]
 
   /** compare(a, b) < 0 ⇔ a ranks strictly better (field0 desc, field1 asc). */

@@ -58,11 +58,25 @@ case class VectorSumLong(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v == null) buf
-    else add(buf, v.asInstanceOf[ArrayData].toLongArray())
+    else {
+      val arr = v.asInstanceOf[ArrayData].toLongArray()
+      // a zero-length INPUT array would be indistinguishable from the
+      // "no input yet" buffer sentinel — reject it explicitly (the
+      // scaladoc's mismatch promise) instead of silently ignoring it
+      if (arr.isEmpty) throw new IllegalArgumentException(
+        "vector_sum_long: zero-length input vector")
+      add(buf, arr)
+    }
   }
 
+  // An EMPTY partial is legitimate (a partition whose rows for this
+  // group were all NULL) and must merge as the identity from either
+  // side — `add` alone would throw a dimension mismatch when the empty
+  // partial arrives second, making the crash partial-arrival-order
+  // dependent.
   override def merge(buf: Array[Long], other: Array[Long]): Array[Long] =
-    add(buf, other)
+    if (other.isEmpty) buf
+    else add(buf, other)
 
   override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
 

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Pins for the analysis-time and merge-order guards on the custom
+  * Catalyst expressions/aggregates: wrong input types must fail BEFORE
+  * the job launches (getLong/getFloat over differently-typed element
+  * storage silently misreads bytes), and aggregate merges must be
+  * partial-arrival-order independent. */
+class FunctionGuardsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("VectorSumLong merge treats an empty partial as identity from either side") {
+    val agg = VectorSumLong(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit(1)))
+    // a partition whose rows for the group were all NULL serializes an
+    // empty partial; it must merge as identity regardless of arrival order
+    assert(agg.merge(Array(1L, 2L), Array.emptyLongArray).toSeq === Seq(1L, 2L))
+    assert(agg.merge(Array.emptyLongArray, Array(1L, 2L)).toSeq === Seq(1L, 2L))
+    // genuine dimension mismatches still raise
+    val e = intercept[IllegalArgumentException] {
+      agg.merge(Array(1L, 2L), Array(3L))
+    }
+    assert(e.getMessage.contains("dimension mismatch"))
+  }
+
+  test("vector_sum_long sums across partitions with all-NULL partitions present") {
+    // 4 partitions; two contain ONLY null vectors, so their partials are
+    // empty and exercise the identity-merge path end-to-end
+    val df = withLogLevel(Seq(
+      (0, Some(Seq(1L, 10L))), (1, None), (2, None), (3, Some(Seq(2L, 20L)))
+    ).toDF("p", "v").repartition(4, col("p")))
+    val r = df.agg(VectorSumAggregate.vector_sum_long(col("v")))
+      .head().getSeq[Long](0)
+    assert(r === Seq(3L, 30L))
+  }
+
+  test("vector_sum_long rejects a zero-length input vector loudly") {
+    val df = Seq(Seq.empty[Long], Seq(1L, 2L)).toDF("v")
+    val e = intercept[Exception] {
+      df.agg(VectorSumAggregate.vector_sum_long(col("v"))).collect()
+    }
+    assert(e.getMessage.contains("zero-length") ||
+      Option(e.getCause).exists(_.getMessage.contains("zero-length")))
+  }
+
+  test("topk_rows rejects non-struct and 1-field payloads at analysis time") {
+    val df = Seq((1.0, 2L)).toDF("score", "id")
+    intercept[AnalysisException] {
+      df.agg(TopKAggregate.topk_rows(col("score"), 3)).collect()
+    }
+    intercept[AnalysisException] {
+      df.agg(TopKAggregate.topk_rows(struct(col("score")), 3)).collect()
+    }
+    // the documented payload shape still passes
+    assert(df.agg(TopKAggregate.topk_rows(struct(col("score"), col("id")), 3))
+      .count() === 1L)
+  }
+
+  test("SQL-registered hash kernels reject wrong element types at analysis time") {
+    graft.GraftExtensions.register(spark)
+    // array<int> storage read as array<bigint> would yield garbage longs
+    intercept[AnalysisException] {
+      spark.sql("SELECT jaccard_sorted(array(1, 2), array(2, 3))").collect()
+    }
+    intercept[AnalysisException] {
+      spark.sql("SELECT minhash_signature(array(1, 2), 16, 1)").collect()
+    }
+    intercept[AnalysisException] {
+      spark.sql("SELECT simhash64(array(1.0, 2.0))").collect()
+    }
+    intercept[AnalysisException] {
+      spark.sql("SELECT shingle_hashes(array(1), 2)").collect()
+    }
+    // correct types still pass
+    assert(spark.sql(
+      "SELECT jaccard_sorted(array(1L, 2L), array(2L, 3L))").head().getDouble(0)
+      === 1.0 / 3)
+  }
+
+  test("pq_encode rejects non-float32 vectors at analysis time") {
+    val cb = Array.fill(2 * 2 * 1)(0.0)
+    val dbl = Seq(Seq(1.0, 2.0)).toDF("v")
+    intercept[AnalysisException] {
+      dbl.select(PqFunctions.pq_encode(col("v"), cb, m = 2, k = 2, subDim = 1))
+        .collect()
+    }
+    val flt = Seq(Seq(1.0f, 2.0f)).toDF("v")
+    assert(flt.select(PqFunctions.pq_encode(col("v"), cb, 2, 2, 1)).count() === 1L)
+  }
+
+  test("bucket_counts bounds maxEntries at the serializable ceiling") {
+    intercept[IllegalArgumentException] {
+      HistAgg.bucket_counts(col("x"), 1, maxEntries = Int.MaxValue)
+    }
+  }
+}
