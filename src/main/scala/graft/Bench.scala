@@ -383,13 +383,16 @@ object Bench {
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         } else Map.empty[String, Double]
       } else Map.empty[String, Double]
-    if (fromFile.nonEmpty) fromFile else readPrevBenchArtifact()
+    if (fromFile.nonEmpty) fromFile else readPrevBenchArtifact(sfDir)
   } catch { case _: Throwable => Map.empty }
 
   /** Fallback harvest from the newest committed BENCH_r*.json (the
     * driver's artifact wraps the bench stdout tail, so only pairs inside
-    * the 2000-char window can be recovered). */
-  private def readPrevBenchArtifact(): Map[String, Double] = try {
+    * the 2000-char window can be recovered). Same sf-dir match rule as
+    * the side file: artifacts are sf0.1 runs, and adjudicating a local
+    * sf0.01 iteration against them would either hide regressions or
+    * fire a dozen spurious cross-sf retimes. */
+  private def readPrevBenchArtifact(sfDir: String): Map[String, Double] = try {
     val re = "BENCH_r(\\d+)\\.json".r
     val files = Option(new java.io.File("/root/repo").listFiles())
       .getOrElse(Array.empty[java.io.File])
@@ -410,13 +413,16 @@ object Bench {
       // repeats names with round-older values that a last-wins toMap
       // would take as the baseline.
       val txt = raw.replace("\\\"", "\"")
-      val pair = "\"([A-Za-z0-9_]+)\":(-?\\d+(?:\\.\\d+)?)".r
-      val first = scala.collection.mutable.LinkedHashMap[String, Double]()
-      pair.findAllMatchIn(txt).foreach { m =>
-        if (!first.contains(m.group(1)))
-          first(m.group(1)) = m.group(2).toDouble
+      if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+      else {
+        val pair = "\"([A-Za-z0-9_]+)\":(-?\\d+(?:\\.\\d+)?)".r
+        val first = scala.collection.mutable.LinkedHashMap[String, Double]()
+        pair.findAllMatchIn(txt).foreach { m =>
+          if (!first.contains(m.group(1)))
+            first(m.group(1)) = m.group(2).toDouble
+        }
+        first.toMap
       }
-      first.toMap
     }
   } catch { case _: Throwable => Map.empty }
 
@@ -460,41 +466,51 @@ object Bench {
     val idx: VectorIndex[Long] =
       VectorIndex.build[Long](corpus(n), "id", "embedding", d, parts)
         .persist().materialize(forceDistributed = true)
-    out(s"chromem_build_${n}_d1536_big") = (System.nanoTime() - t0) / 1e9
-    // driver-local packed control (25k fits far under LocalScanMaxFloats)
-    val ctrlIdx: VectorIndex[Long] = VectorIndex
-      .build[Long](corpus(25000), "id", "embedding", d,
-        math.max(1, math.min(parts, 25000 / 6144)))
-      .persist().materialize()
-    (1 to 2).foreach { _ => idx.topK(qvec(), 10); ctrlIdx.topK(qvec(), 10) }
-    val batch = 3
-    def measure(): (Double, Double) = {
-      val bigS = scala.collection.mutable.ArrayBuffer[Double]()
-      val ctrlS = scala.collection.mutable.ArrayBuffer[Double]()
-      (1 to batches).foreach { _ =>
-        System.gc()
-        var t = System.nanoTime()
-        (1 to batch).foreach(_ => idx.topK(qvec(), 10))
-        bigS += (System.nanoTime() - t) / 1e9 / batch
-        t = System.nanoTime()
-        (1 to batch).foreach(_ => ctrlIdx.topK(qvec(), 10))
-        ctrlS += (System.nanoTime() - t) / 1e9 / batch
+    // try/finally: a mid-family failure (main records -1.0 and moves
+    // on) must not leak GBs of persisted slabs into the NEXT tier's
+    // timed window — the r8/r9 poisoned-window failure mode, which the
+    // success-path-only unpersist reintroduced on the error path
+    try {
+      out(s"chromem_build_${n}_d1536_big") = (System.nanoTime() - t0) / 1e9
+      // driver-local packed control (25k fits far under LocalScanMaxFloats)
+      val ctrlIdx: VectorIndex[Long] = VectorIndex
+        .build[Long](corpus(25000), "id", "embedding", d,
+          math.max(1, math.min(parts, 25000 / 6144)))
+        .persist().materialize()
+      try {
+        (1 to 2).foreach { _ => idx.topK(qvec(), 10); ctrlIdx.topK(qvec(), 10) }
+        val batch = 3
+        def measure(): (Double, Double) = {
+          val bigS = scala.collection.mutable.ArrayBuffer[Double]()
+          val ctrlS = scala.collection.mutable.ArrayBuffer[Double]()
+          (1 to batches).foreach { _ =>
+            System.gc()
+            var t = System.nanoTime()
+            (1 to batch).foreach(_ => idx.topK(qvec(), 10))
+            bigS += (System.nanoTime() - t) / 1e9 / batch
+            t = System.nanoTime()
+            (1 to batch).foreach(_ => ctrlIdx.topK(qvec(), 10))
+            ctrlS += (System.nanoTime() - t) / 1e9 / batch
+          }
+          (bigS.sorted.apply(batches / 2), ctrlS.sorted.apply(batches / 2))
+        }
+        var (bigV, ctrlV) = measure()
+        if (ctrlBaseline.exists(b => ctrlV > b * 1.3)) {
+          out(s"chromem_query_${n}_d1536_k10_big_firstpass") = bigV
+          out(s"chromem_query_${n}_d1536_k10_big_ctrl_firstpass") = ctrlV
+          System.gc()
+          val r = measure(); bigV = r._1; ctrlV = r._2
+        }
+        out(s"chromem_query_${n}_d1536_k10_big") = bigV
+        out(s"chromem_query_${n}_d1536_k10_big_ctrl") = ctrlV
+      } finally {
+        // blocking: the NEXT tier's build must not absorb this tier's
+        // asynchronous slab eviction (r9's uncontrolled 250k window)
+        ctrlIdx.unpersist(blocking = true)
       }
-      (bigS.sorted.apply(batches / 2), ctrlS.sorted.apply(batches / 2))
+    } finally {
+      idx.unpersist(blocking = true)
     }
-    var (bigV, ctrlV) = measure()
-    if (ctrlBaseline.exists(b => ctrlV > b * 1.3)) {
-      out(s"chromem_query_${n}_d1536_k10_big_firstpass") = bigV
-      out(s"chromem_query_${n}_d1536_k10_big_ctrl_firstpass") = ctrlV
-      System.gc()
-      val r = measure(); bigV = r._1; ctrlV = r._2
-    }
-    out(s"chromem_query_${n}_d1536_k10_big") = bigV
-    out(s"chromem_query_${n}_d1536_k10_big_ctrl") = ctrlV
-    // blocking: the NEXT tier's build must not absorb this tier's
-    // asynchronous slab eviction (r9's uncontrolled 250k window)
-    ctrlIdx.unpersist(blocking = true)
-    idx.unpersist(blocking = true)
     out.toMap
   }
 
@@ -529,6 +545,10 @@ object Bench {
     val idx: VectorIndex[Long] =
       VectorIndex.build[Long](corpus, "id", "embedding", d, nBlocks)
         .persist().materialize()
+    // try/finally on every persisted lifetime in this family: an
+    // exception mid-family must not leak persisted blocks into later
+    // timed windows (see bigCorpus)
+    try {
     (1 to 5).foreach(_ => idx.topK(qvec(), 10))
     System.gc() // drop corpus-build garbage before the timed window
     var t0 = System.nanoTime()
@@ -546,13 +566,14 @@ object Bench {
       val idxC: VectorIndex[Long] =
         VectorIndex.build[Long](withContent, "id", "embedding", d, nBlocks)
           .persist().materialize()
-      (1 to 3).foreach(_ => idxC.topK(qvec(), 10))
-      System.gc()
-      t0 = System.nanoTime()
-      (1 to queries).foreach(_ => idxC.topK(qvec(), 10))
-      out(s"chromem_query_${n}_d1536_k10_content") =
-        (System.nanoTime() - t0) / 1e9 / queries
-      idxC.unpersist(blocking = true)
+      try {
+        (1 to 3).foreach(_ => idxC.topK(qvec(), 10))
+        System.gc()
+        t0 = System.nanoTime()
+        (1 to queries).foreach(_ => idxC.topK(qvec(), 10))
+        out(s"chromem_query_${n}_d1536_k10_content") =
+          (System.nanoTime() - t0) / 1e9 / queries
+      } finally idxC.unpersist(blocking = true)
 
       // -- distributed tier: same index, blocks pinned on executors.
       // 100k×1536 is under LocalScanMaxFloats, so the headline above
@@ -573,6 +594,7 @@ object Bench {
       // real plan cost.
       val idxDist = VectorIndex.build[Long](corpus, "id", "embedding", d, parts)
         .persist().materialize(forceDistributed = true)
+      try {
       (1 to 3).foreach(_ => idxDist.topK(qvec(), 10))
       val distBatch = 3
       def measureDist(): (Double, Double) = {
@@ -603,7 +625,7 @@ object Bench {
       }
       out(s"chromem_query_${n}_d1536_k10_distributed") = distV
       out(s"chromem_query_${n}_d1536_k10_distributed_ctrl_packed") = distCtrlV
-      idxDist.unpersist(blocking = true)
+      } finally idxDist.unpersist(blocking = true)
 
       // -- declarative-path comparison point, with two controls that make
       // the artifact self-explaining:
@@ -621,6 +643,7 @@ object Bench {
       //    designed answer to exactly this decode tax (deserialized
       //    primitive slabs, zero per-query decode).
       val cached = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+      try {
       cached.count()
       val dfQueries = queries * 2
       (1 to 5).foreach { _ =>
@@ -663,9 +686,9 @@ object Bench {
       // blocking: this ~600 MB columnar cache draining asynchronously
       // under the 250k build was the likely cause of r9's uncontrolled
       // 2.6× regression on that tier
-      cached.unpersist(blocking = true)
+      } finally cached.unpersist(blocking = true)
     }
-    idx.unpersist(blocking = true)
+    } finally idx.unpersist(blocking = true)
     out.toMap
   }
 }

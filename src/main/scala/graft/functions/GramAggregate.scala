@@ -59,6 +59,22 @@ case class GramOuterSum(
     if (v == null) return buf
     val x = v.asInstanceOf[ArrayData]
     val m = x.numElements()
+    // m == 0 would be conflated with the buf(0) == 0 "no rows yet"
+    // marker: an empty-array-first partition would silently ignore the
+    // row while a d-dim-first partition throws on it — flaky by
+    // partition order. Reject it explicitly (same rule as
+    // vector_sum_long). Null elements would read as 0 through getLong
+    // and silently poison every moment — reject those too (the type
+    // accepts containsNull=true because derived arrays are often
+    // conservatively marked nullable; actual nulls are still an error).
+    if (m == 0) throw new IllegalArgumentException(
+      s"$prettyName: zero-length input vector")
+    var c = 0
+    while (c < m) {
+      if (x.isNullAt(c)) throw new IllegalArgumentException(
+        s"$prettyName: null element at index $c")
+      c += 1
+    }
     val b =
       if (buf(0) == 0L) {
         val nb = new Array[Long](1 + m * (m + 1)) // t pairs of (hi, lo)

@@ -185,9 +185,19 @@ object Int128Sum {
     Array(bb.getLong, bb.getLong, bb.getLong)
   }
 
+  // largest magnitude representable in decimal(38,0); sums in
+  // [1e38, 2^127) fit the 128-bit accumulator but not the result type
+  private val MaxDecimal38 = new java.math.BigInteger("9".repeat(38))
+
   private[functions] def toDecimal(buf: Array[Long]): Decimal = {
     val bytes = java.nio.ByteBuffer.allocate(16)
       .putLong(buf(0)).putLong(buf(1)).array()
-    Decimal(new java.math.BigDecimal(new java.math.BigInteger(bytes)), 38, 0)
+    val bi = new java.math.BigInteger(bytes)
+    // without this, Decimal(.., 38, 0) dies with an opaque "precision 39
+    // exceeds max precision 38" at final evaluation — name the real
+    // problem instead
+    if (bi.abs.compareTo(MaxDecimal38) > 0) throw new ArithmeticException(
+      s"128-bit sum $bi has 39 digits and overflows decimal(38,0)")
+    Decimal(new java.math.BigDecimal(bi), 38, 0)
   }
 }

@@ -85,6 +85,16 @@ object LangIdExpression {
 }
 
 case class FastLangId(child: Expression) extends UnaryExpression {
+  // SQL-registered: a non-string input would CCE at task runtime —
+  // fail analysis instead
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got ${other.sql}")
+    }
   override def dataType: DataType = StringType
   override def nullable: Boolean = false
   // eval/doGenCode are written out (NOT nullSafeEval/defineCodeGen):

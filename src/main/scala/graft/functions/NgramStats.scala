@@ -47,6 +47,10 @@ object NgramStats {
   def lexical_stats(toks: Column): Column =
     column(LexicalStats(toExpr(toks)))
 
+  // UTF8String is immutable — one shared separator instead of a fresh
+  // allocation per gram in the per-row hot kernel
+  private val GramSep = UTF8String.fromString(" ")
+
   private def gram(toks: ArrayData, i: Int, n: Int): UTF8String = {
     if (n == 1) {
       val t = toks.getUTF8String(i)
@@ -59,12 +63,18 @@ object NgramStats {
         parts(k) = if (t == null) UTF8String.EMPTY_UTF8 else t
         k += 1
       }
-      UTF8String.concatWs(UTF8String.fromString(" "), parts: _*)
+      UTF8String.concatWs(GramSep, parts: _*)
     }
   }
 
+  // n < 1 would otherwise surface as a NegativeArraySizeException deep
+  // in gram() (n < 0) or a nonsense all-empty-gram result (n == 0)
+  private def checkN(n: Int): Unit =
+    if (n < 1) throw new IllegalArgumentException(s"ngram n must be >= 1, got $n")
+
   /** Referenced from generated code. */
   def topNgramEval(toks: ArrayData, n: Int): InternalRow = {
+    checkN(n)
     val m = toks.numElements() - n + 1
     if (m <= 0) return null
     val counts = new java.util.HashMap[UTF8String, Int](m * 2)
@@ -88,6 +98,7 @@ object NgramStats {
 
   /** Referenced from generated code. */
   def dupNgramEval(toks: ArrayData, n: Int): InternalRow = {
+    checkN(n)
     val t = toks.numElements()
     val m = t - n + 1
     var tokenChars = 0L
@@ -99,16 +110,20 @@ object NgramStats {
     }
     if (m <= 0)
       return new GenericInternalRow(Array[Any](t.toLong, tokenChars, 0L, 0L))
+    // build each gram ONCE (the coverage pass used to rebuild and rehash
+    // all m grams a second time — doubled hash+concat work per row)
+    val grams = new Array[UTF8String](m)
     val counts = new java.util.HashMap[UTF8String, Int](m * 2)
     i = 0
     while (i < m) {
-      counts.merge(gram(toks, i, n), 1, Integer.sum _)
+      grams(i) = gram(toks, i, n)
+      counts.merge(grams(i), 1, Integer.sum _)
       i += 1
     }
     val covered = new Array[Boolean](t)
     i = 0
     while (i < m) {
-      if (counts.get(gram(toks, i, n)) >= 2) {
+      if (counts.get(grams(i)) >= 2) {
         var k = i
         while (k < i + n) { covered(k) = true; k += 1 }
       }
@@ -185,13 +200,24 @@ private[functions] trait NgramStatsExpr extends BinaryExpression {
 
   protected def evalMethod: String
 
+  /** True iff the kernel itself can return null (TopNgramStats' "fewer
+    * than n tokens" rule). Only then may the generated code assign
+    * `ev.isNull`: with non-nullable children and nullable=false,
+    * nullSafeCodeGen's ev.isNull is the FalseLiteral constant, and an
+    * assignment to it is invalid Java — Janino fails and the WHOLE
+    * stage silently falls back to interpreted execution (the defect
+    * class LexicalKernel's scaladoc documents). */
+  protected def kernelNullable: Boolean
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (toks, n) => {
-      s"""
-         |${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)
-         |  graft.functions.NgramStats.$evalMethod($toks, $n);
-         |${ev.isNull} = (${ev.value} == null);
-       """.stripMargin
+      val call =
+        s"""
+           |${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)
+           |  graft.functions.NgramStats.$evalMethod($toks, $n);
+         """.stripMargin
+      if (kernelNullable) call + s"\n${ev.isNull} = (${ev.value} == null);"
+      else call
     })
 }
 
@@ -201,6 +227,7 @@ case class TopNgramStats(left: Expression, right: Expression)
     StructField("gram", StringType), StructField("cnt", LongType)))
   override def nullable: Boolean = true
   override protected def evalMethod: String = "topNgramEval"
+  override protected def kernelNullable: Boolean = true
   override def nullSafeEval(toks: Any, n: Any): Any =
     NgramStats.topNgramEval(toks.asInstanceOf[ArrayData], n.asInstanceOf[Int])
   override protected def withNewChildrenInternal(
@@ -215,6 +242,7 @@ case class DupNgramStats(left: Expression, right: Expression)
     StructField("covered_tokens", LongType),
     StructField("covered_chars", LongType)))
   override protected def evalMethod: String = "dupNgramEval"
+  override protected def kernelNullable: Boolean = false
   override def nullSafeEval(toks: Any, n: Any): Any =
     NgramStats.dupNgramEval(toks.asInstanceOf[ArrayData], n.asInstanceOf[Int])
   override protected def withNewChildrenInternal(

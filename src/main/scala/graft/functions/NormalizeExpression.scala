@@ -32,6 +32,16 @@ object NormalizeKernels {
 }
 
 case class NfcNormalize(child: Expression) extends UnaryExpression {
+  // SQL-registered: a non-string input would CCE at task runtime —
+  // fail analysis instead
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got ${other.sql}")
+    }
   override def dataType: DataType = StringType
   override def nullSafeEval(a: Any): Any =
     NormalizeKernels.nfc(a.asInstanceOf[UTF8String])

@@ -90,7 +90,7 @@ object VectorFunctions {
  * every float — at 100k docs × 1536 dims that's 153M unboxings/query).
  */
 case class DotProductConstF32(child: Expression, query: Array[Float])
-    extends UnaryExpression {
+    extends FloatVecUnary {
   override def dataType: DataType = FloatType
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -130,7 +130,7 @@ case class DotProductConstF32(child: Expression, query: Array[Float])
   * `list_dot_product(col::DOUBLE[], <double query>)` accumulation, for
   * oracle-checked derived query vectors (e.g. subtract-mode negatives). */
 case class DotProductConstF64(child: Expression, query: Array[Double])
-    extends UnaryExpression {
+    extends FloatVecUnary {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -165,8 +165,20 @@ case class DotProductConstF64(child: Expression, query: Array[Double])
   override def prettyName: String = "dot_const_f64"
 }
 
-/** Shared shape for binary (vec, vec) expressions over float arrays. */
+/** Shared shape for binary (vec, vec) expressions over float arrays.
+  * Analysis-time element-type guard (these are SQL-registered):
+  * getFloat over array<double> storage misreads 4-byte strides of each
+  * 8-byte slot — silently wrong scores, no error. */
 trait FloatVecBinary extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<float> inputs, got ${l.sql} and ${r.sql}")
+    }
+
   protected def checkLengths(x: ArrayData, y: ArrayData): Unit =
     if (x.numElements() != y.numElements()) {
       throw new IllegalArgumentException(
@@ -277,7 +289,17 @@ case class CosineSimilarity(left: Expression, right: Expression) extends FloatVe
   override def prettyName: String = "cosine_sim"
 }
 
-trait FloatVecUnary extends UnaryExpression
+/** Same analysis-time array<float> guard for the unary vector ops. */
+trait FloatVecUnary extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float> input, got ${other.sql}")
+    }
+}
 
 /** L2 norm, double accumulation (reference vector.go:30-34, 57-60). */
 case class L2Norm(child: Expression) extends FloatVecUnary {

@@ -97,4 +97,78 @@ class FunctionGuardsSpec extends SparkSuite {
       HistAgg.bucket_counts(col("x"), 1, maxEntries = Int.MaxValue)
     }
   }
+
+  test("gram128 rejects zero-length vectors and null elements loudly") {
+    // zero-length: would be conflated with the "no rows yet" buffer
+    // marker, making the dimension check partition-order dependent
+    val empty = Seq(Seq.empty[Long], Seq(1L, 2L)).toDF("v")
+    val e1 = intercept[Exception] {
+      empty.agg(GramOuterSum.gram128(col("v"))).collect()
+    }
+    assert((e1.getMessage + Option(e1.getCause).map(_.getMessage).getOrElse(""))
+      .contains("zero-length"))
+    // null element: getLong would silently read 0 and poison the moments
+    val withNull = Seq(Seq[java.lang.Long](1L, null), Seq[java.lang.Long](1L, 2L))
+      .toDF("v")
+    val e2 = intercept[Exception] {
+      withNull.agg(GramOuterSum.gram128(col("v"))).collect()
+    }
+    assert((e2.getMessage + Option(e2.getCause).map(_.getMessage).getOrElse(""))
+      .contains("null element"))
+  }
+
+  test("int128 toDecimal names the decimal(38) overflow instead of an opaque precision error") {
+    def words(bi: java.math.BigInteger): Array[Long] = {
+      val lo = bi.and(new java.math.BigInteger("FFFFFFFFFFFFFFFF", 16)).longValue()
+      val hi = bi.shiftRight(64).longValueExact()
+      Array(hi, lo)
+    }
+    val tenPow38 = java.math.BigInteger.TEN.pow(38)
+    // 1e38 has 39 digits: inside the 128-bit accumulator, outside decimal(38)
+    val e = intercept[ArithmeticException] {
+      Int128Sum.toDecimal(words(tenPow38))
+    }
+    assert(e.getMessage.contains("decimal(38,0)"))
+    // 10^38 - 1 (the decimal(38) max) still converts
+    assert(Int128Sum.toDecimal(words(tenPow38.subtract(java.math.BigInteger.ONE)))
+      .toBigDecimal === BigDecimal(tenPow38.subtract(java.math.BigInteger.ONE)))
+  }
+
+  test("ngram kernels validate n >= 1 and stay null-correct") {
+    val toks = Seq(Seq("a", "b", "a", "b")).toDF("t")
+    val e = intercept[Exception] {
+      toks.select(NgramStats.dup_ngram_stats(col("t"), lit(0))).collect()
+    }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("n must be >= 1"))
+    // dup stats over NON-NULLABLE children (split of a literal): before
+    // the kernelNullable split this pattern generated an assignment to
+    // the FalseLiteral isNull and silently fell back to interpreted
+    val r = spark.range(1).select(NgramStats.dup_ngram_stats(
+      split(lit("a b a b"), " "), lit(2)).as("s"))
+      .select("s.n_tokens", "s.covered_tokens").head()
+    assert(r.getLong(0) === 4L && r.getLong(1) === 4L) // "a b" ×2 covers all
+  }
+
+  test("SQL-registered vector/text kernels reject wrong input types at analysis time") {
+    graft.GraftExtensions.register(spark)
+    // array<double> read via getFloat misreads 4-byte strides — silent
+    // garbage before the guard
+    intercept[AnalysisException] {
+      spark.sql("SELECT dot_f64(array(1.0, 0.0), array(1.0, 0.0))").collect()
+    }
+    intercept[AnalysisException] {
+      spark.sql("SELECT l2_norm(array(1.0, 0.0))").collect()
+    }
+    intercept[AnalysisException] {
+      spark.sql("SELECT fast_lang_id(42)").collect()
+    }
+    intercept[AnalysisException] {
+      spark.sql("SELECT nfc_normalize(42)").collect()
+    }
+    // float32 arrays still pass
+    assert(spark.sql(
+      "SELECT dot_f32(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT)))")
+      .head().getFloat(0) === 2.0f)
+  }
 }
