@@ -42,17 +42,17 @@ object Rag {
     val articles = db.getOrCreateCollection("Wikipedia")
 
     // ingest only when the collection wasn't loaded from disk —
-    // the reference's count()==0 gate
+    // the reference's count()==0 gate. DISTRIBUTED ingest: fromParquet
+    // conforms the table to the collection schema and addDF embeds
+    // missing vectors per partition — no driver-side collect/loop (a
+    // corpus beyond driver memory would OOM a collect-and-re-upload,
+    // and DocumentSource exists precisely to avoid that shape)
     if (articles.count() == 0) {
       println("First run: ingesting articles...")
-      val docs = spark.read
-        .parquet("/root/testdata/sf0.001/documents.parquet")
-        .select("doc_id", "lang", "text").collect()
-        .map(r => Document(
-          id = r.getLong(0).toString,
-          metadata = Map("category" -> r.getString(1)),
-          content = r.getString(2)))
-      articles.addDocuments(docs.toSeq)
+      articles.addDF(graft.sources.DocumentSource.fromParquet(
+        spark, "/root/testdata/sf0.001/documents.parquet",
+        contentField = "text", idField = "doc_id",
+        metadataFields = Seq("lang")))
     }
     println(s"collection holds ${articles.count()} articles")
 
@@ -64,14 +64,19 @@ object Rag {
     // augmentation: the prompt the chat model would receive. The
     // reference sends this to Ollama (llm.go systemPromptTpl) — here the
     // call is stubbed; plug any chat client into `askLLM`.
+    // stripMargin on the TEMPLATE only, then splice the passages in:
+    // interpolating first would let stripMargin eat "|"-prefixed lines
+    // INSIDE retrieved content (markdown tables, ASCII art) and corrupt
+    // the prompt relative to the stored passage
+    val results = hits.zipWithIndex.map { case (h, i) =>
+      s"<result id=${i + 1}>${h.content}</result>" }.mkString("\n")
     val prompt =
-      s"""You are a helpful assistant. Answer the question using ONLY the
-         |provided search results.
-         |
-         |${hits.zipWithIndex.map { case (h, i) =>
-             s"<result id=${i + 1}>${h.content}</result>" }.mkString("\n")}
-         |
-         |Question: $question""".stripMargin
+      """You are a helpful assistant. Answer the question using ONLY the
+        |provided search results.
+        |
+        |%s
+        |
+        |Question: %s""".stripMargin.format(results, question)
     println("\n--- prompt for the chat model ---\n" + prompt)
     println("\n[askLLM stub] no model server in this environment — " +
       "wire an HTTP chat client here (the retrieval above is the RAG part).")

@@ -72,12 +72,17 @@ object TrainingPipeline {
     //    normalized in step 1, and n-gram matching is exact — comparing
     //    normalized corpus grams against un-normalized benchmark grams
     //    would under-count overlap and let contaminated docs through.
+    //    benchmarkLeaks is the drop-training-docs direction: the SMALL
+    //    benchmark gram set broadcasts and the corpus grams never
+    //    shuffle (ngramContamination with the sides swapped would route
+    //    the whole corpus gram stream through two shuffles — the wrong
+    //    kernel for the shape this example claims to model)
     val benchmark = normed.filter(pmod(col("doc_id"), lit(50)) === 0)
-    val overlap = Dedup.ngramContamination(
-      benchmark, survivors, "text", "doc_id", n = 8)
+    val overlap = Dedup.benchmarkLeaks(
+      survivors, benchmark, "text", "doc_id", n = 8)
     val clean = survivors.join(
-      overlap.filter(col("contamination") > 0.5)
-        .select(col("test_id").as("doc_id")), Seq("doc_id"), "left_anti")
+      overlap.filter(col("leak_frac") > 0.5)
+        .select(col("train_id").as("doc_id")), Seq("doc_id"), "left_anti")
     println(s"decontaminated: ${clean.count()}")
 
     // 4. rebalance sources toward uniform (alpha = 0.7), then split + pack
@@ -87,8 +92,13 @@ object TrainingPipeline {
     val packed = Packing.contiguousOffsets(
       split.filter(col("split") === "train"), "doc_id", "text",
       budgetTokens = 2048, shards = 4)
-    println(s"train-packed:   ${packed.count()} docs in " +
-      s"${packed.agg(countDistinct(col("shard"), col("pack_first"))).head().getLong(0)} packs")
+    // pack count = Σ per shard (max pack_last + 1): counting DISTINCT
+    // pack_first rows would skip packs wholly interior to a document
+    // that spans more than two pack boundaries (no row starts in them)
+    val nPacks = packed.groupBy(col("shard"))
+      .agg(max(col("pack_last")).as("__pl"))
+      .agg(sum(col("__pl") + 1)).head().getLong(0)
+    println(s"train-packed:   ${packed.count()} docs in $nPacks packs")
 
     // 5. training ORDER for the train split: curriculum tiers by
     //    LM-typicality quantile (typical text first), then the

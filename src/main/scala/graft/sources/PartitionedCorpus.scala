@@ -56,9 +56,29 @@ object PartitionedCorpus {
       dir, Seq(metaCol(key)))
 
   /** Open a partitioned layout; partition columns come back as ordinary
-    * columns and equality filters on them prune at file-listing time. */
-  def load(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
+    * columns and equality filters on them prune at file-listing time.
+    *
+    * Derived `__p_*` metadata partition columns are forced back to
+    * STRING via an explicit schema: Spark's partition-column type
+    * inference (on by default) would otherwise coerce numeric/date-
+    * shaped metadata values — "01" reads back as int 1, "1.10" as 1.1 —
+    * and `metaFilter("version", "01")` would compare "1" === "01" and
+    * silently return ZERO rows, breaking the documented string-equality
+    * parity with `Filters.whereClause`. With a user schema the raw
+    * directory value is kept as the string it was written as.
+    * User-managed partition columns from [[save]] keep their inferred
+    * types (callers filter them with typed predicates). */
+  def load(spark: SparkSession, dir: String): DataFrame = {
+    val inferred = spark.read.parquet(dir).schema
+    if (!inferred.exists(_.name.startsWith("__p_"))) spark.read.parquet(dir)
+    else {
+      val fixed = org.apache.spark.sql.types.StructType(inferred.map(f =>
+        if (f.name.startsWith("__p_"))
+          f.copy(dataType = org.apache.spark.sql.types.StringType)
+        else f))
+      spark.read.schema(fixed).parquet(dir)
+    }
+  }
 
   /** The pruning predicate for a metadata-equality query against a
     * layout written with [[saveByMetadata]]: missing-key⇒"" parity with

@@ -56,4 +56,40 @@ class PartitionedCorpusSpec extends SparkSuite {
     assert(back.filter(col("id") === "a")
       .select(element_at(col("metadata"), "tier")).as[String].head() === "hi")
   }
+
+  test("numeric-shaped metadata values keep their exact string form on load") {
+    // partition-column type inference would coerce "01" -> int 1 and
+    // "1.10" -> 1.1, making metaFilter's string equality silently return
+    // ZERO rows; load forces __p_* back to string via an explicit schema
+    val dir = tmpDir("pc-num")
+    val coll = Seq(
+      ("a", Map("version" -> "01"), "alpha"),
+      ("b", Map("version" -> "1.10"), "beta"),
+      ("c", Map("version" -> "2024-01-01"), "gamma"),
+      ("d", Map.empty[String, String], "delta")
+    ).toDF("id", "metadata", "content")
+    PartitionedCorpus.saveByMetadata(coll, dir, "metadata", "version")
+    val back = PartitionedCorpus.load(spark, dir)
+    assert(back.schema(PartitionedCorpus.metaCol("version")).dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(back.filter(PartitionedCorpus.metaFilter("version", "01"))
+      .select("id").as[String].collect().toSet === Set("a"))
+    assert(back.filter(PartitionedCorpus.metaFilter("version", "1.10"))
+      .select("id").as[String].collect().toSet === Set("b"))
+    assert(back.filter(PartitionedCorpus.metaFilter("version", "2024-01-01"))
+      .select("id").as[String].collect().toSet === Set("c"))
+    assert(back.filter(PartitionedCorpus.metaFilter("version", ""))
+      .select("id").as[String].collect().toSet === Set("d"))
+    // still prunes at listing time with the explicit schema
+    val p = withLogLevel(back.filter(PartitionedCorpus.metaFilter("version", "01"))
+      .queryExecution.executedPlan.toString)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("__p_version")), p)
+    // user-managed partition columns (save) keep inferred types
+    val dir2 = tmpDir("pc-user")
+    PartitionedCorpus.save(
+      Seq((1L, 2024, "x")).toDF("id", "year", "text"), dir2, Seq("year"))
+    assert(PartitionedCorpus.load(spark, dir2).schema("year").dataType !==
+      org.apache.spark.sql.types.StringType)
+  }
 }
