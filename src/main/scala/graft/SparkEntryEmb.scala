@@ -94,8 +94,8 @@ private[graft] object SparkEntryEmb {
     // rows with a rounded scalar value ----
     "emb_whitened" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val model = pcaCache.computeIfAbsent(dir, d =>
-        graft.ops.Pca.fit(t(s, d, "embeddings"), "embedding",
+      val model = pcaModel(dir)(
+        graft.ops.Pca.fit(t(s, dir, "embeddings"), "embedding",
           dim = 64, topK = 8))
       emb.select(col("vec_id"),
           posexplode(graft.ops.Pca.whiten(emb, "embedding", model))

@@ -32,7 +32,7 @@ private[graft] object SparkEntryRel {
     // SnapshotStore, then time-travel diff them (added/removed/changed
     // by id; the join carries (id, 8-byte row hash), never payloads) ----
     "snapshot_diff" -> ((s, dir) => {
-      val st = snapshotCache.computeIfAbsent(dir, { _ =>
+      val st = snapshotStore(dir) {
         val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
         val rootPath = java.nio.file.Files.createTempDirectory("graft_snap")
         deleteRecursivelyOnExit(rootPath)
@@ -44,7 +44,7 @@ private[graft] object SparkEntryRel {
           .unionByName(d.filter(col("doc_id") % 50 === 0)
             .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))))
         store
-      })
+      }
       st.diff(s, 1L, 2L, "doc_id")
     }),
 

@@ -45,25 +45,39 @@ class Collection private[core] (
   def embedFunc: EmbeddingFunc = embedFuncRef
   private[core] def setEmbeddingFunc(ef: EmbeddingFunc): Unit = { embedFuncRef = ef }
 
+  // DB.deleteCollection / createCollection-overwrite detach the old
+  // handle's persistence so a stale handle's later mutation can never
+  // recreate the deleted directory on disk (sidecar-less resurrection
+  // on the next DB.persistent reload). The stale mutation itself fails
+  // loudly anyway — its upsert plan reads the deleted parquet — which
+  // is the intended outcome: an error, not silent resurrection.
+  @volatile private var persistRef: Option[CollectionPersistence] = persist
+  private[core] def detachPersistence(): Unit = { persistRef = None }
+
   import spark.implicits._
 
-  // state + count swapped together, guarded by a small driver-side lock
-  // (replaces documentsLock RWMutex, collection.go:21).
-  @volatile private var state: (DataFrame, Long) = {
+  /** One immutable view of the collection: rows + count + the optional
+    * indexes built OVER those rows, swapped together through a single
+    * volatile (replaces documentsLock RWMutex, collection.go:21). Readers
+    * take ONE `snap` read and get a coherent (state, index) pair — with
+    * the previous four independent volatiles, a query could read the OLD
+    * flat index and then join back against the NEW state, silently
+    * returning deleted ids' holes / stale scores. Writers are all
+    * `synchronized`, so copy-and-swap inside a writer is race-free;
+    * displaced indexes unpersist AFTER the swap so no new reader can pick
+    * them up. */
+  private final case class Snap(
+      df0: DataFrame,
+      n: Long,
+      flat: Option[graft.ops.VectorIndex[String]],
+      lsh: Option[graft.ops.LshIndex],
+      ivf: Option[graft.ops.IvfState])
+
+  @volatile private var snap: Snap = {
     val df = initial.getOrElse(spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], Document.schema))
-    (df, initial.map(_.count()).getOrElse(0L))
+    Snap(df, initial.map(_.count()).getOrElse(0L), None, None, None)
   }
-
-  // Optional packed FLAT index over (id, embedding) — the hot-loop layout
-  // (see ops.VectorIndex). Built on demand, dropped on every mutation.
-  @volatile private var flatIndex: Option[graft.ops.VectorIndex[String]] = None
-
-  // Optional ANN indexes (see ops.AnnIndex): signature / cell layout
-  // materialized once so repeated approximate queries skip the per-corpus
-  // recompute. Dropped on every mutation, like the FLAT index.
-  @volatile private var lshIndex: Option[graft.ops.LshIndex] = None
-  @volatile private var ivfIndex: Option[graft.ops.IvfState] = None
 
   def metadata: Map[String, String] = collMetadata
 
@@ -77,10 +91,10 @@ class Collection private[core] (
     * Callers needing a mutation-stable snapshot of a persistent
     * collection should `.localCheckpoint()` the returned frame, or keep
     * real versions via [[graft.persist.SnapshotStore]]. */
-  def df: DataFrame = state._1
+  def df: DataFrame = snap.df0
 
   /** Row count — reference collection.go:391-395, served from driver state. */
-  def count(): Long = state._2
+  def count(): Long = snap.n
 
   // ------------------------------------------------------------------
   // Ingest (reference collection.go:131-293)
@@ -200,7 +214,7 @@ class Collection private[core] (
       // the single most expensive ingest stage
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val (old, _) = state
+      val old = snap.df0
       val next = old.join(deduped.select("id"), Seq("id"), "left_anti")
         .unionByName(deduped.select(old.columns.map(col).toIndexedSeq: _*))
       commit(next)
@@ -259,7 +273,7 @@ class Collection private[core] (
     if (where.isEmpty && whereDocument.isEmpty && ids.isEmpty)
       throw new IllegalArgumentException("must have at least one of where, whereDocument or ids")
     Filters.validateWhereDocument(whereDocument, "unsupported whereDocument operator")
-    val (old, _) = state
+    val old = snap.df0
     // Reference precedence (collection.go:359-368): when any filter map is
     // given, the filter decides the victims; ids are used only otherwise.
     val victim =
@@ -332,20 +346,20 @@ class Collection private[core] (
    * drops the index; call again to rebuild.
    */
   def buildIndex(numBlocks: Int = 0): Unit = synchronized {
-    val (df0, n) = state
-    if (n > 0) {
-      // rebuild path: release the previous index's persisted blocks
-      // (the buildLshIndex/buildIvfIndex convention) instead of
-      // orphaning them until GC
-      flatIndex.foreach(_.unpersist())
-      flatIndex = Some(graft.ops.VectorIndex
-        .build[String](df0.filter(col("embedding").isNotNull), "id", "embedding",
-          embeddingDim(df0), numBlocks)
-        .persist().materialize())
+    val s = snap
+    if (s.n > 0) {
+      val built = graft.ops.VectorIndex
+        .build[String](s.df0.filter(col("embedding").isNotNull), "id", "embedding",
+          embeddingDim(s.df0), numBlocks)
+        .persist().materialize()
+      snap = s.copy(flat = Some(built))
+      // release the DISPLACED index's persisted blocks after the swap
+      // (no new reader can reach it anymore)
+      s.flat.foreach(_.unpersist())
     }
   }
 
-  def hasIndex: Boolean = flatIndex.isDefined
+  def hasIndex: Boolean = snap.flat.isDefined
 
   /**
    * Build (or rebuild) a persisted hyperplane-LSH index: one map-only
@@ -355,13 +369,14 @@ class Collection private[core] (
    * one-shot `VectorSearch.lshTopK`).
    */
   def buildLshIndex(numPlanes: Int = 16, seed: Long = 42L): Unit = synchronized {
-    val (df0, n) = state
-    if (n > 0) {
-      lshIndex.foreach(_.unpersist())
-      lshIndex = Some(graft.ops.AnnIndex
-        .buildLsh(df0.filter(col("embedding").isNotNull), "embedding", "id",
-          dim = embeddingDim(df0), numPlanes = numPlanes, seed = seed)
-        .materialize())
+    val s = snap
+    if (s.n > 0) {
+      val built = graft.ops.AnnIndex
+        .buildLsh(s.df0.filter(col("embedding").isNotNull), "embedding", "id",
+          dim = embeddingDim(s.df0), numPlanes = numPlanes, seed = seed)
+        .materialize()
+      snap = s.copy(lsh = Some(built))
+      s.lsh.foreach(_.unpersist())
     }
   }
 
@@ -372,17 +387,18 @@ class Collection private[core] (
    * nearest cells of the clustered layout.
    */
   def buildIvfIndex(nlist: Int = 16, sampleSize: Int = 10000): Unit = synchronized {
-    val (df0, n) = state
-    if (n > 0) {
-      ivfIndex.foreach(_.unpersist())
-      ivfIndex = Some(graft.ops.AnnIndex
-        .buildIvf(df0.filter(col("embedding").isNotNull), "embedding", "id",
+    val s = snap
+    if (s.n > 0) {
+      val built = graft.ops.AnnIndex
+        .buildIvf(s.df0.filter(col("embedding").isNotNull), "embedding", "id",
           nlist = nlist, sampleSize = sampleSize)
-        .materialize())
+        .materialize()
+      snap = s.copy(ivf = Some(built))
+      s.ivf.foreach(_.unpersist())
     }
   }
 
-  def hasAnnIndex: Boolean = lshIndex.isDefined || ivfIndex.isDefined
+  def hasAnnIndex: Boolean = { val s = snap; s.lsh.isDefined || s.ivf.isDefined }
 
   /**
    * Approximate nearest-neighbor query through a built ANN index (LSH
@@ -411,8 +427,9 @@ class Collection private[core] (
     if (nResults > count())
       throw new IllegalArgumentException(
         "nResults must be <= the number of documents in the collection")
-    val probe = lshIndex.map(_.topK(queryEmbedding, nResults, maxHamming))
-      .orElse(ivfIndex.map(_.topK(queryEmbedding, nResults, nprobe)))
+    val s = snap // one coherent (state, index) view for the whole probe
+    val probe = s.lsh.map(_.topK(queryEmbedding, nResults, maxHamming))
+      .orElse(s.ivf.map(_.topK(queryEmbedding, nResults, nprobe)))
     probe match {
       case Some(p) =>
         val rows = p.as[QueryResult].collect().toIndexedSeq
@@ -442,9 +459,10 @@ class Collection private[core] (
     if (nResults > count())
       throw new IllegalArgumentException(
         "nResults must be <= the number of documents in the collection")
+    val base = df // ONE state read: score and join back over the same rows
     materializeByScore(graft.ops.KeywordSearch.bm25TopK(
-      df.filter(col("content").isNotNull), "content", "id", terms,
-      nResults, k1, b))
+      base.filter(col("content").isNotNull), "content", "id", terms,
+      nResults, k1, b), base)
   }
 
   /**
@@ -471,10 +489,11 @@ class Collection private[core] (
     val q = if (VectorFunctions.isNormalized(queryEmbedding)) queryEmbedding
             else VectorFunctions.normalize(queryEmbedding)
     val fetch = math.max(fetchK, nResults)
+    val base = df // ONE state read for lexical side, semantic side, join-back
     materializeByScore(graft.ops.KeywordSearch.hybridTopK(
-      df.filter(col("content").isNotNull), "content",
-      df.filter(col("embedding").isNotNull), "embedding", "id",
-      terms, q, nResults, fetch, rrfK))
+      base.filter(col("content").isNotNull), "content",
+      base.filter(col("embedding").isNotNull), "embedding", "id",
+      terms, q, nResults, fetch, rrfK), base)
   }
 
   /**
@@ -503,23 +522,28 @@ class Collection private[core] (
     // the two can never drift apart, then average over the sub-vectors.
     val scale = 10000000L
     val unit = scale.toDouble * scale.toDouble * numSub
+    val base = df // ONE state read: score and join back over the same rows
     val scored = graft.ops.LateInteraction.maxSimTopK(
-        df.filter(col("embedding").isNotNull), "embedding", "id",
+        base.filter(col("embedding").isNotNull), "embedding", "id",
         q, numSub, nResults, scale)
       .select(col("id"),
         (col("score").cast("double") / unit).as("score"))
-    materializeByScore(scored)
+    materializeByScore(scored, base)
   }
 
   /** Join-back materialization for (id, score) frames — the reference's
     * own re-read-by-id step (collection.go:547-556), preserving the
-    * score ranking. */
-  private def materializeByScore(scored: DataFrame): Seq[QueryResult] = {
+    * score ranking. `base` must be the SAME frame `scored` was built
+    * from: re-reading the volatile state here would tear against a
+    * concurrent commit (deleted docs silently dropped from the result,
+    * new content attached to old scores). */
+  private def materializeByScore(
+      scored: DataFrame, base: DataFrame): Seq[QueryResult] = {
     val top = scored.collect().map(r => r.getString(0) -> r.getDouble(1)).toIndexedSeq
     if (top.isEmpty) return Seq.empty
     val scores = top.toMap
     val order = top.map(_._1).zipWithIndex.toMap
-    df.filter(col("id").isInCollection(top.map(_._1)))
+    base.filter(col("id").isInCollection(top.map(_._1)))
       .as[Document].collect()
       .map(d => QueryResult(d.id, d.metadata, d.embedding, d.content,
         scores(d.id).toFloat))
@@ -548,7 +572,11 @@ class Collection private[core] (
     Filters.validateWhereDocument(whereDocument, "unsupported operator")
     // Index path: exhaustive packed scan when no filters narrow the scan
     // set (filters would have pruned BEFORE scoring, collection.go:521).
-    flatIndex match {
+    // ONE snap read: the index and the join-back rows come from the same
+    // committed view — reading them through separate volatiles let a
+    // concurrent commit pair an old index with the new state.
+    val s = snap
+    s.flat match {
       case Some(idx) if where.isEmpty && whereDocument.isEmpty && negVector == null =>
         val q = if (VectorFunctions.isNormalized(qv)) qv else VectorFunctions.normalize(qv)
         val top = idx.topK(q, nResults).sortBy { case (id, s) => (-s, id) }
@@ -556,7 +584,7 @@ class Collection private[core] (
         val scores = top.toMap
         val order = top.map(_._1).zipWithIndex.toMap
         // join-back materialization by id (reference collection.go:547-556)
-        df.filter(col("id").isInCollection(top.map(_._1).toIndexedSeq))
+        s.df0.filter(col("id").isInCollection(top.map(_._1).toIndexedSeq))
           .as[Document].collect()
           .map(d => QueryResult(d.id, d.metadata, d.embedding, d.content, scores(d.id)))
           .sortBy(r => order(r.id)).toIndexedSeq
@@ -624,7 +652,7 @@ class Collection private[core] (
   // ------------------------------------------------------------------
 
   private def commit(next: DataFrame): Unit = {
-    val materialized = persist match {
+    val materialized = persistRef match {
       case Some(p) => p.write(next); p.read(spark)
       case None =>
         // Cut plan lineage so repeated upserts don't grow an unbounded
@@ -632,13 +660,13 @@ class Collection private[core] (
         // "persist each mutation", collection.go:284-290).
         next.localCheckpoint(true)
     }
-    state = (materialized, materialized.count())
-    flatIndex.foreach(_.unpersist()) // mutated state invalidates all indexes
-    flatIndex = None
-    lshIndex.foreach(_.unpersist())
-    lshIndex = None
-    ivfIndex.foreach(_.unpersist())
-    ivfIndex = None
+    // swap the whole view first (new state, no indexes), THEN release the
+    // displaced indexes — after the swap no new reader can reach them
+    val old = snap
+    snap = Snap(materialized, materialized.count(), None, None, None)
+    old.flat.foreach(_.unpersist())
+    old.lsh.foreach(_.unpersist())
+    old.ivf.foreach(_.unpersist())
   }
 }
 

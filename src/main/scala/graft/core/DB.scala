@@ -30,17 +30,31 @@ class DB private (
     if (name == null || name.isEmpty)
       throw new IllegalArgumentException("collection name is empty")
     val ef = Option(embeddingFunc).getOrElse(defaultEmbed)
+    // Serialize the on-disk overwrite against in-flight writes through a
+    // previously-returned handle for this name: Collection mutations hold
+    // the collection monitor, so locking the old handle here means its
+    // current commit finishes (or hasn't started) before we clear the
+    // directory — deleteTree racing a live documents.tmp write corrupted
+    // both states. Detaching then stops the stale handle's FUTURE
+    // mutations from resurrecting the directory.
+    val old = collections.get(name)
     val persist = persistRoot.map { root =>
       val dir = Persistence.collectionDir(root, name)
-      // Overwrite means overwrite ON DISK too: the fresh collection's
-      // first mutation only rewrites documents/ lazily, so leftover
-      // parquet from a previous same-named collection would resurrect
-      // on the next DB.persistent() reload. (The reference shares this
-      // quirk — newCollection never clears the dir — but it contradicts
-      // the overwrite contract both document, so we delete.)
-      Persistence.deleteTree(dir)
-      Persistence.writeMetadata(dir, name, metadata)
-      new ParquetPersistence(dir, compression)
+      def clearAndInit(): ParquetPersistence = {
+        // Overwrite means overwrite ON DISK too: the fresh collection's
+        // first mutation only rewrites documents/ lazily, so leftover
+        // parquet from a previous same-named collection would resurrect
+        // on the next DB.persistent() reload. (The reference shares this
+        // quirk — newCollection never clears the dir — but it contradicts
+        // the overwrite contract both document, so we delete.)
+        Persistence.deleteTree(dir)
+        Persistence.writeMetadata(dir, name, metadata)
+        new ParquetPersistence(dir, compression)
+      }
+      old match {
+        case Some(c) => c.synchronized { c.detachPersistence(); clearAndInit() }
+        case None => clearAndInit()
+      }
     }
     val c = new Collection(name, metadata, ef, spark, None, persist)
     collections.put(name, c)
@@ -86,16 +100,26 @@ class DB private (
   def deleteCollection(name: String): Unit = synchronized {
     if (name == null || name.isEmpty)
       throw new IllegalArgumentException("collection name is empty")
-    collections.remove(name)
+    val removed = collections.remove(name)
     persistRoot.foreach { root =>
-      deleteRecursively(Persistence.collectionDir(root, name))
+      // same discipline as createCollection: finish (or fence out) any
+      // in-flight write through the removed handle before deleting its
+      // directory, and detach so its future mutations stay in memory
+      def clear(): Unit = deleteRecursively(Persistence.collectionDir(root, name))
+      removed match {
+        case Some(c) => c.synchronized { c.detachPersistence(); clear() }
+        case None => clear()
+      }
     }
   }
 
   /** Drop everything — reference db.go:610-629. */
   def reset(): Unit = synchronized {
+    val snapshot = collections.readOnlySnapshot().values.toSeq
     collections.clear()
     persistRoot.foreach { root =>
+      // fence each live handle out of its directory before the root goes
+      snapshot.foreach(c => c.synchronized { c.detachPersistence() })
       deleteRecursively(Paths.get(root))
       Files.createDirectories(Paths.get(root))
     }

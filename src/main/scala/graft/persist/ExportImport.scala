@@ -122,9 +122,17 @@ object ExportImport {
           "metadata" -> Json.obj(coll.metadata.toSeq.map {
             case (k, v) => k -> Json.str(v) }: _*)).getBytes("UTF-8"))
         zos.closeEntry()
-        // single-file parquet via temp dir
+        // single-file parquet via temp dir. Hold the collection monitor
+        // for its serialization (the reference holds the collection lock
+        // during export): a commit racing this scan replaces the parquet
+        // files mid-plan and aborts the export with FileNotFoundException.
+        // Per-collection locking means a multi-collection archive is
+        // still not one point-in-time snapshot across collections —
+        // matching the reference, which also locks per collection.
         val pqDir = tmp.resolve(s"$dirName-pq")
-        coll.df.coalesce(1).write.mode("overwrite").parquet(pqDir.toString)
+        coll.synchronized {
+          coll.df.coalesce(1).write.mode("overwrite").parquet(pqDir.toString)
+        }
         // Files.list leaks a directory handle unless closed (the
         // Persistence.deleteTree convention)
         val listing = Files.list(pqDir)

@@ -37,9 +37,17 @@ object Persistence {
 
   def writeMetadata(dir: Path, name: String, metadata: Map[String, String]): Unit = {
     Files.createDirectories(dir)
-    Files.writeString(dir.resolve("_metadata.json"), Json.obj(
+    // tmp + ATOMIC_MOVE (the SnapshotStore pointer convention): an
+    // in-place writeString torn by a crash or read mid-write leaves a
+    // truncated sidecar that wedges the next DB.persistent() load of the
+    // ENTIRE root (readMetadata parse fails on the partial JSON)
+    val tmp = dir.resolve("_metadata.json.tmp")
+    Files.writeString(tmp, Json.obj(
       "name" -> Json.str(name),
       "metadata" -> Json.obj(metadata.toSeq.map { case (k, v) => k -> Json.str(v) }: _*)))
+    Files.move(tmp, dir.resolve("_metadata.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   def readMetadata(dir: Path): (String, Map[String, String]) = {
@@ -91,18 +99,37 @@ object Persistence {
 class ParquetPersistence(dir: Path, compression: Option[String] = None)
     extends CollectionPersistence {
   private val dataDir = dir.resolve("documents")
+  private val oldDir = dir.resolve("documents.old")
+
+  /** Swap discipline: write tmp fully, rename current→.old, rename
+    * tmp→current, delete .old. The previous deleteTree(current)+move left
+    * a window (one slow recursive delete wide) where the collection had
+    * NO dataset on disk — a crash there lost the collection outright, and
+    * a concurrent reader observed it as legitimately EMPTY (read() returns
+    * an empty frame for a missing dir) and could persist that emptiness
+    * downstream. Now the window is two renames wide and crash recovery is
+    * possible: [[read]] restores `.old` when `documents/` is missing. */
   override def write(df: DataFrame): Unit = {
     val tmp = dir.resolve("documents.tmp")
     deleteTree(tmp)
+    deleteTree(oldDir)
     val w = df.write.mode("overwrite")
     compression.foreach(c => w.option("compression", c))
+    // the new state is often computed lazily FROM the current parquet
+    // (delete = anti-filter) — the scan completes HERE, before any swap
     w.parquet(tmp.toString)
-    deleteTree(dataDir)
+    if (Files.exists(dataDir)) Files.move(dataDir, oldDir)
     Files.move(tmp, dataDir)
+    deleteTree(oldDir)
   }
-  override def read(spark: SparkSession): DataFrame =
+  override def read(spark: SparkSession): DataFrame = {
+    // crash recovery: a kill between the two renames leaves only .old —
+    // restore the last complete dataset instead of reporting empty
+    if (!Files.exists(dataDir) && Files.exists(oldDir))
+      Files.move(oldDir, dataDir)
     if (Files.exists(dataDir)) spark.read.schema(Document.schema).parquet(dataDir.toString)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Document.schema)
+  }
   private def deleteTree(p: Path): Unit = Persistence.deleteTree(p)
 }
 

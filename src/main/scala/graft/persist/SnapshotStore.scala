@@ -69,15 +69,31 @@ class SnapshotStore(rootDir: String) {
 
   /** Write `df` as the next version and move the latest-pointer to it.
     * Returns the new version number. The data directory becomes visible
-    * only via the completed rename; the pointer swap is atomic. */
-  def commit(df: DataFrame): Long = {
+    * only via the completed rename; the pointer swap is atomic.
+    *
+    * Concurrency: `synchronized` serializes committers SHARING THIS
+    * STORE OBJECT (two streams over one store, a stream plus a batch
+    * job in one JVM) — unsynchronized, both would allocate the same
+    * version number from the directory listing, collide on the tmp
+    * names, and the loser's data would be silently lost or a
+    * half-written dataset published. The tmp names also carry a unique
+    * suffix so a SECOND store object over the same root (or another
+    * process — cross-process commits remain externally coordinated, as
+    * the class doc's single-writer assumption states) can never delete
+    * this commit's in-flight write; the version-number race across
+    * processes then surfaces as a loud FileAlreadyExistsException on
+    * the final rename instead of silent corruption. */
+  def commit(df: DataFrame): Long = synchronized {
     Files.createDirectories(root)
     val v = versions.lastOption.getOrElse(0L) + 1L
-    val tmp = root.resolve(f"v$v%08d.tmp")
+    val unique = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = root.resolve(f"v$v%08d.$unique.tmp")
     deleteTree(tmp)
-    df.write.mode("overwrite").parquet(tmp.toString)
-    Files.move(tmp, versionDir(v))
-    val ptrTmp = root.resolve("_latest.json.tmp")
+    try {
+      df.write.mode("overwrite").parquet(tmp.toString)
+      Files.move(tmp, versionDir(v))
+    } finally deleteTree(tmp) // no-op on success; clears a failed write
+    val ptrTmp = root.resolve(s"_latest.json.$unique.tmp")
     Files.writeString(ptrTmp, Json.obj("version" -> Json.num(v.toDouble)))
     Files.move(ptrTmp, pointer, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)

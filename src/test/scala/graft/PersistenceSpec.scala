@@ -157,4 +157,39 @@ class PersistenceSpec extends SparkSuite {
     assert(p("xs").asInstanceOf[List[Any]] === List(1.0, 2.5, true, null, "t"))
     assert(p("o").asInstanceOf[Map[String, Any]]("k") === "v")
   }
+
+  test("crashed swap window (only documents.old on disk) recovers the last dataset") {
+    val root = tempRoot
+    val db = withLogLevel(DB.persistent(spark, root, ConstEmbeddingFunc.stub()))
+    val c = db.createCollection("cr")
+    c.addDocuments(Seq(Document("1", content = "a"), Document("2", content = "b")))
+    // simulate a kill between write()'s two renames: current gone, .old left
+    val dir = Persistence.collectionDir(root, "cr")
+    Files.move(dir.resolve("documents"), dir.resolve("documents.old"))
+    val reopened = DB.persistent(spark, root, ConstEmbeddingFunc.stub())
+    val rc = reopened.getCollection("cr")
+    // read() restored the last complete dataset instead of reporting empty
+    assert(rc.count() === 2)
+    assert(Files.exists(dir.resolve("documents")))
+    assert(!Files.exists(dir.resolve("documents.old")))
+  }
+
+  test("deleteCollection fences a stale handle off disk (no resurrection)") {
+    val root = tempRoot
+    val db = withLogLevel(DB.persistent(spark, root, ConstEmbeddingFunc.stub()))
+    val stale = db.createCollection("fence")
+    stale.addDocuments(Seq(Document("1", content = "a")))
+    db.deleteCollection("fence")
+    // the detached handle must NOT recreate the deleted directory (a
+    // sidecar-less dir would half-resurrect on the next DB.persistent
+    // reload). Its own next mutation fails LOUDLY — the upsert plan
+    // anti-joins against the deleted parquet — which is the correct
+    // outcome: an error, not silent resurrection.
+    intercept[Exception] {
+      stale.addDocuments(Seq(Document("2", content = "b")))
+    }
+    assert(!Files.exists(Persistence.collectionDir(root, "fence")))
+    val reopened = DB.persistent(spark, root, ConstEmbeddingFunc.stub())
+    assert(reopened.getCollection("fence") === null)
+  }
 }

@@ -85,4 +85,31 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(st.readLatest(spark).collect().map(_.getLong(0)).toSet === Set(3L))
     assert(st.versions === Seq(1L, 2L, 3L))
   }
+
+  test("concurrent committers on one store serialize: distinct versions, no lost update") {
+    val root = Files.createTempDirectory("snap").toString
+    val st = new SnapshotStore(root)
+    val frames = (1 to 4).map(i => Seq((i.toLong, s"w$i")).toDF("id", "x"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // unsynchronized, both threads allocate the same version from the
+    // directory listing and one commit is silently lost / half-published
+    val versions = Await.result(
+      Future.sequence(frames.map(f => Future(st.commit(f)))), 120.seconds)
+    assert(versions.sorted === Seq(1L, 2L, 3L, 4L))
+    assert(st.versions === Seq(1L, 2L, 3L, 4L))
+    assert(st.latestVersion === Some(4L))
+    // every version is a complete, readable dataset
+    (1L to 4L).foreach(v => assert(st.read(spark, v).count() === 1L))
+    // no leaked tmp dirs
+    val leftovers = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(java.nio.file.Paths.get(root))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".tmp")).toSeq
+      finally s.close()
+    }
+    assert(leftovers.isEmpty, s"leaked tmp entries: $leftovers")
+  }
 }
