@@ -195,6 +195,47 @@ class CollectionSpec extends SparkSuite {
     assert(c.listIDs().toSet === (Set("seed") ++ (1 to 16).filter(_ % 2 == 0).map(i => s"d$i")))
   }
 
+  test("index-path queries stay coherent under concurrent delete/add/rebuild") {
+    // Exercises the single-volatile Snap swap: with the former four
+    // independent volatiles, a query could read the OLD flat index and
+    // join back against the NEW state — a deleted id's row vanished in
+    // the join and the result silently underfilled (< nResults). With a
+    // coherent snapshot the index path always returns exactly nResults.
+    val ef = new graft.embed.HashingEmbeddingFunc(16)
+    val db = graft.core.DB.inMemory(spark, ef)
+    val c = db.createCollection("snapc", Map.empty, ef)
+    c.addDocuments((1 to 20).map(i =>
+      graft.core.Document.create(s"d$i", content = s"stress doc number $i")))
+    c.buildIndex()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writer = pool.submit(new Runnable {
+      def run(): Unit = try {
+        (1 to 4).foreach { round =>
+          c.delete(ids = Seq(s"d$round"))                 // index dropped
+          c.addDocuments(Seq(graft.core.Document.create(
+            s"d$round-v2", content = s"stress doc number $round again")))
+          c.buildIndex()                                  // index-path live again
+        }
+      } catch { case t: Throwable => errors.add(t) } finally stop.set(true)
+    })
+    val qv = ef.embed("stress doc")
+    val readers = (1 to 5).map(_ => pool.submit(new Runnable {
+      def run(): Unit = try {
+        while (!stop.get()) {
+          val r = c.query("stress doc", 5)
+          assert(r.length === 5, s"underfilled result: ${r.map(_.id)}")
+          assert(r.forall(x => x.content != null && x.content.startsWith("stress doc")))
+        }
+      } catch { case t: Throwable => errors.add(t) }
+    }))
+    writer.get(); readers.foreach(_.get()); pool.shutdown()
+    assert(errors.isEmpty, s"concurrent index-path ops failed: ${errors.peek()}")
+    assert(c.count() === 20)
+    assert(qv.length === 16)
+  }
+
   test("query clamps k to filtered size but errors when k > count (collection.go:505,536)") {
     val c = freshDb.createCollection("clamp")
     c.addDocuments(Seq(
