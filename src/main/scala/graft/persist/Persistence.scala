@@ -112,6 +112,12 @@ class ParquetPersistence(dir: Path, compression: Option[String] = None)
   override def write(df: DataFrame): Unit = {
     val tmp = dir.resolve("documents.tmp")
     deleteTree(tmp)
+    // same recovery as read(): if a prior write in THIS process failed
+    // between the two renames (exception, not crash — so no read() ran to
+    // recover), `.old` holds the only complete dataset. Deleting it here
+    // would lose the collection: restore it first.
+    if (!Files.exists(dataDir) && Files.exists(oldDir))
+      Files.move(oldDir, dataDir)
     deleteTree(oldDir)
     val w = df.write.mode("overwrite")
     compression.foreach(c => w.option("compression", c))

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import graft.core.{DB, Document}
 import graft.embed.ConstEmbeddingFunc
-import graft.persist.{Json, Persistence}
+import graft.persist.{Json, ParquetPersistence, Persistence}
 
 class PersistenceSpec extends SparkSuite {
 
@@ -172,6 +172,31 @@ class PersistenceSpec extends SparkSuite {
     assert(rc.count() === 2)
     assert(Files.exists(dir.resolve("documents")))
     assert(!Files.exists(dir.resolve("documents.old")))
+  }
+
+  test("write() after a torn swap restores .old instead of deleting the only dataset") {
+    val root = tempRoot
+    val dir = Persistence.collectionDir(root, "wr")
+    Files.createDirectories(dir)
+    val p = new ParquetPersistence(dir)
+    import spark.implicits._
+    p.write(Seq(("1", "a"), ("2", "b"), ("3", "c")).toDF("id", "content")
+      .select(Document.schema.fieldNames.map(f =>
+        if (f == "id" || f == "content") org.apache.spark.sql.functions.col(f)
+        else org.apache.spark.sql.functions.lit(null).cast(Document.schema(f).dataType).as(f)): _*))
+    // a lazy plan over the CURRENT parquet (the delete-as-anti-filter shape)
+    val planned = p.read(spark).filter(org.apache.spark.sql.functions.col("id") =!= "2")
+    // simulate a prior write that failed between its two renames: current
+    // gone, .old holds the only complete dataset — and no read() ran since
+    Files.move(dir.resolve("documents"), dir.resolve("documents.old"))
+    // write() must restore .old first; deleting it here would both lose the
+    // dataset and fail this very scan
+    p.write(planned)
+    val back = p.read(spark)
+    assert(back.count() === 2)
+    assert(back.select("id").collect().map(_.getString(0)).sorted === Array("1", "3"))
+    assert(!Files.exists(dir.resolve("documents.old")))
+    assert(!Files.exists(dir.resolve("documents.tmp")))
   }
 
   test("deleteCollection fences a stale handle off disk (no resurrection)") {
