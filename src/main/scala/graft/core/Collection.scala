@@ -459,10 +459,12 @@ class Collection private[core] (
     if (nResults > count())
       throw new IllegalArgumentException(
         "nResults must be <= the number of documents in the collection")
-    val base = df // ONE state read: score and join back over the same rows
-    materializeByScore(graft.ops.KeywordSearch.bm25TopK(
-      base.filter(col("content").isNotNull), "content", "id", terms,
-      nResults, k1, b), base)
+    readCommitted {
+      val base = df // ONE state read: score and join back over the same rows
+      materializeByScore(graft.ops.KeywordSearch.bm25TopK(
+        base.filter(col("content").isNotNull), "content", "id", terms,
+        nResults, k1, b), base)
+    }
   }
 
   /**
@@ -489,11 +491,13 @@ class Collection private[core] (
     val q = if (VectorFunctions.isNormalized(queryEmbedding)) queryEmbedding
             else VectorFunctions.normalize(queryEmbedding)
     val fetch = math.max(fetchK, nResults)
-    val base = df // ONE state read for lexical side, semantic side, join-back
-    materializeByScore(graft.ops.KeywordSearch.hybridTopK(
-      base.filter(col("content").isNotNull), "content",
-      base.filter(col("embedding").isNotNull), "embedding", "id",
-      terms, q, nResults, fetch, rrfK), base)
+    readCommitted {
+      val base = df // ONE state read for lexical side, semantic side, join-back
+      materializeByScore(graft.ops.KeywordSearch.hybridTopK(
+        base.filter(col("content").isNotNull), "content",
+        base.filter(col("embedding").isNotNull), "embedding", "id",
+        terms, q, nResults, fetch, rrfK), base)
+    }
   }
 
   /**
@@ -522,13 +526,56 @@ class Collection private[core] (
     // the two can never drift apart, then average over the sub-vectors.
     val scale = 10000000L
     val unit = scale.toDouble * scale.toDouble * numSub
-    val base = df // ONE state read: score and join back over the same rows
-    val scored = graft.ops.LateInteraction.maxSimTopK(
-        base.filter(col("embedding").isNotNull), "embedding", "id",
-        q, numSub, nResults, scale)
-      .select(col("id"),
-        (col("score").cast("double") / unit).as("score"))
-    materializeByScore(scored, base)
+    readCommitted {
+      val base = df // ONE state read: score and join back over the same rows
+      val scored = graft.ops.LateInteraction.maxSimTopK(
+          base.filter(col("embedding").isNotNull), "embedding", "id",
+          q, numSub, nResults, scale)
+        .select(col("id"),
+          (col("score").cast("double") / unit).as("score"))
+      materializeByScore(scored, base)
+    }
+  }
+
+  /** Read-committed retry for query bodies that scan the collection.
+    *
+    * In-memory snapshots are localCheckpointed (immutable) — `body` runs
+    * once. PERSISTENT collections scan live parquet: each committed view
+    * pins its file list when commit() re-reads the directory, so a single
+    * view can never silently tear across commits — but a concurrent
+    * commit DELETES the displaced files, and a scan that straddles the
+    * swap dies loudly (Spark FAILED_READ_FILE / FileNotFoundException /
+    * "underlying files ... have been updated"). `body` must read
+    * `snap`/`df` INSIDE itself: on file loss we re-run it against the
+    * freshly committed snapshot — each attempt sees one coherent view. */
+  private def readCommitted[A](body: => A): A = {
+    def fileLoss(e: Throwable): Boolean = {
+      var c = e
+      while (c != null) {
+        if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+        val m = c.getMessage
+        if (m != null && (m.contains("FAILED_READ_FILE") ||
+            m.contains("have been updated"))) return true
+        c = if (c.getCause eq c) null else c.getCause
+      }
+      false
+    }
+    var attempt = 0
+    while (attempt < 3) {
+      attempt += 1
+      val before = snap
+      try return body
+      catch {
+        case e: Throwable if attempt < 3 && persistRef.isDefined && fileLoss(e) =>
+          // The displaced files die at the START of the concurrent
+          // commit's write(); the new snapshot lands only after its
+          // re-read. Retrying immediately would re-scan the same dead
+          // view — wait (bounded) for the swap, then re-run.
+          val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+          while ((snap eq before) && System.nanoTime() < deadline) Thread.sleep(20)
+      }
+    }
+    body // unreachable (attempt 3 returns or throws); satisfies the result type
   }
 
   /** Join-back materialization for (id, score) frames — the reference's
@@ -536,7 +583,10 @@ class Collection private[core] (
     * score ranking. `base` must be the SAME frame `scored` was built
     * from: re-reading the volatile state here would tear against a
     * concurrent commit (deleted docs silently dropped from the result,
-    * new content attached to old scores). */
+    * new content attached to old scores). For persistent collections the
+    * two collects here scan the same pinned file list, so they stay
+    * coherent; a concurrent swap surfaces as file loss, which
+    * [[readCommitted]] retries on the new snapshot. */
   private def materializeByScore(
       scored: DataFrame, base: DataFrame): Seq[QueryResult] = {
     val top = scored.collect().map(r => r.getString(0) -> r.getDouble(1)).toIndexedSeq
@@ -575,6 +625,7 @@ class Collection private[core] (
     // ONE snap read: the index and the join-back rows come from the same
     // committed view — reading them through separate volatiles let a
     // concurrent commit pair an old index with the new state.
+    readCommitted {
     val s = snap
     s.flat match {
       case Some(idx) if where.isEmpty && whereDocument.isEmpty && negVector == null =>
@@ -591,6 +642,7 @@ class Collection private[core] (
       case _ =>
         queryDF(qv, nResults, where, whereDocument, negVector, negThreshold)
           .as[QueryResult].collect().toIndexedSeq
+    }
     }
   }
 
@@ -610,12 +662,14 @@ class Collection private[core] (
     val q = if (VectorFunctions.isNormalized(queryEmbedding)) queryEmbedding
             else VectorFunctions.normalize(queryEmbedding)
     // same embedding-null guard as queryDF (see the comment there)
-    df.filter(col("embedding").isNotNull)
-      .filter(Filters.compile(clause))
-      .withColumn("similarity", dot_const_f32(col("embedding"), q))
-      .orderBy(desc("similarity"), asc("id"))
-      .limit(nResults)
-      .as[QueryResult].collect().toIndexedSeq
+    readCommitted {
+      df.filter(col("embedding").isNotNull)
+        .filter(Filters.compile(clause))
+        .withColumn("similarity", dot_const_f32(col("embedding"), q))
+        .orderBy(desc("similarity"), asc("id"))
+        .limit(nResults)
+        .as[QueryResult].collect().toIndexedSeq
+    }
   }
 
   /** Lazy DataFrame form of the query — for composition / explain / tests. */

@@ -236,6 +236,44 @@ class CollectionSpec extends SparkSuite {
     assert(qv.length === 16)
   }
 
+  test("persistent-collection queries survive concurrent commits (read-committed retry)") {
+    // A persistent collection's df is a live parquet view; each commit
+    // swaps the directory and DELETES the displaced files. A query whose
+    // scan straddles the swap dies with FileNotFoundException — the
+    // readCommitted wrapper must retry it against the new snapshot, so
+    // readers never see the race. (Each view's file list is pinned at
+    // commit time, so results can't silently tear — only fail loudly.)
+    val root = java.nio.file.Files.createTempDirectory("graft-rc").toString
+    val ef = new graft.embed.HashingEmbeddingFunc(16)
+    val db = graft.core.DB.persistent(spark, root, ef)
+    val c = db.createCollection("rc", Map.empty, ef)
+    c.addDocuments((1 to 30).map(i =>
+      graft.core.Document.create(s"d$i", content = s"persistent doc number $i")))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writer = pool.submit(new Runnable {
+      def run(): Unit = try {
+        (1 to 5).foreach { round =>
+          c.addDocuments(Seq(graft.core.Document.create(
+            s"w$round", content = s"persistent doc number $round again")))
+        }
+      } catch { case t: Throwable => errors.add(t) } finally stop.set(true)
+    })
+    val readers = (1 to 4).map(_ => pool.submit(new Runnable {
+      def run(): Unit = try {
+        while (!stop.get()) {
+          val r = c.query("persistent doc", 5)
+          assert(r.length === 5, s"underfilled result: ${r.map(_.id)}")
+          assert(r.forall(_.content.startsWith("persistent doc")))
+        }
+      } catch { case t: Throwable => errors.add(t) }
+    }))
+    writer.get(); readers.foreach(_.get()); pool.shutdown()
+    assert(errors.isEmpty, s"persistent concurrent query failed: ${errors.peek()}")
+    assert(c.count() === 35)
+  }
+
   test("query clamps k to filtered size but errors when k > count (collection.go:505,536)") {
     val c = freshDb.createCollection("clamp")
     c.addDocuments(Seq(
