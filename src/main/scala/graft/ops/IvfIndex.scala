@@ -33,16 +33,30 @@ object IvfIndex {
       seed: Long = 42L): Array[Array[Float]] = {
     val frac = math.min(1.0, sampleSize.toDouble /
       math.max(1L, df.count()).toDouble * 1.2)
+    val base = df.select(vecCol).filter(col(vecCol).isNotNull)
+    // Membership by seeded-hash threshold, NOT sample(): sample() draws
+    // from a per-partition RNG, so which rows it keeps depends on the
+    // file layout — the trained centroids, and the durable
+    // partitionBy(__cell) layout derived from them, would differ between
+    // a 3-file and a 300-file copy of the same corpus. Keeping rows whose
+    // hash falls below a fraction-derived cutoff makes membership a pure
+    // function of the data (the same layout-invariance contract as the
+    // md5 split family in ops/Splits.scala).
+    val picked =
+      if (frac >= 1.0) base
+      else {
+        val cutoff = (BigDecimal(2).pow(64) * frac +
+          BigDecimal(Long.MinValue)).setScale(0, BigDecimal.RoundingMode.FLOOR)
+          .toLong
+        base.filter(xxhash64(lit(seed), col(vecCol)) <= lit(cutoff))
+      }
     // orderBy before limit (the Pq.train convention): a bare limit takes
-    // whichever partitions answer first, so the centroids — and the
-    // durable partitionBy(__cell) layout derived from them — would vary
-    // across file layouts. Ordered by a HASH of the vector, not the raw
-    // value: a lexicographic order would keep a biased prefix (smallest
-    // first components) of the Bernoulli sample and measurably degrade
-    // the trained cells. isNotNull: a null embedding in the sample
-    // NPE'd the collect with no context.
-    val sample = df.select(vecCol).filter(col(vecCol).isNotNull)
-      .sample(withReplacement = false, frac, seed)
+    // whichever partitions answer first. Ordered by a HASH of the vector,
+    // not the raw value: a lexicographic order would keep a biased prefix
+    // (smallest first components) of the thresholded sample and
+    // measurably degrade the trained cells. isNotNull above: a null
+    // embedding in the sample NPE'd the collect with no context.
+    val sample = picked
       .orderBy(xxhash64(col(vecCol)), col(vecCol)).limit(sampleSize)
       .collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "cannot train IVF on an empty corpus")

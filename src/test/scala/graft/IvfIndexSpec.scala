@@ -19,6 +19,20 @@ class IvfIndexSpec extends SparkSuite {
     assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
   }
 
+  test("centroid training is layout-invariant when the sample fraction < 1") {
+    // sample() membership came from a per-partition RNG, so a 3-file and
+    // an 8-file copy of the same corpus trained different centroids —
+    // exactly what a cluster scale-up changes. The hash-threshold filter
+    // makes membership a pure function of the data.
+    val n = emb.count().toInt
+    val size = math.max(10, n / 5) // forces frac ≈ 0.24 < 1
+    val c3 = IvfIndex.trainCentroids(emb.repartition(3), "embedding",
+      nlist = 4, sampleSize = size)
+    val c8 = IvfIndex.trainCentroids(emb.repartition(8), "embedding",
+      nlist = 4, sampleSize = size)
+    assert(c3.map(_.toSeq).toSeq === c8.map(_.toSeq).toSeq)
+  }
+
   test("every row lands in exactly one cell; cells cover the corpus") {
     val cents = IvfIndex.trainCentroids(emb, "embedding", nlist = 4, sampleSize = 200)
     val assigned = IvfIndex.assign(emb, "embedding", cents)
