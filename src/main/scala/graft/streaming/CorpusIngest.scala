@@ -109,7 +109,7 @@ object CorpusIngest {
           // (birthday-regime risk at multi-billion-row corpora). The
           // corpus is scanned but never shuffled/distinct-ed per
           // micro-batch, and corpus text travels only for hash matches.
-          import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, xxhash64}
+          import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, length, lit, sum, xxhash64}
           val batchHashed = nearNew
             .withColumn("__text_c", coalesce(col(textCol), lit("")))
             .withColumn("__text_h", xxhash64(col("__text_c")))
@@ -123,10 +123,39 @@ object CorpusIngest {
               coalesce(col(textCol), lit("")).as("__corpus_text"))
             .join(broadcast(batchHashed.select(col("__text_h")).distinct()),
               Seq("__text_h"), "left_semi")
+            // distinct: hash-MATCH count is bounded by the batch, but the
+            // corpus may hold arbitrarily many COPIES of a matched text —
+            // collapse them so the shipped pairs are ≤ the batch's
+            // distinct hashes (+ vanishingly rare 64-bit collisions),
+            // one row per distinct matched text
+            .distinct()
+            // materialize once: the guard aggregate and the anti-join
+            // read the same blocks, and the banded corpus probe above
+            // never re-runs
+            .localCheckpoint(true)
+          // forced-broadcast guard (the TextAnalysis.boundedBroadcast
+          // rule): very LARGE matched documents can still blow the
+          // driver even at batch-bounded row counts — over either bound,
+          // fall back to a shuffled anti-join loudly
+          val Array(hitRows, hitBytes) = {
+            val r = corpusHits.agg(count(lit(1)),
+              coalesce(sum(length(col("__corpus_text"))), lit(0L))).head()
+            Array(r.getLong(0), r.getLong(1))
+          }
+          val hitsSide =
+            if (hitRows <= 1000000L && hitBytes <= 256L * 1024 * 1024)
+              broadcast(corpusHits)
+            else {
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"corpus ingest: $hitRows matched corpus texts / " +
+                  s"$hitBytes chars exceed the broadcast bound; using a " +
+                  "shuffled anti-join for this micro-batch")
+              corpusHits
+            }
           val fresh = batchHashed
-            .join(broadcast(corpusHits),
-              batchHashed("__text_h") === corpusHits("__text_h") &&
-                batchHashed("__text_c") === corpusHits("__corpus_text"),
+            .join(hitsSide,
+              batchHashed("__text_h") === hitsSide("__text_h") &&
+                batchHashed("__text_c") === hitsSide("__corpus_text"),
               "left_anti")
             .drop("__text_h", "__text_c")
           // persist: the emptiness probe and the commit otherwise each
