@@ -342,14 +342,30 @@ object Bench {
     // Full-results side file — next round's retime baseline (see
     // readPrevBench). Only an UNFILTERED run writes it: a BENCH_ONLY
     // subset would replace the 103-entry map with a fragment. Flagged
-    // entries store min(sweep median, retimed): keeping the ambient-hot
+    // entries take min(sweep median, retimed): keeping the ambient-hot
     // sweep value would inflate the next round's 1.3× baseline and let
     // a real regression hide under it — the retime just proved the
     // lower number is achievable. The file lives in the repo so the
     // driver's end-of-round commit carries it.
+    //
+    // EMA smoothing (r11 ratchet policy): storing the raw per-round
+    // value snapped baselines to an entry's best-case mode, so
+    // legitimately bimodal sub-second entries re-flagged every round
+    // they landed slow — r9's and r10's flag lists are DISJOINT (2 vs 9
+    // entries, zero overlap, all retimes ≤1.16× baseline): churn, not
+    // regression. Blending 50/50 with the prior stored baseline
+    // converges the flag reference to mid-band; a real sustained
+    // regression still pulls >1.3× ahead of the lagging EMA and flags
+    // every round until acknowledged. The blend is guarded to ±2× — a
+    // stale or cross-sf prior must not poison the new file.
     if (only.isEmpty) try {
       val baseline = results.map { case (k, v) =>
-        k -> retimed.get(k).filter(r => r >= 0 && r < v).getOrElse(v)
+        val now = retimed.get(k).filter(r => r >= 0 && r < v).getOrElse(v)
+        k -> (prev.get(k) match {
+          case Some(p) if now > 0 && p > now / 2 && p < now * 2 =>
+            (p + now) / 2
+          case _ => now
+        })
       }
       val dir = java.nio.file.Paths.get("/root/repo/bench_local")
       java.nio.file.Files.createDirectories(dir)
@@ -462,22 +478,44 @@ object Bench {
         Array.fill(d)(qrnd.nextFloat() * 2f - 1f))
 
     val out = scala.collection.mutable.LinkedHashMap[String, Double]()
-    var t0 = System.nanoTime()
-    val idx: VectorIndex[Long] =
-      VectorIndex.build[Long](corpus(n), "id", "embedding", d, parts)
-        .persist().materialize(forceDistributed = true)
-    // try/finally: a mid-family failure (main records -1.0 and moves
-    // on) must not leak GBs of persisted slabs into the NEXT tier's
-    // timed window — the r8/r9 poisoned-window failure mode, which the
-    // success-path-only unpersist reintroduced on the error path
+    // driver-local packed control (25k fits far under LocalScanMaxFloats),
+    // built FIRST so the big build below is bracketed by controls on
+    // BOTH sides: `_ctrl_pre` here, the interleaved `_ctrl` median after.
+    // r10's 151 s 1M build was 76% of the headline artifact with no way
+    // to tell GC thrash / ambient / real allocation cost apart — a clean
+    // pre AND post control says the machine was healthy across the
+    // build, so an inflated number is the build's own (heap) behavior.
+    val ctrlIdx: VectorIndex[Long] = VectorIndex
+      .build[Long](corpus(25000), "id", "embedding", d,
+        math.max(1, math.min(parts, 25000 / 6144)))
+      .persist().materialize()
     try {
-      out(s"chromem_build_${n}_d1536_big") = (System.nanoTime() - t0) / 1e9
-      // driver-local packed control (25k fits far under LocalScanMaxFloats)
-      val ctrlIdx: VectorIndex[Long] = VectorIndex
-        .build[Long](corpus(25000), "id", "embedding", d,
-          math.max(1, math.min(parts, 25000 / 6144)))
-        .persist().materialize()
+      (1 to 2).foreach(_ => ctrlIdx.topK(qvec(), 10))
+      val preS = (1 to 3).map { _ =>
+        val t = System.nanoTime()
+        ctrlIdx.topK(qvec(), 10)
+        (System.nanoTime() - t) / 1e9
+      }.sorted
+      out(s"chromem_query_${n}_d1536_k10_big_ctrl_pre") = preS(1)
+      // datagen pass: the synthetic corpus generation (seeded RNG +
+      // normalize, xxhash64 forcing the full array through the
+      // serializer) timed WITHOUT packing, so the build number below
+      // decomposes into workload synthesis vs slab materialization.
+      var t0 = System.nanoTime()
+      corpus(n).select(xxhash64(col("embedding")).as("h"))
+        .agg(max(col("h"))).head()
+      out(s"chromem_datagen_${n}_d1536_big") = (System.nanoTime() - t0) / 1e9
+      System.gc() // clean heap start: the build's number should be its own
+      t0 = System.nanoTime()
+      val idx: VectorIndex[Long] =
+        VectorIndex.build[Long](corpus(n), "id", "embedding", d, parts)
+          .persist().materialize(forceDistributed = true)
+      // try/finally: a mid-family failure (main records -1.0 and moves
+      // on) must not leak GBs of persisted slabs into the NEXT tier's
+      // timed window — the r8/r9 poisoned-window failure mode, which the
+      // success-path-only unpersist reintroduced on the error path
       try {
+        out(s"chromem_build_${n}_d1536_big") = (System.nanoTime() - t0) / 1e9
         (1 to 2).foreach { _ => idx.topK(qvec(), 10); ctrlIdx.topK(qvec(), 10) }
         val batch = 3
         def measure(): (Double, Double) = {
@@ -506,10 +544,10 @@ object Bench {
       } finally {
         // blocking: the NEXT tier's build must not absorb this tier's
         // asynchronous slab eviction (r9's uncontrolled 250k window)
-        ctrlIdx.unpersist(blocking = true)
+        idx.unpersist(blocking = true)
       }
     } finally {
-      idx.unpersist(blocking = true)
+      ctrlIdx.unpersist(blocking = true)
     }
     out.toMap
   }
@@ -669,15 +707,28 @@ object Bench {
         (dfSec / dfQueries, packedSec / dfQueries,
           (System.nanoTime() - t0f) / 1e9 / dfQueries)
       }
-      // Same in-family adjudication as the distributed tier above: a
-      // packed_interleaved control >1.3× the headline packed median is a
-      // drifted window (r8: 236 ms control vs 11.4 ms headline poisoned
-      // all three points of this family) — re-measure once, keep the
-      // first attempt visible under *_firstpass.
+      // In-family adjudication, TWO triggers (the r10 artifact recorded
+      // 238 ms over a CLEAN 15 ms packed control — the packed control
+      // never touches this family's actual variance axis, the cached
+      // ArrayType decode path, so the retry had nothing to key on):
+      //  * packed_interleaved control >1.3× the headline packed median —
+      //    the machine drifted mid-window (r8: 236 ms control vs 11.4 ms
+      //    headline poisoned all three points of this family);
+      //  * dataframe >2× its OWN scan_floor — the decode-bandwidth
+      //    bound measured in the same window. A clean window sits near
+      //    1× floor (r10 local replicas: 53-72 ms vs a 64 ms floor), so
+      //    2× is GC/ambient landing on the decode path; a REAL decode
+      //    regression re-measures high and ships WITH a firstpass
+      //    record proving the retry happened.
+      // Re-measure once, keep the first attempt visible under
+      // *_firstpass (scan_floor included — the adjudication yardstick
+      // must come from the same window as the number it judges).
       var (dfV, dfCtrlV, floorV) = measureDfFamily()
-      if (dfCtrlV > out(s"chromem_query_${n}_d1536_k10") * 1.3) {
+      if (dfCtrlV > out(s"chromem_query_${n}_d1536_k10") * 1.3 ||
+          (floorV > 0 && dfV > floorV * 2.0)) {
         out(s"chromem_query_${n}_d1536_k10_dataframe_firstpass") = dfV
         out(s"chromem_query_${n}_d1536_k10_packed_interleaved_firstpass") = dfCtrlV
+        out(s"chromem_query_${n}_d1536_k10_scan_floor_firstpass") = floorV
         val r = measureDfFamily(); dfV = r._1; dfCtrlV = r._2; floorV = r._3
       }
       out(s"chromem_query_${n}_d1536_k10_dataframe") = dfV
