@@ -76,11 +76,16 @@ for name in sorted(os.listdir(out_dir)):
     # after a completed query, which would latch the interrupt on the
     # fresh connection and abort the NEXT oracle instead.
     fired = []
-    timed_con = con
 
-    def _interrupt():
+    # default-arg capture binds the connection AT DEFINITION: reading a
+    # shared name at fire time could race the main thread reconnecting
+    # after a completed query (latching the interrupt on the fresh
+    # connection and aborting the NEXT oracle). cancel()+join() below
+    # already serializes the timer per iteration; this makes the capture
+    # correct by construction rather than by that ordering.
+    def _interrupt(c=con):
         fired.append(1)
-        timed_con.interrupt()
+        c.interrupt()
 
     try:
         timer = threading.Timer(TIMEOUT, _interrupt) if TIMEOUT else None

@@ -71,6 +71,21 @@ if [[ "$RUN_SF01" == 1 ]]; then
   echo "== DuckDB oracle compare @ sf0.1 (timeouts FAIL; census has zero exclusions) =="
   ORACLE_QUERY_TIMEOUT=${ORACLE_QUERY_TIMEOUT:-900} \
     python3 tools/oracle_check.py /root/testdata/sf0.1 /tmp/gate_out_sf01
+
+  if [[ "$RUN_INVAR" == 1 ]]; then
+    echo "== Partitioning-invariance sweep @ sf0.1 (CPUS=3 vs the sf0.1 gate dump) =="
+    # the single best 100×-scale correctness signal this repo has: a
+    # different parallelism is exactly what a 1000-executor cluster
+    # changes, and sf0.1 is where scale-surfaced divergences (sampling,
+    # tie-breaks, float-sum order) actually materialize — r9/r10 both
+    # caught classes of bug here that sf0.01 could not
+    rm -rf /tmp/gate_out_sf01_p3
+    SPARK_GRAFT_CPUS=3 \
+      sbt -batch "runMain graft.Verify /root/testdata/sf0.1 /tmp/gate_out_sf01_p3" \
+      > /tmp/gate_verify_sf01_p3.log 2>&1 \
+      || { tail -20 /tmp/gate_verify_sf01_p3.log; exit 1; }
+    python3 tools/compare_dumps.py /tmp/gate_out_sf01 /tmp/gate_out_sf01_p3
+  fi
 fi
 
 if [[ "$RUN_BENCH" == 1 ]]; then
