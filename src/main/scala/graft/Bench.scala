@@ -320,8 +320,14 @@ object Bench {
       k.startsWith("chromem") || k.startsWith("ambient_control")
     }
     val qs = fmt(sweepEntries ++ headlineEntries)
+    // datagen entries are excluded like the ambient controls: they time
+    // the benchmark's own corpus synthesis (which the timed build pass
+    // re-runs internally — summing both double-counts it), and their
+    // r11 introduction must not read as a round-over-round total
+    // regression with zero behavior change
     val total = results.collect {
-      case (k, v) if v >= 0 && !k.startsWith("ambient_control") => v
+      case (k, v) if v >= 0 && !k.startsWith("ambient_control") &&
+        !k.startsWith("chromem_datagen") => v
     }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // compact retimed line (always emitted, possibly empty) between the
@@ -353,17 +359,21 @@ object Bench {
     // legitimately bimodal sub-second entries re-flagged every round
     // they landed slow — r9's and r10's flag lists are DISJOINT (2 vs 9
     // entries, zero overlap, all retimes ≤1.16× baseline): churn, not
-    // regression. Blending 50/50 with the prior stored baseline
-    // converges the flag reference to mid-band; a real sustained
-    // regression still pulls >1.3× ahead of the lagging EMA and flags
-    // every round until acknowledged. The blend is guarded to ±2× — a
-    // stale or cross-sf prior must not poison the new file.
+    // regression. The blend is ASYMMETRIC by direction:
+    //  * slower than prev: always blend 50/50 — the rebaseline LAGS, so
+    //    a sustained ≥1.3× regression keeps flagging for 2-3 rounds
+    //    (2.5× regression: stored 1.75×prev, next round 1.43× → flags
+    //    again) instead of self-acknowledging after one round; a
+    //    garbage-LOW prior self-heals geometrically.
+    //  * faster than prev: blend toward mid-band (this is the churn
+    //    fix), but a prior >2× the fresh value is distrusted and
+    //    replaced outright — blending a stale high prior would inflate
+    //    the baseline in the direction that HIDES regressions.
     if (only.isEmpty) try {
       val baseline = results.map { case (k, v) =>
         val now = retimed.get(k).filter(r => r >= 0 && r < v).getOrElse(v)
         k -> (prev.get(k) match {
-          case Some(p) if now > 0 && p > now / 2 && p < now * 2 =>
-            (p + now) / 2
+          case Some(p) if now > 0 && p > 0 && p <= now * 2 => (p + now) / 2
           case _ => now
         })
       }

@@ -251,14 +251,18 @@ class Collection private[core] (
   def getByID(id: String): Document = {
     if (id == null || id.isEmpty)
       throw new IllegalArgumentException("document ID is empty")
-    df.filter(col("id") === lit(id)).as[Document].collect().headOption
-      .getOrElse(throw new NoSuchElementException(s"document with ID '$id' not found"))
+    readCommitted {
+      df.filter(col("id") === lit(id)).as[Document].collect().headOption
+        .getOrElse(throw new NoSuchElementException(s"document with ID '$id' not found"))
+    }
   }
 
   /** All IDs — reference collection.go:296-306. API-parity convenience
     * that COLLECTS to the driver: at 100 TB (billions of ids) this OOMs —
     * use [[listIDsDF]] for anything downstream of a real corpus. */
-  def listIDs(): Seq[String] = df.select("id").as[String].collect().toIndexedSeq
+  def listIDs(): Seq[String] = readCommitted {
+    df.select("id").as[String].collect().toIndexedSeq
+  }
 
   /** All IDs as a DataFrame — the scale-safe form of [[listIDs]]:
     * composes into joins/anti-joins without ever touching the driver. */
@@ -427,15 +431,17 @@ class Collection private[core] (
     if (nResults > count())
       throw new IllegalArgumentException(
         "nResults must be <= the number of documents in the collection")
-    val s = snap // one coherent (state, index) view for the whole probe
-    val probe = s.lsh.map(_.topK(queryEmbedding, nResults, maxHamming))
-      .orElse(s.ivf.map(_.topK(queryEmbedding, nResults, nprobe)))
-    probe match {
-      case Some(p) =>
-        val rows = p.as[QueryResult].collect().toIndexedSeq
-        if (rows.length < nResults) this.queryEmbedding(queryEmbedding, nResults)
-        else rows
-      case None => this.queryEmbedding(queryEmbedding, nResults)
+    readCommitted {
+      val s = snap // one coherent (state, index) view for the whole probe
+      val probe = s.lsh.map(_.topK(queryEmbedding, nResults, maxHamming))
+        .orElse(s.ivf.map(_.topK(queryEmbedding, nResults, nprobe)))
+      probe match {
+        case Some(p) =>
+          val rows = p.as[QueryResult].collect().toIndexedSeq
+          if (rows.length < nResults) this.queryEmbedding(queryEmbedding, nResults)
+          else rows
+        case None => this.queryEmbedding(queryEmbedding, nResults)
+      }
     }
   }
 
@@ -567,12 +573,18 @@ class Collection private[core] (
       try return body
       catch {
         case e: Throwable if attempt < 3 && persistRef.isDefined && fileLoss(e) =>
-          // The displaced files die at the START of the concurrent
-          // commit's write(); the new snapshot lands only after its
-          // re-read. Retrying immediately would re-scan the same dead
-          // view — wait (bounded) for the swap, then re-run.
-          val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-          while ((snap eq before) && System.nanoTime() < deadline) Thread.sleep(20)
+          // The displaced files die inside the concurrent commit's
+          // write() swap, but the NEW snapshot lands only after its
+          // post-swap re-read/count — retrying immediately would
+          // re-scan the same dead view. Every writer holds THIS
+          // object's monitor from before the swap until after the snap
+          // assignment, so briefly taking the monitor blocks exactly
+          // until the in-flight commit (however long its re-read takes)
+          // has published the fresh view; if the file loss had some
+          // other cause (no writer active), this is a no-op and the
+          // retry fails fast instead of sleeping out a deadline.
+          this.synchronized(())
+          if (snap eq before) Thread.sleep(50) // commit not yet in its monitor: one short grace
       }
     }
     body // unreachable (attempt 3 returns or throws); satisfies the result type

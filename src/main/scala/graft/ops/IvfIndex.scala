@@ -56,9 +56,20 @@ object IvfIndex {
     // (smallest first components) of the thresholded sample and
     // measurably degrade the trained cells. isNotNull above: a null
     // embedding in the sample NPE'd the collect with no context.
-    val sample = picked
+    def takeOrdered(src: DataFrame): Array[Array[Float]] = src
       .orderBy(xxhash64(col(vecCol)), col(vecCol)).limit(sampleSize)
       .collect().map(_.getSeq[Float](0).toArray)
+    val thresholded = takeOrdered(picked)
+    // The threshold decides membership per distinct VALUE (all copies of
+    // a vector share one hash), so a duplicate-heavy corpus — 100k rows
+    // over 40 distinct embeddings — passes only frac·distinct values and
+    // can underfill or even empty the sample where per-row sampling never
+    // did. Underfilled ⇒ drop the prefilter and TakeOrdered the full
+    // corpus (still a pure function of the data: per-partition top-k +
+    // driver merge, never a global sort/shuffle).
+    val sample =
+      if (frac >= 1.0 || thresholded.length >= sampleSize) thresholded
+      else takeOrdered(base)
     require(sample.nonEmpty, "cannot train IVF on an empty corpus")
     val dim = sample.head.length
     val rnd = new java.util.Random(seed)

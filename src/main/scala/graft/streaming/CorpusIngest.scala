@@ -129,10 +129,12 @@ object CorpusIngest {
             // distinct hashes (+ vanishingly rare 64-bit collisions),
             // one row per distinct matched text
             .distinct()
-            // materialize once: the guard aggregate and the anti-join
-            // read the same blocks, and the banded corpus probe above
-            // never re-runs
-            .localCheckpoint(true)
+            // persist (NOT localCheckpoint — those blocks have no
+            // release API and would accumulate across micro-batches):
+            // the guard aggregate below materializes it once, the
+            // anti-join reads the same blocks, and the finally releases
+            // them with the batch's other persists
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           // forced-broadcast guard (the TextAnalysis.boundedBroadcast
           // rule): very LARGE matched documents can still blow the
           // driver even at batch-bounded row counts — over either bound,
@@ -163,7 +165,10 @@ object CorpusIngest {
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             if (!fresh.isEmpty) { store.commit(corpus.unionByName(fresh)); () }
-          } finally { fresh.unpersist(); batchHashed.unpersist(); () }
+          } finally {
+            fresh.unpersist(); batchHashed.unpersist(); corpusHits.unpersist()
+            ()
+          }
         }
       }
       .start()

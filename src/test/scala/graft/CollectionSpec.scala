@@ -260,12 +260,18 @@ class CollectionSpec extends SparkSuite {
         }
       } catch { case t: Throwable => errors.add(t) } finally stop.set(true)
     })
-    val readers = (1 to 4).map(_ => pool.submit(new Runnable {
+    val readers = (1 to 4).map(i => pool.submit(new Runnable {
       def run(): Unit = try {
         while (!stop.get()) {
-          val r = c.query("persistent doc", 5)
-          assert(r.length === 5, s"underfilled result: ${r.map(_.id)}")
-          assert(r.forall(_.content.startsWith("persistent doc")))
+          i % 3 match {
+            case 0 => // point lookup + id listing take the same retry path
+              assert(c.getByID("d1").content === "persistent doc number 1")
+              assert(c.listIDs().size >= 30)
+            case _ =>
+              val r = c.query("persistent doc", 5)
+              assert(r.length === 5, s"underfilled result: ${r.map(_.id)}")
+              assert(r.forall(_.content.startsWith("persistent doc")))
+          }
         }
       } catch { case t: Throwable => errors.add(t) }
     }))

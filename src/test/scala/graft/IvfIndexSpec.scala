@@ -33,6 +33,24 @@ class IvfIndexSpec extends SparkSuite {
     assert(c3.map(_.toSeq).toSeq === c8.map(_.toSeq).toSeq)
   }
 
+  test("duplicate-heavy corpora still train a full sample (hash-threshold collapse fallback)") {
+    // The threshold passes or rejects ALL copies of a value together, so
+    // a corpus of 2000 rows over 20 distinct embeddings passes only
+    // ~frac·20 distinct vectors — underfilled (possibly empty). The
+    // fallback TakeOrdereds the full corpus instead of failing.
+    val base = (0 until 20).map { i =>
+      graft.functions.VectorFunctions.normalize(
+        Array.tabulate(16)(j => ((i * 31 + j * 7) % 13 - 6).toFloat))
+    }
+    val dup = (0 until 2000).map(r => Tuple1(base(r % 20))).toDF("embedding")
+    val c3 = IvfIndex.trainCentroids(dup.repartition(3), "embedding",
+      nlist = 4, sampleSize = 500)
+    val c8 = IvfIndex.trainCentroids(dup.repartition(8), "embedding",
+      nlist = 4, sampleSize = 500)
+    assert(c3.length === 4)
+    assert(c3.map(_.toSeq).toSeq === c8.map(_.toSeq).toSeq)
+  }
+
   test("every row lands in exactly one cell; cells cover the corpus") {
     val cents = IvfIndex.trainCentroids(emb, "embedding", nlist = 4, sampleSize = 200)
     val assigned = IvfIndex.assign(emb, "embedding", cents)
