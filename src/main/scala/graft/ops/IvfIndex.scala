@@ -34,42 +34,46 @@ object IvfIndex {
     val frac = math.min(1.0, sampleSize.toDouble /
       math.max(1L, df.count()).toDouble * 1.2)
     val base = df.select(vecCol).filter(col(vecCol).isNotNull)
-    // Membership by seeded-hash threshold, NOT sample(): sample() draws
-    // from a per-partition RNG, so which rows it keeps depends on the
-    // file layout — the trained centroids, and the durable
-    // partitionBy(__cell) layout derived from them, would differ between
-    // a 3-file and a 300-file copy of the same corpus. Keeping rows whose
-    // hash falls below a fraction-derived cutoff makes membership a pure
-    // function of the data (the same layout-invariance contract as the
-    // md5 split family in ops/Splits.scala).
-    val picked =
-      if (frac >= 1.0) base
+    // The training sample is "the first `sampleSize` DISTINCT vectors in
+    // seeded-hash order" — a pure function of the data multiset:
+    //  * NOT sample(): its per-partition RNG makes membership depend on
+    //    the file layout, so a 3-file and a 300-file copy of the same
+    //    corpus trained different centroids (and different durable
+    //    partitionBy(__cell) layouts). Per-copy distinctions CANNOT be
+    //    layout-invariant — two identical rows are indistinguishable
+    //    across layouts — so the invariant unit is the distinct value.
+    //  * DISTINCT, not per-row: duplicates add no centroid variety
+    //    (k-means slots spent on copies just re-weight one point), and
+    //    value-level hash membership keeps either ALL copies or none, so
+    //    a duplicate-heavy corpus would collapse to frac·distinct points.
+    //  * hash order, not lexicographic (the Pq.train convention): a
+    //    lexicographic prefix keeps the smallest first components and
+    //    measurably degrades the trained cells. One SEEDED hash serves as
+    //    both the membership threshold and the sort key, so the
+    //    thresholded result, when full, EQUALS the unfiltered one — the
+    //    prefilter is purely a cost optimization.
+    // isNotNull above: a null embedding in the sample NPE'd the collect.
+    val sampleHash = xxhash64(lit(seed), col(vecCol))
+    def takeDistinct(src: DataFrame): Array[Array[Float]] = src
+      .dropDuplicates(Seq(vecCol)) // map-side partial dedup before the shuffle
+      .orderBy(sampleHash, col(vecCol)).limit(sampleSize)
+      .collect().map(_.getSeq[Float](0).toArray)
+    val thresholded =
+      if (frac >= 1.0) takeDistinct(base)
       else {
         val cutoff = (BigDecimal(2).pow(64) * frac +
           BigDecimal(Long.MinValue)).setScale(0, BigDecimal.RoundingMode.FLOOR)
           .toLong
-        base.filter(xxhash64(lit(seed), col(vecCol)) <= lit(cutoff))
+        takeDistinct(base.filter(sampleHash <= lit(cutoff)))
       }
-    // orderBy before limit (the Pq.train convention): a bare limit takes
-    // whichever partitions answer first. Ordered by a HASH of the vector,
-    // not the raw value: a lexicographic order would keep a biased prefix
-    // (smallest first components) of the thresholded sample and
-    // measurably degrade the trained cells. isNotNull above: a null
-    // embedding in the sample NPE'd the collect with no context.
-    def takeOrdered(src: DataFrame): Array[Array[Float]] = src
-      .orderBy(xxhash64(col(vecCol)), col(vecCol)).limit(sampleSize)
-      .collect().map(_.getSeq[Float](0).toArray)
-    val thresholded = takeOrdered(picked)
-    // The threshold decides membership per distinct VALUE (all copies of
-    // a vector share one hash), so a duplicate-heavy corpus — 100k rows
-    // over 40 distinct embeddings — passes only frac·distinct values and
-    // can underfill or even empty the sample where per-row sampling never
-    // did. Underfilled ⇒ drop the prefilter and TakeOrdered the full
-    // corpus (still a pure function of the data: per-partition top-k +
-    // driver merge, never a global sort/shuffle).
+    // Underfilled threshold (expected when duplicates push the distinct
+    // count below rows/1.2): widen to the full corpus. Same expression,
+    // so the result is the same "first sampleSize distinct by hash"
+    // prefix, just past the cutoff — dedup stays partial-aggregated and
+    // the sort is a bounded per-partition top-k + driver merge.
     val sample =
       if (frac >= 1.0 || thresholded.length >= sampleSize) thresholded
-      else takeOrdered(base)
+      else takeDistinct(base)
     require(sample.nonEmpty, "cannot train IVF on an empty corpus")
     val dim = sample.head.length
     val rnd = new java.util.Random(seed)

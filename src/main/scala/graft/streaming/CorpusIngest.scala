@@ -135,38 +135,44 @@ object CorpusIngest {
             // anti-join reads the same blocks, and the finally releases
             // them with the batch's other persists
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          // forced-broadcast guard (the TextAnalysis.boundedBroadcast
-          // rule): very LARGE matched documents can still blow the
-          // driver even at batch-bounded row counts — over either bound,
-          // fall back to a shuffled anti-join loudly
-          val Array(hitRows, hitBytes) = {
-            val r = corpusHits.agg(count(lit(1)),
-              coalesce(sum(length(col("__corpus_text"))), lit(0L))).head()
-            Array(r.getLong(0), r.getLong(1))
-          }
-          val hitsSide =
-            if (hitRows <= 1000000L && hitBytes <= 256L * 1024 * 1024)
-              broadcast(corpusHits)
-            else {
-              org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                s"corpus ingest: $hitRows matched corpus texts / " +
-                  s"$hitBytes chars exceed the broadcast bound; using a " +
-                  "shuffled anti-join for this micro-batch")
-              corpusHits
-            }
-          val fresh = batchHashed
-            .join(hitsSide,
-              batchHashed("__text_h") === hitsSide("__text_h") &&
-                batchHashed("__text_c") === hitsSide("__corpus_text"),
-              "left_anti")
-            .drop("__text_h", "__text_c")
-          // persist: the emptiness probe and the commit otherwise each
-          // re-run the corpus-side hash pass
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // the try starts HERE — before the first ACTION on either
+          // persisted frame — so a failed guard job (executor loss,
+          // corrupt corpus file) cannot leak this batch's blocks into
+          // the restarted query's session
+          var fresh: org.apache.spark.sql.DataFrame = null
           try {
+            // forced-broadcast guard (the TextAnalysis.boundedBroadcast
+            // rule): very LARGE matched documents can still blow the
+            // driver even at batch-bounded row counts — over either
+            // bound, fall back to a shuffled anti-join loudly
+            val Array(hitRows, hitBytes) = {
+              val r = corpusHits.agg(count(lit(1)),
+                coalesce(sum(length(col("__corpus_text"))), lit(0L))).head()
+              Array(r.getLong(0), r.getLong(1))
+            }
+            val hitsSide =
+              if (hitRows <= 1000000L && hitBytes <= 256L * 1024 * 1024)
+                broadcast(corpusHits)
+              else {
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"corpus ingest: $hitRows matched corpus texts / " +
+                    s"$hitBytes chars exceed the broadcast bound; using a " +
+                    "shuffled anti-join for this micro-batch")
+                corpusHits
+              }
+            fresh = batchHashed
+              .join(hitsSide,
+                batchHashed("__text_h") === hitsSide("__text_h") &&
+                  batchHashed("__text_c") === hitsSide("__corpus_text"),
+                "left_anti")
+              .drop("__text_h", "__text_c")
+              // persist: the emptiness probe and the commit otherwise
+              // each re-run the corpus-side hash pass
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             if (!fresh.isEmpty) { store.commit(corpus.unionByName(fresh)); () }
           } finally {
-            fresh.unpersist(); batchHashed.unpersist(); corpusHits.unpersist()
+            if (fresh != null) fresh.unpersist()
+            batchHashed.unpersist(); corpusHits.unpersist()
             ()
           }
         }

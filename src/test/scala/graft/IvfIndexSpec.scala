@@ -33,22 +33,36 @@ class IvfIndexSpec extends SparkSuite {
     assert(c3.map(_.toSeq).toSeq === c8.map(_.toSeq).toSeq)
   }
 
-  test("duplicate-heavy corpora still train a full sample (hash-threshold collapse fallback)") {
-    // The threshold passes or rejects ALL copies of a value together, so
-    // a corpus of 2000 rows over 20 distinct embeddings passes only
-    // ~frac·20 distinct vectors — underfilled (possibly empty). The
-    // fallback TakeOrdereds the full corpus instead of failing.
+  test("duplicate-heavy corpora train on distinct vectors (threshold-collapse fallback fires)") {
+    // 2000 rows over 20 distinct embeddings, sampleSize 500: frac ≈ 0.3,
+    // and the value-level threshold passes only ~frac·20 ≈ 6 distinct
+    // vectors — far under the quota — so the full-corpus fallback MUST
+    // fire (20 < 500 keeps it under quota too: the final sample is all
+    // 20 distinct vectors). Training must neither crash nor collapse,
+    // and the result must be layout-invariant AND multiplicity-invariant:
+    // the same 20 distinct vectors with wildly skewed copy counts train
+    // the same centroids as one copy each, because the sample is a pure
+    // function of the distinct-value set.
     val base = (0 until 20).map { i =>
       graft.functions.VectorFunctions.normalize(
         Array.tabulate(16)(j => ((i * 31 + j * 7) % 13 - 6).toFloat))
     }
     val dup = (0 until 2000).map(r => Tuple1(base(r % 20))).toDF("embedding")
+    val skewed = (0 until 2000).map(r => Tuple1(base(if (r < 1981) 0 else r - 1980)))
+      .toDF("embedding")
+    val one = base.map(Tuple1(_)).toDF("embedding")
     val c3 = IvfIndex.trainCentroids(dup.repartition(3), "embedding",
       nlist = 4, sampleSize = 500)
     val c8 = IvfIndex.trainCentroids(dup.repartition(8), "embedding",
       nlist = 4, sampleSize = 500)
+    val cSkew = IvfIndex.trainCentroids(skewed, "embedding",
+      nlist = 4, sampleSize = 500)
+    val cOne = IvfIndex.trainCentroids(one, "embedding",
+      nlist = 4, sampleSize = 500)
     assert(c3.length === 4)
     assert(c3.map(_.toSeq).toSeq === c8.map(_.toSeq).toSeq)
+    assert(c3.map(_.toSeq).toSeq === cSkew.map(_.toSeq).toSeq)
+    assert(c3.map(_.toSeq).toSeq === cOne.map(_.toSeq).toSeq)
   }
 
   test("every row lands in exactly one cell; cells cover the corpus") {
