@@ -559,9 +559,18 @@ class Collection private[core] (
       var c = e
       while (c != null) {
         if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+        c match {
+          // typed check first: Spark raises file-loss with the
+          // FAILED_READ_FILE.* error condition (SparkThrowable)
+          case st: org.apache.spark.SparkThrowable
+              if Option(st.getCondition).exists(_.startsWith("FAILED_READ_FILE")) =>
+            return true
+          case _ =>
+        }
+        // message backstop: cached-plan invalidation surfaces as plain
+        // "underlying files ... have been updated" without the condition
         val m = c.getMessage
-        if (m != null && (m.contains("FAILED_READ_FILE") ||
-            m.contains("have been updated"))) return true
+        if (m != null && m.contains("have been updated")) return true
         c = if (c.getCause eq c) null else c.getCause
       }
       false
@@ -638,23 +647,25 @@ class Collection private[core] (
     // committed view — reading them through separate volatiles let a
     // concurrent commit pair an old index with the new state.
     readCommitted {
-    val s = snap
-    s.flat match {
-      case Some(idx) if where.isEmpty && whereDocument.isEmpty && negVector == null =>
-        val q = if (VectorFunctions.isNormalized(qv)) qv else VectorFunctions.normalize(qv)
-        val top = idx.topK(q, nResults).sortBy { case (id, s) => (-s, id) }
-        if (top.isEmpty) return Seq.empty
-        val scores = top.toMap
-        val order = top.map(_._1).zipWithIndex.toMap
-        // join-back materialization by id (reference collection.go:547-556)
-        s.df0.filter(col("id").isInCollection(top.map(_._1).toIndexedSeq))
-          .as[Document].collect()
-          .map(d => QueryResult(d.id, d.metadata, d.embedding, d.content, scores(d.id)))
-          .sortBy(r => order(r.id)).toIndexedSeq
-      case _ =>
-        queryDF(qv, nResults, where, whereDocument, negVector, negThreshold)
-          .as[QueryResult].collect().toIndexedSeq
-    }
+      val s = snap
+      s.flat match {
+        case Some(idx) if where.isEmpty && whereDocument.isEmpty && negVector == null =>
+          val q = if (VectorFunctions.isNormalized(qv)) qv else VectorFunctions.normalize(qv)
+          val top = idx.topK(q, nResults).sortBy { case (id, s) => (-s, id) }
+          if (top.isEmpty) IndexedSeq.empty
+          else {
+            val scores = top.toMap
+            val order = top.map(_._1).zipWithIndex.toMap
+            // join-back materialization by id (reference collection.go:547-556)
+            s.df0.filter(col("id").isInCollection(top.map(_._1).toIndexedSeq))
+              .as[Document].collect()
+              .map(d => QueryResult(d.id, d.metadata, d.embedding, d.content, scores(d.id)))
+              .sortBy(r => order(r.id)).toIndexedSeq
+          }
+        case _ =>
+          queryDF(qv, nResults, where, whereDocument, negVector, negThreshold)
+            .as[QueryResult].collect().toIndexedSeq
+      }
     }
   }
 
