@@ -190,6 +190,39 @@ object Bench {
     }
     if (flagged.nonEmpty) results("ambient_control_retime") = sparkControl()
 
+    // ---- ANN quality probe (a RATIO in [0,1], not a timing) ----------
+    // Mean ADC recall@20 of the trained IVF-PQ index over 8 queries on
+    // the FIXED sf0.001 embeddings table — the exact probe IvfPqSpec
+    // pins at a 45% structural floor. Promoted into the artifact (r12):
+    // a quality regression in sampling/centroid training used to pass
+    // silently anywhere above the spec floor (r10 57.5% → r11 56.3%
+    // was adjudicated as noise in SURVEY prose only; a 56→46% slide
+    // would have passed every gate). The value flows into the
+    // last_full.json EMA baselines like every entry; excluded from
+    // `total` like the controls, and serialized in the headline
+    // partition so it survives the driver's 2000-char tail. Loud
+    // stderr on a structural-floor breach or a >15% drop vs prev.
+    if (only.forall(_.contains("ann_recall_adc"))) {
+      try {
+        val probeDir = java.nio.file.Paths.get(sfDir)
+          .resolveSibling("sf0.001").resolve("embeddings.parquet").toString
+        val r = annRecallProbe(spark, probeDir)
+        results("ann_recall_adc") = r
+        if (r < 0.45)
+          System.err.println(String.format(java.util.Locale.ROOT,
+            "[bench] ann_recall_adc %.3f BELOW the 45%% structural floor", Double.box(r)))
+        prev.get("ann_recall_adc").filter(p => p > 0 && p <= 1.0).foreach { p =>
+          if (r < p * 0.85)
+            System.err.println(String.format(java.util.Locale.ROOT,
+              "[bench] ann_recall_adc %.3f dropped >15%% vs prev %.3f", Double.box(r), Double.box(p)))
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ann_recall_adc failed: ${e.getMessage}")
+          results("ann_recall_adc") = -1.0
+      }
+    }
+
     // The sweep leaves persisted state behind — the SparkEntry index
     // caches (IVF/LSH/term-index/graph) plus any cached plans — and the
     // parity family is graded against a hard 2× bar. r8's dataframe
@@ -317,17 +350,20 @@ object Bench {
           String.format(java.util.Locale.ROOT, "%.4f", Double.box(v)) }
       .mkString("{", ",", "}")
     val (headlineEntries, sweepEntries) = results.partition { case (k, _) =>
-      k.startsWith("chromem") || k.startsWith("ambient_control")
+      k.startsWith("chromem") || k.startsWith("ambient_control") ||
+        k.startsWith("ann_recall")
     }
     val qs = fmt(sweepEntries ++ headlineEntries)
     // datagen entries are excluded like the ambient controls: they time
     // the benchmark's own corpus synthesis (which the timed build pass
     // re-runs internally — summing both double-counts it), and their
     // r11 introduction must not read as a round-over-round total
-    // regression with zero behavior change
+    // regression with zero behavior change. ann_recall_* and *_spread
+    // are RATIOS, not seconds — summing them would be a category error.
     val total = results.collect {
       case (k, v) if v >= 0 && !k.startsWith("ambient_control") &&
-        !k.startsWith("chromem_datagen") => v
+        !k.startsWith("chromem_datagen") && !k.startsWith("ann_recall") &&
+        !k.endsWith("_spread") => v
     }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // compact retimed line (always emitted, possibly empty) between the
@@ -359,16 +395,20 @@ object Bench {
     // legitimately bimodal sub-second entries re-flagged every round
     // they landed slow — r9's and r10's flag lists are DISJOINT (2 vs 9
     // entries, zero overlap, all retimes ≤1.16× baseline): churn, not
-    // regression. The blend is ASYMMETRIC by direction:
-    //  * slower than prev: always blend 50/50 — the rebaseline LAGS, so
-    //    a sustained ≥1.3× regression keeps flagging for 2-3 rounds
-    //    (2.5× regression: stored 1.75×prev, next round 1.43× → flags
-    //    again) instead of self-acknowledging after one round; a
-    //    garbage-LOW prior self-heals geometrically.
-    //  * faster than prev: blend toward mid-band (this is the churn
-    //    fix), but a prior >2× the fresh value is distrusted and
-    //    replaced outright — blending a stale high prior would inflate
-    //    the baseline in the direction that HIDES regressions.
+    // regression. The blend FORMULA is the same 50/50 in BOTH
+    // directions — (p + now) / 2 — and that one formula serves both
+    // goals: when now is slower the rebaseline LAGS, so a sustained
+    // ≥1.3× regression keeps flagging for 2-3 rounds (2.5× regression:
+    // stored 1.75×prev, next round 1.43× → flags again) instead of
+    // self-acknowledging after one round, and a garbage-LOW prior
+    // self-heals geometrically; when now is faster the baseline lands
+    // mid-band, which is the churn fix for bimodal entries. The ONLY
+    // directional rule is the guard: a prior p > 2×now is distrusted
+    // and REPLACED outright rather than blended — blending a stale
+    // high prior would inflate the baseline in the direction that
+    // HIDES regressions. (There is no slower-side replacement cutoff
+    // on purpose: however large the regression, the baseline may only
+    // creep toward it by halves.)
     if (only.isEmpty) try {
       val baseline = results.map { case (k, v) =>
         val now = retimed.get(k).filter(r => r >= 0 && r < v).getOrElse(v)
@@ -385,6 +425,27 @@ object Bench {
       System.err.println(s"[bench] full-results write failed: ${e.getMessage}")
     }
     spark.stop()
+  }
+
+  /** Mean ADC recall@20 over 8 queries of a trained IVF-PQ index on the
+    * given embeddings table — byte-for-byte the IvfPqSpec probe (same
+    * nlist/m/k/sampleSize, same query ids, same f64 exact ground truth)
+    * so the artifact number and the spec floor grade the same quantity. */
+  private def annRecallProbe(spark: SparkSession, embPath: String): Double = {
+    import spark.implicits._
+    val emb = spark.read.parquet(embPath)
+    val idx = graft.ops.IvfPq.build(emb, "embedding", "vec_id",
+      nlist = 4, m = 16, k = 16, sampleSize = 500)
+    val hits = (0 until 8).map { q =>
+      val qv = emb.filter(col("vec_id") === q).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val approx = idx.topK(qv, k = 20, nprobe = 4)
+        .select("vec_id").as[Long].collect().toSet
+      val exact = VectorSearch.topK(emb, "embedding", qv, 20, "vec_id",
+        precision = "f64").select("vec_id").as[Long].collect().toSet
+      (approx intersect exact).size
+    }.sum
+    hits / 160.0
   }
 
   /** Prior-round name→seconds baselines for the retime pass. Preferred
@@ -698,7 +759,15 @@ object Bench {
         VectorSearch.topK(cached, "embedding", qvec(), 10, "id").collect()
       }
       cached.agg(sum(element_at(col("embedding"), 1))).collect()
-      def measureDfFamily(): (Double, Double, Double) = {
+      // (df avg, packed avg, floor MEDIAN-of-3, floor spread max/min).
+      // The floor — the family's adjudication yardstick — was a single
+      // averaged block through r11 and swung 64→130→254 ms across driver
+      // windows while the point it judges sat at 84-102 ms: one GC or
+      // ambient burst landing inside the lone block moved the yardstick
+      // more than the number. Three GC-barriered blocks, median; the
+      // spread ships with the artifact so an outlier window labels
+      // itself instead of silently re-aiming the 2× retry trigger.
+      def measureDfFamily(): (Double, Double, Double, Double) = {
         System.gc()
         var dfSec = 0.0
         var packedSec = 0.0
@@ -710,12 +779,18 @@ object Bench {
           idx.topK(qvec(), 10)
           packedSec += (System.nanoTime() - t) / 1e9
         }
-        val t0f = System.nanoTime()
-        (1 to dfQueries).foreach { _ =>
-          cached.agg(sum(element_at(col("embedding"), 1))).collect()
+        def floorBlock(reps: Int): Double = {
+          val t0f = System.nanoTime()
+          (1 to reps).foreach { _ =>
+            cached.agg(sum(element_at(col("embedding"), 1))).collect()
+          }
+          (System.nanoTime() - t0f) / 1e9 / reps
         }
-        (dfSec / dfQueries, packedSec / dfQueries,
-          (System.nanoTime() - t0f) / 1e9 / dfQueries)
+        val floors = (1 to 3).map { _ =>
+          System.gc(); floorBlock(math.max(3, dfQueries / 2))
+        }.sorted
+        (dfSec / dfQueries, packedSec / dfQueries, floors(1),
+          floors(2) / math.max(floors(0), 1e-9))
       }
       // In-family adjudication, TWO triggers (the r10 artifact recorded
       // 238 ms over a CLEAN 15 ms packed control — the packed control
@@ -733,17 +808,19 @@ object Bench {
       // Re-measure once, keep the first attempt visible under
       // *_firstpass (scan_floor included — the adjudication yardstick
       // must come from the same window as the number it judges).
-      var (dfV, dfCtrlV, floorV) = measureDfFamily()
+      var (dfV, dfCtrlV, floorV, floorSpread) = measureDfFamily()
       if (dfCtrlV > out(s"chromem_query_${n}_d1536_k10") * 1.3 ||
           (floorV > 0 && dfV > floorV * 2.0)) {
         out(s"chromem_query_${n}_d1536_k10_dataframe_firstpass") = dfV
         out(s"chromem_query_${n}_d1536_k10_packed_interleaved_firstpass") = dfCtrlV
         out(s"chromem_query_${n}_d1536_k10_scan_floor_firstpass") = floorV
-        val r = measureDfFamily(); dfV = r._1; dfCtrlV = r._2; floorV = r._3
+        val r = measureDfFamily()
+        dfV = r._1; dfCtrlV = r._2; floorV = r._3; floorSpread = r._4
       }
       out(s"chromem_query_${n}_d1536_k10_dataframe") = dfV
       out(s"chromem_query_${n}_d1536_k10_packed_interleaved") = dfCtrlV
       out(s"chromem_query_${n}_d1536_k10_scan_floor") = floorV
+      out(s"chromem_query_${n}_d1536_k10_scan_floor_spread") = floorSpread
       // blocking: this ~600 MB columnar cache draining asynchronously
       // under the 250k build was the likely cause of r9's uncontrolled
       // 2.6× regression on that tier

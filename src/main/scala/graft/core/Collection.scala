@@ -66,17 +66,26 @@ class Collection private[core] (
     * `synchronized`, so copy-and-swap inside a writer is race-free;
     * displaced indexes unpersist AFTER the swap so no new reader can pick
     * them up. */
-  private final case class Snap(
-      df0: DataFrame,
-      n: Long,
-      flat: Option[graft.ops.VectorIndex[String]],
-      lsh: Option[graft.ops.LshIndex],
-      ivf: Option[graft.ops.IvfState])
+  private final class Snap(
+      val df0: DataFrame,
+      val n: Long,
+      val flat: Option[graft.ops.VectorIndex[String]],
+      val lsh: Option[graft.ops.LshIndex],
+      val ivf: Option[graft.ops.IvfState]) {
+    // plain class (not a case class: the synthetic inner-class equals
+    // emits an uncheckable outer-reference type test); identity
+    // semantics are what `snap eq before` wants anyway
+    def copy(
+        flat: Option[graft.ops.VectorIndex[String]] = this.flat,
+        lsh: Option[graft.ops.LshIndex] = this.lsh,
+        ivf: Option[graft.ops.IvfState] = this.ivf): Snap =
+      new Snap(df0, n, flat, lsh, ivf)
+  }
 
   @volatile private var snap: Snap = {
     val df = initial.getOrElse(spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], Document.schema))
-    Snap(df, initial.map(_.count()).getOrElse(0L), None, None, None)
+    new Snap(df, initial.map(_.count()).getOrElse(0L), None, None, None)
   }
 
   def metadata: Map[String, String] = collMetadata
@@ -178,6 +187,15 @@ class Collection private[core] (
     // mapped onto Spark tasks).
     val embedded = conformed.as[Document].mapPartitions { it =>
       it.grouped(256).flatMap { chunk => // bounded per-task buffering
+        // id validation HERE, not just in addDocuments (reference
+        // NewDocument, collection.go:257-259): addDF is the scale entry
+        // point, and a null/empty-id row that carries its own embedding
+        // would otherwise skip every other guard and enter state as an
+        // unaddressable id
+        chunk.foreach { d =>
+          if (d.id == null || d.id.isEmpty)
+            throw new IllegalArgumentException("document id is empty")
+        }
         val (needVec, haveVec) =
           chunk.partition(d => d.embedding == null || d.embedding.isEmpty)
         needVec.foreach { d =>
@@ -352,7 +370,9 @@ class Collection private[core] (
   def buildIndex(numBlocks: Int = 0): Unit = synchronized {
     val s = snap
     if (s.n > 0) {
-      val built = graft.ops.VectorIndex
+      // explicit type: the this.type chain otherwise infers an
+      // inexpressible existential (a -feature warning)
+      val built: graft.ops.VectorIndex[String] = graft.ops.VectorIndex
         .build[String](s.df0.filter(col("embedding").isNotNull), "id", "embedding",
           embeddingDim(s.df0), numBlocks)
         .persist().materialize()
@@ -554,10 +574,15 @@ class Collection private[core] (
     * "underlying files ... have been updated"). `body` must read
     * `snap`/`df` INSIDE itself: on file loss we re-run it against the
     * freshly committed snapshot — each attempt sees one coherent view. */
-  private def readCommitted[A](body: => A): A = {
+  private[core] def readCommitted[A](body: => A): A = {
     def fileLoss(e: Throwable): Boolean = {
       var c = e
-      while (c != null) {
+      // depth bound: a cause CYCLE of length > 1 (A->B->A) would loop
+      // forever under the simple self-reference check alone; real Spark
+      // cause chains are < 10 deep
+      var hops = 0
+      while (c != null && hops < 20) {
+        hops += 1
         if (c.isInstanceOf[java.io.FileNotFoundException]) return true
         c match {
           // typed check first: Spark raises file-loss with the
@@ -575,13 +600,20 @@ class Collection private[core] (
       }
       false
     }
+    val maxAttempts = 3
     var attempt = 0
-    while (attempt < 3) {
+    while (true) {
       attempt += 1
       val before = snap
       try return body
       catch {
-        case e: Throwable if attempt < 3 && persistRef.isDefined && fileLoss(e) =>
+        case e: Throwable if persistRef.isDefined && fileLoss(e) =>
+          if (attempt >= maxAttempts)
+            // sustained back-to-back commits starved the reader; say so
+            // instead of surfacing a raw FileNotFoundException
+            throw new java.util.ConcurrentModificationException(
+              s"read-committed read lost its pinned file view $maxAttempts times " +
+                "in a row under concurrent commits; last loss attached").initCause(e)
           // The displaced files die inside the concurrent commit's
           // write() swap, but the NEW snapshot lands only after its
           // post-swap re-read/count — retrying immediately would
@@ -596,7 +628,7 @@ class Collection private[core] (
           if (snap eq before) Thread.sleep(50) // commit not yet in its monitor: one short grace
       }
     }
-    body // unreachable (attempt 3 returns or throws); satisfies the result type
+    throw new IllegalStateException("unreachable: retry loop returns or throws")
   }
 
   /** Join-back materialization for (id, score) frames — the reference's
@@ -740,7 +772,7 @@ class Collection private[core] (
     // swap the whole view first (new state, no indexes), THEN release the
     // displaced indexes — after the swap no new reader can reach them
     val old = snap
-    snap = Snap(materialized, materialized.count(), None, None, None)
+    snap = new Snap(materialized, materialized.count(), None, None, None)
     old.flat.foreach(_.unpersist())
     old.lsh.foreach(_.unpersist())
     old.ivf.foreach(_.unpersist())
@@ -752,3 +784,5 @@ trait CollectionPersistence {
   def write(df: DataFrame): Unit
   def read(spark: SparkSession): DataFrame
 }
+
+

@@ -17,7 +17,10 @@ object Evaluation {
     else exact.toSet.intersect(approx.toSet).size.toDouble / exact.size
 
   /** Pair-level precision/recall of candidate pairs vs ground-truth pairs
-    * (for dedup sketches). Both DataFrames need (id_a, id_b) columns. */
+    * (for dedup sketches). Both DataFrames need (id_a, id_b) columns, in
+    * the SAME canonical orientation on both sides (the dedup ops emit
+    * id_a < id_b) — a (b,a) candidate for a (a,b) truth row counts as a
+    * miss, by design: orientation is part of the pair key. */
   def pairMetrics(truth: DataFrame, candidates: DataFrame): (Double, Double) = {
     val t = truth.select("id_a", "id_b").distinct()
     val c = candidates.select("id_a", "id_b").distinct()
@@ -233,7 +236,10 @@ object Evaluation {
 
   /** Mean recall@k of an ANN method over a batch of query rows, against
     * brute-force ground truth via knnJoin. `exact`/`approx` both carry
-    * (query_id, vec_id) rows ranked within each query_id. */
+    * (query_id, vec_id) rows ranked within each query_id; rows must be
+    * UNIQUE per (query_id, vec_id) — a duplicated approx row would count
+    * twice against the exact total and report recall > 1 (the knnJoin /
+    * index probes feeding this all emit unique pairs). */
   def meanRecallAtK(exact: DataFrame, approx: DataFrame): Double = {
     val hits = approx.join(exact, Seq("query_id", "vec_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("hits"))

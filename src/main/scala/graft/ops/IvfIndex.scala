@@ -46,6 +46,17 @@ object IvfIndex {
     //    (k-means slots spent on copies just re-weight one point), and
     //    value-level hash membership keeps either ALL copies or none, so
     //    a duplicate-heavy corpus would collapse to frac·distinct points.
+    //    DELIBERATE TRADEOFF: distinct training drops multiplicity
+    //    weighting — on a duplicate-skewed corpus the centroids track
+    //    the distinct-value geometry, not the row density, so cells
+    //    balance by value count rather than row count (copies of one
+    //    vector always land in ONE cell regardless). We pin
+    //    multiplicity-INVARIANCE (duplicating rows never moves
+    //    centroids — IvfIndexSpec) as the stronger reproducibility
+    //    property; if row-density-aware cells ever matter more, the
+    //    layout-invariant alternative is weighted k-means over
+    //    (distinct vector, count) pairs from groupBy(vecCol).count —
+    //    NOT a return to sample().
     //  * hash order, not lexicographic (the Pq.train convention): a
     //    lexicographic prefix keeps the smallest first components and
     //    measurably degrades the trained cells. One SEEDED hash serves as

@@ -259,6 +259,15 @@ object ExportImport {
         // this method's finally runs.
         val rows = spark.read.schema(Document.schema)
           .parquet(tmp.resolve(s"$dirName/documents.parquet").toString)
+        // Full-decode validation BEFORE the destructive overwrite:
+        // createCollection replaces any existing same-named collection,
+        // so a corrupt archive entry must fail HERE, while the old
+        // collection is still intact — not inside addDF after the old
+        // one is already gone. (A bare count() reads only row-group
+        // metadata; materializing every Row decodes every page.) One
+        // extra scan, O(entry) — inside the single-file few-GB snapshot
+        // contract this method documents.
+        rows.rdd.foreach(_ => ())
         val c = db.createCollection(name, metadata) // overwrite (db.go:201)
         if (!rows.isEmpty) c.addDF(rows)
       }

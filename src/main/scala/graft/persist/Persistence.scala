@@ -179,11 +179,18 @@ object Json {
         case '{' => parseObject()
         case '[' => parseArray()
         case '"' => parseString()
-        case 't' => i += 4; true
-        case 'f' => i += 5; false
-        case 'n' => i += 4; null
+        // verify the whole literal: a bare `i += 4` accepted any 4 chars
+        // starting with t/f/n as true/false/null
+        case 't' => literal("true"); true
+        case 'f' => literal("false"); false
+        case 'n' => literal("null"); null
         case _ => parseNumber()
       }
+    }
+    private def literal(w: String): Unit = {
+      if (!s.startsWith(w, i))
+        throw new IllegalArgumentException(s"bad literal at $i in JSON")
+      i += w.length
     }
     private def parseObject(): Map[String, Any] = {
       expect('{'); ws()
@@ -217,10 +224,12 @@ object Json {
     private def parseString(): String = {
       expect('"')
       val sb = new StringBuilder
-      while (s.charAt(i) != '"') {
+      while (i < s.length && s.charAt(i) != '"') {
         val c = s.charAt(i)
         if (c == '\\') {
           i += 1
+          if (i >= s.length)
+            throw new IllegalArgumentException("unterminated escape in JSON string")
           s.charAt(i) match {
             case '"' => sb += '"'
             case '\\' => sb += '\\'
@@ -231,6 +240,8 @@ object Json {
             case 'r' => sb += '\r'
             case 't' => sb += '\t'
             case 'u' =>
+              if (i + 5 > s.length)
+                throw new IllegalArgumentException("truncated \\u escape in JSON string")
               sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
               i += 4
             case other => throw new IllegalArgumentException(s"bad escape \\$other")
@@ -238,6 +249,8 @@ object Json {
         } else sb += c
         i += 1
       }
+      if (i >= s.length)
+        throw new IllegalArgumentException("unterminated string in JSON")
       i += 1
       sb.result()
     }

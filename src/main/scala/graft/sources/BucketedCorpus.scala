@@ -49,7 +49,8 @@ object BucketedCorpus {
 
   /** Re-attach an existing bucketed layout in a fresh session: issues the
     * CREATE TABLE ... CLUSTERED BY DDL over the files already at `dir`.
-    * Metadata-only — nothing is read or rewritten at registration time. */
+    * Reads parquet FOOTERS once for the schema (cheap, bounded by file
+    * count); no data pages are read and nothing is rewritten. */
   def register(
       spark: SparkSession,
       table: String,

@@ -62,7 +62,13 @@ object DocumentSource {
     * missing values → ""); otherwise a `metadata` column passes through —
     * as a map directly, or as the struct `spark.read.json` infers for a
     * JSON object (keys whose value is absent on a row are dropped, so
-    * [[writeJsonl]] output round-trips to the original per-row maps). */
+    * [[writeJsonl]] output round-trips to the original per-row maps).
+    *
+    * Rows with a NULL content field and no `idField` get a NULL id
+    * (md5(null) is null) — deliberately passed through, not silently
+    * dropped: `Collection.addDocuments` rejects empty/null ids loudly,
+    * which is the right surface for a corrupt source row. Filter
+    * `col(contentField).isNotNull` first if nulls are expected. */
   def conform(
       df: DataFrame,
       contentField: String,

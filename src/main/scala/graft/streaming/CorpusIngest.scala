@@ -109,7 +109,7 @@ object CorpusIngest {
           // (birthday-regime risk at multi-billion-row corpora). The
           // corpus is scanned but never shuffled/distinct-ed per
           // micro-batch, and corpus text travels only for hash matches.
-          import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, length, lit, sum, xxhash64}
+          import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, lit, sum, xxhash64}
           val batchHashed = nearNew
             .withColumn("__text_c", coalesce(col(textCol), lit("")))
             .withColumn("__text_h", xxhash64(col("__text_c")))
@@ -146,17 +146,22 @@ object CorpusIngest {
             // driver even at batch-bounded row counts — over either
             // bound, fall back to a shuffled anti-join loudly
             val Array(hitRows, hitBytes) = {
+              // octet_length = real UTF-8 bytes, not length()'s char
+              // count; the deserialized driver-heap copy is UTF-16, at
+              // most 2× the octets (ASCII worst case), so a 128 MiB
+              // octet bound keeps the materialized broadcast ≤~256 MiB
+              // of heap chars
               val r = corpusHits.agg(count(lit(1)),
-                coalesce(sum(length(col("__corpus_text"))), lit(0L))).head()
+                coalesce(sum(expr("octet_length(__corpus_text)")), lit(0L))).head()
               Array(r.getLong(0), r.getLong(1))
             }
             val hitsSide =
-              if (hitRows <= 1000000L && hitBytes <= 256L * 1024 * 1024)
+              if (hitRows <= 1000000L && hitBytes <= 128L * 1024 * 1024)
                 broadcast(corpusHits)
               else {
                 org.slf4j.LoggerFactory.getLogger(getClass).warn(
                   s"corpus ingest: $hitRows matched corpus texts / " +
-                    s"$hitBytes chars exceed the broadcast bound; using a " +
+                    s"$hitBytes utf8 bytes exceed the broadcast bound; using a " +
                     "shuffled anti-join for this micro-batch")
                 corpusHits
               }

@@ -243,6 +243,16 @@ class CollectionSpec extends SparkSuite {
     // readCommitted wrapper must retry it against the new snapshot, so
     // readers never see the race. (Each view's file list is pinned at
     // commit time, so results can't silently tear — only fail loudly.)
+    // Races like this pass 99 runs and fail the 100th: the per-round
+    // gate loops the whole scenario (fresh dir each rep) via
+    // GRAFT_RC_STRESS_REPS; default 1 keeps `sbt test` fast.
+    val reps = sys.env.getOrElse("GRAFT_RC_STRESS_REPS", "1").toInt
+    for (rep <- 1 to reps) withClue(s"stress rep $rep/$reps: ") {
+      readCommittedStressOnce()
+    }
+  }
+
+  private def readCommittedStressOnce(): Unit = {
     val root = java.nio.file.Files.createTempDirectory("graft-rc").toString
     val ef = new graft.embed.HashingEmbeddingFunc(16)
     val db = graft.core.DB.persistent(spark, root, ef)
@@ -278,6 +288,24 @@ class CollectionSpec extends SparkSuite {
     writer.get(); readers.foreach(_.get()); pool.shutdown()
     assert(errors.isEmpty, s"persistent concurrent query failed: ${errors.peek()}")
     assert(c.count() === 35)
+  }
+
+  test("addDF rejects null/empty ids loudly even when the row carries its own embedding") {
+    // addDocuments validates driver-side, but addDF is the scale entry
+    // point: a null-id row WITH an embedding used to skip every guard
+    // (the content check only fires for rows needing embedding) and
+    // enter state as an unaddressable id (r12 fix)
+    import spark.implicits._
+    val c = freshDb.createCollection("null-id")
+    for (badId <- Seq(null.asInstanceOf[String], "")) withClue(s"id=$badId: ") {
+      val df = withLogLevel(spark.createDataset(Seq(
+        Document(badId, Map.empty, Array(1f, 0f, 0f), "has its own vector"))).toDF())
+      val e = intercept[Exception] { withLogLevel(c.addDF(df)) }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .take(10).map(t => Option(t.getMessage).getOrElse("")).toSeq
+      assert(msgs.exists(_.contains("document id is empty")), s"got: $msgs")
+    }
+    assert(c.count() === 0, "failed batch must not mutate state")
   }
 
   test("query clamps k to filtered size but errors when k > count (collection.go:505,536)") {

@@ -112,6 +112,46 @@ class ExportImportSpec extends SparkSuite {
     }
   }
 
+  test("a corrupt archive entry fails the import BEFORE destroying the existing collection") {
+    // createCollection-overwrite is destructive; the import must
+    // full-decode the staged parquet first, so a corrupt entry surfaces
+    // while the old same-named collection is still intact (r12 fix —
+    // previously the overwrite happened before the first read touched
+    // the data pages)
+    val dir = Files.createTempDirectory("graft-exp")
+    val f = dir.resolve("db.snap")
+    populated.exportToFile(f.toString)
+    // rewrite the zip, garbling alpha's documents.parquet bytes
+    val alphaEntry = graft.persist.Persistence.hash2hex("alpha") + "/documents.parquet"
+    val g = dir.resolve("corrupt.snap")
+    val zis = new java.util.zip.ZipInputStream(
+      new java.io.BufferedInputStream(Files.newInputStream(f)))
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.BufferedOutputStream(Files.newOutputStream(g)))
+    try {
+      var e = zis.getNextEntry
+      while (e != null) {
+        zos.putNextEntry(new java.util.zip.ZipEntry(e.getName))
+        val bytes = zis.readAllBytes()
+        if (e.getName == alphaEntry) {
+          val rnd = new java.util.Random(1L)
+          rnd.nextBytes(bytes) // same length, pure garbage
+        }
+        zos.write(bytes)
+        zos.closeEntry()
+        e = zis.getNextEntry
+      }
+    } finally { zis.close(); zos.close() }
+    val target = DB.inMemory(spark, ConstEmbeddingFunc.stub())
+    target.createCollection("alpha", Map("kind" -> "precious"))
+      .addDocuments(Seq(Document("keep", content = "still here")))
+    intercept[Exception] { target.importFromFile(g.toString) }
+    val survived = target.getCollection("alpha")
+    assert(survived != null && survived.getByID("keep").content === "still here",
+      "existing collection must survive a corrupt import")
+    assert(survived.metadata === Map("kind" -> "precious"))
+  }
+
   test("import into a persistent DB re-persists (db.go:261-275)") {
     val f = Files.createTempDirectory("graft-exp").resolve("db.snap").toString
     populated.exportToFile(f)

@@ -158,6 +158,25 @@ class PersistenceSpec extends SparkSuite {
     assert(p("o").asInstanceOf[Map[String, Any]]("k") === "v")
   }
 
+  test("Json rejects malformed input loudly (no raw index errors, no lenient literals)") {
+    // truncated strings/escapes surfaced StringIndexOutOfBounds and any
+    // 4 chars starting with t/f/n parsed as a literal before the r12
+    // hardening — provider HTTP bodies and sidecars reach this parser
+    for (bad <- Seq(
+        """{"k": "unterminated""",      // string never closes
+        """{"k": "trailing\""",         // escape at end of input
+        "{\"k\": \"\\u00",              // truncated unicode escape
+        """{"k": tru}""",               // partial literal
+        """{"k": falsx}""",             // wrong literal tail
+        """{"k": nul}"""))              // partial null
+      withClue(bad) {
+        intercept[IllegalArgumentException](Json.parse(bad))
+      }
+    // exact literals still parse
+    assert(Json.parse("""[true, false, null]""").asInstanceOf[List[Any]]
+      === List(true, false, null))
+  }
+
   test("crashed swap window (only documents.old on disk) recovers the last dataset") {
     val root = tempRoot
     val db = withLogLevel(DB.persistent(spark, root, ConstEmbeddingFunc.stub()))

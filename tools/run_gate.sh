@@ -26,6 +26,16 @@ sbt -batch test > /tmp/gate_test.log 2>&1 \
   || { tail -30 /tmp/gate_test.log; echo "sbt test FAILED"; exit 1; }
 grep -E 'Tests:|\*\*\* FAILED' /tmp/gate_test.log || true
 
+echo "== read-committed concurrency stress ×${GRAFT_RC_STRESS_REPS:-10} =="
+# races pass 99 runs and fail the 100th: loop the concurrent-commit
+# stress (writer swapping parquet dirs under 4 readers) every round,
+# fresh temp dir per rep — the plain `sbt test` above runs it once
+GRAFT_RC_STRESS_REPS=${GRAFT_RC_STRESS_REPS:-10} \
+  sbt -batch 'testOnly graft.CollectionSpec -- -z "read-committed retry"' \
+  > /tmp/gate_stress.log 2>&1 \
+  || { tail -30 /tmp/gate_stress.log; echo "read-committed stress FAILED"; exit 1; }
+grep -E 'Tests:|\*\*\* FAILED' /tmp/gate_stress.log || true
+
 echo "== Verify @ sf0.01 =="
 rm -rf /tmp/gate_out
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} \
