@@ -409,10 +409,25 @@ object Bench {
     // HIDES regressions. (There is no slower-side replacement cutoff
     // on purpose: however large the regression, the baseline may only
     // creep toward it by halves.)
+    // Direction exceptions to the blend:
+    //  * a FAILED entry (now <= 0) keeps the prior baseline — storing
+    //    the -1 sentinel would blind the next round's comparison against
+    //    the last healthy value (one transient probe failure would
+    //    permanently clobber a 0.56 recall baseline);
+    //  * ann_recall_* is HIGHER-is-better, which inverts every property
+    //    the timing blend was tuned for (a sustained recall drop would
+    //    blend the baseline DOWN and self-acknowledge after one round;
+    //    a collapse past the 2× guard would replace the baseline with
+    //    the collapsed value outright). Recall keeps a HIGH-WATER mark
+    //    instead: noise-sized dips stay inside the 15% stderr band,
+    //    and a real regression keeps comparing against the best healthy
+    //    value every round until fixed.
     if (only.isEmpty) try {
       val baseline = results.map { case (k, v) =>
         val now = retimed.get(k).filter(r => r >= 0 && r < v).getOrElse(v)
         k -> (prev.get(k) match {
+          case Some(p) if now <= 0 && p > 0 => p
+          case Some(p) if k.startsWith("ann_recall") && p > 0 => math.max(p, now)
           case Some(p) if now > 0 && p > 0 && p <= now * 2 => (p + now) / 2
           case _ => now
         })
@@ -427,26 +442,11 @@ object Bench {
     spark.stop()
   }
 
-  /** Mean ADC recall@20 over 8 queries of a trained IVF-PQ index on the
-    * given embeddings table — byte-for-byte the IvfPqSpec probe (same
-    * nlist/m/k/sampleSize, same query ids, same f64 exact ground truth)
-    * so the artifact number and the spec floor grade the same quantity. */
-  private def annRecallProbe(spark: SparkSession, embPath: String): Double = {
-    import spark.implicits._
-    val emb = spark.read.parquet(embPath)
-    val idx = graft.ops.IvfPq.build(emb, "embedding", "vec_id",
-      nlist = 4, m = 16, k = 16, sampleSize = 500)
-    val hits = (0 until 8).map { q =>
-      val qv = emb.filter(col("vec_id") === q).select("embedding")
-        .head().getSeq[Float](0).toArray
-      val approx = idx.topK(qv, k = 20, nprobe = 4)
-        .select("vec_id").as[Long].collect().toSet
-      val exact = VectorSearch.topK(emb, "embedding", qv, 20, "vec_id",
-        precision = "f64").select("vec_id").as[Long].collect().toSet
-      (approx intersect exact).size
-    }.sum
-    hits / 160.0
-  }
+  /** The IvfPqSpec ADC probe on the given embeddings table — delegates
+    * to the ONE shared definition (Evaluation.ivfPqAdcRecallProbe) so
+    * the artifact number and the spec floor grade the same quantity. */
+  private def annRecallProbe(spark: SparkSession, embPath: String): Double =
+    graft.ops.Evaluation.ivfPqAdcRecallProbe(spark.read.parquet(embPath))
 
   /** Prior-round name→seconds baselines for the retime pass. Preferred
     * source: `bench_local/last_full.json`, the full-results file this
@@ -814,6 +814,9 @@ object Bench {
         out(s"chromem_query_${n}_d1536_k10_dataframe_firstpass") = dfV
         out(s"chromem_query_${n}_d1536_k10_packed_interleaved_firstpass") = dfCtrlV
         out(s"chromem_query_${n}_d1536_k10_scan_floor_firstpass") = floorV
+        // the spread too: the poisoned first window is exactly the one
+        // the spread exists to label
+        out(s"chromem_query_${n}_d1536_k10_scan_floor_spread_firstpass") = floorSpread
         val r = measureDfFamily()
         dfV = r._1; dfCtrlV = r._2; floorV = r._3; floorSpread = r._4
       }

@@ -234,6 +234,31 @@ object Evaluation {
       .orderBy("query_id")
   }
 
+  /** The IVF-PQ ADC quality probe shared by IvfPqSpec (45% structural
+    * floor) and Bench's per-round `ann_recall_adc` artifact metric —
+    * ONE definition so the spec floor and the committed artifact number
+    * always grade the same quantity (a Bench-side copy would silently
+    * diverge the first time the spec probe is retuned): a fresh IVF-PQ
+    * index (nlist=4, m=16, k=16, sampleSize=500) over `emb`
+    * (columns vec_id, embedding), mean ADC recall@20 across queries
+    * vec_id 0..7 against exact f64 brute-force ground truth. */
+  def ivfPqAdcRecallProbe(emb: DataFrame): Double = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val idx = IvfPq.build(emb, "embedding", "vec_id", nlist = 4, m = 16,
+      k = 16, sampleSize = 500)
+    val hits = (0 until 8).map { q =>
+      val qv = emb.filter(col("vec_id") === q).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val approx = idx.topK(qv, k = 20, nprobe = 4)
+        .select("vec_id").as[Long].collect().toSet
+      val exact = VectorSearch.topK(emb, "embedding", qv, 20, "vec_id",
+        precision = "f64").select("vec_id").as[Long].collect().toSet
+      (approx intersect exact).size
+    }.sum
+    hits / 160.0
+  }
+
   /** Mean recall@k of an ANN method over a batch of query rows, against
     * brute-force ground truth via knnJoin. `exact`/`approx` both carry
     * (query_id, vec_id) rows ranked within each query_id; rows must be

@@ -247,27 +247,37 @@ object ExportImport {
       val names = manifest("collections").asInstanceOf[List[Any]].map(_.asInstanceOf[String])
       val wanted = if (collections.isEmpty) names
         else names.filter(collections.contains)
-      wanted.foreach { name =>
+      // Phase 1 — validate EVERY wanted entry BEFORE the first
+      // destructive createCollection overwrite: metadata parses, the
+      // staged parquet full-decodes (a bare count() reads only row-group
+      // metadata; materializing every Row decodes every page), and every
+      // row passes the ingest id contract (addDF would reject a
+      // null/empty id AFTER the old collection is already gone). A
+      // corrupt or invalid archive therefore fails while ALL existing
+      // same-named collections are still intact — per-entry validation
+      // inside the import loop would leave a mixed old/new DB when the
+      // second of two entries is the bad one. One extra scan per entry,
+      // O(archive) — inside the single-file few-GB snapshot contract
+      // this method documents. (Lazy reads stay safe against the
+      // temp-dir cleanup because addDF materializes eagerly before this
+      // method's finally runs.)
+      val staged = wanted.map { name =>
         val dirName = Persistence.hash2hex(name)
         val md = Json.parse(Files.readString(tmp.resolve(s"$dirName/metadata.json")))
           .asInstanceOf[Map[String, Any]]
         val metadata = md.getOrElse("metadata", Map.empty[String, Any])
           .asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.asInstanceOf[String] }
-        // Lazy parquet read — no driver-side collect. Safe against the
-        // temp-dir cleanup because addDF materializes eagerly (persist
-        // write or eager localCheckpoint in Collection.commit) before
-        // this method's finally runs.
         val rows = spark.read.schema(Document.schema)
           .parquet(tmp.resolve(s"$dirName/documents.parquet").toString)
-        // Full-decode validation BEFORE the destructive overwrite:
-        // createCollection replaces any existing same-named collection,
-        // so a corrupt archive entry must fail HERE, while the old
-        // collection is still intact — not inside addDF after the old
-        // one is already gone. (A bare count() reads only row-group
-        // metadata; materializing every Row decodes every page.) One
-        // extra scan, O(entry) — inside the single-file few-GB snapshot
-        // contract this method documents.
-        rows.rdd.foreach(_ => ())
+        rows.rdd.foreach { r =>
+          if (r.isNullAt(0) || r.getString(0).isEmpty)
+            throw new IllegalArgumentException(
+              s"archive entry '$name' holds a document with a null/empty id")
+        }
+        (name, metadata, rows)
+      }
+      // Phase 2 — the destructive overwrites, against validated inputs
+      staged.foreach { case (name, metadata, rows) =>
         val c = db.createCollection(name, metadata) // overwrite (db.go:201)
         if (!rows.isEmpty) c.addDF(rows)
       }

@@ -112,17 +112,21 @@ class ExportImportSpec extends SparkSuite {
     }
   }
 
-  test("a corrupt archive entry fails the import BEFORE destroying the existing collection") {
-    // createCollection-overwrite is destructive; the import must
-    // full-decode the staged parquet first, so a corrupt entry surfaces
-    // while the old same-named collection is still intact (r12 fix —
-    // previously the overwrite happened before the first read touched
-    // the data pages)
+  test("a corrupt archive entry fails the import BEFORE destroying ANY existing collection") {
+    // createCollection-overwrite is destructive; the import validates
+    // every staged entry (full decode + id contract) before the FIRST
+    // overwrite, so a corrupt entry surfaces while all old same-named
+    // collections are still intact (r12 fix — previously the overwrite
+    // happened before the first read touched the data pages, and
+    // per-entry validation would still have left a mixed old/new DB
+    // when the corrupt entry is not the first). Corrupting BETA (sorted
+    // after alpha in the manifest) pins exactly that: valid alpha must
+    // NOT have been imported when beta's validation fails.
     val dir = Files.createTempDirectory("graft-exp")
     val f = dir.resolve("db.snap")
     populated.exportToFile(f.toString)
-    // rewrite the zip, garbling alpha's documents.parquet bytes
-    val alphaEntry = graft.persist.Persistence.hash2hex("alpha") + "/documents.parquet"
+    // rewrite the zip, garbling beta's documents.parquet bytes
+    val betaEntry = graft.persist.Persistence.hash2hex("beta") + "/documents.parquet"
     val g = dir.resolve("corrupt.snap")
     val zis = new java.util.zip.ZipInputStream(
       new java.io.BufferedInputStream(Files.newInputStream(f)))
@@ -133,7 +137,7 @@ class ExportImportSpec extends SparkSuite {
       while (e != null) {
         zos.putNextEntry(new java.util.zip.ZipEntry(e.getName))
         val bytes = zis.readAllBytes()
-        if (e.getName == alphaEntry) {
+        if (e.getName == betaEntry) {
           val rnd = new java.util.Random(1L)
           rnd.nextBytes(bytes) // same length, pure garbage
         }
@@ -145,11 +149,16 @@ class ExportImportSpec extends SparkSuite {
     val target = DB.inMemory(spark, ConstEmbeddingFunc.stub())
     target.createCollection("alpha", Map("kind" -> "precious"))
       .addDocuments(Seq(Document("keep", content = "still here")))
-    intercept[Exception] { target.importFromFile(g.toString) }
-    val survived = target.getCollection("alpha")
-    assert(survived != null && survived.getByID("keep").content === "still here",
-      "existing collection must survive a corrupt import")
-    assert(survived.metadata === Map("kind" -> "precious"))
+    target.createCollection("beta", Map("kind" -> "fragile"))
+      .addDocuments(Seq(Document("keep2", content = "also here")))
+    intercept[Exception] { withLogLevel(target.importFromFile(g.toString)) }
+    val alpha = target.getCollection("alpha")
+    assert(alpha != null && alpha.getByID("keep").content === "still here",
+      "valid-but-not-yet-imported collection must survive a corrupt import")
+    assert(alpha.metadata === Map("kind" -> "precious"))
+    val beta = target.getCollection("beta")
+    assert(beta != null && beta.getByID("keep2").content === "also here")
+    assert(beta.metadata === Map("kind" -> "fragile"))
   }
 
   test("import into a persistent DB re-persists (db.go:261-275)") {

@@ -37,18 +37,11 @@ class IvfPqSpec extends SparkSuite {
     // the 45% mean floor is far above a structural break (random codes
     // score ~3%) and comfortably below the healthy band (r10 sampling
     // 57.5%, r11 distinct-sampling 56.3% on this exact probe).
-    val idx = IvfPq.build(emb, "embedding", "vec_id", nlist = 4, m = 16,
-      k = 16, sampleSize = 500)
-    val hits = (0 until 8).map { q =>
-      val qvq = emb.filter(col("vec_id") === q).select("embedding")
-        .head().getSeq[Float](0).toArray
-      val approx = idx.topK(qvq, k = 20, nprobe = 4)
-        .select("vec_id").as[Long].collect().toSet
-      val exact = VectorSearch.topK(emb, "embedding", qvq, 20, "vec_id",
-        precision = "f64").select("vec_id").as[Long].collect().toSet
-      (approx intersect exact).size
-    }.sum
-    assert(hits >= 72, s"ADC mean recall too low: $hits/160")
+    // the probe body lives in Evaluation.ivfPqAdcRecallProbe — the ONE
+    // definition Bench's per-round ann_recall_adc artifact metric also
+    // calls, so this floor and the artifact grade the same quantity
+    val r = graft.ops.Evaluation.ivfPqAdcRecallProbe(emb)
+    assert(r >= 0.45, s"ADC mean recall too low: $r")
   }
 
   test("rerank returns the exact top-k when candidates cover it") {

@@ -22,7 +22,10 @@ done
 echo "== sbt test =="
 # run to a log and check the exit code explicitly — piping through grep
 # would let a red suite slip past `set -o pipefail` via the `|| true`
-sbt -batch test > /tmp/gate_test.log 2>&1 \
+# pin the stress to ONE rep here regardless of the caller's env — a
+# caller exporting GRAFT_RC_STRESS_REPS for the dedicated step below
+# must not silently multiply the full suite's copy of the test too
+GRAFT_RC_STRESS_REPS=1 sbt -batch test > /tmp/gate_test.log 2>&1 \
   || { tail -30 /tmp/gate_test.log; echo "sbt test FAILED"; exit 1; }
 grep -E 'Tests:|\*\*\* FAILED' /tmp/gate_test.log || true
 
