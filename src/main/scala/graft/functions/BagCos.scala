@@ -96,8 +96,14 @@ object BagCos {
   def first_common_long(a: Column, b: Column): Column =
     column(FirstCommonLong(toExpr(a), toExpr(b)))
 
-  /** Referenced from generated code: q²·dot² ≥ p²·na2·nb2, exactly. */
+  /** Referenced from generated code: q²·dot² ≥ p²·na2·nb2, exactly.
+    * Zero-norm guard first: cosine is UNDEFINED for an empty/zero bag,
+    * and without it the comparison is vacuously 0 ≥ 0 = true — an
+    * empty doc would read as "similar" to every counterpart (the dense
+    * kernel guards the same edge with dot > 0). Current Dedup call
+    * sites can't build empty bags, but this is a public Column API. */
   def ge(dotV: Long, na2: Long, nb2: Long, p: Long, q: Long): Boolean = {
+    if (na2 == 0L || nb2 == 0L) return false
     val a = q.toDouble * dotV.toDouble
     val lhs = a * a
     val rhs = p.toDouble * p.toDouble * na2.toDouble * nb2.toDouble

@@ -25,6 +25,10 @@ object BloomFunctions {
 
 case class BloomMightContainLong(child: Expression, bf: BloomFilter)
     extends UnaryExpression {
+  // analysis-time guard (HashTypeChecks house rule): a wrong input type
+  // must fail analysis, not ClassCastException mid-task
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    HashTypeChecks.long(child.dataType, prettyName)
   override def dataType: DataType = BooleanType
   override def nullSafeEval(a: Any): Any =
     bf.mightContainLong(a.asInstanceOf[Long])

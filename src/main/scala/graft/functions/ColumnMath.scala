@@ -1,0 +1,24 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+import org.apache.spark.sql.functions.{lit, pmod}
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+/** Shared exact integer Column arithmetic (the ONE floor-division
+  * definition — RangeJoin and Profile previously each had a private
+  * copy, and they disagreed: the Profile form routed `(a - pmod(a,b))/b`
+  * through DOUBLE division, whose integer-valued quotient is only exact
+  * while the numerator fits in 2^53 — above that (epoch-micros
+  * territory) the nearest-double numerator truncates through
+  * cast("long") to q-1 for quotients the exact form gets right). */
+object ColumnMath {
+
+  /** Exact floor-division for integral columns: `/` rounds through
+    * double (loses bits above 2^53); bare DIV truncates toward zero
+    * (misbins negatives). `a - pmod(a, w)` is exactly divisible and
+    * IntegralDivide stays in longs end-to-end. Null in ⇒ null out. */
+  def floorDiv(c: Column, w: Long): Column =
+    column(IntegralDivide(
+      expression(c - pmod(c, lit(w))), expression(lit(w))))
+}

@@ -22,6 +22,16 @@ private[functions] object HashTypeChecks {
     case other => TypeCheckResult.TypeCheckFailure(
       s"$fn requires array<bigint> input, got ${other.sql}")
   }
+  def string(dt: DataType, fn: String): TypeCheckResult = dt match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fn requires string input, got ${other.sql}")
+  }
+  def long(dt: DataType, fn: String): TypeCheckResult = dt match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fn requires bigint input, got ${other.sql}")
+  }
 }
 
 /**
@@ -91,7 +101,11 @@ object HashKernels {
     Array.tabulate(MaxHashes)(i => splitmix64(2L * i + 1))
 
   def minhash(toks: ArrayData, numHashes: Int, shingleSize: Int): ArrayData = {
-    require(numHashes <= MaxHashes, s"numHashes must be <= $MaxHashes")
+    // lower bound too: numHashes=0 silently produced an empty signature
+    // per row, and downstream LSH banding over empty slices degenerates
+    // (every doc shares every empty band) instead of failing fast
+    require(numHashes >= 1 && numHashes <= MaxHashes,
+      s"numHashes must be in [1, $MaxHashes]")
     val n = toks.numElements()
     val w = math.max(1, shingleSize)
     // base hash per token, hashed exactly once

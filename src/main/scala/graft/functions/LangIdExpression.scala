@@ -21,6 +21,14 @@ object LangIdExpression {
   def fast_lang_id(text: Column): Column = column(FastLangId(expr(text)))
 
   private[functions] val langs = Array("en", "de", "es", "fr")
+
+  // static result constants: UTF8String is immutable, so sharing is safe
+  // (Spark literals do the same) — without these the kernel allocated a
+  // fresh UTF8String + backing byte[] per ROW purely for a constant
+  // return value, the only per-row allocation left in this hot path
+  private val UND = UTF8String.fromString("und")
+  private val ZH = UTF8String.fromString("zh")
+  private val LANG_CODES: Array[UTF8String] = langs.map(UTF8String.fromString)
   private[functions] val markerSets: Array[java.util.HashSet[String]] = {
     val words = Array(
       Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
@@ -36,7 +44,7 @@ object LangIdExpression {
 
   /** Static kernel (shared by eval and generated code). */
   def classify(text: UTF8String): UTF8String = {
-    if (text == null) return UTF8String.fromString("und")
+    if (text == null) return UND
     val s = text.toString
     var cjk = 0
     var i = 0
@@ -78,9 +86,9 @@ object LangIdExpression {
       l += 1
     }
     val cjkScore = cjk.toDouble / math.max(1, s.length)
-    if (cjkScore > bestScore && cjkScore > 0) UTF8String.fromString("zh")
-    else if (best >= 0 && bestScore > 0) UTF8String.fromString(langs(best))
-    else UTF8String.fromString("und")
+    if (cjkScore > bestScore && cjkScore > 0) ZH
+    else if (best >= 0 && bestScore > 0) LANG_CODES(best)
+    else UND
   }
 }
 

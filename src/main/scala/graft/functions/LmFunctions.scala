@@ -114,6 +114,11 @@ object LmCrossKernels {
 case class LmDocCrossScore(child: Expression, keys: Array[Long],
     millinats: Array[Long])
     extends UnaryExpression {
+  // analysis-time guard (HashTypeChecks house rule): a wrong input type
+  // must fail analysis, not ClassCastException mid-task
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    HashTypeChecks.string(child.dataType, prettyName)
+
   override def dataType: DataType = StructType(Seq(
     StructField("sum_millinats", LongType, nullable = false),
     StructField("n_oov", LongType, nullable = false),
@@ -136,6 +141,11 @@ case class LmDocCrossScore(child: Expression, keys: Array[Long],
 }
 
 case class TrigramKeys(child: Expression) extends UnaryExpression {
+  // analysis-time guard (HashTypeChecks house rule): a wrong input type
+  // must fail analysis, not ClassCastException mid-task
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    HashTypeChecks.string(child.dataType, prettyName)
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(a: Any): Any =
     LmKernels.trigramKeys(a.asInstanceOf[UTF8String])
@@ -147,6 +157,11 @@ case class TrigramKeys(child: Expression) extends UnaryExpression {
 
 case class LmDocScore(child: Expression, keys: Array[Long], packed: Array[Long])
     extends UnaryExpression {
+  // analysis-time guard (HashTypeChecks house rule): a wrong input type
+  // must fail analysis, not ClassCastException mid-task
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    HashTypeChecks.string(child.dataType, prettyName)
+
   override def dataType: DataType = StructType(Seq(
     StructField("sum_millinats", LongType, nullable = false),
     StructField("n_rare", LongType, nullable = false),

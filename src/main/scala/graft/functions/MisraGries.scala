@@ -65,6 +65,11 @@ case class MisraGriesAgg(
       StructField("count", LongType, nullable = false))),
     containsNull = false)
 
+  // analysis-time guard (HashTypeChecks house rule): a wrong input type
+  // must fail analysis, not ClassCastException mid-task
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    HashTypeChecks.string(child.dataType, "mg_sketch")
+
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty[String, Long]
 

@@ -42,6 +42,12 @@ case class VectorSumLong(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // analysis-time guard (the HashTypeChecks house rule): without it an
+  // array<int>/array<double> child passes analysis and toLongArray
+  // misreads 4-byte elements as 8-byte longs — silent garbage sums
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    HashTypeChecks.longArray(child.dataType, "vector_sum_long")
+
   // empty = "no input seen yet"; the first row fixes the dimension
   override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
 

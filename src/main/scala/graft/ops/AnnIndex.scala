@@ -79,7 +79,16 @@ final class LshIndex private[ops] (
   def numPlanes: Int = planes.length
 
   /** Top-k by exact score among rows within `maxHamming` signature bits of
-    * the query — the probe never recomputes a corpus signature. */
+    * the query — the probe never recomputes a corpus signature.
+    *
+    * Normalization note: this persisted tier normalizes an unnormalized
+    * query first (the chromem collection contract — stored vectors are
+    * normalized on ingest, so dot == cosine only against a normalized
+    * query). The one-shot [[VectorSearch.lshTopK]] deliberately does
+    * NOT: VectorSearch helpers are raw-dot like the rest of that API.
+    * Signatures agree either way (positive scaling never flips a plane
+    * sign); only the similarity VALUES differ for unnormalized queries
+    * — don't compare raw scores across the two tiers in that case. */
   def topK(queryVec: Array[Float], k: Int, maxHamming: Int = 2): DataFrame = {
     val q = if (VectorFunctions.isNormalized(queryVec)) queryVec
             else VectorFunctions.normalize(queryVec)

@@ -231,9 +231,18 @@ object Bpe {
       }
       split(trim(merged), "  ")
     }
+    // compute the subword array ONCE in an intermediate projection:
+    // `enc` is a |merges|-deep replace() chain per word and the
+    // higher-order transform evaluates interpreted (CodegenFallback),
+    // so two inline copies of flatten(transform(words, enc)) really DID
+    // run the whole merge fold twice per row — doubling the most
+    // expensive projection in the pipeline at a realistic merge-table
+    // size
     df.select(col(idCol).as("doc_id"),
-      size(words).cast("long").as("n_words"),
-      size(flatten(transform(words, enc))).cast("long").as("n_subwords"),
-      md5(concat_ws(" ", flatten(transform(words, enc)))).as("tokens_md5"))
+        size(words).cast("long").as("n_words"),
+        flatten(transform(words, enc)).as("__subwords"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("__subwords")).cast("long").as("n_subwords"),
+        md5(concat_ws(" ", col("__subwords"))).as("tokens_md5"))
   }
 }

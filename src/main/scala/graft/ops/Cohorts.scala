@@ -45,6 +45,11 @@ object Cohorts {
     // (calendar-bounded), never the event count. Null-ts rows drop
     // (collect_set skips nulls) — they carried no usable offset anyway.
     val out = events
+      // null users out (the TimeSeries.gapFillCounts convention): a
+      // groupBy key of null merges EVERY anonymous event into one
+      // phantom "user" that lands in the earliest null-activity cohort
+      // with near-perfect retention at every offset
+      .filter(col(userCol).isNotNull)
       .select(col(userCol).as("__u"),
         to_date(date_trunc(period, col(tsCol))).as("__p"))
       .groupBy(col("__u")).agg(collect_set(col("__p")).as("__ps"))

@@ -32,12 +32,18 @@ object Funnel {
       steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "steps must be non-empty")
 
+    // null timestamps out FIRST: a user whose stage-k events are all
+    // null-ts would count as reaching stage k (count counts the row,
+    // min(ts) = null) yet could never advance — `__ts > null` is never
+    // true — inflating exactly one stage and breaking the advertised
+    // monotone series' self-consistency
+    val usable = events.filter(col(tsCol).isNotNull)
     // reached(k): one row per user with the time stage k was first reached
     val reached = steps.tail.scanLeft(
-      events.filter(col(typeCol) === steps.head)
+      usable.filter(col(typeCol) === steps.head)
         .groupBy(col(userCol).as("__u")).agg(min(col(tsCol)).as("__t"))
     ) { (prev, step) =>
-      events.filter(col(typeCol) === step)
+      usable.filter(col(typeCol) === step)
         .select(col(userCol).as("__u"), col(tsCol).as("__ts"))
         .join(prev, "__u")
         .filter(col("__ts") > col("__t"))

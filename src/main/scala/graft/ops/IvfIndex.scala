@@ -21,16 +21,19 @@ import graft.functions.VectorFunctions.dot_const_f32
  */
 object IvfIndex {
 
-  /** Train centroids: seeded sample + Lloyd iterations on the driver.
-    * Sample is bounded (`sampleSize`), so driver memory is O(sample·d),
-    * never O(corpus). */
-  def trainCentroids(
+  /** The "first `sampleSize` DISTINCT vectors in seeded-hash order"
+    * training sample — shared by IVF centroid training, PQ codebook
+    * training, and IVF-PQ residual training (Pq.train previously used a
+    * lexicographic orderBy prefix: layout-invariant but BIASED — all
+    * sampled vectors share minimal leading components — and on a
+    * duplicate-heavy corpus the whole sample filled with copies of the
+    * smallest vectors, collapsing the codebook; this definition is the
+    * one the comments below justify). Driver memory O(sample·d). */
+  private[ops] def seededDistinctSample(
       df: DataFrame,
       vecCol: String,
-      nlist: Int,
-      sampleSize: Int = 10000,
-      iterations: Int = 8,
-      seed: Long = 42L): Array[Array[Float]] = {
+      sampleSize: Int,
+      seed: Long): Array[Array[Float]] = {
     val frac = math.min(1.0, sampleSize.toDouble /
       math.max(1L, df.count()).toDouble * 1.2)
     val base = df.select(vecCol).filter(col(vecCol).isNotNull)
@@ -82,9 +85,21 @@ object IvfIndex {
     // so the result is the same "first sampleSize distinct by hash"
     // prefix, just past the cutoff — dedup stays partial-aggregated and
     // the sort is a bounded per-partition top-k + driver merge.
-    val sample =
-      if (frac >= 1.0 || thresholded.length >= sampleSize) thresholded
-      else takeDistinct(base)
+    if (frac >= 1.0 || thresholded.length >= sampleSize) thresholded
+    else takeDistinct(base)
+  }
+
+  /** Train centroids: seeded-distinct sample + Lloyd iterations on the
+    * driver. Sample is bounded (`sampleSize`), so driver memory is
+    * O(sample·d), never O(corpus). */
+  def trainCentroids(
+      df: DataFrame,
+      vecCol: String,
+      nlist: Int,
+      sampleSize: Int = 10000,
+      iterations: Int = 8,
+      seed: Long = 42L): Array[Array[Float]] = {
+    val sample = seededDistinctSample(df, vecCol, sampleSize, seed)
     require(sample.nonEmpty, "cannot train IVF on an empty corpus")
     val dim = sample.head.length
     val rnd = new java.util.Random(seed)
@@ -134,13 +149,21 @@ object IvfIndex {
   }
 
   /** Assign each row to its cell and cluster the layout by cell, so a
-    * probe touches only the partitions of its cells. */
+    * probe touches only the partitions of its cells. Null vectors are
+    * EXCLUDED from the layout: cellColumn's dot is null for them, so
+    * greatest's struct comparison would decide purely on the index
+    * tie-break and silently pile every embedding-less row (allowed by
+    * the corpus schema — embed-on-write) into cell 0, skewing that
+    * cell's durable partition and surfacing null similarities in any
+    * probe that touches it. Training (trainCentroids) and every probe
+    * already filter the same way. */
   def assign(
       df: DataFrame,
       vecCol: String,
       centroids: Array[Array[Float]],
       partitionsPerCell: Int = 1): DataFrame =
-    df.withColumn("__cell", cellColumn(col(vecCol), centroids))
+    df.filter(col(vecCol).isNotNull)
+      .withColumn("__cell", cellColumn(col(vecCol), centroids))
       .repartition(centroids.length * partitionsPerCell, col("__cell"))
 
   /** Probe: exact top-k within the `nprobe` cells nearest to the query. */

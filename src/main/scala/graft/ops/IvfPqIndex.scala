@@ -42,10 +42,9 @@ object IvfPq {
     val cellsF = IvfIndex.trainCentroids(df, vecCol, nlist, sampleSize, seed = seed)
     val dim = cellsF.head.length
     val cells = cellsF.map(_.map(_.toDouble))
-    // deterministic sample (see Pq.train): sorted-take, not first-arrived
-    val sample = df.select(col(vecCol)).filter(col(vecCol).isNotNull)
-      .orderBy(col(vecCol)).limit(sampleSize).collect()
-      .map(_.getSeq[Float](0).toArray)
+    // the shared seeded-distinct sample (see Pq.train for why the old
+    // lexicographic prefix was biased and duplicate-fragile)
+    val sample = IvfIndex.seededDistinctSample(df, vecCol, sampleSize, seed)
     val residuals = sample.map { v =>
       var best = 0; var bestS = Double.NegativeInfinity
       var c = 0

@@ -54,14 +54,18 @@ object Pq {
       m: Int = 8,
       k: Int = 16,
       sampleSize: Int = 10000,
-      iters: Int = 10): Codebook = {
-    // orderBy before limit: a bare limit takes whichever partitions answer
-    // first, so the codebook would vary across runs/layouts — sorting by
-    // the vector value makes the sample (and the codebook) a pure
-    // function of the data, as the replayability contract requires.
-    val sample = df.select(col(vecCol)).filter(col(vecCol).isNotNull)
-      .orderBy(col(vecCol)).limit(sampleSize).collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      iters: Int = 10,
+      seed: Long = 42L): Codebook = {
+    // the shared seeded-distinct sample (IvfIndex.seededDistinctSample):
+    // the previous lexicographic orderBy prefix was layout-invariant but
+    // BIASED (every sampled vector shared minimal leading components,
+    // degrading codebook coverage) and duplicate-fragile (a dup-heavy
+    // corpus filled the whole sample with copies of the smallest
+    // vectors, collapsing every subspace codebook onto a handful of
+    // points) — the same two defects the IVF training fix removed; one
+    // definition now serves IVF, PQ, and IVF-PQ residuals.
+    val sample = IvfIndex.seededDistinctSample(df, vecCol, sampleSize, seed)
+      .map(_.map(_.toDouble))
     trainOnSamples(sample, dim, m, k, iters)
   }
 

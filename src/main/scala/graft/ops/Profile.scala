@@ -320,7 +320,11 @@ object Profile {
   // (a - pmod(a,b)) is exactly divisible by b and pmod is non-negative,
   // so the double division is an exact integer.
   private def floorDiv(a: Column, b: Long): Column =
-    ((a - pmod(a, lit(b))) / lit(b)).cast("long")
+    // the shared EXACT form: the previous double-division here
+    // ((a - pmod)/b cast long) was only exact while the numerator fit
+    // in 2^53 — above that the integer-valued quotient arrives as
+    // q·(1±2^-52) and cast("long") TRUNCATES it to q-1
+    graft.functions.ColumnMath.floorDiv(a, b)
 
   /**
    * Top-k most frequent values per (categorical) column — the value-

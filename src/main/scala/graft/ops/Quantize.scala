@@ -47,6 +47,11 @@ object Quantize {
   /** Quantize a query vector driver-side with the same HALF_UP convention
     * as `quantizeCol`. Returns (qvec, scale). */
   def quantizeQuery(q: Array[Float]): (Array[Int], Double) = {
+    // diagnostic, not empty.max: an empty query would otherwise surface
+    // as UnsupportedOperationException("empty.max") with no mention of
+    // vectors, and an all-empty corpus would never hit the scan's own
+    // length-mismatch guard either
+    require(q.nonEmpty, "query vector must be non-empty")
     val scale = q.map(x => math.abs(x.toDouble)).max / 127.0
     if (scale == 0.0) (Array.fill(q.length)(0), 0.0)
     else (q.map(x => BigDecimal(x.toDouble / scale)

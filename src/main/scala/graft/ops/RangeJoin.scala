@@ -28,12 +28,11 @@ import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
  */
 object RangeJoin {
 
-  /** Exact floor-division for longs as a Column: `/` would round through
-    * double (loses bits above 2^53 — epoch-micros territory); DIV
-    * truncates toward zero (misbins negatives). */
+  /** Exact floor-division — the shared definition (see
+    * [[graft.functions.ColumnMath.floorDiv]] for why `/` and DIV are
+    * both wrong here). */
   private def floorDiv(c: Column, w: Long): Column =
-    column(IntegralDivide(
-      expression(c - pmod(c, lit(w))), expression(lit(w))))
+    graft.functions.ColumnMath.floorDiv(c, w)
 
   /**
    * @param points     rows carrying a single position (`pointCol`, integral)
@@ -59,6 +58,10 @@ object RangeJoin {
     val dupCols = points.columns.toSet.intersect(intervals.columns.toSet) - key
     require(dupCols.isEmpty,
       s"column names must be disjoint apart from '$key': $dupCols")
+    // a pre-existing __bin on ONE side would slip past the disjointness
+    // check above and be silently overwritten + dropped — fail loudly
+    require(!points.columns.contains("__bin") && !intervals.columns.contains("__bin"),
+      "inputs must not already carry a '__bin' column")
 
     val p = points.withColumn("__bin", floorDiv(col(pointCol), binWidth))
     val startBin = floorDiv(col(startCol), binWidth)
@@ -69,9 +72,14 @@ object RangeJoin {
     // and a single corrupt row could fan out millions of bin rows,
     // bypassing the span guard (a negative span always compared < max).
     val span = endBin - startBin
+    // null bounds FIRST: a null start/end makes span null, which is
+    // not-true in BOTH guards below and would fall through to
+    // raise_error — one dirty row killing the job (with a null message,
+    // since concat nulls out), against the "null keys never match"
+    // contract. Null-bounded intervals expand to zero bins instead.
     val i = intervals
       .withColumn("__bin", explode(
-        when(span < 0L, array().cast("array<long>"))
+        when(span.isNull || span < 0L, array().cast("array<long>"))
           .when(span < lit(maxBinsPerInterval.toLong),
             sequence(startBin, endBin))
           .otherwise(raise_error(concat(

@@ -28,9 +28,16 @@ object Splits {
     val whens = thresholds.init.map { case (name, hex) =>
       (name, bucket < lit(hex))
     }
-    whens.foldRight(lit(thresholds.last._1): Column) {
+    val assigned = whens.foldRight(lit(thresholds.last._1): Column) {
       case ((name, cond), rest) => when(cond, lit(name)).otherwise(rest)
     }
+    // null id ⇒ null split: md5(null) is null, every `bucket < hex`
+    // condition is null (not true), and the fold's ELSE arm silently
+    // piled ALL malformed rows into the LAST split — deterministically
+    // skewing exactly the split that is usually the eval set. A null
+    // split marks the row for the caller instead (siblings like
+    // downsample DROP null ids; an assignment op must not drop rows).
+    when(bucket.isNull, lit(null).cast("string")).otherwise(assigned)
   }
 
   /** Adds a `split` column. */
@@ -154,6 +161,14 @@ object Splits {
     // would then vanish anyway in the non-null-safe rates equi-join
     val src = df.filter(col(groupCol).isNotNull)
     val counts = src.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    // KNOWN float surface (documented, like the LSH oracle's double-dot
+    // caveat): the keep rate (n_min/n)^(1-alpha) is a libm pow, and a
+    // last-ulp difference between engines could flip round(rate·65536)
+    // at an exact .5 boundary — membership is otherwise pure integer
+    // md5-bucket compare. A boundary needs rate·65536 within 1 ulp of
+    // .5 for some group's exact (n_min, n, alpha); the gate's seeded
+    // corpus has none, and the practical blast radius is ±1 bucket in
+    // 65536 for one group.
     val rates = counts
       .crossJoin(broadcast(counts.agg(min(col("__n")).as("__nmin"))))
       .select(col(groupCol),
@@ -177,7 +192,17 @@ object Splits {
   def weightedSample(df: DataFrame, idCol: String, prob: Column): DataFrame = {
     val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
       .cast("long")
-    df.filter(bucket < round(prob * 65536).cast("long"))
+    // validate IN the filter condition (projection-folded guards get
+    // column-pruned away — the scan-consistency house rule): prob > 1
+    // silently kept everything and negative/NaN silently dropped —
+    // caller error surfaced as a skewed sample. Null prob still means
+    // "drop" (the sibling convention for null inputs).
+    val p = prob.cast("double")
+    val checked = when(isnan(p) || p < 0.0 || p > 1.0,
+        raise_error(concat(lit("weightedSample: prob outside [0,1]: "),
+          p.cast("string"))))
+      .otherwise(p)
+    df.filter(bucket < round(checked * 65536).cast("long"))
   }
 
   /**

@@ -622,8 +622,16 @@ object TextAnalysis {
     require(k >= 1, "k must be >= 1")
     val toks = df.select(col(groupCol).as("g"),
       explode(split(col(textCol), " ")).as("token"))
+    // ONE corpus explode: perGroup is materialized (its size is
+    // groups × vocabulary, corpus-independent) and every other
+    // statistic is exactly a rollup of it — global token counts are the
+    // sum over groups, group totals the sum over tokens, the grand
+    // total the sum of everything. Deriving global/total from `toks`
+    // directly re-ran the full text explode+aggregate per consuming
+    // branch (the tfidfTopTerms localCheckpoint lesson, same file).
     val perGroup = toks.groupBy("g", "token").agg(count(lit(1)).as("tf_g"))
-    val global = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val global = perGroup.groupBy("token").agg(sum("tf_g").as("tf"))
     val groupTotals = perGroup.groupBy("g").agg(sum("tf_g").as("tg"))
     val total = global.agg(sum("tf").as("t"))
     val lifted = perGroup
@@ -828,11 +836,19 @@ object TextAnalysis {
    */
   private def collectBoundedVocab(
       vocabAgg: DataFrame, maxVocab: Int, caller: String): Array[Row] = {
-    val n = vocabAgg.count()
+    // materialize ONCE (the boundedBroadcast discipline): count() then
+    // collect() on the raw plan re-ran the corpus-sized trigram
+    // explode+aggregate a second time — a full redundant corpus scan
+    // per call at 100 TB. localCheckpoint pins the vocab-sized result;
+    // eager (true) so the guard count reads the materialized blocks,
+    // which the ContextCleaner reclaims once this frame goes out of
+    // scope (the caller keeps only driver-side arrays).
+    val pinned = vocabAgg.localCheckpoint(true)
+    val n = pinned.count()
     require(n <= maxVocab,
       s"trigram vocabulary $n exceeds maxVocab=$maxVocab — " +
         s"use the declarative $caller for unbounded alphabets")
-    vocabAgg.collect()
+    pinned.collect()
   }
 
   /**
@@ -864,7 +880,12 @@ object TextAnalysis {
     val sorted = vocab.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val keys = sorted.map(_._1)
     val millinats = sorted.map { case (_, cnt) =>
-      math.floor(math.log(cnt.toDouble) * 1000).toLong }
+      // StrictMath, not Math: the declarative tier's Spark log() lowers
+      // to StrictMath.log, and the platform-intrinsic Math.log may
+      // differ by 1 ulp — enough to flip floor(ln·1000) on a boundary
+      // count and break the documented bit-identical-tiers contract
+      // (the KeywordSearch.idf lesson)
+      math.floor(StrictMath.log(cnt.toDouble) * 1000).toLong }
     lowered(evalDf)
       .select(col(idCol),
         LmFunctions.lm_doc_cross_score(col("__t"), keys, millinats).as("__s"))
@@ -919,7 +940,8 @@ object TextAnalysis {
     val sorted = vocab.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val keys = sorted.map(_._1)
     val packed = sorted.map { case (_, cnt) =>
-      val millinats = math.floor(math.log(cnt.toDouble) * 1000).toLong
+      // StrictMath for tier parity — see lmScoreCrossFast above
+      val millinats = math.floor(StrictMath.log(cnt.toDouble) * 1000).toLong
       (millinats << 1) | (if (cnt < rareBelow) 1L else 0L)
     }
     lowered

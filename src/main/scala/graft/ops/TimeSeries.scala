@@ -69,6 +69,12 @@ object TimeSeries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
     events
+      // null users/types out: Window.partitionBy groups ALL null-user
+      // events into ONE partition (a single giant sort task, and the
+      // time-interleaving of unrelated anonymous users would count as
+      // real transitions); a null TYPE row would both emit a bogus
+      // (from, null) pair and break the true A→B adjacency around it
+      .filter(col(userCol).isNotNull && col(typeCol).isNotNull)
       .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
       .withColumn("__prev", lag(col(typeCol), 1).over(w))
       .filter(col("__prev").isNotNull)

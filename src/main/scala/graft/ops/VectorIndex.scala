@@ -27,9 +27,17 @@ import org.apache.spark.storage.StorageLevel
  * as the reference's per-goroutine heaps (query.go:16-83) and Spark's
  * own TakeOrderedAndProject, minus row-format overhead.
  */
-class VectorIndex[K: ClassTag] private (
+class VectorIndex[K: ClassTag: Ordering] private (
     val blocks: RDD[VectorIndex.Block[K]],
     val dim: Int) extends Serializable {
+
+  // (score desc, id asc) — the SAME total order as every DataFrame tier
+  // (orderBy(desc("similarity"), asc(id))). Score-only heaps resolved
+  // ties by block/partition order, making tied results layout-dependent
+  // — against the repo's partitioning-invariance rule. Ties are rare
+  // (the id comparison only runs on exact float equality), so the
+  // tie-aware branch costs nothing on the hot path.
+  private val ord = implicitly[Ordering[K]]
 
   // Small-corpus fast path: when n·d fits under LocalScanMaxFloats the
   // whole index is collected to the driver at materialize() time and
@@ -44,8 +52,10 @@ class VectorIndex[K: ClassTag] private (
   /** True when queries run driver-locally (small corpus). */
   def isLocal: Boolean = local != null
 
-  /** Exhaustive top-k by dot product (== cosine for normalized vectors). */
+  /** Exhaustive top-k by dot product (== cosine for normalized vectors).
+    * Ties break by id ascending — the DataFrame tiers' contract. */
   def topK(query: Array[Float], k: Int): Array[(K, Float)] = {
+    require(k > 0, "k must be > 0") // k=0 indexed scores(-1) opaquely
     require(query.length == dim,
       s"vectors must have the same length: ${query.length} vs $dim")
     // Snapshot the @volatile once: a concurrent unpersist() nulling the
@@ -53,24 +63,33 @@ class VectorIndex[K: ClassTag] private (
     val snapshot = local
     if (snapshot != null) return localTopK(snapshot, query, k)
     val d = dim
+    val tieOrd = ord
     val perPart = blocks.mapPartitions { it =>
       val ids = new Array[Any](k)
       val scores = new Array[Float](k)
       var size = 0
       var minIdx = -1
+      // weakest slot = (score asc, id desc); replace when the candidate
+      // is (score desc, id asc)-stronger — ties included
+      def establishMin(): Unit = {
+        minIdx = 0
+        var j = 1
+        while (j < k) {
+          if (scores(j) < scores(minIdx) ||
+            (scores(j) == scores(minIdx) &&
+              tieOrd.compare(ids(j).asInstanceOf[K], ids(minIdx).asInstanceOf[K]) > 0))
+            minIdx = j
+          j += 1
+        }
+      }
       def insert(id: Any, s: Float): Unit = {
         if (size < k) {
           ids(size) = id; scores(size) = s; size += 1
-          if (size == k) { // establish min
-            minIdx = 0
-            var j = 1
-            while (j < k) { if (scores(j) < scores(minIdx)) minIdx = j; j += 1 }
-          }
-        } else if (s > scores(minIdx)) {
+          if (size == k) establishMin()
+        } else if (s > scores(minIdx) || (s == scores(minIdx) &&
+            tieOrd.compare(id.asInstanceOf[K], ids(minIdx).asInstanceOf[K]) < 0)) {
           ids(minIdx) = id; scores(minIdx) = s
-          minIdx = 0
-          var j = 1
-          while (j < k) { if (scores(j) < scores(minIdx)) minIdx = j; j += 1 }
+          establishMin()
         }
       }
       it.foreach { block =>
@@ -89,7 +108,9 @@ class VectorIndex[K: ClassTag] private (
       }
       (0 until size).iterator.map(j => (ids(j).asInstanceOf[K], scores(j)))
     }
-    perPart.collect().sortBy(-_._2).take(k)
+    perPart.collect()
+      .sorted(Ordering.by[(K, Float), Float](-_._2).orElseBy(_._1)(ord))
+      .take(k)
   }
 
   /** Driver-local exhaustive scan: row-range chunks fanned out on a fixed
@@ -113,6 +134,17 @@ class VectorIndex[K: ClassTag] private (
             val scores = new Array[Float](k)
             var size = 0
             var minIdx = -1
+            def establishMin(): Unit = {
+              minIdx = 0
+              var j = 1
+              while (j < k) {
+                if (scores(j) < scores(minIdx) ||
+                  (scores(j) == scores(minIdx) &&
+                    ord.compare(ids(j).asInstanceOf[K], ids(minIdx).asInstanceOf[K]) > 0))
+                  minIdx = j
+                j += 1
+              }
+            }
             var r = from
             while (r < until) {
               val off = r * d
@@ -121,16 +153,11 @@ class VectorIndex[K: ClassTag] private (
               while (i < d) { s += data(off + i) * query(i); i += 1 }
               if (size < k) {
                 ids(size) = bids(r); scores(size) = s; size += 1
-                if (size == k) {
-                  minIdx = 0
-                  var j = 1
-                  while (j < k) { if (scores(j) < scores(minIdx)) minIdx = j; j += 1 }
-                }
-              } else if (s > scores(minIdx)) {
+                if (size == k) establishMin()
+              } else if (s > scores(minIdx) || (s == scores(minIdx) &&
+                  ord.compare(bids(r).asInstanceOf[K], ids(minIdx).asInstanceOf[K]) < 0)) {
                 ids(minIdx) = bids(r); scores(minIdx) = s
-                minIdx = 0
-                var j = 1
-                while (j < k) { if (scores(j) < scores(minIdx)) minIdx = j; j += 1 }
+                establishMin()
               }
               r += 1
             }
@@ -138,7 +165,9 @@ class VectorIndex[K: ClassTag] private (
           }
         })
       }
-    tasks.flatMap(_.get()).sortBy(-_._2).take(k)
+    tasks.flatMap(_.get())
+      .sorted(Ordering.by[(K, Float), Float](-_._2).orElseBy(_._1)(ord))
+      .take(k)
   }
 
   /** Count of indexed vectors. */
@@ -206,7 +235,7 @@ object VectorIndex {
   /** Build from a DataFrame's (id, embedding) columns. Dimension is taken
     * from the first row; rows with a different dimension fail the build
     * (vectors must have the same length — reference vector.go:16-18). */
-  def build[K: ClassTag](
+  def build[K: ClassTag: Ordering](
       df: DataFrame,
       idCol: String,
       vecCol: String,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TopKAggregate.topk_rows
-import graft.functions.VectorFunctions.{cosine_sim, dot_const_f32, dot_f32, dot_f64}
+import graft.functions.VectorFunctions.{cosine_sim, dot_const_f32, dot_const_f64, dot_f32, dot_f64}
 
 /**
  * Similarity search over an embedding column — the reference's core
@@ -48,7 +48,12 @@ object VectorSearch {
       scoreName: String = "similarity"): DataFrame = {
     val score = precision match {
       case "f32" => dot_const_f32(col(vecCol), queryVec)
-      case "f64" => dot_f64(col(vecCol), typedLit(queryVec.toIndexedSeq))
+      // dot_const_f64, NOT dot_f64 over a typedLit: the literal-array
+      // form unboxes every element of the query per ROW (~153M unboxings
+      // per 100k-doc query at d=1536 — the cost DotProductConstF32's doc
+      // quantifies); the const kernel holds a primitive double[] and is
+      // bit-identical (same float→double widening, same fold order)
+      case "f64" => dot_const_f64(col(vecCol), queryVec.map(_.toDouble))
       case "cosine" => cosine_sim(col(vecCol), typedLit(queryVec.toIndexedSeq))
       case other => throw new IllegalArgumentException(s"unknown precision: $other")
     }
@@ -115,6 +120,11 @@ object VectorSearch {
       groupCol: String,
       idCol: String = "id",
       precision: String = "f32"): DataFrame = {
+    // a pre-existing 'similarity' column would be silently overwritten by
+    // scored() AND duplicate the payload struct's field name, failing
+    // getField with an ambiguous-reference error — reject it up front
+    require(!df.columns.contains("similarity"),
+      "input already has a 'similarity' column; rename it first")
     val carry = df.columns.filterNot(c => c == idCol || c == groupCol)
     val payload = struct(
       (col("similarity") +: col(idCol) +: carry.map(col).toSeq): _*)
@@ -145,6 +155,10 @@ object VectorSearch {
       queryIdCol: String,
       k: Int,
       precision: String = "f32"): DataFrame = {
+    // same guard as topKPerGroup: a corpus 'similarity' column would
+    // collide with the score field in the heap payload
+    require(!corpus.columns.contains("similarity"),
+      "corpus already has a 'similarity' column; rename it first")
     val q = broadcast(queries.select(
       col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv")))
     val score = precision match {
@@ -343,8 +357,11 @@ object VectorSearch {
     // (mmrRerankExactE7) documents the same preconditions; enforce them
     // here at collect time (the frame is candidate-sized)
     val rows = candidates
+      // NaN relevance filtered WITH the nulls: both comparison branches
+      // of the greedy argmax are false for NaN, so a NaN-scored
+      // candidate could leave `best` null and NPE the rerank
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
-        col(scoreCol).isNotNull)
+        col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double")))
       .select(col(idCol).cast("string"), col(vecCol),
         col(scoreCol).cast("double"))
       .collect()
@@ -369,6 +386,11 @@ object VectorSearch {
           best = c; bestScore = s
         }
       }
+      // every remaining greedy score NaN (a zero-norm candidate vector
+      // makes cosineLocal — and hence the diversity term — NaN, and NaN
+      // fails both argmax branches): fall back to the deterministic
+      // (relevance desc, id asc) pre-sort order instead of an NPE
+      if (best == null) best = remaining.head
       picked += ((best._1, best._3))
       remaining -= best
       // fold the new pick into every survivor's max-sim-to-selected
@@ -518,11 +540,18 @@ object VectorSearch {
     Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
   }
 
+  /** Driver-side signature twin of [[hyperplaneSignature]]. FLOAT
+    * accumulation, deliberately: the corpus side signs
+    * `dot_const_f32` (float fold), and a double-accumulated query twin
+    * flips the sign bit differently for dots within float rounding of
+    * zero — inflating the hamming distance by 1 per affected plane and,
+    * at maxHamming 0-1, silently excluding an exact self-match from the
+    * candidate set. Same fold order + precision = bit-equal signs. */
   private[graft] def signatureOf(v: Array[Float], planes: Array[Array[Float]]): Long = {
     var sig = 0L
     var p = 0
     while (p < planes.length) {
-      var s = 0.0; var i = 0
+      var s = 0.0f; var i = 0
       while (i < v.length) { s += v(i) * planes(p)(i); i += 1 }
       if (s >= 0) sig |= (1L << p)
       p += 1

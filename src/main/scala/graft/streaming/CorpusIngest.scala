@@ -87,7 +87,14 @@ object CorpusIngest {
         // readLatest's 'no committed snapshot' failure loop, while the
         // pointer check correctly re-seeds over the orphaned dir's slot
         if (store.latestVersion.isEmpty) {
-          if (!selfClean.isEmpty) { store.commit(selfClean); () }
+          // persist: the emptiness probe and the commit would otherwise
+          // each recompute the full quality gate + exact self-dedup
+          // chain — doubled on exactly the largest batch (a bulk
+          // AvailableNow initial load lands in ONE micro-batch)
+          val seeded = selfClean.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try { if (!seeded.isEmpty) { store.commit(seeded); () } }
+          finally { seeded.unpersist(); () }
         } else {
           val corpus = store.readLatest(spark)
           val nearNew = Dedup.newAgainstCorpus(
@@ -97,9 +104,15 @@ object CorpusIngest {
           // already in the corpus near-dedups at similarity 1.0 ONLY
           // when it shingles; zero-shingle docs (shorter than
           // shingleSize) would re-commit on an at-least-once replay, so
-          // suppress exact-text matches explicitly. coalesce: a null
-          // text must equal itself across replays (null ≠ null in a
-          // join key would leak every replayed null-text doc through).
+          // suppress exact-text matches explicitly.
+          // NULL-vs-'' discipline: a null text must equal ITSELF across
+          // replays but must NOT conflate with the empty string (a
+          // genuinely new null-text doc would silently drop as a
+          // "duplicate" of an ''-text corpus doc, and vice versa). The
+          // hash keeps them distinct — xxhash64 SKIPS null arguments,
+          // so xxhash64(0L, null) = seed-only hash ≠ xxhash64(0L, '')
+          // — and the text-equality confirm is NULL-SAFE (<=>):
+          // null <=> null is true (replay-safe), null <=> '' is false.
           // Shape: the batch side is small, so its hashes broadcast
           // DOWN into the corpus scan as a semi-join filter, and the
           // HASH-MATCHED corpus rows (≈ batch-sized) broadcast back
@@ -111,36 +124,54 @@ object CorpusIngest {
           // micro-batch, and corpus text travels only for hash matches.
           import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, lit, sum, xxhash64}
           val batchHashed = nearNew
-            .withColumn("__text_c", coalesce(col(textCol), lit("")))
-            .withColumn("__text_h", xxhash64(col("__text_c")))
+            .withColumn("__text_c", col(textCol))
+            .withColumn("__text_h", xxhash64(lit(0L), col(textCol)))
             // persist: the hash semi-join probe below and the anti-join
             // left side are different subtrees of the same plan — without
             // this the banded batch×corpus join runs twice PER ACTION,
             // on top of once per action (emptiness probe, commit)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val corpusHits = corpus
-            .select(xxhash64(coalesce(col(textCol), lit(""))).as("__text_h"),
-              coalesce(col(textCol), lit("")).as("__corpus_text"))
-            .join(broadcast(batchHashed.select(col("__text_h")).distinct()),
-              Seq("__text_h"), "left_semi")
-            // distinct: hash-MATCH count is bounded by the batch, but the
-            // corpus may hold arbitrarily many COPIES of a matched text —
-            // collapse them so the shipped pairs are ≤ the batch's
-            // distinct hashes (+ vanishingly rare 64-bit collisions),
-            // one row per distinct matched text
-            .distinct()
-            // persist (NOT localCheckpoint — those blocks have no
-            // release API and would accumulate across micro-batches):
-            // the guard aggregate below materializes it once, the
-            // anti-join reads the same blocks, and the finally releases
-            // them with the batch's other persists
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          // the try starts HERE — before the first ACTION on either
+          var corpusHits: org.apache.spark.sql.DataFrame = null
+          var fresh: org.apache.spark.sql.DataFrame = null
+          // the try starts HERE — before the first ACTION on any
           // persisted frame — so a failed guard job (executor loss,
           // corrupt corpus file) cannot leak this batch's blocks into
           // the restarted query's session
-          var fresh: org.apache.spark.sql.DataFrame = null
           try {
+            // the batch key set is a FORCED broadcast too, so bound it
+            // like every forced broadcast in this repo: a bulk
+            // AvailableNow first read (file source, no maxFilesPerTrigger)
+            // lands the whole landing zone in ONE micro-batch, and
+            // "batch-sized" stops being small. 8-byte hash keys at the
+            // 4M bound are ~32 MB serialized; over it, drop the hint and
+            // let the planner shuffle the semi-join loudly.
+            val batchKeys = batchHashed.select(col("__text_h")).distinct()
+            val keyRows = batchKeys.count()
+            val keysSide =
+              if (keyRows <= 4000000L) broadcast(batchKeys)
+              else {
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"corpus ingest: $keyRows distinct batch text hashes " +
+                    "exceed the broadcast bound; using a shuffled " +
+                    "semi-join for this micro-batch")
+                batchKeys
+              }
+            corpusHits = corpus
+              .select(xxhash64(lit(0L), col(textCol)).as("__text_h"),
+                col(textCol).as("__corpus_text"))
+              .join(keysSide, Seq("__text_h"), "left_semi")
+              // distinct: hash-MATCH count is bounded by the batch, but
+              // the corpus may hold arbitrarily many COPIES of a matched
+              // text — collapse them so the shipped pairs are ≤ the
+              // batch's distinct hashes (+ vanishingly rare 64-bit
+              // collisions), one row per distinct matched text
+              .distinct()
+              // persist (NOT localCheckpoint — those blocks have no
+              // release API and would accumulate across micro-batches):
+              // the guard aggregate below materializes it once, the
+              // anti-join reads the same blocks, and the finally releases
+              // them with the batch's other persists
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             // forced-broadcast guard (the TextAnalysis.boundedBroadcast
             // rule): very LARGE matched documents can still blow the
             // driver even at batch-bounded row counts — over either
@@ -168,7 +199,7 @@ object CorpusIngest {
             fresh = batchHashed
               .join(hitsSide,
                 batchHashed("__text_h") === hitsSide("__text_h") &&
-                  batchHashed("__text_c") === hitsSide("__corpus_text"),
+                  (batchHashed("__text_c") <=> hitsSide("__corpus_text")),
                 "left_anti")
               .drop("__text_h", "__text_c")
               // persist: the emptiness probe and the commit otherwise
@@ -177,7 +208,8 @@ object CorpusIngest {
             if (!fresh.isEmpty) { store.commit(corpus.unionByName(fresh)); () }
           } finally {
             if (fresh != null) fresh.unpersist()
-            batchHashed.unpersist(); corpusHits.unpersist()
+            if (corpusHits != null) corpusHits.unpersist()
+            batchHashed.unpersist()
             ()
           }
         }

@@ -139,8 +139,15 @@ object EventsStream {
       tsCol: String,
       watermark: String = "10 minutes"): DataFrame =
     docs
+      // coalesce BEFORE hashing: simhash64 propagates null for a null
+      // token array, and dropDuplicatesWithinWatermark treats null keys
+      // as one shared key — every distinct NULL-text doc in the horizon
+      // would silently collapse into the first. Normalizing null to ''
+      // makes the grouping EXPLICIT and deterministic: all no-text docs
+      // are mutual near-dups (of each other and of ''-text docs), the
+      // stated signature semantics rather than a null-key accident.
       .withColumn("__sig", graft.functions.HashFunctions.simhash64(
-        split(lower(col(textCol)), " ")))
+        split(lower(coalesce(col(textCol), lit(""))), " ")))
       .withWatermark(tsCol, watermark)
       // WithinWatermark, for the same state-eviction reason as
       // [[dedupStream]]: signature-only keys never expire otherwise

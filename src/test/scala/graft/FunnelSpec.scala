@@ -26,6 +26,20 @@ class FunnelSpec extends SparkSuite {
     assert(r(2) === (("C", 1L)))  // user 1 only (user 5's C precedes its B)
   }
 
+  test("null timestamps cannot anchor a stage (r12)") {
+    // a user whose step-1 events are all null-ts used to count at stage
+    // 0 (count counts the row, min(null)=null) while never being able
+    // to advance — inflating exactly one stage
+    val ev2 = Seq(
+      (1L, Some(1L), "A"), (1L, Some(2L), "B"),
+      (2L, None: Option[Long], "A"), (2L, Some(5L), "B")
+    ).toDF("u", "t", "typ")
+    val r = Funnel.funnel(ev2, "u", "t", "typ", Seq("A", "B"))
+      .collect().map(x => x.getInt(0) -> x.getLong(2)).toMap
+    assert(r(0) === 1L, "user 2's null-ts A must not count as reaching stage 0")
+    assert(r(1) === 1L)
+  }
+
   test("strict ordering: equal timestamps do not advance the funnel") {
     val tied = Seq((1L, 1L, "A"), (1L, 1L, "B")).toDF("u", "t", "typ")
     val r = Funnel.funnel(tied, "u", "t", "typ", Seq("A", "B"))

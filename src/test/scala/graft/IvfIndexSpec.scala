@@ -118,4 +118,19 @@ class IvfIndexSpec extends SparkSuite {
       right, "k", 4, "left_outer").collect()
     assert(lo.length === 2)
   }
+
+  test("assign excludes null vectors from the cell layout (r12)") {
+    import spark.implicits._
+    // a null vector's cell dot is null; greatest's struct tie-break
+    // previously piled every embedding-less row into cell 0 of the
+    // durable layout
+    val withNulls = withLogLevel(Seq(
+      (1L, Some(Array(1f, 0f))), (2L, None: Option[Array[Float]]),
+      (3L, Some(Array(0f, 1f)))
+    ).toDF("vec_id", "embedding"))
+    val cents = Array(Array(1f, 0f), Array(0f, 1f))
+    val assigned = graft.ops.IvfIndex.assign(withNulls, "embedding", cents)
+    assert(assigned.count() === 2, "null-vector rows excluded")
+    assert(assigned.filter(col("vec_id") === 2L).count() === 0)
+  }
 }

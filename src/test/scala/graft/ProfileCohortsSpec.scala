@@ -295,6 +295,19 @@ class ProfileCohortsSpec extends SparkSuite {
       ("2024-01-02", 0L, 1L)))  // user 3's cohort
   }
 
+  test("retention ignores null users instead of minting a phantom cohort member (r12)") {
+    val ev = Seq(
+      (Some(1L), ts("2024-01-01 10:00:00")),
+      (None: Option[Long], ts("2024-01-01 10:00:00")),
+      (None: Option[Long], ts("2024-01-05 10:00:00"))
+    ).toDF("user_id", "t")
+    val r = Cohorts.retention(ev, "user_id", "t").collect()
+      .map(x => (x.getDate(0).toString, x.getLong(1), x.getLong(2))).toSet
+    // only the real user appears; the two anonymous events do NOT merge
+    // into one "user" retained at offset 4
+    assert(r === Set(("2024-01-01", 0L, 1L)), s"got $r")
+  }
+
   test("weekly retention truncates to weeks") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00")),  // Monday, week of Jan 1

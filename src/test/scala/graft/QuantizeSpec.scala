@@ -138,4 +138,11 @@ class QuantizeSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("Exchange"), s"no shuffle expected:\n$plan")
   }
+
+  test("quantizeQuery rejects an empty query with a diagnostic error (r12)") {
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Quantize.quantizeQuery(Array.emptyFloatArray)
+    }
+    assert(e.getMessage.contains("non-empty"))
+  }
 }

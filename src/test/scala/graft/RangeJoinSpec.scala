@@ -83,4 +83,28 @@ class RangeJoinSpec extends SparkSuite {
       .select("ptag", "itag").as[(String, String)].collect().toSet
     assert(binned === brute)
   }
+
+  test("null interval bounds expand to zero bins instead of killing the job (r12)") {
+    // a null span is not-true in BOTH guards and used to fall through
+    // to raise_error — one dirty row killed the whole job (with a null
+    // message) instead of simply not matching
+    val dirty = withLogLevel(Seq(
+      (1L, Some(0L), None: Option[Long], "bad"),
+      (1L, Some(0L), Some(10L), "good")
+    ).toDF("k", "lo", "hi", "itag"))
+    val got = RangeJoin.binnedRangeJoin(pts, dirty, "k", "pos", "lo", "hi",
+      binWidth = 8).select("ptag", "itag").as[(String, String)].collect().toSet
+    assert(got === Set(("p5", "good")), s"got $got")
+  }
+
+  test("a pre-existing __bin column fails loudly instead of being silently destroyed (r12)") {
+    intercept[IllegalArgumentException] {
+      RangeJoin.binnedRangeJoin(pts.withColumn("__bin", lit(1L)), ivs,
+        "k", "pos", "lo", "hi", binWidth = 8)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.binnedRangeJoin(pts, ivs.withColumn("__bin", lit(1L)),
+        "k", "pos", "lo", "hi", binWidth = 8)
+    }
+  }
 }

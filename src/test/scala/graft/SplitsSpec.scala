@@ -156,6 +156,30 @@ class SplitsSpec extends SparkSuite {
     assert(kept.count() === again.count())
   }
 
+  test("null ids get a NULL split, not a silent seat in the last one (r12)") {
+    val df = withLogLevel(Seq(Some("a"), Some("b"), None).toDF("id"))
+    val r = Splits.assign(df, "id", Seq("train" -> 0.9, "test" -> 0.1))
+      .collect().map(x => Option(x.getString(0)) -> Option(x.getString(1))).toMap
+    assert(r(None) === None, "null id must not land in 'test'")
+    assert(r(Some("a")).isDefined && r(Some("b")).isDefined)
+  }
+
+  test("weightedSample raises on prob outside [0,1] instead of a silently skewed sample (r12)") {
+    val bad = withLogLevel(spark.range(0, 10)
+      .select($"id", lit(1.2).as("p")))
+    val e = intercept[Exception] {
+      Splits.weightedSample(bad, "id", col("p")).count()
+    }
+    def msgs(t: Throwable) = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(msgs(e).exists(_.contains("outside [0,1]")), msgs(e).toString)
+    // null prob still means drop (the sibling null convention)
+    val withNull = withLogLevel(spark.range(0, 4).select($"id",
+      when($"id" === 0, lit(null).cast("double")).otherwise(lit(1.0)).as("p")))
+    assert(Splits.weightedSample(withNull, "id", col("p")).count() === 3)
+  }
+
   test("temperatureSample broadcasts the rates — no data-sized shuffle") {
     val df = (0L until 100L).map(i => (i, (i % 3).toString)).toDF("id", "g")
     val p = Splits.temperatureSample(df, "id", "g", 0.5)

@@ -200,6 +200,45 @@ class StreamingSpec extends SparkSuite {
     assert(out.count() > 0)
   }
 
+  test("ingest replay guard: NULL text is not conflated with empty text, and null <=> null suppresses replays") {
+    // the guard's dedup keys hash null DISTINCT from '' (xxhash64 skips
+    // null args) and confirm equality null-safely: a genuinely new
+    // null-text doc must be ADMITTED past an ''-text corpus doc, an
+    // ''-text re-crawl must drop against it, and a second null-text
+    // crawl must drop against the committed null-text doc (r12 fix —
+    // coalesce-to-'' conflated all three cases)
+    import graft.streaming.CorpusIngest
+    import graft.persist.SnapshotStore
+    val srcDir = Files.createTempDirectory("graft-nulltext-src").toString
+    val ckpt = Files.createTempDirectory("graft-nulltext-ckpt").toString
+    val store = new SnapshotStore(
+      Files.createTempDirectory("graft-nulltext-store").toString)
+    def docsDF(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    store.commit(docsDF(Seq(
+      (1L, ""), (2L, "some real corpus document text here"))))
+    docsDF(Seq(
+      (10L, null),  // new: NULL text ≠ the corpus's '' text
+      (11L, "")     // dup: exact '' match against corpus doc 1
+    )).coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def runIngest(): Unit = {
+      val q = CorpusIngest.dedupedIngest(
+        spark.readStream.schema(schema).parquet(srcDir),
+        store, "text", "doc_id", threshold = 0.8, checkpointDir = ckpt)
+      q.awaitTermination(120000)
+    }
+    def ids() = store.readLatest(spark)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    withLogLevel { runIngest() }
+    val after1 = ids()
+    assert(after1.contains(10L), "null-text doc must not drop as a dup of ''")
+    assert(!after1.contains(11L), "''-text re-crawl must drop against the '' corpus doc")
+    // second crawl: an exact NULL-text replay must now drop (null <=> null)
+    docsDF(Seq((20L, null))).coalesce(1).write.mode("append").parquet(srcDir)
+    withLogLevel { runIngest() }
+    assert(ids() === after1, "a second null-text doc must drop against the committed one")
+  }
+
   test("streaming deduped ingest: stream ≡ batch, cross-batch suppression") {
     import graft.ops.Dedup
     import graft.persist.SnapshotStore

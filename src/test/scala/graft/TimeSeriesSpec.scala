@@ -29,6 +29,24 @@ class TimeSeriesSpec extends SparkSuite {
       (2L, "2024-03-02", 1L)))
   }
 
+  test("transitionCounts drops null users and null types (r12)") {
+    // null users previously merged into ONE window partition (bogus
+    // cross-user transitions between unrelated anonymous events, plus a
+    // single giant sort task); a null TYPE emitted a (from, null) pair.
+    // Both now filter: transitions are counted over the null-free
+    // subsequence per real user.
+    val ev = withLogLevel(Seq(
+      (Some(1L), ts("2024-03-01 10:00:00"), 1L, Some("A")),
+      (Some(1L), ts("2024-03-01 11:00:00"), 2L, None: Option[String]),
+      (Some(1L), ts("2024-03-01 12:00:00"), 3L, Some("B")),
+      (None: Option[Long], ts("2024-03-01 10:30:00"), 4L, Some("A")),
+      (None: Option[Long], ts("2024-03-01 10:40:00"), 5L, Some("B"))
+    ).toDF("u", "t", "id", "typ"))
+    val r = TimeSeries.transitionCounts(ev, "t", "u", "typ", "id")
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSet
+    assert(r === Set(("A", "B", 1L)), s"got $r")
+  }
+
   test("weekly period steps by 7 days") {
     val ev = withLogLevel(Seq(
       (1L, ts("2024-03-04 10:00:00")),    // a Monday

@@ -32,6 +32,62 @@ class VectorSearchSpec extends SparkSuite {
       "scores must be bit-identical (same float32 kernel)")
   }
 
+  test("VectorIndex topK ties break by id ascending on BOTH paths, independent of layout (r12)") {
+    import spark.implicits._
+    // five copies of the same vector spread across blocks: every score
+    // ties, so a score-only heap resolved the winner by block order —
+    // layout-dependent and diverging from the DataFrame tiers'
+    // (desc similarity, asc id) contract
+    val v = Array(0.6f, 0.8f)
+    val dup = withLogLevel(Seq(
+      (40L, v), (10L, v), (30L, v), (20L, v), (50L, v),
+      (5L, Array(0.8f, 0.6f))
+    ).toDF("vec_id", "embedding").repartition(3))
+    val want = Seq(40L, 10L, 30L, 20L, 50L).sorted // ties: id asc
+    val qv = Array(0.6f, 0.8f)
+    val distributed = VectorIndex.build[Long](dup, "vec_id", "embedding", 2, 3)
+    assert(distributed.topK(qv, 3).map(_._1).toSeq === want.take(3))
+    val localIdx = VectorIndex.build[Long](dup, "vec_id", "embedding", 2, 3)
+      .persist().materialize()
+    try assert(localIdx.topK(qv, 3).map(_._1).toSeq === want.take(3))
+    finally localIdx.unpersist()
+    // agreement with the DataFrame tier under the same ties
+    val viaDf = VectorSearch.topK(dup, "embedding", qv, 3, "vec_id")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(viaDf === want.take(3))
+  }
+
+  test("VectorIndex topK rejects k <= 0 loudly (r12)") {
+    val idx = VectorIndex.build[Long](emb, "vec_id", "embedding", q0.length, 2)
+    val e = intercept[IllegalArgumentException](idx.topK(q0, 0))
+    assert(e.getMessage.contains("k must be > 0"))
+  }
+
+  test("knnJoin / topKPerGroup reject a pre-existing similarity column (r12)") {
+    val withSim = emb.withColumn("similarity", org.apache.spark.sql.functions.lit(0.0))
+    intercept[IllegalArgumentException] {
+      VectorSearch.knnJoin(withSim, "embedding", "vec_id",
+        emb.limit(1), "embedding", "vec_id", 3)
+    }
+    intercept[IllegalArgumentException] {
+      VectorSearch.topKPerGroup(withSim, "embedding", q0, 3, "vec_id", "vec_id")
+    }
+  }
+
+  test("mmrRerank survives NaN relevance and zero-norm vectors (r12)") {
+    import spark.implicits._
+    val cands = withLogLevel(Seq(
+      ("a", Array(1f, 0f), 0.9),
+      ("b", Array(0f, 0f), 0.8),          // zero-norm: cosine NaN in the diversity term
+      ("c", Array(Float.NaN, 1f), Double.NaN), // NaN relevance: filtered
+      ("d", Array(0f, 1f), 0.7)
+    ).toDF("id", "embedding", "rel"))
+    val r = VectorSearch.mmrRerank(cands, "embedding", "id", "rel", k = 3)
+      .select("id").as[String].collect().toSeq
+    assert(r.length === 3 && !r.contains("c"), s"got $r")
+    assert(r.head === "a")
+  }
+
   test("index count and dim validation") {
     val idx = VectorIndex.build[Long](emb, "vec_id", "embedding", q0.length, 2)
     assert(idx.count() === emb.count())

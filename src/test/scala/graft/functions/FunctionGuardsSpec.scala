@@ -171,4 +171,64 @@ class FunctionGuardsSpec extends SparkSuite {
       "SELECT dot_f32(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT)))")
       .head().getFloat(0) === 2.0f)
   }
+
+  test("r12 guard sweep: vector_sum_long, trigram_keys, mg_sketch, might_contain_long fail analysis on wrong types") {
+    // the silent-garbage class: toLongArray over array<int> storage reads
+    // 8-byte strides across 4-byte elements
+    intercept[AnalysisException] {
+      Seq(Seq(1, 2)).toDF("v")
+        .agg(VectorSumAggregate.vector_sum_long(col("v"))).collect()
+    }
+    intercept[AnalysisException] {
+      Seq(1).toDF("x").select(LmFunctions.trigram_keys(col("x"))).collect()
+    }
+    intercept[AnalysisException] {
+      Seq(1).toDF("x").agg(MisraGries.mg_sketch(col("x"), 4)).collect()
+    }
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    intercept[AnalysisException] {
+      Seq("a").toDF("x")
+        .select(BloomFunctions.might_contain_long(col("x"), bf)).collect()
+    }
+    // the documented input types still pass
+    assert(Seq(Seq(1L, 2L)).toDF("v")
+      .agg(VectorSumAggregate.vector_sum_long(col("v")))
+      .head().getSeq[Long](0) === Seq(1L, 2L))
+  }
+
+  test("BagCos.ge refuses zero-norm bags (cosine undefined, not vacuously similar)") {
+    assert(!BagCos.ge(0L, 0L, 100L, 1L, 2L), "empty left bag")
+    assert(!BagCos.ge(0L, 100L, 0L, 1L, 2L), "empty right bag")
+    assert(!BagCos.ge(0L, 0L, 0L, 1L, 2L), "both empty")
+    // genuine comparisons unaffected: cos=1 vs threshold 1/2
+    assert(BagCos.ge(10L, 10L, 10L, 1L, 2L))
+  }
+
+  test("minhash rejects numHashes < 1 instead of emitting empty signatures") {
+    val e = intercept[Exception] {
+      Seq(Seq("a", "b")).toDF("t")
+        .select(HashFunctions.minhash_signature(col("t"), 0)).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("numHashes")), s"got: ${chain(e)}")
+  }
+
+  test("ColumnMath.floorDiv stays exact past 2^53 where the old double-division form lost the answer") {
+    val v = 9007199254740993L // 2^53 + 1, divisible by 3
+    val got = Seq(v).toDF("v")
+      .select(ColumnMath.floorDiv(col("v"), 3L)).head().getLong(0)
+    assert(got === 3002399751580331L)
+    // the removed Profile form routed the numerator through double:
+    // (2^53 + 1) rounds to 2^53, and cast("long") TRUNCATES the
+    // q - 1/3 quotient down to q-1 — this documents the divergence the
+    // shared exact definition removes
+    assert((v.toDouble / 3).toLong === 3002399751580330L)
+    // floor (not truncate-toward-zero) on negatives, null propagates
+    assert(Seq(-7L).toDF("v")
+      .select(ColumnMath.floorDiv(col("v"), 3L)).head().getLong(0) === -3L)
+    assert(Seq(Option.empty[Long]).toDF("v")
+      .select(ColumnMath.floorDiv(col("v"), 3L)).head().isNullAt(0))
+  }
 }
