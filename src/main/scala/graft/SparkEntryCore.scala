@@ -730,6 +730,7 @@ private[graft] object SparkEntryCore {
        |  FROM x xq JOIN x xc USING (pos)
        |  WHERE xq.vec_id IN (SELECT vec_id FROM embeddings
        |                      WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)
+       |    AND xq.vec_id <> xc.vec_id -- self-match excluded (see the Spark side)
        |  GROUP BY xq.vec_id, xc.vec_id),
        |exact AS (
        |  SELECT query_id, cid FROM dots
@@ -771,6 +772,7 @@ private[graft] object SparkEntryCore {
        |  FROM x xq JOIN x xc USING (pos)
        |  WHERE xq.vec_id IN (SELECT vec_id FROM embeddings
        |                      WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16)
+       |    AND xq.vec_id <> xc.vec_id -- self-match excluded (see the Spark side)
        |  GROUP BY xq.vec_id, xc.vec_id),
        |top1 AS (
        |  SELECT query_id, cid AS c1, sim AS s1 FROM dots
@@ -782,12 +784,12 @@ private[graft] object SparkEntryCore {
        |  JOIN sig qs ON qs.vec_id = d.query_id
        |  WHERE bit_count(xor(cs.s, qs.s)) <= 3),
        |r AS (
-       |  SELECT c.query_id,
+       |  SELECT t.query_id,
        |    sum(CASE WHEN c.sim > t.s1 OR (c.sim = t.s1 AND c.cid < t.c1)
        |             THEN 1 ELSE 0 END)::BIGINT AS better,
-       |    max(CASE WHEN c.cid = t.c1 THEN 1 ELSE 0 END)::BIGINT AS found
-       |  FROM cand c JOIN top1 t USING (query_id)
-       |  GROUP BY c.query_id)
+       |    coalesce(max(CASE WHEN c.cid = t.c1 THEN 1 ELSE 0 END), 0)::BIGINT AS found
+       |  FROM top1 t LEFT JOIN cand c USING (query_id)
+       |  GROUP BY t.query_id)
        |SELECT query_id, found,
        |  (CASE WHEN found = 1 THEN better + 1 ELSE 0 END)::BIGINT AS rank,
        |  (CASE WHEN found = 1 THEN 1000000 // (better + 1) ELSE 0 END)::BIGINT AS rr_e6

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.IntegralDivide
-import org.apache.spark.sql.functions.{lit, pmod}
+import org.apache.spark.sql.functions.{lit, pmod, round, transform}
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
 /** Shared exact integer Column arithmetic (the ONE floor-division
@@ -21,4 +21,13 @@ object ColumnMath {
   def floorDiv(c: Column, w: Long): Column =
     column(IntegralDivide(
       expression(c - pmod(c, lit(w))), expression(lit(w))))
+
+  /** The canonical scaled-integer vector projection (e7 convention):
+    * float elements → round(x·scale) as LONG, HALF_UP via Spark round —
+    * the integer currency every exact kernel and every DuckDB oracle
+    * replays. ONE definition: seven private copies had grown across six
+    * files, and the oracle-parity contract (Evaluation's own warning)
+    * breaks the first time one copy drifts by a rounding-mode tweak. */
+  def scaledLongs(vec: Column, scale: Long): Column =
+    transform(vec, e => round(e.cast("double") * scale).cast("long"))
 }

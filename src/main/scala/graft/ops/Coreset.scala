@@ -52,7 +52,7 @@ object Coreset {
     val base: Dataset[(Long, Array[Long], Long)] = df
       .filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long"),
-        transform(col(vecCol), e => round(e.cast("double") * scale).cast("long")))
+        graft.functions.ColumnMath.scaledLongs(col(vecCol), scale))
       .as[(Long, Array[Long])]
       .map { case (id, e7) =>
         var i = 0; var n2 = 0L
@@ -63,8 +63,11 @@ object Coreset {
     // null embedding (base filters them out two lines up), which would
     // NPE here — or, under legacy sizeOfNull, yield dim = −1 and
     // silently route any corpus into the driver-local tier
-    val dim = df.filter(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).first().getInt(0)
+    val dimRows = df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect()
+    require(dimRows.nonEmpty,
+      "kCenterSelect needs at least one non-null vector")
+    val dim = dimRows(0).getInt(0)
     val n = base.count()
     val selected =
       if (n * dim <= localMaxElems) greedyLocal(base.collect(), k)
@@ -147,18 +150,29 @@ object Coreset {
       (sorted.head._2, sorted.head._3))
     val picked = scala.collection.mutable.ArrayBuffer(sorted.head._1)
     val pickedSet = scala.collection.mutable.HashSet(sorted.head._1)
-    while (picked.length < math.min(k, sorted.length)) {
+    var exhausted = false
+    while (!exhausted && picked.length < math.min(k, sorted.length)) {
+      // hoist: centers.toArray inside the per-row loop allocated a copy
+      // per candidate row per round — O(n·k²) garbage at the local-tier
+      // ceiling (the distributed tier already reads one broadcast array)
+      val cs = centers.toArray
       var bestId = -1L; var bestW = (0L, 0L); var bestN2 = 0L; var any = false
       for ((id, e7, n2) <- sorted if !pickedSet.contains(id)) {
-        val w = maxWitness(e7, n2, centers.toArray)
+        val w = maxWitness(e7, n2, cs)
         if (!any || fartherThan(id, w, n2, bestId, bestW, bestN2)) {
           bestId = id; bestW = w; bestN2 = n2; any = true
         }
       }
-      picked += bestId
-      pickedSet += bestId
-      val row = sorted.find(_._1 == bestId).get
-      centers += ((row._2, row._3))
+      // DUPLICATE ids can exhaust the distinct-id pool before the
+      // row-count bound: stop with the distinct selections instead of
+      // the old opaque find(-1).get NoSuchElementException
+      if (!any) exhausted = true
+      else {
+        picked += bestId
+        pickedSet += bestId
+        val row = sorted.find(_._1 == bestId).get
+        centers += ((row._2, row._3))
+      }
     }
     picked.toSeq
   }
@@ -175,30 +189,39 @@ object Coreset {
         .collect()(0)
       val picked = scala.collection.mutable.ArrayBuffer(seed._1)
       val centers = scala.collection.mutable.ArrayBuffer((seed._2, seed._3))
-      while (picked.length < math.min(k, n).toInt) {
+      var exhausted = false
+      while (!exhausted && picked.length < math.min(k, n).toInt) {
         val bc = spark.sparkContext.broadcast(centers.toArray)
         val pickedSet = picked.toSet
         // one partial winner per partition (exact comparator), merged
-        // exactly on the driver: the exchange is ≤ numPartitions rows
+        // exactly on the driver: the exchange is ≤ numPartitions rows.
+        // The winner CARRIES its e7 vector (numPartitions × dim longs —
+        // still tiny): re-fetching it with a filter ran a SECOND full
+        // corpus scan every round, doubling the k-round cost
         val winners = cached.mapPartitions { it =>
           var bestId = -1L; var bestW = (0L, 0L); var bestN2 = 0L
+          var bestE7: Array[Long] = null
           var any = false
           for ((id, e7, n2) <- it if !pickedSet.contains(id)) {
             val w = maxWitness(e7, n2, bc.value)
             if (!any || fartherThan(id, w, n2, bestId, bestW, bestN2)) {
-              bestId = id; bestW = w; bestN2 = n2; any = true
+              bestId = id; bestW = w; bestN2 = n2; bestE7 = e7; any = true
             }
           }
-          if (any) Iterator.single((bestId, bestW._1, bestW._2, bestN2))
+          if (any) Iterator.single((bestId, bestW._1, bestW._2, bestN2, bestE7))
           else Iterator.empty
         }.collect()
-        val best = winners.reduceLeft { (a, b) =>
-          if (fartherThan(a._1, (a._2, a._3), a._4, b._1, (b._2, b._3), b._4)) a
-          else b
+        // duplicate ids can exhaust the distinct pool early — stop with
+        // the distinct selections (see greedyLocal)
+        if (winners.isEmpty) exhausted = true
+        else {
+          val best = winners.reduceLeft { (a, b) =>
+            if (fartherThan(a._1, (a._2, a._3), a._4, b._1, (b._2, b._3), b._4)) a
+            else b
+          }
+          picked += best._1
+          centers += ((best._5, best._4))
         }
-        picked += best._1
-        val row = cached.filter(col("_1") === best._1).collect()(0)
-        centers += ((row._2, row._3))
         bc.destroy()
       }
       picked.toSeq

@@ -45,8 +45,7 @@ object Evaluation {
       scale: Long): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     val planes = VectorSearch.randomPlanes(numPlanes, dim, seed)
     val sig = VectorSearch.hyperplaneSignature(col(vecCol), planes)
-    val e7 = transform(col(vecCol),
-      e => round(e.cast("double") * scale).cast("long"))
+    val e7 = graft.functions.ColumnMath.scaledLongs(col(vecCol), scale)
     (sig, e7)
   }
 
@@ -154,8 +153,15 @@ object Evaluation {
       .agg(graft.functions.TopKAggregate.topk_rows(payload, k).as("__t"))
       .select(col("query_id"), explode(col("__t")).as("__e"))
       .select(col("query_id"), col("__e.__cid").as("__cid"))
-    val exact = topkOf(corpus.crossJoin(queries))
-    val approx = topkOf(corpus.crossJoin(queries).filter(
+    // SELF-MATCH EXCLUDED from both rankings: for a normalized corpus
+    // the query row is its own exact top-1 AND always survives the
+    // hamming filter (distance 0), so self-inclusive recall was
+    // inflated by a guaranteed 1/k per query — the metric should grade
+    // retrieval of real neighbors, not the query finding itself.
+    val pairs = corpus.crossJoin(queries)
+      .filter(col("__cid") =!= col("query_id"))
+    val exact = topkOf(pairs)
+    val approx = topkOf(pairs.filter(
       graft.functions.HashFunctions.hamming64(col("__csig"), col("__qsig"))
         <= lit(maxHamming)))
     // one reference to `exact`: hits and totals from the same left join
@@ -179,8 +185,10 @@ object Evaluation {
    * WITHOUT materializing an ordered list: it is 1 + the count of
    * candidates strictly better under (sim DESC, id ASC) — one
    * aggregate per query, exact integers end-to-end, SQL-replayable.
-   * Self-candidacy (hamming(sig,sig)=0) guarantees every query has a
-   * candidate set. Query selection and scan envelope match
+   * The self-match is EXCLUDED from ground truth and candidates (it
+   * made the metric vacuously perfect on normalized corpora); a query
+   * whose non-self candidate set is empty reports found=0/rr=0.
+   * Query selection and scan envelope match
    * [[lshRecallReport]] (bounded top-`numQueries` by id ascending).
    *
    * Output: (query_id, found, rank, rr_e6) ordered by query_id.
@@ -203,7 +211,13 @@ object Evaluation {
     val queries = broadcast(precomputedQueries.getOrElse(
       lshQuerySet(emb, vecCol, idCol, dim, numQueries, numPlanes, seed,
         scale)))
+    // SELF-MATCH EXCLUDED (see lshRecallReport): with self included,
+    // the true top-1 of a normalized corpus was the query itself and
+    // self always survives the hamming filter, so every query scored
+    // rank 1 / rr 1e6 — the report could never detect a bad index and
+    // the rr=0 branch was unreachable.
     val scoredAll = corpus.crossJoin(queries)
+      .filter(col("__cid") =!= col("query_id"))
       .withColumn("__sim",
         graft.functions.DenseVec.dense_dot(col("__qe"), col("__ce")))
     // min over (−sim, id): negate the SCORE (always numeric), not the
@@ -218,7 +232,7 @@ object Evaluation {
     val cands = scoredAll.filter(
       graft.functions.HashFunctions.hamming64(col("__csig"), col("__qsig"))
         <= lit(maxHamming))
-    cands.join(broadcast(top1), Seq("query_id"))
+    val perQuery = cands.join(broadcast(top1), Seq("query_id"))
       .groupBy(col("query_id"))
       .agg(
         sum(when(col("__sim") > col("__s1") ||
@@ -226,7 +240,14 @@ object Evaluation {
           1L).otherwise(0L)).as("__better"),
         max(when(col("__cid") === col("__c1"), 1L).otherwise(0L))
           .as("found"))
-      .select(col("query_id"), col("found"),
+    // LEFT join from the query set: without self-candidacy a query's
+    // candidate set can be EMPTY (the filter lost everything), and the
+    // join-then-group above would silently drop its row instead of
+    // reporting found=0 / rr=0
+    top1.select(col("query_id"))
+      .join(perQuery, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("found"), lit(0L)).as("found"),
         when(col("found") === 1L, col("__better") + 1L).otherwise(0L)
           .as("rank"),
         when(col("found") === 1L,

@@ -48,15 +48,18 @@ object KMeans {
       scale: Long = 10000000L): Model = {
     require(k >= 1 && iterations >= 0, "k >= 1, iterations >= 0")
     val vecs = df.filter(col(vecCol).isNotNull)
-    val init = vecs.orderBy(col(idCol)).limit(k)
-      .select(scaledLongs(col(vecCol), scale).as("e7"))
-      .collect().map(_.getSeq[Long](0).toArray)
-    require(init.length == k, s"need at least $k rows to seed $k cells")
-    var centroids = init
-    // each round re-scans vecs (assignment + sums); cache for the fit
+    // persist BEFORE the seed scan: seeding from the unpersisted frame
+    // paid one full evaluation of the upstream lineage, then round 1
+    // paid it again just to populate this cache — the seed top-k now
+    // also populates it
     val cachedVecs =
       vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val init = cachedVecs.orderBy(col(idCol)).limit(k)
+        .select(scaledLongs(col(vecCol), scale).as("e7"))
+        .collect().map(_.getSeq[Long](0).toArray)
+      require(init.length == k, s"need at least $k rows to seed $k cells")
+      var centroids = init
       for (_ <- 1 to iterations) {
         val sums = assignCells(cachedVecs, vecCol, centroids, scale,
             Seq(scaledLongs(col(vecCol), scale).as("e7")))
@@ -73,8 +76,8 @@ object KMeans {
           }
         }
       }
+      Model(centroids, scale)
     } finally cachedVecs.unpersist()
-    Model(centroids, scale)
   }
 
   /** Assignment column: argmin cell id for each row of `df`. */
@@ -100,7 +103,7 @@ object KMeans {
     assign(df, vecCol, idCol, fit(df, vecCol, idCol, k, iterations, scale))
 
   private def scaledLongs(vec: org.apache.spark.sql.Column, scale: Long) =
-    transform(vec, e => round(e.cast("double") * scale).cast("long"))
+    graft.functions.ColumnMath.scaledLongs(vec, scale) // the ONE shared e7 definition
 
   /**
    * Exact integer argmin over literal centroids, first-min tie-break.

@@ -506,6 +506,12 @@ object Multimodal {
       assets: DataFrame,
       everyNth: Int = 2,
       maxFrames: Int = 8): DataFrame = {
+    // driver-side require, not an executor crash: everyNth=0 threw
+    // "step cannot be 0" inside every task, and a negative step
+    // silently produced zero frames (every video then reported zero
+    // near-dup pairs). Covers frameHashes/videoNearDupPairs too.
+    require(everyNth >= 1, "everyNth must be >= 1")
+    require(maxFrames >= 1, "maxFrames must be >= 1")
     val spark = assets.sparkSession
     val schema = frameSchema
     val rdd = assets.filter(col("modality") === "video" && col("bytes").isNotNull)
@@ -551,7 +557,7 @@ object Multimodal {
     * (`##dc` compressed / `##db` uncompressed — JPEG frames in MJPEG).
     * Pure JDK: 4CC ids + little-endian sizes, chunks padded to even
     * offsets, LIST/RIFF nodes carry a 4-byte form type then subchunks. */
-  private[ops] def aviVideoChunks(bytes: Array[Byte]): IndexedSeq[Array[Byte]] = {
+  private[graft] def aviVideoChunks(bytes: Array[Byte]): IndexedSeq[Array[Byte]] = {
     def u32(off: Int): Long =
       (bytes(off) & 0xFFL) | ((bytes(off + 1) & 0xFFL) << 8) |
         ((bytes(off + 2) & 0xFFL) << 16) | ((bytes(off + 3) & 0xFFL) << 24)
@@ -561,16 +567,23 @@ object Multimodal {
       var p = start
       while (p + 8 <= end) {
         val id = fourcc(p)
-        val sz = u32(p + 4).toInt
+        // the size field is UNTRUSTED input: keep it in Long and clamp —
+        // a corrupt/hostile 32-bit size near 2^31 overflowed the old Int
+        // arithmetic into negative offsets (copyOfRange / fourcc threw),
+        // failing the whole task against the module's skip-don't-fail
+        // contract
+        val sz = u32(p + 4) // 0 .. 2^32-1, never negative
         val dataStart = p + 8
-        val dataEnd = math.min(end, dataStart + math.max(0, sz))
+        val dataEnd = math.min(end.toLong, dataStart.toLong + sz).toInt
         if (id == "RIFF" || id == "LIST") {
           if (dataStart + 4 <= dataEnd) walk(dataStart + 4, dataEnd)
         } else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) &&
-            id.take(2).forall(_.isDigit) && sz > 0) {
+            id.take(2).forall(_.isDigit) && sz > 0 && dataStart < dataEnd) {
           frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
         }
-        p = dataStart + math.max(0, sz) + (sz & 1) // word alignment
+        // sz ≥ 0, so the cursor always advances ≥ 8 bytes; clamp keeps
+        // the Long sum from wrapping back into range
+        p = math.min(dataStart.toLong + sz + (sz & 1L), end.toLong).toInt
       }
     }
     walk(0, bytes.length)

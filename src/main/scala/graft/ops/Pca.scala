@@ -208,5 +208,5 @@ object Pca {
 
   private def augmented(vec: Column, scale: Long): Column =
     concat(array(lit(1L)),
-      transform(vec, e => round(e.cast("double") * scale).cast("long")))
+      graft.functions.ColumnMath.scaledLongs(vec, scale))
 }

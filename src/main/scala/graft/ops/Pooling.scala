@@ -88,7 +88,11 @@ object Pooling {
     val diffSq = zip_with(
       scaledLongs(col(vecCol), scale), col("__sum"),
       (e7, s) => {
-        val d = (e7 * col("__n") - s).cast("decimal(38,0)")
+        // widen to decimal BEFORE the multiply: e7·n in LONG wraps
+        // silently past 2^63 (n ≈ 1e10 rows at e7 ≈ 1e9), which the
+        // "exact integer numerator" contract must not do — only the
+        // squares were decimal-guarded before
+        val d = e7.cast("decimal(38,0)") * col("__n") - s.cast("decimal(38,0)")
         d * d
       })
     df.filter(col(vecCol).isNotNull)
@@ -102,5 +106,5 @@ object Pooling {
   }
 
   private def scaledLongs(vec: Column, scale: Long): Column =
-    transform(vec, e => round(e.cast("double") * scale).cast("long"))
+    graft.functions.ColumnMath.scaledLongs(vec, scale) // the ONE shared e7 definition
 }

@@ -469,8 +469,7 @@ object VectorSearch {
         .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
     val cands = df.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("__id"),
-        transform(col(vecCol),
-          e => round(e.cast("double") * scale).cast("long")).as("__e7"))
+        graft.functions.ColumnMath.scaledLongs(col(vecCol), scale).as("__e7"))
       .withColumn("__rel", graft.functions.DenseVec.dense_dot(
         col("__e7"), typedLit(qe.toIndexedSeq)))
       .orderBy(desc("__rel"), asc("__id"))

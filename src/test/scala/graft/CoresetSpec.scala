@@ -114,4 +114,28 @@ class CoresetSpec extends SparkSuite {
     assert(got.head === 0L)
     assert(got.toSet.size === 5)
   }
+
+  test("duplicate ids exhaust the pool gracefully — distinct picks, no opaque crash (r12)") {
+    import spark.implicits._
+    // 3 rows, 2 distinct ids, k=3: the loop bound counted ROWS while
+    // selection exhausts distinct ids — the old code crashed on
+    // find(-1).get / reduceLeft-on-empty
+    val dup = withLogLevel(Seq(
+      (1L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding"))
+    val picks = graft.ops.Coreset.kCenterSelect(dup, "embedding", "vec_id", k = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(picks.distinct === picks)
+    assert(picks.toSet === Set(1L, 2L), s"got $picks")
+  }
+
+  test("an all-null corpus fails with the diagnostic message, not NoSuchElement (r12)") {
+    import spark.implicits._
+    val empty = withLogLevel(Seq((1L, None: Option[Array[Float]]))
+      .toDF("vec_id", "embedding"))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Coreset.kCenterSelect(empty, "embedding", "vec_id", k = 2)
+    }
+    assert(e.getMessage.contains("non-null vector"))
+  }
 }

@@ -93,11 +93,13 @@ class EvaluationSpec extends SparkSuite {
     val vecs = rows.map { case (id, v) => id -> e7(v) }.toMap
     val expected = rows.filter(_._1 < 6).sortBy(_._1).map { case (qid, _) =>
       val q = vecs(qid)
-      val ranked = rows.map(_._1)
+      // self excluded on BOTH sides (r12): with self included the true
+      // top-1 was the query itself and the metric was vacuously perfect
+      val ranked = rows.map(_._1).filter(_ != qid)
         .map(cid => (dot(q, vecs(cid)), cid))
         .sortBy { case (s, cid) => (-s, cid) }
       val (s1, c1) = ranked.head
-      val cands = rows.map(_._1).filter(cid =>
+      val cands = rows.map(_._1).filter(cid => cid != qid &&
         java.lang.Long.bitCount(sigs(cid) ^ sigs(qid)) <= 2)
         .map(cid => (dot(q, vecs(cid)), cid))
       val found = cands.exists(_._2 == c1)
@@ -131,8 +133,9 @@ class EvaluationSpec extends SparkSuite {
       def topk(cands: Seq[Long]): Set[Long] = cands
         .map(cid => (dot(q, vecs(cid)), cid))
         .sortBy { case (s, cid) => (-s, cid) }.take(k).map(_._2).toSet
-      val exact = topk(rows.map(_._1).toSeq)
-      val cands = rows.map(_._1).filter(cid =>
+      // self excluded on BOTH sides (r12) — see the MRR replica
+      val exact = topk(rows.map(_._1).filter(_ != qid).toSeq)
+      val cands = rows.map(_._1).filter(cid => cid != qid &&
         java.lang.Long.bitCount(sigs(cid) ^ sigs(qid)) <= 2).toSeq
       val approx = topk(cands)
       val hits = exact.intersect(approx).size.toLong

@@ -313,4 +313,35 @@ class MultimodalSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(pairs === Set(("a", "b", 0L)))
   }
+
+  test("a corrupt RIFF size near 2^31 is clamped, not a task crash (r12)") {
+    // untrusted input: Int arithmetic on the 32-bit chunk size
+    // overflowed into negative offsets and threw from copyOfRange —
+    // the walk must skip/clamp, never fail
+    val b = new Array[Byte](64)
+    "RIFF".getBytes("US-ASCII").copyToArray(b, 0)
+    b(4) = 56 // RIFF payload size: rest of the buffer (valid outer chunk)
+    "AVI ".getBytes("US-ASCII").copyToArray(b, 8)
+    "00dc".getBytes("US-ASCII").copyToArray(b, 12)
+    // little-endian CORRUPT frame size 0x7FFFFFF0
+    b(16) = 0xF0.toByte; b(17) = 0xFF.toByte
+    b(18) = 0xFF.toByte; b(19) = 0x7F.toByte
+    val frames = graft.ops.Multimodal.aviVideoChunks(b)
+    assert(frames.length === 1, "clamped to the available bytes")
+    assert(frames.head.length === 64 - 20)
+    // size that would wrap the cursor itself (0xFFFFFFFF)
+    val c = b.clone()
+    c(16) = 0xFF.toByte; c(17) = 0xFF.toByte
+    c(18) = 0xFF.toByte; c(19) = 0xFF.toByte
+    assert(graft.ops.Multimodal.aviVideoChunks(c).length === 1)
+  }
+
+  test("sampleFrames validates everyNth/maxFrames driver-side (r12)") {
+    intercept[IllegalArgumentException] {
+      graft.ops.Multimodal.sampleFrames(assets, everyNth = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Multimodal.sampleFrames(assets, everyNth = -1)
+    }
+  }
 }
