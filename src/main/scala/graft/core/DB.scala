@@ -41,6 +41,18 @@ class DB private (
     val persist = persistRoot.map { root =>
       val dir = Persistence.collectionDir(root, name)
       def clearAndInit(): ParquetPersistence = {
+        // COLLISION GUARD: the 4-byte hash dir scheme is the reference's
+        // (persistence.go:22-28) and distinct names CAN share a dir —
+        // without this check, creating the second name silently wiped a
+        // LIVE different-named collection's data. The sidecar records
+        // the owning name; refuse loudly on a mismatch.
+        if (Files.exists(dir.resolve("_metadata.json"))) {
+          val owner = Persistence.readMetadata(dir)._1
+          if (owner != name)
+            throw new IllegalStateException(
+              s"collection dir collision: '$name' hashes to the directory " +
+                s"already owned by '$owner' (${dir.getFileName}) — rename one")
+        }
         // Overwrite means overwrite ON DISK too: the fresh collection's
         // first mutation only rewrites documents/ lazily, so leftover
         // parquet from a previous same-named collection would resurrect

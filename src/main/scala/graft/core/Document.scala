@@ -24,7 +24,13 @@ object Document {
     StructField("content", StringType, nullable = true)))
 
   /** Constructor that embeds content when no vector is given — parity
-    * with reference NewDocument (document.go:28-53). */
+    * with reference NewDocument (document.go:28-53), with ONE deliberate
+    * deviation: the reference silently substitutes its default OpenAI
+    * embedder when embeddingFunc is nil; this port has no ambient API
+    * key to assume, so a null func returns the document UNEMBEDDED and
+    * the embedding happens later on the add path (addDocuments /
+    * addDF embed via the collection's func). Callers needing a
+    * query-ready vector must pass a func here. */
   def create(
       id: String,
       metadata: Map[String, String] = Map.empty,

@@ -31,13 +31,27 @@ object Filters {
       if (!validOps.contains(op)) throw new IllegalArgumentException(message)
     }
 
-  def metadataPredicate(where: Map[String, String]): Column =
+  def metadataPredicate(where: Map[String, String]): Column = {
+    // reject null keys/values up front: lit(null) nulls the whole
+    // AND-fold and the filter silently returns ZERO rows — in the Go
+    // reference this state is unrepresentable (map[string]string cannot
+    // hold nil), so loud rejection is the faithful port of "cannot
+    // happen", not a behavior change
+    where.foreach { case (k, v) =>
+      if (k == null || v == null) throw new IllegalArgumentException(
+        "where keys and values must be non-null")
+    }
     where.foldLeft(lit(true)) { case (acc, (k, v)) =>
       acc && (coalesce(element_at(col("metadata"), lit(k)), lit("")) === lit(v))
     }
+  }
 
   def contentPredicate(whereDocument: Map[String, String]): Column = {
     validateWhereDocument(whereDocument)
+    whereDocument.foreach { case (_, v) =>
+      if (v == null) throw new IllegalArgumentException(
+        "whereDocument values must be non-null")
+    }
     whereDocument.foldLeft(lit(true)) {
       case (acc, (ContainsOp, v))    => acc && coalesce(col("content"), lit("")).contains(v)
       case (acc, (NotContainsOp, v)) => acc && !coalesce(col("content"), lit("")).contains(v)

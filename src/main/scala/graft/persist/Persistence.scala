@@ -160,12 +160,27 @@ object Json {
   def num(d: Double): String =
     if (d == d.toLong.toDouble) d.toLong.toString else d.toString
 
-  /** Parse into Map[String,Any] / List[Any] / String / Double / Boolean / null. */
-  def parse(s: String): Any = new JsonParser(s).parseValue()
+  /** Parse into Map[String,Any] / List[Any] / String / Double / Boolean / null.
+    * The WHOLE input must be one value: trailing garbage after the
+    * top-level value (a torn/concatenated sidecar) fails loudly instead
+    * of silently returning the first value — the atomic-write discipline
+    * only helps if a damaged file actually errors. */
+  def parse(s: String): Any = {
+    val p = new JsonParser(s)
+    val v = p.parseValue()
+    p.requireAtEnd()
+    v
+  }
 
   private final class JsonParser(s: String) {
     private var i = 0
     private def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    def requireAtEnd(): Unit = {
+      ws()
+      if (i < s.length)
+        throw new IllegalArgumentException(
+          s"trailing content after JSON value at $i")
+    }
     private def expect(c: Char): Unit = {
       ws()
       if (i >= s.length || s.charAt(i) != c)

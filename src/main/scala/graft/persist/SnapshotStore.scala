@@ -118,7 +118,18 @@ class SnapshotStore(rootDir: String) {
   def prune(keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val vs = versions
-    val keep = vs.takeRight(keepLast).toSet ++ latestVersion.toSet
+    // retention counts PUBLISHED versions only (<= the pointer): a
+    // crashed commit's allocated-but-unpublished dir otherwise occupies
+    // a keepLast slot and a fully committed version gets deleted a slot
+    // early — "keep the 2 newest snapshots" must mean readable ones.
+    // Unpublished dirs above the pointer are retained (the in-flight
+    // commit protocol owns them), never counted.
+    val published = latestVersion match {
+      case Some(latest) => vs.filter(_ <= latest)
+      case None => Seq.empty
+    }
+    val keep = published.takeRight(keepLast).toSet ++ latestVersion.toSet ++
+      vs.filter(v => latestVersion.forall(v > _)).toSet
     val drop = vs.filterNot(keep)
     if (drop.nonEmpty) {
       log.warn(s"SnapshotStore($root): pruning versions ${drop.mkString(", ")} " +
@@ -133,6 +144,12 @@ class SnapshotStore(rootDir: String) {
    * (change = added | removed | changed, id). Rows compare by a hash of
    * the full row struct, so the shuffle carries (id, 8-byte hash) per
    * side — never the payloads.
+   *
+   * Precondition: `idCol` must be UNIQUE within each version — commit()
+   * accepts any DataFrame, but a duplicated id makes the full_outer
+   * join emit a row PER PAIR (duplicated/contradictory change rows for
+   * that id). Every producer in this repo commits keyed corpora;
+   * dedup first if yours is not.
    */
   def diff(spark: SparkSession, fromV: Long, toV: Long, idCol: String): DataFrame = {
     def hashed(df: DataFrame) = {

@@ -68,4 +68,19 @@ class FiltersSpec extends SparkSuite {
     }
     assert(e.getMessage === "unsupported operator")
   }
+
+  test("null where keys/values are rejected loudly, not a silent empty result (r12)") {
+    // lit(null) nulls the whole AND-fold — the filter would silently
+    // return zero rows; in the Go reference a nil map value is
+    // unrepresentable, so loud rejection is the faithful port
+    intercept[IllegalArgumentException] {
+      graft.core.Filters.metadataPredicate(Map("k" -> null))
+    }
+    intercept[IllegalArgumentException] {
+      graft.core.Filters.metadataPredicate(Map(null.asInstanceOf[String] -> "v"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.core.Filters.contentPredicate(Map("$contains" -> null))
+    }
+  }
 }

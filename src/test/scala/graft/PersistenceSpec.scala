@@ -158,6 +158,26 @@ class PersistenceSpec extends SparkSuite {
     assert(p("o").asInstanceOf[Map[String, Any]]("k") === "v")
   }
 
+  test("a hash2hex dir collision refuses to create, never wipes the live owner (r12)") {
+    // coll-38974 and coll-50694 genuinely share SHA-256 prefix 3e32ca04
+    // (found by search) — the reference's 4-byte dir scheme collides at
+    // birthday scale, and createCollection previously deleteTree'd the
+    // LIVE other collection's directory before writing its own sidecar
+    val root = java.nio.file.Files.createTempDirectory("graft-coll").toString
+    val ef = new graft.embed.HashingEmbeddingFunc(8)
+    val db = graft.core.DB.persistent(spark, root, ef)
+    val a = db.createCollection("coll-38974", Map.empty, ef)
+    a.addDocuments(Seq(graft.core.Document.create("d1", content = "precious data")))
+    val e = intercept[IllegalStateException] {
+      db.createCollection("coll-50694", Map.empty, ef)
+    }
+    assert(e.getMessage.contains("coll-38974"), e.getMessage)
+    assert(a.getByID("d1").content === "precious data", "owner intact")
+    // and the owner survives a fresh reopen
+    val re = graft.core.DB.persistent(spark, root, ef)
+    assert(re.getCollection("coll-38974").getByID("d1").content === "precious data")
+  }
+
   test("Json rejects malformed input loudly (no raw index errors, no lenient literals)") {
     // truncated strings/escapes surfaced StringIndexOutOfBounds and any
     // 4 chars starting with t/f/n parsed as a literal before the r12
@@ -172,8 +192,12 @@ class PersistenceSpec extends SparkSuite {
       withClue(bad) {
         intercept[IllegalArgumentException](Json.parse(bad))
       }
-    // exact literals still parse
-    assert(Json.parse("""[true, false, null]""").asInstanceOf[List[Any]]
+    // trailing garbage after the top-level value fails too — a torn or
+    // concatenated sidecar must error, not half-parse (r12)
+    intercept[IllegalArgumentException](Json.parse("""{"v": 1}{"v": 9}"""))
+    intercept[IllegalArgumentException](Json.parse("""{"v": 1} junk"""))
+    // exact literals still parse (trailing whitespace is fine)
+    assert(Json.parse("""[true, false, null]  """).asInstanceOf[List[Any]]
       === List(true, false, null))
   }
 

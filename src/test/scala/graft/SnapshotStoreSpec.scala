@@ -112,4 +112,25 @@ class SnapshotStoreSpec extends SparkSuite {
     }
     assert(leftovers.isEmpty, s"leaked tmp entries: $leftovers")
   }
+
+  test("prune retention counts published versions only — an orphaned commit dir cannot evict a real one (r12)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    val store = new graft.persist.SnapshotStore(root)
+    (1 to 3).foreach(i => store.commit(Seq((i.toLong, s"v$i")).toDF("id", "x")))
+    // simulate a crashed commit: an allocated version dir ABOVE the
+    // pointer, never published
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "v00000004"))
+    val dropped = store.prune(keepLast = 2)
+    assert(dropped === Seq(1L), s"dropped $dropped")
+    // v2 (a real published version inside the retention window) is
+    // readable — the old row-count-based keep set evicted it because
+    // the orphan dir occupied a slot
+    assert(store.read(spark, 2L).count() === 1L)
+    assert(store.read(spark, 3L).count() === 1L)
+    // the orphan stays on disk (owned by the in-flight commit protocol)
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(root, "v00000004")))
+  }
 }
