@@ -427,6 +427,14 @@ object Bench {
         val now = retimed.get(k).filter(r => r >= 0 && r < v).getOrElse(v)
         k -> (prev.get(k) match {
           case Some(p) if now <= 0 && p > 0 => p
+          // explicit rebase: the high-water mark can never decay, so a
+          // deliberate, adjudicated retuning that lands recall below the
+          // historical best would otherwise flag 'dropped >15% vs prev'
+          // forever. GRAFT_RECALL_REBASE=1 re-seeds the baseline at this
+          // window's value ONCE (healthy values only — the now<=0 arm
+          // above already kept the prior on a failed probe).
+          case Some(_) if k.startsWith("ann_recall") &&
+            sys.env.get("GRAFT_RECALL_REBASE").exists(v => v == "1" || v == "true") => now
           case Some(p) if k.startsWith("ann_recall") && p > 0 => math.max(p, now)
           case Some(p) if now > 0 && p > 0 && p <= now * 2 => (p + now) / 2
           case _ => now

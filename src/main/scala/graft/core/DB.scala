@@ -116,8 +116,21 @@ class DB private (
     persistRoot.foreach { root =>
       // same discipline as createCollection: finish (or fence out) any
       // in-flight write through the removed handle before deleting its
-      // directory, and detach so its future mutations stay in memory
-      def clear(): Unit = deleteRecursively(Persistence.collectionDir(root, name))
+      // directory, and detach so its future mutations stay in memory.
+      // COLLISION GUARD (mirror of createCollection's): the 4-byte hash
+      // dir scheme lets distinct names share a directory, and this name
+      // may be absent from the registry ("no-op if absent" contract)
+      // while the dir belongs to a LIVE different-named collection —
+      // deleting unconditionally would wipe the owner's data. The
+      // sidecar records the owning name; only delete what we own. A dir
+      // with no sidecar is a torn previous write for this hash and is
+      // safe to clear.
+      def clear(): Unit = {
+        val dir = Persistence.collectionDir(root, name)
+        val ownedByOther = Files.exists(dir.resolve("_metadata.json")) &&
+          Persistence.readMetadata(dir)._1 != name
+        if (!ownedByOther) deleteRecursively(dir)
+      }
       removed match {
         case Some(c) => c.synchronized { c.detachPersistence(); clear() }
         case None => clear()

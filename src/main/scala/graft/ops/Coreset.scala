@@ -157,10 +157,11 @@ object Coreset {
       // ceiling (the distributed tier already reads one broadcast array)
       val cs = centers.toArray
       var bestId = -1L; var bestW = (0L, 0L); var bestN2 = 0L; var any = false
+      var bestE7: Array[Long] = null
       for ((id, e7, n2) <- sorted if !pickedSet.contains(id)) {
         val w = maxWitness(e7, n2, cs)
         if (!any || fartherThan(id, w, n2, bestId, bestW, bestN2)) {
-          bestId = id; bestW = w; bestN2 = n2; any = true
+          bestId = id; bestW = w; bestN2 = n2; bestE7 = e7; any = true
         }
       }
       // DUPLICATE ids can exhaust the distinct-id pool before the
@@ -170,8 +171,11 @@ object Coreset {
       else {
         picked += bestId
         pickedSet += bestId
-        val row = sorted.find(_._1 == bestId).get
-        centers += ((row._2, row._3))
+        // carry the WINNING row's own vector (mirror of the distributed
+        // tier's bestE7): re-finding by id on duplicate-id inputs could
+        // append a different same-id row's vector than the one whose
+        // witness won, diverging the two tiers' center sets
+        centers += ((bestE7, bestN2))
       }
     }
     picked.toSeq

@@ -142,13 +142,17 @@ object CorpusIngest {
             // like every forced broadcast in this repo: a bulk
             // AvailableNow first read (file source, no maxFilesPerTrigger)
             // lands the whole landing zone in ONE micro-batch, and
-            // "batch-sized" stops being small. 8-byte hash keys at the
-            // 4M bound are ~32 MB serialized; over it, drop the hint and
-            // let the planner shuffle the semi-join loudly.
+            // "batch-sized" stops being small. The bound is ROWS in the
+            // built hash relation, not raw key bytes: a broadcast
+            // LongToUnsafeRowMap costs ~50-100 bytes/row of driver +
+            // per-executor heap (UnsafeRow + map slots), so 1M rows
+            // ≈ 100 MB resident — the same band as corpusHits' row
+            // bound. Over it, drop the hint and let the planner shuffle
+            // the semi-join loudly.
             val batchKeys = batchHashed.select(col("__text_h")).distinct()
             val keyRows = batchKeys.count()
             val keysSide =
-              if (keyRows <= 4000000L) broadcast(batchKeys)
+              if (keyRows <= 1000000L) broadcast(batchKeys)
               else {
                 org.slf4j.LoggerFactory.getLogger(getClass).warn(
                   s"corpus ingest: $keyRows distinct batch text hashes " +

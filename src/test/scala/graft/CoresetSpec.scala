@@ -129,6 +129,32 @@ class CoresetSpec extends SparkSuite {
     assert(picks.toSet === Set(1L, 2L), s"got $picks")
   }
 
+  test("duplicate-id winner carries its OWN vector — local ≡ distributed (r13)") {
+    import spark.implicits._
+    // id 1 appears twice with very different vectors, the FARTHER row
+    // (0,1) listed SECOND: the old local tier picked the winner by
+    // witness but re-fetched the center vector by find(_._1 == id),
+    // which returned the FIRST same-id row (0.707,0.707) — and with
+    // that wrong center the third pick flips from id 2 to id 3. The
+    // fixed local tier must carry the winning row's own vector and
+    // agree with the distributed tier.
+    val s = math.sqrt(0.5).toFloat
+    val rows = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(s, s)),      // first same-id row (NOT the witness winner)
+      (1L, Array(0f, 1f)),    // the winner: cos 0 to the seed
+      (2L, Array(s, s)),
+      (3L, Array(0.3827f, 0.9239f)))
+    val df = withLogLevel(rows.toDF("vec_id", "embedding"))
+    val local = graft.ops.Coreset.kCenterSelect(df.coalesce(1), "embedding", "vec_id", k = 3)
+      .orderBy(col("rank")).collect().map(_.getLong(0)).toSeq
+    val dist = graft.ops.Coreset.kCenterSelect(df.repartition(3), "embedding", "vec_id",
+        k = 3, localMaxElems = 0)
+      .orderBy(col("rank")).collect().map(_.getLong(0)).toSeq
+    assert(local === Seq(0L, 1L, 2L), s"local picked $local")
+    assert(dist === local, s"tiers diverged: local=$local dist=$dist")
+  }
+
   test("an all-null corpus fails with the diagnostic message, not NoSuchElement (r12)") {
     import spark.implicits._
     val empty = withLogLevel(Seq((1L, None: Option[Array[Float]]))

@@ -36,7 +36,9 @@ class IvfPqSpec extends SparkSuite {
     // so a single-query floor flapped on legitimate training changes;
     // the 45% mean floor is far above a structural break (random codes
     // score ~3%) and comfortably below the healthy band (r10 sampling
-    // 57.5%, r11 distinct-sampling 56.3% on this exact probe).
+    // 57.5%, r11 distinct-sampling 56.3%, r13 self-excluded definition
+    // 56.9% on this exact probe — the self-match eviction moved the
+    // metric <1%, so the floor holds unchanged).
     // the probe body lives in Evaluation.ivfPqAdcRecallProbe — the ONE
     // definition Bench's per-round ann_recall_adc artifact metric also
     // calls, so this floor and the artifact grade the same quantity

@@ -178,6 +178,26 @@ class PersistenceSpec extends SparkSuite {
     assert(re.getCollection("coll-38974").getByID("d1").content === "precious data")
   }
 
+  test("deleteCollection of a colliding absent name never wipes the live owner (r13)") {
+    // same colliding pair, delete path: deleteCollection is a no-op for
+    // an absent name, but it resolves the directory by the same 4-byte
+    // hash — before the r13 guard it deleteTree'd the LIVE owner's data
+    val root = java.nio.file.Files.createTempDirectory("graft-colldel").toString
+    val ef = new graft.embed.HashingEmbeddingFunc(8)
+    val db = graft.core.DB.persistent(spark, root, ef)
+    val a = db.createCollection("coll-38974", Map.empty, ef)
+    a.addDocuments(Seq(graft.core.Document.create("d1", content = "precious data")))
+    db.deleteCollection("coll-50694") // absent; hash-collides with the owner
+    assert(a.getByID("d1").content === "precious data", "owner intact in memory")
+    val re = graft.core.DB.persistent(spark, root, ef)
+    assert(re.getCollection("coll-38974").getByID("d1").content === "precious data",
+      "owner's directory survived the colliding delete")
+    // deleting the OWNER by its own name still clears the directory
+    re.deleteCollection("coll-38974")
+    val re2 = graft.core.DB.persistent(spark, root, ef)
+    assert(re2.getCollection("coll-38974") == null, "owner really deleted by its own name")
+  }
+
   test("Json rejects malformed input loudly (no raw index errors, no lenient literals)") {
     // truncated strings/escapes surfaced StringIndexOutOfBounds and any
     // 4 chars starting with t/f/n parsed as a literal before the r12
