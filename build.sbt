@@ -31,4 +31,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // commitment). Override with SPARK_DRIVER_MEM for tighter machines —
   // Bench heap-guards the 1M tier and skips it below 18 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+  // Commit + zero the whole heap at JVM start (-Xms=Xmx +
+  // AlwaysPreTouch), default ON. The r13 build-number investigation
+  // found the big-tier bench swings (17.9→240 s for identical code,
+  // GC-time flat at <2.5 s) are first-touch page-commit cost landing
+  // inside the first large allocation wave — pretouching moves it to
+  // JVM startup, OUTSIDE every timed window (1M build: 240 s firstpass
+  // → 4.6 s stable). Costs ~1 s per committed 10 GiB at JVM start;
+  // SPARK_DRIVER_PRETOUCH=0 opts out for memory-tight machines.
+) ++ (if (sys.env.get("SPARK_DRIVER_PRETOUCH").forall(v => v != "0" && v != "false"))
+        Seq(s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+          "-XX:+AlwaysPreTouch")
+      else Seq.empty)

@@ -281,7 +281,8 @@ object Bench {
     // non-chromem name containing 250000 doesn't accidentally trigger
     // the build). ------------------------------------------------------
     if (only.forall(_.exists(k => k.startsWith("chromem") && k.contains("250000"))))
-      try results ++= bigCorpus(spark, 250000, batches = 5, bigCtrlBaseline)
+      try results ++= bigCorpus(spark, 250000, batches = 5, bigCtrlBaseline,
+        prev.get("chromem_build_250000_d1536_big"))
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] big_250000 failed: ${e.getMessage}")
@@ -303,7 +304,8 @@ object Bench {
     if (oneMRequested && oneMHeapOk) {
       System.gc() // 250k slab teardown barrier
       try {
-        results ++= bigCorpus(spark, 1000000, batches = 5, bigCtrlBaseline)
+        results ++= bigCorpus(spark, 1000000, batches = 5, bigCtrlBaseline,
+          prev.get("chromem_build_1000000_d1536_big"))
         oneMRan = true
       } catch {
         case e: Throwable =>
@@ -324,7 +326,8 @@ object Bench {
         System.err.println(s"[bench] big_$n SKIPPED: needs ~${
           n.toLong * 1536 * 4 * 3 / (1L << 30)} GiB heap, max is ${
           Runtime.getRuntime.maxMemory() / (1L << 30)} GiB")
-      else try results ++= bigCorpus(spark, n, batches = 5, bigCtrlBaseline)
+      else try results ++= bigCorpus(spark, n, batches = 5, bigCtrlBaseline,
+        prev.get(s"chromem_build_${n}_d1536_big"))
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] big_$n failed: ${e.getMessage}")
@@ -360,10 +363,11 @@ object Bench {
     // r11 introduction must not read as a round-over-round total
     // regression with zero behavior change. ann_recall_* and *_spread
     // are RATIOS, not seconds — summing them would be a category error.
+    // *_gcsec is seconds but INSIDE the build wall-clock already summed.
     val total = results.collect {
       case (k, v) if v >= 0 && !k.startsWith("ambient_control") &&
         !k.startsWith("chromem_datagen") && !k.startsWith("ann_recall") &&
-        !k.endsWith("_spread") => v
+        !k.endsWith("_spread") && !k.endsWith("_gcsec") => v
     }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // compact retimed line (always emitted, possibly empty) between the
@@ -539,10 +543,16 @@ object Bench {
     * distributed/dataframe families. */
   private def bigCorpus(
       spark: SparkSession, n: Int, batches: Int,
-      ctrlBaseline: Option[Double]): Map[String, Double] = {
+      ctrlBaseline: Option[Double],
+      prevBuild: Option[Double] = None): Map[String, Double] = {
     import spark.implicits._
     val d = 1536
-    val parts = spark.sparkContext.defaultParallelism
+    // SPARK_GRAFT_BIG_PARTS: opt-in partition override for the scale-out
+    // experiment (SURVEY r13) — build the SAME corpus with e.g. 4× the
+    // partitions to measure whether build time tracks per-partition slab
+    // size (the single-JVM superlinearity) or total bytes (real work).
+    val parts = sys.env.get("SPARK_GRAFT_BIG_PARTS").map(_.toInt)
+      .filter(_ > 0).getOrElse(spark.sparkContext.defaultParallelism)
     def corpus(rows: Int): DataFrame = spark.range(0, rows.toLong, 1, parts)
       .mapPartitions { it =>
         it.map { id =>
@@ -555,6 +565,14 @@ object Bench {
     def qvec(): Array[Float] =
       graft.functions.VectorFunctions.normalize(
         Array.fill(d)(qrnd.nextFloat() * 2f - 1f))
+    // cumulative stop-the-world GC milliseconds across all collectors —
+    // deltas label a window as churn-dominated the way scan_floor_spread
+    // labels the dataframe family
+    def gcSec(): Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+    }
 
     val out = scala.collection.mutable.LinkedHashMap[String, Double]()
     // driver-local packed control (25k fits far under LocalScanMaxFloats),
@@ -569,32 +587,65 @@ object Bench {
         math.max(1, math.min(parts, 25000 / 6144)))
       .persist().materialize()
     try {
-      (1 to 2).foreach(_ => ctrlIdx.topK(qvec(), 10))
-      val preS = (1 to 3).map { _ =>
-        val t = System.nanoTime()
-        ctrlIdx.topK(qvec(), 10)
-        (System.nanoTime() - t) / 1e9
-      }.sorted
-      out(s"chromem_query_${n}_d1536_k10_big_ctrl_pre") = preS(1)
+      // the pre-control gets the SAME 1.3× adjudication retry as the
+      // post window: r12's 250k tier recorded ctrl_pre 32.1 ms vs ctrl
+      // 9.4 ms — all three pre queries landed in a hot window start
+      // (the prior tier's teardown) and the lone median had no recourse
+      def preMedian(): Double = {
+        (1 to 2).foreach(_ => ctrlIdx.topK(qvec(), 10))
+        val s = (1 to 3).map { _ =>
+          val t = System.nanoTime()
+          ctrlIdx.topK(qvec(), 10)
+          (System.nanoTime() - t) / 1e9
+        }.sorted
+        s(1)
+      }
+      var preV = preMedian()
+      if (ctrlBaseline.exists(b => preV > b * 1.3)) {
+        out(s"chromem_query_${n}_d1536_k10_big_ctrl_pre_firstpass") = preV
+        System.gc()
+        preV = preMedian()
+      }
+      out(s"chromem_query_${n}_d1536_k10_big_ctrl_pre") = preV
       // datagen pass: the synthetic corpus generation (seeded RNG +
       // normalize, xxhash64 forcing the full array through the
       // serializer) timed WITHOUT packing, so the build number below
       // decomposes into workload synthesis vs slab materialization.
-      var t0 = System.nanoTime()
+      val t0 = System.nanoTime()
       corpus(n).select(xxhash64(col("embedding")).as("h"))
         .agg(max(col("h"))).head()
       out(s"chromem_datagen_${n}_d1536_big") = (System.nanoTime() - t0) / 1e9
-      System.gc() // clean heap start: the build's number should be its own
-      t0 = System.nanoTime()
-      val idx: VectorIndex[Long] =
-        VectorIndex.build[Long](corpus(n), "id", "embedding", d, parts)
-          .persist().materialize(forceDistributed = true)
+      def buildOnce(): (VectorIndex[Long], Double, Double) = {
+        System.gc() // clean heap start: the build's number should be its own
+        val g0 = gcSec()
+        val t = System.nanoTime()
+        val ix: VectorIndex[Long] =
+          VectorIndex.build[Long](corpus(n), "id", "embedding", d, parts)
+            .persist().materialize(forceDistributed = true)
+        (ix, (System.nanoTime() - t) / 1e9, gcSec() - g0)
+      }
+      var (idx, buildS, buildGc) = buildOnce()
+      // the sweep's 1.3× retime policy, extended to the one-shot build
+      // window: r12's artifact carried 143.9 s against r11's 50.7 s for
+      // identical code with no adjudication machinery — retry once
+      // against the stored EMA baseline and ship both numbers
+      if (prevBuild.exists(p => p > 0 && buildS > p * 1.3)) {
+        out(s"chromem_build_${n}_d1536_big_firstpass") = buildS
+        out(s"chromem_build_${n}_d1536_big_firstpass_gcsec") = buildGc
+        idx.unpersist(blocking = true)
+        val r = buildOnce(); idx = r._1; buildS = r._2; buildGc = r._3
+      }
       // try/finally: a mid-family failure (main records -1.0 and moves
       // on) must not leak GBs of persisted slabs into the NEXT tier's
       // timed window — the r8/r9 poisoned-window failure mode, which the
       // success-path-only unpersist reintroduced on the error path
       try {
-        out(s"chromem_build_${n}_d1536_big") = (System.nanoTime() - t0) / 1e9
+        out(s"chromem_build_${n}_d1536_big") = buildS
+        // GC share of the build window (excluded from `total` — it is
+        // INSIDE the wall-clock above): a churn-dominated window now
+        // labels itself instead of reading as a 2.8× code regression
+        // (r12's 143.9 s vs r11's 50.7 s for identical code)
+        out(s"chromem_build_${n}_d1536_big_gcsec") = buildGc
         (1 to 2).foreach { _ => idx.topK(qvec(), 10); ctrlIdx.topK(qvec(), 10) }
         val batch = 3
         def measure(): (Double, Double) = {

@@ -228,9 +228,21 @@ object VectorIndex {
       })
 
   /** One block = a packed row-major slab of vectors + parallel id array.
-    * ~64k rows per block at d=1536 is ~400 MB; blocks are per-partition
-    * so partition sizing governs slab size. */
+    * Partitions hold one or more blocks, each capped at [[ChunkFloats]]
+    * (~64 MB) — build streams rows straight into fixed-size slabs, so
+    * slab allocation never scales with partition size. */
   case class Block[K](ids: Array[K], data: Array[Float])
+
+  /** Per-block slab cap in floats (~64 MB). The r12 1M-row build showed
+    * 17.9→143.9 s swings across identical-code windows: each partition
+    * buffered every row as its OWN ~6 KB float array (old-gen churn that
+    * survives minor GCs for the whole partition pass) and then held
+    * buffer + slab live simultaneously — ~2× the index size in transient
+    * old-gen at an uncontrolled heap fraction. Fixed-size chunks bound
+    * the transient footprint to ONE chunk per task regardless of
+    * partition size, which is also the property a 1000-executor build
+    * needs: per-task allocation independent of rows-per-executor. */
+  private[graft] val ChunkFloats: Int = 16 * 1024 * 1024
 
   /** Build from a DataFrame's (id, embedding) columns. Dimension is taken
     * from the first row; rows with a different dimension fail the build
@@ -241,41 +253,50 @@ object VectorIndex {
       vecCol: String,
       dim: Int,
       numBlocks: Int = 0): VectorIndex[K] = {
+    require(dim > 0, s"dim must be > 0, got $dim")
     val rows0 = df.select(col(idCol), col(vecCol)).rdd
-    // Small corpora want few blocks: per-task scheduling (~1-2 ms each)
-    // dominates sub-ms scans. Callers size blocks so each holds ≥ a few
-    // thousand rows; 0 keeps the upstream partitioning.
+    // Small corpora want few partitions: per-task scheduling (~1-2 ms
+    // each) dominates sub-ms scans. Callers size partitions so each
+    // holds ≥ a few thousand rows; 0 keeps the upstream partitioning.
     val rows = if (numBlocks > 0) rows0.coalesce(numBlocks) else rows0
     val blocks = rows.mapPartitions { it =>
-      val idBuf = scala.collection.mutable.ArrayBuffer.empty[K]
-      val vecBuf = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
-      it.foreach { row =>
-        val v = row.getSeq[Float](1)
-        if (v == null) {
-          // diagnostic, not a bare NPE at v.length: the corpus schema
-          // allows embedding-less rows (embed-on-write), and callers
-          // are expected to filter them before indexing
-          throw new IllegalArgumentException(
-            s"cannot index a null vector (id=${row.get(0)}); " +
-              "filter embedding IS NOT NULL before VectorIndex.build")
+      // Stream rows directly into packed chunk slabs — no per-row float
+      // arrays, no grow-doubling, no buffer+slab double-live window.
+      // The first chunk is small (4096 rows) so tiny partitions don't
+      // pay a 64 MB allocation; later chunks use the full cap.
+      val capRows = math.max(1, ChunkFloats / dim)
+      var nextRows = math.min(4096, capRows)
+      new Iterator[Block[K]] {
+        def hasNext: Boolean = it.hasNext
+        def next(): Block[K] = {
+          val cap = nextRows
+          nextRows = capRows
+          val ids = new Array[K](cap)
+          val data = new Array[Float](cap * dim)
+          var n = 0
+          while (n < cap && it.hasNext) {
+            val row = it.next()
+            val v = row.getSeq[Float](1)
+            if (v == null) {
+              // diagnostic, not a bare NPE at v.length: the corpus schema
+              // allows embedding-less rows (embed-on-write), and callers
+              // are expected to filter them before indexing
+              throw new IllegalArgumentException(
+                s"cannot index a null vector (id=${row.get(0)}); " +
+                  "filter embedding IS NOT NULL before VectorIndex.build")
+            }
+            if (v.length != dim) {
+              throw new IllegalArgumentException(
+                s"vectors must have the same length: ${v.length} vs $dim")
+            }
+            v.copyToArray(data, n * dim)
+            ids(n) = row.getAs[K](0)
+            n += 1
+          }
+          // trim the final partial chunk so persisted bytes == data bytes
+          if (n == cap) Block(ids, data)
+          else Block(ids.take(n), java.util.Arrays.copyOf(data, n * dim))
         }
-        if (v.length != dim) {
-          throw new IllegalArgumentException(
-            s"vectors must have the same length: ${v.length} vs $dim")
-        }
-        idBuf += row.getAs[K](0)
-        vecBuf += v.toArray
-      }
-      if (idBuf.isEmpty) Iterator.empty
-      else {
-        val n = idBuf.length
-        val data = new Array[Float](n * dim)
-        var r = 0
-        while (r < n) {
-          System.arraycopy(vecBuf(r), 0, data, r * dim, dim)
-          r += 1
-        }
-        Iterator.single(Block(idBuf.toArray, data))
       }
     }
     new VectorIndex[K](blocks, dim)
