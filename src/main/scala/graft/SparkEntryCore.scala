@@ -231,7 +231,12 @@ private[graft] object SparkEntryCore {
         graft.ops.AnnIndex.buildLsh(t(s, dir, "embeddings"), "embedding",
           "vec_id", dim = 64, numPlanes = 12).materialize()
       }
-      idx.topK(vec(s, dir, 0), 10, maxHamming = 3).select(col("vec_id"))
+      // precision="f64": candidate RANKING graded exactly against the
+      // f64 oracle (an f32-ulp tie at the k boundary would flip the id
+      // set on a healthy build); candidate GENERATION — the signature
+      // buckets, this operator's unique surface — is the production path
+      idx.topK(vec(s, dir, 0), 10, maxHamming = 3, precision = "f64")
+        .select(col("vec_id"))
     }),
 
     // ---- ANN evaluation: per-query LSH recall@10 vs brute force, exact
@@ -269,7 +274,9 @@ private[graft] object SparkEntryCore {
         reopened.assigned.persist()
         reopened.materialize() // populates the cache FROM the disk layout
       }
-      idx.topK(vec(s, dir, 0), 10, nprobe = 4).select(col("vec_id"))
+      // precision="f64": same ranking-parity rationale as q_lsh_topk
+      idx.topK(vec(s, dir, 0), 10, nprobe = 4, precision = "f64")
+        .select(col("vec_id"))
     }),
 
     // ---- keyword retrieval: BM25 top-k (lexical tier). Per-term tf is
@@ -364,7 +371,7 @@ private[graft] object SparkEntryCore {
     "q_similarity_topk" ->
       """SELECT vec_id,
         |  round(list_dot_product(embedding::DOUBLE[],
-        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS sim
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) + 0.0 AS sim
         |FROM embeddings
         |ORDER BY list_dot_product(embedding::DOUBLE[],
         |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id
@@ -373,7 +380,7 @@ private[graft] object SparkEntryCore {
     "q_filtered_topk" ->
       """SELECT vec_id, label,
         |  round(list_dot_product(embedding::DOUBLE[],
-        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS sim
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) + 0.0 AS sim
         |FROM embeddings
         |WHERE label % 3 = 0
         |ORDER BY list_dot_product(embedding::DOUBLE[],
@@ -383,7 +390,7 @@ private[graft] object SparkEntryCore {
     "q_similarity_range" ->
       """SELECT vec_id, label,
         |  round(list_dot_product(embedding::DOUBLE[],
-        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS sim
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) + 0.0 AS sim
         |FROM embeddings
         |WHERE list_dot_product(embedding::DOUBLE[],
         |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) >= 0.25""".stripMargin,
@@ -391,7 +398,7 @@ private[graft] object SparkEntryCore {
     "q_negative_filter" ->
       """SELECT vec_id,
         |  round(list_dot_product(embedding::DOUBLE[],
-        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS sim
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) + 0.0 AS sim
         |FROM embeddings
         |WHERE list_dot_product(embedding::DOUBLE[],
         |  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 1)) <= 0.1
@@ -412,7 +419,7 @@ private[graft] object SparkEntryCore {
         |               x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
         |             FROM sub)
         |SELECT e.vec_id,
-        |  round(list_dot_product(e.embedding::DOUBLE[], (SELECT v FROM nrm)), 4) AS sim
+        |  round(list_dot_product(e.embedding::DOUBLE[], (SELECT v FROM nrm)), 4) + 0.0 AS sim
         |FROM embeddings e
         |ORDER BY list_dot_product(e.embedding::DOUBLE[], (SELECT v FROM nrm)) DESC,
         |  e.vec_id
@@ -420,7 +427,7 @@ private[graft] object SparkEntryCore {
 
     "q_knn_join" ->
       """SELECT q.vec_id AS query_id, e.vec_id,
-        |  round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS sim
+        |  round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) + 0.0 AS sim
         |FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
         |QUALIFY row_number() OVER (PARTITION BY q.vec_id
         |  ORDER BY list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
@@ -429,7 +436,7 @@ private[graft] object SparkEntryCore {
     "q_topk_per_label" ->
       """SELECT label, vec_id,
         |  round(list_dot_product(embedding::DOUBLE[],
-        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS sim
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) + 0.0 AS sim
         |FROM embeddings
         |QUALIFY row_number() OVER (PARTITION BY label
         |  ORDER BY list_dot_product(embedding::DOUBLE[],
@@ -659,7 +666,7 @@ private[graft] object SparkEntryCore {
         |       FROM s),
         |q AS (SELECT sc AS qsc, qv AS qqv FROM qz WHERE vec_id = 0)
         |SELECT vec_id,
-        |  round(list_dot_product(qv, (SELECT qqv FROM q)) * sc * (SELECT qsc FROM q), 4) AS qsim
+        |  round(list_dot_product(qv, (SELECT qqv FROM q)) * sc * (SELECT qsc FROM q), 4) + 0.0 AS qsim
         |FROM qz
         |ORDER BY list_dot_product(qv, (SELECT qqv FROM q)) * sc * (SELECT qsc FROM q) DESC, vec_id
         |LIMIT 10""".stripMargin,
@@ -689,16 +696,23 @@ private[graft] object SparkEntryCore {
 
   )
 
-  /** DuckDB oracle for q_lsh_topk, generated from the same deterministic
-    * hyperplanes the Spark side uses (numPlanes=12, dim=64, seed=42). */
-  private lazy val lshTopKOracleSql: String = {
-    val planes = graft.ops.VectorSearch.randomPlanes(12, 64, 42L)
-    val bitTerms = planes.zipWithIndex.map { case (p, i) =>
+  /** The 12×64 seed-42 hyperplane signature as a DuckDB expression —
+    * the ONE literal-generation block shared by the q_lsh_topk /
+    * eval_ann_recall / eval_ann_mrr oracles. Three hand-kept copies of
+    * this plumbing must stay byte-consistent with ONE Spark kernel
+    * (VectorSearch.signatureOf); a partial edit would silently grade an
+    * index against different hyperplanes than it probes with. */
+  private lazy val lshBitTerms: String =
+    graft.ops.VectorSearch.randomPlanes(12, 64, 42L).zipWithIndex.map { case (p, i) =>
       val lit = p.map(x => x.toDouble.toString).mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $lit::DOUBLE[]) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("\n      + ")
+
+  /** DuckDB oracle for q_lsh_topk, generated from the same deterministic
+    * hyperplanes the Spark side uses (numPlanes=12, dim=64, seed=42). */
+  private lazy val lshTopKOracleSql: String = {
     s"""WITH sig AS (
-       |  SELECT vec_id, $bitTerms AS s
+       |  SELECT vec_id, $lshBitTerms AS s
        |  FROM embeddings),
        |q AS (SELECT s AS qs FROM sig WHERE vec_id = 0)
        |SELECT e.vec_id
@@ -714,16 +728,11 @@ private[graft] object SparkEntryCore {
     * ground-truth and candidate rankings (sums ≤ 64·1e14 ≪ 2^63), and
     * the integer recall quotient. */
   private lazy val annRecallOracleSql: String = {
-    val planes = graft.ops.VectorSearch.randomPlanes(12, 64, 42L)
-    val bitTerms = planes.zipWithIndex.map { case (p, i) =>
-      val lit = p.map(x => x.toDouble.toString).mkString("[", ", ", "]")
-      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $lit::DOUBLE[]) >= 0 THEN ${1L << i} ELSE 0 END)"
-    }.mkString("\n      + ")
     s"""WITH x AS (
        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS pos,
        |         round(unnest(embedding::DOUBLE[]) * 10000000)::BIGINT AS e7
        |  FROM embeddings),
-       |sig AS (SELECT vec_id, $bitTerms AS s FROM embeddings),
+       |sig AS (SELECT vec_id, $lshBitTerms AS s FROM embeddings),
        |dots AS (
        |  SELECT xq.vec_id AS query_id, xc.vec_id AS cid,
        |         sum(xq.e7 * xc.e7)::BIGINT AS sim
@@ -756,16 +765,11 @@ private[graft] object SparkEntryCore {
     * oracle; rank replayed as 1 + count of strictly-better candidates
     * under (sim DESC, cid ASC). */
   private lazy val annMrrOracleSql: String = {
-    val planes = graft.ops.VectorSearch.randomPlanes(12, 64, 42L)
-    val bitTerms = planes.zipWithIndex.map { case (p, i) =>
-      val lit = p.map(x => x.toDouble.toString).mkString("[", ", ", "]")
-      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $lit::DOUBLE[]) >= 0 THEN ${1L << i} ELSE 0 END)"
-    }.mkString("\n      + ")
     s"""WITH x AS (
        |  SELECT vec_id, unnest(generate_series(0, len(embedding) - 1)) AS pos,
        |         round(unnest(embedding::DOUBLE[]) * 10000000)::BIGINT AS e7
        |  FROM embeddings),
-       |sig AS (SELECT vec_id, $bitTerms AS s FROM embeddings),
+       |sig AS (SELECT vec_id, $lshBitTerms AS s FROM embeddings),
        |dots AS (
        |  SELECT xq.vec_id AS query_id, xc.vec_id AS cid,
        |         sum(xq.e7 * xc.e7)::BIGINT AS sim
@@ -847,16 +851,23 @@ private[graft] object SparkEntryCore {
     Array.fill(4)(Array.fill(64)(rnd.nextDouble() * 2 - 1))
   }
 
-  /** DuckDB oracle for q_pq_topk, generated from the same deterministic
-    * codebook the Spark side uses (dim=64, m=8, k=16, seed=7). */
-  private lazy val pqTopKOracleSql: String = {
-    val cb = graft.ops.Pq.randomCodebook(dim = 64, m = 8, k = 16, seed = 7L)
+  /** The gate PQ codebook (dim=64, m=8, k=16, seed=7) and its DuckDB
+    * literal plumbing, shared by the q_pq_topk / q_ivfpq_topk oracles —
+    * two hand-kept copies of the encode/ADC expression builders had to
+    * stay byte-consistent with ONE Spark kernel (a partial edit would
+    * silently score one entry against a different codebook than the
+    * index under test). `input` is the vector column being encoded
+    * ("v" for raw PQ, "r" for the IVF-PQ residual). */
+  private lazy val gatePqCodebook =
+    graft.ops.Pq.randomCodebook(dim = 64, m = 8, k = 16, seed = 7L)
+  private def pqEncodeSql(input: String): (String, String) = {
+    val cb = gatePqCodebook
     def cbLit(j: Int): String = (0 until cb.k).map { c =>
       cb.centroid(j, c).mkString("[", ", ", "]")
     }.mkString("[", ", ", "]")
     def dists(j: Int): String = {
       val o = j * cb.subDim
-      s"[ list_sum([ (v[$o+i]-c[i])*(v[$o+i]-c[i]) " +
+      s"[ list_sum([ ($input[$o+i]-c[i])*($input[$o+i]-c[i]) " +
         s"FOR i IN range(1,${cb.subDim + 1}) ]) FOR c IN ${cbLit(j)} ]"
     }
     val codeCols = (0 until cb.m).map(j =>
@@ -865,6 +876,13 @@ private[graft] object SparkEntryCore {
       val o = j * cb.subDim
       s"list_dot_product(qv[${o + 1}:${o + cb.subDim}], (${cbLit(j)})[c$j])"
     }.mkString("\n    + ")
+    (codeCols, terms)
+  }
+
+  /** DuckDB oracle for q_pq_topk, generated from the same deterministic
+    * codebook the Spark side uses (dim=64, m=8, k=16, seed=7). */
+  private lazy val pqTopKOracleSql: String = {
+    val (codeCols, terms) = pqEncodeSql("v")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
        |enc AS (
@@ -879,25 +897,11 @@ private[graft] object SparkEntryCore {
   /** DuckDB oracle for q_ivfpq_topk: same seeded cells/codebook as the
     * Spark side, encode and scoring replayed with literal parameters. */
   private lazy val ivfPqTopKOracleSql: String = {
-    val cb = graft.ops.Pq.randomCodebook(dim = 64, m = 8, k = 16, seed = 7L)
     val cellsLit = gateIvfPqCells.map(_.mkString("[", ", ", "]"))
       .mkString("[", ", ", "]")
     val cellDots = gateIvfPqCells.indices.map(c =>
       s"list_dot_product(v, ($cellsLit)[${c + 1}])").mkString("[", ",\n      ", "]")
-    def cbLit(j: Int): String = (0 until cb.k).map { c =>
-      cb.centroid(j, c).mkString("[", ", ", "]")
-    }.mkString("[", ", ", "]")
-    def dists(j: Int): String = {
-      val o = j * cb.subDim
-      s"[ list_sum([ (r[$o+i]-c[i])*(r[$o+i]-c[i]) " +
-        s"FOR i IN range(1,${cb.subDim + 1}) ]) FOR c IN ${cbLit(j)} ]"
-    }
-    val codeCols = (0 until cb.m).map(j =>
-      s"list_position(${dists(j)}, list_min(${dists(j)})) AS c$j").mkString(",\n    ")
-    val terms = (0 until cb.m).map { j =>
-      val o = j * cb.subDim
-      s"list_dot_product(qv[${o + 1}:${o + cb.subDim}], (${cbLit(j)})[c$j])"
-    }.mkString("\n    + ")
+    val (codeCols, terms) = pqEncodeSql("r")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
        |asg AS (
@@ -907,7 +911,7 @@ private[graft] object SparkEntryCore {
        |  FROM e),
        |res AS (
        |  SELECT vec_id, cell,
-       |    [ v[i] - (($cellsLit)[cell])[i] FOR i IN range(1, ${cb.dim + 1}) ] AS r
+       |    [ v[i] - (($cellsLit)[cell])[i] FOR i IN range(1, ${gatePqCodebook.dim + 1}) ] AS r
        |  FROM asg),
        |enc AS (
        |  SELECT vec_id, cell,

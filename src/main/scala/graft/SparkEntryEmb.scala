@@ -456,15 +456,26 @@ private[graft] object SparkEntryEmb {
         |       FROM x JOIN c0 c USING (pos) GROUP BY x.vec_id, c.cell),
         |a1 AS (SELECT vec_id, cell FROM d1
         |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
-        |c1 AS (SELECT a.cell, x.pos, (sum(x.e7)::BIGINT // count(*)) AS c
-        |       FROM x JOIN a1 a USING (vec_id) GROUP BY a.cell, x.pos),
+        |-- empty-cell rule: KMeans.fit KEEPS a stale centroid when a
+        |-- Lloyd round empties its cell (case None => old) — the bare
+        |-- aggregate dropped the cell, so no row could be assigned to it
+        |-- in later rounds (r13 gate audit); LEFT JOIN from the previous
+        |-- round's centroids + coalesce replays keep-stale exactly
+        |c1 AS (SELECT c0.cell, c0.pos, coalesce(m1.c, c0.c) AS c
+        |       FROM c0 LEFT JOIN (
+        |         SELECT a.cell, x.pos, (sum(x.e7)::BIGINT // count(*)) AS c
+        |         FROM x JOIN a1 a USING (vec_id) GROUP BY a.cell, x.pos) m1
+        |       ON c0.cell = m1.cell AND c0.pos = m1.pos),
         |d2 AS (SELECT x.vec_id, c.cell,
         |         sum((x.e7 - c.c) * (x.e7 - c.c))::BIGINT AS dist
         |       FROM x JOIN c1 c USING (pos) GROUP BY x.vec_id, c.cell),
         |a2 AS (SELECT vec_id, cell FROM d2
         |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
-        |c2 AS (SELECT a.cell, x.pos, (sum(x.e7)::BIGINT // count(*)) AS c
-        |       FROM x JOIN a2 a USING (vec_id) GROUP BY a.cell, x.pos),
+        |c2 AS (SELECT c1.cell, c1.pos, coalesce(m2.c, c1.c) AS c
+        |       FROM c1 LEFT JOIN (
+        |         SELECT a.cell, x.pos, (sum(x.e7)::BIGINT // count(*)) AS c
+        |         FROM x JOIN a2 a USING (vec_id) GROUP BY a.cell, x.pos) m2
+        |       ON c1.cell = m2.cell AND c1.pos = m2.pos),
         |d3 AS (SELECT x.vec_id, c.cell,
         |         sum((x.e7 - c.c) * (x.e7 - c.c))::BIGINT AS dist
         |       FROM x JOIN c2 c USING (pos) GROUP BY x.vec_id, c.cell),

@@ -68,9 +68,12 @@ private[graft] object SparkEntryEvents {
 
     // ---- semi-structured: JSON props parsed IN-SCAN (codegen
     // get_json_object — no UDF, no pre-materialization) and aggregated
-    // per event_type with exact integer stats ----
+    // per event_type with exact integer stats. try_cast, not cast: under
+    // ANSI (Spark 4 default) a plain cast THROWS on the first
+    // non-integer '$.k' — one dirty props row would kill the whole job
+    // instead of being skipped (r13 gate audit) ----
     "events_json_props" -> ((s, dir) => {
-      val k = get_json_object(col("props"), "$.k").cast("long")
+      val k = expr("try_cast(get_json_object(props, '$.k') AS LONG)")
       events(s, dir)
         .select(col("event_type"), k.as("__k"))
         .filter(col("__k").isNotNull)
@@ -140,11 +143,19 @@ private[graft] object SparkEntryEvents {
     "events_mad" -> ((s, dir) =>
       graft.ops.Profile.madOutliers(events(s, dir), "value", "event_id")),
 
-    // ---- streaming-shaped: gap sessionization via flatMapGroupsWithState ----
+    // ---- streaming-shaped: gap sessionization via flatMapGroupsWithState.
+    // The gate feeds PRE-SCALED integer cents as the value: the state's
+    // total accumulates doubles in ts order while DuckDB's sum picks its
+    // own order, and a raw-double round(·,4) projection could land a
+    // session on opposite sides of a rounding boundary (the
+    // events_sessions cents discipline, applied to the stateful twin —
+    // r13 gate audit). Integer-valued doubles sum exactly in any order ----
     "streaming_sessionize" -> ((s, dir) =>
-      graft.streaming.EventsStream.sessionize(events(s, dir), gapMs = 6 * 3600 * 1000L)
+      graft.streaming.EventsStream.sessionize(
+          events(s, dir).withColumn("value", round(col("value") * 100)),
+          gapMs = 6 * 3600 * 1000L)
         .toDF().select(col("user_id"), col("n_events"),
-          round(col("total_value"), 4).as("total_value"))),
+          col("total_value").cast("long").as("total_cents"))),
 
     // ---- streaming heavy hitters (batch-mode single-epoch semantics,
     // like the other streaming gates; exact regime ⇒ SQL-replayable) ----
@@ -164,7 +175,11 @@ private[graft] object SparkEntryEvents {
         |  SELECT user_id, ts, value,
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
         |              > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
-        |  FROM events),
+        |  -- ts IS NOT NULL: Spark's session_window silently drops
+        |  -- null-ts rows (TimeWindowing inserts an IsNotNull filter);
+        |  -- without the mirror a null-ts event joins the user's last
+        |  -- session here (r13 gate audit)
+        |  FROM events WHERE ts IS NOT NULL),
         |g AS (
         |  SELECT user_id, ts, value,
         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
@@ -218,13 +233,16 @@ private[graft] object SparkEntryEvents {
         |                   ROWS UNBOUNDED PRECEDING) AS sess
         |  FROM m)
         |SELECT user_id, count(*)::BIGINT AS n_events,
-        |  round(sum(value), 4) AS total_value
+        |  sum(round(value * 100)::BIGINT)::BIGINT AS total_cents
         |FROM g GROUP BY user_id, sess""".stripMargin,
 
+    // ts IS NOT NULL: Cohorts.retention drops null periods
+    // (collect_set skips nulls); the bare DISTINCT kept (user, NULL)
+    // rows as a phantom offset group (r13 gate audit)
     "events_retention" ->
       """WITH active AS (
         |  SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS p
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL),
         |f AS (SELECT user_id, min(p) AS p0 FROM active GROUP BY user_id)
         |SELECT p0 AS cohort, datediff('day', p0, p) AS day_offset,
         |  count(*) AS n_users
@@ -239,28 +257,40 @@ private[graft] object SparkEntryEvents {
         |    ORDER BY count(*) DESC, user_id::VARCHAR) AS rank,
         |  user_id::VARCHAR AS value, count(*) AS est_count
         |FROM events
-        |WHERE user_id IS NOT NULL
+        |WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |GROUP BY 1, user_id
         |QUALIFY rank <= 5""".stripMargin,
 
     // Same lag-over-(user, ts, id) replay; counts are type²-bounded.
+    // user/type IS NOT NULL mirrors transitionCounts' guards; ts NULLS
+    // FIRST mirrors Spark's default null ordering in the lag window
+    // (DuckDB defaults NULLS LAST — opposite sort ends, r13 gate audit)
     "events_transitions" ->
       """WITH m AS (
         |  SELECT user_id, event_type,
         |    lag(event_type) OVER (PARTITION BY user_id
-        |                          ORDER BY ts, event_id) AS prev
-        |  FROM events)
+        |                          ORDER BY ts NULLS FIRST, event_id) AS prev
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL)
         |SELECT prev AS from_type, event_type AS to_type, count(*) AS n
         |FROM m WHERE prev IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
 
+    // Mirrors Spark's try_cast(string AS LONG): integer strings only
+    // (ANSI trims whitespace; '12.7' and 'abc' → NULL → row skipped).
+    // DuckDB's own TRY_CAST would diverge — it parses '12.7' as numeric
+    // and ROUNDS to 13 — so the integer check is an explicit regex.
     "events_json_props" ->
-      """SELECT event_type, count(*) AS n,
-        |  sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
-        |  min(json_extract(props, '$.k')::BIGINT) AS min_k,
-        |  max(json_extract(props, '$.k')::BIGINT) AS max_k
-        |FROM events
-        |WHERE json_extract(props, '$.k') IS NOT NULL
+      """WITH x AS (
+        |  SELECT event_type,
+        |    CASE WHEN regexp_matches(trim(json_extract_string(props, '$.k')),
+        |                             '^[+-]?[0-9]+$')
+        |         THEN CAST(trim(json_extract_string(props, '$.k')) AS BIGINT)
+        |    END AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  sum(k)::BIGINT AS sum_k, min(k) AS min_k, max(k) AS max_k
+        |FROM x WHERE k IS NOT NULL
         |GROUP BY event_type""".stripMargin,
 
     "events_window_distinct" ->
@@ -285,7 +315,10 @@ private[graft] object SparkEntryEvents {
         |  SELECT unnest([date_trunc('minute', ts),
         |                 date_trunc('minute', ts) - INTERVAL 1 MINUTE]) AS w_start,
         |    event_type, value
-        |  FROM events)
+        |  -- ts IS NOT NULL: Spark's window() drops null-ts rows; the
+        |  -- unnest would otherwise emit TWO NULL-w_start rows per
+        |  -- null-ts event (r13 gate audit)
+        |  FROM events WHERE ts IS NOT NULL)
         |SELECT w_start, event_type, count(*) AS n,
         |  sum(round(value * 100)::BIGINT) / 100.0 AS sum_value
         |FROM w GROUP BY 1, 2""".stripMargin,
@@ -332,8 +365,13 @@ private[graft] object SparkEntryEvents {
 
     // Stage-by-stage conditional-min replay of the first-match funnel.
     "events_funnel" ->
+      // ts IS NOT NULL in s0: Funnel.funnel drops null-ts events up
+      // front; a user whose every signup has null ts would otherwise
+      // count as reaching stage 0 here (min over all-null = NULL) while
+      // Spark excludes them (r13 gate audit). Later stages need no
+      // guard: `e.ts > t` is never true for a null ts.
       """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
-        |            WHERE event_type = 'signup' GROUP BY 1),
+        |            WHERE event_type = 'signup' AND ts IS NOT NULL GROUP BY 1),
         |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
         |       JOIN s0 USING (user_id)
         |       WHERE e.event_type = 'view' AND e.ts > s0.t GROUP BY 1),
@@ -355,7 +393,7 @@ private[graft] object SparkEntryEvents {
         |  row_number() OVER (PARTITION BY time_bucket(INTERVAL '5 minutes', ts)
         |    ORDER BY count(*) DESC, event_type) AS rank,
         |  event_type, count(*) AS n
-        |FROM events
+        |FROM events WHERE ts IS NOT NULL
         |GROUP BY 1, event_type
         |QUALIFY rank <= 3""".stripMargin,
 
@@ -367,7 +405,7 @@ private[graft] object SparkEntryEvents {
         |  round(sum(round(value * 100)::BIGINT) OVER w / (100.0 *
         |    count(round(value * 100)::BIGINT) OVER w), 4) AS mavg
         |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin
 
   )

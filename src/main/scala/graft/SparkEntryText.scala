@@ -544,7 +544,7 @@ private[graft] object SparkEntryText {
         |  (n_words >= 50 AND n_words <= 100000
         |   AND sum_word_chars >= 3 * n_words AND sum_word_chars <= 10 * n_words
         |   AND 10 * n_symbols <= n_words
-        |   AND 10 * n_bullet_lines <= n_lines
+        |   AND 10 * n_bullet_lines <= 9 * n_lines
         |   AND 10 * n_ellipsis_lines <= 3 * n_lines
         |   AND 10 * n_alpha_words >= 8 * n_words
         |   AND n_stopword_hits >= 2) AS pass_gopher
@@ -587,7 +587,7 @@ private[graft] object SparkEntryText {
         |        AND sum_word_chars >= 3 * n_words
         |        AND sum_word_chars <= 10 * n_words
         |        AND 10 * n_symbols <= n_words
-        |        AND 10 * n_bullet_lines <= n_lines
+        |        AND 10 * n_bullet_lines <= 9 * n_lines
         |        AND 10 * n_ellipsis_lines <= 3 * n_lines
         |        AND 10 * n_alpha_words >= 8 * n_words
         |        AND n_stopword_hits >= 2 THEN 1 ELSE 0 END)::BIGINT

@@ -32,6 +32,17 @@ import graft.functions.VectorFunctions.dot_const_f32
  */
 object AnnIndex {
 
+  /** Candidate-ranking score at the requested precision — the same
+    * f32/f64 dispatch (and the same const-kernel rationale) as
+    * [[VectorSearch.scored]], shared by the LSH and IVF probes. */
+  private[ops] def rankScore(vec: org.apache.spark.sql.Column,
+      q: Array[Float], precision: String): org.apache.spark.sql.Column =
+    precision match {
+      case "f32" => dot_const_f32(vec, q)
+      case "f64" => VectorFunctions.dot_const_f64(vec, q.map(_.toDouble))
+      case other => throw new IllegalArgumentException(s"unknown precision: $other")
+    }
+
   /** Build an LSH index: one map-only signature pass, cached. */
   def buildLsh(
       df: DataFrame,
@@ -88,14 +99,22 @@ final class LshIndex private[ops] (
     * NOT: VectorSearch helpers are raw-dot like the rest of that API.
     * Signatures agree either way (positive scaling never flips a plane
     * sign); only the similarity VALUES differ for unnormalized queries
-    * — don't compare raw scores across the two tiers in that case. */
-  def topK(queryVec: Array[Float], k: Int, maxHamming: Int = 2): DataFrame = {
+    * — don't compare raw scores across the two tiers in that case.
+    *
+    * `precision` ranks the candidates with the f32 hot-path kernel
+    * (default) or exact f64 (the [[VectorSearch.scored]] convention) —
+    * the gate probes with "f64" so candidate RANKING is graded against
+    * the f64 DuckDB oracle with no f32-ulp boundary ties, while
+    * candidate GENERATION (the signature buckets, this operator's
+    * unique surface) stays the production path. */
+  def topK(queryVec: Array[Float], k: Int, maxHamming: Int = 2,
+      precision: String = "f32"): DataFrame = {
     val q = if (VectorFunctions.isNormalized(queryVec)) queryVec
             else VectorFunctions.normalize(queryVec)
     val qSig = VectorSearch.signatureOf(q, planes)
     signed
       .filter(hamming64(col("__sig"), lit(qSig)) <= lit(maxHamming))
-      .withColumn("similarity", dot_const_f32(col(vecCol), q))
+      .withColumn("similarity", AnnIndex.rankScore(col(vecCol), q, precision))
       .orderBy(desc("similarity"), asc(idCol))
       .limit(k)
       .drop("__sig")
@@ -117,11 +136,14 @@ final class IvfState private[ops] (
   def nlist: Int = centroids.length
 
   /** Exact top-k within the `nprobe` cells nearest the query — a
-    * partition-pruned scan of the clustered layout. */
-  def topK(queryVec: Array[Float], k: Int, nprobe: Int = 2): DataFrame = {
+    * partition-pruned scan of the clustered layout. `precision` as on
+    * [[LshIndex.topK]]: "f64" ranks candidates exactly (the gate's
+    * oracle-parity configuration); "f32" is the production hot path. */
+  def topK(queryVec: Array[Float], k: Int, nprobe: Int = 2,
+      precision: String = "f32"): DataFrame = {
     val q = if (VectorFunctions.isNormalized(queryVec)) queryVec
             else VectorFunctions.normalize(queryVec)
-    IvfIndex.topK(assigned, vecCol, centroids, q, k, idCol, nprobe)
+    IvfIndex.topK(assigned, vecCol, centroids, q, k, idCol, nprobe, precision)
   }
 
   def materialize(): this.type = { assigned.count(); this }

@@ -166,7 +166,9 @@ object IvfIndex {
       .withColumn("__cell", cellColumn(col(vecCol), centroids))
       .repartition(centroids.length * partitionsPerCell, col("__cell"))
 
-  /** Probe: exact top-k within the `nprobe` cells nearest to the query. */
+  /** Probe: exact top-k within the `nprobe` cells nearest to the query.
+    * `precision` ranks the probed candidates with the f32 hot-path
+    * kernel (default) or exact f64 — see [[AnnIndex.rankScore]]. */
   def topK(
       assigned: DataFrame,
       vecCol: String,
@@ -174,13 +176,14 @@ object IvfIndex {
       queryVec: Array[Float],
       k: Int,
       idCol: String,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2,
+      precision: String = "f32"): DataFrame = {
     val byScore = centroids.zipWithIndex
       .map { case (c, i) => (VectorFunctions.dot(queryVec, c), i) }
       .sortBy(-_._1).map(_._2).take(nprobe)
     assigned
       .filter(col("__cell").isInCollection(byScore.toIndexedSeq))
-      .withColumn("similarity", dot_const_f32(col(vecCol), queryVec))
+      .withColumn("similarity", AnnIndex.rankScore(col(vecCol), queryVec, precision))
       .orderBy(desc("similarity"), asc(idCol))
       .limit(k)
       .drop("__cell")

@@ -79,10 +79,12 @@ object TextAnalysis {
   /**
    * Gopher document-quality rules (Rae et al. 2021 §A1.1, as reused by
    * MassiveText / RefinedWeb / Dolma): word-count bounds, mean word
-   * length 3–10, symbol-to-word ratio ≤ 0.1 (# and ellipsis), ≤10% of
-   * lines bullet-led, ≤30% of lines ellipsis-terminated, ≥80% of words
-   * containing an alphabetic character, and ≥2 of the eight required
-   * stopwords present.
+   * length 3–10, symbol-to-word ratio ≤ 0.1 (# and ellipsis), ≤90% of
+   * lines bullet-led (the paper removes only near-pure bullet LISTS —
+   * a round-13 gate audit found both this kernel and its oracle had
+   * encoded ≤10%, rejecting any normally-bulleted document), ≤30% of
+   * lines ellipsis-terminated, ≥80% of words containing an alphabetic
+   * character, and ≥2 of the eight required stopwords present.
    *
    * Every rule is emitted twice: the raw integer counter (auditable,
    * aggregable across a corpus) and the boolean verdict. Verdicts are
@@ -136,8 +138,8 @@ object TextAnalysis {
           col("sum_word_chars") <= lit(10L) * col("n_words"))
       .withColumn("pass_symbol_ratio",
         lit(10L) * col("n_symbols") <= col("n_words"))
-      .withColumn("pass_bullet",
-        lit(10L) * col("n_bullet_lines") <= col("n_lines"))
+      .withColumn("pass_bullet", // ≤90%: 10·n_bullet ≤ 9·n_lines
+        lit(10L) * col("n_bullet_lines") <= lit(9L) * col("n_lines"))
       .withColumn("pass_ellipsis",
         lit(10L) * col("n_ellipsis_lines") <= lit(3L) * col("n_lines"))
       .withColumn("pass_alpha",

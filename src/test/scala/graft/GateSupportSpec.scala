@@ -37,6 +37,25 @@ class GateSupportSpec extends SparkSuite {
     }
   }
 
+  test("events_json_props skips dirty props rows instead of killing the job (r13)") {
+    // Under ANSI (Spark 4 default) the gate query's old plain cast threw
+    // CAST_INVALID_INPUT on the first non-integer '$.k' — one dirty row
+    // killed the job; try_cast skips it. Pin the skip set: JSON null,
+    // non-integer number, and non-numeric string all drop; integer
+    // string and bare integer stay.
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    val df = withLogLevel(Seq(
+      ("a", """{"k": 12}"""), ("a", """{"k": 12.7}"""), ("a", """{"k": "abc"}"""),
+      ("a", """{"k": null}"""), ("a", """{"k": "15"}"""), ("b", """{"x": 1}""")
+    ).toDF("event_type", "props"))
+    val k = expr("try_cast(get_json_object(props, '$.k') AS LONG)")
+    val got = df.select(col("event_type"), k.as("__k"))
+      .filter(col("__k").isNotNull)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === Set(("a", 12L), ("a", 15L)))
+  }
+
   test("census contract: every query is oracle-gated or documented rows-only") {
     // The 3 rows-only entries are approximate BY CONTRACT (the sketch
     // tiers wrap Spark-internal HLL++/GK state; emb_whitened carries

@@ -26,15 +26,21 @@ class TextAnalysisSpec extends SparkSuite {
       .mkString(" "))                                   // 60 words, all rules green
     val short = "the data and model that have with"     // 7 words < 50
     val symbols = Seq.fill(60)("x#").mkString(" ")      // 60 '#' > 60/10 words
-    val bullets = (Seq.fill(8)("the data and that have") ++
-      Seq("- bullet one", "- bullet two")).mkString("\n")   // 2/10 lines > 10%
+    // Gopher removes only near-pure bullet LISTS (>90% of lines) — a
+    // r13 audit found the rule inverted at ≤10%; pin both sides of the
+    // corrected boundary
+    val bullets = (Seq("the data and that have") ++
+      Seq.fill(10)("- bullet line")).mkString("\n")     // 10/11 lines > 90%
+    val fewBullets = (Seq.fill(8)("the data and that have") ++
+      Seq("- bullet one", "- bullet two")).mkString("\n")   // 2/10 ≤ 90% passes
     val ellipsis = (Seq.fill(6)("the data and that have") ++
       Seq.fill(4)("trailing off...")).mkString("\n")        // 4/10 lines > 30%
     val longWords = Seq.fill(60)("aaaaaaaaaaaaaaaa").mkString(" ") // mean 16 > 10
     val numeric = Seq.fill(60)("12345").mkString(" ")   // 0% alpha words
     val noStop = Seq.fill(60)("spark").mkString(" ")    // 0 required stopwords
     val df = Seq((1L, good), (2L, short), (3L, symbols), (4L, bullets),
-      (5L, ellipsis), (6L, longWords), (7L, numeric), (8L, noStop))
+      (5L, ellipsis), (6L, longWords), (7L, numeric), (8L, noStop),
+      (9L, fewBullets))
       .toDF("id", "text")
     val r = TextAnalysis.gopherRules(df, "text").collect()
       .map(x => x.getLong(0) -> x).toMap
@@ -44,6 +50,7 @@ class TextAnalysisSpec extends SparkSuite {
     assert(!flag(2L, "pass_word_count") && flag(2L, "pass_mean_word_len"))
     assert(!flag(3L, "pass_symbol_ratio"))
     assert(!flag(4L, "pass_bullet") && flag(4L, "pass_ellipsis"))
+    assert(flag(9L, "pass_bullet"), "a normally-bulleted doc must pass the 90% rule")
     assert(!flag(5L, "pass_ellipsis") && flag(5L, "pass_bullet"))
     assert(!flag(6L, "pass_mean_word_len"))
     assert(!flag(7L, "pass_alpha"))
@@ -55,7 +62,8 @@ class TextAnalysisSpec extends SparkSuite {
     assert(g.getLong(g.fieldIndex("n_stopword_hits")) === 5L)
     assert(g.getLong(g.fieldIndex("n_symbols")) === 0L)
     assert(r(5L).getLong(r(5L).fieldIndex("n_ellipsis_lines")) === 4L)
-    assert(r(4L).getLong(r(4L).fieldIndex("n_bullet_lines")) === 2L)
+    assert(r(4L).getLong(r(4L).fieldIndex("n_bullet_lines")) === 10L)
+    assert(r(9L).getLong(r(9L).fieldIndex("n_bullet_lines")) === 2L)
   }
 
   test("c4 rules: line filter keeps punctuated prose, page verdicts fire per pathology") {

@@ -54,7 +54,11 @@ if grep '\[verify\].*failed' /tmp/gate_verify.log; then
 fi
 
 echo "== DuckDB oracle compare @ sf0.01 =="
-python3 tools/oracle_check.py /root/testdata/sf0.01 /tmp/gate_out
+# ORACLE_TIMEOUT_ALLOW is cleared explicitly: an allowlist exported by a
+# past experiment would silently convert "timeouts FAIL" into
+# print-and-pass exclusions (the same reason GRAFT_RC_STRESS_REPS is
+# pinned above)
+ORACLE_TIMEOUT_ALLOW= python3 tools/oracle_check.py /root/testdata/sf0.01 /tmp/gate_out
 
 if [[ "$RUN_INVAR" == 1 ]]; then
   echo "== Partitioning-invariance sweep @ sf0.01 (CPUS=3 vs the gate dump) =="
@@ -82,7 +86,7 @@ if [[ "$RUN_SF01" == 1 ]]; then
     echo "Verify dropped entries"; exit 1
   fi
   echo "== DuckDB oracle compare @ sf0.1 (timeouts FAIL; census has zero exclusions) =="
-  ORACLE_QUERY_TIMEOUT=${ORACLE_QUERY_TIMEOUT:-900} \
+  ORACLE_QUERY_TIMEOUT=${ORACLE_QUERY_TIMEOUT:-900} ORACLE_TIMEOUT_ALLOW= \
     python3 tools/oracle_check.py /root/testdata/sf0.1 /tmp/gate_out_sf01
 
   if [[ "$RUN_INVAR" == 1 ]]; then
