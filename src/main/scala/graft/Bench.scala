@@ -364,10 +364,16 @@ object Bench {
     // regression with zero behavior change. ann_recall_* and *_spread
     // are RATIOS, not seconds — summing them would be a category error.
     // *_gcsec is seconds but INSIDE the build wall-clock already summed.
+    // *_firstpass is adjudication metadata — the rejected first attempt
+    // of an entry whose accepted retry is ALREADY in the sum; counting
+    // both double-counts the entry exactly in the windows where a retry
+    // fired (a round with one poisoned build window would read as a
+    // total regression twice the size of the poison).
     val total = results.collect {
       case (k, v) if v >= 0 && !k.startsWith("ambient_control") &&
         !k.startsWith("chromem_datagen") && !k.startsWith("ann_recall") &&
-        !k.endsWith("_spread") && !k.endsWith("_gcsec") => v
+        !k.endsWith("_spread") && !k.endsWith("_gcsec") &&
+        !k.contains("_firstpass") => v
     }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // compact retimed line (always emitted, possibly empty) between the
