@@ -190,10 +190,12 @@ object Bench {
     }
     if (flagged.nonEmpty) results("ambient_control_retime") = sparkControl()
 
-    // ---- ANN quality probe (a RATIO in [0,1], not a timing) ----------
-    // Mean ADC recall@20 of the trained IVF-PQ index over 8 queries on
-    // the FIXED sf0.001 embeddings table — the exact probe IvfPqSpec
-    // pins at a 45% structural floor. Promoted into the artifact (r12):
+    // ---- ANN quality probes (RATIOs in [0,1], not timings) ------------
+    // Mean recall@20 of the trained IVF-PQ index over 8 queries on the
+    // FIXED sf0.001 embeddings table, graded twice from one build: the
+    // ADC-only pass (what the compressed codes alone return; IvfPqSpec
+    // pins 45%) and the exact-re-rank production tier (r13, 70% floor).
+    // Promoted into the artifact (r12):
     // a quality regression in sampling/centroid training used to pass
     // silently anywhere above the spec floor (r10 57.5% → r11 56.3%
     // was adjudicated as noise in SURVEY prose only; a 56→46% slide
@@ -202,24 +204,39 @@ object Bench {
     // `total` like the controls, and serialized in the headline
     // partition so it survives the driver's 2000-char tail. Loud
     // stderr on a structural-floor breach or a >15% drop vs prev.
-    if (only.forall(_.contains("ann_recall_adc"))) {
+    if (only.forall(n => n.exists(_.startsWith("ann_recall")))) {
       try {
         val probeDir = java.nio.file.Paths.get(sfDir)
           .resolveSibling("sf0.001").resolve("embeddings.parquet").toString
-        val r = annRecallProbe(spark, probeDir)
-        results("ann_recall_adc") = r
-        if (r < 0.45)
-          System.err.println(String.format(java.util.Locale.ROOT,
-            "[bench] ann_recall_adc %.3f BELOW the 45%% structural floor", Double.box(r)))
-        prev.get("ann_recall_adc").filter(p => p > 0 && p <= 1.0).foreach { p =>
-          if (r < p * 0.85)
+        // ONE index build yields both numbers: the ADC-only first pass
+        // and the production re-rank tier (5× shortlist + exact f64 on
+        // candidates). Floors: ADC 45% is the IvfPqSpec structural
+        // floor; re-rank 70% sits the same distance below its measured
+        // level (~0.96) as 45% sits below ADC's (~0.57) — a breach
+        // means the shortlist stopped containing the true neighbors,
+        // not noise. Per-probe floors + the shared >15%-drop-vs-prev
+        // high-water check.
+        val (adc, rerank) = graft.ops.Evaluation.ivfPqRecallProbes(
+          spark.read.parquet(probeDir))
+        for ((key, r, floor) <- Seq(("ann_recall_adc", adc, 0.45),
+                                    ("ann_recall_rerank", rerank, 0.70))) {
+          results(key) = r
+          if (r < floor)
             System.err.println(String.format(java.util.Locale.ROOT,
-              "[bench] ann_recall_adc %.3f dropped >15%% vs prev %.3f", Double.box(r), Double.box(p)))
+              "[bench] %s %.3f BELOW the %.0f%% structural floor",
+              key, Double.box(r), Double.box(floor * 100)))
+          prev.get(key).filter(p => p > 0 && p <= 1.0).foreach { p =>
+            if (r < p * 0.85)
+              System.err.println(String.format(java.util.Locale.ROOT,
+                "[bench] %s %.3f dropped >15%% vs prev %.3f",
+                key, Double.box(r), Double.box(p)))
+          }
         }
       } catch {
         case e: Throwable =>
-          System.err.println(s"[bench] ann_recall_adc failed: ${e.getMessage}")
+          System.err.println(s"[bench] ann_recall probes failed: ${e.getMessage}")
           results("ann_recall_adc") = -1.0
+          results("ann_recall_rerank") = -1.0
       }
     }
 
@@ -459,12 +476,6 @@ object Bench {
     }
     spark.stop()
   }
-
-  /** The IvfPqSpec ADC probe on the given embeddings table — delegates
-    * to the ONE shared definition (Evaluation.ivfPqAdcRecallProbe) so
-    * the artifact number and the spec floor grade the same quantity. */
-  private def annRecallProbe(spark: SparkSession, embPath: String): Double =
-    graft.ops.Evaluation.ivfPqAdcRecallProbe(spark.read.parquet(embPath))
 
   /** Prior-round name→seconds baselines for the retime pass. Preferred
     * source: `bench_local/last_full.json`, the full-results file this

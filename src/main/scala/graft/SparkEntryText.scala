@@ -167,7 +167,8 @@ private[graft] object SparkEntryText {
     "text_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(t(s, dir, "documents"), "text", minWords = 50)
         .select(col("doc_id"), col("n_words"), col("sum_word_chars"),
-          col("n_symbols"), col("n_alpha_words"), col("n_stopword_hits"),
+          col("n_hash_symbols"), col("n_ellipsis_symbols"),
+          col("n_alpha_words"), col("n_stopword_hits"),
           col("pass_word_count"), col("pass_mean_word_len"),
           col("pass_symbol_ratio"), col("pass_alpha"),
           col("pass_stopwords"), col("pass_gopher"))),
@@ -513,9 +514,11 @@ private[graft] object SparkEntryText {
         |  SELECT doc_id,
         |    len(string_split(text, ' '))::BIGINT AS n_words,
         |    length(replace(text, ' ', ''))::BIGINT AS sum_word_chars,
-        |    ((length(text) - length(replace(text, '#', '')))
-        |     + (length(text) - length(replace(text, '...', ''))) // 3
-        |     + (length(text) - length(replace(text, '…', ''))))::BIGINT AS n_symbols,
+        |    (length(text) - length(replace(text, '#', '')))::BIGINT
+        |      AS n_hash_symbols,
+        |    ((length(text) - length(replace(text, '...', ''))) // 3
+        |     + (length(text) - length(replace(text, '…', ''))))::BIGINT
+        |      AS n_ellipsis_symbols,
         |    len(string_split(text, chr(10)))::BIGINT AS n_lines,
         |    len(list_filter(string_split(text, chr(10)),
         |      l -> regexp_matches(l, '^[ \t]*[-*•]')))::BIGINT AS n_bullet_lines,
@@ -533,17 +536,19 @@ private[graft] object SparkEntryText {
         |     + list_contains(string_split(lower(text), ' '), 'with')::INT
         |    )::BIGINT AS n_stopword_hits
         |  FROM documents)
-        |SELECT doc_id, n_words, sum_word_chars, n_symbols, n_alpha_words,
-        |  n_stopword_hits,
+        |SELECT doc_id, n_words, sum_word_chars, n_hash_symbols,
+        |  n_ellipsis_symbols, n_alpha_words, n_stopword_hits,
         |  (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
         |  (sum_word_chars >= 3 * n_words AND sum_word_chars <= 10 * n_words)
         |    AS pass_mean_word_len,
-        |  (10 * n_symbols <= n_words) AS pass_symbol_ratio,
+        |  (10 * n_hash_symbols <= n_words
+        |   AND 10 * n_ellipsis_symbols <= n_words) AS pass_symbol_ratio,
         |  (10 * n_alpha_words >= 8 * n_words) AS pass_alpha,
         |  (n_stopword_hits >= 2) AS pass_stopwords,
         |  (n_words >= 50 AND n_words <= 100000
         |   AND sum_word_chars >= 3 * n_words AND sum_word_chars <= 10 * n_words
-        |   AND 10 * n_symbols <= n_words
+        |   AND 10 * n_hash_symbols <= n_words
+        |   AND 10 * n_ellipsis_symbols <= n_words
         |   AND 10 * n_bullet_lines <= 9 * n_lines
         |   AND 10 * n_ellipsis_lines <= 3 * n_lines
         |   AND 10 * n_alpha_words >= 8 * n_words
@@ -558,9 +563,11 @@ private[graft] object SparkEntryText {
         |    len(string_split(text, ' '))::BIGINT AS n_words,
         |    length(text)::BIGINT AS n_chars,
         |    length(replace(text, ' ', ''))::BIGINT AS sum_word_chars,
-        |    ((length(text) - length(replace(text, '#', '')))
-        |     + (length(text) - length(replace(text, '...', ''))) // 3
-        |     + (length(text) - length(replace(text, '…', ''))))::BIGINT AS n_symbols,
+        |    (length(text) - length(replace(text, '#', '')))::BIGINT
+        |      AS n_hash_symbols,
+        |    ((length(text) - length(replace(text, '...', ''))) // 3
+        |     + (length(text) - length(replace(text, '…', ''))))::BIGINT
+        |      AS n_ellipsis_symbols,
         |    len(string_split(text, chr(10)))::BIGINT AS n_lines,
         |    len(list_filter(string_split(text, chr(10)),
         |      l -> regexp_matches(l, '^[ \t]*[-*•]')))::BIGINT AS n_bullet_lines,
@@ -586,7 +593,8 @@ private[graft] object SparkEntryText {
         |  sum(CASE WHEN n_words >= 50 AND n_words <= 100000
         |        AND sum_word_chars >= 3 * n_words
         |        AND sum_word_chars <= 10 * n_words
-        |        AND 10 * n_symbols <= n_words
+        |        AND 10 * n_hash_symbols <= n_words
+        |        AND 10 * n_ellipsis_symbols <= n_words
         |        AND 10 * n_bullet_lines <= 9 * n_lines
         |        AND 10 * n_ellipsis_lines <= 3 * n_lines
         |        AND 10 * n_alpha_words >= 8 * n_words
@@ -678,7 +686,7 @@ private[graft] object SparkEntryText {
         |  SELECT doc_id, text,
         |    len(string_split(text, chr(10)))::BIGINT AS n_lines,
         |    list_filter(string_split(text, chr(10)), l ->
-        |      regexp_matches(l, '[.!?]["”'']?[ \t]*$')
+        |      regexp_matches(l, '([.!?]["”'']?|["”])[ \t]*$')
         |      AND len(list_filter(string_split(l, ' '), w -> w != '')) >= 3
         |      AND NOT contains(lower(l), 'javascript')) AS kept
         |  FROM d),

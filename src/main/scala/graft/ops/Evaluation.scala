@@ -272,23 +272,53 @@ object Evaluation {
     * corpus-minus-self by construction. The metric steps down by up to
     * 1/20 per query vs the r12 definition (baseline re-seeded in the
     * same commit). */
-  def ivfPqAdcRecallProbe(emb: DataFrame): Double = {
+  def ivfPqAdcRecallProbe(emb: DataFrame): Double = ivfPqRecallProbes(emb)._1
+
+  /** Both IVF-PQ quality numbers from ONE index build: (ADC recall@20,
+    * exact-re-rank recall@20). The ADC number grades the compressed
+    * first pass alone (what a pure code-column scan returns); the
+    * re-rank number grades the PRODUCTION configuration —
+    * [[IvfPqIndex.topKRerank]] with a 5× shortlist (rerankK=100), i.e.
+    * ADC selects 100 candidates and exact f64 scoring of just those
+    * rows picks the final 20. The two together separate "how much the
+    * 64-bit codes lose" from "how much of that loss the candidate
+    * shortlist recovers", which is the number a user of the re-rank
+    * tier actually experiences.
+    *
+    * Invariant (spec-pinned): rerank >= adc per query. Both measure
+    * |top20 ∩ exact20| and both top-20s are 20-subsets of the rerank
+    * SHORTLIST (ADC's own top-20 trivially so); any exact-top-20 member
+    * present in the shortlist outscores every non-member there (a
+    * shortlist row beating an exact-top-20 member would itself be in
+    * exact top-20), so exact re-ranking keeps ALL of them — the maximal
+    * intersection any 20-subset of that shortlist can have.
+    *
+    * Self-exclusion matches [[ivfPqAdcRecallProbe]]'s r13 convention on
+    * all three sides: fetch top-21 in rank order, drop the query id,
+    * keep 20. */
+  def ivfPqRecallProbes(emb: DataFrame): (Double, Double) = {
     val spark = emb.sparkSession
     import spark.implicits._
     val idx = IvfPq.build(emb, "embedding", "vec_id", nlist = 4, m = 16,
       k = 16, sampleSize = 500)
-    val hits = (0 until 8).map { q =>
+    var adcHits = 0
+    var rerankHits = 0
+    (0 until 8).foreach { q =>
       val qv = emb.filter(col("vec_id") === q).select("embedding")
         .head().getSeq[Float](0).toArray
-      val approx = idx.topK(qv, k = 21, nprobe = 4)
-        .select("vec_id").as[Long].collect()
-        .filter(_ != q.toLong).take(20).toSet
       val exact = VectorSearch.topK(emb, "embedding", qv, 21, "vec_id",
         precision = "f64").select("vec_id").as[Long].collect()
         .filter(_ != q.toLong).take(20).toSet
-      (approx intersect exact).size
-    }.sum
-    hits / 160.0
+      val adc = idx.topK(qv, k = 21, nprobe = 4)
+        .select("vec_id").as[Long].collect()
+        .filter(_ != q.toLong).take(20).toSet
+      val rerank = idx.topKRerank(qv, k = 21, nprobe = 4, rerankK = 100)
+        .select("vec_id").as[Long].collect()
+        .filter(_ != q.toLong).take(20).toSet
+      adcHits += (adc intersect exact).size
+      rerankHits += (rerank intersect exact).size
+    }
+    (adcHits / 160.0, rerankHits / 160.0)
   }
 
   /** Mean recall@k of an ANN method over a batch of query rows, against

@@ -79,17 +79,21 @@ object TextAnalysis {
   /**
    * Gopher document-quality rules (Rae et al. 2021 §A1.1, as reused by
    * MassiveText / RefinedWeb / Dolma): word-count bounds, mean word
-   * length 3–10, symbol-to-word ratio ≤ 0.1 (# and ellipsis), ≤90% of
-   * lines bullet-led (the paper removes only near-pure bullet LISTS —
-   * a round-13 gate audit found both this kernel and its oracle had
-   * encoded ≤10%, rejecting any normally-bulleted document), ≤30% of
-   * lines ellipsis-terminated, ≥80% of words containing an alphabetic
+   * length 3–10, symbol-to-word ratio ≤ 0.1 for the hash symbol AND
+   * for the ellipsis SEPARATELY (the paper removes a document when
+   * EITHER symbol's own ratio exceeds 0.1 — a round-13 audit
+   * follow-up found kernel + oracle summing the two counts into one
+   * ratio, failing docs the paper keeps, e.g. hash 0.06 + ellipsis
+   * 0.06), ≤90% of lines bullet-led (the paper removes only near-pure
+   * bullet LISTS — the same r13 audit found this rule inverted at
+   * ≤10%, rejecting any normally-bulleted document), ≤30% of lines
+   * ellipsis-terminated, ≥80% of words containing an alphabetic
    * character, and ≥2 of the eight required stopwords present.
    *
    * Every rule is emitted twice: the raw integer counter (auditable,
    * aggregable across a corpus) and the boolean verdict. Verdicts are
    * decided by integer cross-multiplication (e.g. symbol ratio ≤ 1/10
-   * ⇔ 10·n_symbols ≤ n_words) — no floating-point ratio ever decides a
+   * ⇔ 10·n_hash_symbols ≤ n_words) — no floating-point ratio ever decides a
    * flag, so results are bit-stable across engines and partitionings.
    * All counters are codegen'd expressions over the scan — at 100 TB
    * this is one map-only pass with zero shuffles.
@@ -114,7 +118,8 @@ object TextAnalysis {
     def occurrences(needle: String): Column =
       ((length(t) - length(replace(t, lit(needle), lit("")))) /
         lit(needle.length)).cast("long")
-    val nSymbols = occurrences("#") + occurrences("...") + occurrences("…")
+    val nHash = occurrences("#")
+    val nEllipsisSym = occurrences("...") + occurrences("…")
     val nBullet = size(filter(lines, l => l.rlike("^[ \t]*[-*•]"))).cast("long")
     val nEllipsis =
       size(filter(lines, l => l.rlike("(\\.\\.\\.|…)[ \t]*$"))).cast("long")
@@ -125,7 +130,8 @@ object TextAnalysis {
     val sumWordChars = length(regexp_replace(t, " ", "")).cast("long")
     df.withColumn("n_words", nWords)
       .withColumn("sum_word_chars", sumWordChars)
-      .withColumn("n_symbols", nSymbols)
+      .withColumn("n_hash_symbols", nHash)
+      .withColumn("n_ellipsis_symbols", nEllipsisSym)
       .withColumn("n_lines", nLines)
       .withColumn("n_bullet_lines", nBullet)
       .withColumn("n_ellipsis_lines", nEllipsis)
@@ -136,8 +142,9 @@ object TextAnalysis {
       .withColumn("pass_mean_word_len",
         col("sum_word_chars") >= lit(3L) * col("n_words") &&
           col("sum_word_chars") <= lit(10L) * col("n_words"))
-      .withColumn("pass_symbol_ratio",
-        lit(10L) * col("n_symbols") <= col("n_words"))
+      .withColumn("pass_symbol_ratio", // EITHER symbol's own ratio > 0.1 fails
+        lit(10L) * col("n_hash_symbols") <= col("n_words") &&
+          lit(10L) * col("n_ellipsis_symbols") <= col("n_words"))
       .withColumn("pass_bullet", // ≤90%: 10·n_bullet ≤ 9·n_lines
         lit(10L) * col("n_bullet_lines") <= lit(9L) * col("n_lines"))
       .withColumn("pass_ellipsis",
@@ -164,8 +171,8 @@ object TextAnalysis {
    * `kept_text` carries the line-filtered page for downstream reuse —
    * all computed in one map-only pass over the scan, zero shuffles at
    * any scale. Sentences are counted as occurrences of `.`/`!`/`?` in
-   * the kept text (kept lines end in terminal punctuation, so every
-   * kept line contributes at least one).
+   * the kept text (an approximation: a kept line terminated by a bare
+   * end quote contributes none).
    *
    * Regex portability (Java ⇄ RE2/DuckDB): `[ \t]` not `\s`, explicit
    * character classes, no backreferences.
@@ -176,8 +183,14 @@ object TextAnalysis {
       minSentences: Int = 5,
       minWordsPerLine: Int = 3): DataFrame = {
     val lines = split(col(textCol), "\n")
+    // C4's reference implementation keeps a line that ends with any of
+    // `.` `?` `!` `"` — an END QUOTATION MARK ALONE is terminal (the
+    // paper lists it as one of the terminal punctuation marks; dialogue
+    // lines end this way). A r13 audit follow-up found both this kernel
+    // and its oracle requiring [.!?] before the quote, dropping lines
+    // C4 keeps. Bare `'` stays non-terminal (apostrophe ≠ end quote).
     val keptLines = filter(lines, l =>
-      l.rlike("[.!?][\"”']?[ \t]*$") &&
+      l.rlike("([.!?][\"”']?|[\"”])[ \t]*$") &&
         size(filter(split(l, " "), w => w =!= "")) >= minWordsPerLine &&
         !lower(l).contains("javascript"))
     val keptText = concat_ws("\n", keptLines)

@@ -39,11 +39,21 @@ class IvfPqSpec extends SparkSuite {
     // 57.5%, r11 distinct-sampling 56.3%, r13 self-excluded definition
     // 56.9% on this exact probe — the self-match eviction moved the
     // metric <1%, so the floor holds unchanged).
-    // the probe body lives in Evaluation.ivfPqAdcRecallProbe — the ONE
-    // definition Bench's per-round ann_recall_adc artifact metric also
-    // calls, so this floor and the artifact grade the same quantity
-    val r = graft.ops.Evaluation.ivfPqAdcRecallProbe(emb)
+    // the probe body lives in Evaluation.ivfPqRecallProbes — the ONE
+    // definition Bench's per-round ann_recall_{adc,rerank} artifact
+    // metrics also call, so these floors and the artifact grade the
+    // same quantities. The rerank tier (5× shortlist + exact f64 on
+    // candidates) carries its own 70% floor — a breach means the ADC
+    // shortlist stopped CONTAINING the true neighbors, a structurally
+    // worse break than mis-ranking them — plus the provable per-query
+    // invariant rerank >= adc (any exact-top-20 member inside the
+    // shortlist outscores every non-member there, so exact re-ranking
+    // keeps all of them; see the probe's Scaladoc).
+    val (r, rr) = graft.ops.Evaluation.ivfPqRecallProbes(emb)
     assert(r >= 0.45, s"ADC mean recall too low: $r")
+    assert(rr >= 0.70, s"re-rank mean recall too low: $rr")
+    assert(rr >= r, s"re-rank recall $rr below ADC recall $r — the " +
+      "shortlist-containment invariant broke (tie-break divergence?)")
   }
 
   test("rerank returns the exact top-k when candidates cover it") {

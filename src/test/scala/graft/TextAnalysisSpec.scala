@@ -26,6 +26,15 @@ class TextAnalysisSpec extends SparkSuite {
       .mkString(" "))                                   // 60 words, all rules green
     val short = "the data and model that have with"     // 7 words < 50
     val symbols = Seq.fill(60)("x#").mkString(" ")      // 60 '#' > 60/10 words
+    // the paper caps EACH symbol's ratio at 0.1 SEPARATELY (r13 audit
+    // follow-up: the old combined sum failed splitSymbols — 3 hashes +
+    // 3 ellipses over 50 words is 0.06 per symbol, inside the paper's
+    // cap, but 0.12 combined) while a single symbol past its own cap
+    // (6 ellipses / 50 words = 0.12) must still fail
+    val splitSymbols = (Seq.fill(44)("the") ++ Seq.fill(3)("tag#") ++
+      Seq.fill(3)("off...")).mkString(" ")               // 50 words, 3 #, 3 ...
+    val manyEllipsis = (Seq.fill(44)("the") ++
+      Seq.fill(6)("off...")).mkString(" ")               // 6 ... > 50/10 words
     // Gopher removes only near-pure bullet LISTS (>90% of lines) — a
     // r13 audit found the rule inverted at ≤10%; pin both sides of the
     // corrected boundary
@@ -40,7 +49,7 @@ class TextAnalysisSpec extends SparkSuite {
     val noStop = Seq.fill(60)("spark").mkString(" ")    // 0 required stopwords
     val df = Seq((1L, good), (2L, short), (3L, symbols), (4L, bullets),
       (5L, ellipsis), (6L, longWords), (7L, numeric), (8L, noStop),
-      (9L, fewBullets))
+      (9L, fewBullets), (10L, splitSymbols), (11L, manyEllipsis))
       .toDF("id", "text")
     val r = TextAnalysis.gopherRules(df, "text").collect()
       .map(x => x.getLong(0) -> x).toMap
@@ -49,6 +58,10 @@ class TextAnalysisSpec extends SparkSuite {
     assert(flag(1L, "pass_gopher"), "good doc must pass every rule")
     assert(!flag(2L, "pass_word_count") && flag(2L, "pass_mean_word_len"))
     assert(!flag(3L, "pass_symbol_ratio"))
+    assert(flag(10L, "pass_symbol_ratio"),
+      "each symbol at 0.06 must pass the paper's per-symbol 0.1 cap")
+    assert(!flag(11L, "pass_symbol_ratio"),
+      "one symbol past its own cap must fail")
     assert(!flag(4L, "pass_bullet") && flag(4L, "pass_ellipsis"))
     assert(flag(9L, "pass_bullet"), "a normally-bulleted doc must pass the 90% rule")
     assert(!flag(5L, "pass_ellipsis") && flag(5L, "pass_bullet"))
@@ -60,7 +73,10 @@ class TextAnalysisSpec extends SparkSuite {
     val g = r(1L)
     assert(g.getLong(g.fieldIndex("n_words")) === 60L)
     assert(g.getLong(g.fieldIndex("n_stopword_hits")) === 5L)
-    assert(g.getLong(g.fieldIndex("n_symbols")) === 0L)
+    assert(g.getLong(g.fieldIndex("n_hash_symbols")) === 0L)
+    assert(g.getLong(g.fieldIndex("n_ellipsis_symbols")) === 0L)
+    assert(r(10L).getLong(r(10L).fieldIndex("n_hash_symbols")) === 3L)
+    assert(r(10L).getLong(r(10L).fieldIndex("n_ellipsis_symbols")) === 3L)
     assert(r(5L).getLong(r(5L).fieldIndex("n_ellipsis_lines")) === 4L)
     assert(r(4L).getLong(r(4L).fieldIndex("n_bullet_lines")) === 10L)
     assert(r(9L).getLong(r(9L).fieldIndex("n_bullet_lines")) === 2L)
@@ -74,8 +90,12 @@ class TextAnalysisSpec extends SparkSuite {
     val few = "one good sentence stands alone."             // 1 sentence < 5
     val lorem = good + "\nlorem ipsum dolor sit amet."
     val brace = good + "\nif (x) { return; }"
+    // C4's reference keeps a line ending in a BARE end quote (its
+    // terminal set is . ? ! ") — pinned after the r13 audit follow-up
+    // found the old regex demanding [.!?] before the quote
+    val quote = "and then she said \"no more\"\nhe answered \"fine”"
     val df = Seq((1L, good), (2L, unpunct), (3L, short), (4L, js),
-      (5L, few), (6L, lorem), (7L, brace)).toDF("id", "text")
+      (5L, few), (6L, lorem), (7L, brace), (8L, quote)).toDF("id", "text")
     val r = TextAnalysis.c4Rules(df, "text").collect()
       .map(x => x.getLong(0) -> x).toMap
     def f(id: Long, name: String) = r(id).getBoolean(r(id).fieldIndex(name))
@@ -88,6 +108,8 @@ class TextAnalysisSpec extends SparkSuite {
     assert(n(5L, "n_kept_lines") === 1L && !f(5L, "pass_c4"), "<5 sentences")
     assert(f(6L, "has_lorem") && !f(6L, "pass_c4"))
     assert(f(7L, "has_brace") && !f(7L, "pass_c4"))
+    assert(n(8L, "n_kept_lines") === 2L,
+      "bare end-quote (ASCII and typographic) terminates a line")
     // kept_text carries only the surviving lines
     val kept5 = r(5L).getString(r(5L).fieldIndex("kept_text"))
     assert(kept5 === "one good sentence stands alone.")
