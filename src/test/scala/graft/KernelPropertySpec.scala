@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.HashKernels
+import graft.functions.{HashKernels, LexicalKernel, NgramStats}
 import graft.ops.{Multimodal, Pca, VectorSearch}
 
 /**
@@ -140,6 +140,80 @@ class KernelPropertySpec extends AnyFunSuite {
         assert((((sig >> p) & 1L) == 1L) === (dot >= 0),
           s"plane $p sign mismatch")
       }
+    }
+  }
+
+  // --- NgramStats kernels vs brute-force references --------------------
+  // The Gopher §A1.2 gate entries ride on these per-row kernels; the
+  // example-based specs pin known documents, these sweeps pin the
+  // DEFINITION against an obviously-correct sliding-window reference on
+  // random token streams over a tiny vocabulary (ties and repeats are
+  // the common case, not the corner case).
+
+  private def randToks(rnd: scala.util.Random, maxLen: Int): Seq[String] = {
+    val vocab = Seq("a", "bb", "ccc", "dd", "e") // varied char lengths
+    Seq.fill(rnd.nextInt(maxLen + 1))(vocab(rnd.nextInt(vocab.size)))
+  }
+
+  test("topNgramEval equals brute-force max-count/lex-min gram (400 cases)") {
+    val rnd = new scala.util.Random(909)
+    (1 to 400).foreach { _ =>
+      val ws = randToks(rnd, 14)
+      val n = 1 + rnd.nextInt(4)
+      val got = NgramStats.topNgramEval(toks(ws), n)
+      if (ws.length < n) assert(got == null, s"ws=$ws n=$n must yield null")
+      else {
+        val grams = ws.sliding(n).map(_.mkString(" ")).toSeq
+        val byCount = grams.groupBy(identity).view.mapValues(_.size)
+        val bestCnt = byCount.values.max
+        // tie-break: lexicographically smallest among the max-count grams
+        // (UTF8String.compareTo is unsigned-byte order == Java String
+        // order for this ASCII vocab)
+        val bestGram = byCount.collect { case (g, c) if c == bestCnt => g }.min
+        assert(got.getUTF8String(0).toString === bestGram,
+          s"ws=$ws n=$n: gram ${got.getUTF8String(0)} != $bestGram")
+        assert(got.getLong(1) === bestCnt.toLong, s"ws=$ws n=$n count")
+      }
+    }
+  }
+
+  test("dupNgramEval equals brute-force span union (400 cases)") {
+    val rnd = new scala.util.Random(1010)
+    (1 to 400).foreach { _ =>
+      val ws = randToks(rnd, 14)
+      val n = 1 + rnd.nextInt(4)
+      val got = NgramStats.dupNgramEval(toks(ws), n)
+      val t = ws.length
+      val expTokenChars = ws.map(_.length.toLong).sum
+      // reference: mark [i, i+n) for every position whose gram text
+      // occurs >= 2 times in the doc, then tally the UNION (overlapping
+      // repeats counted once)
+      val grams =
+        if (t < n) Seq.empty else ws.sliding(n).map(_.mkString(" ")).toSeq
+      val dupAt = grams.zipWithIndex.collect {
+        case (g, i) if grams.count(_ == g) >= 2 => i
+      }
+      val covered = dupAt.flatMap(i => i until i + n).toSet
+      assert(got.getLong(0) === t.toLong, s"ws=$ws n=$n n_tokens")
+      assert(got.getLong(1) === expTokenChars, s"ws=$ws n=$n token_chars")
+      assert(got.getLong(2) === covered.size.toLong,
+        s"ws=$ws n=$n covered_tokens")
+      assert(got.getLong(3) === covered.toSeq.map(ws(_).length.toLong).sum,
+        s"ws=$ws n=$n covered_chars")
+      // structural invariants the gate's cross-multiplied verdicts assume
+      assert(got.getLong(2) <= got.getLong(0) && got.getLong(3) <= got.getLong(1))
+    }
+  }
+
+  test("LexicalKernel equals brute-force distinct/hapax counts (300 cases)") {
+    val rnd = new scala.util.Random(1111)
+    (1 to 300).foreach { _ =>
+      val ws = randToks(rnd, 20)
+      val got = LexicalKernel.eval(toks(ws))
+      val byCount = ws.groupBy(identity).view.mapValues(_.size)
+      assert(got.getLong(0) === ws.length.toLong)
+      assert(got.getLong(1) === byCount.size.toLong)
+      assert(got.getLong(2) === byCount.values.count(_ == 1).toLong)
     }
   }
 }
