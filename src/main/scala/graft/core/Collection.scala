@@ -68,13 +68,24 @@ class Collection private[core] (
     * them up. */
   private final class Snap(
       val df0: DataFrame,
-      val n: Long,
+      n0: => Long,
       val flat: Option[graft.ops.VectorIndex[String]],
       val lsh: Option[graft.ops.LshIndex],
       val ivf: Option[graft.ops.IvfState]) {
     // plain class (not a case class: the synthetic inner-class equals
     // emits an uncheckable outer-reference type test); identity
     // semantics are what `snap eq before` wants anyway
+    /** Row count of df0. LAZY so the OPEN-time snap defers its count —
+      * DB.persistent used to run one Spark count job per catalog entry
+      * before returning (linear-in-collections startup); the first
+      * count()/ingest that needs the number forces it once. Mutation
+      * commits still pass a precomputed value (their eager post-swap
+      * count is what readCommitted's monitor-bounce timing relies on),
+      * so a forced lazy count only ever races a commit on the OPEN
+      * snap — count() wraps in readCommitted for exactly that window.
+      * A lazy val whose initializer throws stays uninitialized, so a
+      * lost-file failure does not poison the snap for the retry. */
+    lazy val n: Long = n0
     def copy(
         flat: Option[graft.ops.VectorIndex[String]] = this.flat,
         lsh: Option[graft.ops.LshIndex] = this.lsh,
@@ -85,6 +96,8 @@ class Collection private[core] (
   @volatile private var snap: Snap = {
     val df = initial.getOrElse(spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], Document.schema))
+    // the count defers via Snap's by-name n (no job when never asked);
+    // getOrElse(0L) keeps fresh in-memory collections job-free forever
     new Snap(df, initial.map(_.count()).getOrElse(0L), None, None, None)
   }
 
@@ -102,8 +115,13 @@ class Collection private[core] (
     * real versions via [[graft.persist.SnapshotStore]]. */
   def df: DataFrame = snap.df0
 
-  /** Row count — reference collection.go:391-395, served from driver state. */
-  def count(): Long = snap.n
+  /** Row count — reference collection.go:391-395, served from driver
+    * state (O(1) after the snap's count is known). An OPEN-time snap
+    * defers its count to the first call, which scans live parquet and
+    * can therefore lose its file view to a concurrent commit — same
+    * read-committed contract (and retry) as every other collecting
+    * read. */
+  def count(): Long = readCommitted(snap.n)
 
   // ------------------------------------------------------------------
   // Ingest (reference collection.go:131-293)
@@ -770,9 +788,13 @@ class Collection private[core] (
         next.localCheckpoint(true)
     }
     // swap the whole view first (new state, no indexes), THEN release the
-    // displaced indexes — after the swap no new reader can reach them
+    // displaced indexes — after the swap no new reader can reach them.
+    // The count stays EAGER here (hoisted: Snap's n is by-name now):
+    // readCommitted's monitor-bounce relies on the commit finishing its
+    // post-swap count before releasing this object's monitor
     val old = snap
-    snap = new Snap(materialized, materialized.count(), None, None, None)
+    val nNext = materialized.count()
+    snap = new Snap(materialized, nNext, None, None, None)
     old.flat.foreach(_.unpersist())
     old.lsh.foreach(_.unpersist())
     old.ivf.foreach(_.unpersist())

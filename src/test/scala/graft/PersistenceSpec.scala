@@ -34,6 +34,48 @@ class PersistenceSpec extends SparkSuite {
     assert(d.embedding.toSeq === ConstEmbeddingFunc.stub3.toSeq)
   }
 
+  test("persistent open schedules zero Spark jobs; the count defers to first use") {
+    // a catalog-scale deployment opens thousands of collections —
+    // DB.persistent used to run one count job per entry before
+    // returning; the Snap count is lazy now and the open must be
+    // job-free (parquet reads with an explicit schema plan without jobs)
+    val root = tempRoot
+    val db = withLogLevel(DB.persistent(spark, root, ConstEmbeddingFunc.stub()))
+    (1 to 3).foreach { i =>
+      db.createCollection(s"cat$i").addDocuments(
+        Seq(Document(s"d$i", content = s"doc $i"), Document(s"e$i", content = "x")))
+    }
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val reopened = DB.persistent(spark, root, ConstEmbeddingFunc.stub())
+      assert(reopened.listCollections().size === 3)
+      // listener delivery is async: give the bus a moment, then demand
+      // silence (a false quiet here would need >1s of bus lag on an
+      // idle local scheduler)
+      Thread.sleep(1000)
+      assert(jobs.get() === 0,
+        s"persistent open must schedule no Spark jobs, saw ${jobs.get()}")
+      // first count() forces the deferred job and serves the real number
+      assert(reopened.getCollection("cat2").count() === 2)
+      // O(1) afterwards: the lazy val is initialized, no second job —
+      // poll the listener for the forced job, then re-read
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (jobs.get() == 0 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(jobs.get() >= 1, "first count() must run the deferred job")
+      val after = jobs.get()
+      assert(reopened.getCollection("cat2").count() === 2)
+      Thread.sleep(300)
+      assert(jobs.get() === after, "second count() must be served from state")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("createCollection overwrite clears the old documents on disk") {
     val root = tempRoot
     val db = withLogLevel(DB.persistent(spark, root, ConstEmbeddingFunc.stub()))
