@@ -431,6 +431,67 @@ class TextAnalysisSpec extends SparkSuite {
     assert(r(0)._2 !== r(1)._2, "permutation must change the rolling hash")
   }
 
+  test("rollingHash equals a driver-side md5/Horner reference (150 cases)") {
+    // the operator's portability claim is that any engine with md5 can
+    // replay the documented algorithm (60-bit md5-prefix token hashes
+    // through a double-modulus Horner fold); pin the DEFINITION with an
+    // independent reference built from java.security.MessageDigest —
+    // empty tokens (consecutive spaces) and non-ASCII included
+    val rnd = new scala.util.Random(1212)
+    val vocab = Seq("alpha", "beta", "Gamma", "délta", "e1", "", "x")
+    val docs = (1 to 150).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val got = docs.toDF("id", "text")
+      .select($"id", TextAnalysis.rollingHash($"text").as("rh"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val (p1, p2) = (1000000007L, 998244353L)
+    def ref(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var f1 = 0L; var f2 = 0L
+      // limit -1: Spark's split KEEPS trailing empty tokens
+      text.split(" ", -1).foreach { tok =>
+        val hex = md.digest(tok.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.take(15)
+        val h = java.lang.Long.parseLong(hex, 16) // 60 bits, fits a long
+        f1 = (f1 * 31L + h % p1) % p1
+        f2 = (f2 * 131L + h % p2) % p2
+      }
+      f1 * p2 + f2
+    }
+    docs.foreach { case (i, t) =>
+      assert(got(i) === ref(t), s"doc $i '$t'")
+    }
+  }
+
+  test("urlHost agrees with java.net.URI on well-formed URLs (200 cases)") {
+    // the single-regex extraction's reference semantics: for URLs URI
+    // can parse, urlHost must equal URI.getHost lowercased with a
+    // leading www. stripped
+    val rnd = new scala.util.Random(1313)
+    val schemes = Seq("http", "https", "ftp")
+    val labels = Seq("Example", "cdn3", "WWW", "static", "api", "x9")
+    val tlds = Seq("com", "org", "io")
+    val paths = Seq("", "/", "/a/b", "/x?q=1", "/p#frag")
+    val urls = (1 to 200).map { i =>
+      val host = (Seq.fill(1 + rnd.nextInt(2))(labels(rnd.nextInt(labels.size)))
+        :+ tlds(rnd.nextInt(tlds.size))).mkString(".")
+      val user = if (rnd.nextBoolean()) "u:pw@" else ""
+      val port = if (rnd.nextBoolean()) s":${1 + rnd.nextInt(65000)}" else ""
+      (i, s"${schemes(rnd.nextInt(schemes.size))}://$user$host$port${
+        paths(rnd.nextInt(paths.size))}")
+    }
+    val got = urls.toDF("id", "url")
+      .select($"id", TextAnalysis.urlHost($"url").as("h"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    urls.foreach { case (i, u) =>
+      val want = new java.net.URI(u).getHost
+        .toLowerCase(java.util.Locale.ROOT).replaceFirst("^www\\.", "")
+      assert(got(i) === want, s"url $u")
+    }
+  }
+
   test("qualityScore rewards normal prose, penalizes punctuation soup") {
     val df = Seq(
       (1, "the quick brown fox jumps over the lazy dog and runs through the quiet field for a while"),
