@@ -200,6 +200,54 @@ class PersistenceSpec extends SparkSuite {
     assert(p("o").asInstanceOf[Map[String, Any]]("k") === "v")
   }
 
+  test("Json encode∘parse is the identity on 300 random nested structures") {
+    // the sidecar/provider codec was made strict in r12; pin the happy
+    // path generatively — random nesting with hostile strings (quotes,
+    // backslashes, control chars, non-ASCII) and both number shapes
+    val rnd = new scala.util.Random(1414)
+    val charPool = "az09 _-\"\\\n\t\ré—α".toCharArray
+    def randString(): String =
+      Seq.fill(rnd.nextInt(12))(charPool(rnd.nextInt(charPool.length))).mkString
+    def leaf(): Any = rnd.nextInt(5) match {
+      case 0 => randString()
+      case 1 => rnd.nextInt(2000) - 1000 // integer-valued
+      case 2 => (rnd.nextDouble() - 0.5) * 1e6
+      case 3 => rnd.nextBoolean()
+      case _ => null
+    }
+    def gen(depth: Int): Any =
+      if (depth == 0) leaf()
+      else rnd.nextInt(6) match {
+        case 0 => (1 to rnd.nextInt(4))
+          .map(i => s"k$i${randString()}" -> gen(depth - 1)).toMap
+        case 1 => List.fill(rnd.nextInt(4))(gen(depth - 1))
+        case _ => leaf()
+      }
+    def enc(v: Any): String = v match {
+      case null => "null"
+      case b: Boolean => b.toString
+      case i: Int => Json.num(i.toDouble)
+      case d: Double => Json.num(d)
+      case s: String => Json.str(s)
+      case m: Map[_, _] => Json.obj(m.toSeq.map {
+        case (k, x) => k.asInstanceOf[String] -> enc(x) }: _*)
+      case l: List[_] => Json.arr(l.map(enc))
+    }
+    // parse returns Double for every number — normalize the expectation
+    def norm(v: Any): Any = v match {
+      case i: Int => i.toDouble
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+        .map { case (k, x) => k -> norm(x) }
+      case l: List[_] => l.map(norm)
+      case x => x
+    }
+    (1 to 300).foreach { trial =>
+      val v = gen(3)
+      val parsed = Json.parse(enc(v))
+      assert(parsed === norm(v), s"trial $trial: ${enc(v)}")
+    }
+  }
+
   test("a hash2hex dir collision refuses to create, never wipes the live owner (r12)") {
     // coll-38974 and coll-50694 genuinely share SHA-256 prefix 3e32ca04
     // (found by search) — the reference's 4-byte dir scheme collides at
