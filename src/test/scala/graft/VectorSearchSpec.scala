@@ -57,6 +57,37 @@ class VectorSearchSpec extends SparkSuite {
     assert(viaDf === want.take(3))
   }
 
+  test("chunked build crosses the 4096-row first-chunk boundary losslessly (r13)") {
+    // the r13 streaming-slab build emits one small first chunk (4096
+    // rows) then full-cap chunks; the unit corpora elsewhere never
+    // exceed 4096 rows per partition, so the boundary was only
+    // exercised by the bench. 5000 rows in ONE partition must split
+    // 4096 + 904 with every (id, vector) preserved and topK identical
+    // to the DataFrame tier.
+    val rnd = new scala.util.Random(77)
+    val rows = (0L until 5000L).map { id =>
+      (id, Array.fill(4)(rnd.nextFloat() * 2f - 1f))
+    }
+    val df = withLogLevel(rows.toDF("vec_id", "embedding").coalesce(1))
+    val idx = VectorIndex.build[Long](df, "vec_id", "embedding", 4, 1)
+    val sizes = idx.blocks.map(b => b.ids.length).collect().toSeq
+    assert(sizes === Seq(4096, 904), s"chunk split was $sizes")
+    // data arrays trimmed to exactly rows*dim (persisted bytes == data)
+    val dataSizes = idx.blocks.map(b => b.data.length).collect().toSeq
+    assert(dataSizes === Seq(4096 * 4, 904 * 4))
+    // ids survive in partition order across the boundary
+    val allIds = idx.blocks.flatMap(_.ids).collect().toSeq
+    assert(allIds === (0L until 5000L), "ids must survive chunking in order")
+    val qv = rows(1234)._2
+    val viaIdx = idx.topK(qv, 7).map(_._1).toSeq
+    val viaDf = VectorSearch.topK(df, "embedding", qv, 7, "vec_id")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(viaIdx === viaDf)
+    // no self-match-first claim: vectors are unnormalized, so raw-dot
+    // ranking can put a larger-magnitude aligned vector above the query
+    assert(viaIdx.contains(1234L) || viaIdx.size == 7)
+  }
+
   test("VectorIndex topK rejects k <= 0 loudly (r12)") {
     val idx = VectorIndex.build[Long](emb, "vec_id", "embedding", q0.length, 2)
     val e = intercept[IllegalArgumentException](idx.topK(q0, 0))
