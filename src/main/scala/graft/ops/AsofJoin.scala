@@ -72,10 +72,18 @@ object AsofJoin {
     val collisions = attached.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"attached right columns collide with left columns: $collisions — use suffix")
+    // names are used as column references and struct-field names: a dot
+    // would silently resolve as a nested path (wrong column or opaque
+    // AnalysisException), so dotted names travel backtick-quoted and
+    // fields come back via getField (any name). Backticks themselves
+    // cannot be quoted — reject loudly, the Profile convention.
+    (left.columns ++ right.columns).foreach(c => require(!c.contains("`"),
+      s"column name <$c> contains a backtick - unsupported in asofJoin"))
+    def q(c: String): Column = col(s"`$c`")
 
     val timeType = left.schema(leftTime).dataType
-    val lpayType = left.select(struct(left.columns.map(col).toIndexedSeq: _*)).schema.head.dataType
-    val rpayType = right.select(struct(rightCols.map(col): _*)).schema.head.dataType
+    val lpayType = left.select(struct(left.columns.map(q).toIndexedSeq: _*)).schema.head.dataType
+    val rpayType = right.select(struct(rightCols.map(q): _*)).schema.head.dataType
     val tbType = tieBreak.map(c => right.schema(c).dataType)
       .getOrElse(org.apache.spark.sql.types.LongType)
 
@@ -85,19 +93,19 @@ object AsofJoin {
     val rightSide = if (inclusive) 0 else 2
 
     val lTagged = left.select(
-      col(key).as("__k"),
-      col(leftTime).as("__t"),
+      q(key).as("__k"),
+      q(leftTime).as("__t"),
       lit(1).as("__side"),
       lit(null).cast(tbType).as("__tb"),
-      struct(left.columns.map(col).toIndexedSeq: _*).as("__lpay"),
+      struct(left.columns.map(q).toIndexedSeq: _*).as("__lpay"),
       lit(null).cast(rpayType).as("__rpay"))
     val rTagged = right.select(
-      col(key).as("__k"),
-      col(rightTime).cast(timeType).as("__t"),
+      q(key).as("__k"),
+      q(rightTime).cast(timeType).as("__t"),
       lit(rightSide).as("__side"),
-      tieBreak.map(col).getOrElse(lit(0L)).cast(tbType).as("__tb"),
+      tieBreak.map(q).getOrElse(lit(0L)).cast(tbType).as("__tb"),
       lit(null).cast(lpayType).as("__lpay"),
-      struct(rightCols.map(col): _*).as("__rpay"))
+      struct(rightCols.map(q): _*).as("__rpay"))
 
     // Forward = the same running-last() over the REVERSED time order:
     // "most recent prior in reverse" is "nearest following". The side
@@ -123,8 +131,8 @@ object AsofJoin {
       filled.filter(col("__match").isNotNull) else filled
 
     val outCols: Seq[Column] =
-      left.columns.toSeq.map(c => col(s"__lpay.$c").as(c)) ++
-        rightCols.map(c => col(s"__match.$c").as(c + suffix))
+      left.columns.toSeq.map(c => col("__lpay").getField(c).as(c)) ++
+        rightCols.map(c => col("__match").getField(c).as(c + suffix))
     kept.select(outCols: _*)
   }
 }

@@ -94,6 +94,30 @@ class AsofJoinSpec extends SparkSuite {
     }
   }
 
+  test("dotted and spaced column names survive the payload round-trip (r13)") {
+    // names travel as struct fields: a dotted name used to misparse as a
+    // nested path in the output projection (and in the payload struct
+    // construction); backtick-quoted construction + getField extraction
+    // support any name except a literal backtick, which rejects loudly
+    val l = obs.withColumnRenamed("tag", "obs.tag")
+    val r = states.withColumnRenamed("sval", "state val")
+    val out = AsofJoin.asofJoin(l, r, key = "k", leftTime = "t",
+      rightTime = "st", rightCols = Seq("state val"),
+      tieBreak = Some("sid"))
+    assert(out.columns.toSeq === Seq("k", "t", "obs.tag", "state val"))
+    val got = out.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2),
+        Option(x.getString(3)).getOrElse("-"))).toSet
+    assert(got === Set(
+      (1L, 10L, "a", "s10"), (1L, 20L, "b", "s10"), (1L, 35L, "c", "s30"),
+      (2L, 5L, "d", "-"), (3L, 50L, "e", "-")))
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(l.withColumnRenamed("obs.tag", "bad`tick"), r,
+        "k", "t", "st", Seq("state val"))
+    }
+    assert(e.getMessage.contains("backtick"))
+  }
+
   test("plan is one shuffle, zero join operators") {
     val df = AsofJoin.asofJoin(obs, states, "k", "t", "st", Seq("sid"))
     val p = df.queryExecution.executedPlan.toString
