@@ -370,4 +370,26 @@ class PersistenceSpec extends SparkSuite {
     val reopened = DB.persistent(spark, root, ConstEmbeddingFunc.stub())
     assert(reopened.getCollection("fence") === null)
   }
+
+  test("count() on a stale open-loaded handle to a deleted collection fails loudly (r13)") {
+    // the lazy open-time count made this deliberate: a reopened handle
+    // that never forced its count reads live parquet on the first
+    // count() — after deleteCollection that view is gone, and the
+    // read-committed retry exhausts loudly (the stale-handle philosophy
+    // above: an error, not a silently stale number). A handle whose
+    // count was already forced keeps serving the memoized driver-state
+    // number, the documented O(1) contract.
+    val root = tempRoot
+    val db = withLogLevel(DB.persistent(spark, root, ConstEmbeddingFunc.stub()))
+    db.createCollection("lazyfence")
+      .addDocuments(Seq(Document("1", content = "a")))
+    val reopened = DB.persistent(spark, root, ConstEmbeddingFunc.stub())
+    val stale = reopened.getCollection("lazyfence") // count never forced
+    val forced = DB.persistent(spark, root, ConstEmbeddingFunc.stub())
+      .getCollection("lazyfence")
+    assert(forced.count() === 1) // forced BEFORE the delete: memoized
+    db.deleteCollection("lazyfence")
+    intercept[Exception] { stale.count() }
+    assert(forced.count() === 1, "already-forced count stays O(1) driver state")
+  }
 }
