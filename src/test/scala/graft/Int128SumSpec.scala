@@ -11,11 +11,11 @@ class Int128SumSpec extends SparkSuite {
     val rnd = new scala.util.Random(7)
     val xs = Seq.fill(5000)(rnd.nextLong() / 1000)
     val df = xs.toDF("x")
-    val want = df.agg(sum(col("x").cast("decimal(38,0)"))).head.getDecimal(0)
-    val got = df.agg(Int128Sum.sum128(col("x"))).head.getDecimal(0)
+    val want = df.agg(sum(col("x").cast("decimal(38,0)"))).head().getDecimal(0)
+    val got = df.agg(Int128Sum.sum128(col("x"))).head().getDecimal(0)
     assert(got.compareTo(want) === 0)
     val again = df.repartition(13).agg(Int128Sum.sum128(col("x")))
-      .head.getDecimal(0)
+      .head().getDecimal(0)
     assert(again.compareTo(want) === 0)
   }
 
@@ -27,12 +27,12 @@ class Int128SumSpec extends SparkSuite {
     val df = rows.toDF("x", "y")
     val want = df.agg(
         sum(col("x").cast("decimal(38,0)") * col("y").cast("decimal(38,0)")))
-      .head.getDecimal(0)
+      .head().getDecimal(0)
     val got = df.agg(Int128Sum.sumProduct128(col("x"), col("y")))
-      .head.getDecimal(0)
+      .head().getDecimal(0)
     assert(got.compareTo(want) === 0)
     val again = df.repartition(17)
-      .agg(Int128Sum.sumProduct128(col("x"), col("y"))).head.getDecimal(0)
+      .agg(Int128Sum.sumProduct128(col("x"), col("y"))).head().getDecimal(0)
     assert(again.compareTo(want) === 0)
   }
 
@@ -42,14 +42,14 @@ class Int128SumSpec extends SparkSuite {
       .toDF("x", "y")
     val r = df.agg(
       Int128Sum.sum128(col("x")).as("sx"),
-      Int128Sum.sumProduct128(col("x"), col("y")).as("sxy")).head
+      Int128Sum.sumProduct128(col("x"), col("y")).as("sxy")).head()
     assert(r.getDecimal(0).longValueExact === 8L)  // 3 + 5
     assert(r.getDecimal(1).longValueExact === 30L) // only (5, 6) contributes
     val empty = df.filter(lit(false)).agg(
-      Int128Sum.sum128(col("x")), Int128Sum.sumProduct128(col("x"), col("y"))).head
+      Int128Sum.sum128(col("x")), Int128Sum.sumProduct128(col("x"), col("y"))).head()
     assert(empty.isNullAt(0) && empty.isNullAt(1))
     val allNull = Seq[Option[Long]](None, None).toDF("x")
-      .agg(Int128Sum.sum128(col("x"))).head
+      .agg(Int128Sum.sum128(col("x"))).head()
     assert(allNull.isNullAt(0))
   }
 
@@ -57,11 +57,11 @@ class Int128SumSpec extends SparkSuite {
     val rnd = new scala.util.Random(3)
     val df = Seq.fill(3000)((rnd.nextDouble() * 1e4, rnd.nextDouble() * 1e4))
       .toDF("a", "b")
-    val m = graft.ops.Profile.corrExact(df, Seq(("a", "b"))).head
+    val m = graft.ops.Profile.corrExact(df, Seq(("a", "b"))).head()
     val dec = "decimal(38,0)"
     val xs = round(col("a").cast("double") * 100).cast("long").cast(dec)
     val ys = round(col("b").cast("double") * 100).cast("long").cast(dec)
-    val want = df.agg(sum(xs), sum(ys), sum(xs * ys), sum(xs * xs), sum(ys * ys)).head
+    val want = df.agg(sum(xs), sum(ys), sum(xs * ys), sum(xs * xs), sum(ys * ys)).head()
     assert(m.getAs[java.math.BigDecimal]("sx").compareTo(want.getDecimal(0)) === 0)
     assert(m.getAs[java.math.BigDecimal]("sy").compareTo(want.getDecimal(1)) === 0)
     assert(m.getAs[java.math.BigDecimal]("sxy").compareTo(want.getDecimal(2)) === 0)

@@ -44,8 +44,8 @@ class KernelPropertySpec extends AnyFunSuite {
       val set = rnd.shuffle(vocab).take(1 + rnd.nextInt(10))
       val a = set ++ set.take(rnd.nextInt(set.size)) // duplicated suffix
       val b = rnd.shuffle(a)
-      val sigA = HashKernels.minhash(toks(a), 16, 1).toLongArray.toSeq
-      val sigB = HashKernels.minhash(toks(b), 16, 1).toLongArray.toSeq
+      val sigA = HashKernels.minhash(toks(a), 16, 1).toLongArray().toSeq
+      val sigB = HashKernels.minhash(toks(b), 16, 1).toLongArray().toSeq
       assert(sigA === sigB)
     }
   }

@@ -334,7 +334,7 @@ class PersistenceSpec extends SparkSuite {
     val p = new ParquetPersistence(dir)
     import spark.implicits._
     p.write(Seq(("1", "a"), ("2", "b"), ("3", "c")).toDF("id", "content")
-      .select(Document.schema.fieldNames.map(f =>
+      .select(Document.schema.fieldNames.toIndexedSeq.map(f =>
         if (f == "id" || f == "content") org.apache.spark.sql.functions.col(f)
         else org.apache.spark.sql.functions.lit(null).cast(Document.schema(f).dataType).as(f)): _*))
     // a lazy plan over the CURRENT parquet (the delete-as-anti-filter shape)

@@ -47,8 +47,9 @@ class VectorSearchSpec extends SparkSuite {
     val qv = Array(0.6f, 0.8f)
     val distributed = VectorIndex.build[Long](dup, "vec_id", "embedding", 2, 3)
     assert(distributed.topK(qv, 3).map(_._1).toSeq === want.take(3))
-    val localIdx = VectorIndex.build[Long](dup, "vec_id", "embedding", 2, 3)
-      .persist().materialize()
+    val localIdx: graft.ops.VectorIndex[Long] =
+      VectorIndex.build[Long](dup, "vec_id", "embedding", 2, 3)
+        .persist().materialize()
     try assert(localIdx.topK(qv, 3).map(_._1).toSeq === want.take(3))
     finally localIdx.unpersist()
     // agreement with the DataFrame tier under the same ties
@@ -128,8 +129,9 @@ class VectorSearchSpec extends SparkSuite {
 
   test("materialized small index scans driver-locally and agrees with the distributed scan") {
     val distributed = VectorIndex.build[Long](emb, "vec_id", "embedding", q0.length, 2)
-    val localIdx = VectorIndex.build[Long](emb, "vec_id", "embedding", q0.length, 2)
-      .persist().materialize() // 500×64 floats ≪ LocalScanMaxFloats ⇒ local
+    val localIdx: graft.ops.VectorIndex[Long] =
+      VectorIndex.build[Long](emb, "vec_id", "embedding", q0.length, 2)
+        .persist().materialize() // 500×64 floats ≪ LocalScanMaxFloats ⇒ local
     try {
       assert(localIdx.isLocal && !distributed.isLocal)
       assert(localIdx.count() === emb.count())
