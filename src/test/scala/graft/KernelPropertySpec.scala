@@ -216,4 +216,83 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(got.getLong(2) === byCount.values.count(_ == 1).toLong)
     }
   }
+
+  test("jaccardSorted equals |A∩B|/|A∪B| of the string shingle sets (300 cases)") {
+    // the existing sweep pins symmetry/range/self=1 but never the
+    // DEFINITION; this one compares against set jaccard computed on the
+    // string windows themselves (w=3; docs shorter than w contribute
+    // one whole-doc shingle, the kernel's short-doc rule)
+    val rnd = new scala.util.Random(1515)
+    val vocab = (0 until 12).map(i => s"w$i")
+    def windows(ws: Seq[String]): Set[Seq[String]] =
+      if (ws.isEmpty) Set.empty
+      else (0 until math.max(1, ws.length - 2))
+        .map(s => ws.slice(s, math.min(ws.length, s + 3))).toSet
+    (1 to 300).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size)))
+      val b = Seq.fill(rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size)))
+      val (wa, wb) = (windows(a), windows(b))
+      val want =
+        if (wa.isEmpty && wb.isEmpty) 0.0
+        else wa.intersect(wb).size.toDouble / wa.union(wb).size
+      val got = HashKernels.jaccardSorted(
+        HashKernels.shingleHashes(toks(a), 3),
+        HashKernels.shingleHashes(toks(b), 3))
+      assert(got === want, s"a=$a b=$b")
+    }
+  }
+
+  test("simhash64 bit b is the majority vote of token-hash bit b (200 cases)") {
+    val rnd = new scala.util.Random(1616)
+    val vocab = (0 until 10).map(i => s"w$i")
+    (1 to 200).foreach { _ =>
+      val ws = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+      val sig = HashKernels.simhash64(toks(ws))
+      val hashes = ws.map(w =>
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(UTF8String.fromString(w), 0L))
+      (0 until 64).foreach { b =>
+        val votes = hashes.map(h => if (((h >>> b) & 1L) == 1L) 1 else -1).sum
+        assert((((sig >>> b) & 1L) == 1L) === (votes > 0),
+          s"bit $b of simhash(${ws.mkString(",")})") // ties → 0
+      }
+    }
+  }
+
+  test("Misra-Gries kernel: guarantee holds under random splits and merge orders (60 streams)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    val rnd = new scala.util.Random(1717)
+    val agg = graft.functions.MisraGriesAgg(
+      BoundReference(0, StringType, nullable = true), capacity = 8)
+    (1 to 60).foreach { trial =>
+      // zipf-ish stream over ~40 values so some exceed n/(cap+1)
+      val stream = Seq.fill(400)(s"v${math.min(rnd.nextInt(40), rnd.nextInt(40))}")
+      // split into random segments, build one buffer per segment
+      val cuts = (Seq(0, stream.length) ++
+        Seq.fill(rnd.nextInt(5))(rnd.nextInt(stream.length + 1))).distinct.sorted
+      val bufs = cuts.zip(cuts.tail).map { case (lo, hi) =>
+        val b = agg.createAggregationBuffer()
+        stream.slice(lo, hi).foreach(v =>
+          agg.update(b, InternalRow(UTF8String.fromString(v))))
+        b
+      }
+      // merge in shuffled order
+      val merged = rnd.shuffle(bufs).reduce((x, y) => agg.merge(x, y))
+      val n = stream.length
+      val bound = n / 9 // n/(capacity+1)
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      truth.foreach { case (v, c) =>
+        if (c > bound)
+          assert(merged.contains(v),
+            s"trial $trial: heavy hitter $v (count $c > $bound) evicted")
+      }
+      merged.foreach { case (v, est) =>
+        val t = truth(v)
+        assert(est <= t && est >= t - bound,
+          s"trial $trial: estimate $est for $v outside [${t - bound}, $t]")
+      }
+    }
+  }
 }
