@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through VERBATIM instead of sbt's
+// LoggedOutput: the driver parses the bench stdout tail as JSON, and the
+// "[info] " prefix LoggedOutput adds to every line left every committed
+// BENCH_r*.json through r13 with "parsed": null — no line in the tail
+// was bare JSON. Bench also writes bench_local/headline.json as a
+// whole-file copy of the same line.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

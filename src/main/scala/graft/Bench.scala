@@ -407,7 +407,24 @@ object Bench {
         .mkString(",") + "]"
     }.mkString("{", ",", "}")
     println(s"""{"metric":"retimed","threshold":1.3,"format":"[retimed,orig,prev]","queries":$retLine,"sf":"$sfDir"}""")
-    println(s"""{"metric":"headline","value":$total,"unit":"sec","queries":${fmt(headlineEntries)},"sf":"$sfDir"}""")
+    val headlineLine =
+      s"""{"metric":"headline","value":$total,"unit":"sec","queries":${fmt(headlineEntries)},"sf":"$sfDir"}"""
+    println(headlineLine)
+    // Sidecar copy of the exact headline line (r14): every committed
+    // BENCH_r*.json through r13 has "parsed": null because sbt's
+    // LoggedOutput prefixed each stdout line with "[info] ", so no line
+    // in the driver's 2000-char tail was bare JSON. build.sbt now sets
+    // run/outputStrategy := StdoutOutput (raw pass-through), and this
+    // file is the belt to that suspender — a whole-file, single-line,
+    // machine-readable record of the same JSON the tail carries.
+    try {
+      val dir = java.nio.file.Paths.get("/root/repo/bench_local")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("headline.json"),
+        headlineLine + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] headline sidecar write failed: ${e.getMessage}")
+    }
     // Full-results side file — next round's retime baseline (see
     // readPrevBench). Only an UNFILTERED run writes it: a BENCH_ONLY
     // subset would replace the 103-entry map with a fragment. Flagged
@@ -537,7 +554,18 @@ object Bench {
           if (!first.contains(m.group(1)))
             first(m.group(1)) = m.group(2).toDouble
         }
-        first.toMap
+        // NEVER revive recall priors from an artifact tail. The recall
+        // baseline is a non-decaying high-water (max), and an artifact
+        // can predate a deliberate probe retuning — r13's self-exclusion
+        // rebase (0.5750 → 0.5688) was silently undone when one
+        // sf-mismatched last_full overwrite sent the next full run here,
+        // harvested BENCH_r12's old-definition 0.5750, and max() froze
+        // it back in. The probe itself is deterministic (pinned in
+        // IvfPqSpec: two fresh builds, bit-equal), so losing a
+        // tail-fallback prior costs one round of drop-detection at
+        // worst; resurrecting a stale-definition high-water miscalls the
+        // artifact forever.
+        first.filterNot(_._1.startsWith("ann_recall")).toMap
       }
     }
   } catch { case _: Throwable => Map.empty }

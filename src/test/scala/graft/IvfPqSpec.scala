@@ -56,6 +56,23 @@ class IvfPqSpec extends SparkSuite {
       "shortlist-containment invariant broke (tie-break divergence?)")
   }
 
+  test("recall probes are deterministic across fresh builds") {
+    // r14 pin for the VERDICT-r13 artifact split (0.5750 vs 0.5688):
+    // diagnosed as NOT probe nondeterminism — the probe is bit-equal
+    // across JVMs and at CPUS ∈ {1, 8, 32} (every stage has a total
+    // order: seeded-hash distinct sampling, driver-side Lloyd with a
+    // seeded Random, per-row codegen kernels, (desc score, asc id)
+    // tie-breaks). The split was the OLD-definition 0.5750 revived from
+    // a BENCH_r12 artifact-tail prior through the recall high-water
+    // max() (fixed in Bench.readPrevBenchArtifact). This pin keeps the
+    // determinism claim enforced: two fresh builds, exactly equal
+    // doubles — 1/160 is the probe's quantum, so ANY instability shows
+    // as inequality here, not as an epsilon.
+    val a = graft.ops.Evaluation.ivfPqRecallProbes(emb)
+    val b = graft.ops.Evaluation.ivfPqRecallProbes(emb)
+    assert(a === b, s"recall probes diverged across fresh builds: $a vs $b")
+  }
+
   test("rerank returns the exact top-k when candidates cover it") {
     val idx = IvfPq.build(emb, "embedding", "vec_id", nlist = 4, m = 16,
       k = 16, sampleSize = 500)
