@@ -216,8 +216,24 @@ object Bench {
         // means the shortlist stopped containing the true neighbors,
         // not noise. Per-probe floors + the shared >15%-drop-vs-prev
         // high-water check.
-        val (adc, rerank) = graft.ops.Evaluation.ivfPqRecallProbes(
-          spark.read.parquet(probeDir))
+        val sweep = graft.ops.Evaluation.ivfPqRecallSweep(
+          spark.read.parquet(probeDir), Seq(1, 2, 4))
+        val (adc, rerank) = sweep(4)
+        // The (1, 2) points ride along from the SAME build + ground
+        // truth (r14): a probe-pruning regression shows at nprobe <
+        // nlist long before the all-cells point moves. No floors —
+        // curve points, not gates — but the per-point rerank ≥ adc
+        // invariant is checked loudly.
+        for (np <- Seq(1, 2)) {
+          val (a, r) = sweep(np)
+          results(s"ann_recall_adc_np$np") = a
+          results(s"ann_recall_rerank_np$np") = r
+          if (r < a)
+            System.err.println(String.format(java.util.Locale.ROOT,
+              "[bench] nprobe=%d rerank %.4f BELOW adc %.4f — " +
+                "shortlist-containment invariant broke",
+              Integer.valueOf(np), Double.box(r), Double.box(a)))
+        }
         for ((key, r, floor) <- Seq(("ann_recall_adc", adc, 0.45),
                                     ("ann_recall_rerank", rerank, 0.70))) {
           results(key) = r
@@ -337,18 +353,28 @@ object Bench {
     // Same skip-loudly heap guard as the committed 1M tier: ~n·d·4
     // bytes of packed blocks need ~3× headroom, and an OOM at the end
     // of the run could kill the JVM before any JSON line prints.
+    // SPARK_GRAFT_BIG_D (r14, default 1536) sets the vector dim for the
+    // scale-ladder decade experiments: 10M×1536 (~61 GiB packed) fails
+    // the 3× guard on this machine, 10M×384 (~15 GiB) holds the
+    // row-count decade. Keys carry the dim, so d384 points never
+    // collide with committed d1536 baselines.
     sys.env.get("SPARK_GRAFT_BIG").map(_.toInt)
       .filterNot(n => n == 1000000 && oneMRan).foreach { n =>
-      if (n.toLong * 1536 * 4 * 3 > Runtime.getRuntime.maxMemory())
+      val bigD = sys.env.get("SPARK_GRAFT_BIG_D").map(_.toInt)
+        .filter(_ > 0).getOrElse(1536)
+      if (n.toLong * bigD * 4 * 3 > Runtime.getRuntime.maxMemory())
         System.err.println(s"[bench] big_$n SKIPPED: needs ~${
-          n.toLong * 1536 * 4 * 3 / (1L << 30)} GiB heap, max is ${
+          n.toLong * bigD * 4 * 3 / (1L << 30)} GiB heap, max is ${
           Runtime.getRuntime.maxMemory() / (1L << 30)} GiB")
-      else try results ++= bigCorpus(spark, n, batches = 5, bigCtrlBaseline,
-        prev.get(s"chromem_build_${n}_d1536_big"))
+      else try results ++= bigCorpus(spark, n, batches = 5,
+        // the 25k control baseline was measured at d=1536 — comparing a
+        // d≠1536 control against it would mis-adjudicate every window
+        if (bigD == 1536) bigCtrlBaseline else None,
+        prev.get(s"chromem_build_${n}_d${bigD}_big"), dim = bigD)
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] big_$n failed: ${e.getMessage}")
-          results(s"chromem_query_${n}_d1536_k10_big") = -1.0
+          results(s"chromem_query_${n}_d${bigD}_k10_big") = -1.0
       }
     }
 
@@ -589,9 +615,15 @@ object Bench {
   private def bigCorpus(
       spark: SparkSession, n: Int, batches: Int,
       ctrlBaseline: Option[Double],
-      prevBuild: Option[Double] = None): Map[String, Double] = {
+      prevBuild: Option[Double] = None,
+      dim: Int = 1536): Map[String, Double] = {
     import spark.implicits._
-    val d = 1536
+    // dim != 1536 is the opt-in scale-ladder escape hatch
+    // (SPARK_GRAFT_BIG_D): 10M×1536 packed blocks are ~61 GiB — past the
+    // 3× OOM-thrash guard on this machine's heap — while 10M×384 holds
+    // the row-count decade at ~15 GiB. Key names carry the dim, so
+    // committed d1536 baselines never collide with experiment points.
+    val d = dim
     // SPARK_GRAFT_BIG_PARTS: opt-in partition override for the scale-out
     // experiment (SURVEY r13) — build the SAME corpus with e.g. 4× the
     // partitions to measure whether build time tracks per-partition slab
@@ -647,11 +679,11 @@ object Bench {
       }
       var preV = preMedian()
       if (ctrlBaseline.exists(b => preV > b * 1.3)) {
-        out(s"chromem_query_${n}_d1536_k10_big_ctrl_pre_firstpass") = preV
+        out(s"chromem_query_${n}_d${d}_k10_big_ctrl_pre_firstpass") = preV
         System.gc()
         preV = preMedian()
       }
-      out(s"chromem_query_${n}_d1536_k10_big_ctrl_pre") = preV
+      out(s"chromem_query_${n}_d${d}_k10_big_ctrl_pre") = preV
       // datagen pass: the synthetic corpus generation (seeded RNG +
       // normalize, xxhash64 forcing the full array through the
       // serializer) timed WITHOUT packing, so the build number below
@@ -659,7 +691,7 @@ object Bench {
       val t0 = System.nanoTime()
       corpus(n).select(xxhash64(col("embedding")).as("h"))
         .agg(max(col("h"))).head()
-      out(s"chromem_datagen_${n}_d1536_big") = (System.nanoTime() - t0) / 1e9
+      out(s"chromem_datagen_${n}_d${d}_big") = (System.nanoTime() - t0) / 1e9
       def buildOnce(): (VectorIndex[Long], Double, Double) = {
         System.gc() // clean heap start: the build's number should be its own
         val g0 = gcSec()
@@ -675,8 +707,8 @@ object Bench {
       // identical code with no adjudication machinery — retry once
       // against the stored EMA baseline and ship both numbers
       if (prevBuild.exists(p => p > 0 && buildS > p * 1.3)) {
-        out(s"chromem_build_${n}_d1536_big_firstpass") = buildS
-        out(s"chromem_build_${n}_d1536_big_firstpass_gcsec") = buildGc
+        out(s"chromem_build_${n}_d${d}_big_firstpass") = buildS
+        out(s"chromem_build_${n}_d${d}_big_firstpass_gcsec") = buildGc
         idx.unpersist(blocking = true)
         val r = buildOnce(); idx = r._1; buildS = r._2; buildGc = r._3
       }
@@ -685,12 +717,12 @@ object Bench {
       // timed window — the r8/r9 poisoned-window failure mode, which the
       // success-path-only unpersist reintroduced on the error path
       try {
-        out(s"chromem_build_${n}_d1536_big") = buildS
+        out(s"chromem_build_${n}_d${d}_big") = buildS
         // GC share of the build window (excluded from `total` — it is
         // INSIDE the wall-clock above): a churn-dominated window now
         // labels itself instead of reading as a 2.8× code regression
         // (r12's 143.9 s vs r11's 50.7 s for identical code)
-        out(s"chromem_build_${n}_d1536_big_gcsec") = buildGc
+        out(s"chromem_build_${n}_d${d}_big_gcsec") = buildGc
         (1 to 2).foreach { _ => idx.topK(qvec(), 10); ctrlIdx.topK(qvec(), 10) }
         val batch = 3
         def measure(): (Double, Double) = {
@@ -709,13 +741,13 @@ object Bench {
         }
         var (bigV, ctrlV) = measure()
         if (ctrlBaseline.exists(b => ctrlV > b * 1.3)) {
-          out(s"chromem_query_${n}_d1536_k10_big_firstpass") = bigV
-          out(s"chromem_query_${n}_d1536_k10_big_ctrl_firstpass") = ctrlV
+          out(s"chromem_query_${n}_d${d}_k10_big_firstpass") = bigV
+          out(s"chromem_query_${n}_d${d}_k10_big_ctrl_firstpass") = ctrlV
           System.gc()
           val r = measure(); bigV = r._1; ctrlV = r._2
         }
-        out(s"chromem_query_${n}_d1536_k10_big") = bigV
-        out(s"chromem_query_${n}_d1536_k10_big_ctrl") = ctrlV
+        out(s"chromem_query_${n}_d${d}_k10_big") = bigV
+        out(s"chromem_query_${n}_d${d}_k10_big_ctrl") = ctrlV
       } finally {
         // blocking: the NEXT tier's build must not absorb this tier's
         // asynchronous slab eviction (r9's uncontrolled 250k window)

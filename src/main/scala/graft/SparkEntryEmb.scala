@@ -85,23 +85,43 @@ private[graft] object SparkEntryEmb {
       graft.ops.Pca.gramMoments(t(s, dir, "embeddings"), "embedding", dim = 64)
         .select(col("i"), col("j"), col("s").cast("string").as("s"))),
 
-    // ---- embeddings: PCA whitening apply (rows-only gate: components/
-    // eigenvalues are driver-side doubles by contract; unit-variance and
-    // decorrelation pinned in PcaSpec). GATE PROJECTION RULE: scalar
-    // columns ONLY — the r6 run emitted the raw array<double> and the
-    // driver comparator crashed sorting it (pandas can't hash ndarrays),
-    // so the whitened vector is pos-exploded to (vec_id, pos, value)
-    // rows with a rounded scalar value ----
+    // ---- embeddings: PCA whitening apply, gated STRICTLY through its
+    // defining invariance (r14 — was the census's last numeric
+    // rows-only entry): the population covariance of the whitened
+    // corpus must be the IDENTITY, so the gate emits that covariance
+    // (upper triangle, rounded at 1e-5) and the oracle is the constant
+    // identity matrix — data-independent SQL, valid at every sf. The
+    // check exercises the full whitening contract end-to-end: exact
+    // Gram moments → Jacobi eigenbasis (orthogonality) → λ^{-1/2}
+    // scaling (unit variance) → mean centering; measured residuals are
+    // ~1e-12 against the 5e-6 rounding threshold (the e7-quantized fit
+    // vs raw-float apply gap is ~1e-8, still 3 orders under it).
+    // Per-row whitened VALUES stay pinned in PcaSpec (driver-side
+    // doubles by contract — the eigendecomposition itself is not
+    // SQL-replayable, which is why the old per-row projection could
+    // never be strict). round(x,5)+0.0 normalizes Spark's -0.0 on tiny
+    // negative residuals to the oracle's +0.0 rendering ----
     "emb_whitened" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val model = pcaModel(dir)(
         graft.ops.Pca.fit(t(s, dir, "embeddings"), "embedding",
           dim = 64, topK = 8))
-      emb.select(col("vec_id"),
-          posexplode(graft.ops.Pca.whiten(emb, "embedding", model))
-            .as(Seq("pos", "value")))
-        .select(col("vec_id"), col("pos").cast("long").as("pos"),
-          round(col("value"), 6).as("value"))
+      val k = model.components.length
+      val w = emb.select(graft.ops.Pca.whiten(emb, "embedding", model).as("w"))
+      val sumCols: Seq[org.apache.spark.sql.Column] =
+        count(lit(1)).cast("double").as("n") +:
+        ((0 until k).map(i => sum(col("w").getItem(i)).as(s"s$i")) ++
+         (for { i <- 0 until k; j <- i until k }
+           yield sum(col("w").getItem(i) * col("w").getItem(j))
+             .as(s"p${i}_$j")))
+      val one = w.agg(sumCols.head, sumCols.tail: _*)
+      val cells = for { i <- 0 until k; j <- i until k } yield struct(
+        lit(i.toLong).as("i"), lit(j.toLong).as("j"),
+        ((col("n") * col(s"p${i}_$j") - col(s"s$i") * col(s"s$j")) /
+          (col("n") * col("n"))).as("c"))
+      one.select(explode(array(cells: _*)).as("e"))
+        .select(col("e.i").as("i"), col("e.j").as("j"),
+          (round(col("e.c"), 5) + lit(0.0)).as("c"))
     }),
 
     // ---- embeddings: k-center greedy coreset selection (farthest-point;
@@ -205,6 +225,14 @@ private[graft] object SparkEntryEmb {
     // comment and GateSupport.coresetOracle's scaladoc for the HUGEINT
     // scale bound).
     "emb_coreset" -> coresetOracle(k = 25, scale = 10000L),
+
+    // Whitening's defining invariance (see the gate entry): the
+    // whitened-corpus covariance rounds to the identity — a constant,
+    // data-independent oracle.
+    "emb_whitened" ->
+      """SELECT i, j, CAST(CASE WHEN i = j THEN 1 ELSE 0 END AS DOUBLE) AS c
+        |FROM range(0, 8) t1(i), range(0, 8) t2(j)
+        |WHERE i <= j""".stripMargin,
 
     // Same recursive components as dedup_components, then the standard
     // md5 split rule applied to coalesce(component, doc_id) — whole

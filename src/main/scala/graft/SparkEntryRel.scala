@@ -157,14 +157,20 @@ private[graft] object SparkEntryRel {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
         scale = 100L)),
 
-    // ---- profiling, sketch tier: Greenwald-Khanna quartiles
-    // (percentile_approx) — state bounded by `accuracy` regardless of
-    // domain; the 100 TB default for unbounded high-cardinality doubles
-    // (rows-only gate, bounds in spec) ----
+    // ---- profiling, sketch tier: exact interpolated quartiles over a
+    // DETERMINISTIC md5-bucket row sample (r14 — replaced seeded
+    // sample + GK percentile_approx). State bounded by the sample, not
+    // the domain: the 100 TB default for unbounded high-cardinality
+    // doubles. STRICT oracle since r14: membership is a pure function
+    // of (l_orderkey, l_linenumber), so DuckDB replays the sample AND
+    // the quantile_cont interpolation — and the tier is
+    // layout-invariant at every thread count (the GK tier's CPUS=1
+    // divergence is retired) ----
     "profile_quantiles_approx" -> ((s, dir) =>
       graft.ops.Profile.quantileProfile(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
-        scale = 100L, exact = false)),
+        scale = 100L, exact = false,
+        sampleKeyCols = Seq("l_orderkey", "l_linenumber"))),
 
     // ---- profiling: top-5 most frequent values per categorical column ----
     "profile_topvalues" -> ((s, dir) =>
@@ -582,6 +588,38 @@ private[graft] object SparkEntryRel {
              |FROM lineitem""".stripMargin
         }
       }.mkString("\nUNION ALL\n"),
+
+    // Sketch tier, STRICT replay (r14): membership is md5-hex of
+    // (l_orderkey, l_linenumber) under a threshold both engines
+    // recompute from their own count(*) — same IEEE double ops
+    // (Scala floor(x+0.5) ≡ DuckDB half-away-from-zero for positive x),
+    // same %04x rendering, same concat_ws('|') key string. 'zzzz'
+    // compares above every md5 hex char, so the n ≤ 65536 arm keeps all
+    // rows in both engines. Quantiles over the survivors are the exact
+    // tier's quantile_cont interpolation — no sketch term at all.
+    "profile_quantiles_approx" -> {
+      val sample =
+        """WITH thr AS (
+          |  SELECT CASE WHEN count(*) <= 65536 THEN 'zzzz'
+          |    ELSE printf('%04x',
+          |      least(65535, round((65536.0 / count(*)) * 65536.0))::BIGINT)
+          |    END AS h
+          |  FROM lineitem),
+          |s AS (
+          |  SELECT * FROM lineitem
+          |  WHERE substring(md5(concat_ws('|',
+          |    l_orderkey::VARCHAR, l_linenumber::VARCHAR)), 1, 4)
+          |    < (SELECT h FROM thr))
+          |""".stripMargin
+      sample +
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").flatMap { c =>
+          Seq(0.25, 0.5, 0.75).map { q =>
+            s"""SELECT '$c' AS "column", ${q}::DOUBLE AS q,
+               |  quantile_cont(round($c * 100), $q) / 100.0 AS v
+               |FROM s""".stripMargin
+          }
+        }.mkString("\nUNION ALL\n")
+    },
 
     "join_range" ->
       """SELECT e.event_id AS err_id, c.event_id AS click_id, e.user_id,

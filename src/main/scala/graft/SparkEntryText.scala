@@ -686,7 +686,7 @@ private[graft] object SparkEntryText {
         |  SELECT doc_id, text,
         |    len(string_split(text, chr(10)))::BIGINT AS n_lines,
         |    list_filter(string_split(text, chr(10)), l ->
-        |      regexp_matches(l, '([.!?]["”'']?|["”])[ \t]*$')
+        |      regexp_matches(l, '([.!?]["”]?|["”])[ \t]*$')
         |      AND len(list_filter(string_split(l, ' '), w -> w != '')) >= 3
         |      AND NOT contains(lower(l), 'javascript')) AS kept
         |  FROM d),

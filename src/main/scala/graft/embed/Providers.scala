@@ -47,8 +47,59 @@ abstract class HttpEmbeddingFunc extends EmbeddingFunc {
   protected def parseBatchResponse(body: String): Seq[Array[Float]] = Seq.empty
   protected def maxBatchSize: Int = 256
 
+  /** Opt-in bounded retry budget for TRANSIENT failures (429 / 5xx
+    * responses and IOException sends). Default 0 = reference parity —
+    * chromem-go's providers fail the call on the first bad status
+    * (embed_openai.go:117-121) and so does this class out of the box.
+    * At ingest scale the calculus differs: one rate-limited request
+    * fails its task, and Spark's task retry re-embeds the WHOLE
+    * partition (hundreds of paid requests) to retry one — a
+    * request-level retry absorbs the 429 where it happens. Set
+    * GRAFT_EMBED_RETRIES=n (executor env) or override this def.
+    * Backoff: 0.5s·2^attempt capped at 8s, or the server's
+    * Retry-After seconds (capped at 30s) when present. 4xx other than
+    * 429 never retries — a bad request stays bad. */
+  protected def maxRetries: Int =
+    sys.env.get("GRAFT_EMBED_RETRIES")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .map(n => math.max(0, n)).getOrElse(0)
+
+  /** Send with the retry budget above. Shared by the single and batch
+    * wire paths so both see identical transient-failure semantics. */
+  private def send(req: HttpRequest): HttpResponse[String] = {
+    val budget = maxRetries
+    var attempt = 0
+    while (true) {
+      val resp =
+        try client.send(req, HttpResponse.BodyHandlers.ofString())
+        catch {
+          case e: java.io.IOException =>
+            if (attempt >= budget) throw e
+            null // connection-level transient: retry below
+        }
+      if (resp != null) {
+        val code = resp.statusCode()
+        val transient = code == 429 || code >= 500
+        if (!transient || attempt >= budget) return resp
+        val retryAfter = {
+          val h = resp.headers().firstValue("Retry-After")
+          if (h.isPresent) scala.util.Try(h.get().trim.toLong).toOption
+          else None
+        }
+        retryAfter match {
+          case Some(sec) if sec >= 0 =>
+            Thread.sleep(math.min(sec, 30L) * 1000L)
+          case _ =>
+            Thread.sleep(math.min(500L << attempt, 8000L))
+        }
+      } else Thread.sleep(math.min(500L << attempt, 8000L))
+      attempt += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   override def embed(text: String): Array[Float] = {
-    val resp = client.send(request(text), HttpResponse.BodyHandlers.ofString())
+    val resp = send(request(text))
     if (resp.statusCode() != 200)
       throw new RuntimeException(
         s"error response from the embedding API: ${resp.statusCode()}")
@@ -65,7 +116,7 @@ abstract class HttpEmbeddingFunc extends EmbeddingFunc {
       batchRequest(chunk) match {
         case None => chunk.map(embed)
         case Some(req) =>
-          val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+          val resp = send(req)
           if (resp.statusCode() != 200)
             throw new RuntimeException(
               s"error response from the embedding API: ${resp.statusCode()}")

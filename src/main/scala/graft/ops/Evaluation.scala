@@ -271,7 +271,15 @@ object Evaluation {
     * rank order, drop the query id, and keep 20 — the top-20 of the
     * corpus-minus-self by construction. The metric steps down by up to
     * 1/20 per query vs the r12 definition (baseline re-seeded in the
-    * same commit). */
+    * same commit).
+    *
+    * COST NOTE (r14, ADVICE r13): delegates to [[ivfPqRecallProbes]],
+    * so an ADC-only caller also pays the 8 `topKRerank` queries
+    * (rerankK=100 exact scoring) whose result is discarded. The wrapper
+    * survives only as the stable name the spec floors grew up on — new
+    * callers should use the pair probe directly. */
+  @deprecated("use ivfPqRecallProbes — this pays the full pair probe " +
+    "and discards the rerank half", "r14")
   def ivfPqAdcRecallProbe(emb: DataFrame): Double = ivfPqRecallProbes(emb)._1
 
   /** Both IVF-PQ quality numbers from ONE index build: (ADC recall@20,
@@ -296,29 +304,53 @@ object Evaluation {
     * Self-exclusion matches [[ivfPqAdcRecallProbe]]'s r13 convention on
     * all three sides: fetch top-21 in rank order, drop the query id,
     * keep 20. */
-  def ivfPqRecallProbes(emb: DataFrame): (Double, Double) = {
+  def ivfPqRecallProbes(emb: DataFrame): (Double, Double) =
+    ivfPqRecallSweep(emb, Seq(4))(4)
+
+  /** The same probe swept over several `nprobe` points from ONE index
+    * build and ONE exact ground truth per query (r14, VERDICT item 6):
+    * a probe-pruning regression — cells mis-assigned, probe order
+    * broken — shows up at nprobe < nlist long before the
+    * all-cells-probed point moves. Bench emits the (1, 2, 4) curve per
+    * round as `ann_recall_{adc,rerank}_np{n}`; the nprobe=4 pair keeps
+    * its original `ann_recall_{adc,rerank}` keys. Returns
+    * nprobe → (ADC recall@20, re-rank recall@20); the rerank ≥ adc
+    * invariant (Scaladoc above) holds PER POINT — both top-20s are
+    * subsets of that point's OWN shortlist. Across points recall is
+    * NOT monotone in theory for ADC alone, but more probed cells can
+    * only grow the candidate set, so in practice the curve rises;
+    * only the per-point invariant is pinned. */
+  def ivfPqRecallSweep(
+      emb: DataFrame,
+      nprobes: Seq[Int]): Map[Int, (Double, Double)] = {
     val spark = emb.sparkSession
     import spark.implicits._
+    require(nprobes.nonEmpty, "need at least one nprobe point")
     val idx = IvfPq.build(emb, "embedding", "vec_id", nlist = 4, m = 16,
       k = 16, sampleSize = 500)
-    var adcHits = 0
-    var rerankHits = 0
+    val adcHits = scala.collection.mutable.Map(
+      nprobes.map(_ -> 0): _*)
+    val rerankHits = scala.collection.mutable.Map(
+      nprobes.map(_ -> 0): _*)
     (0 until 8).foreach { q =>
       val qv = emb.filter(col("vec_id") === q).select("embedding")
         .head().getSeq[Float](0).toArray
       val exact = VectorSearch.topK(emb, "embedding", qv, 21, "vec_id",
         precision = "f64").select("vec_id").as[Long].collect()
         .filter(_ != q.toLong).take(20).toSet
-      val adc = idx.topK(qv, k = 21, nprobe = 4)
-        .select("vec_id").as[Long].collect()
-        .filter(_ != q.toLong).take(20).toSet
-      val rerank = idx.topKRerank(qv, k = 21, nprobe = 4, rerankK = 100)
-        .select("vec_id").as[Long].collect()
-        .filter(_ != q.toLong).take(20).toSet
-      adcHits += (adc intersect exact).size
-      rerankHits += (rerank intersect exact).size
+      nprobes.foreach { np =>
+        val adc = idx.topK(qv, k = 21, nprobe = np)
+          .select("vec_id").as[Long].collect()
+          .filter(_ != q.toLong).take(20).toSet
+        val rerank = idx.topKRerank(qv, k = 21, nprobe = np, rerankK = 100)
+          .select("vec_id").as[Long].collect()
+          .filter(_ != q.toLong).take(20).toSet
+        adcHits(np) += (adc intersect exact).size
+        rerankHits(np) += (rerank intersect exact).size
+      }
     }
-    (adcHits / 160.0, rerankHits / 160.0)
+    nprobes.map(np =>
+      np -> (adcHits(np) / 160.0, rerankHits(np) / 160.0)).toMap
   }
 
   /** Mean recall@k of an ANN method over a batch of query rows, against

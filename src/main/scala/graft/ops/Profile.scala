@@ -113,16 +113,36 @@ object Profile {
    * `(hi−pos)·lower + (pos−lo)·higher` form) reads its two endpoints
    * straight off that table. Bounded-domain columns (money cents,
    * counts, enum codes) keep the table small at any corpus size; for
-   * unbounded high-cardinality doubles at 100 TB use `exact = false`
-   * (seeded uniform sample feeding a Greenwald-Khanna sketch — no value
-   * table, per-row cost one RNG compare).
+   * unbounded high-cardinality doubles at 100 TB use `exact = false` —
+   * a DETERMINISTIC-HASH row sample (md5-bucket threshold, the
+   * Splits.downsample convention) feeding this same exact machinery,
+   * whose state is then bounded by the sample, not the domain.
    *
-   * Sketch-tier error: the sample term dominates — a uniform sample of
-   * m rows puts a sample quantile within ±z·√(q(1−q)/m) of the true
-   * RANK (m = 65536 ⇒ ±0.5% at the median at 99% confidence); the GK
-   * summary over the sample adds ≤ 1/accuracy of m on top. Seeded, so
-   * deterministic for a fixed partition layout — a profiling contract,
-   * not a reproducibility one (the exact tier is the latter).
+   * Sketch tier (r14 — replaced the seeded `df.sample` + GK
+   * `percentile_approx` pair): a row survives iff the first 4 hex chars
+   * of md5 over its `sampleKeyCols` rendering fall under
+   * `sampleRows/n`, so the sampled SET is a pure function of the data
+   * multiset — layout-invariant at every partition count/thread count
+   * (the old tier's per-partition RNG and order-dependent GK merges
+   * both varied with layout; CPUS=1 at sf0.1 diverged from CPUS=8),
+   * and SQL-replayable (any engine with md5 reproduces the membership,
+   * so a DuckDB oracle can gate the tier STRICTLY). The quantiles over
+   * the sample run through the exact two-pass selection above —
+   * integer-exact, no sketch summary at all.
+   *
+   * Sketch-tier error: pure sampling term — a uniform sample of m rows
+   * puts a sample quantile within ±z·√(q(1−q)/m) of the true RANK
+   * (m = 65536 ⇒ ±0.5% at the median at 99% confidence); the old GK
+   * term (≤ 1/accuracy on top) is gone. Per-row cost one md5 of the key
+   * rendering, map-only, fused into the scan.
+   *
+   * `sampleKeyCols` is the row identity hashed for membership (default:
+   * every column of `df`). Rows IDENTICAL in the key tuple move in and
+   * out of the sample together — pass a unique key (or leave the
+   * all-columns default on de-duplicated tables) so the sample is a
+   * row-sample, not a value-class sample; a LOW-cardinality key (e.g.
+   * the profiled column itself) would keep or drop whole value classes
+   * and skew the estimate.
    */
   def quantileProfile(
       df: DataFrame,
@@ -130,8 +150,8 @@ object Profile {
       qs: Seq[Double] = Seq(0.25, 0.5, 0.75),
       scale: Long = 1L,
       exact: Boolean = true,
-      accuracy: Int = 1000,
-      sampleRows: Long = 65536L): DataFrame = {
+      sampleRows: Long = 65536L,
+      sampleKeyCols: Seq[String] = Seq.empty): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       "quantiles must be in [0, 1]")
@@ -253,41 +273,39 @@ object Profile {
       import spark.implicits._
       (out ++ stubs).toDF("column", "q", "v")
     } else {
-      val qArr = qs.mkString("array(", ", ", ")")
-      // Sample-then-sketch: a GK summary over EVERY row costs ~|cols|
-      // buffer inserts per row — measured ~2× the exact tier's two
-      // cheap bucket-count passes at any scale, which inverted the
-      // sketch tier's reason to exist. A seeded uniform sample drops
-      // the per-row cost to one XORShift compare; the GK inserts run
-      // on the ~sampleRows survivors and the end-to-end rank error is
-      // the sampling term (Scaladoc). The row count that sizes the
-      // fraction is a columnless scan — parquet answers it from
-      // row-group metadata, and at 100 TB a profiler caller has it
-      // anyway (numericProfile's n, or the catalog).
+      // Deterministic-hash sample, then the exact machinery on the
+      // survivors. The row count that sizes the fraction is a
+      // columnless scan — parquet answers it from row-group metadata,
+      // and at 100 TB a profiler caller has it anyway (numericProfile's
+      // n, or the catalog). The md5-bucket membership rule is shared
+      // with Splits.downsample (rateHex), so the threshold a DuckDB
+      // oracle recomputes from ITS count(*) is char-identical: both
+      // sides evaluate round(65536·sampleRows/n) in double (same IEEE
+      // ops; Scala's floor(x+0.5) == DuckDB's half-away-from-zero for
+      // positive x) and render %04x.
+      val keys = if (sampleKeyCols.nonEmpty) sampleKeyCols
+        else df.columns.toSeq
+      val missingKeys = keys.filterNot(df.columns.contains)
+      require(missingKeys.isEmpty, s"sample key columns not in frame: $missingKeys")
+      requireSqlSafeNames(keys)
       val n = df.count()
-      val frac = if (n <= sampleRows) 1.0 else sampleRows.toDouble / n
-      val sampled = if (frac >= 1.0) df else df.sample(frac, seed = 42L)
-      // percentile_approx is a TypedImperativeAggregate: its child is
-      // evaluated INTERPRETED per row, so the round/multiply must be
-      // pre-projected in a codegen'd select and the aggregate fed a bare
-      // column reference (same trap as HistAgg above — feeding the
-      // expression directly costs an interpreted eval per row per column).
-      // accuracy bounds the GK summary's state and compress cost: rank
-      // error ≤ 1/accuracy of the SAMPLE — subordinate to the sampling
-      // term, so the knob only matters when frac = 1.
-      val scaledDF = sampled.select(cols.map(c =>
-        round(col(c) * scale).cast("long").as(c)): _*)
-      val aggs = cols.map { c =>
-        expr(s"percentile_approx(`$c`, $qArr, $accuracy)").as(s"p__$c")
+      if (n <= sampleRows) quantileProfile(df, cols, qs, scale, exact = true)
+      else {
+        val bucket = substring(
+          md5(concat_ws("|", keys.map(k => col(k).cast("string")): _*)),
+          1, 4)
+        // persist the ~sampleRows survivors so the exact tier's two
+        // passes read the cached sample, not the corpus twice — at
+        // 100 TB this tier costs ONE full scan (plus the metadata-only
+        // count), and the cache is bounded by the sample size. The
+        // exact tier is eager (both passes complete inside the call),
+        // so the unpersist is safe immediately after.
+        val sampled = df
+          .filter(bucket < lit(Splits.rateHex(sampleRows.toDouble / n)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try quantileProfile(sampled, cols, qs, scale, exact = true)
+        finally sampled.unpersist(blocking = false)
       }
-      val one = scaledDF.agg(aggs.head, aggs.tail: _*)
-      val stacked = cols.flatMap { c =>
-        qs.zipWithIndex.map { case (q, i) =>
-          s"'$c', ${q}D, `p__$c`[$i] / ${scale}D"
-        }
-      }.mkString(", ")
-      one.select(expr(
-        s"stack(${cols.size * qs.size}, $stacked) AS (column, q, v)"))
     }
   }
 

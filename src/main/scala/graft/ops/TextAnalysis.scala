@@ -188,9 +188,14 @@ object TextAnalysis {
     // paper lists it as one of the terminal punctuation marks; dialogue
     // lines end this way). A r13 audit follow-up found both this kernel
     // and its oracle requiring [.!?] before the quote, dropping lines
-    // C4 keeps. Bare `'` stays non-terminal (apostrophe ≠ end quote).
+    // C4 keeps. `'` is non-terminal EVERYWHERE (apostrophe ≠ end
+    // quote): r14 removed it from the optional after-punctuation class
+    // too — C4's endswith check sees only the last character, so
+    // "word.'" ends with `'` and is dropped; keeping it here
+    // contradicted this same rule's own apostrophe convention
+    // (ADVICE r13).
     val keptLines = filter(lines, l =>
-      l.rlike("([.!?][\"”']?|[\"”])[ \t]*$") &&
+      l.rlike("([.!?][\"”]?|[\"”])[ \t]*$") &&
         size(filter(split(l, " "), w => w =!= "")) >= minWordsPerLine &&
         !lower(l).contains("javascript"))
     val keptText = concat_ws("\n", keptLines)

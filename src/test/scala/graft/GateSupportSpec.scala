@@ -57,15 +57,16 @@ class GateSupportSpec extends SparkSuite {
   }
 
   test("census contract: every query is oracle-gated or documented rows-only") {
-    // The 3 rows-only entries are approximate BY CONTRACT (the sketch
-    // tiers wrap Spark-internal HLL++/GK state; emb_whitened carries
-    // driver-side eigencomponents) — each carries contract docs at its
-    // gate entry. emb_coreset left this set in r10: its greedy replays
-    // exactly as unrolled argmin CTE stages (GateSupport.coresetOracle).
+    // The 1 remaining rows-only entry is approximate BY CONTRACT
+    // (profile_stats_approx wraps Spark-internal HLL++ register state —
+    // no cross-engine replay exists) and carries contract docs at its
+    // gate entry. emb_coreset left this set in r10 (unrolled argmin CTE
+    // replay); profile_quantiles_approx left in r14 (md5-bucket sample
+    // + exact interpolation, both DuckDB-replayable); emb_whitened left
+    // in r14 (whitened-covariance-is-identity invariance oracle).
     // Anything else missing an oracle is census drift: the driver would
     // silently downgrade it to a weaker rows-only check.
-    val documentedRowsOnly = Set(
-      "profile_stats_approx", "profile_quantiles_approx", "emb_whitened")
+    val documentedRowsOnly = Set("profile_stats_approx")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == documentedRowsOnly,
       s"oracle coverage drifted: undocumented rows-only = ${missing -- documentedRowsOnly}, " +

@@ -66,20 +66,22 @@ class ProfileCohortsSpec extends SparkSuite {
       .map(x => x.getDouble(1) -> x.getDouble(2)).toMap
     val qap = Profile.quantileProfile(df, Seq("a"), exact = false).collect()
       .map(x => x.getDouble(1) -> x.getDouble(2)).toMap
-    // corpus smaller than sampleRows ⇒ frac = 1, the GK summary sees
-    // every row and its rank error (≤ 1/accuracy) is the only term;
-    // pin 2% relative on this distribution
+    // corpus smaller than sampleRows ⇒ the md5 sample keeps every row
+    // and the tier IS the exact tier — equality, not a tolerance (the
+    // r14 redesign removed the GK summary whose ≤ 1/accuracy rank error
+    // this bound used to cover)
     qex.foreach { case (q, v) =>
-      assert(math.abs(qap(q) - v) / math.max(v, 1.0) < 0.02,
-        s"q=$q approx ${qap(q)} vs exact $v")
+      assert(qap(q) === v, s"q=$q approx ${qap(q)} vs exact $v")
     }
   }
 
   test("quantile sketch tier samples above sampleRows; rank error within the sampling bound") {
-    // 100k uniform values, sampleRows = 8192 ⇒ frac ≈ 0.08 and the
-    // sampling term dominates: ±z·√(q(1−q)/m) ≈ ±1.4% rank at the
-    // median at 99% confidence. Seeded sample ⇒ deterministic here;
-    // the 3% pin leaves headroom over the CI, not over determinism.
+    // 100k uniform values, sampleRows = 8192 ⇒ keep rate ≈ 0.08 and the
+    // sampling term is the ONLY error term (exact interpolation over
+    // the md5-sampled rows): ±z·√(q(1−q)/m) ≈ ±1.4% rank at the median
+    // at 99% confidence. md5-hash membership ⇒ deterministic AND
+    // layout-invariant; the 3% pin leaves headroom over the CI, not
+    // over determinism.
     val df = withLogLevel(spark.range(0L, 100000L).toDF("v"))
     val got = Profile.quantileProfile(df, Seq("v"), exact = false,
         sampleRows = 8192L).collect()
@@ -88,6 +90,18 @@ class ProfileCohortsSpec extends SparkSuite {
       assert(math.abs(got(q) - want) / 100000.0 < 0.03,
         s"q=$q sampled ${got(q)} vs true $want")
     }
+  }
+
+  test("quantile sketch tier is invariant to partition layout") {
+    // the r13 census diverged at CPUS=1 precisely here (per-partition
+    // RNG membership + GK merge order); the md5-bucket tier is a pure
+    // function of the data multiset — pin 1 vs 7 partitions bit-equal
+    val base = withLogLevel(spark.range(0L, 50000L).toDF("v"))
+    def run(parts: Int) = Profile.quantileProfile(
+        base.repartition(parts), Seq("v"), exact = false,
+        sampleRows = 4096L).collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getDouble(2))).sortBy(_._2)
+    assert(run(1).toSeq === run(7).toSeq)
   }
 
   test("single-pass plan: one scan, partial+final aggregate") {
@@ -265,14 +279,23 @@ class ProfileCohortsSpec extends SparkSuite {
     assert(again(1L) === r(1L) && again(3L) === r(3L))
   }
 
-  test("quantileProfile approx mode plans the sketch, one scan either way") {
-    val df = Seq((1.0, 2.0), (3.0, 4.0)).toDF("a", "b")
-    val p = Profile.quantileProfile(df, Seq("a", "b"), exact = false)
-      .queryExecution.executedPlan.toString
-    assert(p.contains("approx_percentile") || p.contains("percentile_approx"),
-      s"approx mode must use the sketch:\n$p")
-    assert(p.linesIterator.count(_.contains("Scan")) <= 1,
-      s"quantile profile must be one pass:\n$p")
+  test("quantileProfile approx mode ≡ exact tier over the md5-sampled rows") {
+    // definition replay: the sketch tier IS "exact quantiles over the
+    // md5-bucket survivors" — recompute the membership rule here
+    // (substring(md5(key),1,4) < rateHex(sampleRows/n), the
+    // Splits.downsample convention) and pin bit-equality. This is the
+    // same replay the DuckDB oracle performs for
+    // profile_quantiles_approx.
+    val df = withLogLevel(spark.range(0L, 20000L).toDF("v"))
+    val approx = Profile.quantileProfile(df, Seq("v"), exact = false,
+        sampleRows = 2048L).collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getDouble(2))).sortBy(_._2)
+    val manual = df.filter(
+      substring(md5(col("v").cast("string")), 1, 4) <
+        lit(graft.ops.Splits.rateHex(2048.0 / 20000L)))
+    val expected = Profile.quantileProfile(manual, Seq("v")).collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getDouble(2))).sortBy(_._2)
+    assert(approx.toSeq === expected.toSeq)
   }
 
   private def ts(s: String) = Timestamp.valueOf(s)

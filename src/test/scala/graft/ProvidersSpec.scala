@@ -189,4 +189,80 @@ class ProvidersSpec extends AnyFunSuite {
       assert(e.getMessage.contains("error response from the embedding API"))
     } finally server.stop(0)
   }
+
+  /** Sequenced-status server for the retry tests: response n gets
+    * statuses(min(n, last)); 200s carry the stub embedding. */
+  private def withSequencedServer(statuses: Seq[Int])(
+      f: (String, () => Int) => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/", (ex: HttpExchange) => {
+      val n = calls.getAndIncrement()
+      val code = statuses(math.min(n, statuses.length - 1))
+      if (code == 200) {
+        val bytes = s"""{"data": [{"embedding": $stub}]}"""
+          .getBytes(StandardCharsets.UTF_8)
+        // a retried request must be honored with a Retry-After so the
+        // test never sleeps the default backoff — keep the suite fast
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+      } else {
+        ex.getResponseHeaders.set("Retry-After", "0")
+        ex.sendResponseHeaders(code, -1)
+      }
+      ex.close()
+    })
+    server.start()
+    try f(s"http://localhost:${server.getAddress.getPort}",
+      () => calls.get())
+    finally server.stop(0)
+  }
+
+  test("opt-in retry absorbs a 429-then-200 sequence (r14 hardening)") {
+    withSequencedServer(Seq(429, 200)) { (base, calls) =>
+      val f = new OpenAICompatEmbeddingFunc(s"$base/v1", "k", "m") {
+        override protected def maxRetries: Int = 3
+      }
+      val v = f.embed("x")
+      assert(v.length === 3)
+      assert(calls() === 2, "exactly one retry after the 429")
+    }
+  }
+
+  test("retry budget exhausts: persistent 429 still surfaces as API error") {
+    withSequencedServer(Seq(429)) { (base, calls) =>
+      val f = new OpenAICompatEmbeddingFunc(s"$base/v1", "k", "m") {
+        override protected def maxRetries: Int = 2
+      }
+      val e = intercept[RuntimeException](f.embed("x"))
+      assert(e.getMessage.contains("429"))
+      assert(calls() === 3, "initial attempt + 2 retries")
+    }
+  }
+
+  test("default budget is zero (reference parity) and 4xx never retries") {
+    withSequencedServer(Seq(429, 200)) { (base, calls) =>
+      val f = new OpenAICompatEmbeddingFunc(s"$base/v1", "k", "m")
+      intercept[RuntimeException](f.embed("x"))
+      assert(calls() === 1, "no retry without opting in")
+    }
+    withSequencedServer(Seq(400, 200)) { (base, calls) =>
+      val f = new OpenAICompatEmbeddingFunc(s"$base/v1", "k", "m") {
+        override protected def maxRetries: Int = 3
+      }
+      intercept[RuntimeException](f.embed("x"))
+      assert(calls() === 1, "a non-429 4xx is permanent — never retried")
+    }
+  }
+
+  test("batch path shares the retry core: 503-then-200 on array input") {
+    withSequencedServer(Seq(503, 200)) { (base, calls) =>
+      val f = new OpenAICompatEmbeddingFunc(s"$base/v1", "k", "m") {
+        override protected def maxRetries: Int = 1
+      }
+      val vs = f.embedBatch(Iterator("a")).toSeq
+      assert(vs.length === 1 && vs.head.length === 3)
+      assert(calls() === 2)
+    }
+  }
 }

@@ -110,6 +110,14 @@ class TextAnalysisSpec extends SparkSuite {
     assert(f(7L, "has_brace") && !f(7L, "pass_c4"))
     assert(n(8L, "n_kept_lines") === 2L,
       "bare end-quote (ASCII and typographic) terminates a line")
+    // r14 (ADVICE r13): apostrophe is non-terminal even AFTER terminal
+    // punctuation — C4's endswith sees only the last char, so "word.'"
+    // ends with ' and is dropped; "word.”" keeps (end quote terminal)
+    val apos = TextAnalysis.c4Rules(
+      Seq((9L, "she finished the sentence.'\nhe finished the sentence.”"))
+        .toDF("id", "text"), "text").collect().head
+    assert(apos.getLong(apos.fieldIndex("n_kept_lines")) === 1L,
+      "apostrophe after punctuation must not terminate a line")
     // kept_text carries only the surviving lines
     val kept5 = r(5L).getString(r(5L).fieldIndex("kept_text"))
     assert(kept5 === "one good sentence stands alone.")
