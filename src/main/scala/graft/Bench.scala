@@ -60,7 +60,8 @@ object Bench {
       "dedup_simhash", "dedup_embedding_lsh", "text_quality", "text_tokens",
       "text_fingerprint", "text_lang_id", "q_upsert",
       "agg_pricing_summary", "join_top_customers", "join_q5_shape", "events_window_agg",
-      "events_sliding_agg", "events_per_user", "events_window_distinct", "events_json_props", "events_transitions",
+      "events_sliding_agg", "events_per_user", "events_window_distinct",
+      "events_window_distinct_approx", "events_json_props", "events_transitions",
       "text_bm25", "text_bm25_indexed", "search_hybrid", "q_quantized_topk",
       "q_hamming_topk", "text_lexical",
       "q_pq_topk", "q_ivfpq_topk", "dedup_spans", "dedup_subsets",

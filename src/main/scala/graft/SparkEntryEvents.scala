@@ -87,6 +87,17 @@ private[graft] object SparkEntryEvents {
     "events_window_distinct" -> ((s, dir) =>
       graft.ops.TimeSeries.windowDistinct(events(s, dir), "ts", "user_id")),
 
+    // ---- windowed distinct, KMV sketch tier: per-window state ≤ k
+    // longs for UNBOUNDED key domains (the exact twin shuffles one row
+    // per (window, key) — at 100 TB of random ids that IS the corpus).
+    // k=64 so the gate exercises BOTH arms: sf0.01 windows hold 4–28
+    // distinct users (exact arm), sf0.1 windows 98–166 (estimate arm);
+    // DuckDB replays the per-group bottom-k and the integer estimate
+    // bit-for-bit either way ----
+    "events_window_distinct_approx" -> ((s, dir) =>
+      graft.ops.TimeSeries.windowDistinctApprox(events(s, dir), "ts",
+        "user_id", sketchK = 64)),
+
     // ---- events: SLIDING (hopping) windows — 2-minute windows every
     // minute, so each event lands in exactly two epoch-aligned windows;
     // the overlap factor is bounded by width/slide, not corpus size ----
@@ -300,6 +311,31 @@ private[graft] object SparkEntryEvents {
         |FROM events
         |WHERE user_id IS NOT NULL
         |GROUP BY 1""".stripMargin,
+
+    // Per-group KMV replay: same md5-prefix hash of the id's decimal
+    // rendering, bottom-64 per window via row_number, same exact-integer
+    // (k−1)·2⁶⁰/h_k estimate (HUGEINT // ≡ BigInt floor division); under
+    // 64 distinct hashes the count itself is the answer in both engines.
+    "events_window_distinct_approx" ->
+      """WITH h AS (
+        |  SELECT DISTINCT date_trunc('hour', ts) AS w,
+        |    CAST('0x' || substring(md5(user_id::VARCHAR), 1, 15) AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |b AS (
+        |  SELECT w, h, row_number() OVER (PARTITION BY w ORDER BY h) AS rn
+        |  FROM h),
+        |est AS (
+        |  SELECT w,
+        |    CASE WHEN count(*) < 64 THEN count(*)
+        |      ELSE ((63::HUGEINT << 60) //
+        |            greatest(max(CASE WHEN rn = 64 THEN h END), 1))::BIGINT
+        |    END AS n_distinct_est
+        |  FROM b WHERE rn <= 64 GROUP BY w),
+        |ev AS (
+        |  SELECT date_trunc('hour', ts) AS w, count(*) AS n_events
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+        |SELECT w, n_distinct_est, n_events
+        |FROM est JOIN ev USING (w)""".stripMargin,
 
     "events_window_agg" ->
       """SELECT date_trunc('minute', ts) AS w, event_type,

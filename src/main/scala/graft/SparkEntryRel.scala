@@ -141,10 +141,13 @@ private[graft] object SparkEntryRel {
       graft.ops.Profile.numericProfile(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
-    // ---- profiling, sketch tier: HyperLogLog distinct counts — no
-    // EXPAND, one pass, ~2% error; the 100 TB default for unbounded
-    // domains (rows-only gate: approximate by contract, error bounds
-    // pinned in ProfileCohortsSpec) ----
+    // ---- profiling, sketch tier: KMV bottom-k distinct counts — no
+    // EXPAND, one pass, state ≤ k longs/column, ~3% error at k=1024;
+    // the 100 TB default for unbounded domains. STRICT oracle since
+    // r14 (replaced HLL++): the k smallest md5 hashes are a pure
+    // function of the value set, so DuckDB replays the hash, the
+    // bottom-k, and the exact-integer (k−1)·2⁶⁰/h_k estimate —
+    // bit-equal, and layout-invariant at every thread count ----
     "profile_stats_approx" -> ((s, dir) =>
       graft.ops.Profile.numericProfile(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
@@ -448,6 +451,29 @@ private[graft] object SparkEntryRel {
         s"""SELECT '$c' AS "column", count(*) AS n,
            |  count(*) - count($c) AS n_null,
            |  count(DISTINCT $c) AS n_distinct,
+           |  min($c)::DOUBLE AS mn, max($c)::DOUBLE AS mx
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+
+    // KMV replay, per column: the same round(v·100) long rendering
+    // (round is half-away-from-zero in both engines on the same IEEE
+    // product), the same 60-bit md5-prefix hash (CAST('0x'||hex AS
+    // BIGINT) ≡ Spark's conv(hex,16,10) at ≤15 chars), the bottom-1024
+    // distinct hashes via ORDER BY h LIMIT 1024, and the exact-integer
+    // estimate — HUGEINT // ≡ BigInt floor division on positives. Under
+    // 1024 distinct hashes the sketch IS the count; both arms bit-equal
+    // to the engine's TreeSet state by construction.
+    "profile_stats_approx" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n,
+           |  count(*) - count($c) AS n_null,
+           |  (SELECT CASE WHEN count(*) < 1024 THEN count(*)
+           |     ELSE ((1023::HUGEINT << 60) // greatest(max(h), 1))::BIGINT END
+           |   FROM (SELECT h FROM (
+           |       SELECT DISTINCT CAST('0x' || substring(md5(
+           |         CAST(round($c * 100, 0)::BIGINT AS VARCHAR)), 1, 15) AS BIGINT) AS h
+           |       FROM lineitem WHERE $c IS NOT NULL)
+           |     ORDER BY h LIMIT 1024)) AS n_distinct,
            |  min($c)::DOUBLE AS mn, max($c)::DOUBLE AS mx
            |FROM lineitem""".stripMargin
       }.mkString("\nUNION ALL\n"),

@@ -17,17 +17,26 @@ import org.apache.spark.sql.functions._
  * second |cols|-row aggregate. No EXPAND (the multi-distinct plan
  * Catalyst would otherwise emit), no boxed per-row aggregate state.
  * For unbounded high-cardinality domains at 100 TB the counts table
- * itself is the bound — pass `exact = false` for HyperLogLog sketches
- * (one pass, no counts table, `rsd` error).
+ * itself is the bound — pass `exact = false` for the KMV bottom-k
+ * distinct sketch (one pass, no counts table, state ≤ `sketchK` longs
+ * per column, ~1/√sketchK error).
  */
 object Profile {
 
   /** One output row per profiled numeric column:
     * (column, n, n_null, n_distinct, mn, mx). */
-  /* default rsd 0.026 lands exactly on HyperLogLog++ precision p=11
-   * (σ ≈ 1.04/√2¹¹ ≈ 2.3%; measured ≤2.6% at 583k cardinality) — the
-   * next step up (p=12, rsd ≤ 0.023) costs 2.3× the scan time for
-   * 1.6% σ. rsd is a per-call knob when that trade should flip. */
+  /* sketch tier (r14 — replaced `approx_count_distinct`): n_distinct is
+   * a KMV bottom-k estimate over the 60-bit md5 hash of each value's
+   * `round(v·hashScale)` long rendering (the quantileProfile `scale`
+   * convention — values closer than half a 1/hashScale unit collapse;
+   * pick a scale that resolves the column). Unlike HLL++, the k
+   * smallest md5 values are a pure function of the value SET and
+   * reproducible by any engine with md5, so the tier is bit-
+   * deterministic at every layout AND strict-oracle (DuckDB replays the
+   * hash, the bottom-k, and the exact-integer estimate — see the
+   * profile_stats_approx gate oracle). Default k=1024 ⇒ σ ≈ 3.1%,
+   * 8 KiB/column state; error ∝ 1/√k. n / nulls / min / max stay exact
+   * in the same single pass. */
 
   // stack()/percentile_approx expressions interpolate column names into
   // SQL text; a quote or backtick in a name would mis-parse the
@@ -41,9 +50,10 @@ object Profile {
       df: DataFrame,
       cols: Seq[String],
       exact: Boolean = true,
-      rsd: Double = 0.026): DataFrame = {
+      hashScale: Long = 100L,
+      sketchK: Int = 1024): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
-    require(rsd > 0, "rsd must be > 0")
+    require(hashScale > 0, "hashScale must be > 0")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in frame: $missing")
     requireSqlSafeNames(cols)
@@ -76,16 +86,24 @@ object Profile {
           coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
           col("mn"), col("mx"))
     } else {
+      // the KMV child must be a bare column ref (TypedImperativeAggregate
+      // evaluates children interpreted per row) — the round/md5/conv hash
+      // chain runs in this codegen projection, fused into the scan
+      val hashed = df.select(
+        cols.map(c => col(c)) ++ cols.map(c =>
+          graft.functions.KmvDistinct.kmvHash60(
+            round(col(c) * hashScale).cast("long")).as(s"__kmvh__$c")): _*)
       val aggs: Seq[Column] = cols.flatMap { c =>
         val v = col(c)
         Seq(
           count(lit(1)).as(s"n__$c"),
           (count(lit(1)) - count(v)).as(s"null__$c"),
-          approx_count_distinct(v, rsd).as(s"dist__$c"),
+          graft.functions.KmvDistinct.kmv_distinct(col(s"__kmvh__$c"), sketchK)
+            .as(s"dist__$c"),
           min(v).cast("double").as(s"mn__$c"),
           max(v).cast("double").as(s"mx__$c"))
       }
-      val one = df.agg(aggs.head, aggs.tail: _*)
+      val one = hashed.agg(aggs.head, aggs.tail: _*)
       // unpivot the single row: stack(n, 'col1', n__col1, ..., 'colk', ...)
       val stacked = cols.map { c =>
         s"'$c', `n__$c`, `null__$c`, `dist__$c`, `mn__$c`, `mx__$c`"

@@ -92,8 +92,9 @@ object TimeSeries {
    * Expand), while this shuffles at most one row per (window, key) —
    * and it is exactly the dropDuplicates→count shape Structured
    * Streaming can run incrementally. The sketch tier for unbounded key
-   * domains is `approx_count_distinct` (see `Profile.numericProfile`'s
-   * HLL tier); this is the exact tier.
+   * domains is a bounded distinct sketch (see `Profile.numericProfile`'s
+   * KMV tier, or `approx_count_distinct` where cross-engine replay is
+   * not needed); this is the exact tier.
    */
   def windowDistinct(
       events: DataFrame,
@@ -106,6 +107,43 @@ object TimeSeries {
       .groupBy(col("w"), col("k")).agg(count(lit(1)).as("__n"))
       .groupBy(col("w"))
       .agg(count(lit(1)).as("n_distinct"), sum(col("__n")).as("n_events"))
+
+  /**
+   * Windowed distinct counts, KMV sketch tier — the bounded-state twin
+   * of [[windowDistinct]] for UNBOUNDED key domains at 100 TB: the
+   * exact tier's shuffle carries one row per (window, key), which for
+   * random ids IS the corpus; this tier's per-window state is ≤
+   * `sketchK` longs regardless of key cardinality, one shuffle on the
+   * window only, σ ≈ 1/√(sketchK−2) relative error (and EXACT below
+   * sketchK distincts per window — see
+   * [[graft.functions.KmvDistinct]]).
+   *
+   * Determinism/gate contract: the retained bottom-k md5 set is a pure
+   * function of each window's key SET — bit-deterministic at any
+   * layout and strictly DuckDB-replayable per group (`row_number()
+   * OVER (PARTITION BY w ORDER BY h) ≤ k`). `keyCol` must render
+   * identically as a string in both engines (integers and strings do —
+   * the kmvHash60 convention).
+   *
+   * Streaming-safe like the exact tier: the aggregate is mergeable, so
+   * micro-batch partials combine exactly like map-side partials.
+   */
+  def windowDistinctApprox(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      truncUnit: String = "hour",
+      sketchK: Int = 1024): DataFrame =
+    events
+      .filter(col(keyCol).isNotNull)
+      // hash in the codegen projection; the interpreted aggregate child
+      // stays a bare column ref (the corrExact/numericProfile discipline)
+      .select(date_trunc(truncUnit, col(tsCol)).as("w"),
+        graft.functions.KmvDistinct.kmvHash60(col(keyCol)).as("__h"))
+      .groupBy(col("w"))
+      .agg(graft.functions.KmvDistinct.kmv_distinct(col("__h"), sketchK)
+          .as("n_distinct_est"),
+        count(lit(1)).as("n_events"))
 
   /**
    * Trailing moving average of a measure over the last `windowRows`

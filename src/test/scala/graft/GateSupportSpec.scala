@@ -56,21 +56,19 @@ class GateSupportSpec extends SparkSuite {
     assert(got === Set(("a", 12L), ("a", 15L)))
   }
 
-  test("census contract: every query is oracle-gated or documented rows-only") {
-    // The 1 remaining rows-only entry is approximate BY CONTRACT
-    // (profile_stats_approx wraps Spark-internal HLL++ register state —
-    // no cross-engine replay exists) and carries contract docs at its
-    // gate entry. emb_coreset left this set in r10 (unrolled argmin CTE
-    // replay); profile_quantiles_approx left in r14 (md5-bucket sample
-    // + exact interpolation, both DuckDB-replayable); emb_whitened left
-    // in r14 (whitened-covariance-is-identity invariance oracle).
-    // Anything else missing an oracle is census drift: the driver would
-    // silently downgrade it to a weaker rows-only check.
-    val documentedRowsOnly = Set("profile_stats_approx")
+  test("census contract: every query is oracle-gated — zero rows-only entries") {
+    // The rows-only set emptied over the rounds: emb_coreset left in
+    // r10 (unrolled argmin CTE replay); profile_quantiles_approx and
+    // emb_whitened left in r14 (md5-bucket sample + exact
+    // interpolation; whitened-covariance-is-identity invariance); and
+    // profile_stats_approx left in r14 too — its HLL++ tier (engine-
+    // internal register state, no cross-engine replay) was replaced by
+    // a KMV bottom-k sketch whose k smallest md5 hashes ANY engine
+    // reproduces. Every gate entry now has a strict DuckDB oracle; a
+    // query missing one is census drift the driver would silently
+    // downgrade to a weaker rows-only check.
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing == documentedRowsOnly,
-      s"oracle coverage drifted: undocumented rows-only = ${missing -- documentedRowsOnly}, " +
-        s"stale contract entries = ${documentedRowsOnly -- missing}")
+    assert(missing.isEmpty, s"oracle coverage drifted: undocumented rows-only = $missing")
     // and no orphan oracles for queries that don't exist
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")

@@ -46,17 +46,16 @@ class ProfileCohortsSpec extends SparkSuite {
   }
 
   test("sketch tiers stay within contract error bounds of exact") {
-    // 5k rows, ~1k distinct values — enough mass for HLL/t-digest to
-    // operate in their designed regime
+    // 5k rows, 997 distinct values — UNDER the default k=1024, so the
+    // KMV tier is in its exact regime: every distinct hash is retained
+    // and the estimate IS the distinct count (of 60-bit hashes; a
+    // prefix collision at 997 values has probability ~2⁻⁴⁰)
     val df = withLogLevel(
       spark.range(0, 5000).selectExpr("cast(id % 997 as double) as a"))
     val ex = Profile.numericProfile(df, Seq("a")).collect().head
     val ap = Profile.numericProfile(df, Seq("a"), exact = false).collect().head
-    // HyperLogLog++ contract: ~2% standard error at default precision;
-    // pin a 5% hard bound
-    val exD = ex.getLong(3).toDouble
-    assert(math.abs(ap.getLong(3) - exD) / exD < 0.05,
-      s"HLL distinct ${ap.getLong(3)} vs exact $exD")
+    assert(ap.getLong(3) === ex.getLong(3),
+      s"KMV m<k regime must be exact: ${ap.getLong(3)} vs ${ex.getLong(3)}")
     // n / nulls / min / max are exact in both tiers
     assert(ap.getLong(1) === ex.getLong(1))
     assert(ap.getDouble(4) === ex.getDouble(4))
@@ -73,6 +72,41 @@ class ProfileCohortsSpec extends SparkSuite {
     qex.foreach { case (q, v) =>
       assert(qap(q) === v, s"q=$q approx ${qap(q)} vs exact $v")
     }
+  }
+
+  test("KMV estimate regime: error within the 1/√k contract; layout-invariant") {
+    // 50k distinct values ≫ k=256 ⇒ the (k−1)·2⁶⁰/h_k arm is live.
+    // σ ≈ 1/√(k−2) ≈ 6.3%; pin 3σ = 19%. And the retained bottom-k set
+    // is a pure function of the value set, so 1 vs 7 partitions must
+    // agree BIT-equal (the HLL tier this replaced was deterministic too,
+    // but not cross-engine replayable).
+    val base = withLogLevel(
+      spark.range(0L, 50000L).selectExpr("cast(id as double) as a"))
+    def run(parts: Int): Long = Profile.numericProfile(
+      base.repartition(parts), Seq("a"), exact = false, sketchK = 256)
+      .collect().head.getLong(3)
+    val est = run(1)
+    assert(math.abs(est - 50000.0) / 50000.0 < 0.19,
+      s"KMV estimate $est vs true 50000 outside 3σ")
+    assert(run(7) === est, "KMV must be invariant to partition layout")
+  }
+
+  test("KMV hash convention matches an independent md5 (the oracle contract)") {
+    // kmvHash60 = int(md5(decimal rendering)[0:15], 16) — recompute with
+    // java's MessageDigest, no Spark functions, so the spec pins the
+    // cross-engine convention itself (DuckDB's CAST('0x'||substr(md5(s),
+    // 1,15) AS BIGINT) is the same arithmetic)
+    val vals = Seq(0L, 1L, -5L, 2400L, 987654321L)
+    val got = vals.toDF("v")
+      .select(graft.functions.KmvDistinct.kmvHash60(col("v")))
+      .collect().map(_.getLong(0))
+    val want = vals.map { v =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    assert(got.toSeq === want)
   }
 
   test("quantile sketch tier samples above sampleRows; rank error within the sampling bound") {

@@ -29,6 +29,31 @@ class TimeSeriesSpec extends SparkSuite {
       (2L, "2024-03-02", 1L)))
   }
 
+  test("windowDistinctApprox: exact below k, within 3σ above, layout-invariant") {
+    // window A: 3 distinct keys < k=64 ⇒ the estimate IS the count;
+    // window B: 2000 distinct keys ≫ k ⇒ estimate arm, σ ≈ 1/√62 ≈ 13%
+    val a = Seq.tabulate(10)(i =>
+      (ts("2024-03-01 10:05:00"), (i % 3).toLong))
+    val b = Seq.tabulate(2000)(i =>
+      (ts("2024-03-01 11:30:00"), 1000L + i))
+    val ev = withLogLevel((a ++ b).toDF("t", "k"))
+    def run(parts: Int) = TimeSeries.windowDistinctApprox(
+        ev.repartition(parts), "t", "k", sketchK = 64)
+      .collect().map(r => (r.getTimestamp(0).toString,
+        r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val got = run(1)
+    assert(got.length === 2)
+    assert(got(0) === (("2024-03-01 10:00:00.0", 3L, 10L)),
+      "below-k window must be exact")
+    val (_, est, n) = got(1)
+    assert(n === 2000L)
+    assert(math.abs(est - 2000.0) / 2000.0 < 0.39,
+      s"estimate $est vs true 2000 outside 3σ")
+    // the bottom-k set is a pure function of each window's key set
+    assert(run(7).toSeq === got.toSeq,
+      "KMV must be invariant to partition layout")
+  }
+
   test("transitionCounts drops null users and null types (r12)") {
     // null users previously merged into ONE window partition (bogus
     // cross-user transitions between unrelated anonymous events, plus a
