@@ -78,7 +78,7 @@ object Bench {
       "graph_pagerank", "emb_kmeans", "emb_covariance", "emb_coreset",
       "emb_random_projection", "emb_whitened",
       "q_maxsim_topk", "layout_zorder", "text_bpe_merges",
-      "dedup_cross_corpus", "events_moving_avg", "events_trending",
+      "dedup_cross_corpus", "dedup_overlap_kmv", "events_moving_avg", "events_trending",
       "streaming_heavy_hitters",
       "text_group_keywords", "snapshot_diff",
       "dedup_cosine_pairs", "dedup_semantic", "text_gopher_rules", "text_c4_rules",

@@ -136,6 +136,19 @@ private[graft] object SparkEntryDedup {
         "text", "doc_id", n = 8)
     }),
 
+    // ---- dedup: corpus-level overlap estimate by KMV set sketches —
+    // the one-pass "how much does B overlap A" gate you run BEFORE any
+    // cross-corpus join (same train/test split and 8-gram convention as
+    // dedup_contamination; every output an exact integer, DuckDB
+    // replays sketch + union + estimates bit-for-bit) ----
+    "dedup_overlap_kmv" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.corpusOverlapKmv(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "text", n = 8)
+    }),
+
     // ---- dedup: embedding-cosine near-dup pairs ----
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "embedding", "vec_id", 0.4)),
@@ -393,6 +406,49 @@ private[graft] object SparkEntryDedup {
         |SELECT test_id, n_grams,
         |  round(coalesce(n_hits, 0) * 1.0 / n_grams, 4) AS contamination
         |FROM tot LEFT JOIN hit USING (test_id)""".stripMargin,
+
+    // KMV overlap replay: same 8-token gram convention as
+    // dedup_contamination, the same md5-prefix hash and bottom-1024 as
+    // the profile_stats_approx oracle, then union re-trim + membership
+    // counts + HUGEINT estimates — integer arithmetic end to end.
+    "dedup_overlap_kmv" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+7], ' ') FOR i IN range(1, len(toks) - 6)]
+        |    END AS grams
+        |  FROM t),
+        |ha AS (SELECT DISTINCT CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) AS h
+        |       FROM (SELECT unnest(grams) AS g FROM sh WHERE doc_id % 10 <> 0)),
+        |ka AS (SELECT h FROM ha ORDER BY h LIMIT 1024),
+        |hb AS (SELECT DISTINCT CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) AS h
+        |       FROM (SELECT unnest(grams) AS g FROM sh WHERE doc_id % 10 = 0)),
+        |kb AS (SELECT h FROM hb ORDER BY h LIMIT 1024),
+        |ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) u
+        |       ORDER BY h LIMIT 1024),
+        |c AS (SELECT
+        |  (SELECT count(*) FROM ka) AS m_a, (SELECT max(h) FROM ka) AS hka,
+        |  (SELECT count(*) FROM kb) AS m_b, (SELECT max(h) FROM kb) AS hkb,
+        |  (SELECT count(*) FROM ku) AS m_union, (SELECT max(h) FROM ku) AS hku,
+        |  (SELECT count(*) FROM ku
+        |   WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)) AS n_both),
+        |e AS (SELECT *,
+        |  CASE WHEN m_union < 1024 THEN m_union
+        |    ELSE ((1023::HUGEINT << 60) // greatest(hku, 1))::BIGINT END AS est_union
+        |  FROM c)
+        |SELECT m_a,
+        |  CASE WHEN m_a < 1024 THEN m_a
+        |    ELSE ((1023::HUGEINT << 60) // greatest(hka, 1))::BIGINT END AS est_a,
+        |  m_b,
+        |  CASE WHEN m_b < 1024 THEN m_b
+        |    ELSE ((1023::HUGEINT << 60) // greatest(hkb, 1))::BIGINT END AS est_b,
+        |  m_union, est_union, n_both,
+        |  CASE WHEN m_union = 0 THEN 0
+        |    ELSE (n_both::HUGEINT * est_union // m_union)::BIGINT END AS est_inter,
+        |  CASE WHEN m_union = 0 THEN 0
+        |    ELSE (n_both::HUGEINT * 1000000 // m_union)::BIGINT END AS jaccard_e6
+        |FROM e""".stripMargin,
 
     // Mirror of dedup_contamination with the per-doc score on the TRAIN
     // side (benchmark-leak direction); same 8-token gram convention.

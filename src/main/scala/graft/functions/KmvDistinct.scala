@@ -45,22 +45,18 @@ import org.apache.spark.sql.types.{DataType, LongType}
  * the md5/conv chain belongs in a codegen projection upstream
  * (`KmvDistinct.kmvHash60`, same discipline as Profile.corrExact).
  */
-case class KmvDistinct(
-    child: Expression,
-    k: Int,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+/** The shared KMV skeleton — ONE definition of the sketch's state
+  * machine (bounded insert, merge, serde, input contract) so the two
+  * readouts below can never diverge; subclasses choose only WHAT to
+  * read off the retained set (`dataType`/`eval`) plus case-class
+  * plumbing. */
+sealed trait KmvAggregate
   extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
-
-  // floor 16: below that the (k−1)/h_k estimator's variance is useless
-  // and k=1 would degenerate to est=0; ceiling keeps serialize()'s
-  // 4 + k*8 length math in int range
-  require(k >= 16 && k <= (Int.MaxValue - 4) / 8,
-    s"k must be in [16, ${(Int.MaxValue - 4) / 8}], got $k")
+  def child: Expression
+  def k: Int
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case LongType => TypeCheckResult.TypeCheckSuccess
@@ -71,59 +67,40 @@ case class KmvDistinct(
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
 
-  private def insert(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
-    // the estimator divides by h_k assuming a uniform [0, 2^60) hash;
-    // out-of-domain input means the caller fed something other than
-    // kmvHash60 — a silently wrong estimate, so fail loudly instead
-    if (h < 0L || h > KmvDistinct.HashMax) throw new IllegalStateException(
-      s"$prettyName input $h outside the 60-bit hash domain - " +
-      "feed KmvDistinct.kmvHash60(col) (or an equivalent [0, 2^60) hash)")
-    if (buf.size < k) { buf.add(h); () }
-    else if (h < buf.last && buf.add(h)) { buf.pollLast(); () }
-  }
-
   override def update(
       buf: java.util.TreeSet[java.lang.Long],
       input: InternalRow): java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(input)
-    if (v != null) insert(buf, v.asInstanceOf[Long])
+    if (v != null) KmvDistinct.insert(buf, k, v.asInstanceOf[Long], prettyName)
     buf
   }
 
   override def merge(
       buf: java.util.TreeSet[java.lang.Long],
-      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
-    val it = other.iterator()
-    while (it.hasNext) insert(buf, it.next().longValue())
-    buf
-  }
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] =
+    KmvDistinct.mergeInto(buf, k, other, prettyName)
 
-  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
-    val m = buf.size
-    if (m < k) m.toLong
-    // h_k = 0 needs k distinct non-negative hashes all ≤ the max
-    // retained = 0 — impossible for k ≥ 2; max() is belt-and-braces so
-    // a (vanishingly unlikely) all-zero domain errors high, not ÷0
-    else ((BigInt(k - 1) << KmvDistinct.HashBits) /
-      BigInt(math.max(buf.last.longValue(), 1L))).toLong
-  }
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    KmvDistinct.ser(buf)
 
-  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 8)
-    bb.putInt(buf.size)
-    val it = buf.iterator()
-    while (it.hasNext) bb.putLong(it.next().longValue())
-    bb.array()
-  }
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
+    KmvDistinct.deser(bytes)
+}
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val buf = new java.util.TreeSet[java.lang.Long]()
-    var i = 0
-    while (i < n) { buf.add(bb.getLong); i += 1 }
-    buf
-  }
+case class KmvDistinct(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends KmvAggregate {
+
+  KmvDistinct.requireValidK(k)
+
+  override def dataType: DataType = LongType
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    KmvDistinct.estimate(buf.size, k,
+      if (buf.isEmpty) 0L else buf.last.longValue())
 
   override def withNewMutableAggBufferOffset(o: Int): KmvDistinct =
     copy(mutableAggBufferOffset = o)
@@ -132,6 +109,43 @@ case class KmvDistinct(
   override protected def withNewChildrenInternal(
       cs: IndexedSeq[Expression]): Expression = copy(child = cs.head)
   override def prettyName: String = "kmv_distinct"
+}
+
+/**
+ * The KMV sketch ITSELF — the k smallest distinct 60-bit hashes, as a
+ * sorted bigint array — for callers that combine sketches rather than
+ * read one estimate: set-operation estimators (union/intersection/
+ * Jaccard between corpora, see `Dedup.corpusOverlapKmv`) merge two
+ * retained sets and re-trim, which needs the hashes, not the scalar.
+ * Same state, same determinism contract as [[KmvDistinct]].
+ */
+case class KmvSet(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends KmvAggregate {
+
+  KmvDistinct.requireValidK(k)
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvSet =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvSet =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): Expression = copy(child = cs.head)
+  override def prettyName: String = "kmv_set"
 }
 
 object KmvDistinct {
@@ -146,6 +160,69 @@ object KmvDistinct {
   /** KMV distinct-count estimate of a 60-bit hash column (bigint). */
   def kmv_distinct(c: Column, k: Int = 1024): Column =
     column(KmvDistinct(toExpr(c), k).toAggregateExpression())
+
+  /** The retained bottom-k hash set itself, sorted ascending
+    * (array<bigint>) — for sketch-combining callers. */
+  def kmv_set(c: Column, k: Int = 1024): Column =
+    column(KmvSet(toExpr(c), k).toAggregateExpression())
+
+  // shared bounded-insert / merge / estimate / serde core for the two
+  // aggregates — ONE definition of the sketch's semantics
+  // floor 16: below that the (k−1)/h_k estimator's variance is useless
+  // and k=1 would degenerate to est=0; ceiling keeps serialize()'s
+  // 4 + k*8 length math in int range
+  private[functions] def requireValidK(k: Int): Unit =
+    require(k >= 16 && k <= (Int.MaxValue - 4) / 8,
+      s"k must be in [16, ${(Int.MaxValue - 4) / 8}], got $k")
+
+  private[functions] def insert(
+      buf: java.util.TreeSet[java.lang.Long], k: Int, h: Long,
+      name: String): Unit = {
+    // the estimator divides by h_k assuming a uniform [0, 2^60) hash;
+    // out-of-domain input means the caller fed something other than
+    // kmvHash60 — a silently wrong estimate, so fail loudly instead
+    if (h < 0L || h > HashMax) throw new IllegalStateException(
+      s"$name input $h outside the 60-bit hash domain - " +
+      "feed KmvDistinct.kmvHash60(col) (or an equivalent [0, 2^60) hash)")
+    if (buf.size < k) { buf.add(h); () }
+    else if (h < buf.last && buf.add(h)) { buf.pollLast(); () }
+  }
+
+  private[functions] def mergeInto(
+      buf: java.util.TreeSet[java.lang.Long], k: Int,
+      other: java.util.TreeSet[java.lang.Long],
+      name: String): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) insert(buf, k, it.next().longValue(), name)
+    buf
+  }
+
+  /** m < k → m exactly; else ⌊(k−1)·2⁶⁰ / h_k⌋ in exact integer
+    * arithmetic. h_k = 0 needs k distinct non-negative hashes all ≤ 0 —
+    * impossible for k ≥ 2; max() is belt-and-braces so a (vanishingly
+    * unlikely) all-zero domain errors high, not ÷0. */
+  def estimate(m: Int, k: Int, hk: Long): Long =
+    if (m < k) m.toLong
+    else ((BigInt(k - 1) << HashBits) / BigInt(math.max(hk, 1L))).toLong
+
+  private[functions] def ser(
+      buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next().longValue())
+    bb.array()
+  }
+
+  private[functions] def deser(
+      bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
 
   /** The 60-bit md5 hash of a column's string rendering — builtin
     * codegen expressions only (md5/substring/conv), exactly replayable

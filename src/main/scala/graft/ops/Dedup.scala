@@ -1130,6 +1130,65 @@ object Dedup {
   }
 
   /**
+   * Corpus-level overlap ESTIMATE between two corpora by KMV set
+   * sketches (Beyer et al. 2007, "On synopses for distinct-value
+   * estimation under multiset operations") — the one-pass answer to
+   * "how much does the new crawl overlap the old corpus?" BEFORE paying
+   * any cross-corpus join: each side's distinct word-n-gram set reduces
+   * to its k smallest 60-bit md5 hashes ([[graft.functions.KmvSet]]),
+   * and union/intersection/Jaccard derive from the two sketches alone.
+   *
+   * Estimators (K_U = bottom-k of K_A ∪ K_B, m_U = |K_U|):
+   *  - |A ∪ B| ≈ (k−1)·2⁶⁰/h_k(K_U) (exact = m_U when m_U < k),
+   *  - n_both = |{h ∈ K_U : h ∈ K_A ∧ h ∈ K_B}| — sound because
+   *    h ∈ K_U ∧ h ∈ S_A ⟹ h ∈ K_A (K_U's max ≤ K_A's max),
+   *  - Jaccard ≈ n_both/m_U (σ ≈ √(J(1−J)/k)), |A ∩ B| ≈ J·|A ∪ B|.
+   * All outputs are integers computed in exact BigInt arithmetic
+   * (jaccard scaled ×10⁶), so the result is bit-deterministic and
+   * DuckDB-replayable end-to-end — the sketch, the union re-trim, the
+   * membership counts, and the estimates.
+   *
+   * Scale shape: ONE pass per corpus — grams explode and hash inside
+   * the scan, per-partition partial state ≤ k longs, the only exchange
+   * carries ≤ k·8 B buffers per partition; the driver combines exactly
+   * two ≤ k-long arrays (16 KiB at k=1024). Text never shuffles; no
+   * cross-corpus join exists at any size. Compare [[ngramContamination]]
+   * (exact, per-document, pays a gram semi-join) — this is the cheap
+   * corpus-level gate you run first.
+   */
+  def corpusOverlapKmv(
+      a: DataFrame,
+      b: DataFrame,
+      textCol: String,
+      n: Int = 8,
+      k: Int = 1024): DataFrame = {
+    import graft.functions.KmvDistinct
+    def bottomK(df: DataFrame): Array[Long] = df
+      .select(explode(shingles(col(textCol), n)).as("g"))
+      .select(KmvDistinct.kmvHash60(col("g")).as("h"))
+      .agg(KmvDistinct.kmv_set(col("h"), k))
+      .head().getSeq[Long](0).toArray
+    val ka = bottomK(a)
+    val kb = bottomK(b)
+    val kaS = ka.toSet
+    val kbS = kb.toSet
+    val ku = (kaS ++ kbS).toArray.sorted.take(k)
+    def est(s: Array[Long]): Long =
+      KmvDistinct.estimate(s.length, k, if (s.isEmpty) 0L else s.last)
+    val mU = ku.length.toLong
+    val nBoth = ku.count(h => kaS(h) && kbS(h)).toLong
+    val estU = est(ku)
+    val estI = if (mU == 0) 0L else (BigInt(nBoth) * BigInt(estU) / BigInt(mU)).toLong
+    val jacE6 = if (mU == 0) 0L else (BigInt(nBoth) * 1000000 / BigInt(mU)).toLong
+    val spark = a.sparkSession
+    import spark.implicits._
+    Seq((ka.length.toLong, est(ka), kb.length.toLong, est(kb),
+      mU, estU, nBoth, estI, jacE6))
+      .toDF("m_a", "est_a", "m_b", "est_b", "m_union", "est_union",
+        "n_both", "est_inter", "jaccard_e6")
+  }
+
+  /**
    * Substring-level duplication profile (the signal behind suffix-array
    * corpus dedup, Lee et al. 2022 "Deduplicating Training Data Makes
    * Language Models Better" — public literature): for each document, how

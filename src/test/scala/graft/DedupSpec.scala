@@ -16,6 +16,32 @@ class DedupSpec extends SparkSuite {
     (6L, "dog lazy the over jumps fox brown quick the")            // permutation of 1
   ).toDF("doc_id", "text"))
 
+  test("corpusOverlapKmv: exact arm equals set arithmetic; estimate arm within 3σ") {
+    // below k every output is EXACT set arithmetic over the gram sets:
+    // A = {"a b c", "x y z"}, B = {"a b c", "p q r"} (3-token docs stay
+    // single grams at n=8) ⇒ union 3, intersection 1, J = 1/3
+    val a = withLogLevel(Seq("a b c", "x y z").toDF("text"))
+    val b = withLogLevel(Seq("a b c", "p q r").toDF("text"))
+    val r = Dedup.corpusOverlapKmv(a, b, "text").head()
+    assert((r.getLong(0), r.getLong(2), r.getLong(4), r.getLong(6)) ===
+      ((2L, 2L, 3L, 1L)), r.toString)
+    assert(r.getLong(1) === 2L && r.getLong(3) === 2L && r.getLong(5) === 3L)
+    assert(r.getLong(7) === 1L)               // est_inter = 1·3/3
+    assert(r.getLong(8) === 333333L)          // floor(1e6/3)
+    // estimate arm: 5000 vs 5000 single-gram docs sharing 2500
+    // ⇒ true J = 2500/7500 = 1/3; k=256 ⇒ σ(J) ≈ √(J(1−J)/k) ≈ 0.029
+    val big1 = withLogLevel(
+      spark.range(0, 5000).selectExpr("concat('g', id) as text"))
+    val big2 = withLogLevel(
+      spark.range(2500, 7500).selectExpr("concat('g', id) as text"))
+    val e = Dedup.corpusOverlapKmv(big1, big2, "text", k = 256).head()
+    val j = e.getLong(8) / 1e6
+    assert(math.abs(j - 1.0 / 3) < 0.09, s"jaccard $j vs 1/3 outside 3σ")
+    assert(math.abs(e.getLong(5) - 7500.0) / 7500.0 < 0.20,
+      s"union est ${e.getLong(5)} vs 7500")
+    assert(e.getLong(7) <= e.getLong(5), "intersection ≤ union")
+  }
+
   test("exact dedup groups identical content, keeps min id") {
     val r = Dedup.exact(docs, "text", "doc_id").collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))

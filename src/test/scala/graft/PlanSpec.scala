@@ -62,6 +62,35 @@ class PlanSpec extends SparkSuite {
       s"the only exchange must carry capacity-bounded buffers:\n$p")
   }
 
+  test("windowed KMV distinct shuffles ONCE, on the window key only") {
+    // the exact twin pays two exchanges (dedup level on (w, key), count
+    // level on w); the sketch twin's whole point is ONE exchange whose
+    // rows are ≤ k-long KMV buffers per (window, partition) — the key
+    // column itself must never reach a shuffle
+    val p = plan("events_window_distinct_approx")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("kmv_distinct"), p)
+    assert(countOccurrences(p, "Exchange") == 1,
+      s"one bounded-buffer exchange expected:\n$p")
+    val exact = plan("events_window_distinct")
+    assert(countOccurrences(exact, "Exchange") == 2,
+      s"exact twin keeps the two-level shape:\n$exact")
+  }
+
+  test("KMV profile stays one corpus pass with the hash chain in the scan projection") {
+    val p = plan("profile_stats_approx")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("kmv_distinct"), p)
+    // one corpus scan; the single exchange carries four ≤ 8 KiB sketch
+    // buffers + scalar partials per map task, never rows
+    assert(p.linesIterator.count(_.contains("Scan")) <= 1,
+      s"profile must be one pass:\n$p")
+    assert(countOccurrences(p, "Exchange") == 1, p)
+    // md5/conv run codegen'd below the aggregate, not interpreted per
+    // row inside it (TypedImperativeAggregate children are interpreted)
+    assert(p.contains("md5"), p)
+  }
+
   test("interleave joins its driver verdicts by broadcast; no sort-merge") {
     val p = plan("split_interleave")
     assert(p.contains("BroadcastHashJoin"), p)
