@@ -3,10 +3,11 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.functions.{conv, md5, substring}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * KMV (k-minimum-values) distinct-count estimate over a pre-hashed
@@ -42,7 +43,7 @@ import org.apache.spark.sql.types.{DataType, LongType}
  *
  * The child must be the 60-bit hash ALREADY computed — a
  * TypedImperativeAggregate evaluates its child interpreted per row, so
- * the md5/conv chain belongs in a codegen projection upstream
+ * the md5 kernel belongs in a codegen projection upstream
  * (`KmvDistinct.kmvHash60`, same discipline as Profile.corrExact).
  */
 /** The shared KMV skeleton — ONE definition of the sketch's state
@@ -224,13 +225,83 @@ object KmvDistinct {
     buf
   }
 
-  /** The 60-bit md5 hash of a column's string rendering — builtin
-    * codegen expressions only (md5/substring/conv), exactly replayable
-    * in DuckDB (verified char-identical: Spark's `cast(x as string)` ≡
-    * DuckDB's `CAST(x AS VARCHAR)` for integers and strings — the
-    * portable key types; both md5s are RFC 1321 over UTF-8,
-    * `conv(hex, 16, 10)` ≡ `CAST('0x'||hex AS BIGINT)` at ≤ 15 hex
-    * chars). Null propagates (null value → null hash → skipped). */
-  def kmvHash60(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+  /** The 60-bit md5 hash of a column's string rendering, as a native
+    * codegen expression ([[KmvHash60]]) — exactly replayable in DuckDB
+    * as `CAST('0x' || substring(md5(CAST(x AS VARCHAR)), 1, 15) AS
+    * BIGINT)`: integer columns render as their decimal digits (Java's
+    * `Long.toString` ≡ both engines' casts), strings hash their UTF-8
+    * bytes, both md5s are RFC 1321, and the top 60 bits of the first 8
+    * digest bytes equal the first-15-hex-chars integer (pinned against
+    * an independent MessageDigest in KmvDistinctSpec). Null propagates
+    * (null value → null hash → skipped by the aggregates).
+    *
+    * Why not the builtin `conv(substring(md5(cast(...))))` chain it
+    * replaces (r14, measured): that chain allocates a hex UTF8String +
+    * a conv decimal string per row per column — the projection alone
+    * cost ~2 s of the KMV profile's sf0.1 wall; this kernel is one
+    * thread-local MessageDigest call and bit arithmetic. */
+  def kmvHash60(c: Column): Column = column(KmvHash60(toExpr(c)))
+}
+
+/**
+ * Native codegen form of the KMV input hash: the 60-bit integer whose
+ * hex form is the first 15 chars of md5 over the value's string
+ * rendering. Accepts bigint/int (decimal-digit rendering — identical
+ * to both engines' cast-to-string) and string (raw UTF-8 bytes); cast
+ * other types to string explicitly so the cross-engine rendering is a
+ * visible choice, not an accident.
+ */
+case class KmvHash60(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, int, or string input, got ${other.sql}" +
+      " - cast to string to pick the rendering explicitly")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any): Any = child.dataType match {
+    case StringType => KmvHash60Kernels.hash60Utf8(a.asInstanceOf[UTF8String])
+    case IntegerType => KmvHash60Kernels.hash60Long(a.asInstanceOf[Int].toLong)
+    case _ => KmvHash60Kernels.hash60Long(a.asInstanceOf[Long])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.dataType match {
+      case StringType => defineCodeGen(ctx, ev,
+        x => s"graft.functions.KmvHash60Kernels.hash60Utf8($x)")
+      // int widens to long in the generated Java call - same digits
+      case _ => defineCodeGen(ctx, ev,
+        x => s"graft.functions.KmvHash60Kernels.hash60Long($x)")
+    }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "kmv_hash60"
+}
+
+/** Per-row kernels for [[KmvHash60]] — a standalone object (no
+  * companion class) so Scala emits static forwarders the generated
+  * Java can call. One thread-local MessageDigest, reused per row. */
+object KmvHash60Kernels {
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Hash of the long's decimal rendering ("2400", "-5", …). */
+  def hash60Long(v: Long): Long =
+    digest60(java.lang.Long.toString(v)
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+
+  /** Hash of the string's UTF-8 bytes (what md5(string) hashes). */
+  def hash60Utf8(s: UTF8String): Long = digest60(s.getBytes)
+
+  // top 60 bits of the first 8 digest bytes == int(md5hex[0:15], 16):
+  // hex chars 0..14 are bytes 0..6 plus the HIGH nibble of byte 7,
+  // which is exactly the big-endian 64-bit read shifted right by 4
+  private def digest60(bytes: Array[Byte]): Long = {
+    val md = md5.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
 }

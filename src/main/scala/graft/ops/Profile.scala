@@ -87,7 +87,7 @@ object Profile {
           col("mn"), col("mx"))
     } else {
       // the KMV child must be a bare column ref (TypedImperativeAggregate
-      // evaluates children interpreted per row) — the round/md5/conv hash
+      // evaluates children interpreted per row) — the round + md5-kernel hash
       // chain runs in this codegen projection, fused into the scan
       val hashed = df.select(
         cols.map(c => col(c)) ++ cols.map(c =>

@@ -86,9 +86,9 @@ class PlanSpec extends SparkSuite {
     assert(p.linesIterator.count(_.contains("Scan")) <= 1,
       s"profile must be one pass:\n$p")
     assert(countOccurrences(p, "Exchange") == 1, p)
-    // md5/conv run codegen'd below the aggregate, not interpreted per
-    // row inside it (TypedImperativeAggregate children are interpreted)
-    assert(p.contains("md5"), p)
+    // the md5 kernel runs codegen'd below the aggregate, not interpreted
+    // per row inside it (TypedImperativeAggregate children are interpreted)
+    assert(p.contains("kmv_hash60"), p)
   }
 
   test("interleave joins its driver verdicts by broadcast; no sort-merge") {
