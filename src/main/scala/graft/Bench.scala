@@ -67,6 +67,7 @@ object Bench {
       "q_pq_topk", "q_ivfpq_topk", "dedup_spans", "dedup_subsets",
       "join_asof", "join_range", "emb_centroids", "events_retention",
       "agg_rollup", "agg_promo_share", "profile_stats", "profile_stats_approx",
+      "profile_stats_approx_int", "profile_stats_hll",
       "text_lm_score", "text_lm_cross", "q_mmr_rerank", "emb_outliers",
       "split_temperature", "text_packing", "join_asof_fwd", "events_funnel",
       "profile_quantiles", "profile_quantiles_approx",
@@ -78,7 +79,8 @@ object Bench {
       "graph_pagerank", "emb_kmeans", "emb_covariance", "emb_coreset",
       "emb_random_projection", "emb_whitened",
       "q_maxsim_topk", "layout_zorder", "text_bpe_merges",
-      "dedup_cross_corpus", "dedup_overlap_kmv", "events_moving_avg", "events_trending",
+      "dedup_cross_corpus", "dedup_overlap_kmv", "dedup_overlap_kmv_stored",
+      "events_moving_avg", "events_trending",
       "streaming_heavy_hitters",
       "text_group_keywords", "snapshot_diff",
       "dedup_cosine_pairs", "dedup_semantic", "text_gopher_rules", "text_c4_rules",
@@ -108,8 +110,23 @@ object Bench {
     val sweep = headline.filter(n => only.forall(_.contains(n)))
     if (sweep.nonEmpty) results("ambient_control_pre") = sparkControl()
 
+    // Bench-only timed queries (NOT gate entries): the HLL sketch tier
+    // (r15 knob) isn't cross-engine-replayable, so it cannot carry a
+    // strict oracle — it's measured here against its KMV sibling to
+    // record the production-path trade (≈2 KiB HLL registers vs 8 KiB
+    // KMV state; no hash projection) without adding a rows-only census
+    // entry.
+    val benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "profile_stats_hll" -> ((s, dir) =>
+        graft.ops.Profile.numericProfile(
+          GateSupport.t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+          exact = false, sketch = "hll")))
+    def benchQuery(name: String) =
+      SparkEntry.queries.get(name).orElse(benchOnlyQueries.get(name))
+
     sweep.foreach { name =>
-      SparkEntry.queries.get(name).foreach { fn =>
+      benchQuery(name).foreach { fn =>
         try {
           // warmup: codegen compile, parquet footers, JIT — not the query
           val w0 = System.nanoTime()
@@ -168,7 +185,7 @@ object Bench {
     }.take(12) // bound the pass; 12 covers every historical incident
     val retimed = scala.collection.mutable.LinkedHashMap[String, Double]()
     flagged.foreach { name =>
-      SparkEntry.queries.get(name).foreach { fn =>
+      benchQuery(name).foreach { fn =>
         try {
           // untimed warmup (plan/JIT re-entry), then the sweep's own
           // GC-barrier + adaptive-rep median protocol: 5 samples for
@@ -376,6 +393,33 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] big_$n failed: ${e.getMessage}")
           results(s"chromem_query_${n}_d${bigD}_k10_big") = -1.0
+      }
+    }
+
+    // ---- opt-in int8 big tier (SPARK_GRAFT_BIG_Q8=<n>[,<n>...]) ----
+    // The quantized packed-slab scan ([[Int8VectorIndex]]) at scale:
+    // 1 byte/element means 10M×1536 is ~15 GiB of slabs — the full-
+    // dimension decade point the f32 ladder cannot reach on this heap
+    // (61 GiB), on the tier a 100 TB deployment actually scans first.
+    // Comma-separated sizes run as one ladder in one process (each
+    // tier tears down blocking before the next). Same heap guard shape
+    // as the f32 tiers (bytes×3 headroom).
+    sys.env.get("SPARK_GRAFT_BIG_Q8").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .map(_.toInt).foreach { n =>
+      val bigD = sys.env.get("SPARK_GRAFT_BIG_D").map(_.toInt)
+        .filter(_ > 0).getOrElse(1536)
+      if (n.toLong * bigD * 3 > Runtime.getRuntime.maxMemory())
+        System.err.println(s"[bench] big_q8_$n SKIPPED: needs ~${
+          n.toLong * bigD * 3 / (1L << 30)} GiB heap, max is ${
+          Runtime.getRuntime.maxMemory() / (1L << 30)} GiB")
+      else try {
+        results ++= bigCorpusQ8(spark, n, batches = 5, dim = bigD)
+        System.gc() // slab-teardown barrier before the next ladder point
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] big_q8_$n failed: ${e.getMessage}")
+          results(s"chromem_query_${n}_d${bigD}_k10_q8_big") = -1.0
       }
     }
 
@@ -726,9 +770,17 @@ object Bench {
         out(s"chromem_build_${n}_d${d}_big_gcsec") = buildGc
         (1 to 2).foreach { _ => idx.topK(qvec(), 10); ctrlIdx.topK(qvec(), 10) }
         val batch = 3
-        def measure(): (Double, Double) = {
+        // (big median, ctrl median, big max/min spread, GC sec in the
+        // whole query window) — r15 instrumentation for the 1M point's
+        // unexplained 75→154 ms window-over-window swing: the spread
+        // separates within-window batch variance from between-window
+        // drift, and the GC share says whether collection pauses inside
+        // the timed batches are the mechanism (the builds have had this
+        // since r12; the queries never did)
+        def measure(): (Double, Double, Double, Double) = {
           val bigS = scala.collection.mutable.ArrayBuffer[Double]()
           val ctrlS = scala.collection.mutable.ArrayBuffer[Double]()
+          val g0 = gcSec()
           (1 to batches).foreach { _ =>
             System.gc()
             var t = System.nanoTime()
@@ -738,17 +790,23 @@ object Bench {
             (1 to batch).foreach(_ => ctrlIdx.topK(qvec(), 10))
             ctrlS += (System.nanoTime() - t) / 1e9 / batch
           }
-          (bigS.sorted.apply(batches / 2), ctrlS.sorted.apply(batches / 2))
+          (bigS.sorted.apply(batches / 2), ctrlS.sorted.apply(batches / 2),
+            bigS.max / math.max(bigS.min, 1e-9), gcSec() - g0)
         }
-        var (bigV, ctrlV) = measure()
+        var (bigV, ctrlV, bigSpread, bigQGc) = measure()
         if (ctrlBaseline.exists(b => ctrlV > b * 1.3)) {
           out(s"chromem_query_${n}_d${d}_k10_big_firstpass") = bigV
           out(s"chromem_query_${n}_d${d}_k10_big_ctrl_firstpass") = ctrlV
+          out(s"chromem_query_${n}_d${d}_k10_big_firstpass_spread") = bigSpread
+          out(s"chromem_query_${n}_d${d}_k10_big_firstpass_gcsec") = bigQGc
           System.gc()
-          val r = measure(); bigV = r._1; ctrlV = r._2
+          val r = measure()
+          bigV = r._1; ctrlV = r._2; bigSpread = r._3; bigQGc = r._4
         }
         out(s"chromem_query_${n}_d${d}_k10_big") = bigV
         out(s"chromem_query_${n}_d${d}_k10_big_ctrl") = ctrlV
+        out(s"chromem_query_${n}_d${d}_k10_big_spread") = bigSpread
+        out(s"chromem_query_${n}_d${d}_k10_big_gcsec") = bigQGc
       } finally {
         // blocking: the NEXT tier's build must not absorb this tier's
         // asynchronous slab eviction (r9's uncontrolled 250k window)
@@ -757,6 +815,97 @@ object Bench {
     } finally {
       ctrlIdx.unpersist(blocking = true)
     }
+    out.toMap
+  }
+
+  /** Opt-in int8 packed-slab big tier: generate + quantize the same
+    * seeded corpus as [[bigCorpus]], build an [[graft.ops.Int8VectorIndex]]
+    * (forceDistributed — executor-resident byte slabs, the at-scale
+    * path), and measure the top-k scan with the f32 tiers' full
+    * protocol: pre/post interleaved 25k q8 control, GC-barriered
+    * batched medians, in-window spread and GC share. Keys carry `q8`
+    * so they never collide with f32 baselines. */
+  private def bigCorpusQ8(
+      spark: SparkSession, n: Int, batches: Int,
+      dim: Int = 1536): Map[String, Double] = {
+    import spark.implicits._
+    import graft.ops.{Int8VectorIndex, Quantize}
+    val d = dim
+    val parts = spark.sparkContext.defaultParallelism
+    def corpus(rows: Int): DataFrame = spark.range(0, rows.toLong, 1, parts)
+      .mapPartitions { it =>
+        it.map { id =>
+          val rnd = new java.util.Random(42L + id)
+          val v = Array.fill(d)(rnd.nextFloat() * 2f - 1f)
+          (id, graft.functions.VectorFunctions.normalize(v))
+        }
+      }.toDF("id", "embedding")
+    def quantized(rows: Int): DataFrame =
+      Quantize.quantize(corpus(rows), "embedding")
+        .select(col("id"), col("qvec"), col("qscale"))
+    val qrnd = new java.util.Random(7L)
+    def qvec(): Array[Float] =
+      graft.functions.VectorFunctions.normalize(
+        Array.fill(d)(qrnd.nextFloat() * 2f - 1f))
+    def gcSec(): Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+    }
+    val out = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val ctrlIdx = Int8VectorIndex
+      .build[Long](quantized(25000), "id", "qvec", "qscale", d,
+        math.max(1, math.min(parts, 25000 / 6144)))
+      .persist().materialize()
+    try {
+      def ctrlMedian(): Double = {
+        (1 to 2).foreach(_ => ctrlIdx.topK(qvec(), 10))
+        val s = (1 to 3).map { _ =>
+          val t = System.nanoTime()
+          ctrlIdx.topK(qvec(), 10)
+          (System.nanoTime() - t) / 1e9
+        }.sorted
+        s(1)
+      }
+      out(s"chromem_query_${n}_d${d}_k10_q8_big_ctrl_pre") = ctrlMedian()
+      // datagen+quantize pass WITHOUT packing, so the build number
+      // decomposes into synthesis+quantization vs slab materialization
+      val t0 = System.nanoTime()
+      quantized(n).select(xxhash64(col("qvec")).as("h"))
+        .agg(max(col("h"))).head()
+      out(s"chromem_datagen_${n}_d${d}_q8_big") = (System.nanoTime() - t0) / 1e9
+      System.gc()
+      val g0 = gcSec()
+      val tb = System.nanoTime()
+      val idx = Int8VectorIndex
+        .build[Long](quantized(n), "id", "qvec", "qscale", d, parts)
+        .persist().materialize(forceDistributed = true)
+      out(s"chromem_build_${n}_d${d}_q8_big") = (System.nanoTime() - tb) / 1e9
+      out(s"chromem_build_${n}_d${d}_q8_big_gcsec") = gcSec() - g0
+      try {
+        (1 to 2).foreach { _ => idx.topK(qvec(), 10); ctrlIdx.topK(qvec(), 10) }
+        val batch = 3
+        val bigS = scala.collection.mutable.ArrayBuffer[Double]()
+        val ctrlS = scala.collection.mutable.ArrayBuffer[Double]()
+        val gq0 = gcSec()
+        (1 to batches).foreach { _ =>
+          System.gc()
+          var t = System.nanoTime()
+          (1 to batch).foreach(_ => idx.topK(qvec(), 10))
+          bigS += (System.nanoTime() - t) / 1e9 / batch
+          t = System.nanoTime()
+          (1 to batch).foreach(_ => ctrlIdx.topK(qvec(), 10))
+          ctrlS += (System.nanoTime() - t) / 1e9 / batch
+        }
+        out(s"chromem_query_${n}_d${d}_k10_q8_big") =
+          bigS.sorted.apply(batches / 2)
+        out(s"chromem_query_${n}_d${d}_k10_q8_big_ctrl") =
+          ctrlS.sorted.apply(batches / 2)
+        out(s"chromem_query_${n}_d${d}_k10_q8_big_spread") =
+          bigS.max / math.max(bigS.min, 1e-9)
+        out(s"chromem_query_${n}_d${d}_k10_q8_big_gcsec") = gcSec() - gq0
+      } finally idx.unpersist(blocking = true)
+    } finally ctrlIdx.unpersist(blocking = true)
     out.toMap
   }
 
@@ -889,8 +1038,22 @@ object Bench {
       //    designed answer to exactly this decode tax (deserialized
       //    primitive slabs, zero per-query decode).
       val cached = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+      // r15 successor candidate for the scan_floor yardstick (which
+      // moved 4-8× across r14 windows while every sibling control sat
+      // flat): a FIXED-WORK primitive decode probe — 20M cached longs,
+      // summed through InMemoryTableScan's VECTORIZED primitive reader,
+      // no ArrayType buffer→row copy. If the volatility is specific to
+      // the ArrayType decode path (allocation-heavy, GC-coupled), this
+      // probe stays flat and becomes the family's normalizer next
+      // round; if it moves too, the volatility is cache-scan bandwidth
+      // itself (co-tenant memory pressure) and NO cached-frame control
+      // can normalize the family. scan_floor keeps its key this round
+      // for continuity either way.
+      val cachedPrim = spark.range(0L, 20000000L, 1L, parts)
+        .selectExpr("id AS v").persist(StorageLevel.MEMORY_AND_DISK)
       try {
       cached.count()
+      cachedPrim.agg(sum(col("v"))).collect()
       val dfQueries = queries * 2
       (1 to 5).foreach { _ =>
         VectorSearch.topK(cached, "embedding", qvec(), 10, "id").collect()
@@ -904,7 +1067,7 @@ object Bench {
       // more than the number. Three GC-barriered blocks, median; the
       // spread ships with the artifact so an outlier window labels
       // itself instead of silently re-aiming the 2× retry trigger.
-      def measureDfFamily(): (Double, Double, Double, Double) = {
+      def measureDfFamily(): (Double, Double, Double, Double, Double, Double) = {
         System.gc()
         var dfSec = 0.0
         var packedSec = 0.0
@@ -926,8 +1089,19 @@ object Bench {
         val floors = (1 to 3).map { _ =>
           System.gc(); floorBlock(math.max(3, dfQueries / 2))
         }.sorted
+        // fixed-work primitive probe, same median-of-3-blocks protocol,
+        // measured in the SAME window as the floor it may replace
+        def primBlock(reps: Int): Double = {
+          val t0p = System.nanoTime()
+          (1 to reps).foreach(_ => cachedPrim.agg(sum(col("v"))).collect())
+          (System.nanoTime() - t0p) / 1e9 / reps
+        }
+        val prims = (1 to 3).map { _ =>
+          System.gc(); primBlock(math.max(3, dfQueries / 2))
+        }.sorted
         (dfSec / dfQueries, packedSec / dfQueries, floors(1),
-          floors(2) / math.max(floors(0), 1e-9))
+          floors(2) / math.max(floors(0), 1e-9), prims(1),
+          prims(2) / math.max(prims(0), 1e-9))
       }
       // In-family adjudication, TWO triggers (the r10 artifact recorded
       // 238 ms over a CLEAN 15 ms packed control — the packed control
@@ -945,7 +1119,8 @@ object Bench {
       // Re-measure once, keep the first attempt visible under
       // *_firstpass (scan_floor included — the adjudication yardstick
       // must come from the same window as the number it judges).
-      var (dfV, dfCtrlV, floorV, floorSpread) = measureDfFamily()
+      var (dfV, dfCtrlV, floorV, floorSpread, primV, primSpread) =
+        measureDfFamily()
       if (dfCtrlV > out(s"chromem_query_${n}_d1536_k10") * 1.3 ||
           (floorV > 0 && dfV > floorV * 2.0)) {
         out(s"chromem_query_${n}_d1536_k10_dataframe_firstpass") = dfV
@@ -954,17 +1129,24 @@ object Bench {
         // the spread too: the poisoned first window is exactly the one
         // the spread exists to label
         out(s"chromem_query_${n}_d1536_k10_scan_floor_spread_firstpass") = floorSpread
+        out(s"chromem_query_${n}_d1536_k10_decode_floor_prim_firstpass") = primV
         val r = measureDfFamily()
         dfV = r._1; dfCtrlV = r._2; floorV = r._3; floorSpread = r._4
+        primV = r._5; primSpread = r._6
       }
       out(s"chromem_query_${n}_d1536_k10_dataframe") = dfV
       out(s"chromem_query_${n}_d1536_k10_packed_interleaved") = dfCtrlV
       out(s"chromem_query_${n}_d1536_k10_scan_floor") = floorV
       out(s"chromem_query_${n}_d1536_k10_scan_floor_spread") = floorSpread
+      out(s"chromem_query_${n}_d1536_k10_decode_floor_prim") = primV
+      out(s"chromem_query_${n}_d1536_k10_decode_floor_prim_spread") = primSpread
       // blocking: this ~600 MB columnar cache draining asynchronously
       // under the 250k build was the likely cause of r9's uncontrolled
       // 2.6× regression on that tier
-      } finally cached.unpersist(blocking = true)
+      } finally {
+        cached.unpersist(blocking = true)
+        cachedPrim.unpersist(blocking = true)
+      }
     }
     } finally idx.unpersist(blocking = true)
     out.toMap

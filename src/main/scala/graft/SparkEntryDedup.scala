@@ -149,6 +149,21 @@ private[graft] object SparkEntryDedup {
         "text", n = 8)
     }),
 
+    // ---- dedup: the SAME overlap estimate against a STORED corpus
+    // sketch (r15): the train side's 8 KiB sketch is built + persisted
+    // once per dir (KmvSketchStore, the TermIndex pattern) and read
+    // back through the durable parquet layout; the gate call then scans
+    // only the test batch. The sketch is a pure function of the corpus,
+    // so the output — and the oracle — are identical to
+    // dedup_overlap_kmv; at 100 TB this halves every batch-overlap
+    // check (the stored corpus is never rescanned). ----
+    "dedup_overlap_kmv_stored" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.corpusOverlapKmvStored(
+        docs.filter(col("doc_id") % 10 === 0),
+        "text", storedCorpusSketch(s, dir))
+    }),
+
     // ---- dedup: embedding-cosine near-dup pairs ----
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "embedding", "vec_id", 0.4)),
@@ -200,6 +215,53 @@ private[graft] object SparkEntryDedup {
       Dedup.duplicatedSpans(t(s, dir, "documents"), "text", "doc_id", n = 8))
 
   )
+
+  // KMV overlap oracle, shared by the fresh-sketch and stored-sketch
+  // gate entries (identical outputs by construction).
+  private val overlapKmvSql: String =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+7], ' ') FOR i IN range(1, len(toks) - 6)]
+        |    END AS grams
+        |  FROM t),
+        |ha AS (SELECT DISTINCT CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) AS h
+        |       FROM (SELECT unnest(grams) AS g FROM sh WHERE doc_id % 10 <> 0)),
+        |ka AS (SELECT h FROM ha ORDER BY h LIMIT 1024),
+        |hb AS (SELECT DISTINCT CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) AS h
+        |       FROM (SELECT unnest(grams) AS g FROM sh WHERE doc_id % 10 = 0)),
+        |kb AS (SELECT h FROM hb ORDER BY h LIMIT 1024),
+        |ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) u
+        |       ORDER BY h LIMIT 1024),
+        |c AS (SELECT
+        |  (SELECT count(*) FROM ka) AS m_a, (SELECT max(h) FROM ka) AS hka,
+        |  (SELECT count(*) FROM kb) AS m_b, (SELECT max(h) FROM kb) AS hkb,
+        |  (SELECT count(*) FROM ku) AS m_union, (SELECT max(h) FROM ku) AS hku,
+        |  (SELECT count(*) FROM ku
+        |   WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)) AS n_both,
+        |  (SELECT count(*) FROM ku WHERE h IN (SELECT h FROM ka)) AS n_a_in_u,
+        |  (SELECT count(*) FROM ku WHERE h IN (SELECT h FROM kb)) AS n_b_in_u),
+        |e AS (SELECT *,
+        |  CASE WHEN m_union < 1024 THEN m_union
+        |    ELSE ((1023::HUGEINT << 60) // greatest(hku, 1))::BIGINT END AS est_union
+        |  FROM c)
+        |SELECT m_a,
+        |  CASE WHEN m_a < 1024 THEN m_a
+        |    ELSE ((1023::HUGEINT << 60) // greatest(hka, 1))::BIGINT END AS est_a,
+        |  m_b,
+        |  CASE WHEN m_b < 1024 THEN m_b
+        |    ELSE ((1023::HUGEINT << 60) // greatest(hkb, 1))::BIGINT END AS est_b,
+        |  m_union, est_union, n_both,
+        |  CASE WHEN m_union = 0 THEN 0
+        |    ELSE (n_both::HUGEINT * est_union // m_union)::BIGINT END AS est_inter,
+        |  CASE WHEN m_union = 0 THEN 0
+        |    ELSE (n_both::HUGEINT * 1000000 // m_union)::BIGINT END AS jaccard_e6,
+        |  CASE WHEN n_a_in_u = 0 THEN 0
+        |    ELSE (n_both::HUGEINT * 1000000 // n_a_in_u)::BIGINT END AS cont_a_in_b_e6,
+        |  CASE WHEN n_b_in_u = 0 THEN 0
+        |    ELSE (n_both::HUGEINT * 1000000 // n_b_in_u)::BIGINT END AS cont_b_in_a_e6
+        |FROM e""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -411,44 +473,12 @@ private[graft] object SparkEntryDedup {
     // dedup_contamination, the same md5-prefix hash and bottom-1024 as
     // the profile_stats_approx oracle, then union re-trim + membership
     // counts + HUGEINT estimates — integer arithmetic end to end.
-    "dedup_overlap_kmv" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
-        |         ELSE [array_to_string(toks[i:i+7], ' ') FOR i IN range(1, len(toks) - 6)]
-        |    END AS grams
-        |  FROM t),
-        |ha AS (SELECT DISTINCT CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) AS h
-        |       FROM (SELECT unnest(grams) AS g FROM sh WHERE doc_id % 10 <> 0)),
-        |ka AS (SELECT h FROM ha ORDER BY h LIMIT 1024),
-        |hb AS (SELECT DISTINCT CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) AS h
-        |       FROM (SELECT unnest(grams) AS g FROM sh WHERE doc_id % 10 = 0)),
-        |kb AS (SELECT h FROM hb ORDER BY h LIMIT 1024),
-        |ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) u
-        |       ORDER BY h LIMIT 1024),
-        |c AS (SELECT
-        |  (SELECT count(*) FROM ka) AS m_a, (SELECT max(h) FROM ka) AS hka,
-        |  (SELECT count(*) FROM kb) AS m_b, (SELECT max(h) FROM kb) AS hkb,
-        |  (SELECT count(*) FROM ku) AS m_union, (SELECT max(h) FROM ku) AS hku,
-        |  (SELECT count(*) FROM ku
-        |   WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)) AS n_both),
-        |e AS (SELECT *,
-        |  CASE WHEN m_union < 1024 THEN m_union
-        |    ELSE ((1023::HUGEINT << 60) // greatest(hku, 1))::BIGINT END AS est_union
-        |  FROM c)
-        |SELECT m_a,
-        |  CASE WHEN m_a < 1024 THEN m_a
-        |    ELSE ((1023::HUGEINT << 60) // greatest(hka, 1))::BIGINT END AS est_a,
-        |  m_b,
-        |  CASE WHEN m_b < 1024 THEN m_b
-        |    ELSE ((1023::HUGEINT << 60) // greatest(hkb, 1))::BIGINT END AS est_b,
-        |  m_union, est_union, n_both,
-        |  CASE WHEN m_union = 0 THEN 0
-        |    ELSE (n_both::HUGEINT * est_union // m_union)::BIGINT END AS est_inter,
-        |  CASE WHEN m_union = 0 THEN 0
-        |    ELSE (n_both::HUGEINT * 1000000 // m_union)::BIGINT END AS jaccard_e6
-        |FROM e""".stripMargin,
+    "dedup_overlap_kmv" -> overlapKmvSql,
+
+    // the stored-sketch path replays against the SAME SQL: the persisted
+    // corpus-side sketch is a pure function of the corpus, so sketching
+    // both sides fresh and reading one side from disk are bit-identical
+    "dedup_overlap_kmv_stored" -> overlapKmvSql,
 
     // Mirror of dedup_contamination with the per-doc score on the TRAIN
     // side (benchmark-leak direction); same 8-token gram convention.

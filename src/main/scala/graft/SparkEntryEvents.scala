@@ -309,7 +309,7 @@ private[graft] object SparkEntryEvents {
         |  count(DISTINCT user_id) AS n_distinct,
         |  count(*) AS n_events
         |FROM events
-        |WHERE user_id IS NOT NULL
+        |WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |GROUP BY 1""".stripMargin,
 
     // Per-group KMV replay: same md5-prefix hash of the id's decimal
@@ -320,7 +320,10 @@ private[graft] object SparkEntryEvents {
       """WITH h AS (
         |  SELECT DISTINCT date_trunc('hour', ts) AS w,
         |    CAST('0x' || substring(md5(user_id::VARCHAR), 1, 15) AS BIGINT) AS h
-        |  FROM events WHERE user_id IS NOT NULL),
+        |  -- ts IS NOT NULL in both arms: the engine drops null-ts rows
+        |  -- (no window), and a w=NULL group would silently vanish in
+        |  -- the est/ev equi-join below anyway (r15 gate audit)
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |b AS (
         |  SELECT w, h, row_number() OVER (PARTITION BY w ORDER BY h) AS rn
         |  FROM h),
@@ -333,7 +336,8 @@ private[graft] object SparkEntryEvents {
         |  FROM b WHERE rn <= 64 GROUP BY w),
         |ev AS (
         |  SELECT date_trunc('hour', ts) AS w, count(*) AS n_events
-        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1)
         |SELECT w, n_distinct_est, n_events
         |FROM est JOIN ev USING (w)""".stripMargin,
 

@@ -153,6 +153,17 @@ private[graft] object SparkEntryRel {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
         exact = false)),
 
+    // ---- profiling, sketch tier, INTEGRAL columns (r15): id-like
+    // columns hash their RAW value — no round(v·100) quantization, so
+    // distinct ids count correctly at any magnitude (the old multiply
+    // overflowed long for |v| ≳ 9.2e16 and counted centi-units).
+    // Exercises both KMV arms: l_linenumber (<1024 distinct → sketch IS
+    // the count) and l_orderkey/l_partkey (>1024 → estimate) ----
+    "profile_stats_approx_int" -> ((s, dir) =>
+      graft.ops.Profile.numericProfile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_linenumber"),
+        exact = false)),
+
     // ---- profiling: exact interpolated quartiles, one agg pass,
     // integer-cents scaling keeps the interpolation bit-exact ----
     "profile_quantiles" -> ((s, dir) =>
@@ -472,6 +483,24 @@ private[graft] object SparkEntryRel {
            |   FROM (SELECT h FROM (
            |       SELECT DISTINCT CAST('0x' || substring(md5(
            |         CAST(round($c * 100, 0)::BIGINT AS VARCHAR)), 1, 15) AS BIGINT) AS h
+           |       FROM lineitem WHERE $c IS NOT NULL)
+           |     ORDER BY h LIMIT 1024)) AS n_distinct,
+           |  min($c)::DOUBLE AS mn, max($c)::DOUBLE AS mx
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+
+    // integral columns replay with the RAW decimal rendering — DuckDB's
+    // CAST(bigint/int AS VARCHAR) ≡ Java's Long.toString digits — and
+    // no quantizing multiply (the r15 integral-key contract)
+    "profile_stats_approx_int" ->
+      Seq("l_orderkey", "l_partkey", "l_linenumber").map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n,
+           |  count(*) - count($c) AS n_null,
+           |  (SELECT CASE WHEN count(*) < 1024 THEN count(*)
+           |     ELSE ((1023::HUGEINT << 60) // greatest(max(h), 1))::BIGINT END
+           |   FROM (SELECT h FROM (
+           |       SELECT DISTINCT CAST('0x' || substring(md5(
+           |         CAST($c AS VARCHAR)), 1, 15) AS BIGINT) AS h
            |       FROM lineitem WHERE $c IS NOT NULL)
            |     ORDER BY h LIMIT 1024)) AS n_distinct,
            |  min($c)::DOUBLE AS mn, max($c)::DOUBLE AS mx

@@ -1142,11 +1142,25 @@ object Dedup {
    *  - |A ∪ B| ≈ (k−1)·2⁶⁰/h_k(K_U) (exact = m_U when m_U < k),
    *  - n_both = |{h ∈ K_U : h ∈ K_A ∧ h ∈ K_B}| — sound because
    *    h ∈ K_U ∧ h ∈ S_A ⟹ h ∈ K_A (K_U's max ≤ K_A's max),
-   *  - Jaccard ≈ n_both/m_U (σ ≈ √(J(1−J)/k)), |A ∩ B| ≈ J·|A ∪ B|.
+   *  - Jaccard ≈ n_both/m_U (σ ≈ √(J(1−J)/k)), |A ∩ B| ≈ J·|A ∪ B|,
+   *  - CONTAINMENT: cont_a_in_b ≈ n_both / |{h ∈ K_U : h ∈ K_A}| —
+   *    the K_U members drawn from A are a uniform sample of A's gram
+   *    set, so the in-B fraction among them estimates |A∩B|/|A|
+   *    (and symmetrically for cont_b_in_a).
    * All outputs are integers computed in exact BigInt arithmetic
-   * (jaccard scaled ×10⁶), so the result is bit-deterministic and
+   * (ratios scaled ×10⁶), so the result is bit-deterministic and
    * DuckDB-replayable end-to-end — the sketch, the union re-trim, the
    * membership counts, and the estimates.
+   *
+   * ASYMMETRIC-SIZE blind spot (why containment is emitted): when one
+   * corpus is much smaller than the other, J = |A∩B|/|A∪B| is tiny even
+   * at TOTAL overlap of the small side — jaccard_e6 and est_inter can
+   * legitimately read 0 despite the small corpus being fully contained.
+   * For "does this new small crawl overlap the big corpus?", read the
+   * small side's containment column, whose sample size is
+   * |{h ∈ K_U : h ∈ K_small}| ≈ k·|small|/|A∪B| — it shrinks as the
+   * size ratio grows (σ grows accordingly), but it measures the right
+   * quantity; Jaccard measures the wrong one.
    *
    * Scale shape: ONE pass per corpus — grams explode and hash inside
    * the scan, per-partition partial state ≤ k longs, the only exchange
@@ -1154,22 +1168,63 @@ object Dedup {
    * two ≤ k-long arrays (16 KiB at k=1024). Text never shuffles; no
    * cross-corpus join exists at any size. Compare [[ngramContamination]]
    * (exact, per-document, pays a gram semi-join) — this is the cheap
-   * corpus-level gate you run first.
+   * corpus-level gate you run first. Batch-vs-stored-corpus callers
+   * should persist the corpus side once ([[graft.ops.KmvSketchStore]])
+   * and use [[corpusOverlapKmvStored]] — then each new batch costs one
+   * scan of ITSELF only.
    */
   def corpusOverlapKmv(
       a: DataFrame,
       b: DataFrame,
       textCol: String,
       n: Int = 8,
-      k: Int = 1024): DataFrame = {
+      k: Int = 1024): DataFrame =
+    corpusOverlapFromSketches(a.sparkSession,
+      corpusSketchKmv(a, textCol, n, k),
+      corpusSketchKmv(b, textCol, n, k), k)
+
+  /** One-pass bottom-k KMV sketch of `df`'s DISTINCT word-`n`-gram set
+    * (sorted ascending, ≤ k hashes) — the reusable half of
+    * [[corpusOverlapKmv]]. Per-partition state ≤ k longs, one exchange
+    * of ≤ k·8 B buffers, 8 KiB result at k = 1024; persist it with
+    * [[graft.ops.KmvSketchStore]] to amortize the corpus scan across
+    * batches. */
+  def corpusSketchKmv(
+      df: DataFrame,
+      textCol: String,
+      n: Int = 8,
+      k: Int = 1024): Array[Long] = {
     import graft.functions.KmvDistinct
-    def bottomK(df: DataFrame): Array[Long] = df
-      .select(explode(shingles(col(textCol), n)).as("g"))
+    df.select(explode(shingles(col(textCol), n)).as("g"))
       .select(KmvDistinct.kmvHash60(col("g")).as("h"))
       .agg(KmvDistinct.kmv_set(col("h"), k))
       .head().getSeq[Long](0).toArray
-    val ka = bottomK(a)
-    val kb = bottomK(b)
+  }
+
+  /** [[corpusOverlapKmv]] of a NEW batch (side B) against a STORED
+    * corpus sketch (side A, built at ingest — see
+    * [[graft.ops.KmvSketchStore]]): ONE scan of the batch, zero cost on
+    * the corpus side. Identical output to sketching both sides fresh
+    * (the sketch is a pure function of the corpus). */
+  def corpusOverlapKmvStored(
+      batch: DataFrame,
+      textCol: String,
+      stored: KmvSketchStore.CorpusKmvSketch): DataFrame =
+    corpusOverlapFromSketches(batch.sparkSession, stored.hashes,
+      corpusSketchKmv(batch, textCol, stored.shingleN, stored.k), stored.k)
+
+  /** Driver-side combine of two bottom-k sketches (each sorted, ≤ k
+    * hashes, same k) into the overlap-estimate row — exact integer
+    * arithmetic throughout; see [[corpusOverlapKmv]] for the
+    * estimators and the containment semantics. */
+  def corpusOverlapFromSketches(
+      spark: org.apache.spark.sql.SparkSession,
+      ka: Array[Long],
+      kb: Array[Long],
+      k: Int): DataFrame = {
+    import graft.functions.KmvDistinct
+    require(ka.length <= k && kb.length <= k,
+      s"sketch sizes ${ka.length}/${kb.length} exceed k = $k")
     val kaS = ka.toSet
     val kbS = kb.toSet
     val ku = (kaS ++ kbS).toArray.sorted.take(k)
@@ -1177,15 +1232,19 @@ object Dedup {
       KmvDistinct.estimate(s.length, k, if (s.isEmpty) 0L else s.last)
     val mU = ku.length.toLong
     val nBoth = ku.count(h => kaS(h) && kbS(h)).toLong
+    val nAInU = ku.count(kaS).toLong
+    val nBInU = ku.count(kbS).toLong
     val estU = est(ku)
     val estI = if (mU == 0) 0L else (BigInt(nBoth) * BigInt(estU) / BigInt(mU)).toLong
     val jacE6 = if (mU == 0) 0L else (BigInt(nBoth) * 1000000 / BigInt(mU)).toLong
-    val spark = a.sparkSession
+    def contE6(denom: Long): Long =
+      if (denom == 0) 0L else (BigInt(nBoth) * 1000000 / BigInt(denom)).toLong
     import spark.implicits._
     Seq((ka.length.toLong, est(ka), kb.length.toLong, est(kb),
-      mU, estU, nBoth, estI, jacE6))
+      mU, estU, nBoth, estI, jacE6, contE6(nAInU), contE6(nBInU)))
       .toDF("m_a", "est_a", "m_b", "est_b", "m_union", "est_union",
-        "n_both", "est_inter", "jaccard_e6")
+        "n_both", "est_inter", "jaccard_e6",
+        "cont_a_in_b_e6", "cont_b_in_a_e6")
   }
 
   /**

@@ -24,36 +24,62 @@ import org.apache.spark.sql.functions._
 object Profile {
 
   /** One output row per profiled numeric column:
-    * (column, n, n_null, n_distinct, mn, mx). */
-  /* sketch tier (r14 — replaced `approx_count_distinct`): n_distinct is
-   * a KMV bottom-k estimate over the 60-bit md5 hash of each value's
-   * `round(v·hashScale)` long rendering (the quantileProfile `scale`
-   * convention — values closer than half a 1/hashScale unit collapse;
-   * pick a scale that resolves the column). Unlike HLL++, the k
-   * smallest md5 values are a pure function of the value SET and
-   * reproducible by any engine with md5, so the tier is bit-
-   * deterministic at every layout AND strict-oracle (DuckDB replays the
-   * hash, the bottom-k, and the exact-integer estimate — see the
-   * profile_stats_approx gate oracle). Default k=1024 ⇒ σ ≈ 3.1%,
-   * 8 KiB/column state; error ∝ 1/√k. n / nulls / min / max stay exact
-   * in the same single pass. */
+    * (column, n, n_null, n_distinct, mn, mx).
+    *
+    * Sketch tier (`exact = false`, `sketch = "kmv"` default):
+    * n_distinct is a KMV bottom-k estimate over the 60-bit md5 hash of
+    * each value's long rendering. **Quantization contract**: FRACTIONAL
+    * columns (double/float/decimal) are keyed as `round(v·hashScale)` —
+    * the quantileProfile `scale` convention — so values closer than
+    * half a 1/hashScale unit COLLAPSE to one distinct key; pick a
+    * hashScale that resolves the column (default 100 resolves cents),
+    * and note |v|·hashScale beyond ±2⁶³ would overflow the long key.
+    * INTEGRAL columns (tinyint/smallint/int/bigint) are keyed as their
+    * RAW value — no multiply, so id-like columns count true distinct
+    * values at any magnitude with no overflow and hashScale is ignored
+    * (r15; previously round(v·100) collapsed sub-unit info never present
+    * and overflowed for |v| ≳ 9.2e16). Unlike HLL++, the k smallest md5
+    * values are a pure function of the value SET and reproducible by
+    * any engine with md5, so the tier is bit-deterministic at every
+    * layout AND strict-oracle (DuckDB replays the hash, the bottom-k,
+    * and the exact-integer estimate — see the profile_stats_approx /
+    * profile_stats_approx_int gate oracles). Default k=1024 ⇒ σ ≈ 3.1%,
+    * 8 KiB/column state; error ∝ 1/√k. n / nulls / min / max stay exact
+    * in the same single pass.
+    *
+    * `sketch = "hll"` swaps the distinct estimator for Spark's native
+    * HyperLogLog++ (`approx_count_distinct`, ~2.3% error at 2 KiB of
+    * register state, no hash projection) over the SAME quantized key —
+    * cheaper state and wall for production profiling of wide frames,
+    * but NOT cross-engine replayable and not bit-stable across engines,
+    * so the oracle gate stays on kmv. */
 
   // stack()/percentile_approx expressions interpolate column names into
   // SQL text; a quote or backtick in a name would mis-parse the
   // expression (or escape its quoting), so such names are rejected
-  // loudly up front instead of failing with an opaque AnalysisException
+  // loudly up front instead of failing with an opaque AnalysisException.
+  // `__kmvh__` is the sketch tier's reserved internal-hash-column prefix:
+  // a user column named `__kmvh__x` profiled alongside `x` would collide
+  // in the projection, so it is rejected here too.
   private def requireSqlSafeNames(cols: Seq[String]): Unit =
-    cols.foreach(c => require(!c.contains("'") && !c.contains("`"),
-      s"column name <$c> contains a quote or backtick - unsupported in profiling ops"))
+    cols.foreach { c =>
+      require(!c.contains("'") && !c.contains("`"),
+        s"column name <$c> contains a quote or backtick - unsupported in profiling ops")
+      require(!c.startsWith("__kmvh__"),
+        s"column name <$c> uses the reserved __kmvh__ prefix - rename to profile it")
+    }
 
   def numericProfile(
       df: DataFrame,
       cols: Seq[String],
       exact: Boolean = true,
       hashScale: Long = 100L,
-      sketchK: Int = 1024): DataFrame = {
+      sketchK: Int = 1024,
+      sketch: String = "kmv"): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
     require(hashScale > 0, "hashScale must be > 0")
+    require(sketch == "kmv" || sketch == "hll",
+      s"sketch must be kmv or hll, got <$sketch>")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in frame: $missing")
     requireSqlSafeNames(cols)
@@ -86,20 +112,31 @@ object Profile {
           coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
           col("mn"), col("mx"))
     } else {
+      // integral columns hash their RAW value (exact, no overflow);
+      // fractional columns quantize per the scaladoc contract
+      import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+      def sketchKey(c: String): Column = df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => col(c).cast("long")
+        case _ => round(col(c) * hashScale).cast("long")
+      }
       // the KMV child must be a bare column ref (TypedImperativeAggregate
       // evaluates children interpreted per row) — the round + md5-kernel hash
-      // chain runs in this codegen projection, fused into the scan
-      val hashed = df.select(
-        cols.map(c => col(c)) ++ cols.map(c =>
-          graft.functions.KmvDistinct.kmvHash60(
-            round(col(c) * hashScale).cast("long")).as(s"__kmvh__$c")): _*)
+      // chain runs in this codegen projection, fused into the scan. The
+      // hll tier needs no hash projection (HLL++ hashes internally).
+      val hashed = if (sketch == "hll") df.select(cols.map(c => col(c)): _*)
+        else df.select(
+          cols.map(c => col(c)) ++ cols.map(c =>
+            graft.functions.KmvDistinct.kmvHash60(
+              sketchKey(c)).as(s"__kmvh__$c")): _*)
       val aggs: Seq[Column] = cols.flatMap { c =>
         val v = col(c)
+        val dist =
+          if (sketch == "hll") approx_count_distinct(sketchKey(c))
+          else graft.functions.KmvDistinct.kmv_distinct(col(s"__kmvh__$c"), sketchK)
         Seq(
           count(lit(1)).as(s"n__$c"),
           (count(lit(1)) - count(v)).as(s"null__$c"),
-          graft.functions.KmvDistinct.kmv_distinct(col(s"__kmvh__$c"), sketchK)
-            .as(s"dist__$c"),
+          dist.as(s"dist__$c"),
           min(v).cast("double").as(s"mn__$c"),
           max(v).cast("double").as(s"mx__$c"))
       }

@@ -102,7 +102,11 @@ object TimeSeries {
       keyCol: String,
       truncUnit: String = "hour"): DataFrame =
     events
-      .filter(col(keyCol).isNotNull)
+      // null-ts rows have no window (the Spark window() convention —
+      // and the behavior a stream twin would show anyway); grouping
+      // them under w=NULL would also silently diverge from any oracle
+      // that equi-joins on w (NULL never joins NULL) — r15 gate audit
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select(date_trunc(truncUnit, col(tsCol)).as("w"), col(keyCol).as("k"))
       .groupBy(col("w"), col("k")).agg(count(lit(1)).as("__n"))
       .groupBy(col("w"))
@@ -135,7 +139,8 @@ object TimeSeries {
       truncUnit: String = "hour",
       sketchK: Int = 1024): DataFrame =
     events
-      .filter(col(keyCol).isNotNull)
+      // null-ts drop: same contract as the exact twin (see above)
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       // hash in the codegen projection; the interpreted aggregate child
       // stays a bare column ref (the corrExact/numericProfile discipline)
       .select(date_trunc(truncUnit, col(tsCol)).as("w"),

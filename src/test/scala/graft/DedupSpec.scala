@@ -42,6 +42,41 @@ class DedupSpec extends SparkSuite {
     assert(e.getLong(7) <= e.getLong(5), "intersection ≤ union")
   }
 
+  test("corpusOverlapKmvStored: persisted sketch roundtrip is bit-identical to fresh") {
+    val a = docs.filter(col("doc_id") % 2 === 1)
+    val b = docs.filter(col("doc_id") % 2 === 0)
+    val fresh = Dedup.corpusOverlapKmv(a, b, "text", n = 8).collect().toSeq
+    val path = java.nio.file.Files
+      .createTempDirectory("kmv_sketch").toString + "/corpus_a"
+    val built = graft.ops.KmvSketchStore.build(a, "text", path, shingleN = 8)
+    val rt = graft.ops.KmvSketchStore.read(spark, path)
+    assert(rt.k === built.k && rt.shingleN === built.shingleN)
+    assert(rt.hashes.toSeq === built.hashes.toSeq,
+      "read must reproduce the written sketch exactly")
+    val stored = Dedup.corpusOverlapKmvStored(b, "text", rt).collect().toSeq
+    assert(stored === fresh,
+      "stored-sketch overlap must be bit-identical to sketching both sides")
+  }
+
+  test("containment readout covers the asymmetric-size blind spot") {
+    // 200-gram corpus FULLY CONTAINED in a 5000-gram corpus: Jaccard
+    // legitimately reads ~4% (the blind spot the scaladoc documents),
+    // while containment of the small side reads 100% — and EXACTLY so,
+    // because with A ⊆ B the union sketch IS K_B, so every retained
+    // A-hash is also a retained B-hash (n_both = n_a_in_u)
+    val small = withLogLevel(
+      spark.range(0, 200).selectExpr("concat('g', id) as text"))
+    val big = withLogLevel(
+      spark.range(0, 5000).selectExpr("concat('g', id) as text"))
+    val r = Dedup.corpusOverlapKmv(small, big, "text", k = 256).head()
+    assert(r.getLong(8) / 1e6 < 0.1,
+      s"jaccard ${r.getLong(8)} should be small for asymmetric sizes")
+    assert(r.getLong(9) === 1000000L,
+      s"containment of the fully-contained side must read 1e6, got ${r.getLong(9)}")
+    assert(r.getLong(10) / 1e6 < 0.15,
+      s"containment of the big side should be ~4%, got ${r.getLong(10)}")
+  }
+
   test("exact dedup groups identical content, keeps min id") {
     val r = Dedup.exact(docs, "text", "doc_id").collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))

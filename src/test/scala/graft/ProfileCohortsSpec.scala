@@ -24,6 +24,53 @@ class ProfileCohortsSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Profile.numericProfile(Seq(1).toDF("x"), Seq("nope"))
     }
+    // the sketch tier's internal hash columns use the reserved __kmvh__
+    // prefix; a user column there would collide in the projection
+    intercept[IllegalArgumentException] {
+      Profile.numericProfile(Seq(1).toDF("__kmvh__x"), Seq("__kmvh__x"))
+    }
+  }
+
+  test("sketch tier keys integral columns RAW — no centi-quantization, no overflow (r15)") {
+    // 997 distinct bigints near 1e17: round(v·100) would overflow long
+    // (|v|·100 > 2⁶³) and silently wrap; the raw-key contract counts
+    // them exactly (m < k regime)
+    val big = withLogLevel(spark.range(0, 5000)
+      .selectExpr("(id % 997) + 100000000000000000 AS a"))
+    val r = Profile.numericProfile(big, Seq("a"), exact = false).collect().head
+    assert(r.getLong(3) === 997L,
+      s"raw integral keys must count big ids exactly, got ${r.getLong(3)}")
+  }
+
+  test("sketch tier fractional quantization is the documented contract; hashScale resolves it") {
+    // doubles spaced 0.001 apart collapse at the default hashScale=100
+    // (distinct CENTI-units: ids 0..499 → round(id·0.1) → 0..50);
+    // hashScale=1000 resolves the column and counts all 500
+    val df = withLogLevel(
+      spark.range(0, 500).selectExpr("id * 0.001 AS a"))
+    val centi = Profile.numericProfile(df, Seq("a"), exact = false)
+      .collect().head
+    assert(centi.getLong(3) === 51L,
+      s"default hashScale counts centi-units, got ${centi.getLong(3)}")
+    val milli = Profile.numericProfile(df, Seq("a"), exact = false,
+      hashScale = 1000L).collect().head
+    assert(milli.getLong(3) === 500L,
+      s"hashScale=1000 must resolve the column, got ${milli.getLong(3)}")
+  }
+
+  test("sketch = hll swaps in HyperLogLog++ within its error band") {
+    val df = withLogLevel(
+      spark.range(0, 50000).selectExpr("cast(id % 9973 as double) AS a"))
+    val r = Profile.numericProfile(df, Seq("a"), exact = false,
+      sketch = "hll").collect().head
+    assert(math.abs(r.getLong(3) - 9973.0) / 9973.0 < 0.10,
+      s"HLL estimate ${r.getLong(3)} vs 9973 outside 10%")
+    // n / nulls / min / max stay exact in the same pass
+    assert(r.getLong(1) === 50000L && r.getLong(2) === 0L)
+    assert(r.getDouble(4) === 0.0 && r.getDouble(5) === 9972.0)
+    intercept[IllegalArgumentException] {
+      Profile.numericProfile(df, Seq("a"), exact = false, sketch = "cuckoo")
+    }
   }
 
   test("neither tier plans the multi-distinct EXPAND") {

@@ -405,6 +405,25 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming windowed distinct KMV sketch matches the batch computation") {
+    // the bounded-state twin: ONE stateful aggregate whose KMV partial
+    // is mergeable, so micro-batch partials combine exactly like
+    // map-side partials and stream ≡ batch bit-for-bit. k=64 keeps the
+    // estimate arm reachable (windows with >64 distinct users estimate;
+    // smaller windows are exact) — both arms must agree across modes.
+    val streamed = runToMemory(
+      graft.ops.TimeSeries.windowDistinctApprox(
+        EventsStream.readStream(spark, streamDir), "ts", "user_id",
+        sketchK = 64),
+      "win_distinct_kmv", mode = "complete")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.ops.TimeSeries.windowDistinctApprox(
+        spark.read.parquet(streamDir), "ts", "user_id", sketchK = 64)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming trending top-k matches the batch computation") {
     // Two stacked stateful aggregates. Spark's global-watermark checker
     // flags ANY chained stateful pair conservatively; in COMPLETE mode no
