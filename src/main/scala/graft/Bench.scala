@@ -63,7 +63,7 @@ object Bench {
       "events_sliding_agg", "events_per_user", "events_window_distinct",
       "events_window_distinct_approx", "events_json_props", "events_transitions",
       "text_bm25", "text_bm25_indexed", "search_hybrid", "q_quantized_topk",
-      "q_hamming_topk", "text_lexical",
+      "q_quantized_topk_packed", "q_hamming_topk", "text_lexical",
       "q_pq_topk", "q_ivfpq_topk", "dedup_spans", "dedup_subsets",
       "join_asof", "join_range", "emb_centroids", "events_retention",
       "agg_rollup", "agg_promo_share", "profile_stats", "profile_stats_approx",
@@ -870,7 +870,7 @@ object Bench {
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
     }
     val out = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val ctrlIdx = Int8VectorIndex
+    val ctrlIdx: Int8VectorIndex[Long] = Int8VectorIndex
       .build[Long](quantized(25000), "id", "qvec", "qscale", d,
         math.max(1, math.min(parts, 25000 / 6144)))
       .persist().materialize()
@@ -894,7 +894,7 @@ object Bench {
       System.gc()
       val g0 = gcSec()
       val tb = System.nanoTime()
-      val idx = Int8VectorIndex
+      val idx: Int8VectorIndex[Long] = Int8VectorIndex
         .build[Long](quantized(n), "id", "qvec", "qscale", d, parts)
         .persist().materialize(forceDistributed = true)
       out(s"chromem_build_${n}_d${d}_q8_big") = (System.nanoTime() - tb) / 1e9

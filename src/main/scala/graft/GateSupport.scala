@@ -85,6 +85,10 @@ private[graft] object GateSupport {
   private[graft] val lshCache = new SessionCache[graft.ops.LshIndex](_.unpersist())
   private[graft] val ivfCache = new SessionCache[graft.ops.IvfState](_.unpersist())
   private[graft] val termIndexCache = new SessionCache[graft.ops.TermIndexState]()
+  // packed int8 index (r15): session-bound (persisted RDD blocks when
+  // distributed; a driver-local array under the small-corpus threshold)
+  private[graft] val int8IndexCache =
+    new SessionCache[graft.ops.Int8VectorIndex[Long]](_.unpersist())
   // ANN-evaluation query set: the 16-row bounded top-k-by-id selection is
   // derived with ONE corpus pass and collected to a local relation, then
   // shared by the recall and MRR reports (each previously paid its own
@@ -160,6 +164,9 @@ private[graft] object GateSupport {
     ivfCache.foreachValue(st => try st.unpersist() catch { case _: Throwable => () })
     ivfCache.clear()
     termIndexCache.clear()
+    int8IndexCache.foreachValue(ix =>
+      try ix.unpersist() catch { case _: Throwable => () })
+    int8IndexCache.clear()
     preparedGraphCache.clear()
     evalQueryCache.clear()
     bm25StatsCache.clear()

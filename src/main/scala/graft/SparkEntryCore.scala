@@ -327,6 +327,26 @@ private[graft] object SparkEntryCore {
         .select(col("vec_id"), round(col("qsim"), 4).as("qsim"))
     }),
 
+    // ---- packed int8 byte-slab tier (r15, ops/Int8VectorIndex): the
+    // SAME quantization in a packed layout (4× less slab memory/scan
+    // bandwidth than f32) — exact integer dot + identical double
+    // rescale ⇒ scores bit-equal to q_quantized_topk by construction,
+    // so the same oracle replays it. Index built once per dir (the
+    // TermIndex/IVF cache pattern). ----
+    "q_quantized_topk_packed" -> ((s, dir) => {
+      val query = vec(s, dir, 0)
+      val idx = int8IndexCache.get(s, dir) {
+        graft.ops.Int8VectorIndex.build[Long](
+          graft.ops.Quantize.quantize(t(s, dir, "embeddings"), "embedding")
+            .select(col("vec_id"), col("qvec"), col("qscale")),
+          "vec_id", "qvec", "qscale", dim = query.length)
+          .persist().materialize()
+      }
+      import s.implicits._
+      idx.topK(query, 10).toSeq.toDF("vec_id", "qsim")
+        .select(col("vec_id"), round(col("qsim"), 4).as("qsim"))
+    }),
+
     // ---- binary sign-quantized Hamming top-k: the coarsest scan tier
     // (1 long/vector, 256× below float32). Signatures, popcount, and
     // ties are all integer — no floats past the sign test. ----
@@ -656,20 +676,12 @@ private[graft] object SparkEntryCore {
     // engines), so the replay is bit-exact with no accumulation-order
     // caveats: scale = max|x|/127, q = round(x/scale), score =
     // (Σ qa·qb)·scale_a·scale_q.
-    "q_quantized_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |s AS (SELECT vec_id, v,
-        |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc FROM e),
-        |qz AS (SELECT vec_id, sc,
-        |         CASE WHEN sc = 0 THEN list_transform(v, x -> 0.0)
-        |              ELSE list_transform(v, x -> round(x / sc)) END AS qv
-        |       FROM s),
-        |q AS (SELECT sc AS qsc, qv AS qqv FROM qz WHERE vec_id = 0)
-        |SELECT vec_id,
-        |  round(list_dot_product(qv, (SELECT qqv FROM q)) * sc * (SELECT qsc FROM q), 4) + 0.0 AS qsim
-        |FROM qz
-        |ORDER BY list_dot_product(qv, (SELECT qqv FROM q)) * sc * (SELECT qsc FROM q) DESC, vec_id
-        |LIMIT 10""".stripMargin,
+    "q_quantized_topk" -> quantizedTopKSql,
+
+    // the packed byte-slab tier shares the quantization AND the scoring
+    // arithmetic with the DataFrame tier (bit-equal by construction,
+    // Int8VectorIndexSpec) — same oracle
+    "q_quantized_topk_packed" -> quantizedTopKSql,
 
     // Per-bit sign disagreement count == popcount(sigA xor sigQ); the
     // float sign test (x > 0) is exact in both engines.
@@ -930,6 +942,23 @@ private[graft] object SparkEntryCore {
     * text_bm25 / search_hybrid oracles — k1 = 1.5, b = 0.75, terms
     * (vector, query, spark) in fixed order, arithmetic parenthesized
     * exactly like `KeywordSearch.bm25Score`. */
+  // int8 quantized top-k replay, shared by the DataFrame tier and the
+  // packed byte-slab tier (identical outputs by construction)
+  private val quantizedTopKSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc FROM e),
+      |qz AS (SELECT vec_id, sc,
+      |         CASE WHEN sc = 0 THEN list_transform(v, x -> 0.0)
+      |              ELSE list_transform(v, x -> round(x / sc)) END AS qv
+      |       FROM s),
+      |q AS (SELECT sc AS qsc, qv AS qqv FROM qz WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  round(list_dot_product(qv, (SELECT qqv FROM q)) * sc * (SELECT qsc FROM q), 4) + 0.0 AS qsim
+      |FROM qz
+      |ORDER BY list_dot_product(qv, (SELECT qqv FROM q)) * sc * (SELECT qsc FROM q) DESC, vec_id
+      |LIMIT 10""".stripMargin
+
   private val bm25ScoredSql: String =
     """WITH tf AS (
       |  SELECT doc_id,

@@ -51,14 +51,37 @@ class Int8VectorIndex[K: ClassTag: Ordering] private (
     val (qq, qs) = Quantize.quantizeQuery(query)
     val qb = qq.map(_.toByte) // |q| ≤ 127 by construction
     val snapshot = local
-    if (snapshot != null) return Int8VectorIndex.scanTopK(
-      snapshot.iterator, dim, qb, qs, k)(ord)
+    if (snapshot != null) return localTopK(snapshot, qb, qs, k)
     val d = dim
     val tieOrd = ord
     val perPart = blocks.mapPartitions { it =>
       Int8VectorIndex.scanTopK(it, d, qb, qs, k)(tieOrd).iterator
     }
     perPart.collect()
+      .sorted(Ordering.by[(K, Double), Double](-_._2).orElseBy(_._1)(ord))
+      .take(k)
+  }
+
+  /** Driver-local scan fanned out on the shared [[VectorIndex]] pool in
+    * row-range chunks (one bounded heap per chunk, tiny final merge) —
+    * the same shape as VectorIndex.localTopK, through the SAME
+    * [[Int8VectorIndex.scanRange]] kernel the distributed path uses. */
+  private def localTopK(snapshot: Array[Int8VectorIndex.Block[K]],
+      qb: Array[Byte], qs: Double, k: Int): Array[(K, Double)] = {
+    val d = dim
+    val chunkRows = 4096
+    val chunks = snapshot.iterator.flatMap { b =>
+      val n = b.ids.length
+      (0 until n by chunkRows).map(from => (b, from, math.min(from + chunkRows, n)))
+    }.toArray
+    val pool = VectorIndex.localPool
+    val tasks = chunks.map { case (block, from, until) =>
+      pool.submit(new java.util.concurrent.Callable[Array[(K, Double)]] {
+        def call(): Array[(K, Double)] =
+          Int8VectorIndex.scanRange(block, from, until, d, qb, qs, k)(ord)
+      })
+    }
+    tasks.flatMap(_.get())
       .sorted(Ordering.by[(K, Double), Double](-_._2).orElseBy(_._1)(ord))
       .take(k)
   }
@@ -105,13 +128,15 @@ object Int8VectorIndex {
     * rationale as [[VectorIndex.ChunkFloats]]. */
   private[graft] val ChunkBytes: Int = 64 * 1024 * 1024
 
-  /** Shared bounded-heap scan over an iterator of blocks: ONE kernel
-    * for the distributed per-partition pass and the driver-local fast
-    * path, so the two can never diverge. The int accumulator is exact:
-    * |Σ qaᵢ·qbᵢ| ≤ 127²·d < 2³¹ for every supported d (build rejects
-    * d > 100000). */
-  private def scanTopK[K](
-      it: Iterator[Block[K]], d: Int, qb: Array[Byte], qs: Double,
+  /** The ONE scan kernel — a bounded (score desc, id asc) heap over a
+    * row RANGE of a block — used by both the distributed per-partition
+    * pass ([[scanTopK]], whole blocks) and the driver-local pooled path
+    * (4096-row chunks), so the two can never diverge. The int
+    * accumulator is exact: |Σ qaᵢ·qbᵢ| ≤ 127²·d < 2³¹ for every
+    * supported d (build rejects d > 100000). */
+  private[ops] def scanRange[K](
+      block: Block[K], from: Int, until: Int, d: Int,
+      qb: Array[Byte], qs: Double,
       k: Int)(ord: Ordering[K]): Array[(K, Double)] = {
     val ids = new Array[Any](k)
     val scores = new Array[Double](k)
@@ -138,27 +163,34 @@ object Int8VectorIndex {
         establishMin()
       }
     }
-    it.foreach { block =>
-      val data = block.data
-      val bids = block.ids
-      val bscales = block.scales
-      var r = 0
-      val nRows = bids.length
-      while (r < nRows) {
-        val off = r * d
-        var dot = 0
-        var i = 0
-        while (i < d) { dot += data(off + i) * qb(i); i += 1 }
-        // same double product, same order, as quantizedTopK's
-        // (qdot.cast(double) * qscale) * qs — bit-equal scores
-        insert(bids(r), dot.toDouble * bscales(r) * qs)
-        r += 1
-      }
+    val data = block.data
+    val bids = block.ids
+    val bscales = block.scales
+    var r = from
+    while (r < until) {
+      val off = r * d
+      var dot = 0
+      var i = 0
+      while (i < d) { dot += data(off + i) * qb(i); i += 1 }
+      // same double product, same order, as quantizedTopK's
+      // (qdot.cast(double) * qscale) * qs — bit-equal scores
+      insert(bids(r), dot.toDouble * bscales(r) * qs)
+      r += 1
     }
     Array.tabulate(size)(j => (ids(j).asInstanceOf[K], scores(j)))
       .sorted(Ordering.by[(K, Double), Double](-_._2).orElseBy(_._1)(ord))
       .take(k)
   }
+
+  /** Per-partition pass: [[scanRange]] over each whole block, merged
+    * under the same total order. */
+  private def scanTopK[K](
+      it: Iterator[Block[K]], d: Int, qb: Array[Byte], qs: Double,
+      k: Int)(ord: Ordering[K]): Array[(K, Double)] =
+    it.flatMap(b => scanRange(b, 0, b.ids.length, d, qb, qs, k)(ord))
+      .toArray
+      .sorted(Ordering.by[(K, Double), Double](-_._2).orElseBy(_._1)(ord))
+      .take(k)
 
   /** Build from a PRE-QUANTIZED frame's (id, qvec, qscale) columns —
     * the output of [[Quantize.quantize]], so this layout and the

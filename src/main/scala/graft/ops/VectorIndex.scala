@@ -218,7 +218,7 @@ object VectorIndex {
 
   /** Shared daemon pool for driver-local scans — creating threads
     * per-query would cost more than the scan itself. */
-  private lazy val localPool: java.util.concurrent.ExecutorService =
+  private[ops] lazy val localPool: java.util.concurrent.ExecutorService =
     java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, Runtime.getRuntime.availableProcessors()),
       (r: Runnable) => {
