@@ -295,4 +295,50 @@ class KernelPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("fast HALF_UP (floor + exact frac compare) == Spark's Round on the quantize domain (5000 cases + edges)") {
+    // Groundwork for the planned native quantize kernel (SURVEY r15 item
+    // 15: the q8 build is dominated by the non-codegen transform()
+    // lambda): quantizeCol's hot element op is round(x/scale, 0) on
+    // double, which Spark evaluates through BigDecimal(shortest-decimal
+    // rendering).setScale(0, HALF_UP) - ~100 ns and 2 allocations per
+    // element. The allocation-free form below works on |y| and applies
+    // the sign last: for a = |y| >= 0, a - floor(a) is EXACT in double
+    // (a < 1 trivially; a >= 1 by Sterbenz, floor(a) <= a < 2*floor(a)),
+    // and the shortest-decimal rendering round-trips uniquely, so its
+    // fractional part compares against 0.5 exactly as the binary
+    // fraction does - HALF_UP ties go away from zero, i.e. UP in |y|.
+    // TWO known-broken "fast" forms this pin exists to keep out:
+    //  * floor(y + 0.5): the addition itself rounds
+    //    (y = 0.49999999999999994 -> y + 0.5 == 1.0 -> 1, truth 0);
+    //  * frac-compare on SIGNED y: y - floor(y) is inexact for negative
+    //    fractions (y = -0.49999999999999994: y + 1.0 lands exactly on
+    //    the ties-to-even midpoint and rounds to 0.5, so the tie branch
+    //    fires and returns -1, truth 0). This second form was the
+    //    first draft of this very test - the sweep caught it.
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Round}
+    def sparkRound(y: Double): Double =
+      Round(Literal(y), Literal(0)).eval(null).asInstanceOf[Double]
+    def fastHalfUp(y: Double): Double = {
+      val a = math.abs(y)
+      val f = math.floor(a)
+      val m = if (a - f >= 0.5) f + 1 else f
+      math.copySign(m, y)
+    }
+    val edges = Seq(0.0, -0.0, 0.5, -0.5, 1.5, -1.5, 2.5, -2.5,
+      126.5, -126.5, 127.0, -127.0,
+      0.49999999999999994, -0.49999999999999994,
+      2.4999999999999996, 2.5000000000000004, -2.5000000000000004,
+      0.5000000000000001, -0.5000000000000001)
+    val rnd = new scala.util.Random(404)
+    val cases = edges ++
+      (1 to 5000).map(_ => (rnd.nextDouble() - 0.5) * 255.0) ++
+      // near-half-boundary stress: integers plus a tiny dither around .5
+      (1 to 2000).map(_ => rnd.nextInt(127) +
+        0.5 + (rnd.nextInt(5) - 2) * 1e-16)
+    cases.foreach { y =>
+      assert(fastHalfUp(y) === sparkRound(y), s"y = $y")
+      assert(fastHalfUp(-y) === sparkRound(-y), s"y = ${-y}")
+    }
+  }
 }
