@@ -20,17 +20,26 @@ import org.apache.spark.sql.functions._
  */
 object Quantize {
 
-  /** Per-vector symmetric scale: max|xᵢ| / 127 (0 for the zero vector). */
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column => gcol, expression => gexpr}
+
+  /** Per-vector symmetric scale: max|xᵢ| / 127 (0 for the zero vector;
+    * null for an empty vector). Native codegen kernel over array<float>
+    * ([[graft.functions.MaxAbsScaleF32]]) — bit-identical to the
+    * pre-r15 `array_max(transform(abs(cast)))/127` chain it replaced
+    * (QuantizeKernelSpec pins the equivalence against a frozen copy). */
   def scaleCol(vecCol: Column): Column =
-    array_max(transform(vecCol, x => abs(x.cast("double")))) / lit(127.0)
+    gcol(graft.functions.MaxAbsScaleF32(gexpr(vecCol)))
 
   /** Quantized vector: round(xᵢ / scale) as int (∈ [−127, 127]); the zero
     * vector quantizes to zeros. HALF_UP rounding (away from zero) —
-    * the portable convention shared by Spark's `round` and DuckDB's. */
+    * the portable convention shared by Spark's `round` and DuckDB's.
+    * Native codegen kernel ([[graft.functions.QuantizeArrF32]], the
+    * property-pinned allocation-free HALF_UP) — the `transform(round(
+    * x/scale))` chain it replaced evaluated the lambda interpreted and
+    * paid two BigDecimal allocations per ELEMENT, which dominated big
+    * q8 slab builds (SURVEY r15 item 15). Outputs are bit-identical. */
   def quantizeCol(vecCol: Column, scale: Column): Column =
-    when(scale === 0d,
-      transform(vecCol, _ => lit(0).cast("int")))
-      .otherwise(transform(vecCol, x => round(x.cast("double") / scale).cast("int")))
+    gcol(graft.functions.QuantizeArrF32(gexpr(vecCol), gexpr(scale)))
 
   /** Add `qvec` (int8-range ints) and `qscale` (double) columns. */
   def quantize(df: DataFrame, vecCol: String): DataFrame = {
@@ -54,8 +63,11 @@ object Quantize {
     require(q.nonEmpty, "query vector must be non-empty")
     val scale = q.map(x => math.abs(x.toDouble)).max / 127.0
     if (scale == 0.0) (Array.fill(q.length)(0), 0.0)
-    else (q.map(x => BigDecimal(x.toDouble / scale)
-      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt), scale)
+    // same pinned kernel as the column path (QuantizeKernels.halfUp ≡
+    // BigDecimal(shortest rendering).setScale(0, HALF_UP) ≡ Spark Round
+    // — KernelPropertySpec): ONE rounding implementation on both sides
+    else (q.map(x =>
+      graft.functions.QuantizeKernels.halfUp(x.toDouble / scale).toInt), scale)
   }
 
   /**
