@@ -241,6 +241,25 @@ object KmvDistinct {
     * cost ~2 s of the KMV profile's sf0.1 wall; this kernel is one
     * thread-local MessageDigest call and bit arithmetic. */
   def kmvHash60(c: Column): Column = column(KmvHash60(toExpr(c)))
+
+  /** The 60-bit md5 hashes of a token array's word `n`-grams, fused
+    * into ONE codegen expression ([[KmvShingleHash60]]): array<bigint>,
+    * one hash per gram, in gram order. Bit-identical to the
+    * `explode(shingles) + kmvHash60` chain it replaces when fed the
+    * SAME `tokens(...)` array (KmvShingleSpec pins it against a frozen
+    * copy of that chain): gram rendering is the window's tokens joined
+    * by one space with nulls skipped (`concat_ws` semantics), a
+    * streamed md5 over token bytes + 0x20 separators equals md5 of the
+    * concatenated gram string, and a <n-token document yields ONE gram
+    * of all its tokens. What it removes (r15, the dedup_overlap_kmv
+    * hot path): the per-gram `slice` array + gram STRING
+    * materialization and the explode of those strings — grams never
+    * exist as strings; each token's UTF-8 bytes are fetched once per
+    * document and streamed through the digest per window. Tokenization
+    * itself stays in Catalyst (`split(lower(...))`) so its semantics
+    * cannot drift from Spark's. */
+  def kmvShingleHash60(tokens: Column, n: Int): Column =
+    column(KmvShingleHash60(toExpr(tokens), n))
 }
 
 /**
@@ -277,6 +296,30 @@ case class KmvHash60(child: Expression) extends UnaryExpression {
   override def prettyName: String = "kmv_hash60"
 }
 
+/**
+ * Fused word-n-gram KMV hashes: token array (array<string>) →
+ * array<bigint> of the 60-bit md5 hashes of each word n-gram — see
+ * [[KmvDistinct.kmvShingleHash60]] for the exact-equivalence contract
+ * with the `shingles + explode + kmvHash60` chain it replaces
+ * (KmvShingleSpec pins it against a frozen copy of that chain).
+ */
+case class KmvShingleHash60(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashTypeChecks.tokenArray(child.dataType, prettyName)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    KmvHash60Kernels.gramHashes(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      x => s"graft.functions.KmvHash60Kernels.gramHashes($x, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "kmv_shingle_hash60"
+}
+
 /** Per-row kernels for [[KmvHash60]] — a standalone object (no
   * companion class) so Scala emits static forwarders the generated
   * Java can call. One thread-local MessageDigest, reused per row. */
@@ -292,16 +335,68 @@ object KmvHash60Kernels {
   /** Hash of the string's UTF-8 bytes (what md5(string) hashes). */
   def hash60Utf8(s: UTF8String): Long = digest60(s.getBytes)
 
+  /** All word-n-gram hashes of a token array in one call — the fused
+    * kernel behind [[KmvShingleHash60]]. Gram rendering matches
+    * `concat_ws(" ", slice(toks, i+1, n))` exactly: window tokens
+    * joined by a single 0x20, null tokens skipped (concat_ws
+    * semantics), and a document with fewer than n tokens yields ONE
+    * gram of all its tokens. The md5 is STREAMED per window (digest of
+    * sequential updates ≡ digest of the concatenation), so no gram
+    * string is ever materialized; each token's bytes are fetched once
+    * per document, not once per covering window. */
+  def gramHashes(
+      toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val total = toks.numElements()
+    // token bytes fetched once; null tokens marked to be skipped
+    val tb = new Array[Array[Byte]](total)
+    var i = 0
+    while (i < total) {
+      if (!toks.isNullAt(i)) tb(i) = toks.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = md5.get()
+    def windowHash(from: Int, len: Int): Long = {
+      md.reset()
+      var wrote = false
+      var j = from
+      val end = from + len
+      while (j < end) {
+        val b = tb(j)
+        if (b != null) {
+          if (wrote) md.update(' '.toByte)
+          md.update(b)
+          wrote = true
+        }
+        j += 1
+      }
+      top60(md.digest())
+    }
+    val out =
+      if (total < n) Array(windowHash(0, total))
+      else {
+        val m = total - n + 1
+        val hs = new Array[Long](m)
+        var i = 0
+        while (i < m) { hs(i) = windowHash(i, n); i += 1 }
+        hs
+      }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   // top 60 bits of the first 8 digest bytes == int(md5hex[0:15], 16):
   // hex chars 0..14 are bytes 0..6 plus the HIGH nibble of byte 7,
   // which is exactly the big-endian 64-bit read shifted right by 4
-  private def digest60(bytes: Array[Byte]): Long = {
-    val md = md5.get()
-    md.reset()
-    val d = md.digest(bytes)
+  private def top60(d: Array[Byte]): Long = {
     var h = 0L
     var i = 0
     while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
     h >>> 4
+  }
+
+  private def digest60(bytes: Array[Byte]): Long = {
+    val md = md5.get()
+    md.reset()
+    top60(md.digest(bytes))
   }
 }

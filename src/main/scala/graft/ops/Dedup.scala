@@ -1195,8 +1195,15 @@ object Dedup {
       n: Int = 8,
       k: Int = 1024): Array[Long] = {
     import graft.functions.KmvDistinct
-    df.select(explode(shingles(col(textCol), n)).as("g"))
-      .select(KmvDistinct.kmvHash60(col("g")).as("h"))
+    // fused gram-hash kernel (r15): tokens stay a Catalyst split/lower,
+    // but the per-gram slice+concat_ws STRING chain and the explode of
+    // gram strings are gone — one codegen expression emits the 60-bit
+    // hashes per document and only longs explode into the aggregate.
+    // Bit-identical to the explode(shingles)+kmvHash60 chain it
+    // replaced (KmvShingleSpec pins the frozen chain), so the sketch,
+    // the oracle, and every downstream estimate are unchanged.
+    df.select(explode(
+        KmvDistinct.kmvShingleHash60(tokens(col(textCol)), n)).as("h"))
       .agg(KmvDistinct.kmv_set(col("h"), k))
       .head().getSeq[Long](0).toArray
   }

@@ -596,9 +596,11 @@ object Profile {
    * (c_b, c_{b+1}] — every row lands in exactly one bucket, including
    * through duplicated edges on skewed data (empty bins come out as
    * n = 0 rather than vanishing). All edges and counts are exact
-   * integers in scaled units. Three scans total (count + the two
-   * [[orderStatistics]] passes run inside one, + one counting pass),
-   * zero shuffles.
+   * integers in scaled units. Three scans total (the two
+   * [[orderStatisticsByN]] passes + one counting pass; r15 folded the
+   * former separate `count()` scan into pass 1, whose bucket-count
+   * aggregate already establishes the exact non-null row count), zero
+   * shuffles.
    */
   def equiDepthHistogram(
       df: DataFrame,
@@ -609,10 +611,16 @@ object Profile {
     val spark = df.sparkSession
     val scaled = round(col(valueCol) * scale).cast("long")
     val base = df.filter(col(valueCol).isNotNull)
-    val n = base.count()
-    require(n > 0, "equiDepthHistogram needs at least one row")
+    // rank set derived from pass 1's own exact count — same n the old
+    // count() scan produced (both count non-null valueCol rows), so
+    // edges and counts are unchanged; one full scan cheaper
+    var n = 0L
+    val stats = orderStatisticsByN(df, valueCol, { nn =>
+      require(nn > 0, "equiDepthHistogram needs at least one row")
+      n = nn
+      (0 to buckets).map(b => b.toLong * (nn - 1) / buckets).distinct
+    }, scale)
     val rankOf = (0 to buckets).map(b => b.toLong * (n - 1) / buckets)
-    val stats = orderStatistics(df, valueCol, rankOf.distinct, scale)
     val edges = rankOf.map(stats)
     val conds = (0 until buckets).map { b =>
       val lo = if (b == 0) scaled >= lit(edges(b)) else scaled > lit(edges(b))
