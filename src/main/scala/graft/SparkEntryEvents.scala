@@ -57,7 +57,7 @@ private[graft] object SparkEntryEvents {
       events(s, dir)
         .groupBy(date_trunc("minute", col("ts")).as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(round(col("value") * 100).cast("long")).cast("double")
+          sum(graft.functions.ColumnMath.roundHalfUp(col("value") * 100).cast("long")).cast("double")
             .divide(100.0).as("sum_value"))),
 
     // ---- sequence mining: first-order event-type transition counts
@@ -105,7 +105,7 @@ private[graft] object SparkEntryEvents {
       events(s, dir)
         .groupBy(window(col("ts"), "2 minutes", "1 minute"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(round(col("value") * 100).cast("long")).cast("double")
+          sum(graft.functions.ColumnMath.roundHalfUp(col("value") * 100).cast("long")).cast("double")
             .divide(100.0).as("sum_value"))
         .select(col("window.start").as("w_start"), col("event_type"),
           col("n"), col("sum_value"))),
@@ -116,7 +116,7 @@ private[graft] object SparkEntryEvents {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("event_type")).as("n_types"),
-          sum(round(col("value") * 100).cast("long")).cast("double")
+          sum(graft.functions.ColumnMath.roundHalfUp(col("value") * 100).cast("long")).cast("double")
             .divide(100.0).as("sum_value"))),
 
     // ---- events: stream-static broadcast enrichment (batch twin of the
@@ -129,7 +129,7 @@ private[graft] object SparkEntryEvents {
           "user_id", "inner")
         .groupBy(col("c_mktsegment"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(round(col("value") * 100).cast("long")).cast("double")
+          sum(graft.functions.ColumnMath.roundHalfUp(col("value") * 100).cast("long")).cast("double")
             .divide(100.0).as("sum_value"))),
 
     // ---- streaming-shaped: gap sessions via the NATIVE session_window
@@ -139,7 +139,7 @@ private[graft] object SparkEntryEvents {
       events(s, dir)
         .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("w"))
         .agg(count(lit(1)).as("n_events"),
-          (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
+          (sum(graft.functions.ColumnMath.roundHalfUp(col("value") * 100).cast("long")) / 100.0).as("total_value"))
         .select(col("user_id"), col("w.start").as("session_start"),
           col("n_events"), col("total_value"))),
 
@@ -163,7 +163,7 @@ private[graft] object SparkEntryEvents {
     // r13 gate audit). Integer-valued doubles sum exactly in any order ----
     "streaming_sessionize" -> ((s, dir) =>
       graft.streaming.EventsStream.sessionize(
-          events(s, dir).withColumn("value", round(col("value") * 100)),
+          events(s, dir).withColumn("value", graft.functions.ColumnMath.roundHalfUp(col("value") * 100)),
           gapMs = 6 * 3600 * 1000L)
         .toDF().select(col("user_id"), col("n_events"),
           col("total_value").cast("long").as("total_cents"))),

@@ -26,7 +26,7 @@ private[graft] object SparkEntryRel {
     "layout_zorder" -> ((s, dir) =>
       t(s, dir, "events").select(col("event_id"),
         graft.ops.Layout.zorderKey(
-          col("user_id"), round(col("value") * 100).cast("long")).as("zkey"))),
+          col("user_id"), graft.functions.ColumnMath.roundHalfUp(col("value") * 100).cast("long")).as("zkey"))),
 
     // ---- versioned snapshots: commit two corpus versions to a fresh
     // SnapshotStore, then time-travel diff them (added/removed/changed
@@ -96,9 +96,9 @@ private[graft] object SparkEntryRel {
     // (order-independent + exact in both engines, ~2x faster than
     // DECIMAL(38) accumulation), divide back out at the end.
     "agg_pricing_summary" -> ((s, dir) => {
-      val priceCents = round(col("l_extendedprice") * 100).cast("long")
-      val discCents = round(col("l_discount") * 100).cast("long")
-      val qtyCenti = round(col("l_quantity") * 100).cast("long")
+      val priceCents = graft.functions.ColumnMath.roundHalfUp(col("l_extendedprice") * 100).cast("long")
+      val discCents = graft.functions.ColumnMath.roundHalfUp(col("l_discount") * 100).cast("long")
+      val qtyCenti = graft.functions.ColumnMath.roundHalfUp(col("l_quantity") * 100).cast("long")
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -117,7 +117,7 @@ private[graft] object SparkEntryRel {
     "join_salted" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("okey"),
-          round(col("l_quantity") * 100).cast("long").as("qty_centi"))
+          graft.functions.ColumnMath.roundHalfUp(col("l_quantity") * 100).cast("long").as("qty_centi"))
       val ord = t(s, dir, "orders")
         .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
       graft.ops.SkewJoin.saltedJoin(li, ord, "okey", saltFactor = 8)
@@ -127,7 +127,7 @@ private[graft] object SparkEntryRel {
 
     // ---- relational: grouping sets (ROLLUP) with null-free projection ----
     "agg_rollup" -> ((s, dir) => {
-      val qtyCenti = round(col("l_quantity") * 100).cast("long")
+      val qtyCenti = graft.functions.ColumnMath.roundHalfUp(col("l_quantity") * 100).cast("long")
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), (sum(qtyCenti) / 100.0).as("sum_qty"))
@@ -253,7 +253,7 @@ private[graft] object SparkEntryRel {
       val ev = events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"),
-          round(col("value") * 100).cast("long").as("value_cents"))
+          graft.functions.ColumnMath.roundHalfUp(col("value") * 100).cast("long").as("value_cents"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("click_ts"),
           col("event_id").as("click_id"))
@@ -277,8 +277,8 @@ private[graft] object SparkEntryRel {
       val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
-      val priceCents = round(col("l_extendedprice") * 100).cast("long")
-      val discCents = round(col("l_discount") * 100).cast("long")
+      val priceCents = graft.functions.ColumnMath.roundHalfUp(col("l_extendedprice") * 100).cast("long")
+      val discCents = graft.functions.ColumnMath.roundHalfUp(col("l_discount") * 100).cast("long")
       val revPerOrder = li
         .groupBy(col("l_orderkey"))
         .agg(sum(priceCents * (lit(100L) - discCents)).as("__rev"))
@@ -298,7 +298,7 @@ private[graft] object SparkEntryRel {
       val ev = events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"),
-          round(col("value") * 100).cast("long").as("value_cents"))
+          graft.functions.ColumnMath.roundHalfUp(col("value") * 100).cast("long").as("value_cents"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("click_ts"),
           col("event_id").as("click_id"))
@@ -351,8 +351,8 @@ private[graft] object SparkEntryRel {
     "agg_promo_share" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val part = t(s, dir, "part")
-      val rev = round(col("l_extendedprice") * 100).cast("long") *
-        (lit(100L) - round(col("l_discount") * 100).cast("long"))
+      val rev = graft.functions.ColumnMath.roundHalfUp(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - graft.functions.ColumnMath.roundHalfUp(col("l_discount") * 100).cast("long"))
       li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
         .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
         .agg(sum(when(col("p_type") === "PROMO", rev).otherwise(0L))
@@ -383,8 +383,8 @@ private[graft] object SparkEntryRel {
         .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
         .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
-            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        .agg((sum(graft.functions.ColumnMath.roundHalfUp(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - graft.functions.ColumnMath.roundHalfUp(col("l_discount") * 100).cast("long")))
           / 10000.0).as("revenue"),
           count(lit(1)).as("n"))
     }),

@@ -44,7 +44,7 @@ private[graft] object SparkEntryText {
     // full subword stream under a fixed merge table; one map-only codegen
     // projection, zero exchanges ----
     "text_bpe_encode" -> ((s, dir) =>
-      graft.ops.Bpe.encodeDocs(t(s, dir, "documents"), "text", "doc_id",
+      graft.ops.Bpe.encodeDocs(graft.ops.Spread.adaptive(t(s, dir, "documents")), "text", "doc_id",
         Seq(graft.ops.Bpe.Merge(1, "t", "h", 0L),
           graft.ops.Bpe.Merge(2, "th", "e", 0L),
           graft.ops.Bpe.Merge(3, "i", "n", 0L)))),

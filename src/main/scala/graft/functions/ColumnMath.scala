@@ -22,6 +22,14 @@ object ColumnMath {
     column(IntegralDivide(
       expression(c - pmod(c, lit(w))), expression(lit(w))))
 
+  /** Scalar HALF_UP round-to-integer on double — bit-equal to Spark's
+    * 1-arg `round(c)` ([[HalfUpRound]], KernelPropertySpec pin) without
+    * Catalyst Round's two BigDecimal allocations per value. The drop-in
+    * for every `round(expr).cast("long")` scaled-integer projection in
+    * the gate's hot paths (r15). */
+  def roundHalfUp(c: Column): Column =
+    column(HalfUpRound(expression(c.cast("double"))))
+
   /** The canonical scaled-integer vector projection (e7 convention):
     * float elements → round(x·scale) as LONG, HALF_UP via Spark round —
     * the integer currency every exact kernel and every DuckDB oracle

@@ -327,10 +327,37 @@ object KmvHash60Kernels {
   private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
 
+  // Direct-mapped lossy memo for hash60Long (r15): real columns repeat
+  // values heavily (enum-like domains, money cents — l_discount has 11
+  // distinct values across 600k rows), and at ~340 ns per md5 the hash
+  // projection dominated the KMV profile entries. A hit costs two array
+  // reads; a collision just overwrites (the cache is a pure memo — the
+  // function stays deterministic whatever the hit pattern). 2^16 slots
+  // × 16 B = 1 MiB per scan thread, bounded for the life of the thread.
+  private val MemoBits = 16
+  private val MemoMask = (1 << MemoBits) - 1
+  private final class Memo {
+    val keys = new Array[Long](1 << MemoBits)
+    // -1 marks an empty slot: hash60 values live in [0, 2^60), so every
+    // REAL cached hash is non-negative (keys init to 0 would otherwise
+    // alias the legitimate input 0)
+    val vals = Array.fill(1 << MemoBits)(-1L)
+  }
+  private val memo = ThreadLocal.withInitial[Memo](() => new Memo)
+
   /** Hash of the long's decimal rendering ("2400", "-5", …). */
-  def hash60Long(v: Long): Long =
-    digest60(java.lang.Long.toString(v)
+  def hash60Long(v: Long): Long = {
+    val m = memo.get()
+    // Fibonacci scramble so consecutive ids spread over the table
+    val idx = ((v * 0x9e3779b97f4a7c15L) >>> (64 - MemoBits)).toInt & MemoMask
+    val cached = m.vals(idx)
+    if (cached >= 0 && m.keys(idx) == v) return cached
+    val h = digest60(java.lang.Long.toString(v)
       .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    m.keys(idx) = v
+    m.vals(idx) = h
+    h
+  }
 
   /** Hash of the string's UTF-8 bytes (what md5(string) hashes). */
   def hash60Utf8(s: UTF8String): Long = digest60(s.getBytes)

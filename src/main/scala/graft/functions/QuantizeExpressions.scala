@@ -64,7 +64,10 @@ object QuantizeKernels {
   def halfUp(y: Double): Double = {
     val a = Math.abs(y)
     val f = Math.floor(a)
-    Math.copySign(if (a - f >= 0.5) f + 1 else f, y)
+    val r = Math.copySign(if (a - f >= 0.5) f + 1 else f, y)
+    // Round's BigDecimal path never yields -0.0 (y in (-0.5, -0.0]
+    // rounds to POSITIVE zero); NaN/±Inf fall through (r == 0.0 false)
+    if (r == 0.0) 0.0 else r
   }
 
   private def castFail(q: Double): Nothing =
@@ -187,4 +190,32 @@ case class QuantizeArrF32(left: Expression, right: Expression) extends BinaryExp
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "quantize_arr_f32"
+}
+
+/**
+ * Scalar HALF_UP round-to-integer on double — the codegen drop-in for
+ * Catalyst's `Round(x, 0)` in the gate's hot scaled-integer
+ * projections (`round(col·100).cast("long")` appears in every
+ * cents-exact aggregate, profiler and window entry). Catalyst's Round
+ * routes each value through `BigDecimal(shortest rendering).setScale(0,
+ * HALF_UP)` — ~100-150 ns and two allocations per value; this is the
+ * allocation-free form already property-pinned bit-equal to Round in
+ * KernelPropertySpec ([[QuantizeKernels.halfUp]]: NaN/±Inf pass
+ * through exactly like Round's non-finite guard), so results — and
+ * every committed DuckDB oracle replaying `round(x)` — are unchanged.
+ */
+case class HalfUpRound(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a double input, got ${other.sql} - cast explicitly")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any): Any =
+    QuantizeKernels.halfUp(a.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"graft.functions.QuantizeKernels.halfUp($x)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "half_up_round"
 }

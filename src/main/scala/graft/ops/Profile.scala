@@ -117,7 +117,7 @@ object Profile {
       import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
       def sketchKey(c: String): Column = df.schema(c).dataType match {
         case ByteType | ShortType | IntegerType | LongType => col(c).cast("long")
-        case _ => round(col(c) * hashScale).cast("long")
+        case _ => graft.functions.ColumnMath.roundHalfUp(col(c) * hashScale).cast("long")
       }
       // the KMV child must be a bare column ref (TypedImperativeAggregate
       // evaluates children interpreted per row) — the round + md5-kernel hash
@@ -233,7 +233,7 @@ object Profile {
       // form (hi−pos)·lower + (pos−lo)·higher on exact integers.
       val W = 1024L
       val spark = df.sparkSession
-      def scaled(c: String) = round(col(c) * scale).cast("long")
+      def scaled(c: String) = graft.functions.ColumnMath.roundHalfUp(col(c) * scale).cast("long")
 
       // pre-project the scaled values in a codegen'd select: the
       // TypedImperativeAggregate evaluates its child INTERPRETED per
@@ -380,7 +380,7 @@ object Profile {
     require(scale > 0, "scale must be > 0")
     val widthScaled = math.round(binWidth * scale)
     require(widthScaled > 0, "binWidth must not round to zero at this scale")
-    val v = round(col(c).cast("double") * scale).cast("long")
+    val v = graft.functions.ColumnMath.roundHalfUp(col(c).cast("double") * scale).cast("long")
     df.filter(col(c).isNotNull)
       .groupBy(floorDiv(v, widthScaled).as("bin"))
       .agg(count(lit(1)).as("n"))
@@ -487,7 +487,7 @@ object Profile {
       scale: Long = 100L): DataFrame = {
     require(scale > 0, "scale must be > 0")
     val dec = "decimal(38,0)"
-    val v = round(col(valueCol).cast("double") * scale).cast("long").cast(dec)
+    val v = graft.functions.ColumnMath.roundHalfUp(col(valueCol).cast("double") * scale).cast("long").cast(dec)
     val stats = df.groupBy(col(groupCol)).agg(
       // count the non-null MEASURES: the sums skip nulls, so count(1)
       // would mix moments over different row subsets and silently skew
@@ -549,7 +549,7 @@ object Profile {
       scale: Long): Map[Long, Long] = {
     val W = 1024L
     val scaled = df
-      .select(round(col(valueCol) * scale).cast("long").as("v"))
+      .select(graft.functions.ColumnMath.roundHalfUp(col(valueCol) * scale).cast("long").as("v"))
       .filter(col("v").isNotNull)
     val hist1 = scaled
       .agg(graft.functions.HistAgg.bucket_counts(col("v"), W).as("h"))
@@ -609,7 +609,7 @@ object Profile {
       scale: Long = 100L): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
     val spark = df.sparkSession
-    val scaled = round(col(valueCol) * scale).cast("long")
+    val scaled = graft.functions.ColumnMath.roundHalfUp(col(valueCol) * scale).cast("long")
     val base = df.filter(col(valueCol).isNotNull)
     // rank set derived from pass 1's own exact count — same n the old
     // count() scan produced (both count non-null valueCol rows), so
@@ -666,7 +666,7 @@ object Profile {
     val medV = medRow.getDouble(0)
     val med2 = math.round(medV * 2 * scale) // = lo + hi, exactly
     val dev = df.select(col(idCol),
-        round(col(valueCol) * scale).cast("long").as("__s"))
+        graft.functions.ColumnMath.roundHalfUp(col(valueCol) * scale).cast("long").as("__s"))
       .withColumn("__d", abs(col("__s") * lit(2L) - lit(med2)))
     val madV = quantileProfile(dev, Seq("__d"), Seq(0.5), 1L)
       .select(col("v")).head().getDouble(0)
@@ -696,7 +696,7 @@ object Profile {
     // product itself is exact via 128-bit multiply).
     val usedCols = pairs.flatMap(p => Seq(p._1, p._2)).distinct
     val proj = df.select(usedCols.map(c =>
-      round(col(c).cast("double") * scale).cast("long").as(s"s__$c")): _*)
+      graft.functions.ColumnMath.roundHalfUp(col(c).cast("double") * scale).cast("long").as(s"s__$c")): _*)
     val aggs = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
       // pairwise-complete moments: every one of the six sums (and n)
       // must cover exactly the rows where BOTH columns are non-null —

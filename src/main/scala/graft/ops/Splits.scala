@@ -177,7 +177,7 @@ object Splits {
     val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
       .cast("long")
     src.join(broadcast(rates), Seq(groupCol))
-      .filter(bucket < round(col("__rate") * 65536).cast("long"))
+      .filter(bucket < graft.functions.ColumnMath.roundHalfUp(col("__rate") * 65536).cast("long"))
       .drop("__rate")
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
@@ -202,7 +202,7 @@ object Splits {
         raise_error(concat(lit("weightedSample: prob outside [0,1]: "),
           p.cast("string"))))
       .otherwise(p)
-    df.filter(bucket < round(checked * 65536).cast("long"))
+    df.filter(bucket < graft.functions.ColumnMath.roundHalfUp(checked * 65536).cast("long"))
   }
 
   /**

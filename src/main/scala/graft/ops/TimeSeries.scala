@@ -179,7 +179,7 @@ object TimeSeries {
       .rowsBetween(-(windowRows - 1), 0)
     events
       .select(col(keyCol), col(tsCol), col(idCol),
-        round(col(valCol) * 100).cast("long").as("__cents"))
+        graft.functions.ColumnMath.roundHalfUp(col(valCol) * 100).cast("long").as("__cents"))
       .select(col(keyCol), col(idCol),
         // count the NON-NULL measures (SQL avg semantics): count(1)
         // would let a null-valued event contribute 0 to the sum while

@@ -341,4 +341,32 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(fastHalfUp(-y) === sparkRound(-y), s"y = ${-y}")
     }
   }
+
+  test("HalfUpRound expression == Spark's Round(x, 0) incl. non-finite, large, null") {
+    // the r15 scalar drop-in for the gate's round(col*scale).cast(long)
+    // projections: same eval contract as Round at EVERY double, not just
+    // the quantize domain - money cents, scaled quantiles, 65536-rate
+    // thresholds all route through it now
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Round}
+    def sparkRound(y: Double): Double =
+      Round(Literal(y), Literal(0)).eval(null).asInstanceOf[Double]
+    def kernel(y: Double): Double =
+      graft.functions.HalfUpRound(Literal(y)).eval(null).asInstanceOf[Double]
+    val edges = Seq(0.0, -0.0, 0.5, -0.5, 1e15 + 0.5, -(1e15 + 0.5),
+      9.007199254740992e15, 4.9e-324, -4.9e-324,
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      Double.MaxValue, Double.MinValue, Double.MinPositiveValue)
+    val rnd = new scala.util.Random(7)
+    val cases = edges ++
+      (1 to 5000).map(_ => (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(12))) ++
+      (1 to 2000).map(_ => rnd.nextInt(1 << 20) + 0.5 + (rnd.nextInt(5) - 2) * 1e-16)
+    cases.foreach { y =>
+      val (a, b) = (kernel(y), sparkRound(y))
+      assert(java.lang.Double.doubleToRawLongBits(a) ===
+             java.lang.Double.doubleToRawLongBits(b), s"y = $y: $a vs $b")
+    }
+    // null propagates like Round's
+    assert(graft.functions.HalfUpRound(
+      Literal(null, org.apache.spark.sql.types.DoubleType)).eval(null) == null)
+  }
 }
