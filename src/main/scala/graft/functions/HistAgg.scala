@@ -51,12 +51,17 @@ case class LongBucketCounts(
 
   private def bump(
       buf: scala.collection.mutable.LongMap[Long], k: Long, by: Long): Unit = {
-    if (!buf.contains(k) && buf.size >= maxEntries) {
+    // two probes per row (the r15 form replaced contains + getOrElse +
+    // update = three on the hot interpreted update path); the occupancy
+    // guard fires on the same inserts as before — when the insert would
+    // exceed maxEntries — just checked after the fact (the task dies
+    // either way, the buffer is discarded with it)
+    buf(k) = buf.getOrElse(k, 0L) + by
+    if (buf.size > maxEntries) {
       throw new IllegalStateException(
         s"$prettyName exceeded $maxEntries occupied buckets - the value " +
         "domain is too sparse for an exact histogram; use the sketch tier")
     }
-    buf(k) = buf.getOrElse(k, 0L) + by
   }
 
   override def update(

