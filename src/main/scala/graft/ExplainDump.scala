@@ -53,14 +53,39 @@ object ExplainDump {
             .select(KmvDistinct.kmvHash60(col("g")).as("h"))
             .agg(KmvDistinct.kmv_set(col("h"), 1024))
         } else
-          docs.select(explode(
-              KmvDistinct.kmvShingleHash60(toks, 8)).as("h"))
-            .agg(KmvDistinct.kmv_set(col("h"), 1024))
+          // the CURRENT shape comes from the op's own frame constructor,
+          // so this dump cannot drift from what the bench runs (r16)
+          graft.ops.Dedup.corpusSketchKmvFrame(docs, "text", 8, 1024)
       java.nio.file.Files.writeString(outDir.resolve(s"$name.txt"),
         frame.queryExecution.explainString(ExplainMode.fromString("formatted")))
       println(s"[explain] wrote $name")
     }
-    names.filterNot(_.startsWith("kmv_sketch_pass")).foreach { name =>
+    // The quantile sketch tier's declared frame is a driver-combined
+    // LocalTableScan — the plan that matters is the SAMPLE pass (filter
+    // + profiled-column projection feeding the persist). Same pseudo-
+    // entry convention as kmv_sketch_pass: the current shape calls the
+    // op's own frame constructor; `_frozen_r15` reconstructs the
+    // r14–r15 hex-string chain (substring(md5(concat_ws))<rateHex, no
+    // column pruning before the cache) for the before/after diff.
+    names.filter(_.startsWith("quantile_sample_pass")).foreach { name =>
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val keys = Seq("l_orderkey", "l_linenumber")
+      val rate = 65536.0 / math.max(1L, li.count())
+      val frame =
+        if (name.endsWith("frozen_r15"))
+          li.filter(substring(md5(concat_ws("|",
+              keys.map(k => col(k).cast("string")): _*)), 1, 4)
+            < lit(graft.ops.Splits.rateHex(rate)))
+        else
+          graft.ops.Profile.quantileSampleFrame(li, cols, keys, rate)
+      java.nio.file.Files.writeString(outDir.resolve(s"$name.txt"),
+        frame.queryExecution.explainString(ExplainMode.fromString("formatted")))
+      println(s"[explain] wrote $name")
+    }
+    names.filterNot(n => n.startsWith("kmv_sketch_pass") ||
+        n.startsWith("quantile_sample_pass")).foreach { name =>
       SparkEntry.queries.get(name) match {
         case None => System.err.println(s"[explain] unknown query: $name")
         case Some(fn) =>

@@ -260,6 +260,40 @@ object KmvDistinct {
     * cannot drift from Spark's. */
   def kmvShingleHash60(tokens: Column, n: Int): Column =
     column(KmvShingleHash60(toExpr(tokens), n))
+
+  /** The 16-bit md5 bucket of a string — the integer whose `%04x`
+    * rendering is `substring(md5(s), 1, 4)`, as one codegen kernel
+    * ([[Md5Bucket16]]). The deterministic-membership rule shared by
+    * [[graft.ops.Splits]] and the quantile profiler's hash sample
+    * compares that 4-hex prefix LEXICOGRAPHICALLY against a 4-hex
+    * threshold; both sides are exactly 4 lowercase hex chars, and hex
+    * digits sort in value order ('0'‥'9' < 'a'‥'f' in ASCII), so
+    * `substring(md5(s),1,4) < hex4` ⟺ `md5_bucket16(s) < int(hex4,16)`
+    * — pinned against the builtin chain in KernelPropertySpec. What it
+    * removes (r16): the 32-char hex UTF8String + the substring copy +
+    * the per-row string comparison; the digest itself (intrinsified
+    * MessageDigest) remains. Null propagates. */
+  def md5Bucket16(c: Column): Column = column(Md5Bucket16(toExpr(c)))
+}
+
+/**
+ * First 16 bits of md5 over a string's UTF-8 bytes, as int in
+ * [0, 65536) — `int(md5hex[0:4], 16)`. See [[KmvDistinct.md5Bucket16]]
+ * for the equivalence contract with the `substring(md5(s), 1, 4)`
+ * string chain it replaces.
+ */
+case class Md5Bucket16(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashTypeChecks.string(child.dataType, prettyName)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any): Any =
+    KmvHash60Kernels.bucket16Utf8(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      x => s"graft.functions.KmvHash60Kernels.bucket16Utf8($x)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "md5_bucket16"
 }
 
 /**
@@ -361,6 +395,16 @@ object KmvHash60Kernels {
 
   /** Hash of the string's UTF-8 bytes (what md5(string) hashes). */
   def hash60Utf8(s: UTF8String): Long = digest60(s.getBytes)
+
+  /** First 16 bits of md5 over the string's UTF-8 bytes —
+    * `int(md5hex[0:4], 16)`: hex chars 0..3 are exactly digest bytes
+    * 0..1 big-endian. The per-row kernel behind [[Md5Bucket16]]. */
+  def bucket16Utf8(s: UTF8String): Int = {
+    val md = md5.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+  }
 
   /** All word-n-gram hashes of a token array in one call — the fused
     * kernel behind [[KmvShingleHash60]]. Gram rendering matches

@@ -354,23 +354,45 @@ object Profile {
       val n = df.count()
       if (n <= sampleRows) quantileProfile(df, cols, qs, scale, exact = true)
       else {
-        val bucket = substring(
-          md5(concat_ws("|", keys.map(k => col(k).cast("string")): _*)),
-          1, 4)
         // persist the ~sampleRows survivors so the exact tier's two
         // passes read the cached sample, not the corpus twice — at
         // 100 TB this tier costs ONE full scan (plus the metadata-only
         // count), and the cache is bounded by the sample size. The
         // exact tier is eager (both passes complete inside the call),
         // so the unpersist is safe immediately after.
-        val sampled = df
-          .filter(bucket < lit(Splits.rateHex(sampleRows.toDouble / n)))
+        val sampled = quantileSampleFrame(df, cols, keys,
+            sampleRows.toDouble / n)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try quantileProfile(sampled, cols, qs, scale, exact = true)
         finally sampled.unpersist(blocking = false)
       }
     }
   }
+
+  /** The sketch tier's sample pass, as a frame: rows whose 16-bit md5
+    * bucket over the key rendering falls under `round(rate·65536)`,
+    * projected to the profiled columns. One shared constructor so the
+    * ExplainDump pseudo-entry dumps exactly the plan [[quantileProfile]]
+    * caches. Membership is bit-identical to the r14–r15
+    * `substring(md5(concat_ws('|', keys…)), 1, 4) < rateHex(rate)`
+    * string chain the DuckDB oracle still replays — the key rendering
+    * and concat stay in Catalyst (cross-engine semantics visible in the
+    * plan); [[graft.functions.KmvDistinct.md5Bucket16]] replaces only
+    * the hex-string materialization + substring + string compare with
+    * an int compare (r16; see the Md5Bucket16 scaladoc for the
+    * lexicographic ⟺ numeric equivalence, KernelPropertySpec for the
+    * pin). The projection to `cols` prunes the scan AND the cache: the
+    * exact tier reads only the profiled columns, so caching the full
+    * row width paid decode + cache bytes for nothing. */
+  private[graft] def quantileSampleFrame(
+      df: DataFrame,
+      cols: Seq[String],
+      keys: Seq[String],
+      rate: Double): DataFrame =
+    df.filter(graft.functions.KmvDistinct.md5Bucket16(
+        concat_ws("|", keys.map(k => col(k).cast("string")): _*))
+        < lit(Splits.rateBucket16(rate)))
+      .select(cols.map(col): _*)
 
   /**
    * Fixed-width histogram — (bin, lo, n) where bin = value DIV width in

@@ -94,6 +94,16 @@ object Splits {
   def rateHex(rate: Double): String =
     f"${math.min(65535L, math.round(rate * 65536.0))}%04x"
 
+  /** [[rateHex]]'s integer twin: the same `min(65535, round(rate·65536))`
+    * threshold as an int, for comparison against
+    * [[graft.functions.KmvDistinct.md5Bucket16]]. Because both the md5
+    * prefix and the threshold are exactly 4 lowercase hex chars,
+    * `substring(md5(s),1,4) < rateHex(r)` ⟺ `md5_bucket16(s) <
+    * rateBucket16(r)` — one rounding implementation for both forms, so
+    * the hex oracle replay and the int kernel path cannot diverge. */
+  def rateBucket16(rate: Double): Int =
+    math.min(65535L, math.round(rate * 65536.0)).toInt
+
   /**
    * Fractional EPOCH expansion — the up-sampling half of a pretraining
    * mix recipe ("2.3 epochs of wikipedia, 0.8 of books"): every doc of

@@ -369,4 +369,50 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(graft.functions.HalfUpRound(
       Literal(null, org.apache.spark.sql.types.DoubleType)).eval(null) == null)
   }
+
+  test("Md5Bucket16 == int(md5hex[0:4],16); int compare == hex string compare (3000 cases)") {
+    // the r16 membership kernel behind the deterministic hash sample
+    // (Profile.quantileSampleFrame): must reproduce the
+    // substring(md5(s),1,4) < rateHex(r) decision BIT-EXACTLY, because
+    // the DuckDB oracle replays the hex-string form. Two halves:
+    //  (a) value pin: the kernel's int is the first-4-hex-chars integer
+    //      of an INDEPENDENT MessageDigest's hex rendering;
+    //  (b) order pin: for 4-char lowercase hex, lexicographic < equals
+    //      numeric < (hex digits ascend in ASCII), so the membership
+    //      decision is identical at every (string, rate) pair —
+    //      including rate edges 0, 1, and the 65535 clamp.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import graft.functions.Md5Bucket16
+    import graft.ops.Splits
+    def hex4(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      d.take(2).map(b => f"${b & 0xff}%02x").mkString
+    }
+    def kernel(s: String): Int =
+      Md5Bucket16(Literal(UTF8String.fromString(s), org.apache.spark.sql.types.StringType))
+        .eval(null).asInstanceOf[Int]
+    val rnd = new scala.util.Random(1616)
+    val edgeStrings = Seq("", "0", "-1", "a|b", "0|0", "åß∂ƒ", " ",
+      "9999999999|7", " ", "null")
+    val strings = edgeStrings ++ (1 to 3000).map { _ =>
+      val n = rnd.nextInt(24)
+      (1 to n).map(_ => (rnd.nextInt(0x2000) + 1).toChar).mkString
+    }
+    val rates = Seq(0.0, 1.0, 0.5, 1.0 / 131072, 1 - 1.0 / 131072) ++
+      (1 to 50).map(_ => rnd.nextDouble())
+    strings.foreach { s =>
+      val h = hex4(s)
+      val k = kernel(s)
+      assert(f"$k%04x" === h, s"s=<$s>")
+      rates.foreach { r =>
+        assert((k < Splits.rateBucket16(r)) === (h < Splits.rateHex(r)),
+          s"s=<$s> r=$r")
+      }
+    }
+    // null propagates (null key rendering → null bucket → filter drops,
+    // exactly as null md5-hex did)
+    assert(Md5Bucket16(
+      Literal(null, org.apache.spark.sql.types.StringType)).eval(null) == null)
+  }
 }

@@ -173,6 +173,26 @@ class ProfileCohortsSpec extends SparkSuite {
     }
   }
 
+  test("quantile sample membership == frozen substring(md5)<rateHex chain (r16 kernel pin)") {
+    // r16 replaced the hex-string membership chain with the
+    // Md5Bucket16 int kernel; the DuckDB oracle still replays the
+    // STRING form, so the surviving row SET must be bit-identical.
+    // Multi-column key exercises the concat_ws('|') rendering path the
+    // gate entry uses (l_orderkey, l_linenumber).
+    import org.apache.spark.sql.functions.{col, concat_ws, lit, md5, substring}
+    val df = withLogLevel(spark.range(0L, 20000L)
+      .selectExpr("id AS k1", "id % 7 AS k2", "cast(id AS double) / 3 AS v"))
+    for (rate <- Seq(0.001, 0.13, 0.5)) {
+      val got = Profile.quantileSampleFrame(df, Seq("v"), Seq("k1", "k2"), rate)
+      val frozen = df.filter(substring(md5(concat_ws("|",
+          col("k1").cast("string"), col("k2").cast("string"))), 1, 4)
+          < lit(graft.ops.Splits.rateHex(rate)))
+        .select(col("v"))
+      assert(got.collect().map(_.getDouble(0)).sorted.toSeq ===
+        frozen.collect().map(_.getDouble(0)).sorted.toSeq, s"rate=$rate")
+    }
+  }
+
   test("quantile sketch tier is invariant to partition layout") {
     // the r13 census diverged at CPUS=1 precisely here (per-partition
     // RNG membership + GK merge order); the md5-bucket tier is a pure
