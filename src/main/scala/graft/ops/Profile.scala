@@ -9,17 +9,19 @@ import org.apache.spark.sql.functions._
  * cardinalities, ranges drive schema checks and drift alerts between
  * pipeline runs).
  *
- * Scale shape, exact tier: the input unpivots via `stack` into
- * (column, value) and collapses to a (column, value, count) table in a
- * codegen hash aggregate — the shuffle carries the summed value
- * CARDINALITY of the profiled columns, never the corpus, and every
- * metric (n, nulls, distinct, min, max) derives from that table in a
- * second |cols|-row aggregate. No EXPAND (the multi-distinct plan
- * Catalyst would otherwise emit), no boxed per-row aggregate state.
- * For unbounded high-cardinality domains at 100 TB the counts table
- * itself is the bound — pass `exact = false` for the KMV bottom-k
- * distinct sketch (one pass, no counts table, state ≤ `sketchK` longs
- * per column, ~1/√sketchK error).
+ * Scale shape, exact tier (r16): one compound
+ * [[graft.functions.ColumnStats]] aggregate per column — n / nulls /
+ * distinct-set / min / max in ONE buffer, updated once per (row,
+ * column) straight off the scan. No EXPAND (the multi-distinct plan
+ * Catalyst would otherwise emit), no stack Generate, no
+ * (column, value) → count table, no mid-plan exchange: the single
+ * exchange carries one serialized buffer per (partition, column),
+ * each bounded by the column's value CARDINALITY — the same bound the
+ * r13–r15 counts table had, in set form. For unbounded
+ * high-cardinality domains at 100 TB that cardinality is the bound —
+ * pass `exact = false` for the KMV bottom-k distinct sketch (one
+ * pass, no distinct set, state ≤ `sketchK` longs per column,
+ * ~1/√sketchK error).
  */
 object Profile {
 
@@ -85,40 +87,36 @@ object Profile {
     requireSqlSafeNames(cols)
 
     if (exact) {
-      // (column-INDEX, value, count) — nulls kept as a counted group so
-      // the null tally rides the same table. Values unify as double for
-      // the heterogeneous stack; integral values beyond 2^53 would alias
+      // ONE compound aggregate per column (r16): each input row costs
+      // |cols| buffer updates (null-count / distinct-set insert /
+      // min-max compare in one dispatch) — no stack Generate, no
+      // (column, value) → count table, no mid-plan exchange; the only
+      // exchange carries one serialized buffer per (partition, column).
+      // The r15 shape paid rows×|cols| hash-aggregate probes against a
+      // cardinality-sized table, exchanged that table, re-aggregated
+      // it, and restored names through a broadcast join — measured 2.4M
+      // stacked rows for the 4-column lineitem profile. State bound is
+      // UNCHANGED: the distinct set is the same value-cardinality bound
+      // the counts table had (sketch tier for unbounded domains).
+      // Values unify as double; integral values beyond 2^53 would alias
       // under the cast — profile such ids as strings or sketch them.
-      // The grouping key is the column's ordinal, not its NAME (r15):
-      // a string key made every partial-aggregate probe hash and compare
-      // 10-20 literal bytes per stacked row and carried the name through
-      // the exchange — the int form measured 33% faster on the 4-column
-      // lineitem profile with the name restored by the same |cols|-row
-      // broadcast join the empty-frame contract already paid for.
-      val stacked = cols.zipWithIndex
-        .map { case (c, i) => s"$i, cast(`$c` AS double)" }.mkString(", ")
-      val grouped = df
-        .select(expr(s"stack(${cols.size}, $stacked) AS (__ci, v)"))
-        .groupBy(col("__ci"), col("v")).agg(count(lit(1)).as("cnt"))
-        .groupBy(col("__ci")).agg(
-          sum("cnt").as("n"),
-          coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L))
-            .as("n_null"),
-          count(col("v")).as("n_distinct"), // non-null (__ci, v) rows
-          min("v").as("mn"), max("v").as("mx"))
-      // left-join against the requested column list so an empty input
-      // frame still yields one row per column with n=0 and null min/max —
-      // the sketch tier's single-row agg produces exactly that, and
-      // callers distinguishing "column absent" from "column empty" rely
-      // on it. |cols|-row build side: always a broadcast.
-      import df.sparkSession.implicits._
-      cols.zipWithIndex.map { case (c, i) => (i, c) }.toDF("__ci", "column")
-        .join(grouped, Seq("__ci"), "left")
-        .select(col("column"),
-          coalesce(col("n"), lit(0L)).as("n"),
-          coalesce(col("n_null"), lit(0L)).as("n_null"),
-          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
-          col("mn"), col("mx"))
+      // The cast runs in a codegen projection: TypedImperativeAggregate
+      // evaluates children interpreted per row, so children stay bare
+      // column refs (the corrExact/KMV discipline).
+      val proj = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+      val aggs = cols.map(c =>
+        graft.functions.ColumnStatsAgg.column_stats(col(c)).as(s"st__$c"))
+      val one = proj.agg(aggs.head, aggs.tail: _*)
+      // unpivot the single row; an EMPTY input frame still yields one
+      // row per column with n=0 and null min/max (each buffer evals to
+      // (0,0,0,null,null)) — the contract the old |cols|-row left join
+      // existed to keep, now a construction property
+      val stacked = cols.map { c =>
+        s"'$c', `st__$c`.n, `st__$c`.n_null, `st__$c`.n_distinct, " +
+          s"`st__$c`.mn, `st__$c`.mx"
+      }.mkString(", ")
+      one.select(expr(
+        s"stack(${cols.size}, $stacked) AS (column, n, n_null, n_distinct, mn, mx)"))
     } else {
       // integral columns hash their RAW value (exact, no overflow);
       // fractional columns quantize per the scaladoc contract

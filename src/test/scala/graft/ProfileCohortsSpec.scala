@@ -79,17 +79,24 @@ class ProfileCohortsSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     val approx = Profile.numericProfile(df, Seq("a", "b"), exact = false)
       .queryExecution.executedPlan.toString
-    // exact derives every metric from the (column, value, count) table —
+    // exact derives every metric from one compound buffer per column —
     // no countDistinct, so no EXPAND ×|cols| of the corpus
     assert(!exact.contains("Expand"), s"exact must not expand:\n$exact")
     assert(!approx.contains("Expand"), s"approx must not expand:\n$approx")
-    // 2 scans: the corpus pass + the |cols|-row column-name list that
-    // left-joins (broadcast) so empty inputs still emit n=0 rows — the
-    // CORPUS is read once; the column list is constant-size
-    assert(exact.linesIterator.count(_.contains("Scan")) <= 2,
+    // r16 shape: ONE scan, one partial+final aggregate pair, and no
+    // join or Generate anywhere — the r15 stack + counts-table +
+    // broadcast-restore chain is gone (empty-input rows now come from
+    // the buffers themselves)
+    assert(exact.linesIterator.count(_.contains("Scan")) <= 1,
       s"exact profile must be one corpus pass:\n$exact")
-    assert(exact.contains("BroadcastHashJoin"),
-      s"column-list join must broadcast:\n$exact")
+    assert(!exact.contains("Join"), s"exact must not join:\n$exact")
+    // the only Generate is the |cols|-row unpivot ABOVE the aggregate
+    // (one row in, |cols| out); the corpus side below the partial
+    // aggregate must not stack
+    val belowAgg = exact.linesIterator
+      .dropWhile(!_.contains("partial_column_stats")).mkString("\n")
+    assert(!belowAgg.contains("Generate"),
+      s"corpus side must not stack:\n$exact")
   }
 
   test("sketch tiers stay within contract error bounds of exact") {
@@ -171,6 +178,66 @@ class ProfileCohortsSpec extends SparkSuite {
       assert(math.abs(got(q) - want) / 100000.0 < 0.03,
         s"q=$q sampled ${got(q)} vs true $want")
     }
+  }
+
+  test("exact tier == frozen r15 stack/counts-table chain incl. NaN, ±0.0, nulls, empty (r16)") {
+    // r16 replaced the stack + (ci, v, count) + second-aggregate shape
+    // with one compound ColumnStats buffer per column; this pins the
+    // output against a frozen copy of the r15 chain on adversarial
+    // doubles. NaN/-0.0 matter: the old chain's groupBy NORMALIZED them
+    // (-0.0 → +0.0, NaN → canonical) before distinct/min/max — the
+    // kernel must reproduce exactly that.
+    import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, max, min, sum, when}
+    def frozen(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) = {
+      val stacked = cols.zipWithIndex
+        .map { case (c, i) => s"$i, cast(`$c` AS double)" }.mkString(", ")
+      val grouped = df
+        .select(expr(s"stack(${cols.size}, $stacked) AS (__ci, v)"))
+        .groupBy(col("__ci"), col("v")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("__ci")).agg(
+          sum("cnt").as("n"),
+          coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_null"),
+          count(col("v")).as("n_distinct"),
+          min("v").as("mn"), max("v").as("mx"))
+      import df.sparkSession.implicits._
+      cols.zipWithIndex.map { case (c, i) => (i, c) }.toDF("__ci", "column")
+        .join(grouped, Seq("__ci"), "left")
+        .select(col("column"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("n_null"), lit(0L)).as("n_null"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          col("mn"), col("mx"))
+    }
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) "null" else java.lang.Double.doubleToLongBits(r.getDouble(4)).toString,
+        if (r.isNullAt(5)) "null" else java.lang.Double.doubleToLongBits(r.getDouble(5)).toString)
+    }.sortBy(_._1).toSeq
+    val rnd = new scala.util.Random(1601)
+    val specials = Seq(Double.NaN, 0.0, -0.0, Double.PositiveInfinity,
+      Double.NegativeInfinity, 1.5, -1.5, null)
+    (1 to 5).foreach { caseNo =>
+      val rows = (1 to 400).map { _ =>
+        def v(): java.lang.Double = rnd.nextInt(4) match {
+          case 0 => specials(rnd.nextInt(specials.size)).asInstanceOf[Any] match {
+            case null => null
+            case d: Double => java.lang.Double.valueOf(d)
+          }
+          case _ => java.lang.Double.valueOf(rnd.nextInt(20) / 4.0)
+        }
+        (v(), v())
+      }
+      val df = withLogLevel(
+        spark.createDataFrame(rows).toDF("a", "b").repartition(3))
+      val got = canon(Profile.numericProfile(df, Seq("a", "b")).collect())
+      val want = canon(frozen(df, Seq("a", "b")).collect())
+      assert(got === want, s"case $caseNo")
+    }
+    // empty frame keeps one row per column, n=0, null min/max
+    val empty = withLogLevel(spark.createDataFrame(
+      Seq.empty[(java.lang.Double, java.lang.Double)]).toDF("a", "b"))
+    assert(canon(Profile.numericProfile(empty, Seq("a", "b")).collect()) ===
+      canon(frozen(empty, Seq("a", "b")).collect()))
   }
 
   test("quantile sample membership == frozen substring(md5)<rateHex chain (r16 kernel pin)") {
