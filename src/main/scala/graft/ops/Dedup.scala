@@ -80,37 +80,38 @@ object Dedup {
    * `band` and `bucket` columns (other columns pass through). Buckets with
    * more than `maxBucketSize` rows are removed before the self-join and
    * the drop is logged (never silent). `maxBucketSize <= 0` disables the
-   * guard. The occupancy count is a map-side-combined aggregate over the
-   * (band, bucket) keys — against the caller's already-checkpointed
-   * signature frame (`cached` is an EAGER localCheckpoint), so the stats
-   * job re-scans in-memory blocks, not the corpus. The anti-join against the
-   * (small by construction) oversized-bucket set broadcasts, and is
-   * skipped entirely when nothing is oversized, so the common-case plan
-   * is unchanged.
+   * guard.
+   *
+   * r16 shape (guide §1.2 step 1 — one fewer job per guarded op): the
+   * anti-join against the oversized-bucket set is UNCONDITIONAL (an
+   * empty build side keeps every row, so the no-skew result is
+   * bit-identical), which moves the occupancy aggregate INSIDE the main
+   * action's broadcast build instead of a separate eagerly-executed
+   * stats job per guard. The r13/r14-audited safety property — a drop
+   * is NEVER silent — is kept through an `observe()` metric on the
+   * oversized set plus a QueryExecutionListener that WARNs whenever an
+   * action observes a non-empty drop ([[GuardMetrics]]; DedupSpec pins
+   * that the WARN still fires). The aggregate still runs against the
+   * caller's already-checkpointed signature frame (`cached` is an EAGER
+   * localCheckpoint), so the broadcast build re-scans in-memory blocks,
+   * not the corpus — same bytes as the old stats job, one less job
+   * launch, and the build overlaps the main action's other work.
    */
   private[graft] def guardBuckets(
       banded: DataFrame,
       maxBucketSize: Int,
       op: String): DataFrame = {
     if (maxBucketSize <= 0) return banded
+    GuardMetrics.register(banded.sparkSession)
     val over = banded.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") > maxBucketSize)
-    // ONE job in the no-skew common case (map-side-combined agg straight
-    // to the driver); `over` is only re-evaluated — inside the broadcast —
-    // on the rare skewed path.
-    val stats = over.agg(
-      count(lit(1)).as("nb"), coalesce(sum(col("__bsz")), lit(0L)).as("nr")).head()
-    val (nBuckets, nRows) = (stats.getLong(0), stats.getLong(1))
-    if (nBuckets == 0) banded
-    else {
-      log.warn(s"$op: dropping $nBuckets oversized LSH bucket(s) " +
-        s"(> $maxBucketSize rows each, $nRows banded rows skipped). " +
-        "Near-dups inside dropped buckets are NOT paired here — run exact " +
-        "dedup first (identical docs fill every bucket) or raise maxBucketSize.")
-      banded.join(broadcast(over.select("band", "bucket")),
-        Seq("band", "bucket"), "left_anti")
-    }
+      .observe(s"${GuardMetrics.Prefix}$op",
+        count(lit(1)).as("nb"),
+        coalesce(sum(col("__bsz")), lit(0L)).as("nr"),
+        lit(maxBucketSize.toLong).as("cap"))
+    banded.join(broadcast(over.select("band", "bucket")),
+      Seq("band", "bucket"), "left_anti")
   }
 
   /** Materialize a (deterministic) signature frame once, lineage-free.

@@ -314,6 +314,41 @@ class DedupSpec extends SparkSuite {
     assert(unguarded === 120L * 119 / 2 + 1)
   }
 
+  test("guard drop WARN still fires through the fused observe metric (r16)") {
+    // r16 folded the guard's separate stats job into the main action
+    // (observe() on the broadcast build side); the r13/r14-audited
+    // "caps are never silent" property now rides the listener — pin
+    // that (a) the metric is observed at all (CollectMetrics survives
+    // the broadcast build under AQE), and (b) a planted mega-bucket
+    // drop sets the WARN state with the right counts.
+    import graft.ops.GuardMetrics
+    GuardMetrics.lastDrop = None
+    val seen0 = GuardMetrics.seen.get()
+    val mega = (0 until 120).map(i => (i.toLong, "boiler plate page body"))
+    val pair = Seq(
+      (900L, "rare unique sentence alpha beta gamma"),
+      (901L, "rare unique sentence alpha beta gamma"))
+    val df = (mega ++ pair).toDF("doc_id", "text")
+    withLogLevel {
+      Dedup.minhashCandidates(df, "text", "doc_id",
+        numHashes = 64, bands = 16, shingleSize = 1, maxBucketSize = 50).count()
+    }
+    // listener bus delivery is asynchronous — poll
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (GuardMetrics.lastDrop.isEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(GuardMetrics.seen.get() > seen0,
+      "guard metric was never observed — CollectMetrics did not surface")
+    val (op, nb, nr) = GuardMetrics.lastDrop.getOrElse(
+      fail("drop WARN state never set — the loud-cap property broke"))
+    assert(op === "minhashCandidates")
+    // 16 bands × one mega bucket each; if the self-join executes the
+    // metric subtree twice (no exchange reuse) counts double — accept
+    // k×16 with rows consistent
+    assert(nb % 16 === 0 && nb > 0, s"nb = $nb")
+    assert(nr === nb * 120, s"nr = $nr for nb = $nb")
+  }
+
   test("bucket-skew guard bounds embedding-LSH candidates too") {
     val v = Array(0.6f, 0.8f, 0f, 0f)
     val mega = (0 until 80).map(i => (i.toLong, v))
